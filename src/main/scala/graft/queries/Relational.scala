@@ -175,7 +175,9 @@ object Relational {
             |FROM events
             |ORDER BY user_id, event_id""".stripMargin),
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // ts is epoch-nanos (nanosAsLong); order on µs truncation so the
+      // oracle (which reads parquet nanos as µs timestamps) sorts identically.
+      val w = Window.partitionBy("user_id").orderBy(expr("ts div 1000"), col("event_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("value"),
           asDouble(sum(dec(col("value")))
