@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Envelope, RatecardSchema}
+import graft.pipeline.KafkaToParquet
+
+import java.nio.file.Files
+
+/** Structured Streaming wrapper over the same pipeline: micro-batches from a
+  * MemoryStream with the Kafka-source column shape, foreachBatch applying
+  * the per-batch write contract (SURVEY.md §2.6: Lambda batch ≡ micro-batch;
+  * checkpointing ⇒ the reference's at-least-once retry semantics). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  case class KRec(topic: String, partition: Int, offset: Long,
+      timestamp: java.sql.Timestamp, timestampType: String,
+      key: Array[Byte], value: Array[Byte])
+
+  test("streaming micro-batch lands a count-bearing parquet file per batch") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sample = Envelope
+      .readEventJson(spark, "/root/reference/sample_kafka_event.json")
+      .collect()
+      .map(r => KRec(r.getString(0), r.getInt(1), r.getLong(2),
+        r.getTimestamp(3), r.getString(4),
+        r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
+
+    val stream = MemoryStream[KRec]
+    val out = Files.createTempDirectory("graft_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    stream.addData(sample.take(10).toSeq)
+    val q = KafkaToParquet.runStream(
+      stream.toDF(), RatecardSchema.topic, RatecardSchema.provider,
+      out, ckpt, "SRC_KEY_VAL",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      stream.addData(sample.drop(10).toSeq)   // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val files = {
+      val dir = new java.io.File(out)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(files.size == 2, s"expected 2 batch files, got $files")
+    assert(files.exists(_.getName.matches(
+      raw"lndcdcadsrtcrd_ratecard_\d+\.\d{6}_10_10\.parquet")))
+    assert(files.exists(_.getName.matches(
+      raw"lndcdcadsrtcrd_ratecard_\d+\.\d{6}_6_6\.parquet")))
+    val back = spark.read.parquet(files.map(_.getPath): _*)
+    assert(back.count() == 16)
+  }
+}
