@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks (SURVEY.md §2.11): tokenization, shingling,
+  * MinHash signatures, simhash bits — all pure Column expressions (codegen'd,
+  * shuffle-free per row), designed so the *identical* logic is expressible
+  * in ANSI SQL for the DuckDB oracle:
+  *
+  *   - hash family h_i(s) = md5(concat("<i>|", s)): md5 produces the same
+  *     lowercase hex in both engines, and the min over a shingle set under
+  *     lexicographic order is a valid MinHash (a fixed pseudo-random
+  *     permutation of the shingle space per seed).
+  *   - simhash bits come from hex-digit arithmetic on md5(token) — instr /
+  *     shift / mask expressions shared verbatim with the oracle SQL.
+  *
+  * At 100 TB these are embarrassingly parallel scan-side expressions; the
+  * only shuffles in the dedup pipelines built from them are the band-bucket
+  * groupBys, which partition by band hash (uniform by construction).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: n consecutive tokens joined by a space. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val idxs = sequence(lit(0), size(toks) - n)
+    val joined = transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash signature component: min_{s in shingles} md5(seed|s). */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** Full signature as individual columns sig_0..sig_{k-1}. */
+  def minhashSig(shingleCol: Column, k: Int): Seq[(String, Column)] =
+    (0 until k).map(i => s"sig_$i" -> minhash(shingleCol, i))
+
+  /** SQL text for the same signature component (DuckDB oracle side). */
+  def minhashSql(shinglesExpr: String, seed: Int): String =
+    s"list_min(list_transform($shinglesExpr, s -> md5('$seed|' || s)))"
+
+  /** Shared simhash bit arithmetic: bit j of a token's hash, taken from
+    * md5 hex digit j/4 (1-based substr), low-to-high within the digit.
+    * The returned SQL string is valid in BOTH Spark SQL and DuckDB. */
+  def simhashBitSql(tokExpr: String, j: Int): String = {
+    val pos = j / 4 + 1
+    val sh = j % 4
+    s"(((instr('0123456789abcdef', substr(md5($tokExpr), $pos, 1)) - 1) >> $sh) & 1)"
+  }
+
+  /** ±1 contribution of one token to simhash bit j (shared SQL text). */
+  def simhashContribSql(tokExpr: String, j: Int): String =
+    s"(2 * ${simhashBitSql(tokExpr, j)} - 1)"
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search + embedding analytics over the embeddings table
+  * (SURVEY.md §2.11): brute-force cosine top-k (the correctness baseline),
+  * sign-LSH bucketed ANN (the scale path), embedding statistics, and
+  * cosine near-duplicate pairs within LSH buckets.
+  *
+  * Scale shape: bucket assignment is a scan-side expression (no shuffle);
+  * the ANN search broadcasts the 1-row query side; the near-dup join
+  * shuffles on bucket id only. Brute force stays as TakeOrderedAndProject
+  * (per-partition heaps, k·P driver merge).
+  */
+object VectorOps {
+
+  private val Planes8 = hyperplanes(8)
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  val q38_cosine_topk = Q(
+    "q38_cosine_topk",
+    Some(s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+            |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0)
+            |SELECT vec_id, label, round(${cosineSql("e", "qe")}, 6) AS sim
+            |FROM e CROSS JOIN q
+            |ORDER BY sim DESC, vec_id
+            |LIMIT 10""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    })
+
+  /** Sign-LSH ANN with multi-probe: search the query's bucket plus all
+    * hamming-1 buckets (9 probes over 256 buckets ⇒ ~9/256 of the data).
+    * Multi-probe recovers most of the recall single-bucket LSH loses on
+    * near-uniform data, at a bounded candidate-set cost; the probe list is
+    * a broadcast equi-join key — never a theta join. */
+  val q39_ann_lsh = Q(
+    "q39_ann_lsh", {
+      val probeXors = 0L +: (0 until Planes8.length).map(1L << _)
+      Some(s"""WITH b AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+            |         ${lshBucketSql("(embedding::DOUBLE[])", Planes8)} AS bucket
+            |  FROM embeddings),
+            |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+            |probes AS (
+            |  SELECT qe, unnest([${probeXors.map(x => s"xor(qb, $x)").mkString(", ")}]) AS bucket
+            |  FROM q)
+            |SELECT vec_id, label, round(${cosineSql("e", "qe")}, 6) AS sim
+            |FROM b JOIN probes USING (bucket)
+            |WHERE vec_id <> 0
+            |ORDER BY sim DESC, vec_id
+            |LIMIT 5""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("bucket", lshBucket(col("e"), Planes8))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("bucket").as("qb"))
+      val probeXors = 0L +: (0 until Planes8.length).map(1L << _)
+      val probes = q.select(col("qe"),
+        explode(array(probeXors.map(x => col("qb").bitwiseXOR(lit(x))): _*))
+          .as("bucket"))
+      emb.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    })
+
+  /** Embedding statistics per label: exact-decimal averaged norms. */
+  val q40_embedding_norms = Q(
+    "q40_embedding_norms",
+    Some(s"""SELECT label, count(*) AS n,
+            |  CAST(CAST(sum(CAST(sqrt(${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_norm,
+            |  round(max(sqrt(${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")})), 6) AS max_norm
+            |FROM embeddings
+            |GROUP BY label
+            |ORDER BY label""".stripMargin),
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      val norm = sqrt(dot(e, e))
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(norm.cast("decimal(28,12)")).cast("double") / count(lit(1)))
+            .cast("double").as("avg_norm"),
+          round(max(norm), 6).as("max_norm"))
+        .orderBy("label")
+    })
+
+  /** Embedding-cosine near-duplicate pairs within shared LSH buckets —
+    * the scalable near-dup shape: bucket equi-join carries the shuffle,
+    * cosine verifies only in-bucket candidates. */
+  val q41_dedup_embedding = Q(
+    "q41_dedup_embedding",
+    Some(s"""WITH b AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS e,
+            |         ${lshBucketSql("(embedding::DOUBLE[])", Planes8)} AS bucket
+            |  FROM embeddings)
+            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |  round(${cosineSql("a.e", "b.e")}, 6) AS sim
+            |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |WHERE round(${cosineSql("a.e", "b.e")}, 6) >= 0.2
+            |ORDER BY vec_a, vec_b""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("bucket", lshBucket(col("e"), Planes8))
+      val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .filter(col("sim") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    })
+
+  val all: Seq[Q] = Seq(
+    q38_cosine_topk, q39_ann_lsh, q40_embedding_norms, q41_dedup_embedding)
+}

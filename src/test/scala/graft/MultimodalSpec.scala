@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: schema, batch shape, deterministic stub decode,
+  * frame sampling (SURVEY.md §2.11). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("media frame carries opaque binary payloads with typed metadata") {
+    val items = Multimodal.fromDocuments(spark, sfDir)
+    val schema = items.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    val first = items.head()
+    assert(first.payload.length == first.n_bytes)
+    assert(Set("image", "audio", "video", "text").contains(first.media_type))
+  }
+
+  test("feature extraction is deterministic and preserves row count") {
+    val items = Multimodal.fromDocuments(spark, sfDir)
+    val f1 = Multimodal.extractFeatures(items).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(items).collect().sortBy(_.media_id)
+    assert(f1.length == items.count())
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(f => f.width >= 1 && f.width <= 1920))
+    assert(f1.forall(f => f.media_type != "image" || f.duration_ms == 0))
+  }
+
+  test("frame sampling emits k deterministic offsets per video item") {
+    val items = Multimodal.fromDocuments(spark, sfDir)
+    val frames = Multimodal.sampleFrames(items, 4)
+    val nVideos = items.filter(_.media_type == "video").count()
+    assert(frames.count() == nVideos * 4)
+    import org.apache.spark.sql.functions._
+    val bad = frames.groupBy("media_id")
+      .agg(countDistinct("frame_idx").as("n"))
+      .filter(col("n") =!= 4).count()
+    assert(bad == 0)
+  }
+}

@@ -28,8 +28,13 @@ def main():
         if name not in oracles:
             print(f"[rows-only] {name}: rows={got.df().shape[0]}")
             continue
-        exp = con.sql(oracles[name])
-        gdf, edf = got.df(), exp.df()
+        try:
+            exp = con.sql(oracles[name])
+            gdf, edf = got.df(), exp.df()
+        except Exception as e:
+            print(f"[XX ] {name} oracle error: {e}")
+            n_fail += 1
+            continue
         cols_g, cols_e = sorted(gdf.columns), sorted(edf.columns)
         status, msgs = "PASS", []
         if cols_g != cols_e:
