@@ -207,12 +207,26 @@ object TextOps {
             |ORDER BY doc_a, doc_b""".stripMargin)
     },
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = docs.select(col("doc_id"), shingles(tokens(col("text"))).as("shingles"))
-      val sig = sh.select(
-        col("doc_id") +: minhashSig(col("shingles"), MinhashK)
-          .map { case (n, c) => c.as(n) }: _*)
-      val bands = sig.select(col("doc_id"),
+      // The shingle+signature frame feeds three plan branches (bands, both
+      // verify sides); persist it so tokenize/shingle/md5 run once per doc.
+      // In a production pipeline this is the materialized signature table
+      // (written once, then band-joined) — persist() is its local analogue.
+      // Minhash over the distinct shingle set equals minhash over the
+      // multiset (min is duplicate-insensitive), so one array serves both
+      // the signature and the Jaccard-verify stages.
+      // Repartition by doc_id before the CPU-heavy hashing: a small input
+      // (one parquet file = one task) must not serialize 13M md5 calls on a
+      // single core; at cluster scale this spreads signature computation to
+      // all executors regardless of input file layout.
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("sset"))
+        .select(
+          (col("doc_id") +: col("sset") +:
+            minhashSig(col("sset"), MinhashK).map { case (n, c) => c.as(n) }): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = base.select(col("doc_id"),
         explode(array((0 until MinhashK).map(i =>
           struct(lit(i).as("band"), col(s"sig_$i").as("h"))): _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
@@ -220,9 +234,8 @@ object TextOps {
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
       val cand = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val dsh = sh.select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
-      val x = dsh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
-      val y = dsh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
+      val x = base.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+      val y = base.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
       val inter = size(array_intersect(col("sa"), col("sb")))
       val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
       cand.join(x, "doc_a").join(y, "doc_b")
