@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface beyond the foreachBatch parity
+  * pipeline (SURVEY.md §2.6 marks these as the extension path: the
+  * reference has no event-time logic, so these are the capabilities a
+  * 100 TB streaming deployment adds on top of reference semantics).
+  *
+  * All transforms take a DataFrame with the events-table shape
+  * (event_id, ts timestamp, user_id, event_type, value) and work
+  * identically on batch or streaming inputs — callers pick the source.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling/sliding windowed aggregation with a watermark:
+    * late data beyond the watermark is dropped, state is bounded. */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      slideDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact dedup with bounded state: duplicates within the
+    * watermark horizon are dropped (the streaming analogue of the A2
+    * distinct-count contract — SURVEY.md §2.6 delivery semantics). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Session(user_id: Long, n_events: Long, total_value: Double,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Custom stateful operator: gap-based sessionization per user via
+    * flatMapGroupsWithState with EVENT-time timeouts — a session closes
+    * when the watermark passes (last event + gap). Event-time state is
+    * deterministic and replay-stable, which is what a 100 TB deployment
+    * needs (processing-time timeouts re-fire differently on restart).
+    * Input must carry a watermark on `ts`. Emits closed sessions. */
+  def sessionize(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[Session]) => {
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = it.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val sorted = evs.sortBy(_.ts.getTime)
+              val merged = state.getOption match {
+                case Some(sess) => Session(userId,
+                  sess.n_events + evs.size,
+                  sess.total_value + evs.map(_.value).sum,
+                  sess.start_ts,
+                  sorted.last.ts)
+                case None => Session(userId, evs.size,
+                  evs.map(_.value).sum, sorted.head.ts, sorted.last.ts)
+              }
+              state.update(merged)
+              state.setTimeoutTimestamp(merged.end_ts.getTime + gapMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+
+  /** F5 parity: JSON serialization of a batch (the v1 response body,
+    * lambda_function.py:228) — one JSON object per row. */
+  def toJsonLines(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.select(to_json(struct(df.columns.map(col): _*)).as("json")).as[String]
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+import java.sql.Timestamp
+
+/** Structured Streaming operator surface: watermarked windowed aggregation,
+  * in-stream dedup, stateful sessionization, JSON emission. Each op is
+  * driven through a real streaming query (MemoryStream → memory sink). */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed aggregation over a stream emits finalized windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamingOps.windowedCounts(
+      in.toDF(), "10 minutes", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+        Ev(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 and 10:10 windows
+      in.addData(Ev(4, ts(40), 1, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+      val w0 = out.find(r => r.getAs[Timestamp]("window_start") == ts(0))
+      assert(w0.exists(r => r.getAs[Long]("n") == 2 &&
+        r.getAs[Double]("total_value") == 3.0))
+      val w1 = out.find(r => r.getAs[Timestamp]("window_start") == ts(10))
+      assert(w1.exists(r => r.getAs[Long]("n") == 1))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dedup = StreamingOps.dedupWithinWatermark(
+      in.toDF(), Seq("event_id"), "1 hour")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        Ev(1, ts(1), 1, "click", 1.0),
+        Ev(1, ts(2), 1, "click", 1.0),   // duplicate id within horizon
+        Ev(2, ts(3), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(5), 1, "click", 1.0)) // still duplicate
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions via event-time gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.SessionEvent]
+    // 1-minute gap, 10s watermark delay: user 7's session (ends 10:02)
+    // times out once the watermark passes 10:03.
+    val sessions = StreamingOps.sessionize(in.toDS(), gapMs = 60 * 1000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        StreamingOps.SessionEvent(7, ts(1), 10.0),
+        StreamingOps.SessionEvent(7, ts(2), 5.0))
+      q.processAllAvailable()
+      // advance event time: watermark 10:30-10s >> 10:03 closes user 7
+      in.addData(StreamingOps.SessionEvent(8, ts(30), 1.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.SessionEvent(8, ts(31), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[StreamingOps.Session].collect()
+      val s7 = out.find(_.user_id == 7)
+      assert(s7.exists(s => s.n_events == 2 && s.total_value == 15.0 &&
+        s.start_ts == ts(1) && s.end_ts == ts(2)))
+    } finally q.stop()
+  }
+
+  test("toJsonLines serializes rows as JSON objects (F5 parity)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val lines = StreamingOps.toJsonLines(df).collect().sorted
+    assert(lines.toSeq == Seq("""{"id":1,"s":"a"}""", """{"id":2,"s":"b"}"""))
+  }
+}
