@@ -44,6 +44,24 @@ object TextFunctions {
   def minhashSql(shinglesExpr: String, seed: Int): String =
     s"list_min(list_transform($shinglesExpr, s -> md5('$seed|' || s)))"
 
+  /** Cheaper k-signature family: hash each shingle ONCE with md5, then
+    * derive component i as the min under a rotate-left-by-4i-hex-chars
+    * reordering — each rotation is a distinct bijection of the 128-bit
+    * space, so the min under its lexicographic order is a valid MinHash
+    * permutation. k× fewer md5 calls than the seeded family; used by the
+    * LSH pipeline (q36). Shared verbatim with the oracle SQL. */
+  def md5Array(shingleCol: Column): Column =
+    transform(shingleCol, s => md5(s))
+
+  def minhashRot(md5Col: Column, i: Int): Column =
+    if (i == 0) array_min(md5Col)
+    else array_min(transform(md5Col, h =>
+      concat(substring(h, 4 * i + 1, 32 - 4 * i), substring(h, 1, 4 * i))))
+
+  def minhashRotSql(md5Expr: String, i: Int): String =
+    if (i == 0) s"list_min($md5Expr)"
+    else s"list_min(list_transform($md5Expr, h -> substr(h, ${4 * i + 1}) || substr(h, 1, ${4 * i})))"
+
   /** Shared simhash bit arithmetic: bit j of a token's hash, taken from
     * md5 hex digit j/4 (1-based substr), low-to-high within the digit.
     * The returned SQL string is valid in BOTH Spark SQL and DuckDB. */

@@ -174,20 +174,22 @@ object TextOps {
   val q36_minhash_lsh = Q(
     "q36_minhash_lsh", {
       val sigExprs = (0 until MinhashK)
-        .map(i => minhashSql("shingles", i) + s" AS sig_$i").mkString(",\n  ")
+        .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
       val bandRows = (0 until MinhashK)
         .map(i => s"SELECT doc_id, $i AS band, sig_$i AS h FROM sig").mkString("\n  UNION ALL ")
       Some(s"""WITH tok AS (
             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             |sh AS (
-            |  SELECT doc_id, list_transform(
+            |  SELECT doc_id, list_distinct(list_transform(
             |    generate_series(1, greatest(len(toks) - 2, 0)),
-            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
             |  FROM tok),
+            |hsh AS (
+            |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
             |sig AS (
             |  SELECT doc_id,
             |  $sigExprs
-            |  FROM sh),
+            |  FROM hsh),
             |bands AS (
             |  $bandRows),
             |cand AS (
@@ -218,17 +220,19 @@ object TextOps {
       // (one parquet file = one task) must not serialize 13M md5 calls on a
       // single core; at cluster scale this spreads signature computation to
       // all executors regardless of input file layout.
+      // Hash each distinct shingle ONCE (md5Array); signature components
+      // are rotations of that hash (k× fewer md5 calls). The persist
+      // boundary stops projection collapse from re-inlining the md5 map
+      // into every signature expression.
       val base = Tables.documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
           array_distinct(shingles(tokens(col("text")))).as("sset"))
-        .select(
-          (col("doc_id") +: col("sset") +:
-            minhashSig(col("sset"), MinhashK).map { case (n, c) => c.as(n) }): _*)
+        .withColumn("hs", md5Array(col("sset")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = base.select(col("doc_id"),
         explode(array((0 until MinhashK).map(i =>
-          struct(lit(i).as("band"), col(s"sig_$i").as("h"))): _*)).as("bh"))
+          struct(lit(i).as("band"), minhashRot(col("hs"), i).as("h"))): _*)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))

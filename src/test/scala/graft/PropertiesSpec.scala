@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.Decoders
+import graft.functions.TextFunctions._
+
+/** Property-based invariants (SURVEY.md §5.2): decode totality, pivot
+  * conservation, dedup bounds, Jaccard metric laws, MinHash min-merge.
+  * Inputs are ScalaCheck-generated, evaluated in batches through Spark. */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("decodeKey is total: any byte sequence decodes to a non-null string") {
+    import spark.implicits._
+    val keys = Gen.listOfN(200,
+      Gen.nonEmptyListOf(Arbitrary.arbitrary[Byte]).map(_.toArray))
+      .sample.get
+    val out = keys.toDF("key")
+      .select(Decoders.decodeKey($"key").as("k"))
+      .as[String].collect()
+    assert(out.length == 200 && out.forall(_ != null))
+  }
+
+  test("pivot conserves the grouped total (row count and quantity mass)") {
+    import spark.implicits._
+    val rows = Gen.listOfN(300, for {
+      g <- Gen.oneOf("A", "N", "R")
+      s <- Gen.oneOf("O", "F")
+      q <- Gen.choose(0, 10000).map(_ / 100.0)   // 2-decimal quantities
+    } yield (g, s, q)).sample.get
+    val df = rows.toDF("flag", "status", "qty")
+    val totalMass = df.agg(sum($"qty".cast("decimal(18,2)"))).head.getDecimal(0)
+    val pivotMass = df.groupBy("status").pivot("flag", Seq("A", "N", "R"))
+      .agg(sum($"qty".cast("decimal(18,2)")))
+      .select((coalesce($"A", lit(0)) + coalesce($"N", lit(0)) +
+        coalesce($"R", lit(0))).as("row_mass"))
+      .agg(sum($"row_mass")).head.getDecimal(0)
+    assert(totalMass.compareTo(pivotMass) == 0)
+  }
+
+  test("exact dedup: distinct count ≤ total, and keeper ids are distinct members") {
+    import spark.implicits._
+    val texts = Gen.listOfN(150, Gen.oneOf(
+      "a b c", "a b c", "x y", "q w e r", "a b d")).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dedup = df.groupBy("text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val total = df.count()
+    val kept = dedup.count()
+    assert(kept <= total)
+    assert(dedup.agg(sum($"n")).head.getLong(0) == total)
+    val keepers = dedup.select("keep_id").as[Long].collect().toSet
+    assert(keepers.size == kept)
+  }
+
+  test("Jaccard over shingle sets: range [0,1], symmetry, identity") {
+    import spark.implicits._
+    val docs = Gen.listOfN(40, Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.mkString(" ")))).sample.get
+    val sh = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", array_distinct(shingles(tokens($"text"))).as("s"))
+    val a = sh.select($"doc_id".as("ia"), $"s".as("sa"))
+    val b = sh.select($"doc_id".as("ib"), $"s".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb"))
+    val uni = size($"sa") + size($"sb") - inter
+    val pairs = a.join(b, lit(true))
+      .filter(size($"sa") > 0 && size($"sb") > 0)
+      .select($"ia", $"ib", (inter.cast("double") / uni).as("j"))
+      .collect()
+    assert(pairs.forall(r => { val j = r.getDouble(2); j >= 0.0 && j <= 1.0 }))
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.forall { case ((x, y), j) => m((y, x)) == j })   // symmetry
+    assert(m.forall { case ((x, y), j) => x != y || j == 1.0 }) // identity
+  }
+
+  test("MinHash min-merge: minhash(A ++ B) == min(minhash(A), minhash(B))") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, for {
+      na <- Gen.chooseNum(1, 20)
+      nb <- Gen.chooseNum(1, 20)
+      a <- Gen.listOfN(na, Gen.identifier.map(_.take(8)))
+      b <- Gen.listOfN(nb, Gen.identifier.map(_.take(8)))
+    } yield (a, b)).sample.get
+    val df = gen.toDF("a", "b")
+    val bad = df.select(
+      minhash($"a", 3).as("ha"), minhash($"b", 3).as("hb"),
+      minhash(concat($"a", $"b"), 3).as("hab"))
+      .filter($"hab" =!= least($"ha", $"hb"))
+      .count()
+    assert(bad == 0)
+  }
+}
