@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.MinHashAggregator
+
+/** Text ops, part 2: the custom typed Aggregator surface + sketches. */
+object TextOps2 {
+
+  private val K = 4
+
+  /** Per-source MinHash signature via the custom Aggregator (elementwise
+    * min-merge of per-doc signatures). Oracle: per-component min() over
+    * the same rotated md5 values — semantically identical, so the custom
+    * aggregate is fully correctness-gated. Signature emitted as columns
+    * (array cells don't hash portably). */
+  val q53_minhash_agg = Q(
+    "q53_minhash_agg", {
+      val comps = (0 until K).map { i =>
+        val rot = if (i == 0) "md5(text)"
+          else s"substr(md5(text), ${4 * i + 1}) || substr(md5(text), 1, ${4 * i})"
+        s"min($rot) AS sig_$i"
+      }.mkString(",\n  ")
+      Some(s"""SELECT source,
+            |  $comps
+            |FROM documents
+            |GROUP BY source
+            |ORDER BY source""".stripMargin)
+    },
+    (s, d) => {
+      val sigAgg = udaf(new MinHashAggregator(K))
+      val perDoc = Tables.documents(s, d).select(
+        col("source"),
+        array((0 until K).map { i =>
+          if (i == 0) md5(col("text"))
+          else concat(substring(md5(col("text")), 4 * i + 1, 32 - 4 * i),
+            substring(md5(col("text")), 1, 4 * i))
+        }: _*).as("sig"))
+      val grouped = perDoc.groupBy("source").agg(sigAgg(col("sig")).as("gsig"))
+      grouped.select(
+        col("source") +:
+          (0 until K).map(i => element_at(col("gsig"), i + 1).as(s"sig_$i")): _*)
+        .orderBy("source")
+    })
+
+  /** HLL / sketch surface (rows-only: approx values are engine-specific by
+    * design): exact vs approx distinct + relative error per lang. */
+  val q54_approx_distinct = Q(
+    "q54_approx_distinct",
+    None,
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("text")).as("exact_distinct"),
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
+      .withColumn("rel_err",
+        abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+          col("exact_distinct"))
+      .orderBy("lang"))
+
+  val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct)
+}
