@@ -19,7 +19,10 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.run(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
       q.name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
