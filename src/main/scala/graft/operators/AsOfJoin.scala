@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic as-of join: for every left row, attach the most recent right-side
+  * value at-or-before the left row's time, per key.
+  *
+  * Implementation is the union-interleave idiom: both sides are unioned on
+  * (key, time, kind) and a single `last(ignoreNulls)` window over
+  * unbounded-preceding rows resolves the as-of value — ONE shuffle on the
+  * key, O(n log n) per partition, no pairwise time-band expansion. This is
+  * the shape that survives 100 TB; a time-conditional theta join does not.
+  *
+  * Rows at exactly equal times: right-side rows sort before left-side rows
+  * (kind 0 < 1), so an exactly-simultaneous right value is visible to the
+  * left row (≤ semantics, matching a correlated max(right.time <= left.time)
+  * subquery).
+  */
+object AsOfJoin {
+
+  def leftAsOf(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      carry: Column, carryName: String): DataFrame = {
+    val leftRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val carried = right.select(carry.as("__carry"))
+    val carryType = carried.schema.fields.head.dataType
+
+    val rightSide = right.select(
+      col(rightKey).as("__k"),
+      col(rightTime).as("__t"),
+      lit(0).as("__kind"),
+      carry.as("__carry"),
+      lit(null).cast(leftRowType).as("__row"))
+    val leftSide = left.select(
+      col(leftKey).as("__k"),
+      col(leftTime).as("__t"),
+      lit(1).as("__kind"),
+      lit(null).cast(carryType).as("__carry"),
+      struct(left.columns.map(col): _*).as("__row"))
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightSide.unionByName(leftSide)
+      .withColumn(carryName, last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(left.columns.map(c => col(s"__row.$c")) :+ col(carryName): _*)
+  }
+}

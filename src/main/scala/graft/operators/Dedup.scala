@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Reusable deduplication operators over a (id, text) document frame —
+  * the library API behind catalog queries q34/q36 (SURVEY.md §2.11).
+  */
+object Dedup {
+
+  /** Exact content dedup with a deterministic keeper (min id per content
+    * hash) — unlike dropDuplicates, whose survivor depends on partition
+    * order. Returns (content_fp, keep_id, n_copies). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * shingle → single md5 per distinct shingle → k signature components
+    * (hex rotations) → k single-row bands → band-bucket self-join (the
+    * only shuffles are on band hash and pair ids) → exact word-shingle
+    * Jaccard on candidates → pairs ≥ threshold as (doc_a, doc_b, jaccard).
+    *
+    * The signature frame feeds three plan branches and is persisted — the
+    * local analogue of materializing a signature table, which is what a
+    * 100 TB deployment does between the scan and the band join. Callers
+    * should `spark.catalog.clearCache()` when done.
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15): DataFrame = {
+    val base = docs
+      .repartition(col(idCol))   // small file counts must not serialize hashing
+      .select(col(idCol).as("__id"),
+        array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sset"))
+      .withColumn("hs", md5Array(col("sset")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = base.select(col("__id"),
+      explode(array((0 until k).map(i =>
+        struct(lit(i).as("band"), minhashRot(col("hs"), i).as("h"))): _*)).as("bh"))
+      .select(col("__id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = bands.select(col("__id").as("doc_a"), col("band"), col("h"))
+    val b = bands.select(col("__id").as("doc_b"), col("band"), col("h"))
+    val cand = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val x = base.select(col("__id").as("doc_a"), col("sset").as("sa"))
+    val y = base.select(col("__id").as("doc_b"), col("sset").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

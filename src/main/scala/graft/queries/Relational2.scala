@@ -250,24 +250,13 @@ object Relational2 {
             |FROM events
             |ORDER BY event_id""".stripMargin),
     (s, d) => {
-      val ordersSide = Tables.orders(s, d).select(
-        col("o_custkey").as("user_id"),
-        col("o_orderdate").as("t"),
-        lit(0).as("kind"),
-        to_date(col("o_orderdate")).as("od"),
-        lit(null).cast("long").as("event_id"))
-      val eventsSide = Tables.events(s, d).select(
-        col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("t"),
-        lit(1).as("kind"),
-        lit(null).cast("date").as("od"),
-        col("event_id"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("t"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ordersSide.unionByName(eventsSide)
-        .withColumn("last_order_day", last(col("od"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts_us"))
+      graft.operators.AsOfJoin.leftAsOf(
+          ev, "user_id", "ts_us",
+          Tables.orders(s, d), "o_custkey", "o_orderdate",
+          to_date(col("o_orderdate")), "last_order_day")
         .select("event_id", "user_id", "last_order_day")
         .orderBy("event_id")
     })

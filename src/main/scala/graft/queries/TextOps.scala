@@ -208,45 +208,10 @@ object TextOps {
             |       - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) >= 0.15
             |ORDER BY doc_a, doc_b""".stripMargin)
     },
-    (s, d) => {
-      // The shingle+signature frame feeds three plan branches (bands, both
-      // verify sides); persist it so tokenize/shingle/md5 run once per doc.
-      // In a production pipeline this is the materialized signature table
-      // (written once, then band-joined) — persist() is its local analogue.
-      // Minhash over the distinct shingle set equals minhash over the
-      // multiset (min is duplicate-insensitive), so one array serves both
-      // the signature and the Jaccard-verify stages.
-      // Repartition by doc_id before the CPU-heavy hashing: a small input
-      // (one parquet file = one task) must not serialize 13M md5 calls on a
-      // single core; at cluster scale this spreads signature computation to
-      // all executors regardless of input file layout.
-      // Hash each distinct shingle ONCE (md5Array); signature components
-      // are rotations of that hash (k× fewer md5 calls). The persist
-      // boundary stops projection collapse from re-inlining the md5 map
-      // into every signature expression.
-      val base = Tables.documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")))).as("sset"))
-        .withColumn("hs", md5Array(col("sset")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = base.select(col("doc_id"),
-        explode(array((0 until MinhashK).map(i =>
-          struct(lit(i).as("band"), minhashRot(col("hs"), i).as("h"))): _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
-      val cand = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val x = base.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
-      val y = base.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
-      val inter = size(array_intersect(col("sa"), col("sb")))
-      val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-      cand.join(x, "doc_a").join(y, "doc_b")
-        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.15)
-        .orderBy("doc_a", "doc_b")
-    })
+    (s, d) => graft.operators.Dedup.minhashNearDupPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = MinhashK, shingleN = 3, threshold = 0.15)
+      .orderBy("doc_a", "doc_b"))
 
   private val SimhashBits = 16
 

@@ -31,13 +31,10 @@ object VectorOps {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
-      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
-      emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          round(cosine(col("e"), col("qe")), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(10)
+      graft.operators.Similarity.cosineTopK(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"), "e",
+        emb.filter(col("vec_id") === 0), "e",
+        k = 10, idCol = "vec_id")
     })
 
   /** Sign-LSH ANN with multi-probe: search the query's bucket plus all
@@ -65,19 +62,10 @@ object VectorOps {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
-        .withColumn("bucket", lshBucket(col("e"), Planes8))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("e").as("qe"), col("bucket").as("qb"))
-      val probeXors = 0L +: (0 until Planes8.length).map(1L << _)
-      val probes = q.select(col("qe"),
-        explode(array(probeXors.map(x => col("qb").bitwiseXOR(lit(x))): _*))
-          .as("bucket"))
-      emb.join(broadcast(probes), Seq("bucket"))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"),
-          round(cosine(col("e"), col("qe")), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(5)
+      graft.operators.Similarity.annTopK(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"), "e",
+        emb.filter(col("vec_id") === 0), "e",
+        Planes8, k = 5, idCol = "vec_id")
     })
 
   /** Embedding statistics per label: exact-decimal averaged norms. */
@@ -115,19 +103,12 @@ object VectorOps {
             |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             |WHERE round(${cosineSql("a.e", "b.e")}, 6) >= 0.2
             |ORDER BY vec_a, vec_b""".stripMargin),
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("e", col("embedding").cast("array<double>"))
-        .withColumn("bucket", lshBucket(col("e"), Planes8))
-      val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("ea"), col("eb")), 6).as("sim"))
-        .filter(col("sim") >= 0.2)
-        .orderBy("vec_a", "vec_b")
-    })
+    (s, d) => graft.operators.Similarity.nearDupPairs(
+        Tables.embeddings(s, d)
+          .withColumn("e", col("embedding").cast("array<double>"))
+          .select("vec_id", "e"),
+        "vec_id", "e", Planes8, threshold = 0.2)
+      .orderBy("vec_a", "vec_b"))
 
   val all: Seq[Q] = Seq(
     q38_cosine_topk, q39_ann_lsh, q40_embedding_norms, q41_dedup_embedding)
