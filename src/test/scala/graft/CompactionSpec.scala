@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Envelope, RatecardSchema}
+import graft.pipeline.KafkaToParquet
+import graft.operators.Compaction
+
+import java.nio.file.Files
+import java.time.Instant
+
+/** Compaction over the micro-batch layout: many per-batch files in one
+  * hour partition → one right-sized file, same rows. */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("compactPartition merges per-batch files losslessly") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    val out = Files.createTempDirectory("graft_compact").toString
+    val recs = Envelope.readEventJson(
+      spark, "/root/reference/sample_kafka_event.json")
+    val decoded = KafkaToParquet.decodeRecords(
+      recs, RatecardSchema.topic, RatecardSchema.provider)
+    // five micro-batch writes into the same hour partition
+    (0 until 5).foreach { i =>
+      KafkaToParquet.writeBatch(decoded, RatecardSchema.topic, out,
+        "SRC_KEY_VAL", Instant.parse(s"2021-09-02T18:00:0$i.000Z"))
+    }
+    val dir = s"$out/${RatecardSchema.topic}/2021/09/02/18"
+    val (before, after) = Compaction.compactPartition(spark, dir)
+    assert(before == 5 && after == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 80)          // 5 × 16 rows, nothing lost
+    assert(back.columns.length == 19)
+  }
+}
