@@ -49,6 +49,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine, tie-broken by centroid id), then search only the query's
+    * nProbe nearest clusters. Centroids are a broadcast dimension; the
+    * assignment is a scan-side expression pipeline + one ranking window —
+    * the cluster equi-join carries the only data shuffle. (A production
+    * IVF trains centroids with k-means; the assignment/probe machinery —
+    * the distributed part — is identical, so callers pass any centroid
+    * frame (cid, cvec).) */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec")))
+    def assign(df: DataFrame, vec: String): DataFrame = {
+      val w = Window.partitionBy(col("__aid"))
+        .orderBy(col("__csim").desc, col("__cid").asc)
+      df.crossJoin(c)
+        .withColumn("__csim", round(cosine(col(vec), col("__cvec")), 6))
+        .withColumn("__rank", row_number().over(w))
+        .drop("__cvec")
+    }
+    val assigned = assign(corpus.withColumn("__aid", col(idCol)), vecCol)
+      .filter(col("__rank") === 1)
+      .drop("__aid", "__csim", "__rank")
+    val probes = assign(query.select(col(queryVecCol).as("__qe"), lit(0L).as("__aid")), "__qe")
+      .filter(col("__rank") <= nProbe)
+      .select(col("__qe"), col("__cid"))
+    val keep = corpus.columns.filter(_ != vecCol)
+    assigned.join(broadcast(probes), Seq("__cid"))
+      .select(keep.map(col) :+
+        round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Cosine near-duplicate pairs within shared LSH buckets: the bucket
     * equi-join carries the shuffle; cosine verifies in-bucket candidates
     * only. Returns (id_a, id_b, sim ≥ threshold). */
