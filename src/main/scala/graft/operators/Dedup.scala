@@ -45,11 +45,22 @@ object Dedup {
     val b = bands.select(col("__id").as("doc_b"), col("band"), col("h"))
     val cand = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // Length-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // pairs whose set sizes differ by more than the threshold ratio cannot
+    // qualify — prune them with cheap ints before shipping shingle arrays
+    // into the verify join (a lossless necessary-condition filter).
+    val sizes = base.select(col("__id"), size(col("sset")).as("__n"))
+    val na = sizes.select(col("__id").as("doc_a"), col("__n").as("__na"))
+    val nb = sizes.select(col("__id").as("doc_b"), col("__n").as("__nb"))
+    val pruned = cand.join(na, "doc_a").join(nb, "doc_b")
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")) * threshold)
+      .select("doc_a", "doc_b")
     val x = base.select(col("__id").as("doc_a"), col("sset").as("sa"))
     val y = base.select(col("__id").as("doc_b"), col("sset").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-    cand.join(x, "doc_a").join(y, "doc_b")
+    pruned.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
