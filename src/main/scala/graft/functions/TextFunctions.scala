@@ -64,14 +64,18 @@ object TextFunctions {
 
   /** Shared simhash bit arithmetic: bit j of a token's hash, taken from
     * md5 hex digit j/4 (1-based substr), low-to-high within the digit.
-    * The returned SQL string is valid in BOTH Spark SQL and DuckDB. */
-  def simhashBitSql(tokExpr: String, j: Int): String = {
+    * The returned SQL string is valid in BOTH Spark SQL and DuckDB.
+    * `hashExpr` should be a PRE-COMPUTED md5 column/CTE field — referencing
+    * an attribute (not md5(tok) inline) guarantees one hash per token
+    * rather than one per bit, independent of codegen subexpression
+    * elimination. */
+  def simhashBitSql(hashExpr: String, j: Int): String = {
     val pos = j / 4 + 1
     val sh = j % 4
-    s"(((instr('0123456789abcdef', substr(md5($tokExpr), $pos, 1)) - 1) >> $sh) & 1)"
+    s"(((instr('0123456789abcdef', substr($hashExpr, $pos, 1)) - 1) >> $sh) & 1)"
   }
 
-  /** ±1 contribution of one token to simhash bit j (shared SQL text). */
-  def simhashContribSql(tokExpr: String, j: Int): String =
-    s"(2 * ${simhashBitSql(tokExpr, j)} - 1)"
+  /** ±1 contribution of one token's hash to simhash bit j (shared SQL). */
+  def simhashContribSql(hashExpr: String, j: Int): String =
+    s"(2 * ${simhashBitSql(hashExpr, j)} - 1)"
 }

@@ -221,28 +221,32 @@ object TextOps {
   val q37_simhash = Q(
     "q37_simhash", {
       val sums = (0 until SimhashBits)
-        .map(j => s"CAST(sum(${simhashContribSql("tok", j)}) AS BIGINT) AS s$j")
+        .map(j => s"CAST(sum(${simhashContribSql("mh", j)}) AS BIGINT) AS s$j")
         .mkString(",\n  ")
       val assemble = (0 until SimhashBits)
         .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
         .mkString(" + ")
       Some(s"""WITH exploded AS (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            |hashed AS (SELECT doc_id, md5(tok) AS mh FROM exploded),
             |bitsums AS (
             |  SELECT doc_id,
             |  $sums
-            |  FROM exploded GROUP BY doc_id)
+            |  FROM hashed GROUP BY doc_id)
             |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
             |FROM bitsums
             |ORDER BY doc_id""".stripMargin)
     },
     (s, d) => {
+      // hash once per token in the projection; the bit sums aggregate over
+      // the attribute, not an inline md5 — one hash per token by construction
       val exploded = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("mh"))
       val sums = exploded.groupBy("doc_id").agg(
-        sum(expr(simhashContribSql("tok", 0))).cast("long").as("s0"),
+        sum(expr(simhashContribSql("mh", 0))).cast("long").as("s0"),
         (1 until SimhashBits).map(j =>
-          sum(expr(simhashContribSql("tok", j))).cast("long").as(s"s$j")): _*)
+          sum(expr(simhashContribSql("mh", j))).cast("long").as(s"s$j")): _*)
       val assemble = (0 until SimhashBits)
         .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
         .mkString(" + ")

@@ -24,15 +24,16 @@ object TextOps3 {
 
   private def simhashSelect(fromExploded: String): String = {
     val sums = (0 until Bits)
-      .map(j => s"CAST(sum(${simhashContribSql("tok", j)}) AS BIGINT) AS s$j")
+      .map(j => s"CAST(sum(${simhashContribSql("mh", j)}) AS BIGINT) AS s$j")
       .mkString(",\n  ")
     val assemble = (0 until Bits)
       .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
       .mkString(" + ")
-    s"""bitsums AS (
+    s"""hashed AS (SELECT doc_id, md5(tok) AS mh FROM $fromExploded),
+       |bitsums AS (
        |  SELECT doc_id,
        |  $sums
-       |  FROM $fromExploded GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)""".stripMargin
   }
 
@@ -59,10 +60,11 @@ object TextOps3 {
     (s, d) => {
       val exploded = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("mh"))
       val sums = exploded.groupBy("doc_id").agg(
-        sum(expr(simhashContribSql("tok", 0))).cast("long").as("s0"),
+        sum(expr(simhashContribSql("mh", 0))).cast("long").as("s0"),
         (1 until Bits).map(j =>
-          sum(expr(simhashContribSql("tok", j))).cast("long").as(s"s$j")): _*)
+          sum(expr(simhashContribSql("mh", j))).cast("long").as(s"s$j")): _*)
       val assemble = (0 until Bits)
         .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
         .mkString(" + ")
