@@ -12,7 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR") // keep stdout clean for the metric line
     // Untimed warmup: absorb JIT/codegen/first-scan costs so per-query
     // numbers reflect steady-state execution, then run in catalog order.
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()
@@ -28,7 +28,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The metric must reach the driver machine-parseably (BENCH_r01 lost it
+    // to sbt log prefixes): print as a clean stdout line (build.sbt sets
+    // run/outputStrategy=StdoutOutput) AND persist to a known file.
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

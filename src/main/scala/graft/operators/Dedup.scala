@@ -20,8 +20,10 @@ object Dedup {
     *
     * shingle → single md5 per distinct shingle → k signature components
     * (hex rotations) → k single-row bands → band-bucket self-join (the
-    * only shuffles are on band hash and pair ids) → exact word-shingle
-    * Jaccard on candidates → pairs ≥ threshold as (doc_a, doc_b, jaccard).
+    * only shuffles are on band hash and pair ids) → exact Jaccard on the
+    * md5'd shingle sets (identical to word-shingle Jaccard: md5 is
+    * injective on the distinct shingles) → pairs ≥ threshold as
+    * (doc_a, doc_b, jaccard).
     *
     * The signature frame feeds three plan branches and is persisted — the
     * local analogue of materializing a signature table, which is what a
@@ -31,11 +33,23 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15): DataFrame = {
-    val base = docs
-      .repartition(col(idCol))   // small file counts must not serialize hashing
+    // Local-mode parallelism aid only: one small parquet file = one input
+    // partition, which would serialize the md5 hashing stage. On a real
+    // cluster file counts already provide parallelism, so gate the shuffle
+    // on the input actually being under-partitioned.
+    val sc = docs.sparkSession.sparkContext
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 <= sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism, col(idCol))
+      else docs
+    // Only the md5'd shingle set travels: every downstream use (signature
+    // rotations, set sizes, exact-Jaccard verify) is invariant under the
+    // injective per-shingle md5, and 32-char fixed-width hashes are far
+    // cheaper to shuffle/intersect than raw n-gram strings.
+    val base = spread
       .select(col(idCol).as("__id"),
-        array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sset"))
-      .withColumn("hs", md5Array(col("sset")))
+        md5Array(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+          .as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = base.select(col("__id"),
       explode(array((0 until k).map(i =>
@@ -49,15 +63,15 @@ object Dedup {
     // pairs whose set sizes differ by more than the threshold ratio cannot
     // qualify — prune them with cheap ints before shipping shingle arrays
     // into the verify join (a lossless necessary-condition filter).
-    val sizes = base.select(col("__id"), size(col("sset")).as("__n"))
+    val sizes = base.select(col("__id"), size(col("hs")).as("__n"))
     val na = sizes.select(col("__id").as("doc_a"), col("__n").as("__na"))
     val nb = sizes.select(col("__id").as("doc_b"), col("__n").as("__nb"))
     val pruned = cand.join(na, "doc_a").join(nb, "doc_b")
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")) * threshold)
       .select("doc_a", "doc_b")
-    val x = base.select(col("__id").as("doc_a"), col("sset").as("sa"))
-    val y = base.select(col("__id").as("doc_b"), col("sset").as("sb"))
+    val x = base.select(col("__id").as("doc_a"), col("hs").as("sa"))
+    val y = base.select(col("__id").as("doc_b"), col("hs").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     pruned.join(x, "doc_a").join(y, "doc_b")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -49,40 +49,96 @@ object Similarity {
       .limit(k)
   }
 
+  /** Pack a (cid, cvec) centroid frame into ONE broadcastable row holding
+    * array<struct<__cid,__cvec>> — attaching it to a scan is a broadcast
+    * nested-loop join with a single-row build side: no shuffle, no row
+    * expansion, and nearest-centroid assignment becomes a pure scan-side
+    * expression. */
+  private def packCentroids(centroids: DataFrame,
+      cidCol: String, cvecCol: String): DataFrame =
+    broadcast(centroids
+      .select(struct(col(cidCol).cast("long").as("__cid"),
+        col(cvecCol).as("__cvec")).as("__c"))
+      .agg(collect_list(col("__c")).as("__cents")))
+
+  /** Scan-side nearest-centroid assignment, given the packed `__cents`
+    * array: argmax of round(cosine, 6), ties to the LOWEST cid. The sims
+    * array is materialized once per row (k cosines), then the winner is
+    * min cid among max-sim entries via zip_with — zero shuffle, zero
+    * windows, and no struct field names (aliases inside higher-order-
+    * function lambdas are stripped by the analyzer, so field-name access
+    * on lambda-built structs is not safe). Adds `__cid`. */
+  private def withNearestCid(df: DataFrame, vec: Column): DataFrame =
+    df.withColumn("__sims",
+        transform(col("__cents"), c => round(cosine(vec, c("__cvec")), 6)))
+      .withColumn("__cid", array_min(zip_with(col("__sims"), col("__cents"),
+        (s, c) => when(s === array_max(col("__sims")), c("__cid")))))
+      .drop("__sims")
+
   /** IVF-style ANN: assign every vector to its nearest centroid (argmax
-    * cosine, tie-broken by centroid id), then search only the query's
-    * nProbe nearest clusters. Centroids are a broadcast dimension; the
-    * assignment is a scan-side expression pipeline + one ranking window —
-    * the cluster equi-join carries the only data shuffle. (A production
-    * IVF trains centroids with k-means; the assignment/probe machinery —
-    * the distributed part — is identical, so callers pass any centroid
-    * frame (cid, cvec).) */
+    * cosine, tie-broken by lowest centroid id), then search only the
+    * query's nProbe nearest clusters. Centroids travel as one packed
+    * broadcast row; both the corpus assignment and the query's probe
+    * ranking are scan-side expressions (no crossJoin expansion, no
+    * window) — the cluster equi-join carries the only data movement, and
+    * it is itself a broadcast of the tiny probe side. Callers pass any
+    * (cid, cvec) centroid frame — `trainCentroids` or their own. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       query: DataFrame, queryVecCol: String,
       k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec")))
-    def assign(df: DataFrame, vec: String): DataFrame = {
-      val w = Window.partitionBy(col("__aid"))
-        .orderBy(col("__csim").desc, col("__cid").asc)
-      df.crossJoin(c)
-        .withColumn("__csim", round(cosine(col(vec), col("__cvec")), 6))
-        .withColumn("__rank", row_number().over(w))
-        .drop("__cvec")
-    }
-    val assigned = assign(corpus.withColumn("__aid", col(idCol)), vecCol)
-      .filter(col("__rank") === 1)
-      .drop("__aid", "__csim", "__rank")
-    val probes = assign(query.select(col(queryVecCol).as("__qe"), lit(0L).as("__aid")), "__qe")
-      .filter(col("__rank") <= nProbe)
-      .select(col("__qe"), col("__cid"))
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    val assigned = withNearestCid(corpus.crossJoin(packed), col(vecCol))
+      .drop("__cents")
+    // Query probe list: sort struct(-sim, cid) ascending = sim desc, cid
+    // asc — rank order without a window — and take the first nProbe.
+    val probes = query.select(col(queryVecCol).as("__qe"))
+      .crossJoin(packed)
+      .select(col("__qe"), explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct((-round(cosine(col("__qe"), c("__cvec")), 6)).as("ns"),
+            c("__cid").as("cid")))), 1, nProbe)).as("p"))
+      .select(col("__qe"), col("p.cid").as("__cid"))
     val keep = corpus.columns.filter(_ != vecCol)
     assigned.join(broadcast(probes), Seq("__cid"))
       .select(keep.map(col) :+
         round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Deterministic distributed k-means (Lloyd's) for IVF centroids.
+    *
+    * Init = the k lowest-id vectors (cid keeps the seed vector's id); each
+    * iteration reassigns via the same scan-side argmax as `ivfTopK` and
+    * recomputes per-dimension means with EXACT decimal sums, so the result
+    * is bit-identical under any partitioning / partial-agg order — the
+    * property that keeps a trained index reproducible across cluster runs
+    * (and lets a DuckDB oracle replay the same iterations). Clusters that
+    * lose all members drop out (k may shrink), matching the replayed SQL.
+    *
+    * Shape at scale: per iteration, one broadcast of k packed centroids +
+    * one hash agg keyed (cid, dim) — no windows, no crossJoin expansion;
+    * the k×dim result is collected only into the next broadcast. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned =
+        withNearestCid(corpus.crossJoin(packCentroids(cents, "cid", "cvec")),
+          col(vecCol))
+        .select(col("__cid").as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+      cents = assigned
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("cvec"))
+    }
+    cents
   }
 
   /** Cosine near-duplicate pairs within shared LSH buckets: the bucket

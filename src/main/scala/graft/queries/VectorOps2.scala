@@ -54,5 +54,67 @@ object VectorOps2 {
         k = 5, nProbe = NProbe)
     })
 
-  val all: Seq[Q] = Seq(q56_ann_ivf)
+  private val KTrained = 8
+  private val Iters = 2
+
+  /** One replayed k-means iteration: assign (argmax rounded cosine, ties to
+    * lowest cid) then per-dimension decimal-exact means — the SQL mirror of
+    * Similarity.trainCentroids' loop body. Assignment CTEs a/m are also
+    * reused for the final corpus assignment (iteration without the mean
+    * update). */
+  private def kmeansIterSql(i: Int): String =
+    s"""a$i AS (
+       |  SELECT e.vec_id, e.label, e.v, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosineSql("e.v", "cvec")}, 6) DESC, cid) AS rnk
+       |  FROM e CROSS JOIN c$i),
+       |m$i AS (SELECT vec_id, label, v, cid FROM a$i WHERE rnk = 1),
+       |d$i AS (
+       |  SELECT cid, i,
+       |    CAST(sum(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+       |  FROM m$i CROSS JOIN generate_series(1, $Dim) t(i)
+       |  GROUP BY cid, i),
+       |c${i + 1} AS (SELECT cid, list(m ORDER BY i) AS cvec FROM d$i GROUP BY cid),""".stripMargin
+
+  /** IVF over k-means-TRAINED centroids (Lloyd's, $Iters iterations,
+    * decimal-exact means ⇒ bit-deterministic) — the oracle replays the
+    * identical training loop in SQL, so the trained index itself is
+    * hash-checked, not just the probe machinery. */
+  val q57_ann_ivf_trained = Q(
+    "q57_ann_ivf_trained",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            |c0 AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e
+            |  ORDER BY vec_id LIMIT $KTrained),
+            |${(0 until Iters).map(kmeansIterSql).mkString("\n")}
+            |${kmeansIterSql(Iters).stripSuffix(",")}
+            |SELECT m.vec_id, m.label, round(${cosineSql("m.v", "qv")}, 6) AS sim
+            |FROM m$Iters m
+            |  JOIN (
+            |    SELECT cid FROM (
+            |      SELECT cid, ROW_NUMBER() OVER (
+            |        ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid) AS rnk
+            |      FROM (SELECT v AS qv FROM e WHERE vec_id = 0) q
+            |        CROSS JOIN c$Iters) t
+            |    WHERE rnk <= $NProbe) p ON m.cid = p.cid
+            |  CROSS JOIN (SELECT v AS qv FROM e WHERE vec_id = 0) q
+            |WHERE m.vec_id <> 0
+            |ORDER BY sim DESC, vec_id
+            |LIMIT 5""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val cents = graft.operators.Similarity.trainCentroids(
+        emb.select("vec_id", "e"), "vec_id", "e",
+        k = KTrained, iters = Iters, dim = Dim)
+      graft.operators.Similarity.ivfTopK(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
+        "vec_id", "e",
+        cents, "cid", "cvec",
+        emb.filter(col("vec_id") === 0), "e",
+        k = 5, nProbe = NProbe)
+    })
+
+  val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained)
 }
