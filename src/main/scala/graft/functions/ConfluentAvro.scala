@@ -58,9 +58,11 @@ case class ConfluentAvroDecode(child: Expression, schemaJson: String)
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[Array[Byte]]
-    // Strip the 5-byte Confluent header when present (magic 0x00 + id).
+    // Strip the 5-byte Confluent header when present (magic 0x00 + 4-byte
+    // schema id). >= 5, not > 5: a framed message with an empty Avro body
+    // is exactly 5 bytes and must still be stripped.
     val (off, len) =
-      if (raw.length > 5 && raw(0) == 0.toByte) (5, raw.length - 5)
+      if (raw.length >= 5 && raw(0) == 0.toByte) (5, raw.length - 5)
       else (0, raw.length)
     val (reader, decoderHolder) = local.get()
     val decoder =

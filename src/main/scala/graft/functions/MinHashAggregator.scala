@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Custom typed aggregate (SURVEY.md §2.9's one justified Aggregator):
@@ -38,8 +38,11 @@ class MinHashAggregator(k: Int)
 
   def finish(buf: Array[String]): Seq[String] = buf.toSeq
 
+  // ExpressionEncoders on both sides: the buffer crosses a serialization
+  // boundary on every map-side partial → shuffle → merge hop, and Java
+  // serialization there is measurable at scale (VERDICT r1 #6).
   def bufferEncoder: Encoder[Array[String]] =
-    Encoders.javaSerialization(classOf[Array[String]])
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
   def outputEncoder: Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }

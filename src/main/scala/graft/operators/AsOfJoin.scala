@@ -16,7 +16,10 @@ import org.apache.spark.sql.expressions.Window
   * Rows at exactly equal times: right-side rows sort before left-side rows
   * (kind 0 < 1), so an exactly-simultaneous right value is visible to the
   * left row (≤ semantics, matching a correlated max(right.time <= left.time)
-  * subquery).
+  * subquery). Multiple right rows sharing (key, time) are tie-broken by the
+  * carry value itself (greatest wins), making the survivor deterministic
+  * regardless of partition order — this requires the carry type to be
+  * orderable (any atomic or struct type; not map).
   */
 object AsOfJoin {
 
@@ -41,8 +44,12 @@ object AsOfJoin {
       lit(null).cast(carryType).as("__carry"),
       struct(left.columns.map(col): _*).as("__row"))
 
+    // __carry in the sort order: right rows with identical (key, time) sort
+    // among themselves by carry, so last(ignoreNulls) picks the greatest —
+    // deterministic under any partitioning (left rows carry null, which
+    // sorts first within a tie and never displaces a right row).
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__kind"))
+      .orderBy(col("__t"), col("__kind"), col("__carry"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rightSide.unionByName(leftSide)

@@ -15,13 +15,24 @@ object Compaction {
 
   /** Rewrite one partition directory (e.g. base/topic/2021/09/02/18) into
     * max(1, totalBytes/targetBytes) files. Returns (filesBefore,
-    * filesAfter). The swap is rename-based: write to a sibling staging
-    * dir, then replace the partition dir — readers see old or new, never
-    * a mix. */
+    * filesAfter).
+    *
+    * The swap is rename-based and defensive: fail fast on a stale backup
+    * (evidence of an earlier interrupted swap needing manual resolution),
+    * abort with the original data intact if the first rename fails, and
+    * roll the backup back if the second rename fails — the backup is
+    * deleted only after the new partition dir verifiably exists. On HDFS
+    * (atomic dir rename) readers see old or new, never a mix; on S3A,
+    * rename is a copy and the swap window is not atomic — run compaction
+    * there under an external partition lock or a table format. */
   def compactPartition(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new Path(dir)
     val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val backup = new Path(path.getParent, s".old_${path.getName}")
+    if (fs.exists(backup))
+      throw new java.io.IOException(
+        s"stale backup $backup exists — a previous compaction was interrupted; resolve it first")
     val parts = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
@@ -32,9 +43,17 @@ object Compaction {
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
-    val backup = new Path(path.getParent, s".old_${path.getName}")
-    fs.rename(path, backup)
-    fs.rename(staging, path)
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(
+        s"rename $path -> $backup failed; partition left untouched")
+    if (!fs.rename(staging, path)) {
+      fs.rename(backup, path) // restore the original before failing
+      throw new java.io.IOException(
+        s"rename $staging -> $path failed; original partition restored")
+    }
+    if (!fs.exists(path))
+      throw new java.io.IOException(
+        s"$path missing after swap; backup preserved at $backup")
     fs.delete(backup, true)
 
     val after = fs.listStatus(path)

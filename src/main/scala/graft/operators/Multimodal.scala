@@ -55,20 +55,25 @@ object Multimodal {
   }
 
   /** STUB decode: where a real codec (libjpeg/ffmpeg/...) would parse the
-    * payload, derive deterministic pseudo-features from the bytes. The
-    * signature and per-partition batch shape are the real contract. */
-  private[operators] def decodePayload(item: MediaItem): MediaFeatures = {
-    val bytes = item.payload
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
-    // ??? real decode goes here — stubbed deterministically:
-    val width = (math.abs(sum) % 1920).toInt + 1
-    val height = (math.abs(sum / 7) % 1080).toInt + 1
+    * payload, derive deterministic pseudo-features from the md5 of the
+    * bytes. The signature and per-partition batch shape are the real
+    * contract — and md5-derived features are exactly replayable by the
+    * DuckDB oracle (hex-digit arithmetic, same trick as simhash), so the
+    * whole mapPartitions pipeline is hash-checked, not rows-only.
+    * `md` is the per-partition "codec" instance. */
+  private[operators] def decodePayload(md: java.security.MessageDigest,
+      item: MediaItem): MediaFeatures = {
+    md.reset()
+    val hex = md.digest(item.payload).map(b => f"$b%02x").mkString
+    // ??? real decode goes here — stubbed deterministically from md5:
+    def hx(from: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+    val width = (hx(0, 6) % 1920 + 1).toInt
+    val height = (hx(6, 6) % 1080 + 1).toInt
     val durationMs = if (item.media_type == "video" || item.media_type == "audio")
-      math.abs(sum / 13) % 600000 else 0L
+      hx(12, 12) % 600000 else 0L
     MediaFeatures(item.media_id, item.media_type, item.source,
-      item.n_bytes, width, height, durationMs, sum)
+      item.n_bytes, width, height, durationMs, hx(24, 8))
   }
 
   /** Per-partition feature extraction — one decoder init per partition
@@ -77,7 +82,8 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       // a real implementation initializes the codec once per partition here
-      it.map(decodePayload)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(decodePayload(md, _))
     }
   }
 

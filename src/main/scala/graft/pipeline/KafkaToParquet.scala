@@ -37,8 +37,10 @@ object KafkaToParquet {
   def decodeRecords(records: DataFrame, topic: String,
       schemas: SchemaProvider): DataFrame = {
     val schemaJson = schemas.valueSchema(topic)
+    // The decoded frame carries exactly the value-record fields — the
+    // reference's output parquet has no key column (the key cascade is a
+    // separate read path, exposed as Decoders.decodeKey / ingest_key_decode).
     records
-      .withColumn("kafka_key", Decoders.decodeKey(col("key")))
       .withColumn("r", confluent_avro(col("value"), schemaJson))
       .select(col("r.*"))
   }
@@ -86,7 +88,11 @@ object KafkaToParquet {
         .map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
       val target = new Path(s"$dir/$fileName")
-      fs.rename(part, target)
+      // A false rename (target exists, FS error) must fail the batch so the
+      // checkpointed stream retries it — silently deleting staging would
+      // lose the file while reporting success (at-least-once contract).
+      if (!fs.rename(part, target))
+        throw new java.io.IOException(s"rename $part -> $target failed")
       fs.delete(new Path(staging), true)
       BatchResult(target.toString, total, distinct)
     } finally cached.unpersist()

@@ -31,11 +31,37 @@ object MultimodalQ {
         max(col("lead")).cast("long").as("max_lead_byte"))
       .orderBy("source"))
 
-  /** Rows-only: full stub-decode feature pipeline over the media frame
-    * (schema/partitioning/batch shape under test; codec stubbed). */
+  /** DuckDB expression for the unsigned value of md5-hex digits
+    * [from, from+len) (0-based), mirroring Multimodal.decodePayload's
+    * Long.parseLong(hex.substring(...), 16) — per-digit place-value sum,
+    * the same hex-digit arithmetic the simhash oracle uses. */
+  private def hexValSql(h: String, from: Int, len: Int): String =
+    (0 until len).map { j =>
+      val weight = 1L << (4 * (len - 1 - j))
+      s"(instr('0123456789abcdef', substr($h, ${from + j + 1}, 1)) - 1) * $weight"
+    }.mkString("(", " + ", ")")
+
+  /** Full stub-decode feature pipeline over the media frame — the codec is
+    * the documented md5-derived stub, so the oracle replays it exactly and
+    * the mapPartitions plumbing (schema, batch shape, per-partition init)
+    * is hash-checked end-to-end. */
   val q43_multimodal_features = Q(
     "q43_multimodal_features",
-    None,
+    Some(s"""WITH f AS (
+            |  SELECT doc_id AS media_id,
+            |    (['image', 'audio', 'video', 'text'])[CAST(doc_id % 4 AS INT) + 1]
+            |      AS media_type,
+            |    source, n_chars AS n_bytes, md5(text) AS h
+            |  FROM documents)
+            |SELECT media_id, media_type, source, n_bytes,
+            |  CAST(${hexValSql("h", 0, 6)} % 1920 + 1 AS INT) AS width,
+            |  CAST(${hexValSql("h", 6, 6)} % 1080 + 1 AS INT) AS height,
+            |  CASE WHEN media_type IN ('video', 'audio')
+            |       THEN ${hexValSql("h", 12, 12)} % 600000 ELSE 0
+            |  END AS duration_ms,
+            |  ${hexValSql("h", 24, 8)} AS checksum
+            |FROM f
+            |ORDER BY media_id""".stripMargin),
     (s, d) => Multimodal.extractFeatures(Multimodal.fromDocuments(s, d))
       .toDF()
       .orderBy("media_id"))

@@ -44,19 +44,27 @@ object TextOps2 {
         .orderBy("source")
     })
 
-  /** HLL / sketch surface (rows-only: approx values are engine-specific by
-    * design): exact vs approx distinct + relative error per lang. */
+  /** HLL / sketch surface. Approx values are engine-specific by design, so
+    * the sketch itself can't be cross-engine hashed — instead the entry
+    * emits the exact count plus a within-5% accuracy gate on the approx
+    * count, and the oracle asserts the exact count and literal TRUE: a
+    * drifting or broken HLL flips the boolean and fails the hash match. */
   val q54_approx_distinct = Q(
     "q54_approx_distinct",
-    None,
+    Some("""SELECT lang,
+            |  CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+            |  TRUE AS within_5pct
+            |FROM documents
+            |GROUP BY lang
+            |ORDER BY lang""".stripMargin),
     (s, d) => Tables.documents(s, d)
       .groupBy("lang")
       .agg(
         countDistinct(col("text")).as("exact_distinct"),
         approx_count_distinct(col("text"), 0.02).as("approx_distinct"))
-      .withColumn("rel_err",
-        abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
-          col("exact_distinct"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") <= 0.05).as("within_5pct"))
       .orderBy("lang"))
 
   val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct)
