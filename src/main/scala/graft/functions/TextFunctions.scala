@@ -78,4 +78,26 @@ object TextFunctions {
   /** ±1 contribution of one token's hash to simhash bit j (shared SQL). */
   def simhashContribSql(hashExpr: String, j: Int): String =
     s"(2 * ${simhashBitSql(hashExpr, j)} - 1)"
+
+  /** Value (0–15) of md5 hex digit `pos` (1-based) — shared SQL. */
+  def hexDigitValSql(hashExpr: String, pos: Int): String =
+    s"(instr('0123456789abcdef', substr($hashExpr, $pos, 1)) - 1)"
+
+  /** Nibble packing for simhash bit sums: spread a digit's 4 bits into
+    * 16-bit lanes of one BIGINT, so ONE sum carries 4 per-bit population
+    * counts — 4× fewer instr/substr evaluations than per-bit ±1 sums, and
+    * the string work happens once per digit in a projection. Lane b of
+    * the group sum = count of rows with bit b set. Valid while a group
+    * has ≤ 32767 rows (keeps the top lane below 2^63) — chunk longer
+    * documents upstream. Shared SQL over a pre-extracted digit-value
+    * attribute. */
+  def packedBitLanesSql(vExpr: String): String =
+    s"(($vExpr & 1) + (($vExpr >> 1) & 1) * 65536 + " +
+      s"(($vExpr >> 2) & 1) * 4294967296 + " +
+      s"(($vExpr >> 3) & 1) * 281474976710656)"
+
+  /** Simhash bit j from packed lane sums ps{0..} and row count n:
+    * majority ⟺ 2·popcount ≥ n (identical to sign(Σ±1) ≥ 0). */
+  def simhashBitFromLanesSql(j: Int): String =
+    s"(CASE WHEN 2 * ((ps${j / 4} >> ${16 * (j % 4)}) & 65535) >= n THEN 1 ELSE 0 END)"
 }

@@ -62,18 +62,23 @@ object Similarity {
       .agg(collect_list(col("__c")).as("__cents")))
 
   /** Scan-side nearest-centroid assignment, given the packed `__cents`
-    * array: argmax of round(cosine, 6), ties to the LOWEST cid. The sims
-    * array is materialized once per row (k cosines), then the winner is
-    * min cid among max-sim entries via zip_with — zero shuffle, zero
-    * windows, and no struct field names (aliases inside higher-order-
-    * function lambdas are stripped by the analyzer, so field-name access
-    * on lambda-built structs is not safe). Adds `__cid`. */
+    * array: argmax of round(cosine, 6), ties to the LOWEST cid, as ONE
+    * fold — score each centroid exactly once (k cosines per row), then
+    * reduce with a [bestSim, bestCid] running pair. Zero shuffle, zero
+    * windows. Two deliberate representation choices: no struct field
+    * names inside lambdas (the analyzer strips those aliases — positional
+    * array access instead; cid is exact in double up to 2^53), and no
+    * column that is referenced twice (CollapseProject would inline the
+    * k-cosine array into every per-element re-reference, turning O(k)
+    * into O(k^2) cosines per row). Adds `__cid`. */
   private def withNearestCid(df: DataFrame, vec: Column): DataFrame =
-    df.withColumn("__sims",
-        transform(col("__cents"), c => round(cosine(vec, c("__cvec")), 6)))
-      .withColumn("__cid", array_min(zip_with(col("__sims"), col("__cents"),
-        (s, c) => when(s === array_max(col("__sims")), c("__cid")))))
-      .drop("__sims")
+    df.withColumn("__cid", aggregate(
+      transform(col("__cents"), c =>
+        array(round(cosine(vec, c("__cvec")), 6), c("__cid").cast("double"))),
+      array(lit(-2.0), lit(0.0)),
+      (acc, p) => when(p(0) > acc(0) ||
+        (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc),
+      acc => acc(1).cast("long")))
 
   /** IVF-style ANN: assign every vector to its nearest centroid (argmax
     * cosine, tie-broken by lowest centroid id), then search only the

@@ -215,40 +215,49 @@ object TextOps {
 
   private val SimhashBits = 16
 
-  /** Simhash: per-token md5 hex-digit bits, ±1 sums per bit position,
-    * sign-majority reassembled into a 16-bit value. The bit arithmetic SQL
-    * is shared verbatim between Spark and the oracle. */
+  /** Simhash: per-token md5 hex digits → 4 bit-count lanes packed per
+    * digit (one sum carries 4 popcounts; identical bits to the ±1-sum
+    * formulation since majority ⟺ 2·popcount ≥ n), sign-majority
+    * reassembled into a 16-bit value. The digit/lane arithmetic SQL is
+    * shared verbatim between Spark and the oracle. */
   val q37_simhash = Q(
     "q37_simhash", {
-      val sums = (0 until SimhashBits)
-        .map(j => s"CAST(sum(${simhashContribSql("mh", j)}) AS BIGINT) AS s$j")
+      val nDigits = SimhashBits / 4
+      val digits = (0 until nDigits)
+        .map(p => s"${hexDigitValSql("mh", p + 1)} AS v$p").mkString(", ")
+      val lanes = (0 until nDigits)
+        .map(p => s"CAST(sum(${packedBitLanesSql(s"v$p")}) AS BIGINT) AS ps$p")
         .mkString(",\n  ")
       val assemble = (0 until SimhashBits)
-        .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
+        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
         .mkString(" + ")
       Some(s"""WITH exploded AS (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
             |hashed AS (SELECT doc_id, md5(tok) AS mh FROM exploded),
+            |digits AS (SELECT doc_id, $digits FROM hashed),
             |bitsums AS (
-            |  SELECT doc_id,
-            |  $sums
-            |  FROM hashed GROUP BY doc_id)
+            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+            |  $lanes
+            |  FROM digits GROUP BY doc_id)
             |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
             |FROM bitsums
             |ORDER BY doc_id""".stripMargin)
     },
     (s, d) => {
-      // hash once per token in the projection; the bit sums aggregate over
-      // the attribute, not an inline md5 — one hash per token by construction
-      val exploded = Tables.documents(s, d)
+      // hash once per token, extract each hex digit once in a projection;
+      // the packed-lane sums aggregate over cheap int attributes.
+      val nDigits = SimhashBits / 4
+      val digits = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), md5(col("tok")).as("mh"))
-      val sums = exploded.groupBy("doc_id").agg(
-        sum(expr(simhashContribSql("mh", 0))).cast("long").as("s0"),
-        (1 until SimhashBits).map(j =>
-          sum(expr(simhashContribSql("mh", j))).cast("long").as(s"s$j")): _*)
+        .select(col("doc_id") +: (0 until nDigits).map(p =>
+          expr(hexDigitValSql("mh", p + 1)).as(s"v$p")): _*)
+      val sums = digits.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        (0 until nDigits).map(p =>
+          sum(expr(packedBitLanesSql(s"v$p"))).cast("long").as(s"ps$p")): _*)
       val assemble = (0 until SimhashBits)
-        .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
+        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
         .mkString(" + ")
       sums.select(col("doc_id"), expr(assemble).cast("long").as("simhash"))
         .orderBy("doc_id")

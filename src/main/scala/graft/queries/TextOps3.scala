@@ -22,18 +22,25 @@ object TextOps3 {
   private val HammingMax = 3
   private val BandMask = (1L << BandBits) - 1
 
+  private val NDigits = Bits / 4
+
+  /** Same packed-lane simhash as q37 (one popcount sum per hex digit,
+    * majority ⟺ 2·popcount ≥ n — bit-identical to the ±1-sum form). */
   private def simhashSelect(fromExploded: String): String = {
-    val sums = (0 until Bits)
-      .map(j => s"CAST(sum(${simhashContribSql("mh", j)}) AS BIGINT) AS s$j")
+    val digits = (0 until NDigits)
+      .map(p => s"${hexDigitValSql("mh", p + 1)} AS v$p").mkString(", ")
+    val lanes = (0 until NDigits)
+      .map(p => s"CAST(sum(${packedBitLanesSql(s"v$p")}) AS BIGINT) AS ps$p")
       .mkString(",\n  ")
     val assemble = (0 until Bits)
-      .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
+      .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
       .mkString(" + ")
     s"""hashed AS (SELECT doc_id, md5(tok) AS mh FROM $fromExploded),
+       |digits AS (SELECT doc_id, $digits FROM hashed),
        |bitsums AS (
-       |  SELECT doc_id,
-       |  $sums
-       |  FROM hashed GROUP BY doc_id),
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  $lanes
+       |  FROM digits GROUP BY doc_id),
        |sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)""".stripMargin
   }
 
@@ -58,15 +65,17 @@ object TextOps3 {
             |ORDER BY doc_a, doc_b""".stripMargin)
     },
     (s, d) => {
-      val exploded = Tables.documents(s, d)
+      val digits = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), md5(col("tok")).as("mh"))
-      val sums = exploded.groupBy("doc_id").agg(
-        sum(expr(simhashContribSql("mh", 0))).cast("long").as("s0"),
-        (1 until Bits).map(j =>
-          sum(expr(simhashContribSql("mh", j))).cast("long").as(s"s$j")): _*)
+        .select(col("doc_id") +: (0 until NDigits).map(p =>
+          expr(hexDigitValSql("mh", p + 1)).as(s"v$p")): _*)
+      val sums = digits.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        (0 until NDigits).map(p =>
+          sum(expr(packedBitLanesSql(s"v$p"))).cast("long").as(s"ps$p")): _*)
       val assemble = (0 until Bits)
-        .map(j => s"(CASE WHEN s$j >= 0 THEN 1 ELSE 0 END) * ${1L << j}")
+        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
         .mkString(" + ")
       val sh = sums.select(col("doc_id"), expr(assemble).cast("long").as("simhash"))
       val bands = (0 until NBands).map(i =>
