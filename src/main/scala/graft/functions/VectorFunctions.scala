@@ -16,13 +16,19 @@ object VectorFunctions {
 
   val Dim = 64
 
-  /** Sequential dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def bridge = org.apache.spark.sql.GraftBridge
 
-  /** Cosine similarity, computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)). */
+  /** Sequential dot product of two array<double> columns — a native
+    * codegen'd Expression (one tight loop, zero allocation) computing the
+    * identical index-order fold as `aggregate(zip_with(a, b, _*_), 0.0,
+    * _+_)`, which remains the semantic definition. */
+  def dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Cosine similarity dot/(sqrt(dot_aa)*sqrt(dot_bb)) — one-pass native
+    * Expression, bit-identical to the three-fold form (see CosineSim). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
 
   /** DuckDB SQL for the same sequential dot product. */
   def dotSql(a: String, b: String): String =
