@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to an ALREADY-BUILT
+    * session (SparkSessionExtensions.registerFunctions is private[sql];
+    * builder().withExtensions is the production path — this exists so a
+    * shared test session can exercise the same registration). */
+  def applyFunctionExtensions(spark: SparkSession,
+      ext: SparkSessionExtensions => Unit): Unit = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

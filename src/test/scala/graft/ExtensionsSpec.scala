@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the custom expressions must be reachable from pure
+  * SQL, matching the Column-API results; KafkaSource.options must build
+  * the live-source config the runStream contract expects. The shared test
+  * session predates the extensions, so registration goes through the same
+  * injectFunction entries via GraftBridge (builder().withExtensions is
+  * the production path — same tuples either way). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(s, new GraftExtensions)
+    s
+  }
+
+  test("vec_dot / vec_cosine are callable from SQL and match the Column API") {
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_cosine(a, b) AS c FROM (
+        |  SELECT array(1.0d, 2.0d, 3.0d) AS a, array(4.0d, 5.0d, 6.0d) AS b)""".stripMargin)
+      .head()
+    assert(row.getDouble(0) == (4.0 + 10.0 + 18.0))
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(row.getDouble(1) == expected)
+  }
+
+  test("confluent_avro is callable from SQL with a literal schema") {
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    // Avro long 7 zig-zags to 0x0e; prepend the 5-byte Confluent header
+    // (magic 0x00 + schema id 0x00000001).
+    val df = spark.sql(
+      s"""SELECT confluent_avro(X'00000000010e', '$schema').x AS x""")
+    assert(df.head().getLong(0) == 7L)
+  }
+
+  test("KafkaSource.options builds the live-source contract") {
+    val o = graft.sources.KafkaSource.options("b1:9092,b2:9092", "t",
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    assert(o("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(o("subscribe") == "t")
+    assert(o("startingOffsets") == "earliest")
+    assert(o("failOnDataLoss") == "true")
+    assert(o("maxOffsetsPerTrigger") == "100000")
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+  }
+}
