@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: SCALE.md's claims about what each operator
+  * class compiles to are asserted here, so a refactor that silently
+  * de-optimizes a plan (loses a pushdown, turns a broadcast into a
+  * shuffle, reintroduces a window into the IVF assignment) fails CI
+  * rather than only showing up in a bench run. String-level checks on
+  * the physical plan keep the assertions robust across Spark versions —
+  * operator presence/absence, not exact trees.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).length
+
+  test("q03: filter and projection reach the parquet scan") {
+    val p = plan("q03_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // pruned read: the scan schema must not include every lineitem column
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q04/q05: dimension joins broadcast; the fact side never shuffles for them") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q05_join_multi").contains("BroadcastHashJoin"))
+  }
+
+  test("q16/q38: global top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q16_topk_global").contains("TakeOrderedAndProject"))
+    assert(plan("q38_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q24: as-of join costs exactly one data shuffle (the key window)") {
+    val p = plan("q24_asof_join")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q56: IVF assignment is scan-side — no window, no corpus shuffle") {
+    val p = plan("q56_ann_ivf")
+    assert(!p.contains("Window"), p)
+    // the only hash exchanges are the tiny centroid-packing aggregations
+    // (16-row side), one per packCentroids call — never the corpus
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q47: salted aggregation is two-phase (salted then merged)") {
+    val p = plan("q47_salted_agg")
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q36: LSH signature/verify never ships raw shingle strings") {
+    // the persisted signature frame carries only md5'd shingles (hs);
+    // the raw token/shingle arrays must be consumed inside the scan stage
+    val p = plan("q36_minhash_lsh")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.toLowerCase.contains("sset"), p)
+  }
+}
