@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle hasher for the MinHash/LSH pipeline: tokens → word
+  * n-gram shingles → distinct (first-occurrence order) → lowercase-hex
+  * md5 per shingle, in ONE pass with one reused digest and no
+  * intermediate Catalyst arrays.
+  *
+  * Semantically identical to
+  * `md5Array(array_distinct(shingles(tokens, n)))` — the composed form
+  * stays the definition (and the DuckDB oracle's formulation); this
+  * expression exists because the composed pipeline materializes three
+  * arrays and re-walks UTF8String concat machinery per shingle, which is
+  * the single hottest scan stage of the near-dup pipeline (measured ~3s
+  * of q36's ~5s at sf0.1). Parity is asserted in TextExpressionsSpec.
+  *
+  * CodegenFallback: per-row cost is dominated by the md5 calls
+  * themselves, not the eval boundary.
+  */
+case class Md5Shingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> tokens, got $other")
+  }
+
+  @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val digest = md.digest(
+        it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(j) = UTF8String.fromString(new String(hex))
+      md.reset()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "md5_shingles"
+}

@@ -53,6 +53,14 @@ object TextFunctions {
   def md5Array(shingleCol: Column): Column =
     transform(shingleCol, s => md5(s))
 
+  /** Fused tokens → distinct word n-gram shingles → md5 array (native
+    * expression; ≡ md5Array(array_distinct(shingles(toks, n))), see
+    * Md5Shingles). */
+  def md5Shingles(toks: Column, n: Int): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(Md5Shingles(b.expression(toks), n))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

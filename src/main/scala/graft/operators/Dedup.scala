@@ -48,8 +48,7 @@ object Dedup {
     // cheaper to shuffle/intersect than raw n-gram strings.
     val base = spread
       .select(col(idCol).as("__id"),
-        md5Array(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-          .as("hs"))
+        md5Shingles(tokens(col(textCol)), shingleN).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = base.select(col("__id"),
       explode(array((0 until k).map(i =>

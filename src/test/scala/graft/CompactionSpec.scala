@@ -33,4 +33,26 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.count() == 80)          // 5 × 16 rows, nothing lost
     assert(back.columns.length == 19)
   }
+
+  test("compactPartition refuses to run over a stale backup and keeps data intact") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    val out = Files.createTempDirectory("graft_compact_stale").toString
+    val recs = Envelope.readEventJson(
+      spark, "/root/reference/sample_kafka_event.json")
+    val decoded = KafkaToParquet.decodeRecords(
+      recs, RatecardSchema.topic, RatecardSchema.provider)
+    KafkaToParquet.writeBatch(decoded, RatecardSchema.topic, out,
+      "SRC_KEY_VAL", Instant.parse("2021-09-02T18:00:00.000Z"))
+    val dir = s"$out/${RatecardSchema.topic}/2021/09/02/18"
+    // simulate an interrupted earlier swap: the backup dir still exists
+    Files.createDirectory(java.nio.file.Paths.get(
+      s"$out/${RatecardSchema.topic}/2021/09/02/.old_18"))
+    val e = intercept[java.io.IOException] {
+      Compaction.compactPartition(spark, dir)
+    }
+    assert(e.getMessage.contains("stale backup"))
+    // the partition was not touched
+    assert(spark.read.parquet(dir).count() == 16)
+  }
 }

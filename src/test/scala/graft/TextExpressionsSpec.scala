@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+/** Md5Shingles must equal the composed
+  * md5Array(array_distinct(shingles(tokens, n))) pipeline element-for-
+  * element (values AND first-occurrence order) on real documents, plus
+  * the short-input edge cases. */
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("fused expression matches the composed pipeline on documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 5)) {
+      val bad = docs.select(
+        md5Shingles(tokens(col("text")), n).as("fused"),
+        md5Array(array_distinct(shingles(tokens(col("text")), n))).as("composed"))
+        .filter(col("fused") =!= col("composed"))
+        .count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
+  test("inputs shorter than n produce an empty array") {
+    import spark.implicits._
+    val df = Seq("one two", "one", "").toDF("text")
+    val out = df.select(md5Shingles(tokens(col("text")), 3).as("hs"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("duplicate shingles dedupe with first-occurrence order") {
+    import spark.implicits._
+    val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
+    val fused = df.select(md5Shingles(tokens(col("text")), 3)).head().getSeq[String](0)
+    val composed = df.select(
+      md5Array(array_distinct(shingles(tokens(col("text")), 3))))
+      .head().getSeq[String](0)
+    assert(fused == composed)
+    assert(fused.length == 2)
+  }
+}
