@@ -81,3 +81,58 @@ case class Md5Shingles(child: Expression, n: Int)
     copy(child = c)
   override def prettyName: String = "md5_shingles"
 }
+
+/** Fused char k-gram hasher for winnowing fingerprints: text → md5 hex of
+  * every k-char substring (position order, duplicates kept — winnowing
+  * needs the positional sequence), one pass, one digest.
+  *
+  * ≡ `transform(sequence(1, length(text)-k+1), i -> md5(substr(text, i, k)))`
+  * — the composed form stays the definition and the DuckDB oracle's
+  * formulation (parity-spec'd). Positions index CODE POINTS like substr
+  * does, so multi-byte text hashes identically to the composed form. */
+case class CharGramsMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got $other")
+  }
+
+  @transient private lazy val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val cps = text.codePointCount(0, text.length)
+    if (cps < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](cps - k + 1)
+    var startChar = 0
+    var i = 0
+    while (i <= cps - k) {
+      val endChar = text.offsetByCodePoints(startChar, k)
+      val digest = md.digest(text.substring(startChar, endChar)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      md.reset()
+      startChar = text.offsetByCodePoints(startChar, 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "char_grams_md5"
+}

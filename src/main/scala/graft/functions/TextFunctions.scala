@@ -61,6 +61,14 @@ object TextFunctions {
     b.column(Md5Shingles(b.expression(toks), n))
   }
 
+  /** Fused text → md5 array of char k-grams in position order (native
+    * expression; ≡ transform(sequence(1, length-k+1), i → md5(substr(text,
+    * i, k))), see CharGramsMd5). */
+  def charGramsMd5(text: Column, k: Int): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(CharGramsMd5(b.expression(text), k))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

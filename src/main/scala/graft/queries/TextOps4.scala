@@ -70,8 +70,8 @@ object TextOps4 {
             |ORDER BY doc_id""".stripMargin),
     (s, d) => Tables.documents(s, d)
       .filter(length(col("text")) >= K)
-      .withColumn("gh", expr(
-        s"transform(sequence(1, length(text) - ${K - 1}), i -> md5(substr(text, i, $K)))"))
+      .withColumn("gh",
+        graft.functions.TextFunctions.charGramsMd5(col("text"), K))
       .filter(size(col("gh")) >= W)
       .withColumn("fps", expr(
         s"transform(sequence(1, size(gh) - ${W - 1}), j -> array_min(slice(gh, j, $W)))"))

@@ -31,6 +31,25 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty))
   }
 
+  test("char-gram hasher matches the composed transform/substr pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(1, 5, 9)) {
+      val bad = docs.select(
+        charGramsMd5(col("text"), k).as("fused"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substr(text, i, $k)))")
+          .as("composed"))
+        .filter(length(col("text")) >= k)
+        .filter(col("fused") =!= col("composed"))
+        .count()
+      assert(bad == 0, s"k=$k")
+    }
+    // short input → empty
+    import spark.implicits._
+    val short = Seq("abc").toDF("text")
+      .select(charGramsMd5(col("text"), 5)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("duplicate shingles dedupe with first-occurrence order") {
     import spark.implicits._
     val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
