@@ -99,6 +99,19 @@ object TextFunctions {
   def hexDigitValSql(hashExpr: String, pos: Int): String =
     s"(instr('0123456789abcdef', substr($hashExpr, $pos, 1)) - 1)"
 
+  /** Unsigned value of hex digits [from, from+len) (0-based) as a
+    * place-value sum — valid in BOTH Spark SQL and DuckDB (len ≤ 15 keeps
+    * the value below 2^63). The portable "parse a hash prefix as an
+    * integer" primitive behind deterministic bucketing/splits and the
+    * multimodal stub codec. */
+  def hexSpanValSql(hashExpr: String, from: Int, len: Int): String = {
+    require(len >= 1 && len <= 15, s"hex span must be 1..15 digits, got $len")
+    (0 until len).map { j =>
+      val weight = 1L << (4 * (len - 1 - j))
+      s"${hexDigitValSql(hashExpr, from + j + 1)} * $weight"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Nibble packing for simhash bit sums: spread a digit's 4 bits into
     * 16-bit lanes of one BIGINT, so ONE sum carries 4 per-bit population
     * counts — 4× fewer instr/substr evaluations than per-bit ±1 sums, and

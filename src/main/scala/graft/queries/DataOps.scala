@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions.hexSpanValSql
+
+/** Dataset-curation operators a large training-data pipeline runs after
+  * dedup/quality scoring: deterministic split assignment, per-source
+  * quota capping, and PII-style redaction. All scan-side or single-window
+  * plans; every entry oracle-checked.
+  */
+object DataOps {
+
+  /** Content-hash split assignment (train/val/test 80/10/10): bucket =
+    * integer value of the md5 prefix mod 100 — a pure function of the
+    * CONTENT, so duplicated or re-crawled documents land in the same
+    * split on any cluster at any scale (the decontamination property;
+    * row-random splits don't have it). Scan-side expression, no shuffle;
+    * the same hex arithmetic runs in both engines. */
+  val q60_hash_split = Q(
+    "q60_hash_split", {
+      val bucket = s"(${hexSpanValSql("md5(text)", 0, 6)} % 100)"
+      Some(s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
+              |  CASE WHEN $bucket < 80 THEN 'train'
+              |       WHEN $bucket < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)
+    },
+    (s, d) => {
+      val bucket = expr(s"(${hexSpanValSql("md5(text)", 0, 6)} % 100)")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        bucket.cast("long").as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+        .orderBy("doc_id")
+    })
+
+  private val Quota = 50
+
+  /** Per-source quota: keep the top-N documents per source by quality
+    * (here: length, ties by id) — the domain-balance cap that stops one
+    * crawl source from dominating a mixture. One window shuffle on
+    * source; rank filter never globalizes. */
+  val q61_source_quota = Q(
+    "q61_source_quota",
+    Some(s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+            |  SELECT source, doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY n_chars DESC, doc_id) AS rn
+            |  FROM documents) t
+            |WHERE rn <= $Quota
+            |ORDER BY source, rank""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= Quota)
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")
+    })
+
+  /** PII-style redaction: mask email-shaped tokens and long digit runs,
+    * count the redactions per doc (counted BEFORE replacement). Pure
+    * scan-side regex; patterns kept in the Java∩RE2 common dialect. */
+  val q62_redact = Q(
+    "q62_redact",
+    Some("""SELECT doc_id,
+            |  regexp_replace(
+            |    regexp_replace(text, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+            |    '[0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted,
+            |  CAST(len(regexp_extract_all(text, '[a-z0-9._-]+@[a-z0-9.-]+')) AS BIGINT)
+            |    + CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS BIGINT)
+            |    AS n_redactions
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+        "[0-9][0-9][0-9]+", "<NUM>").as("redacted"),
+      (size(regexp_extract_all(col("text"), lit("[a-z0-9._-]+@[a-z0-9.-]+"), lit(0))).cast("long")
+        + size(regexp_extract_all(col("text"), lit("[0-9][0-9][0-9]+"), lit(0))).cast("long"))
+        .as("n_redactions"))
+      .orderBy("doc_id"))
+
+  val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact)
+}

@@ -31,15 +31,11 @@ object MultimodalQ {
         max(col("lead")).cast("long").as("max_lead_byte"))
       .orderBy("source"))
 
-  /** DuckDB expression for the unsigned value of md5-hex digits
-    * [from, from+len) (0-based), mirroring Multimodal.decodePayload's
-    * Long.parseLong(hex.substring(...), 16) — per-digit place-value sum,
-    * the same hex-digit arithmetic the simhash oracle uses. */
+  /** Mirrors Multimodal.decodePayload's Long.parseLong(hex.substring(...),
+    * 16) with the shared place-value-sum SQL (same hex-digit arithmetic
+    * as the simhash oracle). */
   private def hexValSql(h: String, from: Int, len: Int): String =
-    (0 until len).map { j =>
-      val weight = 1L << (4 * (len - 1 - j))
-      s"(instr('0123456789abcdef', substr($h, ${from + j + 1}, 1)) - 1) * $weight"
-    }.mkString("(", " + ", ")")
+    graft.functions.TextFunctions.hexSpanValSql(h, from, len)
 
   /** Full stub-decode feature pipeline over the media frame — the codec is
     * the documented md5-derived stub, so the oracle replays it exactly and
