@@ -36,18 +36,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vec_cosine(a, b) takes two arguments")
         CosineSim(args(0), args(1))
       }))
+    def avroBuilder(name: String, permissive: Boolean)
+        : Seq[Expression] => Expression = { args =>
+      require(args.length == 2, s"$name(value, schemaJson) takes two arguments")
+      val schemaJson = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name schema must be a string literal, got $other")
+      }
+      ConfluentAvroDecode(args(0), schemaJson, permissive)
+    }
     ext.injectFunction((FunctionIdentifier("confluent_avro"),
       info("confluent_avro",
         "confluent_avro(value, schemaJson) - decode a Confluent-framed Avro binary value"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "confluent_avro(value, schemaJson) takes two arguments")
-        val schemaJson = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
-            s.toString
-          case other => throw new IllegalArgumentException(
-            s"confluent_avro schema must be a string literal, got $other")
-        }
-        ConfluentAvroDecode(args(0), schemaJson)
-      }))
+      avroBuilder("confluent_avro", permissive = false)))
+    ext.injectFunction((FunctionIdentifier("try_confluent_avro"),
+      info("try_confluent_avro",
+        "try_confluent_avro(value, schemaJson) - like confluent_avro but corrupt records decode to NULL"),
+      avroBuilder("try_confluent_avro", permissive = true)))
   }
 }

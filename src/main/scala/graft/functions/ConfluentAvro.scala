@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   * CodegenFallback — the Avro reader is library code either way and the
   * per-row cost is dominated by the binary parse, not the call boundary.
   */
-case class ConfluentAvroDecode(child: Expression, schemaJson: String)
+case class ConfluentAvroDecode(child: Expression, schemaJson: String,
+    permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val avroSchema: Schema =
@@ -68,8 +69,22 @@ case class ConfluentAvroDecode(child: Expression, schemaJson: String)
     val decoder =
       DecoderFactory.get().binaryDecoder(raw, off, len, decoderHolder(0))
     decoderHolder(0) = decoder
-    val record = reader.read(null, decoder)
-    AvroSchemaConverter.toCatalyst(record, avroSchema).asInstanceOf[InternalRow]
+    // FAILFAST by default: a corrupt record fails the batch, the
+    // checkpointed stream retries (the reference's error contract).
+    // Permissive mode maps corrupt records to null so a lake backfill can
+    // quarantine them with a simple isNull filter instead of dying.
+    if (permissive) {
+      try {
+        val record = reader.read(null, decoder)
+        AvroSchemaConverter.toCatalyst(record, avroSchema).asInstanceOf[InternalRow]
+      } catch {
+        case _: java.io.IOException | _: org.apache.avro.AvroRuntimeException |
+            _: ArrayIndexOutOfBoundsException => null
+      }
+    } else {
+      val record = reader.read(null, decoder)
+      AvroSchemaConverter.toCatalyst(record, avroSchema).asInstanceOf[InternalRow]
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -159,4 +174,12 @@ object ConfluentAvro {
       ConfluentAvroDecode(
         org.apache.spark.sql.GraftBridge.expression(value),
         schemaJson))
+
+  /** Permissive variant: corrupt/truncated records decode to null instead
+    * of failing the batch (quarantine with WHERE decoded IS NULL). */
+  def try_confluent_avro(value: Column, schemaJson: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ConfluentAvroDecode(
+        org.apache.spark.sql.GraftBridge.expression(value),
+        schemaJson, permissive = true))
 }

@@ -37,6 +37,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 7L)
   }
 
+  test("try_confluent_avro maps corrupt records to NULL; strict mode fails") {
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"x","type":"string"}]}"""
+    // body claims a 100-byte string (varint 0xc8 0x01) but provides none
+    val corrupt = "X'0000000001c801'"
+    val out = spark.sql(
+      s"SELECT try_confluent_avro($corrupt, '$schema') AS r").head()
+    assert(out.isNullAt(0))
+    intercept[Exception] {
+      spark.sql(s"SELECT confluent_avro($corrupt, '$schema') AS r").head()
+    }
+    // and a valid record still decodes in permissive mode ("hi" = 0x04 6869)
+    val ok = spark.sql(
+      s"SELECT try_confluent_avro(X'0000000001046869', '$schema').x AS x").head()
+    assert(ok.getString(0) == "hi")
+  }
+
   test("KafkaSource.options builds the live-source contract") {
     val o = graft.sources.KafkaSource.options("b1:9092,b2:9092", "t",
       extra = Map("kafka.security.protocol" -> "SASL_SSL"))
