@@ -136,3 +136,60 @@ case class CharGramsMd5(child: Expression, k: Int)
     copy(child = c)
   override def prettyName: String = "char_grams_md5"
 }
+
+/** Whole-document simhash as ONE scan-side expression: md5 each token,
+  * take bit j of the hash from hex digit j/4 (low-to-high within the
+  * digit — the exact convention of `simhashBitSql`), majority-vote each
+  * bit over the document's tokens, assemble bits low-to-high.
+  *
+  * ≡ the explode → md5 → per-bit popcount → 2·popcount ≥ n → assemble
+  * pipeline (which stays the DuckDB oracle's formulation), but with no
+  * explode, no 1M-row shuffle, and no hex strings — bit values come
+  * straight from the digest nibbles (hex digit 2i is byte i's high
+  * nibble). A document is one row in, one long out. */
+case class SimhashBits(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> tokens, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val digest = md.digest(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < bits) {
+        val hexIdx = j / 4 // 0-based hex digit index
+        val byte = digest(hexIdx / 2)
+        // even hex index = high nibble of the byte, odd = low nibble
+        val v = if ((hexIdx & 1) == 0) (byte >> 4) & 0xf else byte & 0xf
+        counts(j) += (v >> (j % 4)) & 1
+        j += 1
+      }
+      md.reset()
+      i += 1
+    }
+    var value = 0L
+    var j = 0
+    while (j < bits) {
+      if (2L * counts(j) >= n) value |= 1L << j
+      j += 1
+    }
+    value
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash_bits"
+}

@@ -69,6 +69,13 @@ object TextFunctions {
     b.column(CharGramsMd5(b.expression(text), k))
   }
 
+  /** Whole-document simhash, scan-side (native expression; ≡ the
+    * explode → per-bit majority pipeline, see SimhashBits). */
+  def simhashOf(toks: Column, bits: Int): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(SimhashBits(b.expression(toks), bits))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

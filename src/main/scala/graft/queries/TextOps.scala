@@ -243,25 +243,13 @@ object TextOps {
             |FROM bitsums
             |ORDER BY doc_id""".stripMargin)
     },
-    (s, d) => {
-      // hash once per token, extract each hex digit once in a projection;
-      // the packed-lane sums aggregate over cheap int attributes.
-      val nDigits = SimhashBits / 4
-      val digits = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("mh"))
-        .select(col("doc_id") +: (0 until nDigits).map(p =>
-          expr(hexDigitValSql("mh", p + 1)).as(s"v$p")): _*)
-      val sums = digits.groupBy("doc_id").agg(
-        count(lit(1)).as("n"),
-        (0 until nDigits).map(p =>
-          sum(expr(packedBitLanesSql(s"v$p"))).cast("long").as(s"ps$p")): _*)
-      val assemble = (0 until SimhashBits)
-        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
-        .mkString(" + ")
-      sums.select(col("doc_id"), expr(assemble).cast("long").as("simhash"))
-        .orderBy("doc_id")
-    })
+    (s, d) =>
+      // one scan-side expression per document — no explode, no shuffle
+      // (SimhashBits ≡ the oracle's explode → majority pipeline)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          simhashOf(tokens(col("text")), SimhashBits).as("simhash"))
+        .orderBy("doc_id"))
 
   val all: Seq[Q] = Seq(
     q29_token_stats, q30_text_quality, q31_langid, q32_term_freq,

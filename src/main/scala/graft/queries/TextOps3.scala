@@ -65,19 +65,11 @@ object TextOps3 {
             |ORDER BY doc_a, doc_b""".stripMargin)
     },
     (s, d) => {
-      val digits = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("mh"))
-        .select(col("doc_id") +: (0 until NDigits).map(p =>
-          expr(hexDigitValSql("mh", p + 1)).as(s"v$p")): _*)
-      val sums = digits.groupBy("doc_id").agg(
-        count(lit(1)).as("n"),
-        (0 until NDigits).map(p =>
-          sum(expr(packedBitLanesSql(s"v$p"))).cast("long").as(s"ps$p")): _*)
-      val assemble = (0 until Bits)
-        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
-        .mkString(" + ")
-      val sh = sums.select(col("doc_id"), expr(assemble).cast("long").as("simhash"))
+      // scan-side simhash per document (SimhashBits expression) — the
+      // exploded/grouped formulation lives on only as the oracle SQL
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          simhashOf(tokens(col("text")), Bits).as("simhash"))
       val bands = (0 until NBands).map(i =>
         sh.select(col("doc_id"), col("simhash"), lit(i).as("band"),
           shiftright(col("simhash"), i * BandBits).bitwiseAND(lit(BandMask)).as("bkey")))

@@ -50,6 +50,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("scan-side simhash matches the exploded packed-lane pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bits <- Seq(16, 32)) {
+      val nDigits = bits / 4
+      val digits = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("mh"))
+        .select(col("doc_id") +: (0 until nDigits).map(p =>
+          expr(hexDigitValSql("mh", p + 1)).as(s"v$p")): _*)
+      val sums = digits.groupBy("doc_id").agg(
+        count(lit(1)).as("n"),
+        (0 until nDigits).map(p =>
+          sum(expr(packedBitLanesSql(s"v$p"))).cast("long").as(s"ps$p")): _*)
+      val assemble = (0 until bits)
+        .map(j => s"${simhashBitFromLanesSql(j)} * ${1L << j}")
+        .mkString(" + ")
+      val composed = sums.select(col("doc_id"),
+        expr(assemble).cast("long").as("composed"))
+      val fused = docs.select(col("doc_id"),
+        simhashOf(tokens(col("text")), bits).as("fused"))
+      val bad = fused.join(composed, "doc_id")
+        .filter(col("fused") =!= col("composed")).count()
+      assert(bad == 0, s"bits=$bits")
+    }
+  }
+
   test("duplicate shingles dedupe with first-occurrence order") {
     import spark.implicits._
     val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
