@@ -87,6 +87,36 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      n_bytes: Long,
+      target_w: Int,
+      target_h: Int)
+
+  /** STUB resize: where a real image/video scaler would run, produce a
+    * deterministic byte-stride downsample of the payload toward a target
+    * byte budget (`targetW*targetH/8`, floor stride 1) — the payload
+    * SHRINKS like a real resize output and stays opaque binary. The
+    * distributed shape is the contract: narrow per-partition transform,
+    * one "codec" per partition, no shuffle, binary in/binary out. */
+  def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    val budget = math.max(1, targetW * targetH / 8)
+    items.mapPartitions { it =>
+      // real implementation: initialize the scaler once per partition here
+      it.map { m =>
+        val stride = math.max(1, m.payload.length / budget)
+        val out = new Array[Byte]((m.payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i * stride); i += 1 }
+        ResizedMedia(m.media_id, m.media_type, out, out.length.toLong,
+          targetW, targetH)
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: k deterministic offsets per item —
     * explode stays a narrow transform (no shuffle). */
   def sampleFrames(items: Dataset[MediaItem], k: Int): DataFrame = {

@@ -88,6 +88,26 @@ object StreamingOps {
         })
   }
 
+  /** Watermarked stream-stream interval join (the click-after-impression
+    * pattern): each left event pairs with right events for the same key
+    * whose time lies in [left.ts, left.ts + horizon]. BOTH sides carry
+    * watermarks and the join condition bounds the time distance, so state
+    * on each side is evictable — the only stream-stream join shape whose
+    * state does not grow without bound. Columns are prefixed to keep both
+    * timestamps addressable downstream. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+      .withWatermark("l_ts", watermark)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("r_ts", watermark)
+    l.join(r, col(s"l_$key") === col(s"r_$key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** F5 parity: JSON serialization of a batch (the v1 response body,
     * lambda_function.py:228) — one JSON object per row. */
   def toJsonLines(df: DataFrame): Dataset[String] = {

@@ -28,6 +28,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(f => f.media_type != "image" || f.duration_ms == 0))
   }
 
+  test("stub resize shrinks payloads deterministically, no shuffle") {
+    val items = Multimodal.fromDocuments(spark, sfDir)
+    val r1 = Multimodal.resize(items, 64, 64).collect().sortBy(_.media_id)
+    val r2 = Multimodal.resize(items, 64, 64).collect().sortBy(_.media_id)
+    assert(r1.length == items.count())
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+    val orig = items.collect().map(m => m.media_id -> m.payload.length).toMap
+    assert(r1.forall(r => r.n_bytes <= orig(r.media_id) && r.n_bytes > 0))
+    assert(r1.forall(r => r.target_w == 64 && r.target_h == 64))
+    // narrow plan: no Exchange
+    val plan = Multimodal.resize(items, 64, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("frame sampling emits k deterministic offsets per video item") {
     val items = Multimodal.fromDocuments(spark, sfDir)
     val frames = Multimodal.sampleFrames(items, 4)

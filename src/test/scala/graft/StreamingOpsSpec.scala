@@ -93,6 +93,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs right events inside the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]    // left: impressions
+    val clicks = MemoryStream[Ev]  // right: clicks
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id",
+      horizon = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      imps.addData(Ev(1, ts(0), 7, "imp", 0.0), Ev(2, ts(20), 7, "imp", 0.0))
+      clicks.addData(
+        Ev(10, ts(5), 7, "click", 1.0),   // within 10 min of imp 1
+        Ev(11, ts(25), 7, "click", 1.0),  // within 10 min of imp 2 only
+        Ev(12, ts(45), 8, "click", 1.0))  // wrong user
+      q.processAllAvailable()
+      val pairs = spark.table("ij_out")
+        .select("l_event_id", "r_event_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(pairs == Seq((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   test("toJsonLines serializes rows as JSON objects (F5 parity)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
