@@ -76,6 +76,13 @@ object TextFunctions {
     b.column(SimhashBits(b.expression(toks), bits))
   }
 
+  /** |a ∩ b| for SORTED duplicate-free string arrays (native two-pointer
+    * merge; ≡ size(array_intersect(a, b)), see SortedIntersectCount). */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(SortedIntersectCount(br.expression(a), br.expression(b)))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

@@ -45,10 +45,12 @@ object Dedup {
     // Only the md5'd shingle set travels: every downstream use (signature
     // rotations, set sizes, exact-Jaccard verify) is invariant under the
     // injective per-shingle md5, and 32-char fixed-width hashes are far
-    // cheaper to shuffle/intersect than raw n-gram strings.
+    // cheaper to shuffle/intersect than raw n-gram strings. Sorted once
+    // here so the verify stage can intersect by two-pointer merge —
+    // rotation mins and sizes don't care about element order.
     val base = spread
       .select(col(idCol).as("__id"),
-        md5Shingles(tokens(col(textCol)), shingleN).as("hs"))
+        sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = base.select(col("__id"),
       explode(array((0 until k).map(i =>
@@ -71,7 +73,7 @@ object Dedup {
       .select("doc_a", "doc_b")
     val x = base.select(col("__id").as("doc_a"), col("hs").as("sa"))
     val y = base.select(col("__id").as("doc_b"), col("hs").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = sortedIntersectCount(col("sa"), col("sb"))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     pruned.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))

@@ -76,6 +76,26 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-intersect count matches size(array_intersect) on shingle sets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hs = docs.select(col("doc_id"),
+      sort_array(md5Shingles(tokens(col("text")), 3)).as("hs"))
+    val a = hs.limit(40).select(col("doc_id").as("ia"), col("hs").as("sa"))
+    val b = hs.limit(40).select(col("doc_id").as("ib"), col("hs").as("sb"))
+    val bad = a.crossJoin(b)
+      .select(
+        sortedIntersectCount(col("sa"), col("sb")).as("fused"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("composed"))
+      .filter(col("fused") =!= col("composed"))
+      .count()
+    assert(bad == 0)
+    // empty-side edge
+    import spark.implicits._
+    val e = Seq((Seq.empty[String], Seq("aa", "bb"))).toDF("x", "y")
+      .select(sortedIntersectCount(col("x"), col("y"))).head().getLong(0)
+    assert(e == 0L)
+  }
+
   test("duplicate shingles dedupe with first-occurrence order") {
     import spark.implicits._
     val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
