@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ConfluentAvroDecode, CosineSim, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim,
+  DotProduct, Md5Shingles, SimhashBits, SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so a pure-SQL user (spark.sql, JDBC,
@@ -12,6 +13,11 @@ import graft.functions.{ConfluentAvroDecode, CosineSim, DotProduct}
   *   - vec_dot(a, b)          — codegen'd sequential dot product
   *   - vec_cosine(a, b)       — one-pass cosine similarity
   *   - confluent_avro(v, schemaJson) — Confluent-framed Avro decode
+  *
+  *   - md5_shingles(tokens, n)   — distinct word n-grams → md5 array
+  *   - char_grams_md5(text, k)   — positional char k-grams → md5 array
+  *   - simhash_bits(tokens, b)   — whole-document simhash, scan-side
+  *   - sorted_intersect_count(a, b) — |a ∩ b| for sorted string arrays
   *
   * Wire up either way:
   *   SparkSession.builder().withExtensions(new GraftExtensions) — code, or
@@ -55,5 +61,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("try_confluent_avro",
         "try_confluent_avro(value, schemaJson) - like confluent_avro but corrupt records decode to NULL"),
       avroBuilder("try_confluent_avro", permissive = true)))
+
+    def intArg(name: String, e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name width must be an integer literal, got $other")
+    }
+    ext.injectFunction((FunctionIdentifier("md5_shingles"),
+      info("md5_shingles",
+        "md5_shingles(tokens, n) - distinct word n-gram shingles as md5 hex array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "md5_shingles(tokens, n) takes two arguments")
+        Md5Shingles(args(0), intArg("md5_shingles", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("char_grams_md5"),
+      info("char_grams_md5",
+        "char_grams_md5(text, k) - md5 hex array of char k-grams in position order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_grams_md5(text, k) takes two arguments")
+        CharGramsMd5(args(0), intArg("char_grams_md5", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash_bits"),
+      info("simhash_bits",
+        "simhash_bits(tokens, bits) - whole-document simhash value"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_bits(tokens, bits) takes two arguments")
+        SimhashBits(args(0), intArg("simhash_bits", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted string arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b) takes two arguments")
+        SortedIntersectCount(args(0), args(1))
+      }))
   }
 }

@@ -54,6 +54,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ok.getString(0) == "hi")
   }
 
+  test("text expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  md5_shingles(array('a','b','c','b'), 2) AS sh,
+        |  char_grams_md5('abcd', 3) AS cg,
+        |  simhash_bits(array('a','b'), 16) AS sv,
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0).length == 3)   // "a b","b c","c b"
+    assert(r.getSeq[String](1).length == 2)   // "abc","bcd"
+    assert(r.getLong(3) == 2L)
+    // simhash value matches the Column API
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val viaColumn = Seq("a b").toDF("text")
+      .select(graft.functions.TextFunctions.simhashOf(split(col("text"), " "), 16))
+      .head().getLong(0)
+    assert(r.getLong(2) == viaColumn)
+  }
+
   test("KafkaSource.options builds the live-source contract") {
     val o = graft.sources.KafkaSource.options("b1:9092,b2:9092", "t",
       extra = Map("kafka.security.protocol" -> "SASL_SSL"))

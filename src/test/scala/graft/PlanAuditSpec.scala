@@ -56,6 +56,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q37/q59/q60/q62: fused text ops stay scan-side (no data shuffle)") {
+    // simhash values, winnowing summaries, hash splits, redaction: pure
+    // per-row expressions — the only allowed exchange is the final
+    // presentation orderBy (rangepartitioning), never a hash shuffle
+    for (name <- Seq("q37_simhash", "q59_winnowing", "q60_hash_split", "q62_redact")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange hashpartitioning") == 0, s"$name:\n$p")
+    }
+  }
+
+  test("q61: per-source quota is one window shuffle, rank never globalizes") {
+    val p = plan("q61_source_quota")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("q36: LSH signature/verify never ships raw shingle strings") {
     // the persisted signature frame carries only md5'd shingles (hs);
     // the raw token/shingle arrays must be consumed inside the scan stage
