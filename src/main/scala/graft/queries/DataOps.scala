@@ -87,5 +87,44 @@ object DataOps {
         .as("n_redactions"))
       .orderBy("doc_id"))
 
-  val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact)
+  /** CDC-apply / batch MERGE (operators/CdcApply): the events stream acts
+    * as a change feed over the customer snapshot — latest event per user
+    * wins (version = event time then id; 'error' = delete), upserts
+    * replace rows, deletes drop keys, untouched rows pass through.
+    * events.ts is TIMESTAMP(NANOS) read as nano longs here (truncated to
+    * the oracle's µs via div 1000 — same total order per convention). */
+  val q63_cdc_apply = Q(
+    "q63_cdc_apply",
+    Some("""WITH ch AS (
+            |  SELECT user_id AS id,
+            |    'user_' || CAST(user_id AS VARCHAR) AS name,
+            |    value AS bal,
+            |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+            |    ROW_NUMBER() OVER (PARTITION BY user_id
+            |      ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM events),
+            |latest AS (SELECT id, name, bal, op FROM ch WHERE rn = 1)
+            |SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+            |FROM customer
+            |WHERE c_custkey NOT IN (SELECT id FROM latest)
+            |UNION ALL
+            |SELECT id, name, bal FROM latest WHERE op <> 'D'
+            |ORDER BY id""".stripMargin),
+    (s, d) => {
+      val snap = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+      val feed = Tables.events(s, d).select(
+        col("user_id").as("id"),
+        concat(lit("user_"), col("user_id").cast("string")).as("name"),
+        col("value").as("bal"),
+        expr("ts div 1000").as("__v1"),
+        col("event_id").as("__v2"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.operators.CdcApply.applyChanges(
+        snap, feed, "id", Seq(col("__v1"), col("__v2")), "op", "D")
+        .orderBy("id")
+    })
+
+  val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact, q63_cdc_apply)
 }
