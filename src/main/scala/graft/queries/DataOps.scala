@@ -126,5 +126,35 @@ object DataOps {
         .orderBy("id")
     })
 
-  val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact, q63_cdc_apply)
+  /** Salted skew join (operators/SkewJoin): lineitem⋈orders through 8
+    * deterministic salt buckets — the oracle is the PLAIN join, so the
+    * hash match proves the salted plan is row-for-row equivalent. */
+  val q64_salted_join = Q(
+    "q64_salted_join",
+    Some("""SELECT o_orderkey,
+            |  CAST(count(*) AS BIGINT) AS n_lines,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+            |  min(o_orderstatus) AS status
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderkey
+            |HAVING count(*) >= 5
+            |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+          col("l_linenumber"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedJoin(
+        li, ords, "o_orderkey", col("l_linenumber"), salts = 8)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          Q.asDouble(sum(Q.dec(col("l_quantity")))).as("total_qty"),
+          min(col("o_orderstatus")).as("status"))
+        .filter(col("n_lines") >= 5)
+        .orderBy("o_orderkey")
+    })
+
+  val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact,
+    q63_cdc_apply, q64_salted_join)
 }
