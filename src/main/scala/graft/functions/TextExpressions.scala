@@ -236,3 +236,47 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_intersect_count"
 }
+
+/** Sliding-window minimum over a string array: out(j) = min(in(j..j+w-1)),
+  * for winnowing's fingerprint-selection stage. Direct O(n·w) compare
+  * loop (w is small — the winnow window), zero allocation per window,
+  * vs the composed transform+slice+array_min which allocates a w-array
+  * per window position. ≡ transform(sequence(1, n-w+1), j →
+  * array_min(slice(a, j, w))) — parity-spec'd. */
+case class SlidingMins(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var j = 0
+    while (j <= n - w) {
+      var best = a.getUTF8String(j)
+      var i = j + 1
+      while (i < j + w) {
+        val c = a.getUTF8String(i)
+        if (c.compareTo(best) < 0) best = c
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sliding_mins"
+}

@@ -83,6 +83,13 @@ object TextFunctions {
     br.column(SortedIntersectCount(br.expression(a), br.expression(b)))
   }
 
+  /** Sliding-window minimum (native expression; ≡ transform(sequence(1,
+    * n-w+1), j → array_min(slice(a, j, w))), see SlidingMins). */
+  def slidingMins(a: Column, w: Int): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(SlidingMins(br.expression(a), w))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

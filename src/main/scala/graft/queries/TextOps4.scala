@@ -73,8 +73,8 @@ object TextOps4 {
       .withColumn("gh",
         graft.functions.TextFunctions.charGramsMd5(col("text"), K))
       .filter(size(col("gh")) >= W)
-      .withColumn("fps", expr(
-        s"transform(sequence(1, size(gh) - ${W - 1}), j -> array_min(slice(gh, j, $W)))"))
+      .withColumn("fps",
+        graft.functions.TextFunctions.slidingMins(col("gh"), W))
       .select(col("doc_id"),
         size(col("gh")).cast("long").as("n_grams"),
         size(array_distinct(col("fps"))).cast("long").as("n_fps"),

@@ -34,6 +34,26 @@ class CompactionSpec extends AnyFunSuite {
     assert(back.columns.length == 19)
   }
 
+  test("writeBatch throws when the contract filename already exists (no silent loss)") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    val out = Files.createTempDirectory("graft_wb_dup").toString
+    val recs = Envelope.readEventJson(
+      spark, "/root/reference/sample_kafka_event.json")
+    val decoded = KafkaToParquet.decodeRecords(
+      recs, RatecardSchema.topic, RatecardSchema.provider)
+    val at = Instant.parse("2021-09-02T18:00:00.000Z")
+    val first = KafkaToParquet.writeBatch(
+      decoded, RatecardSchema.topic, out, "SRC_KEY_VAL", at)
+    // same instant → same contract filename → rename must fail loudly,
+    // leaving the first file untouched
+    intercept[java.io.IOException] {
+      KafkaToParquet.writeBatch(
+        decoded, RatecardSchema.topic, out, "SRC_KEY_VAL", at)
+    }
+    assert(spark.read.parquet(first.path).count() == 16)
+  }
+
   test("compactPartition refuses to run over a stale backup and keeps data intact") {
     assume(Files.exists(java.nio.file.Paths.get(
       "/root/reference/sample_kafka_event.json")))

@@ -96,6 +96,25 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(e == 0L)
   }
 
+  test("sliding mins match the composed transform/slice/array_min form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (w <- Seq(1, 4, 7)) {
+      val gh = docs.select(charGramsMd5(col("text"), 5).as("gh"))
+        .filter(size(col("gh")) >= w)
+      val bad = gh.select(
+        slidingMins(col("gh"), w).as("fused"),
+        expr(s"transform(sequence(1, size(gh) - ${w - 1}), j -> array_min(slice(gh, j, $w)))")
+          .as("composed"))
+        .filter(col("fused") =!= col("composed"))
+        .count()
+      assert(bad == 0, s"w=$w")
+    }
+    import spark.implicits._
+    val short = Seq(Seq("a", "b")).toDF("a")
+      .select(slidingMins(col("a"), 4)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("duplicate shingles dedupe with first-occurrence order") {
     import spark.implicits._
     val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
