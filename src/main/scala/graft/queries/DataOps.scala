@@ -155,6 +155,68 @@ object DataOps {
         .orderBy("o_orderkey")
     })
 
+  /** Quantile-sketch surface (the second sketch family beside q54's HLL):
+    * approx_percentile's value is engine-specific, so the gate asserts it
+    * lands inside the exact [p40, p60] band around the true median —
+    * the oracle computes the exact band and literal TRUE, making a
+    * drifting sketch flip the hash. */
+  val q65_approx_quantile = Q(
+    "q65_approx_quantile",
+    Some("""SELECT l_returnflag,
+            |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
+            |  TRUE AS within_band
+            |FROM lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("exact_median"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx"),
+        expr("percentile(l_quantity, 0.4)").as("lo"),
+        expr("percentile(l_quantity, 0.6)").as("hi"))
+      .select(col("l_returnflag"), col("exact_median"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .as("within_band"))
+      .orderBy("l_returnflag"))
+
+  private val TopTerms = 15
+
+  /** TF-IDF top terms: per-term document frequency joined back to
+    * per-doc term frequency, scored tf·ln(N/df) — two hash aggs + one
+    * broadcast-size join on term; both engines evaluate ln on identical
+    * doubles and the score is rounded before ordering. */
+  val q66_tfidf = Q(
+    "q66_tfidf",
+    Some(s"""WITH tf AS (
+            |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |    FROM documents) x
+            |  GROUP BY doc_id, term),
+            |df AS (
+            |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            |n AS (SELECT count(*) AS n_docs FROM documents)
+            |SELECT tf.term, tf.doc_id, tf.tf, df.df,
+            |  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+            |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+            |ORDER BY score DESC, tf.term, doc_id
+            |LIMIT $TopTerms""".stripMargin),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("term"), col("doc_id"))
+        .limit(TopTerms)
+    })
+
   val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact,
-    q63_cdc_apply, q64_salted_join)
+    q63_cdc_apply, q64_salted_join, q65_approx_quantile, q66_tfidf)
 }
