@@ -23,6 +23,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** The custom-physical-operator variant: a true sort-merge as-of via
+    * graft.plans.AsOfJoinNode/Exec — co-clustered sorted children, one
+    * O(n+m) forward merge per partition, no union row expansion, no
+    * window buffer. Same semantics as [[leftAsOf]] (≤, greatest-carry
+    * tiebreak); `carryCol` must be a column of `right` (pre-project
+    * derived carries). Registers the planner strategy on the session
+    * idempotently. */
+  def leftAsOfNative(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      carryCol: String, carryName: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    GraftBridge.registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val c = attr(rPlan, carryCol)
+    GraftBridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTime),
+      attr(rPlan, rightKey), attr(rPlan, rightTime),
+      c, AttributeReference(carryName, c.dataType, nullable = true)()))
+  }
+
   def leftAsOf(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,

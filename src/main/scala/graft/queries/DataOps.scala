@@ -217,6 +217,33 @@ object DataOps {
         .limit(TopTerms)
     })
 
+  /** The NATIVE as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    * graft.plans.AsOfJoinExec): identical semantics and oracle as q24's
+    * union-interleave emulation — two implementations, one correlated-
+    * subquery oracle, both hash-matched. */
+  val q67_asof_native = Q(
+    "q67_asof_native",
+    Some("""SELECT event_id, user_id,
+            |  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders
+            |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_day
+            |FROM events
+            |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts_us"))
+      val ords = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderdate"),
+        to_date(col("o_orderdate")).as("last_order_day"))
+      graft.operators.AsOfJoin.leftAsOfNative(
+          ev, "user_id", "ts_us",
+          ords, "o_custkey", "o_orderdate",
+          "last_order_day", "last_order_day")
+        .select("event_id", "user_id", "last_order_day")
+        .orderBy("event_id")
+    })
+
   val all: Seq[Q] = Seq(q60_hash_split, q61_source_quota, q62_redact,
-    q63_cdc_apply, q64_salted_join, q65_approx_quantile, q66_tfidf)
+    q63_cdc_apply, q64_salted_join, q65_approx_quantile, q66_tfidf,
+    q67_asof_native)
 }

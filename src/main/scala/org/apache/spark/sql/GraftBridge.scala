@@ -21,4 +21,21 @@ object GraftBridge {
     ext(e)
     e.registerFunctions(spark.sessionState.functionRegistry)
   }
+
+  /** Wrap a custom logical plan as a DataFrame (classic.Dataset.ofRows is
+    * private[sql] — the standard extension-library entry for custom
+    * LogicalPlan nodes). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register a planner strategy on an already-built session
+    * (runtime path; builder().withExtensions / spark.sql.extensions is
+    * the config path). */
+  def registerStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }
