@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+import graft.operators.AsOfJoin
+
+/** Property-based invariants for the native expressions and the custom
+  * as-of operator, on ScalaCheck-generated data (adversarial shapes the
+  * fixed test tables can't produce: duplicate timestamps, singleton and
+  * empty groups, repeated tokens). */
+class NativeExprPropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  test("md5_shingles: |shingles| = max(0, tokens - n + 1) before dedup; dedup only shrinks") {
+    import spark.implicits._
+    val docs = Gen.listOfN(120,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(" ")))
+      .sample.get
+    val out = docs.toDF("text")
+      .select(length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("m"),
+        size(md5Shingles(tokens(col("text")), 3)).as("k"))
+      .collect()
+    out.foreach { r =>
+      val m = r.getInt(1)
+      val k = r.getInt(2)
+      assert(k <= math.max(0, m - 2), r.toString)
+      assert(k >= (if (m >= 3) 1 else 0), r.toString)
+    }
+  }
+
+  test("simhash_bits stays within the bit budget; identical docs collide") {
+    import spark.implicits._
+    val texts = Gen.listOfN(60,
+      Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))).sample.get
+    val df = (texts ++ texts).toDF("text") // every doc twice
+      .select(col("text"), simhashOf(tokens(col("text")), 32).as("sh"))
+    val rows = df.collect()
+    rows.foreach(r => assert((r.getLong(1) >> 32) == 0L, r.toString))
+    val collisions = df.groupBy("text").agg(countDistinct("sh").as("n"))
+      .filter(col("n") =!= 1).count()
+    assert(collisions == 0)
+  }
+
+  test("sorted_intersect_count: symmetric, bounded by min size, self-intersect = size") {
+    import spark.implicits._
+    val sets = Gen.listOfN(50,
+      Gen.listOf(Gen.choose(1, 40).map(_.toString))
+        .map(_.distinct.sorted)).sample.get
+    val df = sets.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val a = df.select(col("i").as("ia"), col("s").as("sa"))
+    val b = df.select(col("i").as("ib"), col("s").as("sb"))
+    val bad = a.crossJoin(b).select(
+      sortedIntersectCount(col("sa"), col("sb")).as("ab"),
+      sortedIntersectCount(col("sb"), col("sa")).as("ba"),
+      least(size(col("sa")), size(col("sb"))).cast("long").as("cap"),
+      (col("ia") === col("ib")).as("self"),
+      size(col("sa")).cast("long").as("na"))
+      .filter(col("ab") =!= col("ba") || col("ab") > col("cap") ||
+        (col("self") && col("ab") =!= col("na")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("native as-of ≡ generic operator on random data with duplicate (key, time)") {
+    import spark.implicits._
+    val leftRows = Gen.listOfN(300, for {
+      k <- Gen.choose(0L, 8L)
+      t <- Gen.choose(0L, 30L)
+    } yield (k, t)).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val rightRows = Gen.listOfN(200, for {
+      k <- Gen.choose(0L, 10L)
+      t <- Gen.choose(0L, 30L)
+      v <- Gen.choose(0L, 99L)
+    } yield (k, t, v)).sample.get
+    val l = leftRows.toDF("id", "k", "t")
+    val r = rightRows.toDF("k", "t", "v")
+    val native = AsOfJoin.leftAsOfNative(l, "k", "t", r, "k", "t", "v", "va")
+      .select("id", "va")
+    val generic = AsOfJoin.leftAsOf(l, "k", "t", r, "k", "t", col("v"), "va")
+      .select("id", "va")
+    assert(native.count() == leftRows.length)
+    assert(native.exceptAll(generic).count() == 0)
+    assert(generic.exceptAll(native).count() == 0)
+  }
+}
