@@ -133,4 +133,31 @@ object KafkaToParquet {
         }
       }
       .start()
+
+  /** The scale-path streaming sink: micro-batches append to the
+    * partitioned lake layout (`writePartitionedLake` — parallel writers,
+    * prunable partitions) instead of the one-file-per-batch contract.
+    * `eventTime` derives the partition columns from each decoded row
+    * (pass `current_timestamp()` for the reference's processing-time
+    * layout). Checkpointing makes delivery at-least-once; the append is
+    * idempotent per partition dir under reprocessing only if downstream
+    * compaction/dedup handles replays — same contract as the reference. */
+  def runStreamToLake(
+      records: DataFrame,
+      topic: String,
+      schemas: SchemaProvider,
+      baseDir: String,
+      checkpointDir: String,
+      eventTime: org.apache.spark.sql.Column,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val decoded = decodeRecords(batch, topic, schemas)
+          writePartitionedLake(decoded, baseDir, topic, eventTime)
+        }
+      }
+      .start()
 }

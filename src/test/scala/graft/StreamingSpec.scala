@@ -60,4 +60,42 @@ class StreamingSpec extends AnyFunSuite {
     val back = spark.read.parquet(files.map(_.getPath): _*)
     assert(back.count() == 16)
   }
+
+  test("streaming lake sink appends the partitioned layout with partition pruning") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val sample = Envelope
+      .readEventJson(spark, "/root/reference/sample_kafka_event.json")
+      .collect()
+      .map(r => KRec(r.getString(0), r.getInt(1), r.getLong(2),
+        r.getTimestamp(3), r.getString(4),
+        r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
+
+    val stream = MemoryStream[KRec]
+    val out = Files.createTempDirectory("graft_lake").toString
+    val ckpt = Files.createTempDirectory("graft_lake_ckpt").toString
+
+    stream.addData(sample.toSeq)
+    val q = KafkaToParquet.runStreamToLake(
+      stream.toDF(), RatecardSchema.topic, RatecardSchema.provider,
+      out, ckpt,
+      // event time from the decoded CDC commit timestamp
+      to_timestamp(col("SRC_COMMIT_DT_UTC")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q.processAllAvailable() finally q.stop()
+
+    // the commit dates in the fixture are 2021-07-02 04:00 → one partition
+    val part = new java.io.File(
+      s"$out/${RatecardSchema.topic}/year=2021/month=07/day=02/hour=04")
+    assert(part.isDirectory, s"missing partition dir $part")
+    val back = spark.read.parquet(s"$out/${RatecardSchema.topic}")
+    assert(back.count() == 16)
+    // pruning: reading one partition touches only that directory
+    val pruned = back.filter(col("year") === "2021" && col("month") === "07")
+    assert(pruned.count() == 16)
+  }
 }
