@@ -50,7 +50,7 @@ object VectorFunctions {
   }
 
   def planeLit(plane: Array[Double]): Column =
-    array(plane.map(lit(_)): _*)
+    array(plane.toIndexedSeq.map(lit(_)): _*)
 
   def planeSql(plane: Array[Double]): String =
     plane.mkString("([", ", ", "]::DOUBLE[])")

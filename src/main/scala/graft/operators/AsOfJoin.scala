@@ -70,7 +70,7 @@ object AsOfJoin {
       col(leftTime).as("__t"),
       lit(1).as("__kind"),
       lit(null).cast(carryType).as("__carry"),
-      struct(left.columns.map(col): _*).as("__row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
 
     // __carry in the sort order: right rows with identical (key, time) sort
     // among themselves by carry, so last(ignoreNulls) picks the greatest —
@@ -83,6 +83,6 @@ object AsOfJoin {
     rightSide.unionByName(leftSide)
       .withColumn(carryName, last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__kind") === 1)
-      .select(left.columns.map(c => col(s"__row.$c")) :+ col(carryName): _*)
+      .select(left.columns.toIndexedSeq.map(c => col(s"__row.$c")) :+ col(carryName): _*)
   }
 }

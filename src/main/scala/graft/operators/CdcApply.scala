@@ -38,7 +38,7 @@ object CdcApply {
     val kept = snapshot.join(
       latest.select(col(keyCol)), Seq(keyCol), "left_anti")
     val upserts = latest.filter(col(opCol) =!= deleteOp)
-      .select(snapshot.columns.map(col): _*)
+      .select(snapshot.columns.toIndexedSeq.map(col): _*)
     kept.unionByName(upserts)
   }
 }

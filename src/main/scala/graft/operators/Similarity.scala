@@ -19,7 +19,7 @@ object Similarity {
       k: Int, idCol: String): DataFrame = {
     val keep = corpus.columns.filter(_ != vecCol)
     corpus.crossJoin(broadcast(query.select(col(queryVecCol).as("__qe"))))
-      .select(keep.map(col) :+
+      .select(keep.toIndexedSeq.map(col) :+
         round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -43,7 +43,7 @@ object Similarity {
       explode(array(probeXors.map(x => col("qb").bitwiseXOR(lit(x))): _*)).as("bucket"))
     val keep = corpus.columns.filter(_ != vecCol)
     bucketed.join(broadcast(probes), Seq("bucket"))
-      .select(keep.map(col) :+
+      .select(keep.toIndexedSeq.map(col) :+
         round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -106,7 +106,7 @@ object Similarity {
       .select(col("__qe"), col("p.cid").as("__cid"))
     val keep = corpus.columns.filter(_ != vecCol)
     assigned.join(broadcast(probes), Seq("__cid"))
-      .select(keep.map(col) :+
+      .select(keep.toIndexedSeq.map(col) :+
         round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)

@@ -99,9 +99,9 @@ object StreamingOps {
       left: DataFrame, right: DataFrame, key: String,
       horizon: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(s"l_$c")): _*)
       .withWatermark("l_ts", watermark)
-    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_ts", watermark)
     l.join(r, col(s"l_$key") === col(s"r_$key") &&
       col("r_ts") >= col("l_ts") &&
@@ -112,6 +112,6 @@ object StreamingOps {
     * lambda_function.py:228) — one JSON object per row. */
   def toJsonLines(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
-    df.select(to_json(struct(df.columns.map(col): _*)).as("json")).as[String]
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("json")).as[String]
   }
 }
