@@ -10,8 +10,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
-      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ VectorOps.all ++
-      VectorOps2.all ++ MultimodalQ.all
+      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ EventOps.all ++
+      VectorOps.all ++ VectorOps2.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

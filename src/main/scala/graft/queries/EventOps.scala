@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-analytics staples over the events table: gap-based batch
+  * sessionization and an ordered funnel — the two canonical product-
+  * analytics queries, both pure window/agg plans partitioned by user.
+  * All event-time arithmetic runs on exact microsecond longs
+  * (`ts div 1000` of the nano column ≡ DuckDB's epoch_us — the
+  * convention every event-time entry shares). */
+object EventOps {
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  /** Gap-based sessionization, batch form (the streaming twin is
+    * StreamingOps.sessionize): a new session starts when the gap from
+    * the previous event of the same user exceeds GapUs; one window
+    * shuffle on user, then a hash agg on (user, session). */
+  val q68_batch_sessions = Q(
+    "q68_batch_sessions",
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+            |  FROM events),
+            |flagged AS (
+            |  SELECT user_id, tus, event_id,
+            |    CASE WHEN lag(tus) OVER w IS NULL
+            |              OR tus - lag(tus) OVER w > $GapUs
+            |         THEN 1 ELSE 0 END AS new_sess
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            |sessions AS (
+            |  SELECT user_id, tus, CAST(sum(new_sess) OVER (
+            |      PARTITION BY user_id ORDER BY tus, event_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            |  FROM flagged)
+            |SELECT user_id, session_idx,
+            |  CAST(count(*) AS BIGINT) AS n_events,
+            |  min(tus) AS start_us, max(tus) AS end_us
+            |FROM sessions
+            |GROUP BY user_id, session_idx
+            |ORDER BY user_id, session_idx""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+        .withColumn("new_sess",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > GapUs, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(cum).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+        .orderBy("user_id", "session_idx")
+    })
+
+  /** Ordered funnel signup → click → purchase: each stage's first time
+    * must be at-or-after the previous stage's. Three chained per-user
+    * window minima (same partitioning ⇒ one shuffle), then a global
+    * count — the plan a funnel should have, not a 3-way self-join. */
+  val q69_funnel = Q(
+    "q69_funnel",
+    Some("""WITH ev AS (
+            |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events),
+            |staged AS (
+            |  SELECT user_id,
+            |    min(CASE WHEN event_type = 'signup' THEN tus END) AS s
+            |  FROM ev GROUP BY user_id),
+            |clicked AS (
+            |  SELECT ev.user_id, staged.s,
+            |    min(CASE WHEN event_type = 'click' AND tus >= s THEN tus END) AS c
+            |  FROM ev JOIN staged ON ev.user_id = staged.user_id
+            |  GROUP BY ev.user_id, staged.s),
+            |purchased AS (
+            |  SELECT ev.user_id, clicked.s, clicked.c,
+            |    min(CASE WHEN event_type = 'purchase' AND tus >= c THEN tus END) AS p
+            |  FROM ev JOIN clicked ON ev.user_id = clicked.user_id
+            |  GROUP BY ev.user_id, clicked.s, clicked.c)
+            |SELECT CAST(count(*) AS BIGINT) AS n_users,
+            |  CAST(count(s) AS BIGINT) AS n_signup,
+            |  CAST(count(c) AS BIGINT) AS n_click_after,
+            |  CAST(count(p) AS BIGINT) AS n_purchase_after
+            |FROM purchased""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("s",
+          min(when(col("event_type") === "signup", col("tus"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("tus") >= col("s"),
+            col("tus"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("tus") >= col("c"),
+            col("tus"))).over(w))
+        .groupBy("user_id")
+        .agg(first(col("s")).as("s"), first(col("c")).as("c"),
+          first(col("p")).as("p"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("s")).as("n_signup"),
+          count(col("c")).as("n_click_after"),
+          count(col("p")).as("n_purchase_after"))
+    })
+
+  val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel)
+}
