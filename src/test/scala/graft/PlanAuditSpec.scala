@@ -72,6 +72,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("q68/q69: sessionization and funnel ride ONE user-keyed shuffle") {
+    // lag+cumsum (q68) and the three chained stage minima (q69) share the
+    // user partitioning — a second hash exchange would mean the windows
+    // stopped aligning (q69's final global agg is a single-partition agg,
+    // not a hash exchange)
+    assert(countOf(plan("q68_batch_sessions"), "Exchange hashpartitioning") == 1)
+    assert(countOf(plan("q69_funnel"), "Exchange hashpartitioning") == 1)
+  }
+
   test("q36: LSH signature/verify never ships raw shingle strings") {
     // the persisted signature frame carries only md5'd shingles (hs);
     // the raw token/shingle arrays must be consumed inside the scan stage
