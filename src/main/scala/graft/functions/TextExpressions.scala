@@ -48,10 +48,16 @@ case class Md5Shingles(child: Expression, n: Int)
     var i = 0
     while (i <= m - n) {
       sb.setLength(0)
+      var first = true
       var k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        // null tokens are skipped like concat_ws does (never produced by
+        // split(); guarded so a caller-built array can't NPE the task)
+        if (!toks.isNullAt(i + k)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          first = false
+        }
         k += 1
       }
       seen.add(sb.toString)
@@ -167,17 +173,21 @@ case class SimhashBits(child: Expression, bits: Int)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      val digest = md.digest(toks.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < bits) {
-        val hexIdx = j / 4 // 0-based hex digit index
-        val byte = digest(hexIdx / 2)
-        // even hex index = high nibble of the byte, odd = low nibble
-        val v = if ((hexIdx & 1) == 0) (byte >> 4) & 0xf else byte & 0xf
-        counts(j) += (v >> (j % 4)) & 1
-        j += 1
+      // null tokens count toward n (like count(*) in the exploded oracle
+      // pipeline) but contribute no bits (md5(null) is null there)
+      if (!toks.isNullAt(i)) {
+        val digest = md.digest(toks.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < bits) {
+          val hexIdx = j / 4 // 0-based hex digit index
+          val byte = digest(hexIdx / 2)
+          // even hex index = high nibble of the byte, odd = low nibble
+          val v = if ((hexIdx & 1) == 0) (byte >> 4) & 0xf else byte & 0xf
+          counts(j) += (v >> (j % 4)) & 1
+          j += 1
+        }
+        md.reset()
       }
-      md.reset()
       i += 1
     }
     var value = 0L
