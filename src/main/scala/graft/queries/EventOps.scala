@@ -105,5 +105,35 @@ object EventOps {
           count(col("p")).as("n_purchase_after"))
     })
 
-  val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel)
+  /** Full outer join (the one join type the catalog lacked): per-user
+    * event activity vs customer master — rows survive from either side,
+    * null-bridged with explicit coalesces. Shuffle join on the key (both
+    * sides large at scale); AQE handles skew. */
+  val q70_full_outer = Q(
+    "q70_full_outer",
+    Some("""WITH act AS (
+            |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            |  FROM events GROUP BY user_id)
+            |SELECT coalesce(c.c_custkey, a.user_id) AS id,
+            |  c.c_name AS name,
+            |  coalesce(a.n_events, 0) AS n_events,
+            |  (c.c_custkey IS NOT NULL) AS known_customer,
+            |  (a.user_id IS NOT NULL) AS active
+            |FROM customer c FULL OUTER JOIN act a ON c.c_custkey = a.user_id
+            |ORDER BY id""".stripMargin),
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      Tables.customer(s, d)
+        .join(act, col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("user_id")).as("id"),
+          col("c_name").as("name"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("c_custkey").isNotNull.as("known_customer"),
+          col("user_id").isNotNull.as("active"))
+        .orderBy("id")
+    })
+
+  val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel, q70_full_outer)
 }
