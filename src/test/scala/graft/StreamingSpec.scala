@@ -61,6 +61,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() == 16)
   }
 
+  test("restart from checkpoint does not reprocess delivered batches") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sample = Envelope
+      .readEventJson(spark, "/root/reference/sample_kafka_event.json")
+      .collect()
+      .map(r => KRec(r.getString(0), r.getInt(1), r.getLong(2),
+        r.getTimestamp(3), r.getString(4),
+        r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
+
+    val stream = MemoryStream[KRec]
+    val out = Files.createTempDirectory("graft_restart").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    def countFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).count(_.getName.endsWith(".parquet"))
+    }
+
+    stream.addData(sample.toSeq)
+    val q1 = KafkaToParquet.runStream(
+      stream.toDF(), RatecardSchema.topic, RatecardSchema.provider,
+      out, ckpt, "SRC_KEY_VAL",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(countFiles() == 1)
+
+    // restart against the SAME checkpoint and source state: the committed
+    // offsets must prevent reprocessing (no second file, no double rows)
+    val q2 = KafkaToParquet.runStream(
+      stream.toDF(), RatecardSchema.topic, RatecardSchema.provider,
+      out, ckpt, "SRC_KEY_VAL",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(countFiles() == 1, "restart must not re-land the delivered batch")
+  }
+
   test("streaming lake sink appends the partitioned layout with partition pruning") {
     assume(Files.exists(java.nio.file.Paths.get(
       "/root/reference/sample_kafka_event.json")))
