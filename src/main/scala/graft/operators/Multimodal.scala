@@ -37,6 +37,28 @@ object Multimodal {
       duration_ms: Long,
       checksum: Long)
 
+  /** Ingest a directory of media blobs via Spark's binaryFile source —
+    * the real multimodal intake path (each file → one opaque-binary row;
+    * executors read files in parallel, nothing passes through the
+    * driver). media_id = hash of the path (stable across runs), type from
+    * the file extension, pruned columns and pushed path filters come free
+    * from the source. `pathGlob` is a directory or glob, e.g.
+    * "/data/images" or a star-suffixed pattern. */
+  def fromBinaryFiles(spark: SparkSession, pathGlob: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(lower(col("path")).rlike("\\.(jpe?g|png|gif|bmp)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(lower(col("path")).rlike("\\.(mp4|mkv|webm|avi)$"), "video")
+          .otherwise("text").as("media_type"),
+        col("content").as("payload"),
+        col("path").as("source"),
+        col("length").as("n_bytes"))
+      .as[MediaItem]
+  }
+
   /** Build a media frame from the documents table: payload = utf-8 bytes
     * (stands in for image/audio blobs with the same column shape). */
   def fromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {

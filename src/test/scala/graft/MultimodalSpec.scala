@@ -28,6 +28,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(f => f.media_type != "image" || f.duration_ms == 0))
   }
 
+  test("binaryFile ingest maps blob files to the media frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.txt"), "hi".getBytes)
+    val items = Multimodal.fromBinaryFiles(spark, dir.toString + "/*")
+      .collect().sortBy(_.source)
+    assert(items.length == 3)
+    assert(items.map(_.media_type).toSeq == Seq("image", "audio", "text"))
+    assert(items.forall(m => m.payload.length.toLong == m.n_bytes))
+    assert(items.map(_.media_id).distinct.length == 3)
+    // the frame feeds the same feature pipeline as any other source
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinaryFiles(spark, dir.toString + "/*")).collect()
+    assert(feats.length == 3 && feats.forall(_.width >= 1))
+  }
+
   test("stub resize shrinks payloads deterministically, no shuffle") {
     val items = Multimodal.fromDocuments(spark, sfDir)
     val r1 = Multimodal.resize(items, 64, 64).collect().sortBy(_.media_id)
