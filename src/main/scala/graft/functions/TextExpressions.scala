@@ -1,11 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** One MD5 instance per (expression copy, thread): tasks deserialize
+  * their own expression copies, but local mode can share one instance
+  * across threads and MessageDigest is stateful — the same pattern as
+  * the Confluent-Avro decoder's reader. Avoids a getInstance per row on
+  * paths that hash millions of rows. */
+private[functions] trait Md5Holder {
+  @transient private lazy val local =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+  protected def md5Instance: MessageDigest = local.get()
+}
 
 /** Fused shingle hasher for the MinHash/LSH pipeline: tokens → word
   * n-gram shingles → distinct (first-occurrence order) → lowercase-hex
@@ -24,7 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * themselves, not the eval boundary.
   */
 case class Md5Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with Md5Holder {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
@@ -42,7 +57,7 @@ case class Md5Shingles(child: Expression, n: Int)
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Instance
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -97,7 +112,7 @@ case class Md5Shingles(child: Expression, n: Int)
   * formulation (parity-spec'd). Positions index CODE POINTS like substr
   * does, so multi-byte text hashes identically to the composed form. */
 case class CharGramsMd5(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with Md5Holder {
 
   require(k >= 1, s"gram width must be >= 1, got $k")
 
@@ -115,7 +130,7 @@ case class CharGramsMd5(child: Expression, k: Int)
     val text = input.asInstanceOf[UTF8String].toString
     val cps = text.codePointCount(0, text.length)
     if (cps < k) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Instance
     val out = new Array[Any](cps - k + 1)
     var startChar = 0
     var i = 0
@@ -154,7 +169,7 @@ case class CharGramsMd5(child: Expression, k: Int)
   * straight from the digest nibbles (hex digit 2i is byte i's high
   * nibble). A document is one row in, one long out. */
 case class SimhashBits(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with Md5Holder {
 
   require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
 
@@ -170,7 +185,7 @@ case class SimhashBits(child: Expression, bits: Int)
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val counts = new Array[Int](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Instance
     var i = 0
     while (i < n) {
       // null tokens count toward n (like count(*) in the exploded oracle
