@@ -28,18 +28,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The metric must reach the driver machine-parseably (BENCH_r01 lost it
-    // to sbt log prefixes): print as a clean stdout line (build.sbt sets
-    // run/outputStrategy=StdoutOutput) AND persist to a known file.
-    println(json)
+    val totalR = math.round(total * 1000) / 1000.0
+    val fullJson = s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-query detail goes ONLY to target/bench.json; stdout carries a short
+    // total-only line. The driver captures a bounded TAIL of stdout — a long
+    // line can start outside the window and become unparseable (BENCH_r01/r02
+    // both lost the metric this way). Keep the stdout line < 200 chars and
+    // make it the LAST thing printed.
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json + "\n")
+      java.nio.file.Files.writeString(out, fullJson + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
+    val shortJson =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","sf":"$sfDir"}"""
+    println(shortJson)
     spark.stop()
   }
 }

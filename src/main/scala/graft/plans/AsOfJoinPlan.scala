@@ -27,8 +27,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * oracle): right values at exactly the left time are visible (≤); among
   * right rows sharing (key, time) the greatest carry wins (right side is
   * sorted by (key, time, carry), deterministic for orderable carry);
-  * keys and times must be non-null (filter upstream — the merge
-  * comparisons are two-sided).
+  * right rows with a null key or time are skipped (undefined in as-of
+  * order); left rows with a null key or time emit a null carry — matching
+  * the generic operator's nulls-first interleave and the correlated oracle.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -100,8 +101,12 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val carryRow = new GenericInternalRow(1)
 
-      // right cursor state: values are extracted immediately (sort output
-      // rows are reused buffers — never hold a reference across next())
+      // right cursor state: values are extracted immediately AND copied —
+      // eval on a sort-output row returns views into a reused backing buffer
+      // for non-primitive types (UTF8String/binary/array/struct), and the
+      // spill reader reuses that buffer across next(). copyValue clones
+      // those and passes primitives through unchanged (same pattern as
+      // SortMergeJoinExec's buffered side).
       var rValid = false
       var rKey: Any = null
       var rTime: Any = null
@@ -109,9 +114,10 @@ case class AsOfJoinExec(
       def advanceR(): Unit =
         if (rIter.hasNext) {
           val r = rIter.next()
-          rKey = rKeyB.eval(r)
-          rTime = rTimeB.eval(r)
-          rCarry = if (rKey == null || rTime == null) null else carryB.eval(r)
+          rKey = InternalRow.copyValue(rKeyB.eval(r))
+          rTime = InternalRow.copyValue(rTimeB.eval(r))
+          rCarry = if (rKey == null || rTime == null) null
+                   else InternalRow.copyValue(carryB.eval(r))
           rValid = true
         } else rValid = false
       advanceR()
@@ -140,7 +146,10 @@ case class AsOfJoinExec(
             } else continue = false
           }
         }
-        val valid = lk != null && haveCarry &&
+        // lt != null matters: a left row with a key but null time consumes
+        // nothing, and the generic operator/correlated oracle yield null
+        // there — a stale same-key carry must not leak through.
+        val valid = lk != null && lt != null && haveCarry &&
           keyOrd.compare(carryKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
         carryRow(0) = if (valid) lastCarry else null
         proj(joined(l, carryRow))

@@ -14,6 +14,11 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Force UnsafeExternalSorter to spill every 4096 rows: tiny local
+      // test data never spills naturally, so buffer-reuse bugs in spill
+      // readers (values retained across next()) would otherwise only
+      // surface at cluster scale. This exercises the spill path suite-wide.
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "4096")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
