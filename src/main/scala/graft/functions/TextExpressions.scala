@@ -184,6 +184,10 @@ case class SimhashBits(child: Expression, bits: Int)
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
+    // Empty token array: the exploded-pipeline formulation produces no row
+    // for such a document (so "all bits tie at 0-of-0" is out of contract);
+    // 0L is the only answer that keeps x XOR x == 0 self-similarity.
+    if (n == 0) return 0L
     val counts = new Array[Int](bits)
     val md = md5Instance
     var i = 0
@@ -224,7 +228,8 @@ case class SimhashBits(child: Expression, bits: Int)
   * hash set. The LSH verify stage calls this on tens of thousands of
   * candidate pairs per partition; inputs are the sorted distinct md5'd
   * shingle sets. ≡ size(array_intersect(a, b)) for duplicate-free sorted
-  * inputs (parity-spec'd). */
+  * null-free inputs (parity-spec'd); null elements are skipped — they
+  * never count toward the intersection. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
@@ -248,10 +253,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var count = 0L
     while (i < n && j < m) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { count += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { count += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     count
   }

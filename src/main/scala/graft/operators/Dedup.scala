@@ -36,10 +36,13 @@ object Dedup {
     // Local-mode parallelism aid only: one small parquet file = one input
     // partition, which would serialize the md5 hashing stage. On a real
     // cluster file counts already provide parallelism, so gate the shuffle
-    // on the input actually being under-partitioned.
+    // on the input actually being under-partitioned. File count stands in
+    // for partition count (cheap driver-side listing — no .rdd conversion);
+    // non-file-backed frames (inputFiles empty) get the spread, which only
+    // costs a shuffle of data small enough to live in memory anyway.
     val sc = docs.sparkSession.sparkContext
     val spread =
-      if (docs.rdd.getNumPartitions * 2 <= sc.defaultParallelism)
+      if (docs.inputFiles.length * 2 <= sc.defaultParallelism)
         docs.repartition(sc.defaultParallelism, col(idCol))
       else docs
     // Only the md5'd shingle set travels: every downstream use (signature
@@ -52,25 +55,27 @@ object Dedup {
       .select(col(idCol).as("__id"),
         sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = base.select(col("__id"),
+    // The band frame carries size(hs) — one int per band row — so the
+    // length-ratio prefilter below needs no separate size-lookup joins
+    // (round 2 spent two extra joins fetching |A|/|B| for the candidates).
+    val bands = base.select(col("__id"), size(col("hs")).as("__n"),
       explode(array((0 until k).map(i =>
         struct(lit(i).as("band"), minhashRot(col("hs"), i).as("h"))): _*)).as("bh"))
-      .select(col("__id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    val a = bands.select(col("__id").as("doc_a"), col("band"), col("h"))
-    val b = bands.select(col("__id").as("doc_b"), col("band"), col("h"))
-    val cand = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select(col("__id"), col("__n"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = bands.select(col("__id").as("doc_a"), col("__n").as("__na"),
+      col("band"), col("h"))
+    val b = bands.select(col("__id").as("doc_b"), col("__n").as("__nb"),
+      col("band"), col("h"))
     // Length-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
     // pairs whose set sizes differ by more than the threshold ratio cannot
     // qualify — prune them with cheap ints before shipping shingle arrays
-    // into the verify join (a lossless necessary-condition filter).
-    val sizes = base.select(col("__id"), size(col("hs")).as("__n"))
-    val na = sizes.select(col("__id").as("doc_a"), col("__n").as("__na"))
-    val nb = sizes.select(col("__id").as("doc_b"), col("__n").as("__nb"))
-    val pruned = cand.join(na, "doc_a").join(nb, "doc_b")
+    // into the verify join (a lossless necessary-condition filter). The
+    // sizes ride the distinct for free: they are functions of the ids, so
+    // the (doc_a, doc_b) cardinality is unchanged.
+    val pruned = a.join(b, Seq("band", "h")).filter(col("doc_a") < col("doc_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")) * threshold)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
     val x = base.select(col("__id").as("doc_a"), col("hs").as("sa"))
     val y = base.select(col("__id").as("doc_b"), col("hs").as("sb"))
     val inter = sortedIntersectCount(col("sa"), col("sb"))

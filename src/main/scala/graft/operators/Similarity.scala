@@ -127,23 +127,37 @@ object Similarity {
     * the k×dim result is collected only into the next broadcast. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int): DataFrame = {
-    var cents = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    var cents = localize(corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")))
     for (_ <- 0 until iters) {
       val assigned =
         withNearestCid(corpus.crossJoin(packCentroids(cents, "cid", "cvec")),
           col(vecCol))
         .select(col("__cid").as("cid"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
-      cents = assigned
+      cents = localize(assigned
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
           count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p("m")).as("cvec"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("cvec")))
     }
     cents
+  }
+
+  /** Collapse a tiny frame's lineage into a LocalRelation. A trained
+    * centroid set is k×dim doubles of index metadata — without this, every
+    * consumer branch (corpus assignment, query probes, the next Lloyd's
+    * iteration) re-executes the full training lineage, multiplying whole
+    * corpus passes at scale. Rows are ordered by the first column so the
+    * local data is deterministic. (The "no driver collect" rule targets
+    * data paths; an ANN index's centroid table is the canonical
+    * broadcast-side exception.) */
+  private def localize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.orderBy(col(df.columns.head)).collect().toList
+    df.sparkSession.createDataFrame(rows.asJava, df.schema)
   }
 
   /** Cosine near-duplicate pairs within shared LSH buckets: the bucket

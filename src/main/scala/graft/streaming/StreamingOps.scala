@@ -98,14 +98,15 @@ object StreamingOps {
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       horizon: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      tsCol: String = "ts"): DataFrame = {
     val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(s"l_$c")): _*)
-      .withWatermark("l_ts", watermark)
+      .withWatermark(s"l_$tsCol", watermark)
     val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
-      .withWatermark("r_ts", watermark)
+      .withWatermark(s"r_$tsCol", watermark)
     l.join(r, col(s"l_$key") === col(s"r_$key") &&
-      col("r_ts") >= col("l_ts") &&
-      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
   }
 
   /** F5 parity: JSON serialization of a batch (the v1 response body,
