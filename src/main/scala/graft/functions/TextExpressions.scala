@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -231,8 +231,7 @@ case class SimhashBits(child: Expression, bits: Int)
   * null-free inputs (parity-spec'd); null elements are skipped — they
   * never count toward the intersection. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -265,6 +264,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     count
   }
 
+  // The verify stage runs this on every candidate pair — a codegen'd
+  // merge loop keeps the whole filter inside one WholeStageCodegen span
+  // instead of paying the interpreted-eval boundary per pair.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $cnt++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -276,13 +300,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * loop (w is small — the winnow window), zero allocation per window,
   * vs the composed transform+slice+array_min which allocates a w-array
   * per window position. ≡ transform(sequence(1, n-w+1), j →
-  * array_min(slice(a, j, w))) — parity-spec'd. */
+  * array_min(slice(a, j, w))) — parity-spec'd. Null elements follow
+  * array_min: ignored, and an all-null window yields a null element. */
 case class SlidingMins(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(w >= 1, s"window must be >= 1, got $w")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -297,11 +326,13 @@ case class SlidingMins(child: Expression, w: Int)
     val out = new Array[Any](n - w + 1)
     var j = 0
     while (j <= n - w) {
-      var best = a.getUTF8String(j)
-      var i = j + 1
+      var best: UTF8String = null
+      var i = j
       while (i < j + w) {
-        val c = a.getUTF8String(i)
-        if (c.compareTo(best) < 0) best = c
+        if (!a.isNullAt(i)) {
+          val c = a.getUTF8String(i)
+          if (best == null || c.compareTo(best) < 0) best = c
+        }
         i += 1
       }
       out(j) = best
@@ -309,6 +340,36 @@ case class SlidingMins(child: Expression, w: Int)
     }
     new GenericArrayData(out)
   }
+
+  // Compare-only inner loop (w is small) — codegen keeps the winnowing
+  // scan stage inside the surrounding WholeStageCodegen span.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val gad = classOf[GenericArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val jj = ctx.freshName("j"); val ii = ctx.freshName("i")
+      val best = ctx.freshName("best"); val cc = ctx.freshName("c")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n < $w) {
+         |  ${ev.value} = new $gad(new Object[0]);
+         |} else {
+         |  final Object[] $out = new Object[$n - $w + 1];
+         |  for (int $jj = 0; $jj <= $n - $w; $jj++) {
+         |    $utf8 $best = null;
+         |    for (int $ii = $jj; $ii < $jj + $w; $ii++) {
+         |      if (!$a.isNullAt($ii)) {
+         |        final $utf8 $cc = $a.getUTF8String($ii);
+         |        if ($best == null || $cc.compareTo($best) < 0) { $best = $cc; }
+         |      }
+         |    }
+         |    $out[$jj] = $best;
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

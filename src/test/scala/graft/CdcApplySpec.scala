@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CdcApply, SkewJoin}
+import graft.operators.{Bucketing, CdcApply, SkewJoin}
 
 /** CDC-merge edge semantics (delete wins, version tiebreak, new-key
   * insert, untouched passthrough) and salted-join equivalence corners. */
@@ -34,6 +34,48 @@ class CdcApplySpec extends AnyFunSuite {
         snap, feed, "id", Seq(col("ver"), col("seq")), "op")
       .as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "back")))
+  }
+
+  test("bucketed snapshot merges with zero exchange on the snapshot side") {
+    // The CdcApply doc's scale claim: with a bucketed snapshot the merge's
+    // only shuffles belong to the (small) feed — the snapshot scan feeds
+    // the anti join pre-clustered. Proven here structurally (no
+    // ShuffleExchange anywhere above the bucketed scan) and by result
+    // equality with the plain-snapshot merge.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val snap0 = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    Bucketing.writeBucketed(snap0, "cust_snap_b", "c_custkey", 8)
+    val feed = snap0.limit(50)
+      .withColumn("c_name", concat(lit("upd_"), col("c_name")))
+      .withColumn("op", when(col("c_custkey") % 2 === 0, "D").otherwise("U"))
+      .withColumn("ver", lit(1L))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val merged = CdcApply.applyChanges(
+        spark.table("cust_snap_b"), feed, "c_custkey", Seq(col("ver")), "op")
+      val plan = merged.queryExecution.executedPlan
+      val shuffledSnapshotScans = plan.collect {
+        case e: ShuffleExchangeExec => e.collectLeaves().collect {
+          case s: FileSourceScanExec
+              if s.tableIdentifier.exists(_.table == "cust_snap_b") => s
+        }
+      }.flatten
+      assert(shuffledSnapshotScans.isEmpty,
+        s"snapshot side must not shuffle, plan was:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"), plan.toString)
+      val plain = CdcApply.applyChanges(
+        snap0, feed, "c_custkey", Seq(col("ver")), "op")
+      assert(merged.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(merged).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS cust_snap_b")
+    }
   }
 
   test("saltedJoin equals the plain join for any salt count") {

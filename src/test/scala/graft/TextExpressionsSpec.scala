@@ -115,6 +115,36 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("compare-loop expressions compile under forced codegen and agree with eval") {
+    // Whole-stage codegen failures fall back to interpreted eval silently;
+    // generating the projection directly makes a codegen bug a hard failure.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{SlidingMins, SortedIntersectCount}
+    val at = ArrayType(StringType)
+    val a = BoundReference(0, at, nullable = true)
+    val b = BoundReference(1, at, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(SortedIntersectCount(a, b), SlidingMins(a, 2), SlidingMins(a, 5)))
+    def arr(xs: String*) = new GenericArrayData(
+      xs.map(x => if (x == null) null else UTF8String.fromString(x)).toArray[Any])
+    val out = proj(InternalRow(arr("aa", "bb", "cc", "dd"), arr("bb", "dd", "ee")))
+    assert(out.getLong(0) == 2L)
+    assert(out.getArray(1).toSeq[UTF8String](StringType).map(_.toString)
+      == Seq("aa", "bb", "cc"))
+    assert(out.getArray(2).numElements() == 0) // n < w → empty
+    // null elements: never counted by the intersect; ignored by the
+    // window min (array_min semantics)
+    val withNulls = proj(InternalRow(arr(null, "aa", "bb"), arr(null, "aa")))
+    assert(withNulls.getLong(0) == 1L)
+    assert(withNulls.getArray(1).toSeq[UTF8String](StringType).map(_.toString)
+      == Seq("aa", "aa"))
+  }
+
   test("duplicate shingles dedupe with first-occurrence order") {
     import spark.implicits._
     val df = Seq("a b a b a b").toDF("text") // shingles: "a b a","b a b","a b a","b a b"
