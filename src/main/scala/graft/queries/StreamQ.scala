@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+/** Streaming twins of the batch event-analytics entries, oracle-checked:
+  * each runs a REAL streaming query (file source → stateful op →
+  * Trigger.AvailableNow → memory sink) and hash-matches a batch DuckDB
+  * oracle over the same parquet. This is the replay-equivalence property a
+  * 100 TB streaming deployment rests on — the streaming operator, run to
+  * completion over a finite input, must agree with the batch semantics:
+  *   - q71: stream-stream interval join ≡ the plain batch interval join
+  *     (inner joins emit matches immediately; the watermark only bounds
+  *     state, so a finite replay reproduces the batch result exactly);
+  *   - q72: flatMapGroupsWithState gap sessionization ≡ batch
+  *     gap-sessionization (q68) restricted to CLOSED sessions — a session
+  *     closes in-batch when a later event opens the next one, or by
+  *     event-time timer when the final watermark passes its end + gap
+  *     (ms-floor comparison, the watermark's granularity — the oracle
+  *     replays that arithmetic exactly).
+  */
+object StreamQ {
+
+  private val GapMs = 30L * 60 * 1000
+  private val GapUs = GapMs * 1000
+
+  /** The file streaming source only accepts directories; the test tables
+    * are single parquet files (and their dir is read-only), so expose each
+    * file through a per-source symlink directory. Production inputs are
+    * directories already — this shim is test-layout plumbing, not part of
+    * the operator. */
+  private def asDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(path)
+    val dir = Paths.get("/tmp/graft_stream_src",
+      Integer.toHexString(path.hashCode), src.getFileName.toString)
+    Files.createDirectories(dir)
+    val link = dir.resolve(src.getFileName.toString)
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    dir.toString
+  }
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    s.readStream.schema(s.read.parquet(path).schema).parquet(asDir(path))
+  }
+
+  /** Run a finite streaming frame to completion into a memory sink and
+    * return the sink's content. */
+  private def runToSink(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val q71_stream_interval_join = Q(
+    "q71_stream_interval_join",
+    Some("""SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+            |  l.user_id AS user_id
+            |FROM events l JOIN events r ON l.user_id = r.user_id
+            |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+            |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+            |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+            |ORDER BY click_id, purchase_id""".stripMargin),
+    (s, d) => {
+      def side(tpe: String) = eventStream(s, d)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ets"))
+      val joined = StreamingOps.intervalJoin(
+        side("click"), side("purchase"), "user_id",
+        horizon = "1 hour", watermark = "2 hours", tsCol = "ets")
+      runToSink(joined, "q71_sink")
+        .select(col("l_event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"))
+        .orderBy("click_id", "purchase_id")
+    })
+
+  val q72_stream_sessions = Q(
+    "q72_stream_sessions",
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+            |  FROM events),
+            |flagged AS (
+            |  SELECT user_id, tus, event_id,
+            |    CASE WHEN lag(tus) OVER w IS NULL
+            |              OR tus - lag(tus) OVER w > $GapUs
+            |         THEN 1 ELSE 0 END AS new_sess
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            |sessions AS (
+            |  SELECT user_id, tus, CAST(sum(new_sess) OVER (
+            |      PARTITION BY user_id ORDER BY tus, event_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            |  FROM flagged),
+            |agg AS (
+            |  SELECT user_id, session_idx,
+            |    CAST(count(*) AS BIGINT) AS n_events,
+            |    min(tus) AS start_us, max(tus) AS end_us
+            |  FROM sessions GROUP BY user_id, session_idx),
+            |last AS (
+            |  SELECT user_id, max(session_idx) AS last_idx
+            |  FROM agg GROUP BY user_id),
+            |mx AS (SELECT max(tus) AS max_us FROM ev)
+            |SELECT a.user_id, a.n_events, a.start_us, a.end_us
+            |FROM agg a JOIN last l ON a.user_id = l.user_id CROSS JOIN mx
+            |WHERE a.session_idx < l.last_idx
+            |   OR (a.end_us + $GapUs) // 1000 < mx.max_us // 1000
+            |ORDER BY a.user_id, a.start_us""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val evs = eventStream(s, d)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("value"))
+        .as[StreamingOps.SessionEvent]
+      val sessions = StreamingOps.sessionize(
+        evs, gapMs = GapMs, watermarkDelay = "0 seconds")
+      runToSink(sessions.toDF(), "q72_sink")
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+        .orderBy("user_id", "start_us")
+    })
+
+  val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions)
+}

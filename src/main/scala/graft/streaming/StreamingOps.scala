@@ -46,16 +46,27 @@ object StreamingOps {
   case class Session(user_id: Long, n_events: Long, total_value: Double,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
+  /** Exact microseconds of a Timestamp (getTime alone truncates the
+    * sub-millisecond part that nano-precision event times carry). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Custom stateful operator: gap-based sessionization per user via
-    * flatMapGroupsWithState with EVENT-time timeouts — a session closes
-    * when the watermark passes (last event + gap). Event-time state is
-    * deterministic and replay-stable, which is what a 100 TB deployment
-    * needs (processing-time timeouts re-fire differently on restart).
+    * flatMapGroupsWithState with EVENT-time timeouts. Sessions split on
+    * gaps WITHIN a micro-batch (emitted immediately — this is what makes
+    * the operator agree with batch gap-sessionization, q68) and the
+    * trailing open session closes when the watermark passes
+    * (last event + gap). Event-time state is deterministic and
+    * replay-stable, which is what a 100 TB deployment needs
+    * (processing-time timeouts re-fire differently on restart).
+    * Gap comparisons run on exact microseconds; the close timer is the
+    * millisecond floor of (end + gap), the granularity watermarks use.
     * Input must carry a watermark on `ts`. Emits closed sessions. */
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -67,22 +78,29 @@ object StreamingOps {
             state.remove()
             Iterator.single(done)
           } else {
-            val evs = it.toSeq
+            val evs = it.toIndexedSeq.sortBy(e => micros(e.ts))
             if (evs.isEmpty) Iterator.empty
             else {
-              val sorted = evs.sortBy(_.ts.getTime)
-              val merged = state.getOption match {
-                case Some(sess) => Session(userId,
-                  sess.n_events + evs.size,
-                  sess.total_value + evs.map(_.value).sum,
-                  sess.start_ts,
-                  sorted.last.ts)
-                case None => Session(userId, evs.size,
-                  evs.map(_.value).sum, sorted.head.ts, sorted.last.ts)
+              val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+              var cur = state.getOption.orNull
+              evs.foreach { e =>
+                cur =
+                  if (cur == null)
+                    Session(userId, 1L, e.value, e.ts, e.ts)
+                  else if (micros(e.ts) - micros(cur.end_ts) > gapUs) {
+                    closed += cur
+                    Session(userId, 1L, e.value, e.ts, e.ts)
+                  } else
+                    Session(userId, cur.n_events + 1,
+                      cur.total_value + e.value, cur.start_ts, e.ts)
               }
-              state.update(merged)
-              state.setTimeoutTimestamp(merged.end_ts.getTime + gapMs)
-              Iterator.empty
+              state.update(cur)
+              // never at-or-behind the current watermark (the API rejects
+              // that); a stale timer fires on the next batch instead
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(micros(cur.end_ts) + gapUs, 1000L),
+                state.getCurrentWatermarkMs() + 1))
+              closed.iterator
             }
           }
         })
