@@ -51,6 +51,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q57: trained centroids are a LocalRelation — training lineage never re-executes") {
+    // trainCentroids collapses each Lloyd's result (k×dim doubles) into a
+    // local frame; the serving plan must read centroids from a
+    // LocalTableScan and keep the q56 scan-side shape — a corpus-sized
+    // re-execution of the training loop would reappear here as extra
+    // exchanges/aggregates over the embeddings scan
+    val p = plan("q57_ann_ivf_trained")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    // serving reads the embeddings table twice (corpus + query probe),
+    // never more — a re-run of training would add full-table scans
+    assert(countOf(p, "FileScan parquet").max(countOf(p, "Scan parquet")) <= 2, p)
+  }
+
   test("q47: salted aggregation is two-phase (salted then merged)") {
     val p = plan("q47_salted_agg")
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
