@@ -48,14 +48,27 @@ object StreamQ {
   }
 
   /** Run a finite streaming frame to completion into a memory sink and
-    * return the sink's content. */
-  private def runToSink(df: DataFrame, name: String): DataFrame = {
+    * return the sink's content.
+    *
+    * Stateful streaming partition count is sized to STATE volume, not
+    * batch data volume: every micro-batch pays a state-store
+    * open/commit per partition, so oversizing it (e.g. inheriting a
+    * batch-tuned shuffle.partitions) multiplies fixed cost without
+    * adding parallelism the state fits in. The partition count is
+    * pinned at query start by the checkpoint — a real deployment picks
+    * it once per query from expected live-state size. */
+  private def runToSink(df: DataFrame, name: String,
+      statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
     s.catalog.dropTempView(name)
-    val q = df.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
