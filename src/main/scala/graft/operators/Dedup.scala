@@ -84,4 +84,77 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup PAIRS into dedup CLUSTERS (transitive
+    * near-duplicates share one canonical keeper).
+    *
+    * Min-label propagation with pointer jumping: each round every node
+    * takes the min label among itself and its neighbors, then labels
+    * chase their own label's label — the doubling step that makes long
+    * chains converge in O(log diameter) rounds instead of O(diameter).
+    * Each round is two hash-joins and a min-aggregation on the node key;
+    * nothing touches the driver except a one-value convergence probe
+    * (the sum of labels, which decreases monotonically until fixpoint —
+    * an aggregate, not a collect). This is the MapReduce-CC recipe of
+    * Kiveris et al. (SoCC'14) in its label-propagation form.
+    *
+    * Returns (node, component) where component = min node id reachable.
+    * Deterministic under any partitioning: min is order-insensitive. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val undirected = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // self-loops let one edge join carry a node's own label alongside its
+    // neighbors' — no per-round union needed
+    val sym = undirected
+      .union(undirected.select(col("u"), col("u").as("v")).distinct())
+      .persist(lvl)
+    // The pointer-jump self-join references each round's result twice, so
+    // lineage grows exponentially without a cut — localCheckpoint truncates
+    // the plan per round (the iterative-algorithm staple; a cluster
+    // deployment with executor churn would use reliable checkpoint() to a
+    // durable dir instead).
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val propagated = sym
+        .join(labels.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("component"))
+        .groupBy("node").agg(min(col("component")).as("component"))
+      // pointer jump: component ids are themselves nodes, so follow one hop
+      val next = propagated.as("x")
+        .join(propagated.select(col("node").as("jn"), col("component").as("jc")),
+          col("x.component") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.component"), coalesce(col("jc"), col("x.component")))
+            .as("component"))
+        .localCheckpoint(true)
+      // decimal sum: overflow-safe at any id scale; equality ⇔ fixpoint
+      val s = next.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: LSH pairs → connected components →
+    * (doc_id, cluster_id = min doc id of the cluster) for every document
+    * that participates in at least one verified near-dup pair. Keeping
+    * `doc_id == cluster_id` and dropping the rest is the dedup policy. */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, k, shingleN, threshold)
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+  }
 }

@@ -171,47 +171,80 @@ object TextOps {
     * state) → exact Jaccard verify on candidates → pairs ≥ 0.15.
     * The one O(n²) risk — giant buckets — is bounded by band-hash
     * uniformity; at 100 TB the band groupBy is the only shuffle. */
+  /** Shared WITH-prefix replaying the whole LSH pipeline in SQL, ending in
+    * a `pairs(doc_a, doc_b, jaccard)` CTE — q36 selects it directly, q73
+    * closes it transitively into clusters. */
+  private def lshPairsSqlPrefix: String = {
+    val sigExprs = (0 until MinhashK)
+      .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
+    val bandRows = (0 until MinhashK)
+      .map(i => s"SELECT doc_id, $i AS band, sig_$i AS h FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM tok),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |  $sigExprs
+       |  FROM hsh),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |    AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+       |      / (len(x.sset) + len(y.sset)
+       |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) AS jaccard
+       |  FROM cand JOIN dsh x ON cand.doc_a = x.doc_id
+       |            JOIN dsh y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+       |      / (len(x.sset) + len(y.sset)
+       |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) >= 0.15)""".stripMargin
+  }
+
   val q36_minhash_lsh = Q(
-    "q36_minhash_lsh", {
-      val sigExprs = (0 until MinhashK)
-        .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
-      val bandRows = (0 until MinhashK)
-        .map(i => s"SELECT doc_id, $i AS band, sig_$i AS h FROM sig").mkString("\n  UNION ALL ")
-      Some(s"""WITH tok AS (
-            |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-            |sh AS (
-            |  SELECT doc_id, list_distinct(list_transform(
-            |    generate_series(1, greatest(len(toks) - 2, 0)),
-            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-            |  FROM tok),
-            |hsh AS (
-            |  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
-            |sig AS (
-            |  SELECT doc_id,
-            |  $sigExprs
-            |  FROM hsh),
-            |bands AS (
-            |  $bandRows),
-            |cand AS (
-            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-            |    AND a.doc_id < b.doc_id),
-            |dsh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
-            |SELECT doc_a, doc_b,
-            |  CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
-            |    / (len(x.sset) + len(y.sset)
-            |       - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) AS jaccard
-            |FROM cand JOIN dsh x ON cand.doc_a = x.doc_id
-            |          JOIN dsh y ON cand.doc_b = y.doc_id
-            |WHERE CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
-            |    / (len(x.sset) + len(y.sset)
-            |       - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) >= 0.15
-            |ORDER BY doc_a, doc_b""".stripMargin)
-    },
+    "q36_minhash_lsh",
+    Some(s"""$lshPairsSqlPrefix
+            |SELECT doc_a, doc_b, jaccard FROM pairs
+            |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => graft.operators.Dedup.minhashNearDupPairs(
         Tables.documents(s, d), "doc_id", "text",
         k = MinhashK, shingleN = 3, threshold = 0.15)
       .orderBy("doc_a", "doc_b"))
+
+  /** Near-dup CLUSTERS: the transitive closure of q36's verified pairs,
+    * labeled by min member id (operators/Dedup.connectedComponents —
+    * min-label propagation + pointer jumping, O(log diameter) rounds of
+    * node-keyed joins). Oracle: a recursive CTE computes each node's
+    * reachable set and takes its min — exactly the component id the
+    * distributed algorithm converges to. */
+  val q73_neardup_clusters = Q(
+    "q73_neardup_clusters",
+    Some(s"""$lshPairsSqlPrefix,
+            |edges AS (
+            |  SELECT doc_a AS u, doc_b AS v FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+            |reach AS (
+            |  SELECT node, node AS m FROM cnodes
+            |  UNION
+            |  SELECT r.node, e.v AS m FROM reach r JOIN edges e ON e.u = r.m)
+            |SELECT node AS doc_id, min(m) AS cluster_id
+            |FROM reach GROUP BY node
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => graft.operators.Dedup.nearDupClusters(
+        Tables.documents(s, d), "doc_id", "text",
+        k = MinhashK, shingleN = 3, threshold = 0.15)
+      .orderBy("doc_id"))
 
   private val SimhashBits = 16
 
@@ -254,5 +287,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     q29_token_stats, q30_text_quality, q31_langid, q32_term_freq,
     q33_fingerprint, q34_dedup_exact, q35_ngram_jaccard, q36_minhash_lsh,
-    q37_simhash)
+    q37_simhash, q73_neardup_clusters)
 }

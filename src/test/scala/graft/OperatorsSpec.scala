@@ -58,4 +58,30 @@ class OperatorsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("connectedComponents labels chains, separate components, and stars by min id") {
+    // chain 1-2-3-4-5 (diameter stresses the pointer jumping), star around
+    // 10, and an isolated edge 20-21; edge direction must not matter
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // chain, mixed directions
+      (10L, 11L), (10L, 12L), (13L, 10L),     // star
+      (21L, 20L)
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain within the round budget") {
+    // a 33-node path: min-label alone needs 32 rounds; with pointer
+    // jumping the fixpoint must land well inside maxIters = 10
+    val edges = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 33)
+    assert(got.forall(_._2 == 0L))
+  }
 }
