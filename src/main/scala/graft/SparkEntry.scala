@@ -10,7 +10,7 @@ object SparkEntry {
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
-      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ EventOps.all ++
+      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++ EventOps.all ++
       VectorOps.all ++ VectorOps2.all ++ MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

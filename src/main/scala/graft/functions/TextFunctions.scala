@@ -129,7 +129,10 @@ object TextFunctions {
     require(len >= 1 && len <= 15, s"hex span must be 1..15 digits, got $len")
     (0 until len).map { j =>
       val weight = 1L << (4 * (len - 1 - j))
-      s"${hexDigitValSql(hashExpr, from + j + 1)} * $weight"
+      // CAST keeps the multiply in BIGINT: a weight that renders below
+      // 2^31 parses as INT, and digit(≤15) × 2^28 already overflows int
+      // under ANSI mode
+      s"${hexDigitValSql(hashExpr, from + j + 1)} * CAST($weight AS BIGINT)"
     }.mkString("(", " + ", ")")
   }
 

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.hexSpanValSql
+
+/** Second curation block: sequence packing, deterministic weighted
+  * sampling, and the count-min heavy-hitter sketch gate — the remaining
+  * staples of a training-data assembly pipeline, each oracle-checked.
+  */
+object DataOps2 {
+
+  private val WindowTokens = 2048
+
+  /** Concat-and-split sequence packing (operators/Packing): documents in
+    * doc_id order within each source form one token stream, split into
+    * 2048-token context windows; a doc belongs to the window holding its
+    * first token. Per-chunk occupancy stats out. One window shuffle per
+    * source — no global order anywhere. */
+  val q74_seq_packing = Q(
+    "q74_seq_packing",
+    Some(s"""WITH t AS (
+            |  SELECT source, doc_id,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+            |  FROM documents),
+            |c AS (
+            |  SELECT source, doc_id, tok,
+            |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+            |      ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS start_offset
+            |  FROM t)
+            |SELECT source, CAST(start_offset // $WindowTokens AS BIGINT) AS chunk_id,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY source, start_offset // $WindowTokens
+            |ORDER BY source, chunk_id""".stripMargin),
+    (s, d) => graft.operators.Packing.packSequences(
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("tok")),
+        "source", "doc_id", col("tok"), WindowTokens)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok").cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "chunk_id"))
+
+  /** Deterministic quality-weighted subsampling: keep a document with
+    * probability = its weight, decided by comparing the weight against a
+    * uniform drawn from the md5 of the doc id — pure scan-side arithmetic,
+    * identical on any cluster at any scale, replayable (same id ⇒ same
+    * draw), and independent of the content edits that change quality.
+    * 13 hex digits = 52 bits, exact in a double; both engines run the
+    * same digit arithmetic. */
+  val q75_weighted_sample = Q(
+    "q75_weighted_sample", {
+      val u = s"(${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)} / 4503599627370496.0)"
+      val w = "least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)"
+      Some(s"""SELECT doc_id, round($u, 6) AS draw, round($w, 6) AS keep_p
+              |FROM documents
+              |WHERE $u < $w
+              |ORDER BY doc_id""".stripMargin)
+    },
+    (s, d) => {
+      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / 4503599627370496.0)")
+      val w = least(lit(1.0), size(split(col("text"), " ")).cast("double") / 200.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), u.as("__u"), w.as("__w"))
+        .filter(col("__u") < col("__w"))
+        .select(col("doc_id"), round(col("__u"), 6).as("draw"),
+          round(col("__w"), 6).as("keep_p"))
+        .orderBy("doc_id")
+    })
+
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val TopK = 5
+
+  /** Count-min heavy hitters, gated by exact bounds (the third sketch
+    * family beside q54 HLL and q65 quantiles): the sketch's estimate for
+    * each exact top-5 key must satisfy the CMS guarantee
+    * exact ≤ est ≤ exact + ⌈eps·N⌉. The sketch is a few KB of mergeable
+    * counters built in one pass (map-side partial merge — the 100 TB way
+    * to get hot keys without a full groupBy); only the sketch and the
+    * 5 candidate rows ever reach the driver. The oracle computes the
+    * exact counts and literal TRUE, so estimator drift flips the hash. */
+  val q76_heavy_hitters = Q(
+    "q76_heavy_hitters",
+    Some(s"""SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS exact_n,
+            |  TRUE AS within_bounds
+            |FROM lineitem GROUP BY l_orderkey
+            |ORDER BY exact_n DESC, key
+            |LIMIT $TopK""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key"))
+      val total = li.count()
+      val skBytes = li
+        .agg(expr(s"count_min_sketch(key, ${CmsEps}d, ${CmsConf}d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val slack = math.ceil(CmsEps * total).toLong
+      val top = li.groupBy("key").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("key"))
+        .limit(TopK)
+        .as[(Long, Long)].collect()
+      top.map { case (k, n) =>
+        val est = cms.estimateCount(k)
+        (k, n, est >= n && est <= n + slack)
+      }.toSeq.toDF("key", "exact_n", "within_bounds")
+    })
+
+  val all: Seq[Q] = Seq(q74_seq_packing, q75_weighted_sample, q76_heavy_hitters)
+}
