@@ -113,5 +113,36 @@ object DataOps2 {
       }.toSeq.toDF("key", "exact_n", "within_bounds")
     })
 
-  val all: Seq[Q] = Seq(q74_seq_packing, q75_weighted_sample, q76_heavy_hitters)
+  private val ZBits = 12
+
+  /** Z-order (Morton) layout key (operators/Layout): interleave two
+    * bucketed dimensions so ONE sort bounds both columns' per-file ranges
+    * — the clustering that lets min/max stats prune a 2-D box predicate
+    * at 100 TB. Scan-side arithmetic, identical in both engines; the
+    * locality property itself (a box query touches few z-bins) is
+    * asserted in LayoutSpec. */
+  val q77_zorder_key = Q(
+    "q77_zorder_key", {
+      val z = graft.operators.Layout.zValueSql(
+        s"l_partkey % 4096", s"l_suppkey % 4096", ZBits)
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  CAST(l_partkey % 4096 AS BIGINT) AS x,
+              |  CAST(l_suppkey % 4096 AS BIGINT) AS y,
+              |  CAST($z AS BIGINT) AS z
+              |FROM lineitem
+              |ORDER BY z, l_orderkey, l_linenumber
+              |LIMIT 100""".stripMargin)
+    },
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 4096).cast("long").as("x"),
+          (col("l_suppkey") % 4096).cast("long").as("y"))
+        .withColumn("z", graft.operators.Layout.zValue(col("x"), col("y"), ZBits))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+        .limit(100)
+    })
+
+  val all: Seq[Q] = Seq(q74_seq_packing, q75_weighted_sample,
+    q76_heavy_hitters, q77_zorder_key)
 }
