@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
       TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++ EventOps.all ++
-      VectorOps.all ++ VectorOps2.all ++ MultimodalQ.all ++ StreamQ.all
+      VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
+      MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

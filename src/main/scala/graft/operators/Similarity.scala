@@ -160,6 +160,73 @@ object Similarity {
     df.sparkSession.createDataFrame(rows.asJava, df.schema)
   }
 
+  /** Squared L2 distance in one zipped pass. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Scan-side nearest-CODE assignment for one PQ subspace: argmin of
+    * round(L2², 6) over the packed sub-codebook, ties to the LOWEST code —
+    * the same single-fold / positional-struct discipline as
+    * `withNearestCid` (argmin instead of argmax, L2 instead of cosine). */
+  private def withNearestCode(df: DataFrame, vecSlice: Column,
+      centsCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, aggregate(
+      transform(col(centsCol), c =>
+        array(round(l2sq(vecSlice, c("__cvec")), 6), c("__cid").cast("double"))),
+      array(lit(Double.MaxValue), lit(0.0)),
+      (acc, p) => when(p(0) < acc(0) ||
+        (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc),
+      acc => acc(1).cast("long")))
+
+  /** Product quantization + asymmetric-distance top-k — the memory half
+    * of a 100 TB ANN serving stack (IVF bounds the candidates searched;
+    * PQ bounds the BYTES kept per vector: m small codes instead of dim
+    * doubles, a 64× compression at m=4/dim=64).
+    *
+    * Encode: the vector splits into m contiguous dim/m-slices; each slice
+    * becomes the id of its nearest sub-codeword (L2², rounded, ties to
+    * the lowest code) — one scan-side fold per subspace over the packed
+    * broadcast codebook, zero shuffle, query-independent (encode once,
+    * serve forever). Serve: ADC inner product — score ≈ Σₛ ⟨query slice,
+    * codeword slice⟩, reconstructed through m broadcast joins against the
+    * k-row sub-codebooks, then TakeOrderedAndProject. The codebook here is
+    * any (code, full-dim vector) frame; sub-codewords are its slices
+    * (q78 uses the deterministic first-k stand-in, as q56 does —
+    * `trainCentroids` on slices is the trained path). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, codeCol: String, cvecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val l = dim / m
+    // encode: one packed-codebook fold per subspace
+    val encoded = (0 until m).foldLeft(corpus) { (df, s) =>
+      val packed = packCentroids(
+        codebook.select(col(codeCol).as("__pc"),
+          slice(col(cvecCol), s * l + 1, l).as("__pv")), "__pc", "__pv")
+        .withColumnRenamed("__cents", s"__cents_$s")
+      withNearestCode(df.crossJoin(packed),
+        slice(col(vecCol), s * l + 1, l), s"__cents_$s", s"code_$s")
+        .drop(s"__cents_$s")
+    }
+    // serve: reconstruct the ADC score through m tiny broadcast joins
+    val served = (0 until m).foldLeft(
+      encoded.crossJoin(broadcast(query.select(col(queryVecCol).as("__qe"))))) {
+      (df, s) =>
+        df.join(broadcast(codebook.select(col(codeCol).as(s"code_$s"),
+          slice(col(cvecCol), s * l + 1, l).as(s"__cw_$s"))), s"code_$s")
+    }
+    val adc = (0 until m).map(s =>
+      graft.functions.VectorFunctions.dot(
+        slice(col("__qe"), s * l + 1, l), col(s"__cw_$s"))).reduce(_ + _)
+    val keep = corpus.columns.filter(_ != vecCol)
+    served
+      .select(keep.toIndexedSeq.map(col) ++
+        (0 until m).map(s => col(s"code_$s")) :+ round(adc, 6).as("adc"): _*)
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Cosine near-duplicate pairs within shared LSH buckets: the bucket
     * equi-join carries the shuffle; cosine verifies in-bucket candidates
     * only. Returns (id_a, id_b, sim ≥ threshold). */

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector ops, part 3: product quantization (operators/Similarity.pqTopK)
+  * — the byte-budget half of a production ANN stack (q56/q57's IVF bounds
+  * candidates; PQ bounds memory: m codes per vector instead of dim
+  * doubles). Codebook = the deterministic first-16 vectors (the q56
+  * stand-in convention that keeps the oracle replayable); encode and ADC
+  * arithmetic are mirrored exactly in SQL.
+  */
+object VectorOps3 {
+
+  private val M = 4        // subspaces
+  private val L = 16       // dims per subspace (M * L = Dim = 64)
+  private val NCodes = 16
+
+  private def l2SliceSql(s: Int): String =
+    s"list_sum(list_transform(generate_series(1, $L), " +
+      s"j -> (e.v[${s * L} + j] - cb.cv[${s * L} + j]) * " +
+      s"(e.v[${s * L} + j] - cb.cv[${s * L} + j])))"
+
+  private def dotSliceSql(s: Int): String =
+    s"list_sum(list_transform(generate_series(1, $L), " +
+      s"j -> qv[${s * L} + j] * b$s.cv[${s * L} + j]))"
+
+  val q78_pq_adc = Q(
+    "q78_pq_adc", {
+      // DuckDB cannot correlate an outer table into a lambda inside a
+      // scalar subquery — the per-subspace argmin is a cross join +
+      // row_number instead (the q56 assignment idiom)
+      val encCtes = (0 until M).map(s =>
+        s"""r$s AS (
+           |  SELECT e.vec_id, cb.code, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY round(${l2SliceSql(s)}, 6) ASC, cb.code) AS rn
+           |  FROM e CROSS JOIN cb WHERE e.vec_id <> 0),
+           |k$s AS (SELECT vec_id, code AS code_$s FROM r$s WHERE rn = 1)""".stripMargin)
+        .mkString(",\n")
+      val encJoins = (0 until M).map(s =>
+        s"JOIN k$s ON e.vec_id = k$s.vec_id").mkString(" ")
+      val joins = (0 until M).map(s =>
+        s"JOIN cb b$s ON enc.code_$s = b$s.code").mkString("\n  ")
+      val adc = (0 until M).map(dotSliceSql).mkString(" + ")
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $NCodes),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |$encCtes,
+              |enc AS (
+              |  SELECT e.vec_id, e.label,
+              |    ${(0 until M).map(s => s"code_$s").mkString(", ")}
+              |  FROM e $encJoins)
+              |SELECT enc.vec_id, enc.label,
+              |  ${(0 until M).map(s => s"enc.code_$s").mkString(", ")},
+              |  round($adc, 6) AS adc
+              |FROM enc
+              |  $joins
+              |  CROSS JOIN q
+              |ORDER BY adc DESC, vec_id
+              |LIMIT 5""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.pqTopK(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
+        "vec_id", "e",
+        emb.filter(col("vec_id") < NCodes)
+          .select(col("vec_id").as("code"), col("e").as("cvec")),
+        "code", "cvec",
+        emb.filter(col("vec_id") === 0), "e",
+        k = 5, m = M, dim = M * L)
+    })
+
+  val all: Seq[Q] = Seq(q78_pq_adc)
+}

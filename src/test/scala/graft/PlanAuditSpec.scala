@@ -66,6 +66,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "FileScan parquet").max(countOf(p, "Scan parquet")) <= 2, p)
   }
 
+  test("q78: PQ encode is scan-side; serving is broadcast joins + top-k") {
+    // the per-subspace argmin folds run in the scan (no window, no corpus
+    // shuffle); ADC reconstruction is m tiny broadcast joins; final top-k
+    // is TakeOrderedAndProject
+    val p = plan("q78_pq_adc")
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countOf(p, "BroadcastHashJoin") >= 4, p)
+  }
+
   test("q47: salted aggregation is two-phase (salted then merged)") {
     val p = plan("q47_salted_agg")
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
