@@ -143,6 +143,75 @@ object DataOps2 {
         .limit(100)
     })
 
+  /** Incremental aggregate maintenance (operators/IncrementalAgg): the
+    * input arrives as three disjoint "partitions", each summarized alone,
+    * merged into one standing summary — the oracle computes the same
+    * statistics over the FULL table in one pass, so the hash match proves
+    * the mergeability law (decimal sums make it exact, not approximate). */
+  val q79_incremental_agg = Q(
+    "q79_incremental_agg",
+    Some("""SELECT l_returnflag, l_linestatus,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+            |  min(l_extendedprice) AS min_v,
+            |  max(l_extendedprice) AS max_v
+            |FROM lineitem
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (s, d) => {
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice"), col("l_linenumber"))
+      val parts = (0 until 3).map(i =>
+        graft.operators.IncrementalAgg.summarize(
+          li.filter(col("l_linenumber") % 3 === i), keys, "l_extendedprice"))
+      graft.operators.IncrementalAgg.merge(keys, parts: _*)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n").cast("long").as("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+
+  private val TopN = 5
+
+  /** Per-group top-k as a typed Aggregator (functions/TopKAggregator)
+    * instead of a window: map-side partial top-k means only k pairs per
+    * group per partition shuffle — O(n log k) work and a k-row shuffle
+    * where row_number().over(...) sorts and ships whole groups. The
+    * oracle IS the window formulation, so the hash match proves the
+    * aggregator ≡ sort semantics (score desc, id asc tiebreak). */
+  val q81_topk_agg = Q(
+    "q81_topk_agg", {
+      val cols = (1 to TopN).map(i =>
+        s"max(CASE WHEN rn = $i THEN id END) AS id_$i").mkString(",\n  ")
+      Some(s"""WITH ranked AS (
+              |  SELECT l_returnflag,
+              |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_extendedprice DESC,
+              |        l_orderkey * 10 + l_linenumber) AS rn
+              |  FROM lineitem)
+              |SELECT l_returnflag,
+              |  $cols
+              |FROM ranked WHERE rn <= $TopN
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+    (s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(TopN))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").as("score"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+        .groupBy("l_returnflag")
+        .agg(topk(col("score"), col("id")).as("ids"))
+        .select(col("l_returnflag") +:
+          (1 to TopN).map(i => element_at(col("ids"), i).as(s"id_$i")): _*)
+        .orderBy("l_returnflag")
+    })
+
   val all: Seq[Q] = Seq(q74_seq_packing, q75_weighted_sample,
-    q76_heavy_hitters, q77_zorder_key)
+    q76_heavy_hitters, q77_zorder_key, q79_incremental_agg, q81_topk_agg)
 }

@@ -135,5 +135,43 @@ object EventOps {
         .orderBy("id")
     })
 
-  val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel, q70_full_outer)
+  /** Spark's BUILT-IN session_window operator, oracle-checked against the
+    * lag/cumsum formulation. One semantic difference from q68: a window
+    * [start, last+gap) EXCLUDES an event landing exactly at the boundary
+    * (>= starts a new session, vs q68's >), and the session end is
+    * last event + gap — the oracle mirrors both exactly. */
+  val q80_session_window = Q(
+    "q80_session_window",
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+            |  FROM events),
+            |flagged AS (
+            |  SELECT user_id, tus, event_id,
+            |    CASE WHEN lag(tus) OVER w IS NULL
+            |              OR tus - lag(tus) OVER w >= $GapUs
+            |         THEN 1 ELSE 0 END AS new_sess
+            |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            |s2 AS (
+            |  SELECT user_id, tus, CAST(sum(new_sess) OVER (
+            |      PARTITION BY user_id ORDER BY tus, event_id
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            |  FROM flagged)
+            |SELECT user_id, min(tus) AS start_us,
+            |  max(tus) + $GapUs AS end_us,
+            |  CAST(count(*) AS BIGINT) AS n_events
+            |FROM s2
+            |GROUP BY user_id, session_idx
+            |ORDER BY user_id, start_us""".stripMargin),
+    (s, d) => Tables.events(s, d)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("tse"))
+      .groupBy(col("user_id"), session_window(col("tse"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us"))
+
+  val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel, q70_full_outer,
+    q80_session_window)
 }

@@ -94,4 +94,26 @@ class PropertiesSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("TopKAggregator: any reduce/merge split equals global sort-take-k") {
+    // the map-side-combine law the aggregator's scale claim rests on:
+    // split the input anywhere, reduce each side, merge — same top-k as
+    // sorting the whole input (score desc, id asc tiebreak)
+    val agg = new graft.functions.TopKAggregator(4)
+    val pairs = Gen.listOfN(80, for {
+      s <- Gen.chooseNum(0, 9).map(_.toDouble) // coarse scores force ties
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield (s, id)).sample.get.distinct
+    val expected = pairs.sortBy { case (s, id) => (-s, id) }.take(4).map(_._2)
+    for (cut <- Seq(0, 1, pairs.length / 2, pairs.length)) {
+      val (l, r) = pairs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"cut=$cut")
+      // commutativity
+      val swapped = agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(swapped) == expected, s"cut=$cut swapped")
+    }
+  }
 }
