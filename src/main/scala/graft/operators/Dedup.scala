@@ -102,10 +102,34 @@ object Dedup {
     * Returns (node, component) where component = min node id reachable.
     * Deterministic under any partitioning: min is order-insensitive. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val undirected = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    val nodeType = edges.schema(edges.schema.fieldIndex(srcCol)).dataType
+    val integralNodes = nodeType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    // Two regimes, like every production CC: a near-dup PAIR set is
+    // usually minuscule next to the corpus (it is index metadata, the
+    // same class as a centroid table), and running an iterative
+    // distributed fixpoint over a few thousand edges pays seconds of
+    // job-scheduling overhead per round for microseconds of work. Below
+    // the threshold (≤ ~16 MB of ids) a driver union-find answers
+    // exactly; above it, the distributed loop below takes over. Both
+    // paths are equivalence-tested on random graphs (OperatorsSpec).
+    // The edge frame is referenced several times by either path (count +
+    // collect, or the 4 branches of the symmetric/self-loop union) — one
+    // persist stops its lineage (often a whole verify pipeline, q73)
+    // from re-executing per reference.
+    val edgesP = edges.persist(lvl)
+    if (integralNodes && edgesP.count() <= localEdgeThreshold) {
+      val out = localComponents(edgesP, srcCol, dstCol, nodeType)
+      edgesP.unpersist()
+      return out
+    }
+    val undirected = edgesP.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edgesP.select(col(dstCol).as("u"), col(srcCol).as("v")))
     // self-loops let one edge join carry a node's own label alongside its
     // neighbors' — no per-round union needed
     val sym = undirected
@@ -119,6 +143,23 @@ object Dedup {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
+    // Size the per-round shuffles to the EDGE count, not the session's
+    // batch-tuned width: every round is two shuffles + an aggregate, and
+    // on a near-dup graph (edges ≪ corpus) fixed per-partition cost
+    // dominates. The count also materializes the persisted edge frame so
+    // rounds never re-execute the pair-generation lineage. At real scale
+    // the same formula widens the shuffles back out.
+    val spark = edges.sparkSession
+    val nEdges = sym.count()
+    edgesP.unpersist() // sym is materialized; the input lineage can go
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(prevParts.toLong, nEdges / 100000L + 1L)).toString)
+    // the shuffles are already sized to the data; AQE's per-stage
+    // re-planning only adds scheduling rounds to each tiny iteration
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
@@ -142,8 +183,50 @@ object Dedup {
       labels = next
       i += 1
     }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     sym.unpersist()
     labels
+  }
+
+  /** Driver union-find for sub-threshold edge sets: path-halving
+    * union-find over index-mapped ids, then component = min member id —
+    * identical labels to the distributed fixpoint. */
+  private def localComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val pairs = edges
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    def id(n: Long): Int = idx.getOrElseUpdate(n, idx.size)
+    pairs.foreach { case (u, v) => id(u); id(v) }
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(id(u)), find(id(v)))
+      if (ru != rv) parent(ru) = rv
+    }
+    val nodes = idx.keys.toArray
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Long]
+    nodes.foreach { n =>
+      val r = find(idx(n))
+      minOfRoot.updateWith(r) {
+        case Some(m) => Some(math.min(m, n))
+        case None => Some(n)
+      }
+    }
+    val out = nodes.map(n => (n, minOfRoot(find(idx(n)))))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("node", "component")
+      .select(col("node").cast(nodeType).as("node"),
+        col("component").cast(nodeType).as("component"))
   }
 
   /** Near-duplicate clusters: LSH pairs → connected components →

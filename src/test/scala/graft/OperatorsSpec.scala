@@ -75,13 +75,29 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents converges on a long chain within the round budget") {
+  test("connectedComponents (distributed path) converges on a long chain within the round budget") {
     // a 33-node path: min-label alone needs 32 rounds; with pointer
-    // jumping the fixpoint must land well inside maxIters = 10
+    // jumping the fixpoint must land well inside maxIters = 10.
+    // localEdgeThreshold = 0 forces the distributed fixpoint.
     val edges = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b", maxIters = 10)
+    val got = Dedup.connectedComponents(edges, "a", "b", maxIters = 10,
+        localEdgeThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 33)
     assert(got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: driver union-find and distributed fixpoint agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val dist = Dedup.connectedComponents(edges, "a", "b",
+        localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist)
+    assert(local.nonEmpty)
   }
 }
