@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim,
-  DotProduct, Md5Shingles, SimhashBits, SortedIntersectCount}
+  DotProduct, Md5Shingles, SimhashBits, SlidingMins, SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so a pure-SQL user (spark.sql, JDBC,
@@ -97,6 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b) takes two arguments")
         SortedIntersectCount(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("sliding_mins"),
+      info("sliding_mins",
+        "sliding_mins(a, w) - minimum of each w-wide sliding window over a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sliding_mins(a, w) takes two arguments")
+        SlidingMins(args(0), intArg("sliding_mins", args(1)))
       }))
   }
 }

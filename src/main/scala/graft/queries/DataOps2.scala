@@ -212,6 +212,73 @@ object DataOps2 {
         .orderBy("l_returnflag")
     })
 
+  private val ChunkSize = 200
+  private val ChunkStride = 150 // 50-char overlap
+
+  /** Overlapping document chunking (the RAG/embedding-prep staple):
+    * fixed-size char windows every stride chars, chunk k covering
+    * [k·stride+1, k·stride+size]. Pure scan-side explode — row count
+    * grows by ~L/stride but nothing shuffles; chunk content travels as
+    * md5 so the result stays hash-portable. */
+  val q82_doc_chunks = Q(
+    "q82_doc_chunks", {
+      val overlap = ChunkSize - ChunkStride
+      Some(s"""WITH c AS (
+              |  SELECT doc_id, text,
+              |    unnest(range(0, greatest(1,
+              |      (length(text) - $overlap + ${ChunkStride - 1}) // $ChunkStride))) AS k
+              |  FROM documents)
+              |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+              |  CAST(k * $ChunkStride + 1 AS BIGINT) AS start_pos,
+              |  CAST(length(substr(text, CAST(k * $ChunkStride + 1 AS INT), $ChunkSize)) AS BIGINT)
+              |    AS chunk_len,
+              |  md5(substr(text, CAST(k * $ChunkStride + 1 AS INT), $ChunkSize)) AS chunk_md5
+              |FROM c
+              |ORDER BY doc_id, chunk_idx""".stripMargin)
+    },
+    (s, d) => {
+      val overlap = ChunkSize - ChunkStride
+      Tables.documents(s, d)
+        .withColumn("__n", greatest(lit(1L),
+          expr(s"(length(text) - $overlap + ${ChunkStride - 1}) div $ChunkStride")))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("__n") - 1)).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          (col("k") * ChunkStride + 1).as("start_pos"),
+          length(expr(s"substr(text, cast(k * $ChunkStride + 1 as int), $ChunkSize)"))
+            .cast("long").as("chunk_len"),
+          md5(expr(s"substr(text, cast(k * $ChunkStride + 1 as int), $ChunkSize)"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    })
+
+  private val StratumN = 30
+
+  /** Deterministic stratified sampling: a fixed-n uniform-but-replayable
+    * sample per source, ranked by md5(doc_id) — the content-independent
+    * shuffle order that makes the sample stable across clusters and
+    * re-crawls (q61 picks the BEST per source; this picks a FAIR draw).
+    * One window shuffle on source. */
+  val q83_stratified_sample = Q(
+    "q83_stratified_sample",
+    Some(s"""SELECT source, doc_id, CAST(rn AS BIGINT) AS draw_rank FROM (
+            |  SELECT source, doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            |  FROM documents) t
+            |WHERE rn <= $StratumN
+            |ORDER BY source, draw_rank""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("draw_rank", row_number().over(w).cast("long"))
+        .filter(col("draw_rank") <= StratumN)
+        .select("source", "doc_id", "draw_rank")
+        .orderBy("source", "draw_rank")
+    })
+
   val all: Seq[Q] = Seq(q74_seq_packing, q75_weighted_sample,
-    q76_heavy_hitters, q77_zorder_key, q79_incremental_agg, q81_topk_agg)
+    q76_heavy_hitters, q77_zorder_key, q79_incremental_agg, q81_topk_agg,
+    q82_doc_chunks, q83_stratified_sample)
 }

@@ -60,11 +60,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |  md5_shingles(array('a','b','c','b'), 2) AS sh,
         |  char_grams_md5('abcd', 3) AS cg,
         |  simhash_bits(array('a','b'), 16) AS sv,
-        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  sliding_mins(array('c','a','b','d'), 2) AS sm
         |""".stripMargin).head()
     assert(r.getSeq[String](0).length == 3)   // "a b","b c","c b"
     assert(r.getSeq[String](1).length == 2)   // "abc","bcd"
     assert(r.getLong(3) == 2L)
+    assert(r.getSeq[String](4) == Seq("a", "a", "b"))
     // simhash value matches the Column API
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, split}
