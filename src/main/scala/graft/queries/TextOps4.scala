@@ -82,5 +82,47 @@ object TextOps4 {
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id"))
 
-  val all: Seq[Q] = Seq(q58_bpe_tokens, q59_winnowing)
+  private val BenchIds = 20   // doc_id < 20 plays the benchmark set
+  private val MinShared = 3   // shared 3-gram shingles to flag
+
+  /** Benchmark decontamination: flag training documents sharing ≥ K word
+    * n-gram shingles with any benchmark document — the overlap check every
+    * pretraining pipeline runs before a corpus ships. The shape is a
+    * shingle INVERTED INDEX join (explode md5'd shingles on both sides,
+    * equi-join on the hash, count matches per doc pair): one shuffle on
+    * the shingle hash, no pairwise document comparison — the benchmark
+    * side is tiny, so at 100 TB the join is a broadcast and the corpus
+    * never shuffles at all. 32-char md5s travel, never raw n-grams. */
+  val q84_decontamination = Q(
+    "q84_decontamination",
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct(list_transform(
+            |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+            |    i -> md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+            |         || ' ' || string_split(text,' ')[i+2])))) AS h
+            |  FROM documents),
+            |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < $BenchIds),
+            |train AS (SELECT doc_id, h FROM sh WHERE doc_id >= $BenchIds)
+            |SELECT train.doc_id, bench.bench_id,
+            |  CAST(count(*) AS BIGINT) AS n_shared
+            |FROM train JOIN bench ON train.h = bench.h
+            |GROUP BY train.doc_id, bench.bench_id
+            |HAVING count(*) >= $MinShared
+            |ORDER BY doc_id, bench_id""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions.{md5Shingles, tokens}
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(md5Shingles(tokens(col("text")), 3)).as("h"))
+      val bench = sh.filter(col("doc_id") < BenchIds)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = sh.filter(col("doc_id") >= BenchIds)
+      train.join(broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinShared)
+        .orderBy("doc_id", "bench_id")
+    })
+
+  val all: Seq[Q] = Seq(q58_bpe_tokens, q59_winnowing, q84_decontamination)
 }
