@@ -87,6 +87,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("packSequences conserves tokens and assigns chunks by start offset") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 60L), ("a", 4L, 250L),
+      ("b", 1L, 10L), ("b", 2L, 10L))
+      .toDF("grp", "id", "tok")
+    val out = graft.operators.Packing
+      .packSequences(docs, "grp", "id", col("tok"), 128)
+      .select("grp", "id", "start_offset", "chunk_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    // start offsets are the exclusive running sum within the group
+    assert(out.filter(_._1 == "a").map(_._3) == Seq(0L, 100L, 190L, 250L))
+    // chunk = start div window: doc 2 starts at 100 (chunk 0), doc 3 at
+    // 190 (chunk 1), doc 4 at 250 (chunk 1 — windows hold STARTS; long
+    // docs spill forward by design)
+    assert(out.filter(_._1 == "a").map(_._4) == Seq(0L, 0L, 1L, 1L))
+    assert(out.filter(_._1 == "b").map(_._4) == Seq(0L, 0L))
+  }
+
+  test("IncrementalAgg: any split of the input merges to the whole-input summary") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(4).toString, rnd.nextInt(10000) / 100.0))
+      .toDF("k", "v")
+    val whole = graft.operators.IncrementalAgg.summarize(rows, Seq("k"), "v")
+      .select(col("k"), col("n"), col("sum_v").cast("decimal(38,2)"),
+        col("min_v"), col("max_v"))
+    for (mod <- Seq(2, 5)) {
+      val parts = (0 until mod).map(i =>
+        graft.operators.IncrementalAgg.summarize(
+          rows.filter(crc32(concat(col("k"), col("v"))) % mod === i), Seq("k"), "v"))
+      val merged = graft.operators.IncrementalAgg.merge(Seq("k"), parts: _*)
+        .select(col("k"), col("n").cast("long").as("n"),
+          col("sum_v").cast("decimal(38,2)"), col("min_v"), col("max_v"))
+      assert(merged.exceptAll(whole).count() == 0, s"mod=$mod")
+      assert(whole.exceptAll(merged).count() == 0, s"mod=$mod")
+    }
+  }
+
   test("connectedComponents: driver union-find and distributed fixpoint agree on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
