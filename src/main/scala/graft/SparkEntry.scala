@@ -10,7 +10,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
-      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++ EventOps.all ++
+      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++
+      LakeOps.all ++ EventOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
       MultimodalQ.all ++ StreamQ.all
 

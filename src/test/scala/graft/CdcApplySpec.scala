@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Bucketing, CdcApply, SkewJoin}
+import graft.operators.{Bucketing, CdcApply, SkewJoin, SnapshotDiff}
 
 /** CDC-merge edge semantics (delete wins, version tiebreak, new-key
   * insert, untouched passthrough) and salted-join equivalence corners. */
@@ -76,6 +76,26 @@ class CdcApplySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS cust_snap_b")
     }
+  }
+
+  test("round trip: applyChanges(old, diff(old, new)) == new") {
+    // diff is the inverse of apply — the law that makes the pair a
+    // complete snapshot-maintenance story
+    val old = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val neu = old.filter(col("id") % 13 =!= 0) // deletes
+      .withColumn("bal", when(col("id") % 3 === 0, col("bal") * 2)
+        .otherwise(col("bal")))                // updates
+      .unionByName(old.limit(5).select(       // inserts (fresh keys)
+        (col("id") + 1000000).as("id"), col("name"), col("bal")))
+    val feed = SnapshotDiff.diff(old, neu, "id").withColumn("ver", lit(1L))
+    val rebuilt = CdcApply.applyChanges(old, feed, "id", Seq(col("ver")), "op")
+    assert(rebuilt.exceptAll(neu).count() == 0)
+    assert(neu.exceptAll(rebuilt).count() == 0)
+    // and the feed carries no no-op rows
+    val unchanged = SnapshotDiff.diff(old, old, "id")
+    assert(unchanged.count() == 0)
   }
 
   test("saltedJoin equals the plain join for any salt count") {
