@@ -43,21 +43,35 @@ object Compaction {
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
 
+    swapDir(fs, staging, path)
+
+    val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
+  /** Atomically replace `path` with `staging` under the defensive rename
+    * discipline documented on `compactPartition` (fail fast on a stale
+    * backup; abort with the original intact if the first rename fails;
+    * roll back if the second fails; delete the backup only once the new
+    * dir verifiably exists). Shared by compaction and the streaming CDC
+    * upsert sink. */
+  def swapDir(fs: FileSystem, staging: Path, path: Path): Unit = {
+    val backup = new Path(path.getParent, s".old_${path.getName}")
+    if (fs.exists(backup))
+      throw new java.io.IOException(
+        s"stale backup $backup exists — a previous swap was interrupted; resolve it first")
     if (!fs.rename(path, backup))
       throw new java.io.IOException(
-        s"rename $path -> $backup failed; partition left untouched")
+        s"rename $path -> $backup failed; target left untouched")
     if (!fs.rename(staging, path)) {
       fs.rename(backup, path) // restore the original before failing
       throw new java.io.IOException(
-        s"rename $staging -> $path failed; original partition restored")
+        s"rename $staging -> $path failed; original restored")
     }
     if (!fs.exists(path))
       throw new java.io.IOException(
         s"$path missing after swap; backup preserved at $backup")
     fs.delete(backup, true)
-
-    val after = fs.listStatus(path)
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (parts.length, after)
   }
 }
