@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.11): media as opaque binary
@@ -96,6 +96,34 @@ object Multimodal {
       hx(12, 12) % 600000 else 0L
     MediaFeatures(item.media_id, item.media_type, item.source,
       item.n_bytes, width, height, durationMs, hx(24, 8))
+  }
+
+  /** REAL container-header parsers — the honest counterpoint to the
+    * stubbed codec: a PNG's dimensions and a WAV's format fields live at
+    * fixed offsets in the leading bytes, so they parse as pure codegen'd
+    * column expressions (substring on binary → hex → integer), no media
+    * library needed. Non-matching magic bytes ⇒ null struct. At 100 TB
+    * this is how blob METADATA is mined: a scan-side projection over the
+    * first bytes, never a decode. */
+  def pngDims(content: Column): Column = {
+    // magic: 89 50 4E 47 0D 0A 1A 0A; IHDR width/height: big-endian u32
+    // at byte offsets 16/20 (1-based substring offsets 17/21)
+    def be32(off: Int) =
+      conv(hex(substring(content, off, 4)), 16, 10).cast("long")
+    when(hex(substring(content, 1, 8)) === "89504E470D0A1A0A",
+      struct(be32(17).as("width"), be32(21).as("height")))
+  }
+
+  def wavInfo(content: Column): Column = {
+    // RIFF....WAVE; fmt chunk: channels u16 LE at offset 22, sample rate
+    // u32 LE at offset 24 (1-based 23/25). Little-endian = place-value
+    // sum over single bytes (reverse() does not take binary).
+    def le(off: Int, len: Int) = (0 until len).map(i =>
+      conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+    when(hex(substring(content, 1, 4)) === "52494646" &&
+        hex(substring(content, 9, 4)) === "57415645",
+      struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate")))
   }
 
   /** Per-partition feature extraction — one decoder init per partition

@@ -61,6 +61,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("PNG and WAV header parsers read real container bytes, reject others") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a real 33-byte PNG prefix: magic + IHDR with 640×480
+    val png: Array[Byte] = (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xE0, // height 480
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte))
+    // a real 28-byte WAV prefix: RIFF/WAVE + fmt with 2ch, 44100 Hz
+    val wav: Array[Byte] = (Array(0x52, 0x49, 0x46, 0x46, 0x24, 0x00, 0x00, 0x00,
+      0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20,
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00,
+      0x02, 0x00,             // channels 2 (LE)
+      0x44, 0xAC, 0x00, 0x00).map(_.toByte)) // 44100 (LE)
+    val junk: Array[Byte] = Array.fill(64)(0x42.toByte)
+    val df = Seq((1L, png), (2L, wav), (3L, junk)).toDF("id", "content")
+      .select(col("id"),
+        Multimodal.pngDims(col("content")).as("png"),
+        Multimodal.wavInfo(col("content")).as("wav"))
+      .orderBy("id").collect()
+    assert(df(0).getStruct(1).getLong(0) == 640L)
+    assert(df(0).getStruct(1).getLong(1) == 480L)
+    assert(df(0).isNullAt(2))
+    assert(df(1).isNullAt(1))
+    assert(df(1).getStruct(2).getLong(0) == 2L)
+    assert(df(1).getStruct(2).getLong(1) == 44100L)
+    assert(df(2).isNullAt(1) && df(2).isNullAt(2))
+  }
+
   test("frame sampling emits k deterministic offsets per video item") {
     val items = Multimodal.fromDocuments(spark, sfDir)
     val frames = Multimodal.sampleFrames(items, 4)
