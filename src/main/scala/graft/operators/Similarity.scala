@@ -178,6 +178,32 @@ object Similarity {
         (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc),
       acc => acc(1).cast("long")))
 
+  /** Deterministic k-means under SQUARED-L2 assignment (the PQ training
+    * metric): same init (k lowest-id vectors), same decimal-exact means,
+    * and the same bit-determinism contract as `trainCentroids` — only the
+    * assignment rule differs (argmin round(L2², 6), ties to lowest cid).
+    * Used per PQ subspace on SLICE frames; an oracle replays it in SQL. */
+  def trainCentroidsL2(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    var cents = localize(corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")))
+    for (_ <- 0 until iters) {
+      val assigned = withNearestCode(
+          corpus.crossJoin(packCentroids(cents, "cid", "cvec")),
+          col(vecCol), "__cents", "__cid")
+        .select(col("__cid").as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+      cents = localize(assigned
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("cvec")))
+    }
+    cents
+  }
+
   /** Product quantization + asymmetric-distance top-k — the memory half
     * of a 100 TB ANN serving stack (IVF bounds the candidates searched;
     * PQ bounds the BYTES kept per vector: m small codes instead of dim
@@ -199,22 +225,39 @@ object Similarity {
       k: Int, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val l = dim / m
+    pqTopKWithCodebooks(corpus, idCol, vecCol,
+      (0 until m).map(s => codebook.select(col(codeCol),
+        slice(col(cvecCol), s * l + 1, l).as(cvecCol))),
+      codeCol, cvecCol, query, queryVecCol, k, dim)
+  }
+
+  /** PQ over PER-SUBSPACE codebooks — each a (code, dim/m-length slice
+    * vector) frame, e.g. `trainCentroidsL2` run on each slice of the
+    * corpus (the trained path, q87) or slices of one full-dim frame (the
+    * stand-in path, q78). Same encode/serve plan shape as `pqTopK`. */
+  def pqTopKWithCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[DataFrame], codeCol: String, cvecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val l = dim / m
     // encode: one packed-codebook fold per subspace
-    val encoded = (0 until m).foldLeft(corpus) { (df, s) =>
+    val encoded = codebooks.zipWithIndex.foldLeft(corpus) { case (df, (cb, s)) =>
       val packed = packCentroids(
-        codebook.select(col(codeCol).as("__pc"),
-          slice(col(cvecCol), s * l + 1, l).as("__pv")), "__pc", "__pv")
+        cb.select(col(codeCol).as("__pc"), col(cvecCol).as("__pv")),
+        "__pc", "__pv")
         .withColumnRenamed("__cents", s"__cents_$s")
       withNearestCode(df.crossJoin(packed),
         slice(col(vecCol), s * l + 1, l), s"__cents_$s", s"code_$s")
         .drop(s"__cents_$s")
     }
     // serve: reconstruct the ADC score through m tiny broadcast joins
-    val served = (0 until m).foldLeft(
+    val served = codebooks.zipWithIndex.foldLeft(
       encoded.crossJoin(broadcast(query.select(col(queryVecCol).as("__qe"))))) {
-      (df, s) =>
-        df.join(broadcast(codebook.select(col(codeCol).as(s"code_$s"),
-          slice(col(cvecCol), s * l + 1, l).as(s"__cw_$s"))), s"code_$s")
+      case (df, (cb, s)) =>
+        df.join(broadcast(cb.select(col(codeCol).as(s"code_$s"),
+          col(cvecCol).as(s"__cw_$s"))), s"code_$s")
     }
     val adc = (0 until m).map(s =>
       graft.functions.VectorFunctions.dot(

@@ -73,5 +73,97 @@ object VectorOps3 {
         k = 5, m = M, dim = M * L)
     })
 
-  val all: Seq[Q] = Seq(q78_pq_adc)
+  private val KCodes = 8
+  private val Iters = 1
+
+  /** One replayed L2 k-means iteration for subspace `s`: assign every
+    * slice to its nearest codeword (argmin rounded L2², ties to lowest
+    * cid), then per-dimension decimal-exact means — the SQL mirror of
+    * `Similarity.trainCentroidsL2` on the slice frame. */
+  private def pqTrainSql(s: Int, i: Int): String = {
+    val off = s * L
+    val l2 = s"list_sum(list_transform(generate_series(1, $L), " +
+      s"j -> (e.v[$off + j] - c.cv[j]) * (e.v[$off + j] - c.cv[j])))"
+    s"""a$s$i AS (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round($l2, 6) ASC, c.cid) AS rn
+       |  FROM e CROSS JOIN cb$s$i c),
+       |m$s$i AS (SELECT vec_id, cid FROM a$s$i WHERE rn = 1),
+       |d$s$i AS (
+       |  SELECT cid, j,
+       |    CAST(sum(CAST(e.v[$off + j] AS DECIMAL(28,10))) AS DOUBLE)
+       |      / count(*) AS m
+       |  FROM m$s$i JOIN e ON m$s$i.vec_id = e.vec_id
+       |    CROSS JOIN generate_series(1, $L) t(j)
+       |  GROUP BY cid, j),
+       |cb$s${i + 1} AS (SELECT cid, list(m ORDER BY j) AS cv FROM d$s$i GROUP BY cid)""".stripMargin
+  }
+
+  /** PQ over TRAINED per-subspace codebooks: `trainCentroidsL2` runs
+    * Lloyd's on each slice of the corpus (decimal-exact means ⇒
+    * bit-deterministic), and the oracle replays training + encode + ADC
+    * entirely in SQL — the trained compression index itself is
+    * hash-checked, completing the q57 story for the PQ axis. */
+  val q87_pq_trained = Q(
+    "q87_pq_trained", {
+      val trainCtes = (0 until M).map(s =>
+        (0 until Iters).map(i => pqTrainSql(s, i)).mkString(",\n")).mkString(",\n")
+      val encCtes = (0 until M).map { s =>
+        val off = s * L
+        val l2 = s"list_sum(list_transform(generate_series(1, $L), " +
+          s"j -> (e.v[$off + j] - c.cv[j]) * (e.v[$off + j] - c.cv[j])))"
+        s"""r$s AS (
+           |  SELECT e.vec_id, c.cid AS code, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY round($l2, 6) ASC, c.cid) AS rn
+           |  FROM e CROSS JOIN cb$s$Iters c WHERE e.vec_id <> 0),
+           |k$s AS (SELECT vec_id, code AS code_$s FROM r$s WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val encJoins = (0 until M).map(s =>
+        s"JOIN k$s ON e.vec_id = k$s.vec_id").mkString(" ")
+      val joins = (0 until M).map(s =>
+        s"JOIN cb$s$Iters b$s ON enc.code_$s = b$s.cid").mkString("\n  ")
+      val adc = (0 until M).map { s =>
+        val off = s * L
+        s"list_sum(list_transform(generate_series(1, $L), j -> qv[$off + j] * b$s.cv[j]))"
+      }.mkString(" + ")
+      val cb0s = (0 until M).map { s =>
+        val off = s * L
+        s"cb${s}0 AS (SELECT vec_id AS cid, v[${off + 1}:${off + L}] AS cv FROM e ORDER BY vec_id LIMIT $KCodes)"
+      }.mkString(",\n")
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |$cb0s,
+              |$trainCtes,
+              |$encCtes,
+              |enc AS (
+              |  SELECT e.vec_id, e.label,
+              |    ${(0 until M).map(s => s"code_$s").mkString(", ")}
+              |  FROM e $encJoins)
+              |SELECT enc.vec_id, enc.label,
+              |  ${(0 until M).map(s => s"enc.code_$s").mkString(", ")},
+              |  round($adc, 6) AS adc
+              |FROM enc
+              |  $joins
+              |  CROSS JOIN q
+              |ORDER BY adc DESC, vec_id
+              |LIMIT 5""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val cbs = (0 until M).map { sub =>
+        graft.operators.Similarity.trainCentroidsL2(
+          emb.select(col("vec_id"), slice(col("e"), sub * L + 1, L).as("sv")),
+          "vec_id", "sv", KCodes, Iters)
+          .select(col("cid").as("code"), col("cvec"))
+      }
+      graft.operators.Similarity.pqTopKWithCodebooks(
+        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
+        "vec_id", "e", cbs, "code", "cvec",
+        emb.filter(col("vec_id") === 0), "e",
+        k = 5, dim = M * L)
+    })
+
+  val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained)
 }
