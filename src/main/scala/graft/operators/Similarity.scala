@@ -204,6 +204,48 @@ object Similarity {
     cents
   }
 
+  /** Train ALL m PQ sub-codebooks jointly — ONE corpus pass per Lloyd's
+    * iteration instead of m: a single scan computes every subspace's
+    * nearest-code fold (m·k L2² kernels per row), the persisted encoded
+    * frame feeds all m mean aggregations keyed (sub, cid, pos), and one
+    * m·k-row collect seeds the next iteration's broadcasts. Identical
+    * results to training each subspace alone (subspaces are independent —
+    * q87's per-subspace SQL oracle still hash-matches), but at 100 TB the
+    * dominant cost is corpus scans, and this does iters of them, not
+    * m·iters. Returns one (cid, cvec) frame per subspace. */
+  def trainPqCodebooksL2(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int): Seq[DataFrame] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val l = dim / m
+    var books: Seq[DataFrame] = (0 until m).map(s =>
+      localize(corpus.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cid"),
+          slice(col(vecCol), s * l + 1, l).as("cvec"))))
+    for (_ <- 0 until iters) {
+      val encoded = books.zipWithIndex.foldLeft(corpus) { case (df, (cb, s)) =>
+        val packed = packCentroids(cb, "cid", "cvec")
+          .withColumnRenamed("__cents", s"__cents_$s")
+        withNearestCode(df.crossJoin(packed),
+          slice(col(vecCol), s * l + 1, l), s"__cents_$s", s"__code_$s")
+          .drop(s"__cents_$s")
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perSub = (0 until m).map(s =>
+        encoded.select(lit(s).as("sub"), col(s"__code_$s").as("cid"),
+          posexplode(slice(col(vecCol), s * l + 1, l)).as(Seq("pos", "x"))))
+      val means = localize(perSub.reduce(_ unionByName _)
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cid"), transform(col("pm"), p => p("m")).as("cvec")))
+      encoded.unpersist()
+      books = (0 until m).map(s =>
+        means.filter(col("sub") === s).select(col("cid"), col("cvec")))
+    }
+    books
+  }
+
   /** Product quantization + asymmetric-distance top-k — the memory half
     * of a 100 TB ANN serving stack (IVF bounds the candidates searched;
     * PQ bounds the BYTES kept per vector: m small codes instead of dim

@@ -152,12 +152,13 @@ object VectorOps3 {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
-      val cbs = (0 until M).map { sub =>
-        graft.operators.Similarity.trainCentroidsL2(
-          emb.select(col("vec_id"), slice(col("e"), sub * L + 1, L).as("sv")),
-          "vec_id", "sv", KCodes, Iters)
-          .select(col("cid").as("code"), col("cvec"))
-      }
+      // joint training: ONE corpus pass per iteration covers all M
+      // subspaces (per-subspace results identical — the oracle replays
+      // each subspace's Lloyd's independently and still hash-matches)
+      val cbs = graft.operators.Similarity.trainPqCodebooksL2(
+          emb.select(col("vec_id"), col("e")), "vec_id", "e",
+          m = M, k = KCodes, iters = Iters, dim = M * L)
+        .map(_.select(col("cid").as("code"), col("cvec")))
       graft.operators.Similarity.pqTopKWithCodebooks(
         emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
         "vec_id", "e", cbs, "code", "cvec",

@@ -55,6 +55,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfAll == exact, "IVF with all probes must equal brute force")
   }
 
+  test("joint PQ training (one pass, all subspaces) equals per-subspace training") {
+    import spark.implicits._
+    val joint = Similarity.trainPqCodebooksL2(
+      emb.select(col("vec_id"), col("e")), "vec_id", "e",
+      m = 4, k = 8, iters = 2, dim = 64)
+    for (s <- 0 until 4) {
+      val solo = Similarity.trainCentroidsL2(
+        emb.select(col("vec_id"), slice(col("e"), s * 16 + 1, 16).as("sv")),
+        "vec_id", "sv", k = 8, iters = 2)
+      val a = joint(s).as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      val b = solo.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      assert(a == b, s"subspace $s diverged")
+    }
+  }
+
   test("PQ/ADC recall vs brute-force inner product") {
     import spark.implicits._
     val exactDot = query.select(col("e").as("qe")).crossJoin(corpus)
