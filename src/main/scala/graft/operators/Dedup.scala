@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -239,5 +239,29 @@ object Dedup {
     val pairs = minhashNearDupPairs(docs, idCol, textCol, k, shingleN, threshold)
     connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").as(idCol), col("component").as("cluster_id"))
+  }
+
+  /** The dedup DECISION: one keeper per near-dup cluster, chosen by a
+    * caller-supplied quality column (greatest wins, ties to the lowest
+    * id — deterministic under retries). Returns
+    * (cluster_id, keep_id, n_members, drop_ids) — everything a
+    * downstream filter needs to subtract duplicates from the corpus.
+    * One window over the (tiny) clustered-doc frame; the corpus itself
+    * is only touched by the pair generator. */
+  def clusterKeepers(
+      docs: DataFrame, idCol: String, textCol: String, quality: Column,
+      k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, textCol, k, shingleN, threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(quality.desc, col(idCol).asc)
+    clusters.join(docs, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("__rn") === 1, col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(when(col("__rn") =!= 1, col(idCol))))
+          .as("drop_ids"))
   }
 }

@@ -284,8 +284,46 @@ object TextOps {
           simhashOf(tokens(col("text")), SimhashBits).as("simhash"))
         .orderBy("doc_id"))
 
+  /** The dedup DECISION over q73's clusters: the highest-quality member
+    * (n_chars, ties to lowest id) survives, the rest are listed for
+    * subtraction — the artifact a curation pipeline actually applies.
+    * Oracle extends the q73 closure with a ranked keeper per cluster. */
+  val q88_cluster_keepers = Q(
+    "q88_cluster_keepers",
+    Some(s"""$lshPairsSqlPrefix,
+            |edges AS (
+            |  SELECT doc_a AS u, doc_b AS v FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+            |reach AS (
+            |  SELECT node, node AS m FROM cnodes
+            |  UNION
+            |  SELECT r.node, e.v AS m FROM reach r JOIN edges e ON e.u = r.m),
+            |clusters AS (
+            |  SELECT node AS doc_id, min(m) AS cluster_id
+            |  FROM reach GROUP BY node),
+            |ranked AS (
+            |  SELECT c.cluster_id, c.doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+            |SELECT cluster_id,
+            |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+            |  CAST(count(*) AS BIGINT) AS n_members,
+            |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <> 1)), ',')
+            |    AS drop_ids
+            |FROM ranked
+            |GROUP BY cluster_id
+            |ORDER BY cluster_id""".stripMargin),
+    (s, d) => graft.operators.Dedup.clusterKeepers(
+        Tables.documents(s, d), "doc_id", "text", col("n_chars"),
+        k = MinhashK, shingleN = 3, threshold = 0.15)
+      // the driver's comparator hashes scalars — ship the id list joined
+      .withColumn("drop_ids", array_join(col("drop_ids"), ","))
+      .orderBy("cluster_id"))
+
   val all: Seq[Q] = Seq(
     q29_token_stats, q30_text_quality, q31_langid, q32_term_freq,
     q33_fingerprint, q34_dedup_exact, q35_ngram_jaccard, q36_minhash_lsh,
-    q37_simhash, q73_neardup_clusters)
+    q37_simhash, q73_neardup_clusters, q88_cluster_keepers)
 }
