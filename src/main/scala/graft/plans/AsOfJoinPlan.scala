@@ -66,6 +66,12 @@ case class AsOfJoinExec(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(carryAttr)
 
+  // the standard physical-operator observability contract — the metric
+  // shows up in the SQL UI / plan like any built-in join's
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   // SortMergeJoin's contract: co-clustered on the keys...
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -95,6 +101,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val leftAttrs = left.output
     val cAttr = carryAttr
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, leftAttrs :+ cAttr)
@@ -152,6 +159,7 @@ case class AsOfJoinExec(
         val valid = lk != null && lt != null && haveCarry &&
           keyOrd.compare(carryKey.asInstanceOf[AnyRef], lk.asInstanceOf[AnyRef]) == 0
         carryRow(0) = if (valid) lastCarry else null
+        numOutputRows += 1
         proj(joined(l, carryRow))
       }
     }
