@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
       TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++
-      LakeOps.all ++ EventOps.all ++
+      LakeOps.all ++ QualityOps.all ++ EventOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
       MultimodalQ.all ++ StreamQ.all
 

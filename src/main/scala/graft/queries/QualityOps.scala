@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical quality control: unigram log-probability scoring (the
+  * perplexity-filter stand-in a curation pipeline runs), deterministic
+  * z-score outlier flagging, and a Deequ-style data-quality constraint
+  * report — each oracle-checked.
+  */
+object QualityOps {
+
+  /** Corpus-unigram log-probability per document: p(term) from global
+    * term frequencies, score = mean log p over the document's tokens.
+    * Low scorers are boilerplate/garbage candidates — the cheap proxy
+    * for perplexity filtering. Per-token logprobs are rounded then
+    * summed in EXACT decimal, so the per-doc mean is independent of
+    * aggregation order (a raw double sum would drift under partial-agg
+    * reordering). Two hash aggs + one broadcast of the term table. */
+  val q89_unigram_logprob = Q(
+    "q89_unigram_logprob",
+    Some("""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY term),
+            |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+            |SELECT doc_id,
+            |  CAST(count(*) AS BIGINT) AS n_tokens,
+            |  CAST(CAST(sum(CAST(round(ln(CAST(f AS DOUBLE) / total), 8)
+            |        AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS DOUBLE)
+            |    AS mean_logp
+            |FROM tok JOIN tf ON tok.term = tf.term CROSS JOIN n
+            |GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("f"))
+      val n = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(tf), "term")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(round(log(col("f").cast("double") / col("total")), 8)
+            .cast("decimal(20,8)")).cast("double") / count(lit(1)))
+            .cast("double").as("mean_logp"))
+        .orderBy("doc_id")
+    })
+
+  /** Per-group z-score outliers with EXACT moments: the metric value is
+    * fixed at 6 decimals up front, then mean and variance come from
+    * decimal sums of x and x² (6-decimal x ⇒ x² exact in 12), so the
+    * flag is bit-deterministic under any partial-agg order — the
+    * discipline a plain double stddev can't offer (its sum order drifts
+    * under retries/speculation). One agg + one broadcast join back;
+    * flags |z| > 3 on the events value (the one heavy-tailed column in
+    * the test data). */
+  val q90_zscore_outliers = Q(
+    "q90_zscore_outliers",
+    Some("""WITH v AS (
+            |  SELECT event_id, event_type,
+            |    CAST(round(value, 6) AS DECIMAL(30,6)) AS x
+            |  FROM events),
+            |m AS (
+            |  SELECT event_type,
+            |    CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+            |    sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)
+            |      - (CAST(sum(x) AS DOUBLE) / count(*))
+            |        * (CAST(sum(x) AS DOUBLE) / count(*))) AS sigma
+            |  FROM v GROUP BY event_type)
+            |SELECT event_id, v.event_type,
+            |  round((CAST(x AS DOUBLE) - mu) / sigma, 6) AS z
+            |FROM v JOIN m ON v.event_type = m.event_type
+            |WHERE abs((CAST(x AS DOUBLE) - mu) / sigma) > 3
+            |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val v = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value"), 6).cast("decimal(30,6)").as("x"))
+      val m = v.groupBy("event_type").agg(
+        (sum(col("x")).cast("double") / count(lit(1))).as("mu"),
+        sqrt((sum(col("x") * col("x")).cast("double") / count(lit(1))) -
+          (sum(col("x")).cast("double") / count(lit(1))) *
+          (sum(col("x")).cast("double") / count(lit(1)))).as("sigma"))
+      v.join(broadcast(m), "event_type")
+        .withColumn("z", (col("x").cast("double") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    })
+
+  /** Data-quality constraint report (the Deequ-style gate before a
+    * dataset ships): one scan computes every check's violation count —
+    * null rate, range bound, key uniqueness, referential shape — then
+    * unpivots to one row per check. Adding a check costs one column in
+    * the agg, never another scan. */
+  val q91_dq_checks = Q(
+    "q91_dq_checks",
+    Some("""WITH a AS (
+            |  SELECT
+            |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+            |    CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS price_range,
+            |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+            |    CAST(sum(CASE WHEN TRY_CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_orderdate
+            |  FROM orders)
+            |SELECT 'null_custkey' AS check_name, null_custkey AS n_violations,
+            |  null_custkey = 0 AS passed FROM a
+            |UNION ALL SELECT 'price_range', price_range, price_range = 0 FROM a
+            |UNION ALL SELECT 'dup_orderkey', dup_orderkey, dup_orderkey = 0 FROM a
+            |UNION ALL SELECT 'bad_orderdate', bad_orderdate, bad_orderdate = 0 FROM a
+            |ORDER BY check_name""".stripMargin),
+    (s, d) => {
+      val a = Tables.orders(s, d).agg(
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long")
+          .as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 1000000, 1)
+          .otherwise(0)).cast("long").as("price_range"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).cast("long")
+          .as("dup_orderkey"),
+        sum(when(expr("try_cast(o_orderdate as date)").isNull, 1).otherwise(0))
+          .cast("long").as("bad_orderdate"))
+      a.select(expr(
+        """stack(4,
+          |  'null_custkey', null_custkey,
+          |  'price_range', price_range,
+          |  'dup_orderkey', dup_orderkey,
+          |  'bad_orderdate', bad_orderdate) AS (check_name, n_violations)""".stripMargin))
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy("check_name")
+    })
+
+  val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers, q91_dq_checks)
+}
