@@ -142,5 +142,37 @@ object StreamQ {
         .orderBy("user_id", "start_us")
     })
 
-  val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions)
+  /** Streaming windowed aggregation run to completion ≡ batch q46
+    * restricted to CLOSED windows: append mode emits a window only once
+    * the watermark passes its end (strictly — the oracle replays
+    * end_ms < floor(max_us/1000) at the watermark's ms granularity).
+    * Completes the replay-equivalence trio: interval join (q71),
+    * sessions (q72), windows (q92). */
+  val q92_stream_windows = Q(
+    "q92_stream_windows",
+    Some("""WITH base AS (
+            |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+            |    time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+            |    event_type, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            |  FROM events GROUP BY 1, 2, 3),
+            |mx AS (
+            |  SELECT CAST(epoch_us(max(ts)) AS BIGINT) // 1000 AS wm_ms
+            |  FROM events)
+            |SELECT window_start, window_end, event_type, n, total_value
+            |FROM base CROSS JOIN mx
+            |WHERE CAST(epoch_us(window_end) AS BIGINT) // 1000 < wm_ms
+            |ORDER BY window_start, event_type""".stripMargin),
+    (s, d) => {
+      val evs = eventStream(s, d)
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_type"), col("value"))
+      val agg = StreamingOps.windowedCounts(
+        evs, "1 hour", "1 hour", watermark = "0 seconds")
+      runToSink(agg, "q92_sink")
+        .orderBy("window_start", "event_type")
+    })
+
+  val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
+    q92_stream_windows)
 }
