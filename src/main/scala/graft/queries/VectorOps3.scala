@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.cosineSql
 
 /** Vector ops, part 3: product quantization (operators/Similarity.pqTopK)
   * — the byte-budget half of a production ANN stack (q56/q57's IVF bounds
@@ -166,5 +167,37 @@ object VectorOps3 {
         k = 5, dim = M * L)
     })
 
-  val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained)
+  private val KnnK = 15
+
+  /** k-NN label vote — the classification read of the similarity index:
+    * the query's top-15 cosine neighbors vote on a label (count desc,
+    * ties to the lexicographically first label). Pure composition:
+    * broadcast query + TakeOrderedAndProject top-k + one k-row agg. */
+  val q93_knn_label = Q(
+    "q93_knn_label",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            |top AS (
+            |  SELECT label FROM e CROSS JOIN q
+            |  WHERE vec_id <> 0
+            |  ORDER BY round(${cosineSql("v", "qv")}, 6) DESC, vec_id
+            |  LIMIT $KnnK)
+            |SELECT label AS predicted, CAST(count(*) AS BIGINT) AS votes
+            |FROM top GROUP BY label
+            |ORDER BY votes DESC, predicted
+            |LIMIT 1""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.cosineTopK(
+          emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
+          "e", emb.filter(col("vec_id") === 0), "e", KnnK, "vec_id")
+        .groupBy(col("label").as("predicted"))
+        .agg(count(lit(1)).as("votes"))
+        .orderBy(col("votes").desc, col("predicted"))
+        .limit(1)
+    })
+
+  val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained, q93_knn_label)
 }

@@ -107,6 +107,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(plan("q69_funnel"), "Exchange hashpartitioning") == 1)
   }
 
+  test("q74/q84/q89/q90: curation plans keep their one-shuffle shapes") {
+    // sequence packing: one window on source (plus the presentation sort)
+    assert(countOf(plan("q74_seq_packing"), "Exchange hashpartitioning") <= 2)
+    // decontamination: benchmark shingles broadcast; one hash agg on pairs
+    val p84 = plan("q84_decontamination")
+    assert(p84.contains("BroadcastHashJoin"), p84)
+    assert(countOf(p84, "Exchange hashpartitioning") == 1, p84)
+    // unigram scoring: term table broadcast back; term agg + doc agg
+    val p89 = plan("q89_unigram_logprob")
+    assert(p89.contains("BroadcastHashJoin"), p89)
+    assert(countOf(p89, "Exchange hashpartitioning") == 2, p89)
+    // z-score: the moments frame broadcasts; one group agg behind it
+    val p90 = plan("q90_zscore_outliers")
+    assert(p90.contains("BroadcastHashJoin"), p90)
+    assert(countOf(p90, "Exchange hashpartitioning") == 1, p90)
+  }
+
   test("q36: LSH signature/verify never ships raw shingle strings") {
     // the persisted signature frame carries only md5'd shingles (hs);
     // the raw token/shingle arrays must be consumed inside the scan stage
