@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.Q.{asDouble, dec}
 
 /** Relational surface, part 4: bag (multiset) set-operations, calendar
   * gap-filling, and error-tolerant casts. */
@@ -81,5 +82,95 @@ object Relational4 {
           .as("n_numeric_suffix"))
       .orderBy("o_orderpriority"))
 
-  val all: Seq[Q] = Seq(q50_bag_ops, q51_gap_fill, q52_try_cast)
+  /** Unpivot / melt — the inverse of q21's pivot: wide numeric columns
+    * become (measure, value) rows. Narrow transform, no shuffle; row
+    * growth is the measure count. */
+  val q94_unpivot = Q(
+    "q94_unpivot",
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+            |  CAST(l_quantity AS DOUBLE) AS value
+            |FROM lineitem WHERE l_orderkey < 100
+            |UNION ALL
+            |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            |FROM lineitem WHERE l_orderkey < 100
+            |UNION ALL
+            |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            |FROM lineitem WHERE l_orderkey < 100
+            |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure"))
+
+  /** ntile deciles — the remaining rank-family member (row_number/rank/
+    * lag/lead live in q08/q09/q27): decile assignment over order totals
+    * plus per-decile bounds. One global sort for the tiles (bounded data
+    * after the per-key agg), then a hash agg. */
+  val q95_ntile = Q(
+    "q95_ntile",
+    Some("""WITH t AS (
+            |  SELECT o_custkey,
+            |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+            |  FROM orders GROUP BY o_custkey),
+            |d AS (
+            |  SELECT o_custkey, spend,
+            |    CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+            |  FROM t)
+            |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+            |  min(spend) AS min_spend, max(spend) AS max_spend
+            |FROM d GROUP BY decile
+            |ORDER BY decile""".stripMargin),
+    (s, d) => {
+      val t = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(asDouble(sum(dec(col("o_totalprice")))).as("spend"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("spend").desc, col("o_custkey"))
+      t.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("spend")).as("min_spend"), max(col("spend")).as("max_spend"))
+        .orderBy("decile")
+    })
+
+  /** RANGE-frame window (vs the ROWS frames everywhere else): per
+    * customer, the rolling count and decimal-exact sum of orders within
+    * the trailing 30 days of each order — a frame defined by VALUE
+    * distance, which ROWS frames cannot express. One window shuffle. */
+  val q96_range_frame = Q(
+    "q96_range_frame",
+    Some("""WITH o AS (
+            |  SELECT o_orderkey, o_custkey,
+            |    CAST(epoch(CAST(o_orderdate AS DATE)) / 86400 AS BIGINT) AS od,
+            |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            |  FROM orders)
+            |SELECT o_orderkey, o_custkey,
+            |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+            |  CAST(CAST(sum(p) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS spend_30d
+            |FROM o
+            |WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+            |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("od")
+        .rangeBetween(-30, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (unix_date(to_date(col("o_orderdate")))).cast("long").as("od"),
+          dec(col("o_totalprice")).as("p"))
+        .withColumn("n_30d", count(lit(1)).over(w).cast("long"))
+        .withColumn("spend_30d",
+          sum(col("p")).over(w).cast("decimal(28,2)").cast("double"))
+        .select("o_orderkey", "o_custkey", "n_30d", "spend_30d")
+        .orderBy("o_orderkey")
+    })
+
+  val all: Seq[Q] = Seq(q50_bag_ops, q51_gap_fill, q52_try_cast,
+    q94_unpivot, q95_ntile, q96_range_frame)
 }
