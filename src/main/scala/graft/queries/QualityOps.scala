@@ -128,5 +128,74 @@ object QualityOps {
         .orderBy("check_name")
     })
 
-  val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers, q91_dq_checks)
+  /** Bivariate statistics from EXACT decimal moments: covariance and
+    * Pearson correlation of (quantity, price) per return flag, computed
+    * from exact sums of x, y, xy, x², y² (2-decimal inputs ⇒ products
+    * exact in 4 decimals) — deterministic under any partial-agg order,
+    * where the built-in double corr() drifts. One scan, one hash agg. */
+  val q97_bivariate_stats = Q(
+    "q97_bivariate_stats",
+    Some("""WITH m AS (
+            |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+            |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+            |           * CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy,
+            |    CAST(sum(CAST(l_quantity AS DECIMAL(30,2))
+            |           * CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+            |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+            |           * CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS syy
+            |  FROM lineitem GROUP BY l_returnflag)
+            |SELECT l_returnflag, n,
+            |  round((sxy - sx * sy / n) / n, 6) AS cov_pop,
+            |  round((sxy - sx * sy / n)
+            |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+            |FROM m
+            |ORDER BY l_returnflag""".stripMargin),
+    (s, d) => {
+      val x = col("l_quantity").cast("decimal(30,2)")
+      val y = col("l_extendedprice").cast("decimal(30,2)")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+            .as("cov_pop"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr"))
+        .orderBy("l_returnflag")
+    })
+
+  /** Median absolute deviation — the robust scale estimate (q90's
+    * z-score breaks on heavy tails; MAD does not): per event type,
+    * median of |x − median(x)| via exact percentiles. Two grouped
+    * aggregations, the second over the residuals. */
+  val q98_mad = Q(
+    "q98_mad",
+    Some("""WITH med AS (
+            |  SELECT event_type, quantile_cont(value, 0.5) AS med
+            |  FROM events GROUP BY event_type)
+            |SELECT e.event_type,
+            |  round(max(med), 6) AS median,
+            |  round(quantile_cont(abs(e.value - med), 0.5), 6) AS mad
+            |FROM events e JOIN med ON e.event_type = med.event_type
+            |GROUP BY e.event_type
+            |ORDER BY e.event_type""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(round(max(col("med")), 6).as("median"),
+          round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
+    q91_dq_checks, q97_bivariate_stats, q98_mad)
 }
