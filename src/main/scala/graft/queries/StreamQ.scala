@@ -34,8 +34,11 @@ object StreamQ {
   private def asDir(path: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(path)
-    val dir = Paths.get("/tmp/graft_stream_src",
-      Integer.toHexString(path.hashCode), src.getFileName.toString)
+    // md5 of the full path, not hashCode: a 32-bit collision between two
+    // same-named sources would silently serve the wrong table
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val dir = Paths.get("/tmp/graft_stream_src", key, src.getFileName.toString)
     Files.createDirectories(dir)
     val link = dir.resolve(src.getFileName.toString)
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
