@@ -110,7 +110,8 @@ object Multimodal {
     // at byte offsets 16/20 (1-based substring offsets 17/21)
     def be32(off: Int) =
       conv(hex(substring(content, off, 4)), 16, 10).cast("long")
-    when(hex(substring(content, 1, 8)) === "89504E470D0A1A0A",
+    when(length(content) >= 24 &&
+        hex(substring(content, 1, 8)) === "89504E470D0A1A0A",
       struct(be32(17).as("width"), be32(21).as("height")))
   }
 
@@ -121,7 +122,8 @@ object Multimodal {
     def le(off: Int, len: Int) = (0 until len).map(i =>
       conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
         lit(1L << (8 * i))).reduce(_ + _)
-    when(hex(substring(content, 1, 4)) === "52494646" &&
+    when(length(content) >= 28 &&
+        hex(substring(content, 1, 4)) === "52494646" &&
         hex(substring(content, 9, 4)) === "57415645",
       struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate")))
   }

@@ -98,6 +98,19 @@ class CdcApplySpec extends AnyFunSuite {
     assert(unchanged.count() == 0)
   }
 
+  test("diff detects changes through null value fields correctly") {
+    // null == null must read unchanged; null -> value must read updated
+    // (struct comparison uses ordering semantics, proven here so a
+    // refactor to a null-unsafe comparison fails loudly)
+    val old = Seq((1L, Some("a")), (2L, None: Option[String]),
+      (3L, None: Option[String])).toDF("id", "v")
+    val neu = Seq((1L, Some("a")), (2L, None: Option[String]),
+      (3L, Some("x"))).toDF("id", "v")
+    val got = SnapshotDiff.diff(old, neu, "id")
+      .select("id", "op").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((3L, "U")))
+  }
+
   test("saltedJoin equals the plain join for any salt count") {
     val left = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))

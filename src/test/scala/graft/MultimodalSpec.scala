@@ -89,6 +89,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df(1).getStruct(2).getLong(0) == 2L)
     assert(df(1).getStruct(2).getLong(1) == 44100L)
     assert(df(2).isNullAt(1) && df(2).isNullAt(2))
+    // truncated header (magic only): fields would read past the payload →
+    // must null out, not fabricate values
+    val short = Seq((1L, png.take(12))).toDF("id", "content")
+      .select(Multimodal.pngDims(col("content")).as("png")).head()
+    assert(short.isNullAt(0))
   }
 
   test("frame sampling emits k deterministic offsets per video item") {
