@@ -55,7 +55,15 @@ object Compaction {
     * backup; abort with the original intact if the first rename fails;
     * roll back if the second fails; delete the backup only once the new
     * dir verifiably exists). Shared by compaction and the streaming CDC
-    * upsert sink. */
+    * upsert sink.
+    *
+    * Visibility contract: between the two renames `path` briefly does not
+    * exist, so this swap assumes SINGLE WRITER and NO CONCURRENT READER of
+    * the target dir (a query scanning the snapshot mid-swap fails with
+    * path-not-found). That is the contract of the compaction window and
+    * the micro-batch boundary here; a reader-safe variant publishes each
+    * version to its own dir and flips a manifest pointer (the
+    * Delta/Iceberg recipe) — out of scope for this lake layout. */
   def swapDir(fs: FileSystem, staging: Path, path: Path): Unit = {
     val backup = new Path(path.getParent, s".old_${path.getName}")
     if (fs.exists(backup))

@@ -100,7 +100,14 @@ object Dedup {
     * Kiveris et al. (SoCC'14) in its label-propagation form.
     *
     * Returns (node, component) where component = min node id reachable.
-    * Deterministic under any partitioning: min is order-insensitive. */
+    * Deterministic under any partitioning: min is order-insensitive.
+    *
+    * Concurrency contract: the fixpoint loop narrows the SESSION-global
+    * `spark.sql.shuffle.partitions` and disables AQE for its duration
+    * (restored in `finally`) — a query running concurrently on the same
+    * SparkSession would silently inherit those settings. Run it on a
+    * dedicated session (`spark.newSession()` shares the cluster but not
+    * the conf) when other queries are in flight. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -122,9 +122,14 @@ object Multimodal {
     def le(off: Int, len: Int) = (0 until len).map(i =>
       conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
         lit(1L << (8 * i))).reduce(_ + _)
+    // 'fmt ' chunk id at offset 12 must ALSO match: RIFF permits other
+    // chunks (LIST/JUNK) before fmt, and for those layouts the fixed
+    // offsets would read garbage — null out instead. (PNG needs no such
+    // guard: the spec mandates IHDR first.)
     when(length(content) >= 28 &&
         hex(substring(content, 1, 4)) === "52494646" &&
-        hex(substring(content, 9, 4)) === "57415645",
+        hex(substring(content, 9, 4)) === "57415645" &&
+        hex(substring(content, 13, 4)) === "666D7420",
       struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate")))
   }
 

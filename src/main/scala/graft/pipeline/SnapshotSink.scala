@@ -19,6 +19,13 @@ import graft.operators.{CdcApply, Compaction}
   * batch re-applies the same change set onto the already-merged snapshot,
   * which the latest-version-wins merge absorbs (idempotent for a replay
   * of identical changes — same contract as the reference's retry).
+  *
+  * Reader visibility: `swapDir` has a window between its two renames
+  * where the snapshot dir does not exist, so readers must query BETWEEN
+  * micro-batches, not concurrently with the commit (a concurrent scan
+  * fails with path-not-found, never sees half a snapshot). A deployment
+  * needing always-on readers publishes versioned dirs behind a manifest
+  * pointer — see the note on `Compaction.swapDir`.
   */
 object SnapshotSink {
 

@@ -55,7 +55,7 @@ object DataOps2 {
     * same digit arithmetic. */
   val q75_weighted_sample = Q(
     "q75_weighted_sample", {
-      val u = s"(${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)} / 4503599627370496.0)"
+      val u = s"(${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))"
       val w = "least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)"
       Some(s"""SELECT doc_id, round($u, 6) AS draw, round($w, 6) AS keep_p
               |FROM documents
@@ -63,7 +63,10 @@ object DataOps2 {
               |ORDER BY doc_id""".stripMargin)
     },
     (s, d) => {
-      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / 4503599627370496.0)")
+      // CAST the divisor: a bare `4503599627370496.0` literal parses as
+      // DECIMAL in Spark, making the draw DECIMAL(…,6) while DuckDB emits
+      // DOUBLE — the values agree but the hash of the cells does not.
+      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
       val w = least(lit(1.0), size(split(col("text"), " ")).cast("double") / 200.0)
       Tables.documents(s, d)
         .select(col("doc_id"), u.as("__u"), w.as("__w"))

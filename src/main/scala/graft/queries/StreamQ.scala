@@ -59,7 +59,12 @@ object StreamQ {
     * batch-tuned shuffle.partitions) multiplies fixed cost without
     * adding parallelism the state fits in. The partition count is
     * pinned at query start by the checkpoint — a real deployment picks
-    * it once per query from expected live-state size. */
+    * it once per query from expected live-state size.
+    *
+    * The override mutates the session-global shuffle width for the
+    * stream's (bounded, AvailableNow) run — single-threaded catalog
+    * execution is assumed; concurrent queries should use a separate
+    * `spark.newSession()`. */
   private def runToSink(df: DataFrame, name: String,
       statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession

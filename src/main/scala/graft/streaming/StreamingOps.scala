@@ -90,9 +90,24 @@ object StreamingOps {
                   else if (micros(e.ts) - micros(cur.end_ts) > gapUs) {
                     closed += cur
                     Session(userId, 1L, e.value, e.ts, e.ts)
-                  } else
+                  } else {
+                    // min/max merge, not start=cur/end=e: a late-but-within-
+                    // watermark event from a LATER micro-batch can carry
+                    // ts < cur.end_ts, and taking end_ts = e.ts would drag
+                    // the session end (and the event-time close timer)
+                    // backwards — closing the session too early and
+                    // diverging from the batch gap-sessionization oracle.
+                    // Order-insensitive state is safe here because any event
+                    // that reaches the operator is within the watermark
+                    // horizon (<< gap) of the max seen time, so it can never
+                    // belong to a separate earlier session.
+                    val st = if (micros(e.ts) < micros(cur.start_ts)) e.ts
+                             else cur.start_ts
+                    val en = if (micros(e.ts) > micros(cur.end_ts)) e.ts
+                             else cur.end_ts
                     Session(userId, cur.n_events + 1,
-                      cur.total_value + e.value, cur.start_ts, e.ts)
+                      cur.total_value + e.value, st, en)
+                  }
               }
               state.update(cur)
               // never at-or-behind the current watermark (the API rejects

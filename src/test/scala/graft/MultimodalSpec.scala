@@ -94,6 +94,15 @@ class MultimodalSpec extends AnyFunSuite {
     val short = Seq((1L, png.take(12))).toDF("id", "content")
       .select(Multimodal.pngDims(col("content")).as("png")).head()
     assert(short.isNullAt(0))
+    // non-canonical chunk order: a JUNK chunk before fmt shifts every
+    // field — the fixed-offset parser must null out, not read garbage
+    val junkFirst: Array[Byte] = (Array(0x52, 0x49, 0x46, 0x46, 0x24, 0x00, 0x00, 0x00,
+      0x57, 0x41, 0x56, 0x45, 0x4A, 0x55, 0x4E, 0x4B, // 'JUNK'
+      0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x66, 0x6D, 0x74, 0x20).map(_.toByte))
+    val nc = Seq((1L, junkFirst)).toDF("id", "content")
+      .select(Multimodal.wavInfo(col("content")).as("wav")).head()
+    assert(nc.isNullAt(0))
   }
 
   test("frame sampling emits k deterministic offsets per video item") {

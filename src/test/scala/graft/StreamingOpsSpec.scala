@@ -93,6 +93,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization absorbs a late out-of-order event from a later batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.SessionEvent]
+    // 10-minute gap, 10-minute watermark delay: a second micro-batch can
+    // deliver an event whose ts lies INSIDE the open session's span.
+    val sessions = StreamingOps.sessionize(in.toDS(),
+      gapMs = 10 * 60 * 1000L, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        StreamingOps.SessionEvent(7, ts(1), 1.0),
+        StreamingOps.SessionEvent(7, ts(5), 2.0))
+      q.processAllAvailable()
+      // late but within the watermark (10:05 - 10min = 9:55): must merge
+      // WITHOUT dragging end_ts (and the close timer) back to 10:03
+      in.addData(StreamingOps.SessionEvent(7, ts(3), 4.0))
+      q.processAllAvailable()
+      // advance the watermark past 10:05 + gap to close user 7's session,
+      // then one more batch so the fired timer's emission is collected
+      in.addData(StreamingOps.SessionEvent(8, Timestamp.valueOf("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.SessionEvent(8, Timestamp.valueOf("2024-01-01 11:01:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_late_out").as[StreamingOps.Session].collect()
+      val s7 = out.find(_.user_id == 7)
+      assert(s7.exists(s => s.n_events == 3 && s.total_value == 7.0 &&
+        s.start_ts == ts(1) && s.end_ts == ts(5)), s"got $out")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs right events inside the horizon") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
