@@ -9,9 +9,10 @@ object SparkEntry {
   /** All catalog sections, in order. */
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
-      Relational4.all ++ Ingest.all ++ TextOps.all ++ TextOps2.all ++
-      TextOps3.all ++ TextOps4.all ++ DataOps.all ++ DataOps2.all ++
-      LakeOps.all ++ QualityOps.all ++ EventOps.all ++
+      Relational4.all ++ Relational5.all ++ Ingest.all ++ TextOps.all ++
+      TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
+      DataOps.all ++ DataOps2.all ++ DataOps3.all ++
+      LakeOps.all ++ QualityOps.all ++ EventOps.all ++ EventOps2.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
       MultimodalQ.all ++ StreamQ.all
 

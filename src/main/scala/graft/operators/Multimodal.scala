@@ -133,6 +133,14 @@ object Multimodal {
       struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate")))
   }
 
+  /** JPEG dimensions via a real SOF marker-segment walk (unlike PNG/WAV,
+    * the frame header sits behind a variable-length segment list — see
+    * functions/JpegSofDims). Null struct for non-JPEG/corrupt payloads. */
+  def jpegDims(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.JpegSofDims(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q.{asDouble, dec}
+
+/** Event analytics, part 2: hopping (sliding) windows, linear gap
+  * interpolation, and a decimal-exact truncated EWMA — the time-series
+  * transforms a feature pipeline runs over event logs.
+  *
+  * Timestamp convention as EventOps: Spark reads events.ts as nanos
+  * (`ts div 1000` = µs) ≡ DuckDB's `epoch_us(ts)`.
+  */
+object EventOps2 {
+
+  private val SlideUs = 300000000L // 5 minutes
+  private val LenUs = 600000000L   // 10 minutes (= 2 slides)
+
+  /** Hopping-window aggregation: 10-minute windows every 5 minutes, so
+    * each event lands in exactly len/slide = 2 windows. Spark's window()
+    * is a scan-side generator (row expansion ×2) followed by ONE hash agg
+    * on the window start — no self-join, no windows-spine table. The
+    * oracle replays the same membership arithmetic: starts are the two
+    * epoch-aligned 5-minute buckets at or before the event. */
+  val q103_hopping_window = Q(
+    "q103_hopping_window",
+    Some(s"""WITH e AS (
+            |  SELECT CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events),
+            |b AS (
+            |  SELECT us, value, (us // $SlideUs) * $SlideUs AS b0 FROM e),
+            |w AS (
+            |  SELECT b0 AS ws, value FROM b
+            |  UNION ALL
+            |  SELECT b0 - $SlideUs AS ws, value FROM b)
+            |SELECT CAST(ws AS BIGINT) AS w_start_us,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM w GROUP BY ws
+            |ORDER BY w_start_us""".stripMargin),
+    (s, d) => Tables.events(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"), col("value"))
+      .groupBy(window(col("ets"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("n"),
+        col("sum_value"))
+      .orderBy("w_start_us"))
+
+  /** Linear interpolation over a gap-filled daily series (q51's spine):
+    * missing days take prev + (next − prev) · elapsed/gap between the
+    * nearest observed days; leading/trailing gaps stay NULL. The
+    * carry-forward/backward scans are two frames of ONE user-keyed window
+    * shuffle. All arithmetic is int/int and exact-decimal-sourced doubles
+    * — bit-identical across engines (rounded anyway). */
+  val q104_interpolate = Q(
+    "q104_interpolate",
+    Some("""WITH spine AS (
+            |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+            |                     DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS day),
+            |users AS (SELECT DISTINCT user_id FROM events),
+            |daily AS (
+            |  SELECT user_id, CAST(ts AS DATE) AS day,
+            |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            |  FROM events GROUP BY 1, 2),
+            |g AS (
+            |  SELECT u.user_id, s.day, d.v
+            |  FROM users u CROSS JOIN spine s
+            |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day),
+            |f AS (
+            |  SELECT user_id, day, v,
+            |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+            |    last_value(v IGNORE NULLS) OVER wp AS pv,
+            |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd,
+            |    first_value(v IGNORE NULLS) OVER wn AS nv
+            |  FROM g WINDOW
+            |    wp AS (PARTITION BY user_id ORDER BY day
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            |    wn AS (PARTITION BY user_id ORDER BY day
+            |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            |SELECT user_id, day,
+            |  round(CASE WHEN v IS NOT NULL THEN v
+            |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+            |               pv + (nv - pv) * ((day - pd) / (nd - pd))
+            |        END, 6) AS filled,
+            |  coalesce(v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL, FALSE)
+            |    AS interpolated
+            |FROM f
+            |ORDER BY user_id, day""".stripMargin),
+    (s, d) => {
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-01-31")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val events = Tables.events(s, d)
+        .withColumn("day", expr("CAST(timestamp_micros(ts div 1000) AS DATE)"))
+      val users = events.select("user_id").distinct()
+      val daily = events.groupBy("user_id", "day")
+        .agg(asDouble(sum(dec(col("value")))).as("v"))
+      val g = users.crossJoin(broadcast(spine))
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("dn", unix_date(col("day")))
+      val wp = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when(col("v").isNotNull, struct(col("dn").as("d"), col("v").as("x")))
+      val f = g
+        .withColumn("p", last(obs, ignoreNulls = true).over(wp))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wn))
+      f.select(col("user_id"), col("day"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("p.x") + (col("nx.x") - col("p.x")) *
+              ((col("dn") - col("p.d")) / (col("nx.d") - col("p.d")))), 6)
+            .as("filled"),
+          coalesce(col("v").isNull && col("p").isNotNull && col("nx").isNotNull,
+            lit(false)).as("interpolated"))
+        .orderBy("user_id", "day")
+    })
+
+  private val EwmaK = 8
+  /** 0.5^(d+1) scaled by 2^K: integer weights 2^(K−1−d) = 128 … 1. */
+  private val EwmaWeights: Seq[Long] =
+    (0 until EwmaK).map(d => 1L << (EwmaK - 1 - d))
+
+  /** Truncated exponential moving average (time-decayed feature): per
+    * user, ewma_i = Σ_{d=0..7} 0.5^(d+1)·x_{i−d} over the ts-ordered
+    * event values. Computed as Σ x·2^(7−d) in exact DECIMAL(…,2) (the
+    * weights are scaled to integers) then divided by 256 — a pure
+    * exponent shift on the double, so there is NO rounding step anywhere
+    * and the result is bit-identical on any engine under any aggregation
+    * order (round(double, n) is NOT portable: the two engines break
+    * half-way ties differently). Spark computes it as a scan-side fold
+    * over one window frame (no self-join); the oracle replays it as a
+    * K-banded self-join on row position. */
+  val q105_ewma = Q(
+    "q105_ewma", {
+      val w = EwmaWeights.mkString(", ")
+      Some(s"""WITH r AS (
+              |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id
+              |      ORDER BY epoch_us(ts), event_id) AS rn
+              |  FROM events)
+              |SELECT a.user_id, a.event_id,
+              |  CAST(sum(b.v * ([$w]::BIGINT[])[a.rn - b.rn + 1])
+              |    AS DOUBLE) / 256.0 AS ewma
+              |FROM r a JOIN r b
+              |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - ${EwmaK - 1} AND a.rn
+              |GROUP BY a.user_id, a.event_id
+              |ORDER BY a.user_id, a.event_id""".stripMargin)
+    },
+    (s, d) => {
+      val wLit = EwmaWeights.map(x => s"${x}L").mkString("array(", ", ", ")")
+      val frame = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-(EwmaK - 1), Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), dec(col("value")).as("v"))
+        .withColumn("arr", collect_list(col("v")).over(frame))
+        .select(col("user_id"), col("event_id"),
+          expr(s"""CAST(aggregate(
+            transform(arr, (v, i) -> CAST(v * element_at($wLit, size(arr) - i) AS DECIMAL(38,2))),
+            CAST(0 AS DECIMAL(38,2)),
+            (acc, t) -> CAST(acc + t AS DECIMAL(38,2))) AS DOUBLE) / 256.0""")
+            .as("ewma"))
+        .orderBy("user_id", "event_id")
+    })
+
+  val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma)
+}

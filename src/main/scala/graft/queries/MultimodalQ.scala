@@ -62,5 +62,53 @@ object MultimodalQ {
       .toDF()
       .orderBy("media_id"))
 
-  val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features)
+  /** JPEG header mining, proven by construction-inversion: each document
+    * deterministically BUILDS a structurally-valid JPEG byte stream — SOI,
+    * 1–3 APPn segments of varying lengths whose payloads are stuffed with
+    * decoy FFC0 bytes (a pattern-scan parser would false-positive), then
+    * the real SOF0 carrying formula-derived dimensions, EOI; every 17th
+    * document is truncated mid-segment. Spark PARSES the bytes back with
+    * the native segment walker (functions/JpegSofDims); the oracle states
+    * the construction formulas (NULL for the truncated ones). A hash
+    * match proves the walker inverts arbitrary segment layouts and
+    * rejects corruption — same spirit as q43's replayable stub, but here
+    * the parser is real. Scan-side end to end: construct and parse are
+    * one projection, no shuffle. */
+  val q111_jpeg_dims = Q(
+    "q111_jpeg_dims",
+    Some("""SELECT doc_id,
+            |  CASE WHEN doc_id % 17 = 0 THEN NULL
+            |       ELSE CAST((doc_id * 7) % 3000 + 1 AS INT) END AS width,
+            |  CASE WHEN doc_id % 17 = 0 THEN NULL
+            |       ELSE CAST(doc_id % 4000 + 1 AS INT) END AS height
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      def beU16Hex(v: org.apache.spark.sql.Column) =
+        lpad(hex(v), 4, "0")
+      def appSeg(i: Int) = {
+        val reps = (col("doc_id") + lit(13 * i)) % 64 + 1
+        // decoy payload: repeated FFC0 bytes a naive scanner would match
+        when(col("doc_id") % 3 >= i,
+          concat(lit(s"FFE$i"), beU16Hex(reps * 2 + 2), repeat(lit("FFC0"), reps.cast("int"))))
+          .otherwise("")
+      }
+      val sof = concat(lit("FFC0"), lit("0011"), lit("08"),
+        beU16Hex(col("doc_id") % 4000 + 1),          // height
+        beU16Hex((col("doc_id") * 7) % 3000 + 1),    // width
+        lit("03"), lit("011100"), lit("021101"), lit("031101"))
+      val fullHex = concat(lit("FFD8"), appSeg(0), appSeg(1), appSeg(2),
+        sof, lit("FFD9"))
+      val payloadHex = when(col("doc_id") % 17 === 0,
+        substring(fullHex, 1, 12)).otherwise(fullHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.jpegDims(unhex(payloadHex)).as("dims"))
+        .select(col("doc_id"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
+    q111_jpeg_dims)
 }

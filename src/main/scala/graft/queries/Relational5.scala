@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface, part 5: correlated existence subqueries, LATERAL
+  * joins, the exact-percentile family (median / percentile_disc /
+  * deterministic mode), and the ratio rank family (percent_rank /
+  * cume_dist). Catalyst rewrites the subquery forms into the same
+  * semi/anti/window plans the explicit formulations produce — these
+  * entries pin the SQL surface, not new physical shapes.
+  */
+object Relational5 {
+
+  /** Correlated EXISTS + NOT EXISTS — decorrelated by Catalyst into one
+    * left-semi and one left-anti hash join on o_custkey (no per-row
+    * subquery execution anywhere). Identical SQL runs on both engines. */
+  private val existsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  val q99_exists_subquery = Q(
+    "q99_exists_subquery",
+    Some(existsSql),
+    (s, d) => {
+      Tables.views(s, d, "customer", "orders")
+      s.sql(existsSql)
+    })
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders per
+    * customer. Catalyst decorrelates the limit into a rank-over-join
+    * (one shuffle on the correlation key), so the per-row "subquery" is
+    * really a window — the same plan a hand-written row_number() produces.
+    * Identical SQL runs on both engines. */
+  private val lateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
+  val q100_lateral_join = Q(
+    "q100_lateral_join",
+    Some(lateralSql),
+    (s, d) => {
+      Tables.views(s, d, "customer", "orders")
+      s.sql(lateralSql)
+    })
+
+  /** Exact order statistics per group: interpolated median, discrete 75th
+    * percentile (smallest value whose cume_dist ≥ 0.75), and the
+    * DETERMINISTIC mode (max count, lexicographic tiebreak — engine mode()
+    * functions break ties arbitrarily, so the tie rule is spelled out as
+    * an argmax both engines replay identically). One hash agg plus one
+    * tiny window over the 6 group rows. */
+  private val modeCte =
+    """WITH m AS (
+      |  SELECT l_linestatus, l_returnflag, count(*) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY l_linestatus
+      |      ORDER BY count(*) DESC, l_returnflag) AS rn
+      |  FROM lineitem GROUP BY l_linestatus, l_returnflag)""".stripMargin
+
+  val q101_median_mode = Q(
+    "q101_median_mode",
+    Some(s"""$modeCte,
+            |a AS (
+            |  SELECT l_linestatus, round(median(l_quantity), 6) AS med_qty,
+            |    CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE) AS p75_price
+            |  FROM lineitem GROUP BY l_linestatus)
+            |SELECT a.l_linestatus, a.med_qty, a.p75_price,
+            |  m.l_returnflag AS mode_flag, CAST(m.c AS BIGINT) AS mode_n
+            |FROM a JOIN m ON a.l_linestatus = m.l_linestatus AND m.rn = 1
+            |ORDER BY a.l_linestatus""".stripMargin),
+    (s, d) => {
+      Tables.views(s, d, "lineitem")
+      s.sql(s"""$modeCte,
+               |a AS (
+               |  SELECT l_linestatus, round(median(l_quantity), 6) AS med_qty,
+               |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+               |      AS DOUBLE) AS p75_price
+               |  FROM lineitem GROUP BY l_linestatus)
+               |SELECT a.l_linestatus, a.med_qty, a.p75_price,
+               |  m.l_returnflag AS mode_flag, CAST(m.c AS BIGINT) AS mode_n
+               |FROM a JOIN m ON a.l_linestatus = m.l_linestatus AND m.rn = 1
+               |ORDER BY a.l_linestatus""".stripMargin)
+    })
+
+  /** Ratio ranks: dense_rank / percent_rank / cume_dist per nation over
+    * supplier balances. The tiebreak column makes every peer group a
+    * singleton, so the ratio values are exact small-integer divisions —
+    * bit-identical doubles on both engines (rounded anyway for the hash).
+    * One window shuffle on s_nationkey. Identical SQL on both engines. */
+  private val rankSql =
+    """SELECT s_nationkey, s_suppkey,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  round(percent_rank() OVER w, 6) AS prk,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
+  val q102_rank_ratios = Q(
+    "q102_rank_ratios",
+    Some(rankSql),
+    (s, d) => {
+      Tables.views(s, d, "supplier")
+      s.sql(rankSql)
+    })
+
+  val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
+    q101_median_mode, q102_rank_ratios)
+}

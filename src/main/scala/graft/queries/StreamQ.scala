@@ -181,6 +181,35 @@ object StreamQ {
         .orderBy("window_start", "event_type")
     })
 
+  /** Stream-static enrichment: the event stream joined per micro-batch to
+    * a STATIC dimension (customer ⋈ nation, broadcast — the dimension is
+    * read once per batch, never streamed, no state store involved). The
+    * stateless join commutes with micro-batching, so the AvailableNow
+    * replay must equal the batch join exactly — the fourth member of the
+    * replay-equivalence family (join q71, sessions q72, windows q92).
+    * At 100 TB the static side is the broadcast knob: a dimension that
+    * outgrows broadcast becomes a shuffled stream-static join with the
+    * same semantics. */
+  val q112_stream_static_enrich = Q(
+    "q112_stream_static_enrich",
+    Some("""SELECT e.event_id, e.user_id, n.n_name AS nation
+            |FROM events e
+            |JOIN customer c ON c.c_custkey = e.user_id
+            |JOIN nation n ON n.n_nationkey = c.c_nationkey
+            |ORDER BY e.event_id""".stripMargin),
+    (s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .join(graft.Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      val enriched = eventStream(s, d)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("nation"))
+      runToSink(enriched, "q112_sink")
+        .orderBy("event_id")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
-    q92_stream_windows)
+    q92_stream_windows, q112_stream_static_enrich)
 }

@@ -105,6 +105,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nc.isNullAt(0))
   }
 
+  test("jpeg SOF walker: segment skip, decoys, standalone markers, corruption") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def jpg(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // APP0 whose payload contains a decoy FFC0; real SOF0 320x240 after it
+    val sofHex = "FFC0001108" + "00F0" + "0140" + "03" + "011100021101031101"
+    val good = jpg("FFD8" + "FFE00006FFC0AABB" + sofHex + "FFD9")
+    // RSTn standalone marker (no length) between segments must be stepped over
+    val withRst = jpg("FFD8" + "FFD0" + sofHex + "FFD9")
+    // SOS before any SOF: dims unavailable
+    val sosFirst = jpg("FFD8" + "FFDA0002" + sofHex)
+    // truncated mid-segment
+    val trunc = jpg("FFD8" + "FFE00010AABB")
+    val notJpeg = jpg("89504E47")
+    val rows = Seq((1L, good), (2L, withRst), (3L, sosFirst), (4L, trunc),
+        (5L, notJpeg))
+      .toDF("id", "content")
+      .select(col("id"), Multimodal.jpegDims(col("content")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).getInt(0) == 320)
+    assert(rows(0).getStruct(1).getInt(1) == 240)
+    assert(rows(1).getStruct(1).getInt(0) == 320)
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).isNullAt(1))
+    assert(rows(4).isNullAt(1))
+  }
+
   test("frame sampling emits k deterministic offsets per video item") {
     val items = Multimodal.fromDocuments(spark, sfDir)
     val frames = Multimodal.sampleFrames(items, 4)
