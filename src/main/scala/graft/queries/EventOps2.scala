@@ -166,5 +166,108 @@ object EventOps2 {
         .orderBy("user_id", "event_id")
     })
 
-  val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma)
+  /** Event-transition matrix (first-order Markov counts): per user the
+    * ts-ordered event sequence yields (from → to) transition counts and
+    * the per-from totals. One user-keyed window (lag) + one hash agg;
+    * shares are left as exact integer (n, tot) pairs — a ratio column
+    * would be n/tot anyway, and exact integers hash portably where a
+    * rounded double could tie-break differently per engine. */
+  val q113_transition_matrix = Q(
+    "q113_transition_matrix",
+    Some("""WITH s AS (
+            |  SELECT user_id, event_type,
+            |    lead(event_type) OVER (PARTITION BY user_id
+            |      ORDER BY epoch_us(ts), event_id) AS next_type
+            |  FROM events),
+            |t AS (
+            |  SELECT event_type AS from_type, next_type AS to_type,
+            |    CAST(count(*) AS BIGINT) AS n
+            |  FROM s WHERE next_type IS NOT NULL
+            |  GROUP BY 1, 2)
+            |SELECT from_type, to_type, n,
+            |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+            |FROM t
+            |ORDER BY from_type, to_type""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      t.withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("long"))
+        .orderBy("from_type", "to_type")
+    })
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; n_users active per (cohort, week offset). The cohort frame is
+    * one per-user min agg; activity is a distinct (user, week) projection
+    * joined back — both shuffles key on user_id. Monday-start weeks and
+    * integer day arithmetic are identical in both engines. */
+  val q114_retention_cohorts = Q(
+    "q114_retention_cohorts",
+    Some("""WITH u AS (
+            |  SELECT user_id,
+            |    CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cw
+            |  FROM events GROUP BY user_id),
+            |e AS (
+            |  SELECT DISTINCT user_id,
+            |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+            |  FROM events)
+            |SELECT u.cw AS cohort_week, CAST((e.w - u.cw) // 7 AS BIGINT) AS week_offset,
+            |  CAST(count(*) AS BIGINT) AS n_users
+            |FROM e JOIN u ON u.user_id = e.user_id
+            |GROUP BY 1, 2
+            |ORDER BY cohort_week, week_offset""".stripMargin),
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"))
+      val u = days.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("day")))).as("cw"))
+      val e = days
+        .select(col("user_id"), to_date(date_trunc("week", col("day"))).as("w"))
+        .distinct()
+      e.join(u, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    })
+
+  /** Rolling 7-day distinct users per day (the WAU curve): exact distinct
+    * over a trailing VALUE window. Neither engine supports
+    * count(DISTINCT) in a window frame, and a per-day set union doesn't
+    * decompose — the scalable exact form is the day-band join: the tiny
+    * distinct day spine broadcasts against the distinct (day, user)
+    * projection (≤ 7× replication), then one hash distinct-count per day.
+    * (The approximate path at extreme scale is mergeable HLL per day —
+    * q54's family; this is the exact complement.) */
+  val q116_rolling_distinct = Q(
+    "q116_rolling_distinct",
+    Some("""WITH du AS (
+            |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            |days AS (SELECT DISTINCT day FROM du)
+            |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+            |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            |GROUP BY d.day
+            |ORDER BY d.day""".stripMargin),
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+          col("user_id"))
+        .distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.join(broadcast(days),
+          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+        .groupBy(col("d").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    })
+
+  val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma,
+    q113_transition_matrix, q114_retention_cohorts, q116_rolling_distinct)
 }

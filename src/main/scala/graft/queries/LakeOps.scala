@@ -90,5 +90,68 @@ object LakeOps {
         .orderBy("user_id", "vfrom", "event_id")
     })
 
-  val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals)
+  /** Schema-evolution union: two snapshot generations of the same table
+    * with drifted schemas — v2 renamed nothing but DROPPED a column and
+    * ADDED one — merged by COLUMN NAME with null fill
+    * (unionByName(allowMissingColumns), the lakehouse schema-merge read
+    * path; positional UNION would mis-align or reject). Narrow transform:
+    * row growth only, no shuffle before the final sort. */
+  val q118_schema_evolution = Q(
+    "q118_schema_evolution",
+    Some("""SELECT o_orderkey, 1 AS gen, o_orderstatus,
+            |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+            |  CAST(NULL AS VARCHAR) AS priority_class
+            |FROM orders WHERE o_orderkey % 10 < 5
+            |UNION ALL
+            |SELECT o_orderkey, 2 AS gen, o_orderstatus,
+            |  CAST(NULL AS DOUBLE) AS o_totalprice,
+            |  substr(o_orderpriority, 1, 1) AS priority_class
+            |FROM orders WHERE o_orderkey % 10 >= 5
+            |ORDER BY o_orderkey""".stripMargin),
+    (s, d) => {
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 10 < 5)
+        .select(col("o_orderkey"), lit(1).as("gen"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 10 >= 5)
+        .select(col("o_orderkey"), lit(2).as("gen"), col("o_orderstatus"),
+          substring(col("o_orderpriority"), 1, 1).as("priority_class"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select("o_orderkey", "gen", "o_orderstatus", "o_totalprice",
+          "priority_class")
+        .orderBy("o_orderkey")
+    })
+
+  /** Order-independent table checksum (anti-entropy audit): per source,
+    * the exact integer SUM of each row's 52-bit md5 fingerprint over a
+    * canonical field serialization. Sum-of-hashes commutes, so the
+    * checksum is identical under any partitioning, engine, or row order —
+    * two replicas (or a migration source/target) compare one row per
+    * source instead of the data. One scan + one hash agg; the 52-bit
+    * span keeps 2^63/2^52 ≈ 2000× headroom per group before overflow
+    * (chunk by group count beyond that). */
+  val q119_table_checksum = Q(
+    "q119_table_checksum", {
+      val row = "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || " +
+        "'|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)"
+      val fp = graft.functions.TextFunctions.hexSpanValSql(s"md5($row)", 0, 13)
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum($fp) AS BIGINT) AS checksum
+              |FROM documents
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    },
+    (s, d) => {
+      val row = concat_ws("|", col("doc_id").cast("string"), col("lang"),
+        col("source"), col("n_chars").cast("string"), md5(col("text")))
+      val fp = graft.functions.TextFunctions.hexSpanValSql("__h", 0, 13)
+      Tables.documents(s, d)
+        .withColumn("__h", md5(row))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(fp)).as("checksum"))
+        .orderBy("source")
+    })
+
+  val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
+    q118_schema_evolution, q119_table_checksum)
 }

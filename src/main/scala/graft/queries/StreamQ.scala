@@ -210,6 +210,23 @@ object StreamQ {
         .orderBy("event_id")
     })
 
+  /** Streaming exact dedup replay equivalence: the event stream UNIONED
+    * WITH ITSELF (every record arrives twice, as a replayed/at-least-once
+    * source would deliver) through stateful dropDuplicates on the event
+    * key must equal the batch DISTINCT — the idempotence property that
+    * turns at-least-once delivery into exactly-once results. Fifth
+    * member of the replay-equivalence family. */
+  val q120_stream_dedup = Q(
+    "q120_stream_dedup",
+    Some("""SELECT DISTINCT event_id, user_id FROM events
+            |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      def side() = eventStream(s, d).select(col("event_id"), col("user_id"))
+      val deduped = side().union(side()).dropDuplicates("event_id")
+      runToSink(deduped, "q120_sink")
+        .orderBy("event_id")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
-    q92_stream_windows, q112_stream_static_enrich)
+    q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup)
 }

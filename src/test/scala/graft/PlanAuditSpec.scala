@@ -124,6 +124,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p90, "Exchange hashpartitioning") == 1, p90)
   }
 
+  test("q99: EXISTS/NOT EXISTS decorrelate to one semi + one anti join") {
+    val p = plan("q99_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(countOf(p, "BroadcastHashJoin") == 2, p)
+  }
+
+  test("q100: LATERAL with LIMIT decorrelates to a rank group-limit, not a per-row subquery") {
+    val p = plan("q100_lateral_join")
+    // WindowGroupLimit = the top-k-per-group pushdown; a naive plan would
+    // be a nested-loop over customers
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: hopping windows are Expand + ONE data shuffle (no self-join)") {
+    val p = plan("q103_hopping_window")
+    assert(p.contains("Expand"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q105: EWMA is a window fold — no self-join anywhere") {
+    val p = plan("q105_ewma")
+    assert(countOf(p, "Window") >= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q107: prefix-join verify uses the codegen'd sorted intersect") {
+    val p = plan("q107_prefix_jaccard_join")
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+
+  test("q110: sparse retrieval broadcasts probes; the corpus index never moves for them") {
+    val p = plan("q110_sparse_cosine")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+  }
+
+  test("q111: JPEG construct+parse is pure scan-side (zero data shuffles)") {
+    val p = plan("q111_jpeg_dims")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("jpeg_sof_dims"), p)
+  }
+
   test("q36: LSH signature/verify never ships raw shingle strings") {
     // the persisted signature frame carries only md5'd shingles (hs);
     // the raw token/shingle arrays must be consumed inside the scan stage
