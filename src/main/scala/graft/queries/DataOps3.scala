@@ -136,5 +136,96 @@ object DataOps3 {
         .orderBy("o_custkey")
     })
 
-  val all: Seq[Q] = Seq(q110_sparse_cosine, q115_golden_record)
+  private val PipeQuota = 25
+  private val MinToks = 50
+  private val MaxToks = 1000
+
+  /** The composed training-data assembly pipeline, end to end in ONE
+    * oracle-checked entry: exact dedup (q34's deterministic keeper) →
+    * quality gate (token-count band + Gopher repetition rule, expressed
+    * in EXACT INTEGER form 5·(ng−nd) ≤ ng so no double threshold exists)
+    * → content-hash split (q60's decontamination-stable buckets) →
+    * per-(split, source) quota (q61/q83's replayable md5 draw) →
+    * per-cell counts, token mass, and the q119 checksum of surviving
+    * doc_ids. Each stage is the already-oracle-checked rule; this entry
+    * proves the COMPOSITION — the thing a user actually runs — stays
+    * deterministic: same keepers, same gates, same splits, same draws,
+    * on any cluster at any scale. Shuffle budget: dedup agg + semi join,
+    * one quota window, one final agg — everything else is scan-side. */
+  val q122_curation_pipeline = Q(
+    "q122_curation_pipeline", {
+      val bucket = s"(${hexSpanValSql("h", 0, 6)} % 100)"
+      val fp = hexSpanValSql("ch", 0, 13)
+      Some(s"""WITH keep AS (
+              |  SELECT doc_id, text, source,
+              |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |toks AS (
+              |  SELECT doc_id, text, source, string_split(text, ' ') AS ts
+              |  FROM keep WHERE rn = 1),
+              |q AS (
+              |  SELECT doc_id, text, source, len(ts) AS n_toks,
+              |    greatest(len(ts) - 2, 0) AS ng,
+              |    len(list_distinct(list_transform(
+              |      range(1, greatest(len(ts) - 1, 1)),
+              |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS nd
+              |  FROM toks),
+              |gated AS (
+              |  SELECT doc_id, md5(text) AS h, source, n_toks FROM q
+              |  WHERE n_toks BETWEEN $MinToks AND $MaxToks
+              |    AND 5 * (ng - nd) <= ng),
+              |sp AS (
+              |  SELECT doc_id, source, n_toks,
+              |    CASE WHEN $bucket < 80 THEN 'train'
+              |         WHEN $bucket < 90 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM gated),
+              |quota AS (
+              |  SELECT split, source, doc_id, n_toks,
+              |    ROW_NUMBER() OVER (PARTITION BY split, source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+              |  FROM sp)
+              |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum($fp) AS BIGINT) AS checksum
+              |FROM (SELECT split, source, n_toks,
+              |        md5(CAST(doc_id AS VARCHAR)) AS ch
+              |      FROM quota WHERE qr <= $PipeQuota) t
+              |GROUP BY split, source
+              |ORDER BY split, source""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+      val keepIds = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id"))
+      val kept = docs.join(keepIds,
+        docs("doc_id") === keepIds("keep_id"), "left_semi")
+      val gated = kept
+        .withColumn("ts", TextFunctions.tokens(col("text")))
+        .withColumn("n_toks", size(col("ts")))
+        .withColumn("ng", greatest(size(col("ts")) - 2, lit(0)))
+        .withColumn("nd",
+          size(array_distinct(TextFunctions.shingles(col("ts"), 3))))
+        .filter(col("n_toks").between(MinToks, MaxToks) &&
+          lit(5) * (col("ng") - col("nd")) <= col("ng"))
+        .withColumn("h", md5(col("text")))
+      val bucket = expr(s"(${hexSpanValSql("h", 0, 6)} % 100)")
+      val sp = gated.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("split", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      sp.withColumn("qr", row_number().over(w))
+        .filter(col("qr") <= PipeQuota)
+        .withColumn("ch", md5(col("doc_id").cast("string")))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"),
+          sum(expr(hexSpanValSql("ch", 0, 13))).as("checksum"))
+        .orderBy("split", "source")
+    })
+
+  val all: Seq[Q] = Seq(q110_sparse_cosine, q115_golden_record,
+    q122_curation_pipeline)
 }

@@ -196,6 +196,50 @@ object QualityOps {
         .orderBy("event_type")
     })
 
+  /** Column profiling report (the dataset-card staple): per column, row
+    * count, null count, exact distinct count, and min/max rendered
+    * through engine-portable types (DECIMAL(18,2) / DATE before the
+    * string cast — raw double/timestamp formatting differs between
+    * engines). ONE scan computes every statistic (q91's stack pattern:
+    * a profile column costs a column, not a scan); the oracle spells the
+    * same stats as per-column selects. */
+  val q121_profile = Q(
+    "q121_profile", {
+      def row(c: String, v: String) =
+        s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) - count($v) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $v) AS BIGINT) AS n_distinct,
+           |  CAST(min($v) AS VARCHAR) AS min_v, CAST(max($v) AS VARCHAR) AS max_v
+           |FROM orders""".stripMargin
+      Some(Seq(
+        row("o_orderstatus", "o_orderstatus"),
+        row("o_orderpriority", "o_orderpriority"),
+        row("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        row("o_orderdate", "CAST(o_orderdate AS DATE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col"))
+    },
+    (s, d) => {
+      val cols = Seq(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)"),
+        "o_orderdate" -> to_date(col("o_orderdate")))
+      val aggs = cols.flatMap { case (name, c) => Seq(
+        count(lit(1)).as(s"${name}__n"),
+        (count(lit(1)) - count(c)).cast("long").as(s"${name}__nn"),
+        count_distinct(c).as(s"${name}__nd"),
+        min(c).cast("string").as(s"${name}__mn"),
+        max(c).cast("string").as(s"${name}__mx"))
+      }
+      val stackArgs = cols.map { case (name, _) =>
+        s"'$name', ${name}__n, ${name}__nn, ${name}__nd, ${name}__mn, ${name}__mx"
+      }.mkString(",\n  ")
+      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${cols.size},\n  $stackArgs) AS (col, n, n_null, n_distinct, min_v, max_v)"))
+        .orderBy("col")
+    })
+
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
-    q91_dq_checks, q97_bivariate_stats, q98_mad)
+    q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile)
 }

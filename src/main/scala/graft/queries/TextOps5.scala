@@ -93,16 +93,19 @@ object TextOps5 {
         .filter(size(col("hs")) > 0)
         .withColumn("sh", sort_array(col("hs")))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      val post = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-      val df = post.groupBy("h").agg(count(lit(1)).as("df"))
-      // global order: rarest first, md5 tiebreak — shared by every doc
-      val ordered = post.join(df, "h")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("oh"))
-        .select(col("doc_id"),
-          expr(s"slice(transform(oh, x -> x.h), 1, " +
-            s"size(oh) - CAST(ceil($JacT * size(oh)) AS INT) + 1)").as("prefix"))
-      val idx = ordered.select(col("doc_id"), explode(col("prefix")).as("h"))
+      // Global order = lexicographic md5: the prefix theorem needs only a
+      // SHARED total order, and the sets are already md5-sorted for the
+      // two-pointer verify — so the prefix is a scan-side slice, zero
+      // extra shuffles. (Classic PPJoin orders rarest-first to shrink
+      // postings lists; that is a performance heuristic for df-skewed
+      // shingle distributions — it costs a df aggregation + join + per-doc
+      // re-sort, which measured 2-3× the whole query here, where near-all
+      // shingles have df 1. On a df-skewed corpus, plug the df order back
+      // in ahead of the slice.)
+      val idx = sets
+        .select(col("doc_id"), explode(expr(
+          s"slice(sh, 1, size(sh) - CAST(ceil($JacT * size(sh)) AS INT) + 1)"))
+          .as("h"))
       val cand = idx.toDF("doc_a", "h")
         .join(idx.toDF("doc_b", "h"), "h")
         .filter(col("doc_a") < col("doc_b"))

@@ -88,4 +88,48 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     assert(native.exceptAll(generic).count() == 0)
     assert(generic.exceptAll(native).count() == 0)
   }
+
+  test("jpeg_sof_dims: arbitrary bytes never throw; valid-by-construction streams always parse") {
+    import spark.implicits._
+    // adversarial: random bytes, random bytes behind a real SOI, lone
+    // markers, length fields pointing past the payload
+    val fuzz: List[Array[Byte]] =
+      Gen.listOfN(200, Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray)).sample.get ++
+      Gen.listOfN(100, Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(bs => Array(0xFF.toByte, 0xD8.toByte) ++ bs)).sample.get
+    val fuzzed = fuzz.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+      .select(graft.operators.Multimodal.jpegDims(col("content")).as("d"))
+      .collect() // must not throw
+    assert(fuzzed.length == fuzz.length)
+    // valid streams: SOI + k APP segments with random even payloads + SOF0
+    val segGen = for {
+      n <- Gen.chooseNum(0, 40)
+      body <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield Array(0xFF.toByte, 0xE1.toByte,
+      ((n + 2) >> 8).toByte, ((n + 2) & 0xFF).toByte) ++ body
+    val validGen = for {
+      segs <- Gen.listOf(segGen)
+      w <- Gen.chooseNum(1, 65535)
+      h <- Gen.chooseNum(1, 65535)
+    } yield {
+      val sof = Array(0xFF, 0xC0, 0x00, 0x09, 0x08,
+        h >> 8, h & 0xFF, w >> 8, w & 0xFF, 0x01, 0x11).map(_.toByte)
+      (w, h, Array(0xFF.toByte, 0xD8.toByte) ++ segs.flatten ++ sof ++
+        Array(0xFF.toByte, 0xD9.toByte))
+    }
+    val valid = Gen.listOfN(150, validGen).sample.get
+    val parsed = valid.zipWithIndex
+      .map { case ((w, h, b), i) => (i.toLong, w, h, b) }
+      .toDF("id", "w", "h", "content")
+      .select(col("w"), col("h"),
+        graft.operators.Multimodal.jpegDims(col("content")).as("d"))
+      .collect()
+    parsed.foreach { r =>
+      assert(!r.isNullAt(2), r.toString)
+      assert(r.getStruct(2).getInt(0) == r.getInt(0), r.toString)
+      assert(r.getStruct(2).getInt(1) == r.getInt(1), r.toString)
+    }
+  }
 }
