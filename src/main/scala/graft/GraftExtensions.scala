@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim,
-  DotProduct, Md5Shingles, SimhashBits, SlidingMins, SortedIntersectCount}
+  DotProduct, JpegSofDims, Md5Shingles, SimhashBits, SlidingMins,
+  SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so a pure-SQL user (spark.sql, JDBC,
@@ -104,6 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sliding_mins(a, w) takes two arguments")
         SlidingMins(args(0), intArg("sliding_mins", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("jpeg_sof_dims"),
+      info("jpeg_sof_dims",
+        "jpeg_sof_dims(payload) - struct(width, height) from a JPEG's SOF header, NULL if absent/corrupt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "jpeg_sof_dims(payload) takes one argument")
+        JpegSofDims(args(0))
       }))
   }
 }

@@ -196,7 +196,14 @@ object DataOps3 {
     },
     (s, d) => {
       import graft.functions.TextFunctions
-      val docs = Tables.documents(s, d)
+      val raw = Tables.documents(s, d)
+      // single-file inputs serialize the shingle stage on one partition
+      // (q36's gate) — spread before the scan-side quality arithmetic
+      val sc = s.sparkContext
+      val docs =
+        if (raw.inputFiles.length * 2 <= sc.defaultParallelism)
+          raw.repartition(sc.defaultParallelism, col("doc_id"))
+        else raw
       val keepIds = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id"))
       val kept = docs.join(keepIds,
@@ -205,8 +212,11 @@ object DataOps3 {
         .withColumn("ts", TextFunctions.tokens(col("text")))
         .withColumn("n_toks", size(col("ts")))
         .withColumn("ng", greatest(size(col("ts")) - 2, lit(0)))
-        .withColumn("nd",
-          size(array_distinct(TextFunctions.shingles(col("ts"), 3))))
+        // the fused native shingle op returns DISTINCT md5'd shingles, so
+        // its size IS the distinct count — one pass, no intermediate
+        // string arrays (md5 injectivity, parity-spec'd vs the composed
+        // form the oracle replays)
+        .withColumn("nd", size(TextFunctions.md5Shingles(col("ts"), 3)))
         .filter(col("n_toks").between(MinToks, MaxToks) &&
           lit(5) * (col("ng") - col("nd")) <= col("ng"))
         .withColumn("h", md5(col("text")))

@@ -87,12 +87,24 @@ object TextOps5 {
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
       import graft.functions.TextFunctions
-      val sets = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      // parallelism aid for single-file inputs (q36's gate): the shingle
+      // hashing is the per-char-md5 hot stage and must not serialize on
+      // one scan partition
+      val sc = s.sparkContext
+      val spread =
+        if (docs.inputFiles.length * 2 <= sc.defaultParallelism)
+          docs.repartition(sc.defaultParallelism, col("doc_id"))
+        else docs
+      // persisted: the set frame feeds the prefix index AND both verify
+      // sides — without it the shingle hashing re-executes per branch
+      val sets = spread
         .select(col("doc_id"),
           TextFunctions.md5Shingles(split(col("text"), " "), JacN).as("hs"))
         .filter(size(col("hs")) > 0)
         .withColumn("sh", sort_array(col("hs")))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Global order = lexicographic md5: the prefix theorem needs only a
       // SHARED total order, and the sets are already md5-sorted for the
       // two-pointer verify — so the prefix is a scan-side slice, zero

@@ -74,6 +74,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextFunctions.simhashOf(split(col("text"), " "), 16))
       .head().getLong(0)
     assert(r.getLong(2) == viaColumn)
+    // jpeg_sof_dims from SQL: minimal SOI + SOF0 stream parses 2x1
+    val j = spark.sql(
+      """SELECT jpeg_sof_dims(
+        |  unhex('FFD8FFC0000908000100020111FFD9')) AS d""".stripMargin).head()
+    assert(j.getStruct(0).getInt(0) == 2, j.toString)
+    assert(j.getStruct(0).getInt(1) == 1, j.toString)
   }
 
   test("KafkaSource.options builds the live-source contract") {
