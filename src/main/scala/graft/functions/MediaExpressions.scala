@@ -45,6 +45,9 @@ case class JpegSofDims(child: Expression)
       if ((b(pos) & 0xFF) != 0xFF) return null // lost sync: not a marker
       // optional fill bytes: a marker may be preceded by extra 0xFFs
       while (pos + 2 < b.length && (b(pos + 1) & 0xFF) == 0xFF) pos += 1
+      // the fill run may have consumed the outer guard's headroom (e.g.
+      // FF D8 FF FF FF E0): the default branch below reads pos+2/pos+3
+      if (pos + 3 >= b.length) return null // truncated at a marker
       (b(pos + 1) & 0xFF) match {
         case 0xD8 | 0x01 => pos += 2                  // spurious SOI / TEM
         case m if m >= 0xD0 && m <= 0xD7 => pos += 2  // RSTn: standalone

@@ -33,18 +33,8 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15): DataFrame = {
-    // Local-mode parallelism aid only: one small parquet file = one input
-    // partition, which would serialize the md5 hashing stage. On a real
-    // cluster file counts already provide parallelism, so gate the shuffle
-    // on the input actually being under-partitioned. File count stands in
-    // for partition count (cheap driver-side listing — no .rdd conversion);
-    // non-file-backed frames (inputFiles empty) get the spread, which only
-    // costs a shuffle of data small enough to live in memory anyway.
-    val sc = docs.sparkSession.sparkContext
-    val spread =
-      if (docs.inputFiles.length * 2 <= sc.defaultParallelism)
-        docs.repartition(sc.defaultParallelism, col(idCol))
-      else docs
+    // parallelism aid for the md5 hashing stage (see operators/Spread)
+    val spread = Spread.byKey(docs, idCol)
     // Only the md5'd shingle set travels: every downstream use (signature
     // rotations, set sizes, exact-Jaccard verify) is invariant under the
     // injective per-shingle md5, and 32-char fixed-width hashes are far

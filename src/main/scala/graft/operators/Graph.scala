@@ -33,9 +33,13 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both frames feed every iteration's lineage — without the persist
+    // the edge distinct/degree agg re-executes once per iteration
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-    val n = nodes.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // also materializes the nodes cache
     var pr = nodes.withColumn("pr", lit(1.0) / n)
     for (_ <- 0 until iters) {
       val sums = withDeg

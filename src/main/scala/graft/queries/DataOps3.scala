@@ -196,14 +196,8 @@ object DataOps3 {
     },
     (s, d) => {
       import graft.functions.TextFunctions
-      val raw = Tables.documents(s, d)
-      // single-file inputs serialize the shingle stage on one partition
-      // (q36's gate) — spread before the scan-side quality arithmetic
-      val sc = s.sparkContext
-      val docs =
-        if (raw.inputFiles.length * 2 <= sc.defaultParallelism)
-          raw.repartition(sc.defaultParallelism, col("doc_id"))
-        else raw
+      // parallelism aid for the shingle-gate stage (see operators/Spread)
+      val docs = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
       val keepIds = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id"))
       val kept = docs.join(keepIds,

@@ -14,8 +14,9 @@ import graft.queries.Q.{asDouble, dec}
   */
 object EventOps2 {
 
-  private val SlideUs = 300000000L // 5 minutes
-  private val LenUs = 600000000L   // 10 minutes (= 2 slides)
+  private val SlideMinutes = 5
+  private val LenMinutes = 10 // = 2 slides: each event lands in 2 windows
+  private val SlideUs = SlideMinutes * 60000000L
 
   /** Hopping-window aggregation: 10-minute windows every 5 minutes, so
     * each event lands in exactly len/slide = 2 windows. Spark's window()
@@ -40,7 +41,8 @@ object EventOps2 {
             |ORDER BY w_start_us""".stripMargin),
     (s, d) => Tables.events(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ets"), col("value"))
-      .groupBy(window(col("ets"), "10 minutes", "5 minutes").as("w"))
+      .groupBy(window(col("ets"), s"$LenMinutes minutes",
+        s"$SlideMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value")))).as("sum_value"))
       .select(unix_micros(col("w.start")).as("w_start_us"), col("n"),
         col("sum_value"))
@@ -261,8 +263,14 @@ object EventOps2 {
           col("user_id"))
         .distinct()
       val days = du.select(col("day").as("d")).distinct()
-      du.join(broadcast(days),
-          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      // true ≤7× expansion: each activity day contributes to the 7 spine
+      // days it can fall in, then an EQUI join keeps only real spine days
+      // — a theta band join would plan as a nested-loop testing every
+      // (activity, spine-day) pair
+      du.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), expr("date_add(day, off)").as("d"))
+        .join(broadcast(days), "d")
         .groupBy(col("d").as("day"))
         .agg(count_distinct(col("user_id")).as("wau"))
         .orderBy("day")

@@ -126,13 +126,21 @@ object LakeOps {
     * canonical field serialization. Sum-of-hashes commutes, so the
     * checksum is identical under any partitioning, engine, or row order —
     * two replicas (or a migration source/target) compare one row per
-    * source instead of the data. One scan + one hash agg; the 52-bit
-    * span keeps 2^63/2^52 ≈ 2000× headroom per group before overflow
-    * (chunk by group count beyond that). */
+    * source instead of the data. The serialization is NULL-INJECTIVE:
+    * fields are coalesced to '' and a trailing null bitmap disambiguates
+    * (NULL, 'x') from ('x', NULL) and from ('', 'x') — a bare || chain
+    * would null out and silently DROP rows from the audit, and
+    * concat_ws would erase field boundaries. One scan + one hash agg;
+    * the 52-bit span keeps 2^63/2^52 ≈ 2000× headroom per group before
+    * overflow (chunk by group count beyond that). */
   val q119_table_checksum = Q(
     "q119_table_checksum", {
-      val row = "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || " +
-        "'|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)"
+      def f(c: String) = s"coalesce(CAST($c AS VARCHAR), '')"
+      def b(c: String) = s"(CASE WHEN $c IS NULL THEN '1' ELSE '0' END)"
+      val row = s"${f("doc_id")} || '|' || ${f("lang")} || '|' || " +
+        s"${f("source")} || '|' || ${f("n_chars")} || '|' || " +
+        s"coalesce(md5(text), '') || '#' || ${b("doc_id")} || ${b("lang")} || " +
+        s"${b("source")} || ${b("n_chars")} || ${b("text")}"
       val fp = graft.functions.TextFunctions.hexSpanValSql(s"md5($row)", 0, 13)
       Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
               |  CAST(sum($fp) AS BIGINT) AS checksum
@@ -141,8 +149,15 @@ object LakeOps {
               |ORDER BY source""".stripMargin)
     },
     (s, d) => {
-      val row = concat_ws("|", col("doc_id").cast("string"), col("lang"),
-        col("source"), col("n_chars").cast("string"), md5(col("text")))
+      def f(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
+      def b(c: org.apache.spark.sql.Column) =
+        when(c.isNull, lit("1")).otherwise(lit("0"))
+      val row = concat(
+        f(col("doc_id")), lit("|"), f(col("lang")), lit("|"),
+        f(col("source")), lit("|"), f(col("n_chars")), lit("|"),
+        coalesce(md5(col("text")), lit("")), lit("#"),
+        b(col("doc_id")), b(col("lang")), b(col("source")),
+        b(col("n_chars")), b(col("text")))
       val fp = graft.functions.TextFunctions.hexSpanValSql("__h", 0, 13)
       Tables.documents(s, d)
         .withColumn("__h", md5(row))
@@ -152,6 +167,36 @@ object LakeOps {
         .orderBy("source")
     })
 
+  /** JSONL export/import round trip (the interchange format every
+    * training-data pipeline speaks): a projection is written as
+    * newline-delimited JSON, read back under an explicit schema, and
+    * re-aggregated. The RETURNED numbers have passed through the JSON
+    * text, while the oracle computes the same aggregate from the parquet
+    * table — so a lossy export (type coercion, encoding, truncation)
+    * flips the hash. The export dir is keyed on the sf dir: a shared
+    * fixed path would let a bench/smoke run at another scale overwrite
+    * the files between this query's write and read. */
+  val q125_jsonl_roundtrip = Q(
+    "q125_jsonl_roundtrip",
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM documents
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+    (s, d) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+      val out = s"/tmp/graft_jsonl_export/$key"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, source STRING, n_chars LONG").json(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
-    q118_schema_evolution, q119_table_checksum)
+    q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip)
 }

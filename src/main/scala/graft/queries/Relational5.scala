@@ -116,6 +116,46 @@ object Relational5 {
       s.sql(rankSql)
     })
 
+  /** Ordered string aggregation (listagg/group_concat): distinct order
+    * statuses per priority, sorted then joined — the ORDER makes the
+    * concatenation deterministic (bare listagg output depends on
+    * arrival order and is unusable for a hash contract). */
+  val q123_string_agg = Q(
+    "q123_string_agg",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+            |    AS statuses
+            |FROM orders
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin),
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+      .orderBy("o_orderpriority"))
+
+  /** Multi-match regex extraction: every ≥8-char word per document, as
+    * count + lexicographic min — regexp_extract_all is the scan-side
+    * tokenizer surface (one pass, array out, no explode needed for
+    * aggregate views of the matches). */
+  val q124_regexp_extract_all = Q(
+    "q124_regexp_extract_all",
+    Some("""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT)
+            |    AS n_long,
+            |  list_min(regexp_extract_all(text, '[a-z]{8,}')) AS first_long
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).cast("long")
+          .as("n_long"),
+        array_min(expr("regexp_extract_all(text, '[a-z]{8,}', 0)"))
+          .as("first_long"))
+      .orderBy("doc_id"))
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
-    q101_median_mode, q102_rank_ratios)
+    q101_median_mode, q102_rank_ratios, q123_string_agg,
+    q124_regexp_extract_all)
 }

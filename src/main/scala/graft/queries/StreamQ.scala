@@ -90,10 +90,14 @@ object StreamQ {
             |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
             |ORDER BY click_id, purchase_id""".stripMargin),
     (s, d) => {
-      def side(tpe: String) = eventStream(s, d)
-        .filter(col("event_type") === tpe)
-        .select(col("event_id"), col("user_id"),
+      // ONE streaming source, two filtered branches (a self-join): two
+      // independent sources would each track offsets and re-read the
+      // input per micro-batch — the shared source halves the fixed cost
+      val base = eventStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
           expr("timestamp_micros(ts div 1000)").as("ets"))
+      def side(tpe: String) = base.filter(col("event_type") === tpe)
+        .select("event_id", "user_id", "ets")
       val joined = StreamingOps.intervalJoin(
         side("click"), side("purchase"), "user_id",
         horizon = "1 hour", watermark = "2 hours", tsCol = "ets")

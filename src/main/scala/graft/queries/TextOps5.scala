@@ -87,15 +87,8 @@ object TextOps5 {
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
       import graft.functions.TextFunctions
-      val docs = Tables.documents(s, d)
-      // parallelism aid for single-file inputs (q36's gate): the shingle
-      // hashing is the per-char-md5 hot stage and must not serialize on
-      // one scan partition
-      val sc = s.sparkContext
-      val spread =
-        if (docs.inputFiles.length * 2 <= sc.defaultParallelism)
-          docs.repartition(sc.defaultParallelism, col("doc_id"))
-        else docs
+      // parallelism aid for the shingle-hash stage (see operators/Spread)
+      val spread = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
       // persisted: the set frame feeds the prefix index AND both verify
       // sides — without it the shingle hashing re-executes per branch
       val sets = spread

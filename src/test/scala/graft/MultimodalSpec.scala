@@ -120,8 +120,11 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated mid-segment
     val trunc = jpg("FFD8" + "FFE00010AABB")
     val notJpeg = jpg("89504E47")
+    // fill bytes running into the tail: the padding run consumes the
+    // bounds headroom and the length read would go past the array
+    val fillTail = jpg("FFD8" + "FFFFFFE0")
     val rows = Seq((1L, good), (2L, withRst), (3L, sosFirst), (4L, trunc),
-        (5L, notJpeg))
+        (5L, notJpeg), (6L, fillTail))
       .toDF("id", "content")
       .select(col("id"), Multimodal.jpegDims(col("content")).as("d"))
       .orderBy("id").collect()
@@ -131,6 +134,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
     assert(rows(3).isNullAt(1))
     assert(rows(4).isNullAt(1))
+    assert(rows(5).isNullAt(1))
   }
 
   test("frame sampling emits k deterministic offsets per video item") {
