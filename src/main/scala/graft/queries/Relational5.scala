@@ -155,7 +155,54 @@ object Relational5 {
           .as("first_long"))
       .orderBy("doc_id"))
 
+  /** Window navigation family: nth_value (null until the frame holds n
+    * rows — the default RANGE frame is shared by both engines), lag with
+    * an explicit default, and lead IGNORE NULLS skipping masked rows.
+    * Only the IGNORE NULLS placement differs (DuckDB: inside the call;
+    * Spark: after it); one window shuffle. */
+  private def navSql(leadExpr: String) =
+    s"""SELECT s_nationkey, s_suppkey,
+       |  nth_value(s_suppkey, 2) OVER w AS second_key,
+       |  lag(s_suppkey, 2, -1) OVER w AS lag2_key,
+       |  $leadExpr OVER w AS next_mult3
+       |FROM supplier
+       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+       |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
+  private val navCase = "CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey END"
+
+  val q126_window_nav = Q(
+    "q126_window_nav",
+    Some(navSql(s"lead($navCase IGNORE NULLS)")),
+    (s, d) => {
+      Tables.views(s, d, "supplier")
+      s.sql(navSql(s"lead($navCase) IGNORE NULLS"))
+    })
+
+  /** Aggregate FILTER clause — per-group conditional aggregation without
+    * CASE scaffolding (and unlike q19's CASE form, FILTER composes with
+    * count(DISTINCT)). Identical SQL on both engines; one hash agg. */
+  private val filterSql =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+      |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+      |    AS BIGINT) AS n_disc_supp,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val q127_agg_filter = Q(
+    "q127_agg_filter",
+    Some(filterSql),
+    (s, d) => {
+      Tables.views(s, d, "lineitem")
+      s.sql(filterSql)
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
-    q124_regexp_extract_all)
+    q124_regexp_extract_all, q126_window_nav, q127_agg_filter)
 }

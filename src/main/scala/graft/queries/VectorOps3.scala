@@ -26,41 +26,46 @@ object VectorOps3 {
     s"list_sum(list_transform(generate_series(1, $L), " +
       s"j -> qv[${s * L} + j] * b$s.cv[${s * L} + j]))"
 
+  /** The q78 ADC serving query as replayed SQL (DuckDB cannot correlate
+    * an outer table into a lambda inside a scalar subquery — the
+    * per-subspace argmin is a cross join + row_number instead, the q56
+    * assignment idiom). Shared by q78 (LIMIT 5) and q128's first stage
+    * (LIMIT 20 candidate pool). */
+  private def adcQuerySql(limit: Int): String = {
+    val encCtes = (0 until M).map(s =>
+      s"""r$s AS (
+         |  SELECT e.vec_id, cb.code, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${l2SliceSql(s)}, 6) ASC, cb.code) AS rn
+         |  FROM e CROSS JOIN cb WHERE e.vec_id <> 0),
+         |k$s AS (SELECT vec_id, code AS code_$s FROM r$s WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val encJoins = (0 until M).map(s =>
+      s"JOIN k$s ON e.vec_id = k$s.vec_id").mkString(" ")
+    val joins = (0 until M).map(s =>
+      s"JOIN cb b$s ON enc.code_$s = b$s.code").mkString("\n  ")
+    val adc = (0 until M).map(dotSliceSql).mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $NCodes),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |$encCtes,
+       |enc AS (
+       |  SELECT e.vec_id, e.label,
+       |    ${(0 until M).map(s => s"code_$s").mkString(", ")}
+       |  FROM e $encJoins)
+       |SELECT enc.vec_id, enc.label,
+       |  ${(0 until M).map(s => s"enc.code_$s").mkString(", ")},
+       |  round($adc, 6) AS adc
+       |FROM enc
+       |  $joins
+       |  CROSS JOIN q
+       |ORDER BY adc DESC, vec_id
+       |LIMIT $limit""".stripMargin
+  }
+
   val q78_pq_adc = Q(
-    "q78_pq_adc", {
-      // DuckDB cannot correlate an outer table into a lambda inside a
-      // scalar subquery — the per-subspace argmin is a cross join +
-      // row_number instead (the q56 assignment idiom)
-      val encCtes = (0 until M).map(s =>
-        s"""r$s AS (
-           |  SELECT e.vec_id, cb.code, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |    ORDER BY round(${l2SliceSql(s)}, 6) ASC, cb.code) AS rn
-           |  FROM e CROSS JOIN cb WHERE e.vec_id <> 0),
-           |k$s AS (SELECT vec_id, code AS code_$s FROM r$s WHERE rn = 1)""".stripMargin)
-        .mkString(",\n")
-      val encJoins = (0 until M).map(s =>
-        s"JOIN k$s ON e.vec_id = k$s.vec_id").mkString(" ")
-      val joins = (0 until M).map(s =>
-        s"JOIN cb b$s ON enc.code_$s = b$s.code").mkString("\n  ")
-      val adc = (0 until M).map(dotSliceSql).mkString(" + ")
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-              |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < $NCodes),
-              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-              |$encCtes,
-              |enc AS (
-              |  SELECT e.vec_id, e.label,
-              |    ${(0 until M).map(s => s"code_$s").mkString(", ")}
-              |  FROM e $encJoins)
-              |SELECT enc.vec_id, enc.label,
-              |  ${(0 until M).map(s => s"enc.code_$s").mkString(", ")},
-              |  round($adc, 6) AS adc
-              |FROM enc
-              |  $joins
-              |  CROSS JOIN q
-              |ORDER BY adc DESC, vec_id
-              |LIMIT 5""".stripMargin)
-    },
+    "q78_pq_adc",
+    Some(adcQuerySql(5)),
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("e", col("embedding").cast("array<double>"))
@@ -199,5 +204,52 @@ object VectorOps3 {
         .limit(1)
     })
 
-  val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained, q93_knn_label)
+  private val RerankPool = 20
+  private val RerankK = 5
+
+  /** Two-stage retrieval (the production ANN serving pattern): PQ/ADC
+    * scores a compressed index to shortlist a candidate pool, then the
+    * pool alone is re-ranked with EXACT cosines against the full-
+    * precision vectors — approximate scoring touches everything, exact
+    * arithmetic touches only pool-size rows. At 100 TB the pool join is
+    * 20 ids against the corpus (a broadcast semi-shape), so the full
+    * vectors are read for 20 rows, not N. Oracle: replay ADC (q78's
+    * SQL), pool LIMIT 20, exact-cosine rerank. */
+  val q128_pq_rerank = Q(
+    "q128_pq_rerank",
+    Some(s"""WITH cand AS (
+            |${adcQuerySql(RerankPool)}
+            |),
+            |e2 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            |q2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            |SELECT c.vec_id, c.label, round(${cosineSql("e2.v", "qv")}, 6) AS sim
+            |FROM cand c
+            |JOIN e2 ON e2.vec_id = c.vec_id
+            |CROSS JOIN q2
+            |ORDER BY sim DESC, c.vec_id
+            |LIMIT $RerankK""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e")
+      val cand = graft.operators.Similarity.pqTopK(
+        corpus, "vec_id", "e",
+        emb.filter(col("vec_id") < NCodes)
+          .select(col("vec_id").as("code"), col("e").as("cvec")),
+        "code", "cvec",
+        emb.filter(col("vec_id") === 0), "e",
+        k = RerankPool, m = M, dim = M * L)
+        .select("vec_id")
+      cand.join(corpus, "vec_id")
+        .crossJoin(broadcast(
+          emb.filter(col("vec_id") === 0).select(col("e").as("qe"))))
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorFunctions.cosine(col("e"), col("qe")), 6)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(RerankK)
+    })
+
+  val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained, q93_knn_label,
+    q128_pq_rerank)
 }

@@ -44,6 +44,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful ops run unchanged on the RocksDB state store provider") {
+    // the 100 TB state backend: keyed state lives off-heap/on-disk in
+    // RocksDB instead of the in-memory HDFS-backed map — same results,
+    // state size no longer bounded by executor heap. Provider is pinned
+    // per query at start; this guards that our stateful operators carry
+    // no HDFSBackedStateStore assumption.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val agg = StreamingOps.windowedCounts(
+        in.toDF(), "10 minutes", "10 minutes", "5 minutes")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("rocks_out")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData(
+          Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+          Ev(3, ts(12), 2, "view", 3.0))
+        q.processAllAvailable()
+        in.addData(Ev(4, ts(40), 1, "click", 4.0))
+        q.processAllAvailable()
+        val out = spark.table("rocks_out").collect()
+        val w0 = out.find(r => r.getAs[Timestamp]("window_start") == ts(0))
+        assert(w0.exists(r => r.getAs[Long]("n") == 2 &&
+          r.getAs[Double]("total_value") == 3.0))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
