@@ -63,21 +63,27 @@ object VectorOps3 {
        |LIMIT $limit""".stripMargin
   }
 
+  private def embFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+
+  /** The q78 ADC serving call, shared with q128's candidate stage so the
+    * codebook convention (first-NCodes stand-in, double cast) cannot
+    * drift between the scorer and the reranker's pool. */
+  private def adcTopK(emb: org.apache.spark.sql.DataFrame, k: Int) =
+    graft.operators.Similarity.pqTopK(
+      emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
+      "vec_id", "e",
+      emb.filter(col("vec_id") < NCodes)
+        .select(col("vec_id").as("code"), col("e").as("cvec")),
+      "code", "cvec",
+      emb.filter(col("vec_id") === 0), "e",
+      k = k, m = M, dim = M * L)
+
   val q78_pq_adc = Q(
     "q78_pq_adc",
     Some(adcQuerySql(5)),
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("e", col("embedding").cast("array<double>"))
-      graft.operators.Similarity.pqTopK(
-        emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e"),
-        "vec_id", "e",
-        emb.filter(col("vec_id") < NCodes)
-          .select(col("vec_id").as("code"), col("e").as("cvec")),
-        "code", "cvec",
-        emb.filter(col("vec_id") === 0), "e",
-        k = 5, m = M, dim = M * L)
-    })
+    (s, d) => adcTopK(embFrame(s, d), 5))
 
   private val KCodes = 8
   private val Iters = 1
@@ -229,17 +235,9 @@ object VectorOps3 {
             |ORDER BY sim DESC, c.vec_id
             |LIMIT $RerankK""".stripMargin),
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("e", col("embedding").cast("array<double>"))
+      val emb = embFrame(s, d)
       val corpus = emb.filter(col("vec_id") =!= 0).select("vec_id", "label", "e")
-      val cand = graft.operators.Similarity.pqTopK(
-        corpus, "vec_id", "e",
-        emb.filter(col("vec_id") < NCodes)
-          .select(col("vec_id").as("code"), col("e").as("cvec")),
-        "code", "cvec",
-        emb.filter(col("vec_id") === 0), "e",
-        k = RerankPool, m = M, dim = M * L)
-        .select("vec_id")
+      val cand = adcTopK(emb, RerankPool).select("vec_id")
       cand.join(corpus, "vec_id")
         .crossJoin(broadcast(
           emb.filter(col("vec_id") === 0).select(col("e").as("qe"))))

@@ -18,14 +18,18 @@ class StreamingOpsSpec extends AnyFunSuite {
       event_type: String, value: Double)
   private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
-  test("watermarked windowed aggregation over a stream emits finalized windows") {
+  /** Shared windowed-aggregation run (used plain and under the RocksDB
+    * provider swap): returns the sink rows and the state operator's
+    * custom-metric names from the final progress — the metric names
+    * identify which state store ACTUALLY served the query. */
+  private def windowedAggRun(name: String): (Array[org.apache.spark.sql.Row], String) = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
     val agg = StreamingOps.windowedCounts(
       in.toDF(), "10 minutes", "10 minutes", "5 minutes")
     val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName("win_out")
+      .format("memory").queryName(name)
       .trigger(Trigger.ProcessingTime(0)).start()
     try {
       in.addData(
@@ -35,13 +39,25 @@ class StreamingOpsSpec extends AnyFunSuite {
       // advance event time far enough to close the 10:00 and 10:10 windows
       in.addData(Ev(4, ts(40), 1, "click", 4.0))
       q.processAllAvailable()
-      val out = spark.table("win_out").collect()
-      val w0 = out.find(r => r.getAs[Timestamp]("window_start") == ts(0))
-      assert(w0.exists(r => r.getAs[Long]("n") == 2 &&
-        r.getAs[Double]("total_value") == 3.0))
-      val w1 = out.find(r => r.getAs[Timestamp]("window_start") == ts(10))
-      assert(w1.exists(r => r.getAs[Long]("n") == 1))
+      val metrics = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet.toArray.map(_.toString))
+        .mkString(",")
+      (spark.table(name).collect(), metrics)
     } finally q.stop()
+  }
+
+  private def assertWindows(out: Array[org.apache.spark.sql.Row]): Unit = {
+    val w0 = out.find(r => r.getAs[Timestamp]("window_start") == ts(0))
+    assert(w0.exists(r => r.getAs[Long]("n") == 2 &&
+      r.getAs[Double]("total_value") == 3.0))
+    val w1 = out.find(r => r.getAs[Timestamp]("window_start") == ts(10))
+    assert(w1.exists(r => r.getAs[Long]("n") == 1))
+  }
+
+  test("watermarked windowed aggregation over a stream emits finalized windows") {
+    val (out, _) = windowedAggRun("win_out")
+    assertWindows(out)
   }
 
   test("stateful ops run unchanged on the RocksDB state store provider") {
@@ -50,30 +66,16 @@ class StreamingOpsSpec extends AnyFunSuite {
     // state size no longer bounded by executor heap. Provider is pinned
     // per query at start; this guards that our stateful operators carry
     // no HDFSBackedStateStore assumption.
-    import spark.implicits._
-    implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val in = MemoryStream[Ev]
-      val agg = StreamingOps.windowedCounts(
-        in.toDF(), "10 minutes", "10 minutes", "5 minutes")
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName("rocks_out")
-        .trigger(Trigger.ProcessingTime(0)).start()
-      try {
-        in.addData(
-          Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
-          Ev(3, ts(12), 2, "view", 3.0))
-        q.processAllAvailable()
-        in.addData(Ev(4, ts(40), 1, "click", 4.0))
-        q.processAllAvailable()
-        val out = spark.table("rocks_out").collect()
-        val w0 = out.find(r => r.getAs[Timestamp]("window_start") == ts(0))
-        assert(w0.exists(r => r.getAs[Long]("n") == 2 &&
-          r.getAs[Double]("total_value") == 3.0))
-      } finally q.stop()
+      val (out, metrics) = windowedAggRun("rocks_out")
+      assertWindows(out)
+      // guard against a vacuous pass: if the conf key ever rots, the query
+      // silently runs on the default provider — the custom metric names
+      // prove RocksDB actually served the state
+      assert(metrics.toLowerCase.contains("rocksdb"), metrics)
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
