@@ -89,6 +89,27 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     assert(generic.exceptAll(native).count() == 0)
   }
 
+  test("pageRank: bit-identical ranks under different input partitioning; mass is conserved") {
+    import spark.implicits._
+    val edges = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))).sample.get
+      .toDF("src", "dst")
+    val a = graft.operators.Graph.pageRank(edges.repartition(1), 3)
+      .orderBy("node").collect()
+    val b = graft.operators.Graph.pageRank(edges.repartition(13), 3)
+      .orderBy("node").collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      // the round-then-decimal-sum makes this BIT equality, not approx
+      assert(x.getDouble(1) == y.getDouble(1), s"$x vs $y")
+    }
+    // mass sanity: total rank ≤ 1 (dangling mass is dropped by contract)
+    // and ≥ the teleport floor n·(1−d)/n = 0.15
+    val total = a.map(_.getDouble(1)).sum
+    assert(total <= 1.0 + 1e-9 && total >= 0.15 - 1e-9, total.toString)
+  }
+
   test("jpeg_sof_dims: arbitrary bytes never throw; valid-by-construction streams always parse") {
     import spark.implicits._
     // adversarial: random bytes, random bytes behind a real SOI, lone
