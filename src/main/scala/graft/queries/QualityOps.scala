@@ -240,6 +240,33 @@ object QualityOps {
         .orderBy("col")
     })
 
+  private val HistBuckets = 10
+
+  /** Equi-width histogram per group (q121's distribution companion) over
+    * a FIXED [1, 51) domain in 10 buckets of width 5 — a data-derived
+    * domain would need a min/max pre-pass (two scans); the fixed domain
+    * is the profiling-dashboard convention and keeps this one scan + one
+    * hash agg. The bucket expression is explicit floor arithmetic shared
+    * verbatim by both engines (DuckDB 1.0 has no width_bucket); exact
+    * bucket boundaries only occur at integer quantities, where the
+    * double division is exact. */
+  private val histBucket =
+    s"CAST(least(floor((l_quantity - 1) / 5.0), ${HistBuckets - 1}) AS BIGINT) + 1"
+
+  val q129_histogram = Q(
+    "q129_histogram",
+    Some(s"""SELECT l_returnflag,
+            |  $histBucket AS bucket,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM lineitem
+            |GROUP BY l_returnflag, bucket
+            |ORDER BY l_returnflag, bucket""".stripMargin),
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), expr(histBucket).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "bucket"))
+
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
-    q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile)
+    q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile,
+    q129_histogram)
 }
