@@ -230,6 +230,37 @@ object DataOps3 {
         .orderBy("split", "source")
     })
 
+  /** Proportional-allocation sampling: each source keeps ⌈10% of ITS
+    * rows⌉ (q83 keeps a FIXED n per stratum — proportional preserves the
+    * mixture weights instead of flattening them). The fraction stays in
+    * exact DECIMAL (0.1·n then ceil) so the cutoff can't waver with a
+    * double representation; same md5-ranked replayable draw as q83.
+    * One window shuffle on source. */
+  val q131_proportional_sample = Q(
+    "q131_proportional_sample",
+    Some("""WITH r AS (
+            |  SELECT source, doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+            |    COUNT(*) OVER (PARTITION BY source) AS ns
+            |  FROM documents)
+            |SELECT source, doc_id, CAST(rn AS BIGINT) AS draw_rank,
+            |  CAST(ns AS BIGINT) AS n_source
+            |FROM r WHERE rn <= ceil(0.1 * ns)
+            |ORDER BY source, draw_rank""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ns", count(lit(1)).over(wAll))
+        .filter(expr("rn <= ceil(0.1 * ns)"))
+        .select(col("source"), col("doc_id"), col("rn").cast("long").as("draw_rank"),
+          col("ns").cast("long").as("n_source"))
+        .orderBy("source", "draw_rank")
+    })
+
   val all: Seq[Q] = Seq(q110_sparse_cosine, q115_golden_record,
-    q122_curation_pipeline)
+    q122_curation_pipeline, q131_proportional_sample)
 }

@@ -197,6 +197,45 @@ object LakeOps {
         .orderBy("source")
     })
 
+  private val AsOfUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+
+  /** Time travel — table state AS OF a timestamp, reconstructed from the
+    * q86 validity intervals: the row whose [vfrom, vto) covers T is each
+    * key's state at T. This is the read side of SCD2 (and of any
+    * version-history lake table): one interval predicate over the
+    * windowed history, no snapshot copies. Rows first valid after T or
+    * already superseded at T drop out; keys with no history at T are
+    * absent (exactly a snapshot's semantics). */
+  val q130_asof_snapshot = Q(
+    "q130_asof_snapshot",
+    Some(s"""WITH v AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS vfrom,
+            |    event_id, value
+            |  FROM events WHERE event_type = 'purchase'),
+            |iv AS (
+            |  SELECT user_id, vfrom,
+            |    lead(vfrom) OVER (PARTITION BY user_id
+            |      ORDER BY vfrom, event_id) AS vto,
+            |    event_id, value
+            |  FROM v)
+            |SELECT user_id, vfrom, event_id, value
+            |FROM iv
+            |WHERE vfrom <= $AsOfUs AND (vto IS NULL OR vto > $AsOfUs)
+            |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("vfrom", "event_id")
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("vfrom"),
+          col("event_id"), col("value"))
+        .withColumn("vto", lead(col("vfrom"), 1).over(w))
+        .filter(col("vfrom") <= AsOfUs &&
+          (col("vto").isNull || col("vto") > AsOfUs))
+        .select("user_id", "vfrom", "event_id", "value")
+        .orderBy("user_id")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
-    q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip)
+    q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
+    q130_asof_snapshot)
 }
