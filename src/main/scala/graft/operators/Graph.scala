@@ -53,6 +53,12 @@ object Graph {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
     }
-    pr
+    // materialize the final ranks, then release the cached inputs — a
+    // library caller embedding this in a longer job must not accumulate
+    // blocks (same discipline as Similarity.pqTrain / Dedup.connectedComponents)
+    val out = pr.localCheckpoint(true)
+    nodes.unpersist()
+    withDeg.unpersist()
+    out
   }
 }

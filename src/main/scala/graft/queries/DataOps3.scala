@@ -13,16 +13,23 @@ object DataOps3 {
   // per-bucket fan-out tight
   private val HashDim = 32768
   private val SparseK = 3
+  // probe ids are doc_id % 100 = 7 capped below this id — a FIXED batch of
+  // at most 15 probes regardless of corpus size, so the broadcast probe
+  // postings stay KB-sized at any scale (an uncapped % predicate selects
+  // 1% of the corpus: linear growth that would eventually exceed the
+  // broadcast limit). Real serving submits small fixed query batches.
+  private val SparseProbeCap = 1500
 
   /** Hashing-trick sparse vectors + inverted-index cosine retrieval: each
     * token maps to bucket md5(tok)[0..8) mod 2^15 (engine-portable hex
     * arithmetic, no engine hash functions), term frequencies become the
-    * sparse vector, and a PROBE SET of query documents retrieves its
-    * top-k corpus neighbors through the postings lists — candidates are
-    * only docs sharing a bucket with a probe, dot products accumulate as
-    * exact integers through one (probe, doc) hash agg, norms are exact
-    * under sqrt. This is the sparse-retrieval serving shape (BM25-style
-    * inverted index, here with raw tf weights): probe postings broadcast,
+    * sparse vector, and a FIXED PROBE BATCH of query documents (capped at
+    * 15 ids — see SparseProbeCap) retrieves its top-k corpus neighbors
+    * through the postings lists — candidates are only docs sharing a
+    * bucket with a probe, dot products accumulate as exact integers
+    * through one (probe, doc) hash agg, norms are exact under sqrt. This
+    * is the sparse-retrieval serving shape (BM25-style inverted index,
+    * here with raw tf weights): the bounded probe postings broadcast,
     * the corpus index never moves, cost is linear in postings touched.
     * The ALL-PAIRS variant of the same index is deliberately absent: with
     * a same-vocab corpus nearly every doc pair shares a bucket, so its
@@ -45,7 +52,8 @@ object DataOps3 {
               |  SELECT q.doc_id AS probe_id, c.doc_id AS doc_b,
               |    CAST(sum(q.tf * c.tf) AS BIGINT) AS dot
               |  FROM v q JOIN v c ON q.bucket = c.bucket
-              |  WHERE q.doc_id % 100 = 7 AND c.doc_id <> q.doc_id
+              |  WHERE q.doc_id % 100 = 7 AND q.doc_id < $SparseProbeCap
+              |    AND c.doc_id <> q.doc_id
               |  GROUP BY 1, 2),
               |r AS (
               |  SELECT probe_id, doc_b, dot,
@@ -68,7 +76,8 @@ object DataOps3 {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       val nrm = v.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-      val probes = v.filter(col("doc_id") % 100 === 7)
+      val probes = v
+        .filter(col("doc_id") % 100 === 7 && col("doc_id") < SparseProbeCap)
         .toDF("probe_id", "bucket", "tf_q")
       val cand = broadcast(probes)
         .join(v.toDF("doc_b", "bucket", "tf_c"), "bucket")

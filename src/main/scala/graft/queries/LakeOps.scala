@@ -173,9 +173,12 @@ object LakeOps {
     * re-aggregated. The RETURNED numbers have passed through the JSON
     * text, while the oracle computes the same aggregate from the parquet
     * table — so a lossy export (type coercion, encoding, truncation)
-    * flips the hash. The export dir is keyed on the sf dir: a shared
-    * fixed path would let a bench/smoke run at another scale overwrite
-    * the files between this query's write and read. */
+    * flips the hash. The export dir is keyed on the sf dir AND the Spark
+    * applicationId: the sf key stops a run at another scale overwriting
+    * the files between this query's write and read, and the per-process
+    * applicationId stops two CONCURRENT processes on the same sf dir
+    * (e.g. Verify and Bench in parallel) racing each other's
+    * mode(overwrite) delete. */
   val q125_jsonl_roundtrip = Q(
     "q125_jsonl_roundtrip",
     Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
@@ -186,7 +189,7 @@ object LakeOps {
     (s, d) => {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val out = s"/tmp/graft_jsonl_export/$key"
+      val out = s"/tmp/graft_jsonl_export/${s.sparkContext.applicationId}/$key"
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .coalesce(1)

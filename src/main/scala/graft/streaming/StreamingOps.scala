@@ -61,12 +61,27 @@ object StreamingOps {
     * (processing-time timeouts re-fire differently on restart).
     * Gap comparisons run on exact microseconds; the close timer is the
     * millisecond floor of (end + gap), the granularity watermarks use.
-    * Input must carry a watermark on `ts`. Emits closed sessions. */
+    * Input must carry a watermark on `ts`. Emits closed sessions.
+    *
+    * CONTRACT: `watermarkDelay` must be <= `gapMs`. The order-insensitive
+    * min/max session merge is safe only because any event that reaches the
+    * operator is within the watermark horizon of the max seen time; with
+    * delay > gap, a late event older than an open session's start by more
+    * than the gap would silently merge into it instead of forming its own
+    * session, diverging from batch gap-sessionization. Enforced below. */
   def sessionize(events: Dataset[SessionEvent],
       gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
+    val delayIv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(delayIv.months == 0,
+      s"watermarkDelay must not use month units, got '$watermarkDelay'")
+    val delayUs = delayIv.days * 86400000000L + delayIv.microseconds
+    require(delayUs <= gapUs,
+      s"watermarkDelay ('$watermarkDelay' = ${delayUs}us) must be <= gap " +
+        s"(${gapUs}us): beyond-gap-late events would merge into the wrong session")
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
