@@ -53,5 +53,79 @@ object GraphOps {
         .orderBy("node")
     })
 
-  val all: Seq[Q] = Seq(q117_pagerank)
+  private val TriBuckets = 40
+
+  /** Triangle counting by degree orientation — the standard distributed
+    * trick: orient each undirected edge from its lower-(degree, id) end
+    * to its higher one, enumerate wedges only at each edge's LOWER end,
+    * and close them against the oriented edge set. Orientation bounds
+    * every out-degree by O(√m), so the wedge volume Σ d_out² — the only
+    * superlinear term — is minimized; a high-degree hub generates no
+    * wedges at all. Each triangle is counted exactly once, at its
+    * lowest-rank apex. All three joins are node-keyed equi-joins (no
+    * theta join anywhere); rank = deg·100000 + id is one BIGINT so the
+    * total order ships as a join column. Graph: part-bucket co-purchase
+    * edges (buckets sharing an order). */
+  val q133_triangles = Q(
+    "q133_triangles",
+    Some(s"""WITH li AS (
+            |  SELECT DISTINCT l_orderkey AS ok, l_partkey % $TriBuckets AS node
+            |  FROM lineitem),
+            |e AS (
+            |  SELECT DISTINCT x.node AS a, y.node AS b
+            |  FROM li x JOIN li y ON x.ok = y.ok AND x.node < y.node),
+            |deg AS (
+            |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+            |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+            |  GROUP BY node),
+            |o AS (
+            |  SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+            |         CASE WHEN ra < rb THEN b ELSE a END AS v,
+            |         CASE WHEN ra < rb THEN rb ELSE ra END AS rv
+            |  FROM (SELECT e.a, e.b, da.deg * 100000 + e.a AS ra,
+            |               db.deg * 100000 + e.b AS rb
+            |        FROM e JOIN deg da ON da.node = e.a
+            |        JOIN deg db ON db.node = e.b) t),
+            |tri AS (
+            |  SELECT o1.u, o1.v, o2.v AS w
+            |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.rv < o2.rv
+            |  JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v)
+            |SELECT u AS node, CAST(count(*) AS BIGINT) AS n_tri
+            |FROM tri GROUP BY u
+            |ORDER BY node""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % TriBuckets).as("node"))
+        .distinct()
+      val e = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ranked = e
+        .join(deg.toDF("a", "da"), "a")
+        .join(deg.toDF("b", "db"), "b")
+        .select(col("a"), col("b"),
+          (col("da") * 100000 + col("a")).as("ra"),
+          (col("db") * 100000 + col("b")).as("rb"))
+      val o = ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("ra"), col("rb")).as("rv"))
+      val wedges = o.toDF("u", "v", "rv")
+        .join(o.toDF("u", "w", "rw"), "u")
+        .filter(col("rv") < col("rw"))
+        .select("u", "v", "w")
+      wedges
+        .join(o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"),
+          "left_semi")
+        .groupBy("u")
+        .agg(count(lit(1)).as("n_tri"))
+        .select(col("u").as("node"), col("n_tri"))
+        .orderBy("node")
+    })
+
+  val all: Seq[Q] = Seq(q117_pagerank, q133_triangles)
 }

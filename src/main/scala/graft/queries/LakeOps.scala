@@ -238,7 +238,49 @@ object LakeOps {
         .orderBy("user_id")
     })
 
+  private val SkipBucket = 1024L
+  private val SkipLo = 5000L
+  private val SkipHi = 15000L
+
+  /** Min/max data skipping — the file-statistics pruning every lake
+    * format (parquet row groups, Delta/Iceberg file stats) performs, made
+    * explicit: per-"file" (orderkey bucket ≈ ingest batch) min/max stats
+    * are computed once, a range query consults ONLY the KB-scale stats
+    * frame to find buckets whose [min,max] intersects the predicate, and
+    * the fact scan is prefiltered to surviving buckets (broadcast of the
+    * tiny survivor list) before the exact predicate reapplies. The ORACLE
+    * IS THE PLAIN RANGE QUERY — equivalence is hash-proven, so the skip
+    * loses nothing. Skipping pays exactly when layout correlates with the
+    * predicate (here: ingest-ordered keys, a key-range query — survivors
+    * are ~(hi−lo)/bucket of the buckets); for uncorrelated predicates the
+    * stats prune nothing, which is why re-clustering (q77 Z-order) is the
+    * companion operator. */
+  val q138_minmax_prune = Q(
+    "q138_minmax_prune",
+    Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS sum_price
+            |FROM orders
+            |WHERE o_orderkey BETWEEN $SkipLo AND $SkipHi
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin),
+    (s, d) => {
+      val ords = Tables.orders(s, d)
+        .withColumn("fb", floor(col("o_orderkey") / SkipBucket))
+      val stats = ords.groupBy("fb")
+        .agg(min("o_orderkey").as("k_min"), max("o_orderkey").as("k_max"))
+      val survivors = stats
+        .filter(col("k_max") >= SkipLo && col("k_min") <= SkipHi)
+        .select("fb")
+      ords.join(broadcast(survivors), "fb")
+        .filter(col("o_orderkey").between(SkipLo, SkipHi))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Q.asDouble(sum(Q.dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
-    q130_asof_snapshot)
+    q130_asof_snapshot, q138_minmax_prune)
 }

@@ -266,7 +266,46 @@ object QualityOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("l_returnflag", "bucket"))
 
+  /** Winsorized (robust) mean: per group, clamp values into the exact
+    * [p05, p95] band, then average — the outlier-tolerant location
+    * estimate that complements q90's z-score flags and q98's MAD scale.
+    * Thresholds are rounded to 6 decimals BEFORE clamping so both engines
+    * clamp with bit-identical bounds; the mean routes through an exact
+    * decimal sum (clamped values are ≤6-decimal by construction), so it
+    * survives any partial-agg order. The threshold frame is rows-per-group
+    * tiny and broadcasts. At extreme per-group cardinality the exact
+    * percentile stage swaps for the q65 gated sketch — the clamp+mean
+    * machinery is unchanged. */
+  val q139_winsorized_mean = Q(
+    "q139_winsorized_mean",
+    Some("""WITH th AS (
+            |  SELECT event_type,
+            |    round(quantile_cont(value, 0.05), 6) AS p05,
+            |    round(quantile_cont(value, 0.95), 6) AS p95
+            |  FROM events GROUP BY event_type)
+            |SELECT e.event_type, th.p05, th.p95,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  round(CAST(sum(CAST(least(greatest(e.value, th.p05), th.p95)
+            |      AS DECIMAL(18,6))) AS DOUBLE)
+            |    / CAST(count(*) AS DOUBLE), 6) AS wins_mean
+            |FROM events e JOIN th ON th.event_type = e.event_type
+            |GROUP BY e.event_type, th.p05, th.p95
+            |ORDER BY e.event_type""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val th = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      ev.join(broadcast(th), "event_type")
+        .withColumn("wv", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy("event_type", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("wv").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("wins_mean"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
     q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile,
-    q129_histogram)
+    q129_histogram, q139_winsorized_mean)
 }

@@ -202,7 +202,46 @@ object Relational5 {
       s.sql(filterSql)
     })
 
+  private val BloomM = 4096
+  private val BloomK = 3
+  private val BloomNation = 3L
+
+  /** Bloom-filter semi-join reduction (operators/BloomJoin): the build
+    * side's key set folds into a 4096-bit mask, the probe (fact) scan is
+    * prefiltered by k=3 mask tests BEFORE the shuffle, and the exact join
+    * then removes the bloom's false positives. The final join is forced
+    * to shuffle (merge hint) — the scenario where the pattern pays: a
+    * non-broadcastable build side whose key set still fits a KB-scale
+    * mask, cutting probe shuffle volume by the filter's selectivity with
+    * zero false-negative risk. The ORACLE IS THE PLAIN JOIN — the hash
+    * match proves the reduction loses and invents nothing. */
+  val q132_bloom_join = Q(
+    "q132_bloom_join",
+    Some("""SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            |FROM lineitem
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |WHERE s_nationkey = 3
+            |GROUP BY s_suppkey
+            |ORDER BY s_suppkey""".stripMargin),
+    (s, d) => {
+      import graft.operators.BloomJoin
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === BloomNation)
+        .select("s_suppkey")
+      val mask = BloomJoin.buildMask(dim, "s_suppkey", BloomM, BloomK)
+      val fact = BloomJoin.probeFilter(
+        Tables.lineitem(s, d).select("l_suppkey", "l_quantity"),
+        "l_suppkey", mask, BloomM, BloomK)
+      fact.join(dim.hint("merge"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          Q.asDouble(sum(Q.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("s_suppkey")
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
-    q124_regexp_extract_all, q126_window_nav, q127_agg_filter)
+    q124_regexp_extract_all, q126_window_nav, q127_agg_filter,
+    q132_bloom_join)
 }

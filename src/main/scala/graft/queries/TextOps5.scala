@@ -118,7 +118,13 @@ object TextOps5 {
         .distinct()
       val a = sets.toDF("doc_a", "sh_a", "n_a")
       val b = sets.toDF("doc_b", "sh_b", "n_b")
-      val res = cand.join(a, "doc_a").join(b, "doc_b")
+      // NOTE on the persist: this builder returns a LAZY frame, so the
+      // cached set frame cannot be released here — the harness (Verify/
+      // Bench) clearCache()s after materializing each entry, and library
+      // callers wanting the same pipeline with self-managed caching should
+      // use the operators/ API (whose iterative ops unpersist internally,
+      // e.g. Graph.pageRank, Dedup.connectedComponents).
+      cand.join(a, "doc_a").join(b, "doc_b")
         .withColumn("n_common",
           TextFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
         .withColumn("jaccard",
@@ -128,11 +134,6 @@ object TextOps5 {
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
           col("jaccard"))
         .orderBy("doc_a", "doc_b")
-        // materialize the (tiny) pair result, then release the cached set
-        // frame — embedding callers must not accumulate blocks
-        .localCheckpoint(true)
-      sets.unpersist()
-      res
     })
 
   private val RepN = 3

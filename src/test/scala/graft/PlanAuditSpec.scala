@@ -175,4 +175,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.toLowerCase.contains("sset"), p)
   }
+
+  test("q132: bloom mask test filters the probe scan BEFORE the shuffle join") {
+    val p = plan("q132_bloom_join")
+    // the mask membership tests (shiftleft bit probes) must sit in a
+    // Filter on the fact side, and the exact join must be the forced
+    // non-broadcast merge join — the scenario where the reduction pays
+    assert(p.contains("shiftleft"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q138: min/max skip joins the fact scan against a BROADCAST survivor list") {
+    val p = plan("q138_minmax_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
