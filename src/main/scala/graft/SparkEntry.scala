@@ -11,6 +11,7 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       Relational4.all ++ Relational5.all ++ Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
+      TextOps6.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++
       LakeOps.all ++ QualityOps.all ++ EventOps.all ++ EventOps2.all ++
       GraphOps.all ++

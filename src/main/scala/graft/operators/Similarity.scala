@@ -112,6 +112,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF ANN: ONE corpus pass serves a whole query batch — the
+    * production serving shape, where per-query scans (q56) would repeat
+    * the corpus read |batch| times. Corpus assignment is the same
+    * scan-side argmax as `ivfTopK`; every query's nProbe list joins in as
+    * one broadcast (probe rows = |batch|·nProbe, KB-scale for real
+    * batches); per-query ranking is ONE window keyed on the query id over
+    * candidates only — the sole shuffle whose volume is the candidate
+    * set, never the corpus. Returns (qid, rk, <corpus cols>, sim). */
+  def ivfTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      queries: DataFrame, qidCol: String, queryVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    val assigned = withNearestCid(corpus.crossJoin(packed), col(vecCol))
+      .drop("__cents")
+    val probes = queries
+      .select(col(qidCol).as("__qid"), col(queryVecCol).as("__qe"))
+      .crossJoin(packed)
+      .select(col("__qid"), col("__qe"), explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct((-round(cosine(col("__qe"), c("__cvec")), 6)).as("ns"),
+            c("__cid").as("cid")))), 1, nProbe)).as("p"))
+      .select(col("__qid"), col("__qe"), col("p.cid").as("__cid"))
+    val keep = corpus.columns.filter(_ != vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("sim").desc, col(idCol).asc)
+    assigned.join(broadcast(probes), Seq("__cid"))
+      .select(col("__qid") +: keep.toIndexedSeq.map(col) :+
+        round(cosine(col(vecCol), col("__qe")), 6).as("sim"): _*)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("__qid").as("qid") +: col("rk") +:
+        keep.toIndexedSeq.map(col) :+ col("sim"): _*)
+  }
+
   /** Deterministic distributed k-means (Lloyd's) for IVF centroids.
     *
     * Init = the k lowest-id vectors (cid keeps the seed vector's id); each

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis, part 6: collocation mining (PMI bigrams) and tokenizer
+  * vocabulary coverage — the corpus-statistics pair a tokenizer/training
+  * pipeline runs before committing to a vocab.
+  */
+object TextOps6 {
+
+  private val PmiMinPair = 5L
+  private val PmiTopK = 20
+
+  /** PMI collocations: pointwise mutual information of adjacent word
+    * pairs, ln(P(ab) / (P(a)·P(b))) over exact corpus counts. All inputs
+    * to the double expression are exact integers and the expression tree
+    * is written identically on both engines (left-associated products,
+    * one ln, one round) — the q89 round-at-the-end discipline. Corpus
+    * totals travel as a broadcast 1-row frame (the q66 TF-IDF pattern);
+    * the bigram and unigram counts are two hash aggs keyed on the word —
+    * nothing wider than a (w1,w2) pair ever shuffles, and the top-k is a
+    * TakeOrdered, not a global sort. */
+  val q134_pmi_bigrams = Q(
+    "q134_pmi_bigrams",
+    Some(s"""WITH toks AS (
+            |  SELECT string_split(text, ' ') AS ts FROM documents),
+            |tot AS (
+            |  SELECT CAST(sum(len(ts)) AS BIGINT) AS nu,
+            |    CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS nb
+            |  FROM toks),
+            |uni AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+            |  FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY w),
+            |big AS (
+            |  SELECT b[1] AS w1, b[2] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+            |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+            |                 i -> [ts[i], ts[i+1]])) AS b
+            |        FROM toks) t
+            |  GROUP BY 1, 2)
+            |SELECT w1, w2, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+            |  round(ln((CAST(n_ab AS DOUBLE) * nu * nu)
+            |    / (CAST(nb AS DOUBLE) * ua.n_w * ub.n_w)), 6) AS pmi
+            |FROM big
+            |JOIN uni ua ON ua.w = w1
+            |JOIN uni ub ON ub.w = w2
+            |CROSS JOIN tot
+            |WHERE n_ab >= $PmiMinPair
+            |ORDER BY pmi DESC, w1, w2
+            |LIMIT $PmiTopK""".stripMargin),
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(split(col("text"), " ").as("ts"))
+      val tot = toks.agg(
+        sum(size(col("ts"))).cast("long").as("nu"),
+        sum(greatest(size(col("ts")) - 1, lit(0))).cast("long").as("nb"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+      val big = toks
+        .select(explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> array(element_at(ts, i), element_at(ts, i + 1)))" +
+            " ELSE array() END")).as("b"))
+        .select(element_at(col("b"), 1).as("w1"),
+          element_at(col("b"), 2).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= PmiMinPair)
+      big
+        .join(uni.toDF("w1", "n_a"), "w1")
+        .join(uni.toDF("w2", "n_b"), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          round(log(
+            (col("n_ab").cast("double") * col("nu") * col("nu")) /
+              (col("nb").cast("double") * col("n_a") * col("n_b"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    })
+
+  private val VocabSize = 500
+
+  /** Tokenizer vocabulary coverage: the top-V corpus tokens by frequency
+    * (ties to the lexicographically smaller token, so the V-boundary is
+    * deterministic on both engines) and, per language, the fraction of
+    * token OCCURRENCES the vocab covers — the decision table for sizing
+    * a vocab before training. The vocab is a global TakeOrdered (V rows,
+    * never a full sort) and re-enters as a broadcast semi-join, so the
+    * corpus token stream is scanned twice and shuffled only for the two
+    * (word / lang) hash aggs. */
+  val q135_vocab_coverage = Q(
+    "q135_vocab_coverage",
+    Some(s"""WITH tok AS (
+            |  SELECT lang, unnest(string_split(text, ' ')) AS w
+            |  FROM documents),
+            |uni AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+            |vocab AS (SELECT w FROM uni ORDER BY n DESC, w LIMIT $VocabSize),
+            |tot AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens
+            |  FROM tok GROUP BY lang),
+            |cov AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS covered_tokens
+            |  FROM tok WHERE w IN (SELECT w FROM vocab) GROUP BY lang)
+            |SELECT t.lang, t.total_tokens,
+            |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+            |  round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)
+            |    / CAST(t.total_tokens AS DOUBLE), 6) AS coverage
+            |FROM tot t LEFT JOIN cov c ON c.lang = t.lang
+            |ORDER BY t.lang""".stripMargin),
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(VocabSize)
+        .select("w")
+      val tot = tok.groupBy("lang").agg(count(lit(1)).as("total_tokens"))
+      val cov = tok.join(broadcast(vocab), Seq("w"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("covered_tokens"))
+      tot.join(cov.toDF("lang", "cov_n"), Seq("lang"), "left")
+        .select(col("lang"), col("total_tokens"),
+          coalesce(col("cov_n"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("cov_n"), lit(0L)).cast("double") /
+            col("total_tokens").cast("double"), 6).as("coverage"))
+        .orderBy("lang")
+    })
+
+  private val DhBlocks = 49 // 49 block digests -> 48 comparison bits
+  private val DhBits = DhBlocks - 1
+  private val DhBands = 3 // 3 x 16-bit LSH bands
+  private val DhMaxHamming = 6
+
+  /** Blockwise perceptual fingerprint (dHash): the image dHash scheme —
+    * resize to a fixed grid, hash each cell, emit one bit per ADJACENT
+    * CELL COMPARISON — applied to a document's fixed 49-block character
+    * grid (on images the cells are stub-decoded pixel intensities; the
+    * grid arithmetic is identical). Same-shape near-duplicates differ in
+    * few cells, so their 48-bit fingerprints sit at small hamming
+    * distance; candidate pairs come from 3×16-bit LSH bands (pigeonhole:
+    * hamming ≤ 2 guarantees a shared band) and are verified with the
+    * exact bit_count(xor). Fingerprints are one scan-side expression
+    * chain (49 md5s/doc, fused in ONE transform so codegen sees an array
+    * fold, not 49 inlined digests); only 8-byte hashes and 2-byte bands
+    * ever shuffle. */
+  val q137_block_dhash = Q(
+    "q137_block_dhash", {
+      val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
+      Some(s"""WITH g AS (
+              |  SELECT doc_id,
+              |    list_transform(range(0, $DhBlocks), i -> md5(substr(text,
+              |      1 + i * greatest(1, CAST(ceil(length(text) / $DhBlocks.0)
+              |        AS INT)),
+              |      greatest(1, CAST(ceil(length(text) / $DhBlocks.0) AS INT)))))
+              |      AS hs
+              |  FROM documents),
+              |v AS (
+              |  SELECT doc_id, i,
+              |    ${vExpr.replace("substr(m", "substr(hs[i+1]")} AS v,
+              |    ${vExpr.replace("substr(m", "substr(hs[i+2]")} AS vn
+              |  FROM g, unnest(range(0, $DhBits)) AS u(i)),
+              |h AS (
+              |  SELECT doc_id,
+              |    CAST(sum(CASE WHEN v < vn THEN (CAST(1 AS BIGINT) << i)
+              |             ELSE 0 END) AS BIGINT) AS hash
+              |  FROM v GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, hash, j, (hash >> (16 * j)) & 65535 AS band
+              |  FROM h, unnest(range(0, $DhBands)) AS u(j)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
+              |FROM cand
+              |JOIN h ha ON ha.doc_id = doc_a
+              |JOIN h hb ON hb.doc_id = doc_b
+              |WHERE bit_count(xor(ha.hash, hb.hash)) <= $DhMaxHamming
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    },
+    (s, d) => {
+      val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
+      val withVs = Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          s"""transform(
+             |  transform(sequence(0, ${DhBlocks - 1}), i -> md5(substr(text,
+             |    1 + i * greatest(1, CAST(ceil(length(text) / $DhBlocks.0)
+             |      AS INT)),
+             |    greatest(1, CAST(ceil(length(text) / $DhBlocks.0) AS INT))))),
+             |  m -> $vExpr)""".stripMargin).as("vs"))
+        .select(col("doc_id"), expr(
+          s"""aggregate(
+             |  zip_with(
+             |    slice(vs, 1, $DhBits), slice(vs, 2, $DhBits),
+             |    (a, b) -> CAST(a < b AS INT)),
+             |  named_struct('i', 0, 'acc', CAST(0 AS BIGINT)),
+             |  (st, bit) -> named_struct(
+             |    'i', st.i + 1,
+             |    'acc', st.acc + CASE WHEN bit = 1
+             |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
+             |  st -> st.acc)""".stripMargin).as("hash"))
+      val bands = withVs.select(col("doc_id"), col("hash"),
+          explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
+            "j -> struct(j AS j, shiftright(hash, 16 * j) & 65535 AS band))")).as("jb"))
+        .select(col("doc_id"), col("hash"),
+          col("jb.j").as("j"), col("jb.band").as("band"))
+      val cand = bands.toDF("doc_a", "ha", "j", "band")
+        .join(bands.toDF("doc_b", "hb", "j", "band"), Seq("j", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= DhMaxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    })
+
+  val all: Seq[Q] = Seq(q134_pmi_bigrams, q135_vocab_coverage,
+    q137_block_dhash)
+}

@@ -116,5 +116,62 @@ object VectorOps2 {
         k = 5, nProbe = NProbe)
     })
 
-  val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained)
+  private val BatchQ = 8
+  private val BatchK = 3
+
+  /** Batched IVF ANN (Similarity.ivfTopKBatch): 8 query vectors served by
+    * ONE corpus pass — per-query scans repeat the corpus read |batch|
+    * times, so real retrieval amortizes; the only shuffle is the
+    * candidate-set window keyed on the query id. Probe set disjoint from
+    * the corpus (vec_id < 8 queries, ≥ 8 corpus) so ranks need no
+    * self-match exclusion. The oracle replays assignment, probe choice,
+    * and the per-query ranking per q56's formulation with a qid
+    * partition. */
+  val q136_ann_ivf_batch = Q(
+    "q136_ann_ivf_batch",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $NCentroids),
+            |assign AS (
+            |  SELECT vec_id, label, v, cid,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid) AS rnk
+            |  FROM e CROSS JOIN cent WHERE e.vec_id >= $BatchQ),
+            |members AS (
+            |  SELECT vec_id, label, v, cid FROM assign WHERE rnk = 1),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $BatchQ),
+            |qprobe AS (
+            |  SELECT qid, qv, cid FROM (
+            |    SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid) AS rnk
+            |    FROM q CROSS JOIN cent) t
+            |  WHERE rnk <= $NProbe),
+            |cand AS (
+            |  SELECT p.qid, m.vec_id, m.label,
+            |    round(${cosineSql("m.v", "p.qv")}, 6) AS sim
+            |  FROM members m JOIN qprobe p ON m.cid = p.cid)
+            |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, label, sim FROM (
+            |  SELECT qid, vec_id, label, sim, ROW_NUMBER() OVER (
+            |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |  FROM cand) t
+            |WHERE rk <= $BatchK
+            |ORDER BY qid, rk""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.ivfTopKBatch(
+        emb.filter(col("vec_id") >= BatchQ).select("vec_id", "label", "e"),
+        "vec_id", "e",
+        emb.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("cid"), col("e").as("cvec")),
+        "cid", "cvec",
+        emb.filter(col("vec_id") < BatchQ)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e",
+        k = BatchK, nProbe = NProbe)
+        .orderBy("qid", "rk")
+    })
+
+  val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained, q136_ann_ivf_batch)
 }

@@ -189,4 +189,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q138_minmax_prune")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
+    val p = plan("q136_ann_ivf_batch")
+    // corpus assignment stays the packed-broadcast scan (as q56) and the
+    // probe list joins in as a broadcast; the ONLY hash exchanges allowed
+    // are the two tiny centroid-packing aggregations plus the candidate
+    // window's qid partition — never the corpus scan itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }
