@@ -270,6 +270,88 @@ object DataOps3 {
         .orderBy("source", "draw_rank")
     })
 
+  private val NegK = 5
+
+  /** Contrastive negative mining: for each anchor of a FIXED probe batch
+    * (the q110 cap — ≤15 ids at any scale), draw k deterministic
+    * "hard-random" negatives from OTHER sources, ranked by the
+    * md5(anchor|candidate) draw — replayable, content-independent, and
+    * collision-free (the id pair is in the digest). The anchor batch
+    * broadcasts into a nested-loop inequality join (anchor count × corpus
+    * rows, bounded by the fixed batch); per-anchor ranking is one window
+    * keyed on the anchor. At production scale the ranking input gets a
+    * draw-prefix precut with a refill fallback — elided here to keep the
+    * entry exactly-replayable. */
+  val q140_negative_sampling = Q(
+    "q140_negative_sampling",
+    Some(s"""WITH a AS (
+            |  SELECT doc_id AS anchor_id, source AS a_src FROM documents
+            |  WHERE doc_id % 100 = 7 AND doc_id < $SparseProbeCap),
+            |r AS (
+            |  SELECT anchor_id, d.doc_id AS neg_id, d.source AS neg_source,
+            |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY
+            |      md5(CAST(anchor_id AS VARCHAR) || '|'
+            |        || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+            |  FROM a JOIN documents d ON d.source <> a.a_src)
+            |SELECT anchor_id, CAST(rk AS BIGINT) AS rk, neg_id, neg_source
+            |FROM r WHERE rk <= $NegK
+            |ORDER BY anchor_id, rk""".stripMargin),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val anchors = docs
+        .filter(col("doc_id") % 100 === 7 && col("doc_id") < SparseProbeCap)
+        .select(col("doc_id").as("anchor_id"), col("source").as("a_src"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor_id").orderBy(col("draw"), col("neg_id"))
+      broadcast(anchors)
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")),
+          col("neg_source") =!= col("a_src"))
+        .withColumn("draw", md5(concat(col("anchor_id").cast("string"),
+          lit("|"), col("neg_id").cast("string"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= NegK)
+        .select("anchor_id", "rk", "neg_id", "neg_source")
+        .orderBy("anchor_id", "rk")
+    })
+
+  /** Sequence-length bucketing report: docs bucketed to the next
+    * power-of-two token capacity (explicit integer CASE ladder — no
+    * floating log2, whose last-ulp behavior differs per libm), with the
+    * padding waste and batch efficiency each bucket would cost. The
+    * decision table behind length-grouped batching; one scan + one tiny
+    * hash agg. Complements q74 (packing concatenates, bucketing pads). */
+  val q141_length_buckets = Q(
+    "q141_length_buckets", {
+      val ladder = (6 to 12).map(p => s"WHEN n_tok <= ${1 << p} THEN ${1 << p}")
+        .mkString("CASE ", " ", " ELSE 8192 END")
+      Some(s"""WITH t AS (
+              |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+              |b AS (SELECT n_tok, $ladder AS cap FROM t)
+              |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              |  CAST(sum(cap - n_tok) AS BIGINT) AS pad_waste,
+              |  round(CAST(sum(n_tok) AS DOUBLE)
+              |    / CAST(count(*) * cap AS DOUBLE), 6) AS efficiency
+              |FROM b GROUP BY cap
+              |ORDER BY cap""".stripMargin)
+    },
+    (s, d) => {
+      val ladder = (6 to 12).map(p => s"WHEN n_tok <= ${1 << p} THEN ${1 << p}")
+        .mkString("CASE ", " ", " ELSE 8192 END")
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cap", expr(ladder))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("cap") - col("n_tok")).as("pad_waste"),
+          round(sum(col("n_tok")).cast("double") /
+            (count(lit(1)) * col("cap")).cast("double"), 6).as("efficiency"))
+        .orderBy("cap")
+    })
+
   val all: Seq[Q] = Seq(q110_sparse_cosine, q115_golden_record,
-    q122_curation_pipeline, q131_proportional_sample)
+    q122_curation_pipeline, q131_proportional_sample,
+    q140_negative_sampling, q141_length_buckets)
 }
