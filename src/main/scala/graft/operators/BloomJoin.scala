@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.hexSpanValSql
 
 /** Bloom-filter semi-join reduction — the runtime-filter pattern Spark's
   * own `spark.sql.optimizer.runtime.bloomFilter` applies, made explicit
@@ -26,10 +25,14 @@ import graft.functions.TextFunctions.hexSpanValSql
   */
 object BloomJoin {
 
-  /** SQL fragment for h_j(key) — shared verbatim between the Column path
-    * below and oracle replays. `keyExpr` must already be a string. */
+  /** SQL fragment for h_j(key): first-8-hex-digit value of the seeded
+    * md5, via ONE md5 + ONE base-16 conv — the hex-digit place-value sum
+    * (`hexSpanValSql`) would textually inline the md5 into each of its 8
+    * digit extractions, evaluating the digest 8× per position. `keyExpr`
+    * must already be a string. (ANSI replay, should an oracle ever need
+    * membership itself: `('0x' || substr(md5(...), 1, 8))::BIGINT`.) */
   def bitPosSql(keyExpr: String, seed: Int, m: Int): String =
-    s"(${hexSpanValSql(s"md5('$seed|' || $keyExpr)", 0, 8)} % $m)"
+    s"(CAST(conv(substr(md5('$seed|' || $keyExpr), 1, 8), 16, 10) AS BIGINT) % $m)"
 
   /** Build the m-bit mask from the build side's distinct keys: k bit
     * positions per key, OR-folded on the driver. The collect is bounded by

@@ -231,6 +231,69 @@ object StreamQ {
         .orderBy("event_id")
     })
 
+  /** Update-mode variant of [[runToSink]] that also pins the RocksDB
+    * state store provider for the run (`transformWithState` requires it;
+    * it is the 100 TB deployment setting anyway — state off-heap/on-disk,
+    * not bounded by executor heap). */
+  private def runToSinkUpdate(df: DataFrame, name: String,
+      statePartitions: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(name)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = df.writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    s.table(name)
+  }
+
+  /** Running per-user totals on the transformWithState API
+    * (StreamingOps.RunningTotalsProcessor) run to completion ≡ the batch
+    * per-user aggregate: every micro-batch emits a key's UPDATED totals,
+    * the update stream is monotone in n_events, so the final state = the
+    * per-key max-n row whatever the batching schedule — the
+    * replay-equivalence property, now for the arbitrary-state API (the
+    * fifth member: join q71, sessions q72, windows q92, enrich q112).
+    * Money arithmetic stays in exact integer cents end to end. */
+  val q142_stream_tws_totals = Q(
+    "q142_stream_tws_totals",
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            |    AS BIGINT) AS total_cents
+            |FROM events
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val evs = eventStream(s, d)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[StreamingOps.TwsEvent]
+      val sink = runToSinkUpdate(
+        StreamingOps.runningTotals(evs).toDF(), "q142_sink")
+      // final state per key = the update with the largest n_events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      sink.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
-    q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup)
+    q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
+    q142_stream_tws_totals)
 }

@@ -197,6 +197,12 @@ object TextOps6 {
              |    'acc', st.acc + CASE WHEN bit = 1
              |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
              |  st -> st.acc)""".stripMargin).as("hash"))
+        // persisted: the band frame self-joins and the fingerprint column
+        // is referenced by every band lambda — without the cut,
+        // CollapseProject inlines the whole 49-digest fold into each
+        // reference on both join sides (the q36 signature-stage rule;
+        // released by the harness clearCache contract)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = withVs.select(col("doc_id"), col("hash"),
           explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
             "j -> struct(j AS j, shiftright(hash, 16 * j) & 65535 AS band))")).as("jb"))

@@ -163,4 +163,53 @@ object StreamingOps {
     import df.sparkSession.implicits._
     df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("json")).as[String]
   }
+
+  case class TwsEvent(user_id: Long, cents: Long)
+  case class TwsTotals(user_id: Long, n_events: Long, total_cents: Long)
+  private case class TwsState(n: Long, cents: Long)
+
+  /** Running per-user totals on the `transformWithState` arbitrary-state
+    * API (the successor of [flat]mapGroupsWithState — typed state handles
+    * from `getHandle`, explicit TTL, timer registry; requires the RocksDB
+    * state store provider). Each micro-batch folds the key's rows into a
+    * `ValueState` and EMITS the updated totals (Update semantics): the
+    * per-key update stream is monotone in `n_events`, so the final state
+    * is recoverable from any at-least-once update sink as the per-key row
+    * with max `n_events` — independent of how the input was micro-batched.
+    * Money stays in exact integer cents; the caller converts once at the
+    * scan. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvent, TwsTotals] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsState]("totals",
+        org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTotals] = {
+      var n = 0L
+      var cents = 0L
+      rows.foreach { e => n += 1; cents += e.cents }
+      val prev = if (st.exists()) st.get() else TwsState(0L, 0L)
+      val next = TwsState(prev.n + n, prev.cents + cents)
+      st.update(next)
+      Iterator.single(TwsTotals(key, next.n, next.cents))
+    }
+  }
+
+  /** Wire [[RunningTotalsProcessor]] over an event frame. Update output
+    * mode — each batch emits the keys it touched with their new totals. */
+  def runningTotals(events: Dataset[TwsEvent]): Dataset[TwsTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

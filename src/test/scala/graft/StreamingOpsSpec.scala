@@ -82,6 +82,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals: monotone per-key updates across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamingOps.TwsEvent]
+    val q = StreamingOps.runningTotals(in.toDS()).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(StreamingOps.TwsEvent(1, 100), StreamingOps.TwsEvent(1, 250),
+        StreamingOps.TwsEvent(2, 40))
+      q.processAllAvailable()
+      in.addData(StreamingOps.TwsEvent(1, 50), StreamingOps.TwsEvent(3, 7))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // batch 1 emits (1, 2, 350) and (2, 1, 40); batch 2 carries user 1's
+      // state forward to (1, 3, 400) and opens (3, 1, 7) — the per-key
+      // update stream is monotone in n, so max-n recovers the final state
+      assert(rows.toSet == Set((1L, 2L, 350L), (2L, 1L, 40L),
+        (1L, 3L, 400L), (3L, 1L, 7L)), rows.mkString(","))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
