@@ -9,7 +9,8 @@ object SparkEntry {
   /** All catalog sections, in order. */
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
-      Relational4.all ++ Relational5.all ++ Ingest.all ++ TextOps.all ++
+      Relational4.all ++ Relational5.all ++ ModernSql.all ++
+      Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++
