@@ -305,7 +305,54 @@ object QualityOps {
         .orderBy("event_type")
     })
 
+  /** Median imputation (data repair): simulated missingness (every 7th
+    * order's price masked, the q115 masking device) filled with the
+    * PER-GROUP median of the surviving values — the robust-impute
+    * counterpart of q139's robust mean. The median is rounded to cents
+    * BEFORE imputing, so the filled column stays exact DECIMAL money and
+    * the downstream sum survives any partial-agg order; the per-group
+    * medians are a tiny broadcast frame. The output reports how much was
+    * imputed next to the repaired aggregate — an imputation you can't
+    * audit is a silent bias. */
+  val q145_median_impute = Q(
+    "q145_median_impute",
+    Some("""WITH m AS (
+            |  SELECT o_orderpriority,
+            |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+            |  FROM orders),
+            |med AS (
+            |  SELECT o_orderpriority,
+            |    CAST(round(quantile_cont(CAST(price AS DOUBLE), 0.5), 2)
+            |      AS DECIMAL(18,2)) AS med
+            |  FROM m WHERE price IS NOT NULL GROUP BY o_orderpriority)
+            |SELECT m.o_orderpriority,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(count(*) FILTER (WHERE price IS NULL) AS BIGINT)
+            |    AS n_imputed,
+            |  CAST(sum(coalesce(price, med)) AS DOUBLE) AS total_repaired
+            |FROM m JOIN med ON med.o_orderpriority = m.o_orderpriority
+            |GROUP BY m.o_orderpriority
+            |ORDER BY m.o_orderpriority""".stripMargin),
+    (s, d) => {
+      val m = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_totalprice").cast("decimal(18,2)")).as("price"))
+      val med = m.filter(col("price").isNotNull)
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(CAST(price AS DOUBLE), 0.5)"), 2)
+          .cast("decimal(18,2)").as("med"))
+      m.join(broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("price").isNull, 1)).as("n_imputed"),
+          sum(coalesce(col("price"), col("med"))).cast("double")
+            .as("total_repaired"))
+        .orderBy("o_orderpriority")
+    })
+
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
     q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile,
-    q129_histogram, q139_winsorized_mean)
+    q129_histogram, q139_winsorized_mean, q145_median_impute)
 }
