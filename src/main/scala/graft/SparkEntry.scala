@@ -13,7 +13,7 @@ object SparkEntry {
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++
-      DataOps.all ++ DataOps2.all ++ DataOps3.all ++
+      DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       LakeOps.all ++ QualityOps.all ++ EventOps.all ++ EventOps2.all ++
       GraphOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
