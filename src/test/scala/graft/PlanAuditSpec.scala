@@ -190,6 +190,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q140: negative mining joins a BROADCAST anchor batch; one anchor-keyed window") {
+    val p = plan("q140_negative_sampling")
+    // the inequality join must ride the bounded broadcast anchor side
+    // (nested-loop with a tiny build), never a shuffled theta join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q148: the epoch reshuffle costs exactly one window shuffle") {
+    val p = plan("q148_epoch_shuffle")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
