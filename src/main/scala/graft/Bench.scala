@@ -17,7 +17,13 @@ object Bench {
     // numbers reflect steady-state execution, then run in catalog order.
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.catalog.map { q =>
+    // Iteration aid: SPARK_GRAFT_ONLY=q36_minhash_lsh,q88_cluster_keepers
+    // times just those entries (full catalog when unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.catalog
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")

@@ -347,6 +347,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
+    * every vector to its nearest centroid, then dedup WITHIN clusters —
+    * a member is dropped when some same-cluster member with higher keep
+    * priority sits within `threshold` cosine of it. Keep priority follows
+    * the paper's rule (keep the member FARTHEST from the centroid — low
+    * centroid-cosine first), ties to the lowest id, so the decision is
+    * deterministic and needs no iteration: one self-join per cluster,
+    * no transitive closure.
+    *
+    * Scale shape: centroid assignment is the same packed-broadcast
+    * scan-side fold as `ivfTopK` (zero shuffle); the only data movement
+    * is the cluster equi-join, which bounds the pairwise work to
+    * in-cluster candidates — the clustering plays exactly the role LSH
+    * buckets play in `nearDupPairs`, but with the semantic structure a
+    * trained index gives. Returns (id, cid, csim, kept 1/0).
+    *
+    * The assignment fold is evaluated twice per row (once for cid, once
+    * for csim — CollapseProject inlines the shared pair into both
+    * consumers): a deliberate 2k-cosine constant, still scan-side. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      threshold: Double): DataFrame = {
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    val best = aggregate(
+      transform(col("__cents"), c =>
+        array(round(cosine(col(vecCol), c("__cvec")), 6), c("__cid").cast("double"))),
+      array(lit(-2.0), lit(0.0)),
+      (acc, p) => when(p(0) > acc(0) ||
+        (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc))
+    // the assigned frame feeds three branches (both pair sides + the
+    // final keep flag) — persist it, as minhashNearDupPairs does its
+    // signature frame; callers clearCache() when done
+    val m = corpus.crossJoin(packed)
+      .select(col(idCol), col(vecCol),
+        best(1).cast("long").as("cid"), best(0).as("csim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = m.select(col(idCol).as("__ida"), col(vecCol).as("__va"),
+      col("cid"), col("csim").as("__ca"))
+    val b = m.select(col(idCol).as("__idb"), col(vecCol).as("__vb"),
+      col("cid"), col("csim").as("__cb"))
+    // b dominates a: same cluster, within threshold, and b is kept first
+    // (farther from the centroid, ties to the lower id)
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("__ida") =!= col("__idb"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .filter(col("__cb") < col("__ca") ||
+        (col("__cb") === col("__ca") && col("__idb") < col("__ida")))
+      .select(col("__ida").as(idCol)).distinct()
+      .withColumn("__drop", lit(1))
+    m.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("csim"),
+        when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Cosine near-duplicate pairs within shared LSH buckets: the bucket
     * equi-join carries the shuffle; cosine verifies in-bucket candidates
     * only. Returns (id_a, id_b, sim ≥ threshold). */

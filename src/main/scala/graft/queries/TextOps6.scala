@@ -221,6 +221,78 @@ object TextOps6 {
         .orderBy("doc_a", "doc_b")
     })
 
+  private val SpanC = 4 // tokens per span (the corpus has no line breaks)
+
+  /** C4-style cross-corpus span deduplication: segment every document
+    * into non-overlapping $SpanC-token spans, keep only each distinct
+    * span's CANONICAL occurrence (first by (doc_id, position) — C4 keeps
+    * one copy of any repeated three-sentence span; spans stand in for
+    * sentences since the synthetic corpus is single-line), and reassemble
+    * the surviving spans in order. Returns the cleaned text plus
+    * kept/dropped span counts per document.
+    *
+    * Scale shape: span extraction is scan-side (the token array is
+    * sliced, never exploded to single tokens); the canonical-occurrence
+    * decision is ONE window keyed on the span hash — the global span
+    * table every corpus-wide dedup variant needs — and reassembly is one
+    * doc-keyed aggregation. Nothing is all-pairs and no driver state
+    * exists at any scale. */
+  val q149_span_dedup = Q(
+    "q149_span_dedup",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |chunks AS (
+            |  SELECT doc_id, i AS pos,
+            |    array_to_string(ts[(i*$SpanC+1):(i*$SpanC+$SpanC)], ' ') AS chunk
+            |  FROM toks, unnest(range(0, CAST(ceil(len(ts) / $SpanC.0) AS INT))) t(i)),
+            |ranked AS (
+            |  SELECT doc_id, pos, chunk, ROW_NUMBER() OVER (
+            |    PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+            |  FROM chunks),
+            |kept AS (SELECT doc_id, pos, chunk FROM ranked WHERE rn = 1),
+            |agg AS (
+            |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+            |  FROM kept GROUP BY doc_id),
+            |nch AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            |  FROM chunks GROUP BY doc_id)
+            |SELECT nch.doc_id, coalesce(clean_text, '') AS clean_text,
+            |  coalesce(n_kept, 0) AS n_kept,
+            |  nch.n_chunks - coalesce(n_kept, 0) AS n_dropped
+            |FROM nch LEFT JOIN agg ON nch.doc_id = agg.doc_id
+            |ORDER BY nch.doc_id""".stripMargin),
+    (s, d) => {
+      // ts is referenced twice (span lambda + count) — CollapseProject
+      // keeps non-cheap multi-referenced aliases in their own project,
+      // so the split runs once per row, not once per span
+      val withTs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val chunks = withTs
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ceil(size(col("ts")) / lit(SpanC.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("ts"), i * SpanC + 1, lit(SpanC)), " ")))
+          .as(Seq("pos", "chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id", "pos")
+      val kept = chunks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          p => p("chunk")), " ").as("clean_text"))
+      // per-doc span count is scan-side arithmetic (== the explode's
+      // cardinality by construction) — no second explode+aggregation
+      val nch = withTs.select(col("doc_id"),
+        ceil(size(col("ts")) / lit(SpanC.toDouble)).cast("long").as("n_chunks"))
+      nch.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q134_pmi_bigrams, q135_vocab_coverage,
-    q137_block_dhash)
+    q137_block_dhash, q149_span_dedup)
 }

@@ -173,5 +173,53 @@ object VectorOps2 {
         .orderBy("qid", "rk")
     })
 
-  val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained, q136_ann_ivf_batch)
+  private val SemT = 0.3
+
+  /** SemDeDup semantic deduplication (Similarity.semanticDedup): cluster
+    * by nearest centroid, then drop any member whose cluster holds a
+    * higher-priority member within cosine $SemT — priority keeps the
+    * member FARTHEST from its centroid (the paper's diversity rule),
+    * ties to the lowest id. Unlike q41's LSH buckets, the candidate
+    * structure here is the semantic clustering itself, so the pairwise
+    * work is bounded by cluster populations; assignment stays a
+    * scan-side packed-broadcast fold, and no transitive closure is
+    * needed (the priority rule is a total order — one self-join
+    * decides). Oracle replays assignment (q56's idiom, keeping the
+    * rnk=1 cosine as csim), the dominance join, and the keep flag. */
+  val q150_semantic_dedup = Q(
+    "q150_semantic_dedup",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $NCentroids),
+            |assign AS (
+            |  SELECT vec_id, v, cid,
+            |         round(${cosineSql("v", "cvec")}, 6) AS csim,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid) AS rnk
+            |  FROM e CROSS JOIN cent),
+            |m AS (SELECT vec_id, v, cid, csim FROM assign WHERE rnk = 1),
+            |dropped AS (
+            |  SELECT DISTINCT a.vec_id
+            |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            |  WHERE round(${cosineSql("a.v", "b.v")}, 6) >= $SemT
+            |    AND (b.csim < a.csim
+            |      OR (b.csim = a.csim AND b.vec_id < a.vec_id)))
+            |SELECT m.vec_id, m.cid, m.csim,
+            |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+            |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+            |ORDER BY m.vec_id""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.semanticDedup(
+        emb.select("vec_id", "e"), "vec_id", "e",
+        emb.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("cid"), col("e").as("cvec")),
+        "cid", "cvec", threshold = SemT)
+        .orderBy("vec_id")
+    })
+
+  val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained, q136_ann_ivf_batch,
+    q150_semantic_dedup)
 }

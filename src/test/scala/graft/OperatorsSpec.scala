@@ -137,4 +137,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(local == dist)
     assert(local.nonEmpty)
   }
+
+  test("semanticDedup keeps the farthest-from-centroid member of each in-cluster dup group") {
+    import graft.operators.Similarity
+    // two well-separated clusters; each holds a near-dup pair plus (in
+    // cluster 0) one distinct member. The paper's rule keeps the LOWER
+    // centroid-cosine member of a dup pair.
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.05)),  // cluster 0, csim highest → dropped
+      (11L, Seq(1.0, 0.10)),  // cluster 0, near-dup of 10, farther → kept
+      (12L, Seq(0.3, -1.0)),  // cluster 0, not a near-dup of anything → kept
+      (20L, Seq(0.05, 1.0)),  // cluster 1, csim highest → dropped
+      (21L, Seq(0.10, 1.0))   // cluster 1, near-dup of 20, farther → kept
+    ).toDF("id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val got = Similarity.semanticDedup(corpus, "id", "v", cents, "cid", "cvec",
+        threshold = 0.9)
+      .select("id", "cid", "kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((10L, 0L, 0L), (11L, 0L, 1L), (12L, 0L, 1L),
+      (20L, 1L, 0L), (21L, 1L, 1L)))
+  }
 }

@@ -203,6 +203,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("q149: span dedup's canonical pick is one span-keyed window with a group-limit pushdown") {
+    val p = plan("q149_span_dedup")
+    // rn=1 must compile to WindowGroupLimit (partial top-1 per span ahead
+    // of the shuffle) — losing it ships every span occurrence unsummarized
+    assert(p.contains("WindowGroupLimit"), p)
+    // span window + doc reassembly + (at most) a join-side exchange; the
+    // final orderBy rangepartitioning is not counted here
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p)
+  }
+
+  test("q150: semantic dedup assigns scan-side; the pairwise work is cluster-bucketed") {
+    val p = plan("q150_semantic_dedup")
+    // packed-centroid broadcast assignment, as q56 — never a window
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
