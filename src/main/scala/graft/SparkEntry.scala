@@ -14,7 +14,8 @@ object SparkEntry {
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
-      LakeOps.all ++ QualityOps.all ++ EventOps.all ++ EventOps2.all ++
+      LakeOps.all ++ QualityOps.all ++ QualityOps2.all ++
+      EventOps.all ++ EventOps2.all ++
       GraphOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++
       MultimodalQ.all ++ StreamQ.all

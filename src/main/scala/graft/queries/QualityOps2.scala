@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.hexSpanValSql
+
+/** Statistical quality control, part 2: distribution-matching selection
+  * (DSIR-style importance resampling) and smoothed bigram language-model
+  * scoring (the CCNet perplexity-filter shape) — the two model-based
+  * selection signals a curation pipeline adds on top of QualityOps'
+  * heuristics. Both follow the q89 determinism discipline: per-token
+  * log terms are rounded, summed in exact decimal, and only the final
+  * statistic returns to double.
+  */
+object QualityOps2 {
+
+  private val DsirTargetSource = "src0" // stand-in "high-quality domain"
+  private val DsirSlope = 10.0          // sigmoid sharpness on the mean LLR
+
+  /** DSIR-style importance resampling (Xie et al., 2023, with unigram
+    * LMs standing in for hashed n-gram features): estimate a TARGET
+    * language model from the high-quality domain and a RAW model from
+    * the whole pool (add-1 smoothing over the shared vocabulary), score
+    * every document by its mean per-token log-likelihood RATIO, squash
+    * through a sigmoid, and keep documents whose deterministic md5 draw
+    * falls under that weight — raw documents that look like the target
+    * survive with high probability, regardless of their own domain tag.
+    *
+    * Scale shape: both LMs are hash aggregations over the token stream;
+    * the per-term score table broadcasts (vocab-sized index metadata);
+    * the doc score is one doc-keyed aggregation; draw and gate are
+    * scan-side md5 arithmetic (q75's replayable-draw device). Nothing
+    * all-pairs, no driver state. */
+  val q151_dsir_resample = Q(
+    "q151_dsir_resample", {
+      val u = s"(${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))"
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+              |  FROM documents),
+              |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+              |tgt AS (
+              |  SELECT term, CAST(count(*) AS BIGINT) AS ft FROM tok
+              |  WHERE source = '$DsirTargetSource' GROUP BY term),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+              |  WHERE source = '$DsirTargetSource'),
+              |raw AS (SELECT term, CAST(count(*) AS BIGINT) AS fr FROM tok GROUP BY term),
+              |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+              |scores AS (
+              |  SELECT raw.term,
+              |    round(ln((coalesce(ft, 0) + 1.0) / (nt.n + vocab.v))
+              |        - ln((fr + 1.0) / (nr.n + vocab.v)), 8) AS llr
+              |  FROM raw LEFT JOIN tgt ON raw.term = tgt.term
+              |    CROSS JOIN nt CROSS JOIN nr CROSS JOIN vocab),
+              |docs AS (
+              |  SELECT doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_tokens,
+              |    CAST(CAST(sum(CAST(llr AS DECIMAL(20,8))) AS DOUBLE)
+              |      / count(*) AS DOUBLE) AS mean_llr
+              |  FROM tok JOIN scores ON tok.term = scores.term
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, round(mean_llr, 6) AS mean_llr,
+              |  round(1.0 / (1.0 + exp(-$DsirSlope * mean_llr)), 6) AS weight,
+              |  CAST(CASE WHEN $u <
+              |    1.0 / (1.0 + exp(-$DsirSlope * mean_llr))
+              |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM docs
+              |ORDER BY doc_id""".stripMargin)
+    },
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.agg(count_distinct(col("term")).as("v"))
+      val tgt = tok.filter(col("source") === DsirTargetSource)
+        .groupBy("term").agg(count(lit(1)).as("ft"))
+      val nt = tok.filter(col("source") === DsirTargetSource)
+        .agg(count(lit(1)).as("__nt"))
+      val raw = tok.groupBy("term").agg(count(lit(1)).as("fr"))
+      val nr = tok.agg(count(lit(1)).as("__nr"))
+      val scores = raw.join(tgt, Seq("term"), "left")
+        .crossJoin(broadcast(nt))
+        .crossJoin(broadcast(nr))
+        .crossJoin(broadcast(vocab))
+        .select(col("term"),
+          round(log((coalesce(col("ft"), lit(0L)) + lit(1.0)) /
+              (col("__nt") + col("v"))) -
+            log((col("fr") + lit(1.0)) / (col("__nr") + col("v"))), 8)
+            .as("llr"))
+      val docs = tok.join(broadcast(scores), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("llr").cast("decimal(20,8)")).cast("double") /
+            count(lit(1))).cast("double").as("mean_llr"))
+      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
+      val w = lit(1.0) / (lit(1.0) + exp(lit(-DsirSlope) * col("mean_llr")))
+      docs.select(col("doc_id"), col("n_tokens"),
+          round(col("mean_llr"), 6).as("mean_llr"),
+          round(w, 6).as("weight"),
+          when(u < w, 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    })
+
+  /** Smoothed bigram LM scoring (the CCNet perplexity-filter shape,
+    * one order up from q89's unigram): p(wᵢ | wᵢ₋₁) with add-1
+    * smoothing over the corpus vocabulary, scored as the mean negative
+    * log conditional per bigram — high scorers read as improbable
+    * (garbage) under the corpus's own bigram statistics. Bigrams are
+    * formed scan-side from the token array (no self-join of the token
+    * stream); the bigram and unigram-context counts are hash aggs whose
+    * score table re-enters as a broadcast. */
+  val q152_bigram_ppl = Q(
+    "q152_bigram_ppl",
+    Some("""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+            |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+            |bg AS (
+            |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+            |    i -> ts[i] || ' ' || ts[i+1])) AS big
+            |  FROM toks WHERE len(ts) >= 2),
+            |bgc AS (SELECT big, CAST(count(*) AS BIGINT) AS fb FROM bg GROUP BY big),
+            |ctx AS (
+            |  SELECT string_split(big, ' ')[1] AS w1,
+            |    CAST(sum(fb) AS BIGINT) AS fc
+            |  FROM bgc GROUP BY string_split(big, ' ')[1]),
+            |scores AS (
+            |  SELECT big, round(-ln((fb + 1.0) / (fc + vocab.v)), 8) AS nlp
+            |  FROM bgc JOIN ctx ON string_split(bgc.big, ' ')[1] = ctx.w1
+            |    CROSS JOIN vocab)
+            |SELECT doc_id,
+            |  CAST(count(*) AS BIGINT) AS n_bigrams,
+            |  CAST(CAST(sum(CAST(nlp AS DECIMAL(20,8))) AS DOUBLE)
+            |    / count(*) AS DOUBLE) AS mean_neg_logp
+            |FROM bg JOIN scores ON bg.big = scores.big
+            |GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val withTs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val tok = withTs.select(col("doc_id"), explode(col("ts")).as("term"))
+      val vocab = tok.agg(count_distinct(col("term")).as("v"))
+      // scan-side bigram formation: zip the token array with its tail
+      val bg = withTs.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .as("big"))
+      val bgc = bg.groupBy("big").agg(count(lit(1)).as("fb"))
+      val ctx = bgc.groupBy(split(col("big"), " ")(0).as("w1"))
+        .agg(sum(col("fb")).as("fc"))
+      val scores = bgc
+        .join(broadcast(ctx), split(col("big"), " ")(0) === col("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("big"),
+          round(-log((col("fb") + lit(1.0)) / (col("fc") + col("v"))), 8)
+            .as("nlp"))
+      bg.join(broadcast(scores), "big")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("nlp").cast("decimal(20,8)")).cast("double") /
+            count(lit(1))).cast("double").as("mean_neg_logp"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl)
+}
