@@ -276,6 +276,51 @@ object EventOps2 {
         .orderBy("day")
     })
 
+  private val WinLenUs = 7200000000L // 2-hour alert windows
+  private val BinUs = 3600000000L    // 1-hour bin grid
+
+  /** Binned KEYLESS interval join (the range-join optimization): every
+    * 211th event opens a 2-hour alert window; count the events falling in
+    * each window. With no equi key, a naive plan is a nested-loop testing
+    * every (event, window) pair — instead both sides map onto a fixed
+    * 1-hour bin grid: each window replicates into the ≤ len/bin + 1 bins
+    * it overlaps (scan-side sequence explode), each point lands in
+    * exactly ONE bin, and the bin equi-join + exact containment filter
+    * yields each qualifying pair exactly once (the pair can only meet in
+    * the point's bin — no dedup step exists). Replication is bounded by
+    * the window/bin ratio, so the shuffle volume is O(n + m·len/bin) at
+    * any scale. The oracle is the PLAIN theta join — equivalence is
+    * hash-proven, the q132/q138 discipline. */
+  val q153_binned_interval_join = Q(
+    "q153_binned_interval_join",
+    Some(s"""WITH e AS (
+            |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+            |win AS (
+            |  SELECT event_id AS win_id, tus AS ws, tus + $WinLenUs AS we
+            |  FROM e WHERE event_id % 211 = 0)
+            |SELECT win_id, ws,
+            |  CAST(count(*) AS BIGINT) AS n_events
+            |FROM win JOIN e ON e.tus >= win.ws AND e.tus < win.we
+            |GROUP BY win_id, ws
+            |ORDER BY win_id""".stripMargin),
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), expr("ts div 1000").as("tus"))
+      val win = e.filter(col("event_id") % 211 === 0)
+        .select(col("event_id").as("win_id"), col("tus").as("ws"),
+          (col("tus") + WinLenUs).as("we"))
+      val winBins = win.withColumn("bin",
+        explode(sequence(expr(s"ws div $BinUs"), expr(s"we div $BinUs"))))
+      val pts = e.select(col("event_id"), col("tus"),
+        expr(s"tus div $BinUs").as("bin"))
+      winBins.join(pts, "bin")
+        .filter(col("tus") >= col("ws") && col("tus") < col("we"))
+        .groupBy("win_id", "ws")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("win_id")
+    })
+
   val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma,
-    q113_transition_matrix, q114_retention_cohorts, q116_rolling_distinct)
+    q113_transition_matrix, q114_retention_cohorts, q116_rolling_distinct,
+    q153_binned_interval_join)
 }

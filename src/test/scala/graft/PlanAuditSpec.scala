@@ -220,6 +220,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q153: the keyless interval join plans as a bin EQUI join, never a nested loop") {
+    val p = plan("q153_binned_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("Hash"), p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
