@@ -118,6 +118,77 @@ object DataOps4 {
         .orderBy("epoch", "rk")
     })
 
+  private val MixBudget = 100000L // total training-token budget
+
+  /** Data-mixing budget planner (the static-mixture stage of The Pile /
+    * DoReMi-style training recipes): given per-source token inventories
+    * and target mixture weights, emit each source's token target and the
+    * epoch multiplier (>1 = upsample, <1 = subsample) a sampler must
+    * apply. Weights here derive deterministically from the source id
+    * (1 + id mod 5, normalized) — in production they arrive as a config
+    * table; the plan is the same one hash-agg over the corpus plus
+    * arithmetic on the 20-row inventory. Every ratio is computed on
+    * exact integer counts and rounded once at the end, so the plan is
+    * bit-identical on both engines. */
+  val q155_mixture_plan = Q(
+    "q155_mixture_plan",
+    Some(s"""WITH inv AS (
+            |  SELECT source,
+            |    CAST(substr(source, 4) AS BIGINT) AS sid,
+            |    CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            |  FROM documents GROUP BY source),
+            |w AS (SELECT *, 1 + sid % 5 AS wt FROM inv),
+            |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w)
+            |SELECT source, n_docs, n_tokens,
+            |  round(CAST(wt AS DOUBLE) / wsum, 6) AS weight_share,
+            |  CAST(round($MixBudget * CAST(wt AS DOUBLE) / wsum, 0) AS BIGINT)
+            |    AS tokens_target,
+            |  round(($MixBudget * CAST(wt AS DOUBLE) / wsum) / n_tokens, 6)
+            |    AS epochs
+            |FROM w CROSS JOIN tot
+            |ORDER BY source""".stripMargin),
+    (s, d) => {
+      val inv = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("sid", substring(col("source"), 4, 10).cast("long"))
+        .withColumn("wt", lit(1L) + col("sid") % 5)
+      val tot = inv.agg(sum(col("wt")).as("wsum"))
+      val target = lit(MixBudget) * col("wt").cast("double") / col("wsum")
+      inv.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("wt").cast("double") / col("wsum"), 6).as("weight_share"),
+          round(target, 0).cast("long").as("tokens_target"),
+          round(target / col("n_tokens"), 6).as("epochs"))
+        .orderBy("source")
+    })
+
+  private val AnonK = 3L
+
+  /** k-anonymity audit over quasi-identifiers (the privacy gate a
+    * governed dataset release runs): every (lang, source) combination
+    * occurring fewer than k times is a re-identification risk and is
+    * flagged for suppression. One hash agg over the quasi-identifier
+    * tuple; the suppression decision is pure arithmetic on the group
+    * size — the same one-scan shape as the q91 quality gate, pointed at
+    * privacy. */
+  val q156_k_anonymity = Q(
+    "q156_k_anonymity",
+    Some(s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n,
+            |  CAST(CASE WHEN count(*) < $AnonK THEN 1 ELSE 0 END AS BIGINT)
+            |    AS suppress
+            |FROM documents
+            |GROUP BY lang, source
+            |ORDER BY lang, source""".stripMargin),
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("group_n"))
+      .select(col("lang"), col("source"), col("group_n"),
+        when(col("group_n") < AnonK, 1L).otherwise(0L).as("suppress"))
+      .orderBy("lang", "source"))
+
   val all: Seq[Q] = Seq(q146_nested_ops, q147_dynamic_pivot,
-    q148_epoch_shuffle)
+    q148_epoch_shuffle, q155_mixture_plan, q156_k_anonymity)
 }

@@ -280,7 +280,48 @@ object LakeOps {
         .orderBy("o_orderpriority")
     })
 
+  /** Incremental JOIN-view maintenance — q79's delta rule lifted from
+    * aggregates to joins: with base snapshots A,B and inserted deltas
+    * ΔA,ΔB, the view delta is Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, and the
+    * maintained view is old ∪ delta. Every 50th order / 40th customer
+    * plays the delta batch; the maintained view is then aggregated per
+    * nation and hash-proven equal to the FULL recompute on the updated
+    * tables (the oracle) — the identity a lakehouse materialized view
+    * relies on to avoid re-reading the base tables.
+    *
+    * Scale shape: the two cross-delta terms broadcast the (small) delta
+    * side, so maintenance touches each base table once with a broadcast
+    * probe — never a second full shuffle of A⋈B; only the old-view union
+    * re-aggregates, and that is the view, not the bases. */
+  val q154_join_ivm = Q(
+    "q154_join_ivm",
+    Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total_price
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_nationkey
+            |ORDER BY c_nationkey""".stripMargin),
+    (s, d) => {
+      val a = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val b = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val aOld = a.filter(col("o_orderkey") % 50 =!= 0)
+      val dA = a.filter(col("o_orderkey") % 50 === 0)
+      val bOld = b.filter(col("c_custkey") % 40 =!= 0)
+      val dB = b.filter(col("c_custkey") % 40 === 0)
+      val on = col("o_custkey") === col("c_custkey")
+      val viewOld = aOld.join(bOld, on)
+      val delta = broadcast(dA).join(bOld, on)
+        .unionByName(aOld.join(broadcast(dB), on))
+        .unionByName(dA.join(broadcast(dB), on))
+      viewOld.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Q.asDouble(sum(Q.dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("c_nationkey")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
-    q130_asof_snapshot, q138_minmax_prune)
+    q130_asof_snapshot, q138_minmax_prune, q154_join_ivm)
 }

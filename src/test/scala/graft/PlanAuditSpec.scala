@@ -227,6 +227,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("Hash"), p)
   }
 
+  test("q154: join-IVM maintenance broadcasts every delta side") {
+    val p = plan("q154_join_ivm")
+    // ΔA⋈B, A⋈ΔB, ΔA⋈ΔB all ride broadcast deltas — maintenance must
+    // never re-shuffle a base table against the view
+    assert(countOf(p, "BroadcastHashJoin") >= 3, p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
