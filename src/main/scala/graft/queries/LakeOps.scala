@@ -321,7 +321,69 @@ object LakeOps {
         .orderBy("c_nationkey")
     })
 
+  /** CSV export/import round trip — q125's fidelity proof for the OTHER
+    * interchange text format, with the hazards CSV actually has: a
+    * synthesized column embeds the delimiter AND the quote character, so
+    * the hash only matches if quoting/escaping survives the round trip
+    * (an unquoted writer or a mis-escaped reader splits the column and
+    * changes the group keys). Same export-dir race discipline as q125
+    * (sf-dir key + per-process applicationId). */
+  val q157_csv_roundtrip = Q(
+    "q157_csv_roundtrip",
+    Some("""SELECT source || ',"' || lang AS tricky,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM documents
+            |GROUP BY tricky
+            |ORDER BY tricky""".stripMargin),
+    (s, d) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+      val out = s"/tmp/graft_csv_export/${s.sparkContext.applicationId}/$key"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit(",\""), col("lang")).as("tricky"),
+          col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("doc_id LONG, tricky STRING, n_chars LONG")
+        .option("header", "true").csv(out)
+        .groupBy("tricky")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("tricky")
+    })
+
+  /** ORC export/import round trip — the second COLUMNAR format (the
+    * engine is not parquet-bound): a money DECIMAL column rides through
+    * the ORC writer/reader and re-aggregates to the parquet-sourced
+    * oracle's numbers, proving type fidelity for the column class where
+    * text formats quietly coerce. */
+  val q158_orc_roundtrip = Q(
+    "q158_orc_roundtrip",
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total_price
+            |FROM orders
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin),
+    (s, d) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+      val out = s"/tmp/graft_orc_export/${s.sparkContext.applicationId}/$key"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          Q.dec(col("o_totalprice")).as("price"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Q.asDouble(sum(col("price"))).as("total_price"))
+        .orderBy("o_orderpriority")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
-    q130_asof_snapshot, q138_minmax_prune, q154_join_ivm)
+    q130_asof_snapshot, q138_minmax_prune, q154_join_ivm,
+    q157_csv_roundtrip, q158_orc_roundtrip)
 }

@@ -116,4 +116,32 @@ class PropertiesSpec extends AnyFunSuite {
       assert(agg.finish(swapped) == expected, s"cut=$cut swapped")
     }
   }
+
+  test("semanticDedup: one keeper survives per cluster, and the result is partitioning-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random unit-ish 4-d vectors with planted duplicates to make the
+    // threshold fire
+    val base = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextDouble() - 0.5)))
+    val dups = base.take(15).map { case (id, v) =>
+      (id + 1000L, v.map(_ * 1.02 + 0.001)) }
+    val corpus = (base ++ dups).toDF("id", "v")
+    val cents = base.take(4).map { case (id, v) => (id, v) }.toDF("cid", "cvec")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val out = graft.operators.Similarity
+        .semanticDedup(df, "id", "v", cents, "cid", "cvec", threshold = 0.95)
+        .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+      spark.catalog.clearCache()
+      out
+    }
+    val got = run(corpus)
+    // every non-empty cluster keeps at least one member (the cluster's
+    // minimum-(csim,id) member has no dominator by construction)
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.values.forall(_.exists(_._4 == 1L)))
+    assert(got.exists(_._4 == 0L), "planted duplicates should drop members")
+    // deterministic under any partitioning (retry/speculation safety)
+    assert(run(corpus.repartition(7)) == got)
+  }
 }
