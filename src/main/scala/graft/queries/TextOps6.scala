@@ -293,6 +293,89 @@ object TextOps6 {
         .orderBy("doc_id")
     })
 
+  /** Vocabulary growth curve (the Heaps'-law diagnostic a tokenizer team
+    * reads before sizing a vocab): each term's FIRST document (min
+    * doc_id), then the running vocabulary size over the document order —
+    * one row per document that introduces new vocabulary. Two hash aggs
+    * (term → first doc, first doc → new-term count) and one cumulative
+    * window over the (tiny) introducing-doc frame; the corpus token
+    * stream itself is touched once. */
+  val q159_vocab_growth = Q(
+    "q159_vocab_growth",
+    Some("""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |first AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+            |intro AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS new_terms
+            |  FROM first GROUP BY fd)
+            |SELECT doc_id, new_terms,
+            |  CAST(sum(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
+            |FROM intro
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val first = tok.groupBy("term").agg(min(col("doc_id")).as("fd"))
+      val intro = first.groupBy(col("fd").as("doc_id"))
+        .agg(count(lit(1)).as("new_terms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      intro.withColumn("cum_vocab", sum(col("new_terms")).over(w))
+        .orderBy("doc_id")
+    })
+
+  private val ZipfTopN = 20
+
+  /** Zipf rank-frequency fit (corpus-health check: natural corpora run
+    * slope ≈ −1; synthetic/templated ones flatten): least-squares slope
+    * and intercept of ln(freq) on ln(rank) over the top-N tokens. The
+    * moments follow q97's exact discipline — each ln term is rounded
+    * once, summed in exact decimal, and the closed-form slope runs the
+    * identical IEEE expression tree on both engines. One corpus hash agg
+    * + a TakeOrdered top-N; the regression sees N rows. */
+  val q160_zipf_fit = Q(
+    "q160_zipf_fit",
+    Some(s"""WITH tf AS (
+            |  SELECT term, CAST(count(*) AS BIGINT) AS f
+            |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+            |        FROM documents) t
+            |  GROUP BY term),
+            |top AS (
+            |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rk
+            |  FROM tf ORDER BY f DESC, term LIMIT $ZipfTopN),
+            |m AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CAST(round(ln(rk), 8) AS DECIMAL(20,8))) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(round(ln(f), 8) AS DECIMAL(20,8))) AS DOUBLE) AS sy,
+            |    CAST(sum(CAST(round(ln(rk) * ln(f), 8) AS DECIMAL(20,8))) AS DOUBLE) AS sxy,
+            |    CAST(sum(CAST(round(ln(rk) * ln(rk), 8) AS DECIMAL(20,8))) AS DOUBLE) AS sxx
+            |  FROM top)
+            |SELECT n,
+            |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+            |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+            |    AS intercept
+            |FROM m""".stripMargin),
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val top = tf.orderBy(col("f").desc, col("term")).limit(ZipfTopN)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("f").desc, col("term"))))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(round(c, 8).cast("decimal(20,8)")).cast("double")
+      val lrk = log(col("rk").cast("double"))
+      val lf = log(col("f").cast("double"))
+      val m = top.agg(count(lit(1)).as("n"), dsum(lrk).as("sx"),
+        dsum(lf).as("sy"), dsum(lrk * lf).as("sxy"), dsum(lrk * lrk).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("n"), round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    })
+
   val all: Seq[Q] = Seq(q134_pmi_bigrams, q135_vocab_coverage,
-    q137_block_dhash, q149_span_dedup)
+    q137_block_dhash, q149_span_dedup, q159_vocab_growth, q160_zipf_fit)
 }
