@@ -162,5 +162,46 @@ object QualityOps2 {
         .orderBy("doc_id")
     })
 
-  val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl)
+  /** Quantile binning (feature discretization): exact quartile
+    * boundaries of the heavy-tailed events value (rounded once, the q48
+    * percentile convention), then every event lands in a bin by pure
+    * boundary arithmetic — bin = 1 + Σ (x > bᵢ), no CASE ladder to
+    * drift between engines. The boundaries are a broadcast 1-row frame
+    * (index metadata); the assignment is scan-side; the report is one
+    * hash agg with a decimal-exact per-bin mean. */
+  val q162_quantile_binning = Q(
+    "q162_quantile_binning",
+    Some("""WITH b AS (
+            |  SELECT round(quantile_cont(value, 0.25), 6) AS b1,
+            |    round(quantile_cont(value, 0.50), 6) AS b2,
+            |    round(quantile_cont(value, 0.75), 6) AS b3
+            |  FROM events),
+            |x AS (SELECT round(value, 6) AS x FROM events)
+            |SELECT 1 + CAST(x > b1 AS INT) + CAST(x > b2 AS INT)
+            |    + CAST(x > b3 AS INT) AS bin,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+            |    / count(*) AS DOUBLE) AS mean_x
+            |FROM x CROSS JOIN b
+            |GROUP BY bin
+            |ORDER BY bin""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(round(col("value"), 6).as("x"))
+      val b = Tables.events(s, d).agg(
+        round(expr("percentile(value, 0.25)"), 6).as("b1"),
+        round(expr("percentile(value, 0.50)"), 6).as("b2"),
+        round(expr("percentile(value, 0.75)"), 6).as("b3"))
+      ev.crossJoin(broadcast(b))
+        .select((lit(1) + (col("x") > col("b1")).cast("int") +
+          (col("x") > col("b2")).cast("int") +
+          (col("x") > col("b3")).cast("int")).as("bin"), col("x"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x").cast("decimal(30,6)")).cast("double") /
+            count(lit(1))).cast("double").as("mean_x"))
+        .orderBy("bin")
+    })
+
+  val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
+    q162_quantile_binning)
 }

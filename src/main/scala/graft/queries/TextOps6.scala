@@ -376,6 +376,52 @@ object TextOps6 {
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
     })
 
+  // ordered BPE merge table (applied highest-priority first, the BPE
+  // inference rule); pairs chosen from the corpus vocabulary
+  private val BpeMerges = Seq(
+    ("t a", "ta"), ("ta b", "tab"), ("r o", "ro"), ("ro w", "row"),
+    ("k e", "ke"))
+
+  /** BPE merge APPLICATION (the inference half of the tokenizer story —
+    * q58 counts regex tokens, q135 sizes a vocab; this applies a FIXED
+    * ordered merge table the way a trained BPE tokenizer does): each
+    * word becomes its space-joined character sequence, each merge
+    * rewrites every occurrence of its pair in priority order, and the
+    * word's token count is what remains. Pure scan-side string work per
+    * document — the merge table is a compile-time constant exactly like
+    * a deployed tokenizer's, so 100 TB costs one corpus pass and the
+    * per-source report is one hash agg. */
+  val q161_bpe_apply = Q(
+    "q161_bpe_apply", {
+      def merged(cs: String) = BpeMerges.foldLeft(cs) {
+        case (acc, (a, b)) => s"replace($acc, '$a', '$b')" }
+      val perTok = merged("list_aggregate(string_split(t, ''), 'string_agg', ' ')")
+      Some(s"""SELECT source,
+              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+              |  CAST(sum(list_sum(list_transform(string_split(text, ' '),
+              |    t -> len(string_split($perTok, ' '))))) AS BIGINT)
+              |    AS n_bpe_tokens
+              |FROM documents
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)
+    },
+    (s, d) => {
+      def merged(cs: String) = BpeMerges.foldLeft(cs) {
+        case (acc, (a, b)) => s"replace($acc, '$a', '$b')" }
+      // Spark's split('', -1) keeps a trailing empty element — trim the
+      // trailing space it would leave in the char-joined form
+      val perTok = merged("trim(array_join(split(t, ''), ' '))")
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+          sum(expr(
+            s"aggregate(transform(split(text, ' '), t -> size(split($perTok, ' '))), 0, (a, x) -> a + x)")
+            .cast("long")).as("n_bpe_tokens"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q134_pmi_bigrams, q135_vocab_coverage,
-    q137_block_dhash, q149_span_dedup, q159_vocab_growth, q160_zipf_fit)
+    q137_block_dhash, q149_span_dedup, q159_vocab_growth, q160_zipf_fit,
+    q161_bpe_apply)
 }
