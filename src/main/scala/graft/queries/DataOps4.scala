@@ -189,6 +189,62 @@ object DataOps4 {
         when(col("group_n") < AnonK, 1L).otherwise(0L).as("suppress"))
       .orderBy("lang", "source"))
 
+  private val NShards = 8
+
+  /** Training-shard export manifest — the closing composition of the
+    * curation stack (q122's sibling for the SERVING side): exact dedup
+    * (q34's deterministic keeper), epoch-keyed md5 shard assignment
+    * (q148's reshuffle device WITHOUT a global rank window — the bucket
+    * comes straight from the hash, so no single-partition bottleneck
+    * exists at any scale), and a per-shard manifest (doc count, token
+    * count, order-independent id checksum — q119's anti-entropy form)
+    * that a downstream training job can verify its reads against. One
+    * content-hash window + one shard hash agg; everything else is
+    * scan-side. */
+  val q163_training_shards = Q(
+    "q163_training_shards", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val draw = hexSpanValSql("md5('0|' || CAST(doc_id AS VARCHAR))", 0, 13)
+      val fp = hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)
+      Some(s"""WITH dd AS (
+              |  SELECT doc_id, text, ROW_NUMBER() OVER (
+              |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |k AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+              |sh AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+              |    CAST($draw % $NShards AS BIGINT) AS shard
+              |  FROM k)
+              |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+              |  CAST(sum($fp) AS BIGINT) AS id_checksum
+              |FROM sh
+              |GROUP BY shard
+              |ORDER BY shard""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy("doc_id")
+      val kept = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // q132 lesson: hash once into a column, THEN span-extract — the
+      // text-level helper would paste the md5 into every digit read
+      val sh = kept
+        .withColumn("__d", md5(concat(lit("0|"), col("doc_id").cast("string"))))
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(
+          (expr(hexSpanValSql("__d", 0, 13)) % NShards).cast("long").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          expr(hexSpanValSql("__h", 0, 13)).as("fp"))
+      sh.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("fp")).as("id_checksum"))
+        .orderBy("shard")
+    })
+
   val all: Seq[Q] = Seq(q146_nested_ops, q147_dynamic_pivot,
-    q148_epoch_shuffle, q155_mixture_plan, q156_k_anonymity)
+    q148_epoch_shuffle, q155_mixture_plan, q156_k_anonymity,
+    q163_training_shards)
 }
