@@ -67,5 +67,38 @@ object TextOps2 {
           col("exact_distinct") <= 0.05).as("within_5pct"))
       .orderBy("lang"))
 
-  val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct)
+  /** Mergeable HLL sketches (Spark 4's Datasketches surface): one
+    * 4 KB-class sketch per DAY of events, then `hll_union_agg` merges the
+    * daily sketches into the period's distinct-user estimate — the
+    * mergeable-summaries infrastructure that lets 100 TB of daily
+    * partitions answer cross-period distincts WITHOUT re-scanning raw
+    * data (only sketches move in the second agg). The estimate is gated
+    * by the exact answer (q54's discipline: the oracle computes exact +
+    * literal TRUE, so estimator drift flips the hash); union-of-parts ≡
+    * sketch-of-whole is the law being exercised. */
+  val q164_hll_merge = Q(
+    "q164_hll_merge",
+    Some("""WITH e AS (
+            |  SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+            |SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+            |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            |  TRUE AS within_5pct
+            |FROM e""".stripMargin),
+    (s, d) => {
+      val e = Tables.events(s, d).select(
+        expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+        col("user_id"))
+      val daily = e.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = e.agg(count_distinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
+    })
+
+  val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct, q164_hll_merge)
 }
