@@ -154,7 +154,11 @@ object QualityOps2 {
         .select(col("big"),
           round(-log((col("fb") + lit(1.0)) / (col("fc") + col("v"))), 8)
             .as("nlp"))
-      bg.join(broadcast(scores), "big")
+      // NO broadcast hint here: unlike the unigram tables (q89/q151),
+      // a natural corpus's BIGRAM table grows toward |V|² — force-
+      // broadcasting it is the q110 probe-set mistake; the planner picks
+      // broadcast while it fits and a big-keyed shuffle join beyond
+      bg.join(scores, "big")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(col("nlp").cast("decimal(20,8)")).cast("double") /
