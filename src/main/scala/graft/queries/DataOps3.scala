@@ -351,7 +351,96 @@ object DataOps3 {
         .orderBy("cap")
     })
 
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K = 5
+
+  /** BM25 ranking (q110's retrieval shape under the REAL lexical scoring
+    * function — Lucene's non-negative idf variant): probe documents'
+    * distinct terms query the term-keyed postings; each matching posting
+    * contributes idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)); the
+    * per-(probe, doc) score is the decimal sum of ROUNDED contributions,
+    * so the result is independent of the order the engine adds postings
+    * in — the q89 discipline applied to a ranking function. Same scale
+    * shape as q110: bounded broadcast probe batch, postings join keyed
+    * on the term, candidate-volume window for the top-k. */
+  val q165_bm25 = Q(
+    "q165_bm25", {
+      val idf = s"ln((nd.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+      val tfw = s"(tf * (${Bm25K1} + 1.0)) / " +
+        s"(tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl.dl / ad.avgdl))"
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |  FROM documents),
+              |post AS (
+              |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY doc_id, term),
+              |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              |  FROM tok GROUP BY doc_id),
+              |ad AS (SELECT CAST(CAST(sum(dl) AS DECIMAL(28,8)) AS DOUBLE)
+              |    / count(*) AS avgdl FROM dl),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |  FROM post GROUP BY term),
+              |q AS (SELECT doc_id AS probe_id, term FROM post
+              |  WHERE doc_id % 100 = 7 AND doc_id < $SparseProbeCap),
+              |hits AS (
+              |  SELECT q.probe_id, p.doc_id AS doc_b,
+              |    round($idf * $tfw, 8) AS contrib
+              |  FROM q
+              |  JOIN post p ON p.term = q.term AND p.doc_id <> q.probe_id
+              |  JOIN df ON df.term = q.term
+              |  JOIN dl ON dl.doc_id = p.doc_id
+              |  CROSS JOIN ad CROSS JOIN nd),
+              |sc AS (
+              |  SELECT probe_id, doc_b,
+              |    CAST(sum(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE) AS score
+              |  FROM hits GROUP BY probe_id, doc_b),
+              |r AS (
+              |  SELECT probe_id, doc_b, score, ROW_NUMBER() OVER (
+              |    PARTITION BY probe_id ORDER BY score DESC, doc_b) AS rk
+              |  FROM sc)
+              |SELECT probe_id, CAST(rk AS BIGINT) AS rk, doc_b,
+              |  round(score, 6) AS score
+              |FROM r WHERE rk <= $Bm25K
+              |ORDER BY probe_id, rk""".stripMargin)
+    },
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val post = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val ad = dl.agg((sum(col("dl").cast("decimal(28,8)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val q = post.filter(col("doc_id") % 100 === 7 &&
+          col("doc_id") < SparseProbeCap)
+        .select(col("doc_id").as("probe_id"), col("term"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val tfw = (col("tf") * (Bm25K1 + 1.0)) /
+        (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * col("dl") / col("avgdl")))
+      val hits = broadcast(q)
+        .join(post.toDF("doc_b", "term", "tf"), "term")
+        .filter(col("doc_b") =!= col("probe_id"))
+        .join(broadcast(dfT), "term")
+        .join(dl.toDF("doc_b", "dl"), "doc_b")
+        .crossJoin(broadcast(ad)).crossJoin(broadcast(nd))
+        .select(col("probe_id"), col("doc_b"),
+          round(idf * tfw, 8).as("contrib"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("doc_b"))
+      hits.groupBy("probe_id", "doc_b")
+        .agg(sum(col("contrib").cast("decimal(20,8)")).cast("double").as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= Bm25K)
+        .select(col("probe_id"), col("rk"), col("doc_b"),
+          round(col("score"), 6).as("score"))
+        .orderBy("probe_id", "rk")
+    })
+
   val all: Seq[Q] = Seq(q110_sparse_cosine, q115_golden_record,
     q122_curation_pipeline, q131_proportional_sample,
-    q140_negative_sampling, q141_length_buckets)
+    q140_negative_sampling, q141_length_buckets, q165_bm25)
 }

@@ -206,6 +206,96 @@ object QualityOps2 {
         .orderBy("bin")
     })
 
+  /** Weighted median (quantity-weighted price per return flag) — the
+    * robust location statistic Spark has no native aggregate for: sort
+    * each group by value, accumulate the weights in EXACT decimal, and
+    * the weighted median is the first value whose running weight reaches
+    * half the group total. Equal values make the crossing row's VALUE
+    * deterministic even though tie order is not — only the value leaves
+    * the query. One group-keyed window + one agg. */
+  val q166_weighted_median = Q(
+    "q166_weighted_median",
+    Some("""WITH v AS (
+            |  SELECT l_returnflag AS flag,
+            |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+            |    CAST(l_quantity AS DECIMAL(18,2)) AS wt
+            |  FROM lineitem),
+            |c AS (
+            |  SELECT flag, price, sum(wt) OVER (
+            |      PARTITION BY flag ORDER BY price
+            |      ROWS UNBOUNDED PRECEDING) AS cw,
+            |    sum(wt) OVER (PARTITION BY flag) AS tw
+            |  FROM v)
+            |SELECT flag, CAST(min(price) AS DOUBLE) AS weighted_median
+            |FROM c WHERE 2 * cw >= tw
+            |GROUP BY flag
+            |ORDER BY flag""".stripMargin),
+    (s, d) => {
+      val v = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        Q.dec(col("l_extendedprice")).as("price"),
+        Q.dec(col("l_quantity")).as("wt"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("price")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+      v.withColumn("cw", sum(col("wt")).over(wRun))
+        .withColumn("tw", sum(col("wt")).over(wAll))
+        .filter(lit(2) * col("cw") >= col("tw"))
+        .groupBy("flag")
+        .agg(min(col("price")).cast("double").as("weighted_median"))
+        .orderBy("flag")
+    })
+
+  private val CusumH = 5.0
+
+  /** CUSUM change detection (the monitoring chart a data pipeline runs
+    * over its daily quality metrics): per-day means of the event value
+    * in exact decimal, deviations from the period mean rounded once,
+    * then the cumulative deviation sum in EXACT decimal over the day
+    * order — |S| beyond the control limit flags a level shift. The
+    * cumulative window runs over one row per DAY (metadata scale);
+    * everything corpus-sized is one hash agg. */
+  val q167_cusum = Q(
+    "q167_cusum",
+    Some(s"""WITH daily AS (
+            |  SELECT CAST(ts AS DATE) AS day,
+            |    CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6)))
+            |      AS DOUBLE) / count(*) AS DOUBLE) AS dmean
+            |  FROM events GROUP BY day),
+            |g AS (SELECT CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6)))
+            |    AS DOUBLE) / count(*) AS DOUBLE) AS gmean FROM events),
+            |dev AS (
+            |  SELECT day, round(dmean - gmean, 6) AS dev
+            |  FROM daily CROSS JOIN g)
+            |SELECT day, dev,
+            |  CAST(CAST(sum(CAST(dev AS DECIMAL(30,6))) OVER (
+            |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            |    AS DOUBLE) AS s,
+            |  CAST(CASE WHEN abs(CAST(sum(CAST(dev AS DECIMAL(30,6))) OVER (
+            |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)) > $CusumH
+            |    THEN 1 ELSE 0 END AS BIGINT) AS shifted
+            |FROM dev
+            |ORDER BY day""".stripMargin),
+    (s, d) => {
+      val meanOf =
+        (sum(round(col("value"), 6).cast("decimal(30,6)")).cast("double") /
+          count(lit(1))).cast("double")
+      val ev = Tables.events(s, d).select(
+        expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+        col("value"))
+      val daily = ev.groupBy("day").agg(meanOf.as("dmean"))
+      val g = ev.agg(meanOf.as("gmean"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val sCol = sum(col("dev").cast("decimal(30,6)")).over(w).cast("double")
+      daily.crossJoin(broadcast(g))
+        .select(col("day"), round(col("dmean") - col("gmean"), 6).as("dev"))
+        .select(col("day"), col("dev"), sCol.as("s"),
+          when(abs(sCol) > CusumH, 1L).otherwise(0L).as("shifted"))
+        .orderBy("day")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
-    q162_quantile_binning)
+    q162_quantile_binning, q166_weighted_median, q167_cusum)
 }
