@@ -18,9 +18,20 @@ object Bench {
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()
     catch { case _: Throwable => }
     // Iteration aid: SPARK_GRAFT_ONLY=q36_minhash_lsh,q88_cluster_keepers
-    // times just those entries (full catalog when unset).
+    // times just those entries (full catalog when unset). Unknown names
+    // fail loudly — a typo must not pass as a near-zero "measurement".
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val known = SparkEntry.catalog.map(_.name).toSet
+      val unknown = names -- known
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY names not in the catalog: ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     val results = SparkEntry.catalog
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>

@@ -66,9 +66,12 @@ object DataOps2 {
       // CAST the divisor: a bare `4503599627370496.0` literal parses as
       // DECIMAL in Spark, making the draw DECIMAL(…,6) while DuckDB emits
       // DOUBLE — the values agree but the hash of the cells does not.
-      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
+      // q132 lesson: hash once into a column — textual md5 inside
+      // hexSpanValSql would re-evaluate the digest 13× per row.
+      val u = expr(s"(${hexSpanValSql("__uh", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
       val w = least(lit(1.0), size(split(col("text"), " ")).cast("double") / 200.0)
       Tables.documents(s, d)
+        .withColumn("__uh", md5(col("doc_id").cast("string")))
         .select(col("doc_id"), u.as("__u"), w.as("__w"))
         .filter(col("__u") < col("__w"))
         .select(col("doc_id"), round(col("__u"), 6).as("draw"),

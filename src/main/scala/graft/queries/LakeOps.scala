@@ -10,6 +10,19 @@ import graft.Tables
   */
 object LakeOps {
 
+  /** Per-run export directory for the round-trip entries (q125/q157/
+    * q158): keyed on the sf dir (a run at another scale must not
+    * overwrite these files between write and read) AND the Spark
+    * applicationId (two CONCURRENT processes on the same sf dir — e.g.
+    * Verify and Bench in parallel — must not race each other's
+    * mode(overwrite) delete). */
+  private def exportDir(s: org.apache.spark.sql.SparkSession,
+      sfDir: String, fmt: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    s"/tmp/graft_${fmt}_export/${s.sparkContext.applicationId}/$key"
+  }
+
   /** Snapshot diff (operators/SnapshotDiff): old = the customer table;
     * new = a deterministic mutation of it (delete keys ≡0 mod 97, +10.00
     * balance for keys ≡0 mod 5, and one synthetic inserted key per
@@ -187,9 +200,7 @@ object LakeOps {
             |GROUP BY source
             |ORDER BY source""".stripMargin),
     (s, d) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val out = s"/tmp/graft_jsonl_export/${s.sparkContext.applicationId}/$key"
+      val out = exportDir(s, d, "jsonl")
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .coalesce(1)
@@ -337,9 +348,7 @@ object LakeOps {
             |GROUP BY tricky
             |ORDER BY tricky""".stripMargin),
     (s, d) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val out = s"/tmp/graft_csv_export/${s.sparkContext.applicationId}/$key"
+      val out = exportDir(s, d, "csv")
       Tables.documents(s, d)
         .select(col("doc_id"),
           concat(col("source"), lit(",\""), col("lang")).as("tricky"),
@@ -367,9 +376,7 @@ object LakeOps {
             |GROUP BY o_orderpriority
             |ORDER BY o_orderpriority""".stripMargin),
     (s, d) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val out = s"/tmp/graft_orc_export/${s.sparkContext.applicationId}/$key"
+      val out = exportDir(s, d, "orc")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           Q.dec(col("o_totalprice")).as("price"))

@@ -91,9 +91,13 @@ object QualityOps2 {
         .agg(count(lit(1)).as("n_tokens"),
           (sum(col("llr").cast("decimal(20,8)")).cast("double") /
             count(lit(1))).cast("double").as("mean_llr"))
-      val u = expr(s"(${hexSpanValSql("md5(CAST(doc_id AS STRING))", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
+      // q132 lesson: hash ONCE into a column, then span-extract — passing
+      // md5(...) textually into hexSpanValSql would re-evaluate the
+      // digest for each of its 13 digit extractions per row
+      val u = expr(s"(${hexSpanValSql("__uh", 0, 13)} / CAST(4503599627370496 AS DOUBLE))")
       val w = lit(1.0) / (lit(1.0) + exp(lit(-DsirSlope) * col("mean_llr")))
-      docs.select(col("doc_id"), col("n_tokens"),
+      docs.withColumn("__uh", md5(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("n_tokens"),
           round(col("mean_llr"), 6).as("mean_llr"),
           round(w, 6).as("weight"),
           when(u < w, 1L).otherwise(0L).as("kept"))
