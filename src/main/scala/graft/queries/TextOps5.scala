@@ -233,6 +233,74 @@ object TextOps5 {
         .orderBy("doc_id")
     })
 
+  private val ContT = 0.8
+
+  /** DIRECTIONAL containment join (Broder's containment, the dedup gap
+    * symmetric Jaccard misses): C(A→B) = |A∩B| / |A| ≥ $ContT flags A as
+    * mostly CONTAINED in B — a quote, excerpt, or true subset whose
+    * Jaccard stays low when B is much larger. Candidates come from the
+    * one-sided prefix theorem: if |A∩B| ≥ t·|A|, at most |A|−⌈t·|A|⌉
+    * elements of A miss B, so A's first |A|−⌈t·|A|⌉+1 shingles (shared
+    * md5 order) must hit B's FULL inverted index — the contained side
+    * gets q107's tiny prefix treatment, the containing side keeps full
+    * postings (the standard containment-index asymmetry). Verify is the
+    * same codegen'd two-pointer intersect; the ORACLE IS THE BRUTE
+    * FORCE, so the hash match proves the one-sided filter loses
+    * nothing. */
+  val q168_containment = Q(
+    "q168_containment",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |t AS (
+            |  SELECT doc_id, md5(unnest(list_distinct(list_transform(
+            |    range(1, greatest(len(ts) - ${JacN - 2}, 1)),
+            |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))) AS h
+            |  FROM toks),
+            |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+            |p AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(count(*) AS BIGINT) AS n_common
+            |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id <> b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, n_common, na.n AS n_a, nb.n AS n_b,
+            |  round(n_common / na.n, 6) AS containment
+            |FROM p
+            |JOIN n na ON na.doc_id = doc_a
+            |JOIN n nb ON nb.doc_id = doc_b
+            |WHERE n_common >= $ContT * na.n
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val spread = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
+      val sets = spread
+        .select(col("doc_id"),
+          TextFunctions.md5Shingles(split(col("text"), " "), JacN).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), sort_array(col("hs")).as("sh"),
+          size(col("hs")).cast("long").as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // contained side: prefix slice only; containing side: FULL postings
+      val prefixIdx = sets
+        .select(col("doc_id").as("doc_a"), explode(expr(
+          s"slice(sh, 1, size(sh) - CAST(ceil($ContT * size(sh)) AS INT) + 1)"))
+          .as("h"))
+      val fullIdx = sets
+        .select(col("doc_id").as("doc_b"), explode(col("sh")).as("h"))
+      val cand = prefixIdx.join(fullIdx, "h")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val a = sets.toDF("doc_a", "sh_a", "n_a")
+      val b = sets.toDF("doc_b", "sh_b", "n_b")
+      cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_common",
+          TextFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
+        .filter(col("n_common") >= lit(ContT) * col("n_a"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          round(col("n_common") / col("n_a"), 6).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val all: Seq[Q] = Seq(q106_lev_neardup, q107_prefix_jaccard_join,
-    q108_repeated_ngrams, q109_token_entropy)
+    q108_repeated_ngrams, q109_token_entropy, q168_containment)
 }
