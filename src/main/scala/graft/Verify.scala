@@ -32,7 +32,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist() intermediates (e.g. the LSH signature
-      // frame); drop them so the run's memory stays flat across 50+ queries
+      // frame); drop them so the run's memory stays flat across 150+
+      // queries — releaseAll() is the library contract, clearCache() the
+      // backstop for anything persisted outside PlanCache
+      graft.operators.PlanCache.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

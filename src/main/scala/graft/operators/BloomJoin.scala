@@ -37,11 +37,15 @@ object BloomJoin {
   /** Build the m-bit mask from the build side's distinct keys: k bit
     * positions per key, OR-folded on the driver. The collect is bounded by
     * min(k·|keys|, m) ints — mask metadata, not data movement; m is sized
-    * by the caller to the build side's expected cardinality. */
+    * by the caller to the build side's expected cardinality. NULL build
+    * keys are dropped before hashing: a null key can never match the
+    * downstream inner join, and its hash is null (md5 of a null cast),
+    * which must not survive into the position set. */
   def buildMask(keys: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
     require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
     require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
     val positions = keys
+      .filter(col(keyCol).isNotNull)
       .select(explode(array((0 until k).map { j =>
         expr(bitPosSql(s"CAST($keyCol AS STRING)", j, m)).cast("int")
       }: _*)).as("pos"))

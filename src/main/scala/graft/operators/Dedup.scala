@@ -27,8 +27,10 @@ object Dedup {
     *
     * The signature frame feeds three plan branches and is persisted — the
     * local analogue of materializing a signature table, which is what a
-    * 100 TB deployment does between the scan and the band join. Callers
-    * should `spark.catalog.clearCache()` when done.
+    * 100 TB deployment does between the scan and the band join. The
+    * persist is registered with [[PlanCache]]; callers release it with
+    * `PlanCache.releaseAll()` (or `spark.catalog.clearCache()`) after
+    * materializing the result.
     */
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -41,10 +43,9 @@ object Dedup {
     // cheaper to shuffle/intersect than raw n-gram strings. Sorted once
     // here so the verify stage can intersect by two-pointer merge —
     // rotation mins and sizes don't care about element order.
-    val base = spread
+    val base = PlanCache.persist(spread
       .select(col(idCol).as("__id"),
-        sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs")))
     // The band frame carries size(hs) — one int per band row — so the
     // length-ratio prefilter below needs no separate size-lookup joins
     // (round 2 spent two extra joins fetching |A|/|B| for the candidates).
@@ -92,12 +93,13 @@ object Dedup {
     * Returns (node, component) where component = min node id reachable.
     * Deterministic under any partitioning: min is order-insensitive.
     *
-    * Concurrency contract: the fixpoint loop narrows the SESSION-global
-    * `spark.sql.shuffle.partitions` and disables AQE for its duration
-    * (restored in `finally`) — a query running concurrently on the same
-    * SparkSession would silently inherit those settings. Run it on a
-    * dedicated session (`spark.newSession()` shares the cluster but not
-    * the conf) when other queries are in flight. */
+    * Concurrency: the fixpoint loop wants narrow shuffles and no AQE
+    * re-planning, so it runs on its OWN `spark.newSession()` (same
+    * SparkContext/cluster, isolated SQL conf) — the conf narrowing can
+    * never leak to queries in flight on the caller's session. The edge
+    * frame enters and the label frame leaves the dedicated session as
+    * materialized localCheckpoint plans re-bound via GraftBridge.ofRows,
+    * so no caller-session plan ever executes under the narrowed conf. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -128,10 +130,34 @@ object Dedup {
     val undirected = edgesP.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edgesP.select(col(dstCol).as("u"), col(srcCol).as("v")))
     // self-loops let one edge join carry a node's own label alongside its
-    // neighbors' — no per-round union needed
-    val sym = undirected
+    // neighbors' — no per-round union needed. localCheckpoint(eager)
+    // materializes the symmetric edge frame ONCE with its lineage cut
+    // (rounds never re-execute the pair-generation pipeline) and makes it
+    // a self-contained LogicalRDD that can be re-bound into the dedicated
+    // fixpoint session below; its blocks are reclaimed by the
+    // ContextCleaner when the frame goes out of scope — no persist to
+    // leak.
+    val symLocal = undirected
       .union(undirected.select(col("u"), col("u").as("v")).distinct())
-      .persist(lvl)
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    val nEdges = symLocal.count()
+    edgesP.unpersist() // sym is materialized; the input lineage can go
+    // Dedicated session for the loop: same SparkContext, isolated SQL
+    // conf. Size the per-round shuffles to the EDGE count, not the
+    // caller's batch-tuned width: every round is two shuffles + an
+    // aggregate, and on a near-dup graph (edges ≪ corpus) fixed
+    // per-partition cost dominates; at real scale the same formula widens
+    // the shuffles back out. AQE stays off here — the shuffles are
+    // already sized to the data, so its per-stage re-planning only adds
+    // scheduling rounds to each tiny iteration.
+    val fx = spark.newSession()
+    val callerParts = spark.conf.get("spark.sql.shuffle.partitions")
+    fx.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(callerParts.toLong, nEdges / 100000L + 1L)).toString)
+    fx.conf.set("spark.sql.adaptive.enabled", "false")
+    val sym = org.apache.spark.sql.GraftBridge
+      .ofRows(fx, symLocal.queryExecution.analyzed)
     // The pointer-jump self-join references each round's result twice, so
     // lineage grows exponentially without a cut — localCheckpoint truncates
     // the plan per round (the iterative-algorithm staple; a cluster
@@ -140,23 +166,6 @@ object Dedup {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
-    // Size the per-round shuffles to the EDGE count, not the session's
-    // batch-tuned width: every round is two shuffles + an aggregate, and
-    // on a near-dup graph (edges ≪ corpus) fixed per-partition cost
-    // dominates. The count also materializes the persisted edge frame so
-    // rounds never re-execute the pair-generation lineage. At real scale
-    // the same formula widens the shuffles back out.
-    val spark = edges.sparkSession
-    val nEdges = sym.count()
-    edgesP.unpersist() // sym is materialized; the input lineage can go
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(prevParts.toLong, nEdges / 100000L + 1L)).toString)
-    // the shuffles are already sized to the data; AQE's per-stage
-    // re-planning only adds scheduling rounds to each tiny iteration
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
@@ -180,12 +189,11 @@ object Dedup {
       labels = next
       i += 1
     }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-    sym.unpersist()
-    labels
+    // Re-bind the final (materialized, lineage-free) label frame into the
+    // caller's session so downstream plans never execute under the
+    // narrowed conf.
+    org.apache.spark.sql.GraftBridge
+      .ofRows(spark, labels.queryExecution.analyzed)
   }
 
   /** Driver union-find for sub-threshold edge sets: path-halving

@@ -378,11 +378,11 @@ object Similarity {
         (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc))
     // the assigned frame feeds three branches (both pair sides + the
     // final keep flag) — persist it, as minhashNearDupPairs does its
-    // signature frame; callers clearCache() when done
-    val m = corpus.crossJoin(packed)
+    // signature frame; registered with PlanCache, released by
+    // PlanCache.releaseAll() / clearCache() after materialization
+    val m = graft.operators.PlanCache.persist(corpus.crossJoin(packed)
       .select(col(idCol), col(vecCol),
-        best(1).cast("long").as("cid"), best(0).as("csim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        best(1).cast("long").as("cid"), best(0).as("csim")))
     val a = m.select(col(idCol).as("__ida"), col(vecCol).as("__va"),
       col("cid"), col("csim").as("__ca"))
     val b = m.select(col(idCol).as("__idb"), col(vecCol).as("__vb"),

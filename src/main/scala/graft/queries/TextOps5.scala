@@ -91,13 +91,12 @@ object TextOps5 {
       val spread = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
       // persisted: the set frame feeds the prefix index AND both verify
       // sides — without it the shingle hashing re-executes per branch
-      val sets = spread
+      val sets = graft.operators.PlanCache.persist(spread
         .select(col("doc_id"),
           TextFunctions.md5Shingles(split(col("text"), " "), JacN).as("hs"))
         .filter(size(col("hs")) > 0)
         .withColumn("sh", sort_array(col("hs")))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
       // Global order = lexicographic md5: the prefix theorem needs only a
       // SHARED total order, and the sets are already md5-sorted for the
       // two-pointer verify — so the prefix is a scan-side slice, zero
@@ -119,11 +118,11 @@ object TextOps5 {
       val a = sets.toDF("doc_a", "sh_a", "n_a")
       val b = sets.toDF("doc_b", "sh_b", "n_b")
       // NOTE on the persist: this builder returns a LAZY frame, so the
-      // cached set frame cannot be released here — the harness (Verify/
-      // Bench) clearCache()s after materializing each entry, and library
-      // callers wanting the same pipeline with self-managed caching should
-      // use the operators/ API (whose iterative ops unpersist internally,
-      // e.g. Graph.pageRank, Dedup.connectedComponents).
+      // cached set frame cannot be released here — it is registered with
+      // operators.PlanCache; the harness clearCache()s between entries
+      // and library callers use PlanCache.releaseAll() after
+      // materializing (the iterative operators/ API unpersists
+      // internally, e.g. Graph.pageRank, Dedup.connectedComponents).
       cand.join(a, "doc_a").join(b, "doc_b")
         .withColumn("n_common",
           TextFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
@@ -272,13 +271,14 @@ object TextOps5 {
     (s, d) => {
       import graft.functions.TextFunctions
       val spread = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
-      val sets = spread
+      // persisted via PlanCache (released by releaseAll()/clearCache()):
+      // the set frame feeds the two index branches and both verify sides
+      val sets = graft.operators.PlanCache.persist(spread
         .select(col("doc_id"),
           TextFunctions.md5Shingles(split(col("text"), " "), JacN).as("hs"))
         .filter(size(col("hs")) > 0)
         .select(col("doc_id"), sort_array(col("hs")).as("sh"),
-          size(col("hs")).cast("long").as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          size(col("hs")).cast("long").as("n")))
       // contained side: prefix slice only; containing side: FULL postings
       val prefixIdx = sets
         .select(col("doc_id").as("doc_a"), explode(expr(

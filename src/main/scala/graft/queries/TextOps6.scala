@@ -126,7 +126,15 @@ object TextOps6 {
   private val DhBlocks = 49 // 49 block digests -> 48 comparison bits
   private val DhBits = DhBlocks - 1
   private val DhBands = 3 // 3 x 16-bit LSH bands
-  private val DhMaxHamming = 6
+  // Verified radius == the band scheme's pigeonhole guarantee: hamming <= 2
+  // (fewer differing bits than bands) forces a shared 16-bit band, so the
+  // result is EXACTLY the set of pairs within radius 2 — no silent recall
+  // gap. A radius-6 guarantee would need 7 bands of ceil(48/7) bits, and
+  // 7-bit bands have 128 distinct values: in-bucket candidate volume grows
+  // ~N²/128 per band, which does not survive a large corpus. Pairs beyond
+  // radius 2 that happen to share a band are deliberately excluded rather
+  // than reported as if recall were complete.
+  private val DhMaxHamming = DhBands - 1
 
   /** Blockwise perceptual fingerprint (dHash): the image dHash scheme —
     * resize to a fixed grid, hash each cell, emit one bit per ADJACENT
@@ -134,9 +142,12 @@ object TextOps6 {
     * grid (on images the cells are stub-decoded pixel intensities; the
     * grid arithmetic is identical). Same-shape near-duplicates differ in
     * few cells, so their 48-bit fingerprints sit at small hamming
-    * distance; candidate pairs come from 3×16-bit LSH bands (pigeonhole:
-    * hamming ≤ 2 guarantees a shared band) and are verified with the
-    * exact bit_count(xor). Fingerprints are one scan-side expression
+    * distance; candidate pairs come from 3×16-bit LSH bands and are
+    * verified with the exact bit_count(xor) at radius DhMaxHamming = 2 —
+    * the bands' pigeonhole guarantee, so recall within the reported
+    * radius is exact (see the constant's comment for why a wider radius
+    * is not worth the band-selectivity collapse). Fingerprints are one
+    * scan-side expression
     * chain (49 md5s/doc, fused in ONE transform so codegen sees an array
     * fold, not 49 inlined digests); only 8-byte hashes and 2-byte bands
     * ever shuffle. */
@@ -178,7 +189,7 @@ object TextOps6 {
     },
     (s, d) => {
       val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
-      val withVs = Tables.documents(s, d)
+      val withVs = graft.operators.PlanCache.persist(Tables.documents(s, d)
         .select(col("doc_id"), expr(
           s"""transform(
              |  transform(sequence(0, ${DhBlocks - 1}), i -> md5(substr(text,
@@ -196,13 +207,12 @@ object TextOps6 {
              |    'i', st.i + 1,
              |    'acc', st.acc + CASE WHEN bit = 1
              |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
-             |  st -> st.acc)""".stripMargin).as("hash"))
+             |  st -> st.acc)""".stripMargin).as("hash")))
         // persisted: the band frame self-joins and the fingerprint column
         // is referenced by every band lambda — without the cut,
         // CollapseProject inlines the whole 49-digest fold into each
-        // reference on both join sides (the q36 signature-stage rule;
-        // released by the harness clearCache contract)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // reference on both join sides (the q36 signature-stage rule).
+        // Registered with PlanCache; released by releaseAll()/clearCache()
       val bands = withVs.select(col("doc_id"), col("hash"),
           explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
             "j -> struct(j AS j, shiftright(hash, 16 * j) & 65535 AS band))")).as("jb"))

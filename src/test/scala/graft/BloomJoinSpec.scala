@@ -49,4 +49,16 @@ class BloomJoinSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("null build keys are ignored, not a crash; non-null keys still pass") {
+    val build = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val mask = BloomJoin.buildMask(build, "k", M, K) // NPE before the fix
+    val probe = Seq(Some(1L), Some(2L), None, Some(99L)).toDF("k")
+    val got = BloomJoin.probeFilter(probe, "k", mask, M, K)
+      .collect().map(_.getLong(0)).toSet
+    // both real keys pass; the null probe row is dropped (no null in the
+    // collected longs); 99 may rarely false-positive — that is the bloom
+    // contract, removed by the downstream exact join
+    assert(Set(1L, 2L).subsetOf(got) && got.subsetOf(Set(1L, 2L, 99L)))
+  }
 }

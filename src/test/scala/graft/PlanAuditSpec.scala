@@ -234,6 +234,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "BroadcastHashJoin") >= 3, p)
   }
 
+  test("q168: containment join is a one-sided prefix EQUI join — no nested loop") {
+    val p = plan("q168_containment")
+    // the candidate generator must be an equi join on the posting hash h,
+    // never a cross/theta shape over the corpus
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two posting explodes: the contained side's PREFIX slice
+    // (≤ (1−t)·|A|+1 postings) and the containing side's full set — a
+    // third would mean a branch re-derived its postings
+    assert(countOf(p, "Generate explode") == 2, p)
+    // the prefix side really is a slice, not a full-set explode
+    assert(p.contains("slice("), p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PlanCache}
+
+/** The operator-persist contract (PlanCache) and the bench's
+  * loud-failure contract (Bench.timeEntry).
+  */
+class PlanCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("operator persists register with PlanCache and releaseAll drops them") {
+    PlanCache.releaseAll() // clean slate — other suites may have registered
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text about spark engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    pairs.count() // materialize while the signature frame is cached
+    assert(PlanCache.pendingCount >= 1,
+      "minhashNearDupPairs should register its signature persist")
+    PlanCache.releaseAll()
+    assert(PlanCache.pendingCount == 0)
+    // released frames are recompute-safe: the lazy result still evaluates
+    assert(pairs.count() >= 0)
+  }
+
+  test("releaseAll is idempotent and safe with nothing registered") {
+    PlanCache.releaseAll()
+    PlanCache.releaseAll()
+    assert(PlanCache.pendingCount == 0)
+  }
+
+  test("Bench.timeEntry reports a throwing entry as an error, not a time") {
+    val boom = queries.Q("boom", None,
+      (_, _) => throw new RuntimeException("deliberate failure"))
+    val (_, err) = Bench.timeEntry(spark, "/nonexistent", boom)
+    assert(err.exists(_.contains("deliberate failure")))
+  }
+
+  test("Bench.timeEntry times a good entry with no error") {
+    val ok = queries.Q("ok", None, (s, _) => {
+      import s.implicits._
+      Seq(1, 2, 3).toDF("x")
+    })
+    val (sec, err) = Bench.timeEntry(spark, "unused", ok)
+    assert(err.isEmpty && sec >= 0.0)
+  }
+}

@@ -116,6 +116,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state survives a checkpoint stop/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val in = MemoryStream[StreamingOps.TwsEvent]
+    // memory sink cannot recover from a checkpoint; foreachBatch can —
+    // collect every update emission into a driver-side buffer
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = StreamingOps.runningTotals(in.toDS()).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    try {
+      in.addData(StreamingOps.TwsEvent(1, 100), StreamingOps.TwsEvent(1, 250),
+        StreamingOps.TwsEvent(2, 40))
+      q1.processAllAvailable()
+    } finally q1.stop() // stop after batch 1 — state now lives ONLY in the checkpoint
+    in.addData(StreamingOps.TwsEvent(1, 50), StreamingOps.TwsEvent(3, 7))
+    val q2 = start() // fresh query object, same checkpoint
+    try {
+      q2.processAllAvailable()
+      // final state per key = max-n_events emission; user 1's batch-2 total
+      // MUST include batch 1's state (3 events, 400 cents) — a state loss
+      // would restart it at (1, 50)
+      import scala.jdk.CollectionConverters._
+      val finalState = buf.asScala.toSeq.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2) }
+      assert(finalState == Map(
+        1L -> ((1L, 3L, 400L)), 2L -> ((2L, 1L, 40L)), 3L -> ((3L, 1L, 7L))),
+        buf.asScala.mkString(","))
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
