@@ -76,6 +76,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sorted md5'd shingle-set signatures of a document frame — the rows a
+    * persisted SIGNATURE TABLE holds between incremental dedup runs.
+    * Schema (__id, hs); hs sorted for the two-pointer exact verify. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs"))
+
+  /** One step of INCREMENTAL near-dup discovery — the production shape at
+    * 100 TB, where today's batch joins the accumulated signature table
+    * instead of the whole corpus re-joining itself.
+    *
+    * `index` is the signature table so far ((__id, hs), empty on day 0);
+    * `batch` is the new documents. Returns (pairs, updatedIndex): pairs =
+    * exact-Jaccard-verified near-dups with at least one side in the batch
+    * (oriented doc_a < doc_b); updatedIndex = index ∪ batch signatures —
+    * the caller materializes it (localCheckpoint / write to the lake)
+    * before the next step.
+    *
+    * Replay equivalence (the q120 device): every pair of the batch run
+    * over the UNIONED corpus is emitted by exactly one step — the one
+    * that introduced its later-arriving side (index×index pairs were
+    * emitted by earlier steps; batch×batch pairs by this one). So the
+    * union of all steps' pairs ≡ [[minhashNearDupPairs]] over the union.
+    *
+    * Scale shape: signatures are computed ONCE per document ever (the
+    * index stores them); each step's only large operation is the band
+    * equi-join between the batch's bands and the index's — shuffle keyed
+    * on (band, h). A deployment co-locates it by bucketing the persisted
+    * index on the band hash, so daily cost shuffles only the batch. The
+    * length-ratio prefilter prunes candidates with the ints already on
+    * the band rows, as in [[minhashNearDupPairs]]. */
+  def incrementalNearDupStep(
+      index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15)
+      : (DataFrame, DataFrame) = {
+    val newSigs = minhashSignatures(batch, idCol, textCol, shingleN)
+    val all = index.select(col("__id"), col("hs")).union(newSigs)
+    def bandsOf(df: DataFrame) = df.select(col("__id"), size(col("hs")).as("__n"),
+      explode(array((0 until k).map(i =>
+        struct(lit(i).as("band"), minhashRot(col("hs"), i).as("h"))): _*)).as("bh"))
+      .select(col("__id"), col("__n"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bandsOf(all).toDF("doc_y", "__ny", "band", "h")
+      .join(bandsOf(newSigs).toDF("doc_x", "__nx", "band", "h"), Seq("band", "h"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .filter(least(col("__nx"), col("__ny")).cast("double") >=
+        greatest(col("__nx"), col("__ny")) * threshold)
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+    val x = all.select(col("__id").as("doc_a"), col("hs").as("sa"))
+    val y = all.select(col("__id").as("doc_b"), col("hs").as("sb"))
+    val inter = sortedIntersectCount(col("sa"), col("sb"))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    val pairs = cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    (pairs, all)
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns pairwise near-dup PAIRS into dedup CLUSTERS (transitive
     * near-duplicates share one canonical keeper).

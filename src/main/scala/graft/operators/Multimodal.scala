@@ -133,6 +133,29 @@ object Multimodal {
       struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate")))
   }
 
+  /** Canonical-layout WAV duration in ms: byte rate (u32 LE at byte
+    * offset 29, 1-based) and the `data` chunk length (u32 LE at 41)
+    * of the 44-byte canonical header — duration = data_bytes * 1000 /
+    * byte_rate, floored. Guards on all four magics (RIFF/WAVE/fmt /data):
+    * a non-canonical chunk layout (LIST/JUNK before data) or corrupt
+    * header nulls out rather than reading garbage. The division runs in
+    * double but both operands stay far below 2^53 and the true quotient
+    * is never within an ulp of an integer (denominator ≤ ~2M), so the
+    * floor is exact and engine-portable. */
+  def wavDurationMs(content: Column): Column = {
+    def le(off: Int, len: Int) = (0 until len).map(i =>
+      conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+    when(length(content) >= 44 &&
+        hex(substring(content, 1, 4)) === "52494646" &&
+        hex(substring(content, 9, 4)) === "57415645" &&
+        hex(substring(content, 13, 4)) === "666D7420" &&
+        hex(substring(content, 37, 4)) === "64617461" &&
+        le(29, 4) > 0,
+      floor((le(41, 4) * lit(1000L)).cast("double") / le(29, 4).cast("double"))
+        .cast("long"))
+  }
+
   /** JPEG dimensions via a real SOF marker-segment walk (unlike PNG/WAV,
     * the frame header sits behind a variable-length segment list — see
     * functions/JpegSofDims). Null struct for non-JPEG/corrupt payloads. */

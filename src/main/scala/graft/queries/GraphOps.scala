@@ -127,5 +127,103 @@ object GraphOps {
         .orderBy("node")
     })
 
-  val all: Seq[Q] = Seq(q117_pagerank, q133_triangles)
+  private val CoreK = 2
+  private val CoreRounds = 8
+  private val CoreBucketCap = 50
+
+  /** Bounded k-core decomposition over the user co-occurrence graph
+    * (users sharing a (minute, event_type) activity bucket — the
+    * community/bot-ring graph event pipelines actually peel). Each round
+    * removes nodes with in-subgraph degree < K; after R rounds the
+    * surviving nodes and their in-core degrees are emitted. R is FIXED
+    * (both engines replay identical rounds, so the result is
+    * hash-deterministic whether or not the peel has converged; peeling
+    * is monotone, so extra rounds past convergence are no-ops — at
+    * sf0.01 K=2 converges in 3).
+    *
+    * Scale shape: minute buckets are integer arithmetic on the raw
+    * epoch-nano long (no timestamp semantics to disagree on); the bucket
+    * self-join is capped at [[CoreBucketCap]] distinct users — the
+    * standard hub-bucket guard, since an uncapped hot bucket generates
+    * |bucket|² edges (documented drop, same class as q116's exact-explode
+    * note). Every peel round is two node-keyed semi-joins + one hash agg
+    * on the shrinking active set; the edge set materializes ONCE. */
+  val q172_kcore = Q(
+    "q172_kcore", {
+      // every CTE is MATERIALIZED: each round references the previous
+      // one 4 times, so default inlining would expand the chain 4^R-fold
+      // (DuckDB re-opens the parquet per expansion — the oracle ran out
+      // of file handles before it ran out of time)
+      def round(i: Int) =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS node FROM e
+           |    WHERE a IN (SELECT node FROM c${i - 1})
+           |      AND b IN (SELECT node FROM c${i - 1})
+           |    UNION ALL
+           |    SELECT b FROM e
+           |    WHERE a IN (SELECT node FROM c${i - 1})
+           |      AND b IN (SELECT node FROM c${i - 1})) t
+           |  GROUP BY node),
+           |c$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $CoreK)""".stripMargin
+      val rounds = (1 to CoreRounds).map(round).mkString(",\n")
+      Some(s"""WITH b AS MATERIALIZED (
+              |  SELECT DISTINCT user_id AS u,
+              |    CAST(epoch_us(ts) AS BIGINT) // 60000000 AS w,
+              |    event_type AS t
+              |  FROM events),
+              |bc AS (
+              |  SELECT w, t FROM b GROUP BY w, t
+              |  HAVING count(*) <= $CoreBucketCap),
+              |bk AS (SELECT b.* FROM b JOIN bc USING (w, t)),
+              |e AS MATERIALIZED (
+              |  SELECT DISTINCT x.u AS a, y.u AS b
+              |  FROM bk x JOIN bk y ON x.w = y.w AND x.t = y.t AND x.u < y.u),
+              |c0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e),
+              |$rounds,
+              |df AS (
+              |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              |    SELECT a AS node FROM e
+              |    WHERE a IN (SELECT node FROM c$CoreRounds)
+              |      AND b IN (SELECT node FROM c$CoreRounds)
+              |    UNION ALL
+              |    SELECT b FROM e
+              |    WHERE a IN (SELECT node FROM c$CoreRounds)
+              |      AND b IN (SELECT node FROM c$CoreRounds)) t
+              |  GROUP BY node)
+              |SELECT node AS user_id, deg AS core_deg FROM df
+              |ORDER BY user_id""".stripMargin)
+    },
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .select(col("user_id").as("u"),
+          expr("ts div 60000000000").as("w"), col("event_type").as("t"))
+        .distinct()
+      val bk = b.join(
+        b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= CoreBucketCap).select("w", "t"),
+        Seq("w", "t"), "left_semi")
+      val e = bk.toDF("w", "t", "a").join(bk.toDF("w", "t", "b"), Seq("w", "t"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint(true) // rounds reuse the edge set; build it once
+      def degreesWithin(active: org.apache.spark.sql.DataFrame) = {
+        val e2 = e
+          .join(active.toDF("a"), Seq("a"), "left_semi")
+          .join(active.toDF("b"), Seq("b"), "left_semi")
+        e2.select(col("a").as("node")).union(e2.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+      }
+      var cur = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+      (1 to CoreRounds).foreach { _ =>
+        cur = degreesWithin(cur).filter(col("deg") >= CoreK)
+          .select("node").localCheckpoint(true)
+      }
+      degreesWithin(cur)
+        .select(col("node").as("user_id"), col("deg").as("core_deg"))
+        .orderBy("user_id")
+    })
+
+  val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore)
 }

@@ -109,6 +109,73 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** WAV header mining, q111's audio twin (construction-inversion): each
+    * document BUILDS a canonical 44-byte WAV header with formula-derived
+    * channels / sample rate / bit depth / data length (every 13th doc
+    * gets a corrupt RIFF magic — all fields null out; every 29th a LIST
+    * chunk where `data` should be — the fmt fields still parse but the
+    * duration must null out, proving each guard separately), then
+    * Spark parses the bytes back with the REAL fixed-offset parsers
+    * (Multimodal.wavInfo + wavDurationMs) and the oracle states the
+    * construction formulas. Scan-side end to end: construct and parse are
+    * one projection over the leading bytes — the 100 TB blob-metadata
+    * pattern, never a decode. */
+  val q173_wav_info = Q(
+    "q173_wav_info",
+    Some("""WITH f AS (
+            |  SELECT doc_id,
+            |    doc_id % 2 + 1 AS ch,
+            |    ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INT) + 1] AS sr,
+            |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS bps,
+            |    (doc_id * 997) % 100000 + 1 AS data_len
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CASE WHEN doc_id % 13 = 0 THEN NULL
+            |       ELSE CAST(ch AS BIGINT) END AS channels,
+            |  CASE WHEN doc_id % 13 = 0 THEN NULL
+            |       ELSE CAST(sr AS BIGINT) END AS sample_rate,
+            |  CASE WHEN doc_id % 13 = 0 OR doc_id % 29 = 0 THEN NULL
+            |       ELSE (data_len * 1000) // (sr * ch * bps) END
+            |    AS duration_ms
+            |FROM f
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      // little-endian hex of an n-byte integer column: per-byte place
+      // values, low byte first
+      def leHex(v: org.apache.spark.sql.Column, n: Int) =
+        concat((0 until n).map(i =>
+          lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+      val ch = col("doc_id") % 2 + 1
+      val sr = element_at(
+        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+        (col("doc_id") % 4).cast("int") + 1)
+      val bytesPerSample = when(col("doc_id") % 3 === 0, 2L).otherwise(1L)
+      val bits = bytesPerSample * 8
+      val byteRate = sr * ch * bytesPerSample
+      val blockAlign = ch * bytesPerSample
+      val dataLen = (col("doc_id") * 997) % 100000 + 1
+      val riffMagic = when(col("doc_id") % 13 === 0, "52494658") // "RIFX"
+        .otherwise("52494646")                                   // "RIFF"
+      val dataMagic = when(col("doc_id") % 29 === 0, "4C495354") // "LIST"
+        .otherwise("64617461")                                   // "data"
+      val hdrHex = concat(
+        riffMagic, leHex(dataLen + 36, 4), lit("57415645"), // WAVE
+        lit("666D7420"), leHex(lit(16L), 4),                // "fmt ", size 16
+        leHex(lit(1L), 2), leHex(ch, 2), leHex(sr, 4),      // PCM, ch, rate
+        leHex(byteRate, 4), leHex(blockAlign, 2), leHex(bits, 2),
+        dataMagic, leHex(dataLen, 4))
+      Tables.documents(s, d)
+        .select(col("doc_id"), unhex(hdrHex).as("payload"))
+        .select(col("doc_id"),
+          Multimodal.wavInfo(col("payload")).as("info"),
+          Multimodal.wavDurationMs(col("payload")).as("duration_ms"))
+        .select(col("doc_id"),
+          col("info.channels").as("channels"),
+          col("info.sample_rate").as("sample_rate"),
+          col("duration_ms"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
-    q111_jpeg_dims)
+    q111_jpeg_dims, q173_wav_info)
 }

@@ -163,7 +163,7 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     })
 
-  private val MinhashK = 8
+  private[queries] val MinhashK = 8
 
   /** MinHash + LSH near-duplicate detection, fully oracle-checked:
     * shingle → 8-component md5-minhash signature → 8 single-row bands →
@@ -174,7 +174,7 @@ object TextOps {
   /** Shared WITH-prefix replaying the whole LSH pipeline in SQL, ending in
     * a `pairs(doc_a, doc_b, jaccard)` CTE — q36 selects it directly, q73
     * closes it transitively into clusters. */
-  private def lshPairsSqlPrefix: String = {
+  private[queries] def lshPairsSqlPrefix: String = {
     val sigExprs = (0 until MinhashK)
       .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
     val bandRows = (0 until MinhashK)

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text ops, part 7: BPE merge-table TRAINING — the learning half of the
+  * tokenizer triple (q58 counts pretokens, q161 applies a fixed merge
+  * table, q169 learns the table itself).
+  */
+object TextOps7 {
+
+  private val BpeTrainRounds = 6
+
+  /** Unit separator — the per-symbol wrapper that makes plain leftmost-
+    * nonoverlapping `replace()` implement the greedy BPE merge exactly:
+    * every symbol is wrapped as `\u001fsym\u001f`, so the pair (a,b)
+    * occurs as `\u001fa\u001f\u001fb\u001f` and its replacement
+    * `\u001fab\u001f` never shares delimiter characters with an adjacent
+    * match — consecutive occurrences merge in one pass, and a symbol can
+    * never false-match a substring of another symbol. Both engines'
+    * `replace` scan leftmost-nonoverlapping, so the rewrite is
+    * bit-identical. */
+  private val US = "\u001f"
+
+  /** BPE merge TRAINING (Sennrich et al. 2016, the count-and-merge loop):
+    * start from every distinct word as its character sequence (weighted
+    * by corpus frequency), then for k rounds: count adjacent symbol
+    * pairs, take the most frequent (ties: lexicographic smallest pair —
+    * deterministic under any partitioning), merge every occurrence, and
+    * record the merge. Returns the learned table (step, lhs, rhs, merged,
+    * pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the working set is the DISTINCT-WORD table (vocabulary,
+    * not corpus — built with one corpus hash agg), so each round is one
+    * pair-count hash aggregation over vocab-sized data plus a driver
+    * fetch of exactly ONE row (the winning pair — trained-structure
+    * metadata, the same class as q57's Lloyd's centroids). The merge
+    * ships back as a literal in the rewrite expression: k rounds = k tiny
+    * jobs, no window, no join, nothing corpus-sized after the first agg.
+    *
+    * The oracle replays the identical rounds as chained CTEs (the q57
+    * trained-structure device): p_i counts pairs over r_{i-1}, m_i picks
+    * the winner with the same ORDER BY, r_i rewrites with the same
+    * wrapped replace. */
+  val q169_bpe_train = Q(
+    "q169_bpe_train", {
+      val pairSql = "chr(31)||(SELECT lhs FROM m%1$d)||chr(31)||chr(31)||" +
+        "(SELECT rhs FROM m%1$d)||chr(31)"
+      val mergedSql = "chr(31)||(SELECT lhs||rhs FROM m%1$d)||chr(31)"
+      val rounds = (1 to BpeTrainRounds).map { i =>
+        s"""p$i AS (
+           |  SELECT p.a AS lhs, p.b AS rhs, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+           |      i -> struct_pack(a := sy[i], b := sy[i+1]))) AS p, f
+           |    FROM (SELECT string_split(trim(s, chr(31)),
+           |                 chr(31)||chr(31)) AS sy, f FROM r${i - 1}) t)
+           |  GROUP BY 1, 2),
+           |m$i AS (
+           |  SELECT $i AS step, lhs, rhs, cnt
+           |  FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |r$i AS (
+           |  SELECT replace(s, ${pairSql.format(i)}, ${mergedSql.format(i)}) AS s, f
+           |  FROM r${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeTrainRounds)
+        .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      Some(s"""WITH w AS (
+              |  SELECT w, CAST(count(*) AS BIGINT) AS f
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+              |        FROM documents) t
+              |  WHERE len(w) > 0 GROUP BY w),
+              |r0 AS (
+              |  SELECT chr(31) || list_aggregate(string_split(w, ''),
+              |    'string_agg', chr(31)||chr(31)) || chr(31) AS s, f
+              |  FROM w),
+              |$rounds
+              |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
+              |  lhs || rhs AS merged, cnt AS pair_count
+              |FROM ($union) ORDER BY step""".stripMargin)
+    },
+    (s, d) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      // Spark's split(w, '') keeps a trailing empty element (the q161
+      // note) — filter it before wrapping
+      var corpus = vocab.select(
+        concat(lit(US),
+          array_join(expr("filter(split(w, ''), x -> x <> '')"), US + US),
+          lit(US)).as("s"),
+        col("f"))
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeTrainRounds && !exhausted) {
+        val top = corpus
+          .select(expr(s"split(trim(BOTH '$US' FROM s), '$US$US')").as("sy"),
+            col("f"))
+          .select(explode(expr(
+            """zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1),
+              |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"),
+            col("f"))
+          .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((step.toLong, a, b, a + b, cnt))
+          corpus = corpus.select(
+            replace(col("s"), lit(US + a + US + US + b + US),
+              lit(US + a + b + US)).as("s"),
+            col("f"))
+          step += 1
+        }
+      }
+      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("step")
+    })
+
+  private val IncBatches = 3
+
+  /** INCREMENTAL near-dup dedup run as three arriving batches against an
+    * accumulated signature table (operators/Dedup.incrementalNearDupStep)
+    * — the production shape of MinHash dedup at 100 TB: signatures are
+    * computed once per document ever, persisted, and each new batch
+    * band-joins the index instead of the corpus re-joining itself. The
+    * index is materialized between steps (localCheckpoint here; the lake
+    * in production — the same SnapshotSink-shaped accumulation the
+    * streaming suite drives through foreachBatch).
+    *
+    * Oracle: EXACTLY q36's batch LSH pipeline over the whole corpus — the
+    * replay-equivalence claim is that incremental union ≡ batch run, so
+    * the batch SQL is the oracle verbatim. */
+  val q170_incremental_neardup = Q(
+    "q170_incremental_neardup",
+    Some(s"""${TextOps.lshPairsSqlPrefix}
+            |SELECT doc_a, doc_b, jaccard FROM pairs
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      // day 0: an empty signature table with the operator's own schema
+      var index = Dedup.minhashSignatures(docs.limit(0), "doc_id", "text")
+      var found = Seq.empty[org.apache.spark.sql.DataFrame]
+      (0 until IncBatches).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(IncBatches)) === b)
+        val (pairs, updated) = Dedup.incrementalNearDupStep(
+          index, batch, "doc_id", "text",
+          k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+        // materialize this step's pairs BEFORE the index advances, and
+        // the grown index before the next step reads it — the in-process
+        // analogue of appending to the persisted signature table
+        found = found :+ pairs.localCheckpoint(true)
+        index = updated.localCheckpoint(true)
+      }
+      found.reduce(_ union _).orderBy("doc_a", "doc_b")
+    })
+
+  /** Positional phrase search over a corpus-derived query: find the most
+    * frequent word TRIGRAM (count desc, ties lexicographic — the q169
+    * winner-pick discipline), then locate every occurrence through a
+    * POSITIONAL INVERTED INDEX — postings (term, doc_id, pos), the three
+    * phrase terms' lists equi-joined on (doc_id, pos − offset). This is
+    * the retrieval-side architecture claim BM25 (q165) doesn't cover:
+    * exact phrase match by position adjacency, not bag-of-words scoring.
+    *
+    * Scale shape: the trigram pick is one corpus hash agg + TakeOrdered;
+    * the search filters postings to the THREE query terms before any
+    * join (term-selective pushdown — the posting lists are the only data
+    * that moves), then joins doc/position-keyed. Nothing corpus-sized
+    * shuffles for the query itself. Oracle replays the pick and counts
+    * occurrences scan-side per document. */
+  val q171_phrase_search = Q(
+    "q171_phrase_search",
+    Some("""WITH tok AS (
+            |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            |tri AS (
+            |  SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3,
+            |    CAST(count(*) AS BIGINT) AS cnt
+            |  FROM (SELECT unnest(list_transform(
+            |          generate_series(1, greatest(len(toks) - 2, 0)),
+            |          i -> [toks[i], toks[i+1], toks[i+2]])) AS g FROM tok) t
+            |  GROUP BY 1, 2, 3),
+            |top AS (
+            |  SELECT w1, w2, w3 FROM tri
+            |  ORDER BY cnt DESC, w1, w2, w3 LIMIT 1),
+            |hits AS (
+            |  SELECT doc_id,
+            |    CAST(len(list_filter(
+            |      generate_series(1, greatest(len(toks) - 2, 0)),
+            |      i -> toks[i] = w1 AND toks[i+1] = w2 AND toks[i+2] = w3))
+            |      AS BIGINT) AS n_hits
+            |  FROM tok CROSS JOIN top)
+            |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard: Spark's sequence(1, 0) DESCENDS — gate on size >= 3
+      val top = toks.select(explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2), i -> named_struct(
+            |    'w1', element_at(toks, i), 'w2', element_at(toks, i + 1),
+            |    'w3', element_at(toks, i + 2)))
+            |ELSE array() END""".stripMargin)).as("g"))
+        .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
+        .limit(1).collect()(0)
+      val (w1, w2, w3) = (top.getString(0), top.getString(1), top.getString(2))
+      val postings = toks
+        .select(col("doc_id"), posexplode(col("toks")))
+        .toDF("doc_id", "pos", "term")
+      // each phrase term's postings, re-keyed to the phrase anchor position
+      def plist(w: String, off: Int) = postings.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - off).as("anchor"))
+      plist(w1, 0)
+        .join(plist(w2, 1), Seq("doc_id", "anchor"))
+        .join(plist(w3, 2), Seq("doc_id", "anchor"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
+    q171_phrase_search)
+}

@@ -162,6 +162,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup via foreachBatch equals the batch pair set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    // two cross-batch near-dup groups + one unique doc: (1,4) arrive in
+    // different micro-batches, (2,5) likewise — the accumulated signature
+    // index is the only way a later batch can see an earlier doc
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "spark engines process very large corpora with partitioned joins"),
+      (3L, "completely unrelated text about nothing in particular at all"))
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy cat today"),
+      (5L, "spark engines process very large corpora with partitioned shuffles"))
+    val allDocs = (b1 ++ b2).toDF("doc_id", "text")
+    var index = Dedup.minhashSignatures(allDocs.limit(0), "doc_id", "text")
+    val found = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pairs, updated) = Dedup.incrementalNearDupStep(
+          index, batch, "doc_id", "text")
+        pairs.collect().foreach(r => found.add((r.getLong(0), r.getLong(1))))
+        index = updated.localCheckpoint(true) // the persisted signature table
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchPairs = Dedup.minhashNearDupPairs(allDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(found.asScala.toSet == batchPairs && batchPairs.nonEmpty,
+      s"incremental=${found.asScala.toSet} batch=$batchPairs")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
