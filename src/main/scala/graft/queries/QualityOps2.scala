@@ -300,6 +300,84 @@ object QualityOps2 {
         .orderBy("day")
     })
 
+  /** Source-influence audit: the corpus-wide OLS slope of vocabulary
+    * richness (distinct tokens) on document length (tokens), and for
+    * each source the LEAVE-THAT-SOURCE-OUT slope — the closed-form data
+    * valuation a curator reads to see which slice is dragging a fitted
+    * relation (a source of templated/duplicated text depresses richness
+    * per token and shows up as positive influence).
+    *
+    * Determinism: x and y are INTEGERS, so all five regression moments
+    * (n, Σx, Σy, Σxy, Σx²) are exact BIGINT sums — per-source moments
+    * roll up to the global row, and leave-one-out is pure integer
+    * subtraction (the mergeable-summaries law again: LOO needs no second
+    * corpus pass). The only floating-point step is the final slope
+    * division, an identical two-operand IEEE expression on both engines.
+    * Magnitudes: Σxy ≤ docs·len·vocab ≈ 1e13 at sf1 — comfortably inside
+    * BIGINT; a 100 TB deployment rescales the moments into DECIMAL(38,0)
+    * at the same one-agg cost.
+    *
+    * Scale shape: ONE corpus hash agg (source-keyed, scan-side token
+    * arithmetic), then source-count-sized frames. */
+  val q174_source_influence = Q(
+    "q174_source_influence",
+    Some("""WITH t AS (
+            |  SELECT source,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+            |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+            |  FROM documents),
+            |m AS (
+            |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            |    CAST(sum(x * y) AS BIGINT) AS sxy,
+            |    CAST(sum(x * x) AS BIGINT) AS sxx
+            |  FROM t GROUP BY source),
+            |g AS (
+            |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+            |    CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+            |    CAST(sum(sxx) AS BIGINT) AS sxx
+            |  FROM m)
+            |SELECT m.source, m.n AS n_docs,
+            |  round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+            |    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE), 6) AS slope_all,
+            |  round(CAST((g.n - m.n) * (g.sxy - m.sxy)
+            |        - (g.sx - m.sx) * (g.sy - m.sy) AS DOUBLE)
+            |    / CAST((g.n - m.n) * (g.sxx - m.sxx)
+            |        - (g.sx - m.sx) * (g.sx - m.sx) AS DOUBLE), 6) AS slope_loo,
+            |  round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+            |      / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+            |    - CAST((g.n - m.n) * (g.sxy - m.sxy)
+            |          - (g.sx - m.sx) * (g.sy - m.sy) AS DOUBLE)
+            |      / CAST((g.n - m.n) * (g.sxx - m.sxx)
+            |          - (g.sx - m.sx) * (g.sx - m.sx) AS DOUBLE), 6)
+            |    AS influence
+            |FROM m CROSS JOIN g ORDER BY m.source""".stripMargin),
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+      val m = t.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val g = m.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
+        sum(col("sy")).as("gsy"), sum(col("sxy")).as("gsxy"),
+        sum(col("sxx")).as("gsxx"))
+      def slope(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+          sy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column,
+          sxx: org.apache.spark.sql.Column) =
+        (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+      val all = slope(col("gn"), col("gsx"), col("gsy"), col("gsxy"), col("gsxx"))
+      val loo = slope(col("gn") - col("n"), col("gsx") - col("sx"),
+        col("gsy") - col("sy"), col("gsxy") - col("sxy"),
+        col("gsxx") - col("sxx"))
+      m.crossJoin(broadcast(g))
+        .select(col("source"), col("n").as("n_docs"),
+          round(all, 6).as("slope_all"), round(loo, 6).as("slope_loo"),
+          round(all - loo, 6).as("influence"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
-    q162_quantile_binning, q166_weighted_median, q167_cusum)
+    q162_quantile_binning, q166_weighted_median, q167_cusum,
+    q174_source_influence)
 }

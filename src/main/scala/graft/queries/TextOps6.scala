@@ -151,6 +151,37 @@ object TextOps6 {
     * chain (49 md5s/doc, fused in ONE transform so codegen sees an array
     * fold, not 49 inlined digests); only 8-byte hashes and 2-byte bands
     * ever shuffle. */
+  /** The q137 fingerprint stage, exposed for the recall spec (which
+    * brute-forces all-pairs hamming against it): (doc_id, 48-bit hash).
+    * Persisted via PlanCache — the band frame self-joins and the
+    * fingerprint column is referenced by every band lambda; without the
+    * cut, CollapseProject inlines the whole 49-digest fold into each
+    * reference on both join sides (the q36 signature-stage rule).
+    * Released by releaseAll()/clearCache(). */
+  private[graft] def dhashFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
+    graft.operators.PlanCache.persist(docs
+      .select(col("doc_id"), expr(
+        s"""transform(
+           |  transform(sequence(0, ${DhBlocks - 1}), i -> md5(substr(text,
+           |    1 + i * greatest(1, CAST(ceil(length(text) / $DhBlocks.0)
+           |      AS INT)),
+           |    greatest(1, CAST(ceil(length(text) / $DhBlocks.0) AS INT))))),
+           |  m -> $vExpr)""".stripMargin).as("vs"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(
+           |  zip_with(
+           |    slice(vs, 1, $DhBits), slice(vs, 2, $DhBits),
+           |    (a, b) -> CAST(a < b AS INT)),
+           |  named_struct('i', 0, 'acc', CAST(0 AS BIGINT)),
+           |  (st, bit) -> named_struct(
+           |    'i', st.i + 1,
+           |    'acc', st.acc + CASE WHEN bit = 1
+           |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
+           |  st -> st.acc)""".stripMargin).as("hash")))
+  }
+
   val q137_block_dhash = Q(
     "q137_block_dhash", {
       val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
@@ -188,31 +219,7 @@ object TextOps6 {
               |ORDER BY doc_a, doc_b""".stripMargin)
     },
     (s, d) => {
-      val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
-      val withVs = graft.operators.PlanCache.persist(Tables.documents(s, d)
-        .select(col("doc_id"), expr(
-          s"""transform(
-             |  transform(sequence(0, ${DhBlocks - 1}), i -> md5(substr(text,
-             |    1 + i * greatest(1, CAST(ceil(length(text) / $DhBlocks.0)
-             |      AS INT)),
-             |    greatest(1, CAST(ceil(length(text) / $DhBlocks.0) AS INT))))),
-             |  m -> $vExpr)""".stripMargin).as("vs"))
-        .select(col("doc_id"), expr(
-          s"""aggregate(
-             |  zip_with(
-             |    slice(vs, 1, $DhBits), slice(vs, 2, $DhBits),
-             |    (a, b) -> CAST(a < b AS INT)),
-             |  named_struct('i', 0, 'acc', CAST(0 AS BIGINT)),
-             |  (st, bit) -> named_struct(
-             |    'i', st.i + 1,
-             |    'acc', st.acc + CASE WHEN bit = 1
-             |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
-             |  st -> st.acc)""".stripMargin).as("hash")))
-        // persisted: the band frame self-joins and the fingerprint column
-        // is referenced by every band lambda — without the cut,
-        // CollapseProject inlines the whole 49-digest fold into each
-        // reference on both join sides (the q36 signature-stage rule).
-        // Registered with PlanCache; released by releaseAll()/clearCache()
+      val withVs = dhashFingerprints(Tables.documents(s, d))
       val bands = withVs.select(col("doc_id"), col("hash"),
           explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
             "j -> struct(j AS j, shiftright(hash, 16 * j) & 65535 AS band))")).as("jb"))

@@ -42,85 +42,109 @@ object TextOps7 {
     * trained-structure device): p_i counts pairs over r_{i-1}, m_i picks
     * the winner with the same ORDER BY, r_i rewrites with the same
     * wrapped replace. */
+  /** The oracle-side training replay: vocab → wrapped char sequences →
+    * BpeTrainRounds of (pair count, winner pick, rewrite) CTEs. The word
+    * rides every r_i so a consumer (q175) can read the FINAL segmentation
+    * per word from r{BpeTrainRounds}. Every CTE is MATERIALIZED: r_i
+    * references m_i three times (the scalar subqueries in the rewrite)
+    * and r_{i-1} once, so default inlining expands the chain 4^k-fold —
+    * the q172 lesson. */
+  private[queries] def bpeTrainSqlChain: String = {
+    val pairSql = "chr(31)||(SELECT lhs FROM m%1$d)||chr(31)||chr(31)||" +
+      "(SELECT rhs FROM m%1$d)||chr(31)"
+    val mergedSql = "chr(31)||(SELECT lhs||rhs FROM m%1$d)||chr(31)"
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT p.a AS lhs, p.b AS rhs, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+         |      i -> struct_pack(a := sy[i], b := sy[i+1]))) AS p, f
+         |    FROM (SELECT string_split(trim(s, chr(31)),
+         |                 chr(31)||chr(31)) AS sy, f FROM r${i - 1}) t)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT $i AS step, lhs, rhs, cnt
+         |  FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT w, replace(s, ${pairSql.format(i)}, ${mergedSql.format(i)}) AS s, f
+         |  FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |r0 AS MATERIALIZED (
+       |  SELECT w, chr(31) || list_aggregate(string_split(w, ''),
+       |    'string_agg', chr(31)||chr(31)) || chr(31) AS s, f
+       |  FROM w),
+       |$rounds""".stripMargin
+  }
+
+  /** Spark-side training loop shared by q169 (emits the merge table) and
+    * q175 (consumes the trained segmentation): k rounds of vocab-sized
+    * pair-count hash agg + a one-row driver fetch of the winner, rewrite
+    * shipped back as a literal. Returns (merges, final corpus (w, s, f))
+    * — the corpus keeps the word so the trained segmentation joins back
+    * to documents. */
+  private[queries] def trainBpe(s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Long, String, String, String, Long)],
+        org.apache.spark.sql.DataFrame) = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // Spark's split(w, '') keeps a trailing empty element (the q161
+    // note) — filter it before wrapping
+    var corpus = vocab.select(col("w"),
+      concat(lit(US),
+        array_join(expr("filter(split(w, ''), x -> x <> '')"), US + US),
+        lit(US)).as("s"),
+      col("f"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeTrainRounds && !exhausted) {
+      val top = corpus
+        .select(expr(s"split(trim(BOTH '$US' FROM s), '$US$US')").as("sy"),
+          col("f"))
+        .select(explode(expr(
+          """zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1),
+            |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"),
+          col("f"))
+        .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step.toLong, a, b, a + b, cnt))
+        corpus = corpus.select(col("w"),
+          replace(col("s"), lit(US + a + US + US + b + US),
+            lit(US + a + b + US)).as("s"),
+          col("f"))
+        step += 1
+      }
+    }
+    (merges.toSeq, corpus)
+  }
+
   val q169_bpe_train = Q(
     "q169_bpe_train", {
-      val pairSql = "chr(31)||(SELECT lhs FROM m%1$d)||chr(31)||chr(31)||" +
-        "(SELECT rhs FROM m%1$d)||chr(31)"
-      val mergedSql = "chr(31)||(SELECT lhs||rhs FROM m%1$d)||chr(31)"
-      val rounds = (1 to BpeTrainRounds).map { i =>
-        s"""p$i AS (
-           |  SELECT p.a AS lhs, p.b AS rhs, CAST(sum(f) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
-           |      i -> struct_pack(a := sy[i], b := sy[i+1]))) AS p, f
-           |    FROM (SELECT string_split(trim(s, chr(31)),
-           |                 chr(31)||chr(31)) AS sy, f FROM r${i - 1}) t)
-           |  GROUP BY 1, 2),
-           |m$i AS (
-           |  SELECT $i AS step, lhs, rhs, cnt
-           |  FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |r$i AS (
-           |  SELECT replace(s, ${pairSql.format(i)}, ${mergedSql.format(i)}) AS s, f
-           |  FROM r${i - 1})""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BpeTrainRounds)
         .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-      Some(s"""WITH w AS (
-              |  SELECT w, CAST(count(*) AS BIGINT) AS f
-              |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-              |        FROM documents) t
-              |  WHERE len(w) > 0 GROUP BY w),
-              |r0 AS (
-              |  SELECT chr(31) || list_aggregate(string_split(w, ''),
-              |    'string_agg', chr(31)||chr(31)) || chr(31) AS s, f
-              |  FROM w),
-              |$rounds
+      Some(s"""$bpeTrainSqlChain
               |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
               |  lhs || rhs AS merged, cnt AS pair_count
               |FROM ($union) ORDER BY step""".stripMargin)
     },
     (s, d) => {
       import s.implicits._
-      val vocab = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("f"))
-      // Spark's split(w, '') keeps a trailing empty element (the q161
-      // note) — filter it before wrapping
-      var corpus = vocab.select(
-        concat(lit(US),
-          array_join(expr("filter(split(w, ''), x -> x <> '')"), US + US),
-          lit(US)).as("s"),
-        col("f"))
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= BpeTrainRounds && !exhausted) {
-        val top = corpus
-          .select(expr(s"split(trim(BOTH '$US' FROM s), '$US$US')").as("sy"),
-            col("f"))
-          .select(explode(expr(
-            """zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1),
-              |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"),
-            col("f"))
-          .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
-          .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          merges += ((step.toLong, a, b, a + b, cnt))
-          corpus = corpus.select(
-            replace(col("s"), lit(US + a + US + US + b + US),
-              lit(US + a + b + US)).as("s"),
-            col("f"))
-          step += 1
-        }
-      }
-      merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      trainBpe(s, d)._1
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
         .orderBy("step")
     })
 
@@ -228,6 +252,102 @@ object TextOps7 {
         .orderBy("doc_id")
     })
 
+  /** Trained-tokenizer compression evaluation — the train→apply
+    * COMPOSITION (q169 learns the merge table, this entry serves it):
+    * every word's final trained segmentation comes straight from the
+    * training corpus (the per-word symbol strings after the last merge
+    * round), joins back to the document word stream, and rolls up to
+    * per-source token counts and tokens-per-word — the number a
+    * tokenizer owner actually tracks per corpus slice.
+    *
+    * Scale shape: the trained segmentation is a VOCAB-sized table (word →
+    * token count) built once by training; serving is one word-keyed join
+    * of the exploded corpus against it (broadcast at real scale — vocab ≪
+    * corpus) + one source-keyed agg. Oracle: the shared training chain
+    * (r{k} carries the word) + the same join, replayed verbatim. */
+  val q175_bpe_compression = Q(
+    "q175_bpe_compression",
+    Some(s"""$bpeTrainSqlChain,
+            |tok AS (
+            |  SELECT w, CAST(len(string_split(trim(s, chr(31)),
+            |    chr(31)||chr(31))) AS BIGINT) AS n_tok
+            |  FROM r$BpeTrainRounds),
+            |dw AS (
+            |  SELECT source, unnest(string_split(text, ' ')) AS w
+            |  FROM documents),
+            |j AS (
+            |  SELECT source, n_tok FROM dw JOIN tok USING (w)
+            |  WHERE len(w) > 0)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6)
+            |    AS tokens_per_word
+            |FROM j GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      val (_, trained) = trainBpe(s, d)
+      val tok = trained.select(col("w"),
+        size(expr(s"split(trim(BOTH '$US' FROM s), '$US$US')"))
+          .cast("long").as("n_tok"))
+      val dw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      dw.join(broadcast(tok), "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"))
+        .orderBy("source")
+    })
+
+  /** Cross-batch shingle NOVELTY scoring — the content-freshness signal
+    * of the q170 arrival model: with documents arriving in batches
+    * (doc_id mod 3 stands in for arrival waves), a shingle's first-seen
+    * batch is min(batch) over the corpus, and a document's novelty is
+    * the share of its distinct shingles first seen in ITS OWN batch. A
+    * crawler dashboards this per feed: novelty collapsing toward 0 means
+    * the source has started re-serving known content.
+    *
+    * Scale shape: one shingle-keyed hash agg (the first-seen table — at
+    * production scale the same persisted index q170 maintains, extended
+    * with a min-batch column) + one shingle-keyed join back + one
+    * doc-keyed agg. Only 32-char md5s shuffle; nothing all-pairs. */
+  val q176_shingle_novelty = Q(
+    "q176_shingle_novelty",
+    Some("""WITH tok AS (
+            |  SELECT doc_id, doc_id % 3 AS b, string_split(text, ' ') AS toks
+            |  FROM documents),
+            |sh AS (
+            |  SELECT doc_id, b, unnest(list_distinct(list_transform(
+            |    generate_series(1, greatest(len(toks) - 2, 0)),
+            |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS h
+            |  FROM tok),
+            |fs AS (SELECT h, min(b) AS fb FROM sh GROUP BY h)
+            |SELECT s.doc_id,
+            |  CAST(count(*) AS BIGINT) AS n_shingles,
+            |  CAST(sum(CASE WHEN f.fb = s.b THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_novel,
+            |  round(CAST(sum(CASE WHEN f.fb = s.b THEN 1 ELSE 0 END) AS DOUBLE)
+            |    / count(*), 6) AS novelty
+            |FROM sh s JOIN fs f USING (h)
+            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).as("b"),
+          explode(TextFunctions.md5Shingles(
+            TextFunctions.tokens(col("text")), 3)).as("h"))
+      val fs = sh.groupBy("h").agg(min(col("b")).as("fb"))
+      sh.join(fs, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fb") === col("b"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
-    q171_phrase_search)
+    q171_phrase_search, q175_bpe_compression, q176_shingle_novelty)
 }

@@ -30,6 +30,27 @@ class AnnRecallSpec extends AnyFunSuite {
   private def recallOf(approx: Set[Long], exact: Set[Long]): Double =
     approx.intersect(exact).size.toDouble / exact.size
 
+  test("q137 dHash bands have EXACT recall at the guaranteed radius") {
+    // the pigeonhole claim the oracle cannot check (it replays the same
+    // bands): every pair within hamming <= DhMaxHamming = bands - 1 MUST
+    // share a 16-bit band, so q137's output equals the brute-force pair
+    // set at that radius — zero recall gap, not a floor
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q137_block_dhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all-pairs hamming over the same fingerprints (tiny sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hashes = graft.queries.TextOps6.dhashFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ida, idb)).toSet
+    assert(out == brute, s"band pairs $out != brute $brute")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("sign-LSH multi-probe recall vs brute-force cosine") {
     val exact = ids(Similarity.cosineTopK(corpus, "e", query, "e", K, "vec_id"))
     val lsh = ids(Similarity.annTopK(
