@@ -348,6 +348,77 @@ object TextOps7 {
         .orderBy("doc_id")
     })
 
+  /** INCREMENTAL connected components — the label-maintenance half of
+    * incremental dedup (q170 finds each batch's pairs; this keeps the
+    * CLUSTER labels current without ever re-running the closure over
+    * history). Per batch: map the new pairs' endpoints through the
+    * existing label table (identity for unseen docs), run components on
+    * that CONTRACTED edge set only, then compose — old labels re-point
+    * through the new labeling, unseen endpoints join fresh. Min-label
+    * composition is exact: contracted nodes are their components' min
+    * ids, so the min over reachable contracted nodes is the global min —
+    * the final table is hash-proven equal to q73's full transitive
+    * closure over the unioned corpus.
+    *
+    * Scale shape: each round's CC runs on an edge set bounded by the
+    * BATCH's pairs (contracted history is already collapsed into single
+    * nodes); the label table updates are node-keyed joins. History cost
+    * never grows — the q170 argument, extended from pair discovery to
+    * cluster maintenance. */
+  val q177_incremental_cc = Q(
+    "q177_incremental_cc",
+    Some(s"""${TextOps.lshPairsSqlPrefix},
+            |edges AS (
+            |  SELECT doc_a AS u, doc_b AS v FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+            |reach AS (
+            |  SELECT node, node AS m FROM cnodes
+            |  UNION
+            |  SELECT r.node, e.v AS m FROM reach r JOIN edges e ON e.u = r.m)
+            |SELECT node AS doc_id, min(m) AS cluster_id
+            |FROM reach GROUP BY node
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      var index = Dedup.minhashSignatures(docs.limit(0), "doc_id", "text")
+      var labels = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType))))
+      (0 until IncBatches).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(IncBatches)) === b)
+        val (pairs, updated) = Dedup.incrementalNearDupStep(
+          index, batch, "doc_id", "text",
+          k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+        index = updated.localCheckpoint(true)
+        val p = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .localCheckpoint(true)
+        // contract: endpoints already clustered enter as their label
+        val mapped = p
+          .join(labels.toDF("u", "lu"), Seq("u"), "left")
+          .join(labels.toDF("v", "lv"), Seq("v"), "left")
+          .select(coalesce(col("lu"), col("u")).as("a"),
+            coalesce(col("lv"), col("v")).as("b"))
+        val cc = Dedup.connectedComponents(mapped, "a", "b")
+          .localCheckpoint(true)
+        // compose: re-point existing labels, admit unseen endpoints
+        val relabeled = labels
+          .join(cc.toDF("component", "newc"), Seq("component"), "left")
+          .select(col("node"), coalesce(col("newc"), col("component"))
+            .as("component"))
+        val fresh = cc.join(labels.select("node"), Seq("node"), "left_anti")
+        labels = relabeled.union(fresh).localCheckpoint(true)
+      }
+      labels.select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
-    q171_phrase_search, q175_bpe_compression, q176_shingle_novelty)
+    q171_phrase_search, q175_bpe_compression, q176_shingle_novelty,
+    q177_incremental_cc)
 }
