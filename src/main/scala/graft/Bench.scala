@@ -72,7 +72,6 @@ object Bench {
       (q, sec, err)
     }
     val results = timed.map { case (q, sec, _) => q.name -> sec }
-    val errors = timed.collect { case (q, _, Some(m)) => s"${q.name}: $m" }
     // The full-catalog pass carries 2-4× ordering/contention noise per
     // entry (SCALE.md) — a regression on one query is invisible in it. So
     // after the pass, re-time the top-10 most expensive SUCCESSFUL
@@ -80,12 +79,16 @@ object Bench {
     // warm) and record that second map alongside: "queries" = catalog
     // order in one process, "isolated" = clean steady-state per entry.
     // Skipped under SPARK_GRAFT_ONLY — a filtered run IS the isolated
-    // measurement.
-    val isolated =
-      if (only.isDefined) Seq.empty[(String, Double)]
+    // measurement. A re-run that THROWS must surface like any other
+    // failure, not masquerade as a near-zero isolated "time".
+    val isolatedRaw =
+      if (only.isDefined) Seq.empty[(String, (Double, Option[String]))]
       else timed.filter(_._3.isEmpty).sortBy(-_._2).take(10).map { case (q, _, _) =>
-        q.name -> timeEntry(spark, sfDir, q)._1
+        q.name -> timeEntry(spark, sfDir, q)
       }
+    val isolated = isolatedRaw.collect { case (n, (sec, None)) => n -> sec }
+    val errors = timed.collect { case (q, _, Some(m)) => s"${q.name}: $m" } ++
+      isolatedRaw.collect { case (n, (_, Some(m))) => s"$n (isolated): $m" }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalR = math.round(total * 1000) / 1000.0
     val errJson =

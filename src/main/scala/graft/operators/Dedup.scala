@@ -112,7 +112,12 @@ object Dedup {
       index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       k: Int = 8, shingleN: Int = 3, threshold: Double = 0.15)
       : (DataFrame, DataFrame) = {
-    val newSigs = minhashSignatures(batch, idCol, textCol, shingleN)
+    // persisted via PlanCache: the batch signatures feed four plan
+    // branches (own bands, the union's bands, both verify sides) plus the
+    // caller's materialization of the updated index — without the cut the
+    // md5-shingle stage re-executes per branch (the q36 signature rule)
+    val newSigs = PlanCache.persist(
+      minhashSignatures(batch, idCol, textCol, shingleN))
     val all = index.select(col("__id"), col("hs")).union(newSigs)
     def bandsOf(df: DataFrame) = df.select(col("__id"), size(col("hs")).as("__n"),
       explode(array((0 until k).map(i =>

@@ -50,9 +50,15 @@ object TextOps7 {
     * and r_{i-1} once, so default inlining expands the chain 4^k-fold —
     * the q172 lesson. */
   private[queries] def bpeTrainSqlChain: String = {
-    val pairSql = "chr(31)||(SELECT lhs FROM m%1$d)||chr(31)||chr(31)||" +
-      "(SELECT rhs FROM m%1$d)||chr(31)"
-    val mergedSql = "chr(31)||(SELECT lhs||rhs FROM m%1$d)||chr(31)"
+    // coalesce guards: if merges EXHAUST before round k (degenerate
+    // corpus), m_i is empty and its scalar subqueries are NULL — an
+    // unguarded replace(s, NULL, NULL) would NULL-poison every later
+    // r_i while the Spark loop stops cleanly. chr(30) never occurs in a
+    // wrapped symbol string, so the fallback rewrite is a no-op —
+    // matching the Spark side's `exhausted` early-stop exactly.
+    val pairSql = "coalesce(chr(31)||(SELECT lhs FROM m%1$d)||chr(31)||chr(31)||" +
+      "(SELECT rhs FROM m%1$d)||chr(31), chr(30))"
+    val mergedSql = "coalesce(chr(31)||(SELECT lhs||rhs FROM m%1$d)||chr(31), '')"
     val rounds = (1 to BpeTrainRounds).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT p.a AS lhs, p.b AS rhs, CAST(sum(f) AS BIGINT) AS cnt
@@ -90,10 +96,13 @@ object TextOps7 {
   private[queries] def trainBpe(s: org.apache.spark.sql.SparkSession,
       d: String): (Seq[(Long, String, String, String, Long)],
         org.apache.spark.sql.DataFrame) = {
-    val vocab = Tables.documents(s, d)
+    // persisted via PlanCache: every round's pair-count collect replays
+    // the corpus-sized word explode + agg otherwise — the rounds must be
+    // vocab-sized jobs, as documented
+    val vocab = graft.operators.PlanCache.persist(Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("f"))
+      .groupBy("w").agg(count(lit(1)).as("f")))
     // Spark's split(w, '') keeps a trailing empty element (the q161
     // note) — filter it before wrapping
     var corpus = vocab.select(col("w"),
@@ -418,7 +427,79 @@ object TextOps7 {
         .orderBy("doc_id")
     })
 
+  private val WinK = 5      // char k-gram width (the q59 fingerprint basis)
+  private val WinW = 4      // winnow window
+  private val WinDfCap = 20 // drop fingerprints in more docs (boilerplate)
+  private val WinMinShared = 3
+
+  /** MOSS-style plagiarism pairs from winnowing fingerprints (the pair
+    * half of q59): documents sharing ≥ WinMinShared selected substring
+    * fingerprints, scored by containment over the smaller kept set.
+    * Winnowing guarantees any shared substring of length ≥ K+W−1
+    * contributes a shared fingerprint, so this catches copied SPANS the
+    * word-shingle families (q36/q107) dilute away in long documents.
+    *
+    * The df cap is load-bearing at scale: boilerplate substrings put one
+    * fingerprint in hundreds of documents (measured max df 394 at
+    * sf0.01), and join volume is Σ_fp df² — dropping fingerprints with
+    * df > cap is MOSS's own "ignore ubiquitous" rule and bounds every
+    * bucket. One fp-keyed equi-join; only 32-char md5s shuffle. */
+  val q178_winnowing_pairs = Q(
+    "q178_winnowing_pairs",
+    Some(s"""WITH g AS (
+            |  SELECT doc_id, list_transform(
+            |    generate_series(1, len(text) - ${WinK - 1}),
+            |    i -> md5(substr(text, i, $WinK))) AS gh
+            |  FROM documents WHERE len(text) >= $WinK),
+            |w AS (
+            |  SELECT doc_id, list_transform(
+            |    generate_series(1, len(gh) - ${WinW - 1}),
+            |    j -> list_min(gh[j:j+${WinW - 1}])) AS fps
+            |  FROM g WHERE len(gh) >= $WinW),
+            |f AS (SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM w),
+            |keep AS (SELECT fp FROM f GROUP BY fp
+            |         HAVING count(*) <= $WinDfCap),
+            |fk AS (SELECT f.* FROM f JOIN keep USING (fp)),
+            |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+            |      FROM fk GROUP BY doc_id),
+            |p AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(count(*) AS BIGINT) AS n_shared
+            |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, n_shared,
+            |  round(CAST(n_shared AS DOUBLE) / least(na.n_fps, nb.n_fps), 6)
+            |    AS score
+            |FROM p JOIN n na ON na.doc_id = doc_a
+            |JOIN n nb ON nb.doc_id = doc_b
+            |WHERE n_shared >= $WinMinShared
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val base = Tables.documents(s, d)
+        .filter(length(col("text")) >= WinK)
+        .withColumn("gh", TextFunctions.charGramsMd5(col("text"), WinK))
+        .filter(size(col("gh")) >= WinW)
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.slidingMins(col("gh"), WinW)).as("fps"))
+      val f = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val keep = f.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= WinDfCap).select("fp")
+      val fk = f.join(keep, Seq("fp"), "left_semi")
+      val n = fk.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+      val p = fk.toDF("fp", "doc_a").join(fk.toDF("fp", "doc_b"), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinMinShared)
+      p.join(n.toDF("doc_a", "na"), "doc_a")
+        .join(n.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("na"), col("nb")), 6).as("score"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
     q171_phrase_search, q175_bpe_compression, q176_shingle_novelty,
-    q177_incremental_cc)
+    q177_incremental_cc, q178_winnowing_pairs)
 }
