@@ -17,7 +17,7 @@ import graft.functions.VectorFunctions._
   */
 object VectorOps {
 
-  private val Planes8 = hyperplanes(8)
+  private[queries] val Planes8 = hyperplanes(8)
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   val q38_cosine_topk = Q(
@@ -110,6 +110,45 @@ object VectorOps {
         "vec_id", "e", Planes8, threshold = 0.2)
       .orderBy("vec_a", "vec_b"))
 
+  /** Semantic near-dup CLUSTERS: the transitive closure of q41's
+    * embedding-cosine pairs, labeled by min member id — the embedding
+    * modality's q73 (shingle clusters) twin, composing the existing
+    * bucket-join pair generator with Dedup.connectedComponents. At scale
+    * the pair set is index metadata (in-bucket verified pairs only), so
+    * the closure runs the driver union-find regime; the oracle replays
+    * the full recursive closure. */
+  val q179_embedding_clusters = Q(
+    "q179_embedding_clusters",
+    Some(s"""WITH RECURSIVE b AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS e,
+            |         ${lshBucketSql("(embedding::DOUBLE[])", Planes8)} AS bucket
+            |  FROM embeddings),
+            |prs AS (
+            |  SELECT a.vec_id AS u, b.vec_id AS v
+            |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |  WHERE round(${cosineSql("a.e", "b.e")}, 6) >= 0.2),
+            |edges AS (
+            |  SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+            |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+            |reach AS (
+            |  SELECT node, node AS m FROM cnodes
+            |  UNION
+            |  SELECT r.node, e.v AS m FROM reach r JOIN edges e ON e.u = r.m)
+            |SELECT node AS vec_id, min(m) AS cluster_id
+            |FROM reach GROUP BY node
+            |ORDER BY vec_id""".stripMargin),
+    (s, d) => {
+      val pairs = graft.operators.Similarity.nearDupPairs(
+        Tables.embeddings(s, d)
+          .withColumn("e", col("embedding").cast("array<double>"))
+          .select("vec_id", "e"),
+        "vec_id", "e", Planes8, threshold = 0.2)
+      graft.operators.Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+        .select(col("node").as("vec_id"), col("component").as("cluster_id"))
+        .orderBy("vec_id")
+    })
+
   val all: Seq[Q] = Seq(
-    q38_cosine_topk, q39_ann_lsh, q40_embedding_norms, q41_dedup_embedding)
+    q38_cosine_topk, q39_ann_lsh, q40_embedding_norms, q41_dedup_embedding,
+    q179_embedding_clusters)
 }
