@@ -499,7 +499,63 @@ object TextOps7 {
         .orderBy("doc_a", "doc_b")
     })
 
+  /** Train/val/test SPLIT-LEAKAGE audit: near-duplicate pairs (q36's
+    * verified LSH pipeline) crossed with the q60 hash-split assignment —
+    * a near-dup pair straddling splits leaks training content into
+    * evaluation even though every individual document was assigned
+    * "correctly". Reports every (split, split) combination with its pair
+    * count and worst-case jaccard; the off-diagonal rows are the leak.
+    *
+    * Scale shape: the pair set is index metadata (q36's output), the
+    * split is scan-side hash arithmetic joined onto the two endpoints by
+    * id, and the report is a ≤6-row aggregation. This is the QA gate a
+    * curation pipeline runs between splitting and shipping. */
+  val q180_split_leakage = Q(
+    "q180_split_leakage", {
+      val bucket =
+        s"(${graft.functions.TextFunctions.hexSpanValSql("md5(text)", 0, 6)} % 100)"
+      Some(s"""${TextOps.lshPairsSqlPrefix},
+              |sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN $bucket < 80 THEN 'train'
+              |         WHEN $bucket < 90 THEN 'val'
+              |         ELSE 'test' END AS sp
+              |  FROM documents)
+              |SELECT least(sa.sp, sb.sp) AS split_lo,
+              |  greatest(sa.sp, sb.sp) AS split_hi,
+              |  CAST(count(*) AS BIGINT) AS n_pairs,
+              |  round(max(jaccard), 6) AS max_jaccard,
+              |  CAST(CASE WHEN sa.sp <> sb.sp THEN 1 ELSE 0 END AS BIGINT)
+              |    AS leaky
+              |FROM pairs
+              |JOIN sp sa ON sa.doc_id = doc_a
+              |JOIN sp sb ON sb.doc_id = doc_b
+              |GROUP BY 1, 2, 5
+              |ORDER BY split_lo, split_hi""".stripMargin)
+    },
+    (s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val bucket = expr(
+        s"(${graft.functions.TextFunctions.hexSpanValSql("md5(text)", 0, 6)} % 100)")
+      val sp = docs.select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("sp"))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+      pairs
+        .join(sp.toDF("doc_a", "sp_a"), "doc_a")
+        .join(sp.toDF("doc_b", "sp_b"), "doc_b")
+        .groupBy(least(col("sp_a"), col("sp_b")).as("split_lo"),
+          greatest(col("sp_a"), col("sp_b")).as("split_hi"),
+          (col("sp_a") =!= col("sp_b")).cast("long").as("leaky"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(col("jaccard")), 6).as("max_jaccard"))
+        .select("split_lo", "split_hi", "n_pairs", "max_jaccard", "leaky")
+        .orderBy("split_lo", "split_hi")
+    })
+
   val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
     q171_phrase_search, q175_bpe_compression, q176_shingle_novelty,
-    q177_incremental_cc, q178_winnowing_pairs)
+    q177_incremental_cc, q178_winnowing_pairs, q180_split_leakage)
 }

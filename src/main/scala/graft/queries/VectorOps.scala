@@ -148,7 +148,64 @@ object VectorOps {
         .orderBy("vec_id")
     })
 
+  private val EmbDim = 64
+
+  /** Per-label embedding COHESION audit (mislabel/drift detection):
+    * exact-decimal elementwise label centroids (the q57 trainCentroids
+    * aggregation discipline — per-(label, dim) decimal sums, mean rounded
+    * once to 12, so the centroid is bit-identical under any partial-agg
+    * order), then each member's cosine to its own centroid, reported as
+    * per-label count / mean / worst. A label whose min cosine collapses
+    * contains foreign vectors; a drifting mean flags annotation drift.
+    *
+    * Scale shape: one (label, dim)-keyed hash agg over the posexploded
+    * corpus (the only corpus-sized shuffle), centroids re-enter as a
+    * label-count-sized broadcast array table, and the scoring pass is the
+    * scan-side codegen'd cosine kernel — no window, nothing pairwise. */
+  val q181_label_cohesion = Q(
+    "q181_label_cohesion",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+            |d AS (
+            |  SELECT label, i AS dim, e[i] AS v
+            |  FROM e, unnest(generate_series(1, $EmbDim)) AS u(i)),
+            |ctr0 AS (
+            |  SELECT label, dim,
+            |    round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+            |      / count(*), 12) AS m
+            |  FROM d GROUP BY 1, 2),
+            |ctr AS (SELECT label, list(m ORDER BY dim) AS c FROM ctr0
+            |        GROUP BY label),
+            |sc AS (
+            |  SELECT e.label, round(${cosineSql("e.e", "ctr.c")}, 6) AS cos
+            |  FROM e JOIN ctr USING (label))
+            |SELECT label, CAST(count(*) AS BIGINT) AS n,
+            |  round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE)
+            |    / count(*), 6) AS avg_cos,
+            |  round(min(cos), 6) AS min_cos
+            |FROM sc GROUP BY label ORDER BY label""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val dims = emb.select(col("label"), posexplode(col("e")))
+        .toDF("label", "dim0", "v")
+      val ctr0 = dims.groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 12).as("m"))
+      val ctr = ctr0.groupBy("label").agg(
+        expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)")
+          .as("c"))
+      emb.join(broadcast(ctr), "label")
+        .select(col("label"), round(cosine(col("e"), col("c")), 6).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cos").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("avg_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy("label")
+    })
+
   val all: Seq[Q] = Seq(
     q38_cosine_topk, q39_ann_lsh, q40_embedding_norms, q41_dedup_embedding,
-    q179_embedding_clusters)
+    q179_embedding_clusters, q181_label_cohesion)
 }

@@ -248,6 +248,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("slice("), p)
   }
 
+  test("q171: phrase search joins only term-filtered postings — no cartesian, no window") {
+    val p = plan("q171_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the three posting lists meet on (doc_id, anchor) equi keys
+    assert(p.contains("Join") && p.contains("anchor"), p)
+  }
+
+  test("q174: source influence shuffles ONLY on source — moments roll up, LOO never rescans") {
+    val p = plan("q174_source_influence")
+    // every hash exchange is the source-keyed moment aggregation (the
+    // global rollup's branch repeats the identical exchange statically;
+    // ReuseExchange executes it once) — a per-source refit or a pairwise
+    // stage would appear as an exchange on some OTHER key or a window
+    val hashKeys = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashKeys.subsetOf(Set("source")), s"$hashKeys\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q181: label cohesion scores against a BROADCAST centroid table — no window, nothing pairwise") {
+    val p = plan("q181_label_cohesion")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
