@@ -377,7 +377,140 @@ object QualityOps2 {
         .orderBy("source")
     })
 
+  /** Batch-over-batch DISTRIBUTION DRIFT: Jensen–Shannon divergence of
+    * the source mix between consecutive arrival batches (doc_id mod 3 —
+    * the q170 arrival model). JSD is the bounded, symmetric drift score
+    * pipeline monitors chart: 0 = identical mix, ln 2 = disjoint. Per-
+    * term p·ln(p/m) values are rounded once and summed in exact decimal
+    * (the q160 ln discipline), so the score is bit-stable under any
+    * partial-agg order.
+    *
+    * Scale shape: one (batch, source) hash agg over the corpus, then
+    * everything is source-count-sized — the drift join touches ≤
+    * |sources| rows per batch pair. */
+  val q182_batch_drift = Q(
+    "q182_batch_drift", {
+      // one CTE block per (batch, prev) pair — the per-pair full outer
+      // join keeps sources present in EITHER batch (a source that
+      // disappears still contributes its q·ln(2) term)
+      def pair(b: Int) =
+        s"""pq$b AS (
+           |  SELECT
+           |    CAST(coalesce(x.c, 0) AS DOUBLE)
+           |      / (SELECT n FROM t WHERE b = $b) AS p,
+           |    CAST(coalesce(y.c, 0) AS DOUBLE)
+           |      / (SELECT n FROM t WHERE b = ${b - 1}) AS q
+           |  FROM (SELECT source, c FROM c WHERE b = $b) x
+           |  FULL OUTER JOIN (SELECT source, c FROM c WHERE b = ${b - 1}) y
+           |    USING (source)),
+           |j$b AS (
+           |  SELECT $b AS batch,
+           |    round(0.5 * CAST(sum(CASE WHEN p > 0
+           |        THEN CAST(round(p * ln(p / ((p + q) / 2)), 12)
+           |             AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
+           |      + 0.5 * CAST(sum(CASE WHEN q > 0
+           |        THEN CAST(round(q * ln(q / ((p + q) / 2)), 12)
+           |             AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE), 6)
+           |      AS jsd_vs_prev
+           |  FROM pq$b)""".stripMargin
+      Some(s"""WITH c AS (
+              |  SELECT doc_id % 3 AS b, source, CAST(count(*) AS BIGINT) AS c
+              |  FROM documents GROUP BY 1, 2),
+              |t AS (SELECT b, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY b),
+              |${pair(1)},
+              |${pair(2)}
+              |SELECT t.b AS batch, t.n AS n_docs, j.jsd_vs_prev
+              |FROM t LEFT JOIN (SELECT * FROM j1 UNION ALL SELECT * FROM j2) j
+              |  ON j.batch = t.b
+              |ORDER BY batch""".stripMargin)
+    },
+    (s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy(pmod(col("doc_id"), lit(3)).as("b"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // tiny; feeds the per-pair branches
+      val t = c.groupBy("b").agg(sum(col("c")).as("n"))
+      val totals = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def pairJsd(b: Int) = {
+        val x = c.filter(col("b") === b).select(col("source"), col("c").as("xc"))
+        val y = c.filter(col("b") === b - 1).select(col("source"), col("c").as("yc"))
+        val p = coalesce(col("xc"), lit(0L)).cast("double") / lit(totals(b.toLong))
+        val q = coalesce(col("yc"), lit(0L)).cast("double") / lit(totals(b - 1L))
+        val m = (p + q) / 2
+        x.join(y, Seq("source"), "full_outer")
+          .select(
+            when(p > 0, round(p * log(p / m), 12).cast("decimal(28,12)"))
+              .otherwise(lit(0).cast("decimal(28,12)")).as("tp"),
+            when(q > 0, round(q * log(q / m), 12).cast("decimal(28,12)"))
+              .otherwise(lit(0).cast("decimal(28,12)")).as("tq"))
+          .agg(round(lit(0.5) * sum(col("tp")).cast("double") +
+            lit(0.5) * sum(col("tq")).cast("double"), 6).as("jsd_vs_prev"))
+          .select(lit(b.toLong).as("batch"), col("jsd_vs_prev"))
+      }
+      t.select(col("b").as("batch"), col("n").as("n_docs"))
+        .join(pairJsd(1).union(pairJsd(2)), Seq("batch"), "left")
+        .orderBy("batch")
+    })
+
+  private val MadMult = 3.0
+
+  /** Per-user robust activity anomalies: daily event counts, per-user
+    * exact median and MAD (q98's device, grouped by user), days flagged
+    * when count − median > 3·MAD. Robust per-entity outlier detection —
+    * z-scores (q90) break when the entity's own history is heavy-tailed;
+    * the median/MAD pair does not. Counts are small integers, so the
+    * interpolated percentiles land on exact binary halves and every
+    * comparison is bit-deterministic cross-engine.
+    *
+    * Scale shape: one (user, day) hash agg over events, then two
+    * user-keyed aggregations over the (entity × day)-sized frame and a
+    * broadcast-joined flag pass. No window, nothing corpus-pairwise. */
+  val q183_user_anomaly_days = Q(
+    "q183_user_anomaly_days",
+    Some(s"""WITH dc AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+            |    CAST(count(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2),
+            |med AS (
+            |  SELECT user_id, quantile_cont(cnt, 0.5) AS med
+            |  FROM dc GROUP BY user_id),
+            |mad AS (
+            |  SELECT dc.user_id, max(med) AS med,
+            |    quantile_cont(abs(dc.cnt - med), 0.5) AS mad
+            |  FROM dc JOIN med ON dc.user_id = med.user_id
+            |  GROUP BY dc.user_id)
+            |SELECT dc.user_id,
+            |  CAST(count(*) AS BIGINT) AS n_days,
+            |  round(max(m.med), 6) AS median_cnt,
+            |  round(max(m.mad), 6) AS mad_cnt,
+            |  CAST(sum(CASE WHEN dc.cnt - m.med > $MadMult * m.mad
+            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+            |  max(dc.cnt) AS max_cnt
+            |FROM dc JOIN mad m ON dc.user_id = m.user_id
+            |GROUP BY dc.user_id
+            |ORDER BY dc.user_id""".stripMargin),
+    (s, d) => {
+      val dc = Tables.events(s, d)
+        .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = dc.groupBy("user_id")
+        .agg(expr("percentile(cnt, 0.5)").as("med"))
+      val mad = dc.join(broadcast(med), "user_id")
+        .groupBy("user_id")
+        .agg(max(col("med")).as("med"),
+          expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+      dc.join(broadcast(mad), "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("med")), 6).as("median_cnt"),
+          round(max(col("mad")), 6).as("mad_cnt"),
+          sum(when(col("cnt") - col("med") > lit(MadMult) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anomalous"),
+          max(col("cnt")).as("max_cnt"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
     q162_quantile_binning, q166_weighted_median, q167_cusum,
-    q174_source_influence)
+    q174_source_influence, q182_batch_drift, q183_user_anomaly_days)
 }
