@@ -476,12 +476,15 @@ object TextOps7 {
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
       import graft.functions.TextFunctions
-      val base = Tables.documents(s, d)
+      // persisted via PlanCache: the fingerprint stage (one md5 per char
+      // position) feeds the df agg, both pair-join sides, and the n_fps
+      // agg — without the cut it re-executes per branch (the q36 rule)
+      val base = graft.operators.PlanCache.persist(Tables.documents(s, d)
         .filter(length(col("text")) >= WinK)
         .withColumn("gh", TextFunctions.charGramsMd5(col("text"), WinK))
         .filter(size(col("gh")) >= WinW)
         .select(col("doc_id"),
-          array_distinct(TextFunctions.slidingMins(col("gh"), WinW)).as("fps"))
+          array_distinct(TextFunctions.slidingMins(col("gh"), WinW)).as("fps")))
       val f = base.select(col("doc_id"), explode(col("fps")).as("fp"))
       val keep = f.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= WinDfCap).select("fp")

@@ -138,6 +138,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(local.nonEmpty)
   }
 
+  test("incrementalNearDupStep: random corpus, random batching ≡ the batch run") {
+    // the replay-equivalence property behind q170/q177, randomized: any
+    // partition of the corpus into ordered arrival batches must yield
+    // exactly the batch pair set (and the same clusters via
+    // contract-run-compose); a fixed 3-way split can hide an ordering
+    // bug, a random one cannot
+    val rnd = new scala.util.Random(23)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // near-dup structure: base sentences mutated in one position
+    val docs = (0L until 40L).map { i =>
+      val base = Array.tabulate(8)(j => words((i.toInt / 4 + j) % words.length))
+      if (i % 4 != 0) base(rnd.nextInt(8)) = words(rnd.nextInt(words.length))
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    val batchOf = (0L until 40L).map(i => i -> rnd.nextInt(4)).toMap
+    val batchCol = udf((id: Long) => batchOf(id))
+    val expected = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    var index = Dedup.minhashSignatures(docs.limit(0), "doc_id", "text")
+    var found = Set.empty[(Long, Long)]
+    (0 until 4).foreach { b =>
+      val batch = docs.filter(batchCol(col("doc_id")) === b)
+      val (pairs, updated) = Dedup.incrementalNearDupStep(
+        index, batch, "doc_id", "text")
+      found ++= pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      index = updated.localCheckpoint(true)
+    }
+    assert(found == expected && expected.nonEmpty,
+      s"incremental=$found batch=$expected")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("semanticDedup keeps the farthest-from-centroid member of each in-cluster dup group") {
     import graft.operators.Similarity
     // two well-separated clusters; each holds a near-dup pair plus (in
