@@ -320,7 +320,45 @@ object EventOps2 {
         .orderBy("win_id")
     })
 
+  private val TriTopN = 20
+
+  /** Frequent behavioral TRIGRAMS: each user's event stream in (ts,
+    * event_id) order yields consecutive (a, b, c) event-type triples;
+    * global counts with a deterministic top-N (count desc, then the
+    * triple) — the sequence patterns (browse→click→purchase) a
+    * first-order transition matrix (q113) cannot see.
+    *
+    * Scale shape: one user-keyed window builds the triples (two leads
+    * over the same sort — no self-joins), one hash agg counts them, and
+    * the top-N is a TakeOrdered. The pattern space is |types|³ bounded. */
+  val q185_event_trigrams = Q(
+    "q185_event_trigrams",
+    Some(s"""WITH seq AS (
+            |  SELECT user_id, event_type AS a,
+            |    lead(event_type, 1) OVER w AS b,
+            |    lead(event_type, 2) OVER w AS c
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id
+            |               ORDER BY epoch_us(ts), event_id))
+            |SELECT a, b, c, CAST(count(*) AS BIGINT) AS cnt
+            |FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+            |GROUP BY a, b, c
+            |ORDER BY cnt DESC, a, b, c
+            |LIMIT $TriTopN""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(expr("ts div 1000"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"),
+          lead(col("event_type"), 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"), col("c"))
+        .limit(TriTopN)
+    })
+
   val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma,
     q113_transition_matrix, q114_retention_cohorts, q116_rolling_distinct,
-    q153_binned_interval_join)
+    q153_binned_interval_join, q185_event_trigrams)
 }

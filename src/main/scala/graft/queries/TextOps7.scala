@@ -558,7 +558,89 @@ object TextOps7 {
         .orderBy("split_lo", "split_hi")
     })
 
+  /** The DEDUP DIVIDEND report — what a curation run actually saved, per
+    * source: documents and tokens removed by the exact pass (min-id
+    * keeper per content hash, q34's rule) plus the near-dup pass (q88's
+    * quality keeper over the LSH clusters), with the savings fraction. A
+    * doc dropped by either pass counts once. This is the number the
+    * pipeline owner reports after every run.
+    *
+    * Scale shape: the exact pass is one content-hash agg; the near-dup
+    * drop list is cluster metadata (q88's output); the report joins both
+    * id sets back to a scan-side token count and aggregates per source —
+    * nothing beyond the dedup passes' own audited shapes. */
+  val q184_dedup_dividend = Q(
+    "q184_dedup_dividend",
+    Some(s"""${TextOps.lshPairsSqlPrefix},
+            |edges AS (
+            |  SELECT doc_a AS u, doc_b AS v FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+            |reach AS (
+            |  SELECT node, node AS m FROM cnodes
+            |  UNION
+            |  SELECT r.node, e.v AS m FROM reach r JOIN edges e ON e.u = r.m),
+            |clusters AS (
+            |  SELECT node AS doc_id, min(m) AS cluster_id
+            |  FROM reach GROUP BY node),
+            |ranked AS (
+            |  SELECT c.cluster_id, c.doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+            |exk AS (
+            |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            |  FROM documents),
+            |drops AS (
+            |  SELECT doc_id FROM ranked WHERE rn <> 1
+            |  UNION SELECT doc_id FROM exk WHERE doc_id <> keep),
+            |dtok AS (
+            |  SELECT doc_id, source,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+            |  FROM documents)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(t) AS BIGINT) AS total_tokens,
+            |  CAST(sum(CASE WHEN dr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_dropped,
+            |  CAST(sum(CASE WHEN dr = 1 THEN t ELSE 0 END) AS BIGINT)
+            |    AS tokens_dropped,
+            |  round(CAST(sum(CASE WHEN dr = 1 THEN t ELSE 0 END) AS DOUBLE)
+            |    / sum(t), 6) AS savings_pct
+            |FROM dtok LEFT JOIN (SELECT doc_id, 1 AS dr FROM drops) d
+            |  USING (doc_id)
+            |GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val nearDrops = Dedup.clusterKeepers(docs, "doc_id", "text",
+          col("n_chars"), k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+        .select(explode(col("drop_ids")).as("doc_id"))
+      val exDrops = docs
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(Dedup.exact(docs, "doc_id", "text")
+          .select(col("content_fp").as("fp"), col("keep_id")), "fp")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id")
+      val drops = nearDrops.union(exDrops).distinct()
+        .withColumn("dr", lit(1))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("total_tokens"),
+          sum(when(col("dr") === 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dr") === 1, col("t")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_dropped"), col("tokens_dropped"),
+          round(col("tokens_dropped").cast("double") / col("total_tokens"), 6)
+            .as("savings_pct"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q169_bpe_train, q170_incremental_neardup,
     q171_phrase_search, q175_bpe_compression, q176_shingle_novelty,
-    q177_incremental_cc, q178_winnowing_pairs, q180_split_leakage)
+    q177_incremental_cc, q178_winnowing_pairs, q180_split_leakage,
+    q184_dedup_dividend)
 }
