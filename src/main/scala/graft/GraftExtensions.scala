@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim,
+import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim, NfcNormalize,
   DotProduct, JpegSofDims, Md5Shingles, SimhashBits, SlidingMins,
   SortedIntersectCount}
 
@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b) takes two arguments")
         SortedIntersectCount(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode canonical composition (NFC)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(str) takes one argument")
+        NfcNormalize(args(0))
       }))
     ext.injectFunction((FunctionIdentifier("sliding_mins"),
       info("sliding_mins",

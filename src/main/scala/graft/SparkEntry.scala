@@ -12,7 +12,7 @@ object SparkEntry {
       Relational4.all ++ Relational5.all ++ ModernSql.all ++
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
-      TextOps6.all ++ TextOps7.all ++
+      TextOps6.all ++ TextOps7.all ++ TextOps8.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       LakeOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++

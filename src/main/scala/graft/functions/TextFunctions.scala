@@ -61,6 +61,13 @@ object TextFunctions {
     b.column(Md5Shingles(b.expression(toks), n))
   }
 
+  /** Unicode NFC canonicalization (native expression, codegen'd; see
+    * NfcNormalize). */
+  def nfc(text: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(NfcNormalize(b.expression(text)))
+  }
+
   /** Fused text → md5 array of char k-grams in position order (native
     * expression; ≡ transform(sequence(1, length-k+1), i → md5(substr(text,
     * i, k))), see CharGramsMd5). */

@@ -244,7 +244,112 @@ object DataOps4 {
         .orderBy("shard")
     })
 
+  /** PADDING-WASTE report: docs bucketed to the next power-of-two token
+    * length (floor 16) — the shape a fixed-length training batcher pads
+    * to — with per-bucket token, padding, and waste-fraction totals. The
+    * number that decides whether a packing stage (q82) pays for itself.
+    *
+    * The bucket is computed with INTEGER machinery (2^len(bin(t−1)) —
+    * the binary-representation length IS ⌈log2⌉), not float log2, so a
+    * doc sitting exactly on a power of two lands identically in both
+    * engines.
+    *
+    * Scale shape: scan-side arithmetic + one hash agg over ≤ ~20 bucket
+    * groups. */
+  val q188_padding_waste = Q(
+    "q188_padding_waste",
+    Some("""WITH t AS (
+           |  SELECT len(text) - len(replace(text, ' ', '')) + 1 AS toks
+           |  FROM documents),
+           |b AS (
+           |  SELECT toks,
+           |    greatest(16, CAST(pow(2, len(bin(toks - 1))) AS BIGINT))
+           |      AS bucket
+           |  FROM t)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS tokens,
+           |  CAST(sum(bucket - toks) AS BIGINT) AS padding,
+           |  round(CAST(sum(bucket - toks) AS DOUBLE) / sum(bucket), 6)
+           |    AS waste_pct
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val toks = (length(col("text")) -
+        length(translate(col("text"), " ", "")) + lit(1)).cast("long")
+      Tables.documents(s, d)
+        .select(toks.as("toks"))
+        .withColumn("bucket",
+          greatest(lit(16L), pow(lit(2), length(bin(col("toks") - 1)))
+            .cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("tokens"),
+          sum(col("bucket") - col("toks")).as("padding"))
+        .select(col("bucket"), col("n_docs"), col("tokens"), col("padding"),
+          round(col("padding").cast("double") /
+            (col("tokens") + col("padding")), 6).as("waste_pct"))
+        .orderBy("bucket")
+    })
+
+  /** TOKEN-BUDGET FILL: execute a per-source token budget (40% of each
+    * source's tokens) by taking documents in (n_chars desc, doc_id)
+    * priority order until the running total would exceed the budget —
+    * how a mixture plan (q155) becomes an actual selected set. The
+    * budget test is exact integer arithmetic (5·cum <= 2·total), so the
+    * boundary document is decided identically in both engines.
+    *
+    * Scale shape: ONE shuffle on source feeds both window specs (the
+    * per-source total and the priority-ordered running sum share the
+    * partitioning); per-source partitions are mixture-plan-sized, never
+    * corpus-sized in one partition. */
+  val q190_budget_fill = Q(
+    "q190_budget_fill",
+    Some("""WITH t AS (
+           |  SELECT source, doc_id, n_chars,
+           |    len(text) - len(replace(text, ' ', '')) + 1 AS toks
+           |  FROM documents),
+           |w AS (
+           |  SELECT source, toks,
+           |    sum(toks) OVER (PARTITION BY source) AS total,
+           |    sum(toks) OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN 5 * cum <= 2 * total THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_selected,
+           |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+           |  CAST(sum(CASE WHEN 5 * cum <= 2 * total THEN toks ELSE 0 END)
+           |    AS BIGINT) AS tokens_selected,
+           |  round(CAST(sum(CASE WHEN 5 * cum <= 2 * total THEN toks
+           |    ELSE 0 END) AS DOUBLE) / sum(toks), 6) AS utilization
+           |FROM w GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = (length(col("text")) -
+        length(translate(col("text"), " ", "")) + lit(1)).cast("long")
+      val wTotal = Window.partitionBy("source")
+      val wCum = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sel = col("cum") * 5 <= col("total") * 2
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          toks.as("toks"))
+        .withColumn("total", sum(col("toks")).over(wTotal))
+        .withColumn("cum", sum(col("toks")).over(wCum))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(sel, 1L).otherwise(0L)).as("n_selected"),
+          sum(col("toks")).as("total_tokens"),
+          sum(when(sel, col("toks")).otherwise(0L)).as("tokens_selected"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          col("total_tokens"), col("tokens_selected"),
+          round(col("tokens_selected").cast("double") /
+            col("total_tokens"), 6).as("utilization"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q146_nested_ops, q147_dynamic_pivot,
     q148_epoch_shuffle, q155_mixture_plan, q156_k_anonymity,
-    q163_training_shards)
+    q163_training_shards, q188_padding_waste, q190_budget_fill)
 }

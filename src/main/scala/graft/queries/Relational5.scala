@@ -240,8 +240,88 @@ object Relational5 {
         .orderBy("s_suppkey")
     })
 
+  /** ANALYZE-style COLUMN PROFILE: per-column row count, null count,
+    * exact NDV, and min/max over a heterogeneous column set (bigint /
+    * double / varchar / timestamp) in ONE scan — the statistics pass a
+    * catalog or CBO runs before planning. Min/max are projected to a
+    * deterministic string representation per type (decimal(18,2) for the
+    * money double, DATE for the timestamp) so one uniform report schema
+    * hashes identically across engines.
+    *
+    * Scale shape: one scan; the four exact NDVs ride a single Expand
+    * (4-way row multiplication) + partial aggregation — the standard
+    * multi-distinct plan, still one shuffle. The single-row result is
+    * then unpivoted driver-free via stack(). At extreme scale the exact
+    * NDVs swap for the mergeable HLL family (q164) — same report shape. */
+  val q189_column_profile = Q(
+    "q189_column_profile",
+    Some("""SELECT * FROM (
+           |  SELECT 'l_orderkey' AS column_name,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_nulls,
+           |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           |    CAST(min(l_orderkey) AS VARCHAR) AS min_repr,
+           |    CAST(max(l_orderkey) AS VARCHAR) AS max_repr
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+           |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT),
+           |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+           |    CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+           |    CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+           |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT),
+           |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           |    min(l_returnflag), max(l_returnflag)
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+           |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT),
+           |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           |    CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR),
+           |    CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR)
+           |  FROM lineitem)
+           |ORDER BY column_name""".stripMargin),
+    (s, d) => {
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      val one = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        nulls("l_orderkey").as("nu_ok"),
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        min(col("l_orderkey")).cast("string").as("mn_ok"),
+        max(col("l_orderkey")).cast("string").as("mx_ok"),
+        nulls("l_quantity").as("nu_qt"),
+        countDistinct(col("l_quantity")).as("nd_qt"),
+        min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mn_qt"),
+        max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mx_qt"),
+        nulls("l_returnflag").as("nu_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        min(col("l_returnflag")).as("mn_rf"),
+        max(col("l_returnflag")).as("mx_rf"),
+        nulls("l_shipdate").as("nu_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        min(col("l_shipdate")).cast("date").cast("string").as("mn_sd"),
+        max(col("l_shipdate")).cast("date").cast("string").as("mx_sd"))
+      one.selectExpr(
+        """stack(4,
+          |  'l_orderkey',  n_rows, nu_ok, nd_ok, mn_ok, mx_ok,
+          |  'l_quantity',  n_rows, nu_qt, nd_qt, mn_qt, mx_qt,
+          |  'l_returnflag', n_rows, nu_rf, nd_rf, mn_rf, mx_rf,
+          |  'l_shipdate',  n_rows, nu_sd, nd_sd, mn_sd, mx_sd)
+          |AS (column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)
+          |""".stripMargin)
+        .orderBy("column_name")
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
     q124_regexp_extract_all, q126_window_nav, q127_agg_filter,
-    q132_bloom_join)
+    q132_bloom_join, q189_column_profile)
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text ops, part 8: ingest-time text canonicalization (Unicode NFC via
+  * the native expression) and the named quality-rule gate (the
+  * Gopher/Dolma-style document filter re-expressed as exact integer
+  * predicates).
+  */
+object TextOps8 {
+
+  /** Combining acute accent / diaeresis — appended to ASCII corpus text
+    * to CONSTRUCT decomposed input deterministically (the q173
+    * construction-inversion device: both engines build the identical
+    * decomposed string, so the normalizer's fold is the thing the hash
+    * checks). */
+  private val Acute = "\u0301"
+  private val Umlaut = "\u0308"
+
+  /** Unicode NFC normalization at ingest: the same visible text can
+    * arrive composed (U+00E9) or decomposed (e + U+0301), and every
+    * downstream fingerprint — exact-dedup md5, MinHash shingles, group
+    * keys — silently splits such documents unless the corpus is
+    * canonicalized first. The corpus is ASCII, so each doc is decorated
+    * with deterministically constructed decomposed sequences
+    * (e+COMBINING ACUTE, o+COMBINING DIAERESIS); the native
+    * `NfcNormalize` expression must fold them to the composed forms
+    * DuckDB's nfc_normalize produces, character counts shrinking by
+    * exactly the combining marks folded.
+    *
+    * Scale shape: pure scan-side expression (inside whole-stage codegen,
+    * with an isNormalized short-circuit for the all-ASCII common case) +
+    * one source-keyed hash agg. */
+  val q186_nfc_normalize = Q(
+    "q186_nfc_normalize",
+    Some(s"""WITH deco AS (
+            |  SELECT source,
+            |    substr(text, 1, 24) || 'e' || chr(769) || 'o' || chr(776)
+            |      AS raw
+            |  FROM documents),
+            |n AS (SELECT source, raw, nfc_normalize(raw) AS norm FROM deco)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(len(raw)) AS BIGINT) AS raw_chars,
+            |  CAST(sum(len(norm)) AS BIGINT) AS norm_chars,
+            |  CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_changed,
+            |  min(norm) AS sample_norm
+            |FROM n GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions.nfc
+      val raw = concat(substring(col("text"), 1, 24),
+        lit("e" + Acute + "o" + Umlaut))
+      Tables.documents(s, d)
+        .select(col("source"), raw.as("raw"))
+        .withColumn("norm", nfc(col("raw")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("raw"))).as("raw_chars"),
+          sum(length(col("norm"))).as("norm_chars"),
+          sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L))
+            .as("n_changed"),
+          min(col("norm")).as("sample_norm"))
+        .orderBy("source")
+    })
+
+  /** The NAMED quality-rule gate (Gopher/Dolma-style document filter,
+    * Rae et al. 2021 §A1.2): per-document boolean rules aggregated to a
+    * per-source scorecard. Rules are re-expressed as EXACT integer
+    * predicates so both engines decide every boundary document
+    * identically (no double-division at a threshold):
+    *   - r_len     : 50 <= words <= 100000
+    *   - r_mwl     : mean word length in [3, 10]  ⇔  3·words <= letters <= 10·words
+    *   - r_ttr     : distinct-word ratio >= 0.4   ⇔  5·distinct >= 2·words
+    *   - r_wordlen : longest token <= 30 chars
+    *
+    * Scale shape: all four rules are scan-side string arithmetic; the
+    * only shuffle is the source-keyed scorecard agg. */
+  val q187_quality_gate = Q(
+    "q187_quality_gate",
+    Some("""WITH m AS (
+           |  SELECT source,
+           |    len(text) - len(replace(text, ' ', '')) + 1 AS words,
+           |    len(replace(text, ' ', '')) AS letters,
+           |    len(list_distinct(string_split(text, ' '))) AS dwords,
+           |    list_max(list_transform(string_split(text, ' '),
+           |      w -> len(w))) AS maxw
+           |  FROM documents),
+           |r AS (
+           |  SELECT source,
+           |    CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END AS r_len,
+           |    CASE WHEN letters >= 3 * words AND letters <= 10 * words
+           |         THEN 1 ELSE 0 END AS r_mwl,
+           |    CASE WHEN 5 * dwords >= 2 * words THEN 1 ELSE 0 END AS r_ttr,
+           |    CASE WHEN maxw <= 30 THEN 1 ELSE 0 END AS r_wordlen
+           |  FROM m)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(r_len) AS BIGINT) AS pass_len,
+           |  CAST(sum(r_mwl) AS BIGINT) AS pass_mwl,
+           |  CAST(sum(r_ttr) AS BIGINT) AS pass_ttr,
+           |  CAST(sum(r_wordlen) AS BIGINT) AS pass_wordlen,
+           |  CAST(sum(r_len * r_mwl * r_ttr * r_wordlen) AS BIGINT)
+           |    AS pass_all
+           |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val words = length(col("text")) -
+        length(translate(col("text"), " ", "")) + lit(1)
+      val letters = length(translate(col("text"), " ", ""))
+      val dwords = size(array_distinct(toks))
+      val maxw = array_max(transform(toks, w => length(w)))
+      val rLen = when(words >= 50 && words <= 100000, 1L).otherwise(0L)
+      val rMwl = when(letters >= words * 3 && letters <= words * 10, 1L)
+        .otherwise(0L)
+      val rTtr = when(dwords * 5 >= words * 2, 1L).otherwise(0L)
+      val rWordlen = when(maxw <= 30, 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .select(col("source"), rLen.as("r_len"), rMwl.as("r_mwl"),
+          rTtr.as("r_ttr"), rWordlen.as("r_wordlen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_len")).as("pass_len"),
+          sum(col("r_mwl")).as("pass_mwl"),
+          sum(col("r_ttr")).as("pass_ttr"),
+          sum(col("r_wordlen")).as("pass_wordlen"),
+          sum(col("r_len") * col("r_mwl") * col("r_ttr") * col("r_wordlen"))
+            .as("pass_all"))
+        .orderBy("source")
+    })
+
+  val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate)
+}

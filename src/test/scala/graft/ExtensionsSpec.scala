@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 7L)
   }
 
+  test("nfc_normalize is callable from SQL and folds decomposed input") {
+    // 'e' + combining acute (U+0301) must compose to U+00E9
+    val row = spark.sql(
+      "SELECT nfc_normalize('e' || '\u0301') AS n, length(nfc_normalize('e' || '\u0301')) AS l")
+      .head()
+    assert(row.getString(0) == "\u00e9")
+    assert(row.getInt(1) == 1)
+  }
+
   test("try_confluent_avro maps corrupt records to NULL; strict mode fails") {
     val schema =
       """{"type":"record","name":"r","fields":[{"name":"x","type":"string"}]}"""

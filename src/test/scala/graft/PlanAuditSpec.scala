@@ -276,6 +276,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q189: heterogeneous column profile is ONE scan — exact multi-distinct rides a single Expand") {
+    val p = plan("q189_column_profile")
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q190: both window specs AND the scorecard agg share ONE source shuffle") {
+    val p = plan("q190_budget_fill")
+    // the per-source total window, the priority-ordered running sum, and
+    // the final groupBy(source) all ride the same hashpartitioning(source)
+    // exchange; the only other exchange is the final presentation sort
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "Window") == 2, p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
