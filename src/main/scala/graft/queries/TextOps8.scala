@@ -128,5 +128,134 @@ object TextOps8 {
         .orderBy("source")
     })
 
-  val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate)
+  /** CANONICAL-DEDUP UPLIFT: how many MORE duplicate documents exact
+    * dedup finds once the corpus is canonicalized (NFC + casefold +
+    * whitespace collapse) — the report that justifies a normalization
+    * stage in front of q34's exact pass. Variant copies are CONSTRUCTED
+    * deterministically for doc_id % 7 = 3 (leading/doubled spaces,
+    * upper-cased ASCII, decomposed accent where the original carries the
+    * composed form), so raw byte-equality misses every variant while
+    * canonical equality folds each onto its original.
+    *
+    * Scale shape: both dup passes group on md5 of the key — only 32-char
+    * digests shuffle, never document text; two hash aggs + a per-source
+    * 1-row join. */
+  val q191_canonical_uplift = Q(
+    "q191_canonical_uplift", {
+      val composed = "chr(233)"        // é U+00E9
+      val decomposed = "'e' || chr(769)" // e + COMBINING ACUTE
+      Some(s"""WITH corpus AS (
+              |  SELECT source, text || ' ' || $composed AS t FROM documents
+              |  UNION ALL
+              |  SELECT source, '  ' || upper(text) || '  ' || $decomposed
+              |  FROM documents WHERE doc_id % 7 = 3),
+              |keyed AS (
+              |  SELECT source, md5(t) AS rk,
+              |    md5(nfc_normalize(lower(trim(regexp_replace(t, ' +', ' ', 'g')))))
+              |      AS ck
+              |  FROM corpus),
+              |raw AS (
+              |  SELECT source, CAST(sum(c - 1) AS BIGINT) AS raw_dup_docs
+              |  FROM (SELECT source, rk, count(*) AS c FROM keyed
+              |        GROUP BY source, rk) GROUP BY source),
+              |can AS (
+              |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+              |    CAST(sum(c - 1) AS BIGINT) AS canon_dup_docs
+              |  FROM (SELECT source, ck, count(*) AS c FROM keyed
+              |        GROUP BY source, ck)
+              |  GROUP BY source)
+              |SELECT can.source, n_docs, raw_dup_docs, canon_dup_docs,
+              |  canon_dup_docs - raw_dup_docs AS uplift
+              |FROM can JOIN raw ON can.source = raw.source
+              |ORDER BY can.source""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.nfc
+      val docs = Tables.documents(s, d)
+      val corpus = docs
+        .select(col("source"),
+          concat(col("text"), lit(" \u00e9")).as("t"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 3)
+          .select(col("source"),
+            concat(lit("  "), upper(col("text")), lit("  e" + Acute))
+              .as("t")))
+      val keyed = corpus.select(col("source"), md5(col("t")).as("rk"),
+        md5(nfc(lower(trim(regexp_replace(col("t"), " +", " ")))))
+          .as("ck"))
+      val raw = keyed.groupBy("source", "rk").count()
+        .groupBy("source")
+        .agg(sum(col("count") - 1).as("raw_dup_docs"))
+      val can = keyed.groupBy("source", "ck").count()
+        .groupBy("source")
+        .agg(sum(col("count")).as("n_docs"),
+          sum(col("count") - 1).as("canon_dup_docs"))
+      can.join(raw, "source")
+        .select(col("source"), col("n_docs"), col("raw_dup_docs"),
+          col("canon_dup_docs"),
+          (col("canon_dup_docs") - col("raw_dup_docs")).as("uplift"))
+        .orderBy("source")
+    })
+
+  /** MOJIBAKE detection and repair: text that went UTF-8 → latin-1 →
+    * UTF-8 arrives with 'é' as 'Ã©' and 'ï' as 'Ã¯' — the classic
+    * double-encoding corruption every web-scraped corpus carries. A
+    * hash-selected fifth of the corpus is CONSTRUCTED corrupted (the
+    * same suffix every clean doc gets, but through the latin-1 round
+    * trip); the detector (the 'Ã' signature byte), the replace-chain
+    * repair, and the repaired-equals-clean proof are what the hash
+    * checks.
+    *
+    * Scale shape: detection and repair are scan-side string ops; one
+    * source-keyed scorecard agg. */
+  val q192_mojibake = Q(
+    "q192_mojibake", {
+      val moji = "' caf' || chr(195) || chr(169) || ' na' || chr(195) || chr(175) || 've'"
+      val clean = "' caf' || chr(233) || ' na' || chr(239) || 've'"
+      Some(s"""WITH c AS (
+              |  SELECT source,
+              |    substr(text, 1, 40) ||
+              |      CASE WHEN doc_id % 5 = 2 THEN $moji ELSE $clean END AS raw,
+              |    substr(text, 1, 40) || $clean AS want
+              |  FROM documents),
+              |r AS (
+              |  SELECT source, raw, want,
+              |    CASE WHEN contains(raw, chr(195)) THEN 1 ELSE 0 END AS flagged,
+              |    replace(replace(raw, chr(195) || chr(169), chr(233)),
+              |            chr(195) || chr(175), chr(239)) AS repaired
+              |  FROM c)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+              |  CAST(sum(CASE WHEN flagged = 1 AND repaired = want
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+              |  CAST(sum(CASE WHEN flagged = 1
+              |    THEN len(raw) - len(repaired) ELSE 0 END) AS BIGINT)
+              |    AS chars_folded
+              |FROM r GROUP BY source ORDER BY source""".stripMargin)
+    },
+    (s, d) => {
+      val moji = " caf\u00c3\u00a9 na\u00c3\u00afve"
+      val clean = " caf\u00e9 na\u00efve"
+      val raw = concat(substring(col("text"), 1, 40),
+        when(col("doc_id") % 5 === 2, lit(moji)).otherwise(lit(clean)))
+      val want = concat(substring(col("text"), 1, 40), lit(clean))
+      Tables.documents(s, d)
+        .select(col("source"), raw.as("raw"), want.as("want"))
+        .withColumn("flagged",
+          when(col("raw").contains("\u00c3"), 1L).otherwise(0L))
+        .withColumn("repaired",
+          regexp_replace(regexp_replace(col("raw"),
+            "\u00c3\u00a9", "\u00e9"), "\u00c3\u00af", "\u00ef"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(when(col("flagged") === 1 && col("repaired") === col("want"),
+            1L).otherwise(0L)).as("n_repaired"),
+          sum(when(col("flagged") === 1,
+            length(col("raw")) - length(col("repaired"))).otherwise(0L))
+            .as("chars_folded"))
+        .orderBy("source")
+    })
+
+  val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
+    q191_canonical_uplift, q192_mojibake)
 }
