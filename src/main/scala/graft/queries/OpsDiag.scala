@@ -171,5 +171,111 @@ object OpsDiag {
         .orderBy("pair")
     })
 
-  val all: Seq[Q] = Seq(q193_key_skew, q194_join_estimator)
+  /** POISSON-BOOTSTRAP confidence interval for a corpus metric (mean
+    * tokens per document, per source): B=64 replicates where each
+    * document's replicate weight is a Poisson(1) draw — the streaming/
+    * distributed bootstrap (the multinomial resample needs global
+    * coordination; Poissonization doesn't). Every float in the pipeline
+    * is derived from exact BIGINTs: the draw is a 24-bit hash span
+    * compared against PRECOMPUTED integer CDF thresholds (no runtime
+    * exp/factorial), replicate sums are BIGINT, and each replicate mean
+    * is one rounded division. The CI bounds are ORDER STATISTICS
+    * (ranks 2 and B−1 of the 64 ordered means ≈ 2.5/97.5%), never
+    * interpolated — so the result is bit-stable cross-engine.
+    *
+    * Scale shape: the replicate dimension rides the single corpus scan
+    * (explode ×64, a constant factor); one (source, b) hash agg; the
+    * per-source window orders exactly B=64 rows. Weights are capped at
+    * 8 (P(X>7) ≈ 1e-5, identically in both engines). */
+  val q195_bootstrap_ci = {
+    import graft.functions.TextFunctions.hexSpanValSql
+    // Poisson(1) CDF × 16^6, floored: P(X<=k) for k = 0..7
+    val Cdf = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L)
+    def wCaseSql(u: String) =
+      Cdf.zipWithIndex.map { case (t, k) => s"WHEN $u < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+    Q("q195_bootstrap_ci",
+      Some(s"""WITH d AS (
+              |  SELECT source, doc_id,
+              |    CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+              |      AS toks
+              |  FROM documents),
+              |draws AS (
+              |  SELECT source, toks, b,
+              |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))
+              |      AS h
+              |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS b)),
+              |wts AS (
+              |  SELECT source, toks, b,
+              |    ${wCaseSql(hexSpanValSql("h", 0, 6))} AS w
+              |  FROM draws),
+              |rep AS (
+              |  SELECT source, b, CAST(sum(w * toks) AS BIGINT) AS swt,
+              |    CAST(sum(w) AS BIGINT) AS sw
+              |  FROM wts GROUP BY source, b),
+              |means AS (
+              |  SELECT source, b, round(CAST(swt AS DOUBLE) / sw, 6) AS mb
+              |  FROM rep WHERE sw > 0),
+              |ranked AS (
+              |  SELECT source, mb,
+              |    row_number() OVER (PARTITION BY source ORDER BY mb, b)
+              |      AS rn,
+              |    count(*) OVER (PARTITION BY source) AS nb
+              |  FROM means),
+              |ci AS (
+              |  SELECT source, CAST(max(nb) AS BIGINT) AS n_reps,
+              |    min(CASE WHEN rn = 2 THEN mb END) AS boot_lo,
+              |    min(CASE WHEN rn = nb - 1 THEN mb END) AS boot_hi
+              |  FROM ranked GROUP BY source),
+              |pt AS (
+              |  SELECT source,
+              |    round(CAST(sum(toks) AS DOUBLE) / count(*), 6)
+              |      AS point_mean
+              |  FROM d GROUP BY source)
+              |SELECT ci.source, n_reps, point_mean, boot_lo, boot_hi
+              |FROM ci JOIN pt ON ci.source = pt.source
+              |ORDER BY ci.source""".stripMargin),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            (length(col("text")) -
+              length(translate(col("text"), " ", "")) + lit(1))
+              .cast("long").as("toks"))
+        val draws = docs
+          .select(col("source"), col("toks"), col("doc_id"),
+            explode(sequence(lit(1), lit(64))).as("b"))
+          // q132 lesson: hash once into a column — the 6 hex digit reads
+          // below would otherwise re-digest per digit
+          .withColumn("h",
+            md5(concat(col("doc_id").cast("string"), lit("_"),
+              col("b").cast("string"))))
+        val wts = draws.withColumn("w",
+          expr(wCaseSql(hexSpanValSql("h", 0, 6))))
+        val rep = wts.groupBy("source", "b")
+          .agg(sum(col("w") * col("toks")).as("swt"),
+            sum(col("w")).cast("long").as("sw"))
+        val means = rep.filter(col("sw") > 0)
+          .select(col("source"), col("b"),
+            round(col("swt").cast("double") / col("sw"), 6).as("mb"))
+        val wRank = Window.partitionBy("source").orderBy("mb", "b")
+        val ci = means
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(max(col("nb")).cast("long").as("n_reps"),
+            min(when(col("rn") === 2, col("mb"))).as("boot_lo"),
+            min(when(col("rn") === col("nb") - 1, col("mb"))).as("boot_hi"))
+        val pt = docs.groupBy("source")
+          .agg(round(sum(col("toks")).cast("double") / count(lit(1)), 6)
+            .as("point_mean"))
+        ci.join(pt, "source")
+          .select(col("source"), col("n_reps"), col("point_mean"),
+            col("boot_lo"), col("boot_hi"))
+          .orderBy("source")
+      })
+  }
+
+  val all: Seq[Q] = Seq(q193_key_skew, q194_join_estimator,
+    q195_bootstrap_ci)
 }

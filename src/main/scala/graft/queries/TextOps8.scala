@@ -256,6 +256,63 @@ object TextOps8 {
         .orderBy("source")
     })
 
+  /** CORPUS DIVERSITY (distinct-n): per source, the fraction of unigram
+    * and bigram occurrences that are distinct — the self-repetition
+    * metric (distinct-1/distinct-2 of the text-generation literature)
+    * that flags template-heavy or boilerplate sources before training.
+    *
+    * Scale shape: two explodes over the same scan, each into a
+    * source-keyed agg whose exact distinct rides the standard Expand
+    * plan; grams hash-agg by (source, gram) — nothing pairwise. At
+    * extreme vocab the exact NDVs swap for the mergeable HLL family
+    * (q164), same report schema. */
+  val q196_distinct_ngrams = Q(
+    "q196_distinct_ngrams",
+    Some("""WITH toks AS (
+           |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+           |uni AS (SELECT source, unnest(ts) AS w FROM toks),
+           |big AS (
+           |  SELECT source, unnest(list_transform(range(1, len(ts)),
+           |    i -> ts[i] || ' ' || ts[i+1])) AS g
+           |  FROM toks),
+           |u AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS uni_total,
+           |    CAST(count(DISTINCT w) AS BIGINT) AS uni_distinct
+           |  FROM uni GROUP BY source),
+           |b AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS bi_total,
+           |    CAST(count(DISTINCT g) AS BIGINT) AS bi_distinct
+           |  FROM big GROUP BY source)
+           |SELECT u.source, uni_total, uni_distinct, bi_total, bi_distinct,
+           |  round(CAST(uni_distinct AS DOUBLE) / uni_total, 6) AS distinct_1,
+           |  round(CAST(bi_distinct AS DOUBLE) / bi_total, 6) AS distinct_2
+           |FROM u JOIN b ON u.source = b.source
+           |ORDER BY u.source""".stripMargin),
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+      val uni = toks.select(col("source"), explode(col("ts")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("uni_total"),
+          countDistinct(col("w")).as("uni_distinct"))
+      val big = toks
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
+            " ELSE array() END")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("bi_total"),
+          countDistinct(col("g")).as("bi_distinct"))
+      uni.join(big, "source")
+        .select(col("source"), col("uni_total"), col("uni_distinct"),
+          col("bi_total"), col("bi_distinct"),
+          round(col("uni_distinct").cast("double") / col("uni_total"), 6)
+            .as("distinct_1"),
+          round(col("bi_distinct").cast("double") / col("bi_total"), 6)
+            .as("distinct_2"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
-    q191_canonical_uplift, q192_mojibake)
+    q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams)
 }
