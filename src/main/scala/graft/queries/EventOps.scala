@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -172,6 +173,83 @@ object EventOps {
         col("n_events"))
       .orderBy("user_id", "start_us"))
 
+  /** MARKETING ATTRIBUTION matrix: for every purchase, the first-touch
+    * and last-touch channel within a 30-minute lookback, cross-tabulated
+    * with purchase counts and revenue — the first-vs-last comparison
+    * every attribution migration argues about.
+    *
+    * Determinism device: each touch is PACKED as tus·8 + channel-code
+    * (monotone in time, code-tiebroken), so first/last touch are plain
+    * min/max over a RANGE frame — no IGNORE NULLS ordering ambiguity
+    * when touches share a microsecond, and nulls (non-touch rows) drop
+    * out of min/max natively in both engines.
+    *
+    * Scale shape: ONE user-keyed shuffle carries both window aggregates
+    * (same spec), then a ≤25-group hash agg; revenue sums ride exact
+    * decimals. */
+  val q197_attribution = Q(
+    "q197_attribution", {
+      val decode = (c: String) =>
+        s"""CASE coalesce($c % 8, 0) WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+           |      WHEN 3 THEN 'signup' WHEN 4 THEN 'view'
+           |      ELSE 'direct' END""".stripMargin
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+              |    event_type, value
+              |  FROM events),
+              |packed AS (
+              |  SELECT user_id, tus, event_type, value,
+              |    CASE event_type WHEN 'click' THEN tus * 8 + 1
+              |      WHEN 'error' THEN tus * 8 + 2
+              |      WHEN 'signup' THEN tus * 8 + 3
+              |      WHEN 'view' THEN tus * 8 + 4 END AS pk
+              |  FROM ev),
+              |wins AS (
+              |  SELECT user_id, event_type, value,
+              |    min(pk) OVER w AS fpk, max(pk) OVER w AS lpk
+              |  FROM packed
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+              |    RANGE BETWEEN $GapUs PRECEDING AND 1 PRECEDING)),
+              |pur AS (
+              |  SELECT ${decode("fpk")} AS first_channel,
+              |    ${decode("lpk")} AS last_channel, value
+              |  FROM wins WHERE event_type = 'purchase')
+              |SELECT first_channel, last_channel,
+              |  CAST(count(*) AS BIGINT) AS n_purchases,
+              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total_value
+              |FROM pur GROUP BY first_channel, last_channel
+              |ORDER BY first_channel, last_channel""".stripMargin)
+    },
+    (s, d) => {
+      import Q.{dec, asDouble}
+      def decode(c: Column): Column =
+        when(coalesce(c % 8, lit(0)) === 1, "click")
+          .when(coalesce(c % 8, lit(0)) === 2, "error")
+          .when(coalesce(c % 8, lit(0)) === 3, "signup")
+          .when(coalesce(c % 8, lit(0)) === 4, "view")
+          .otherwise("direct")
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-GapUs, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_type"), col("value"))
+        .withColumn("pk",
+          when(col("event_type") === "click", col("tus") * 8 + 1)
+            .when(col("event_type") === "error", col("tus") * 8 + 2)
+            .when(col("event_type") === "signup", col("tus") * 8 + 3)
+            .when(col("event_type") === "view", col("tus") * 8 + 4))
+        .withColumn("fpk", min(col("pk")).over(w))
+        .withColumn("lpk", max(col("pk")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(decode(col("fpk")).as("first_channel"),
+          decode(col("lpk")).as("last_channel"), col("value"))
+        .groupBy("first_channel", "last_channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          asDouble(sum(dec(col("value")))).as("total_value"))
+        .orderBy("first_channel", "last_channel")
+    })
+
   val all: Seq[Q] = Seq(q68_batch_sessions, q69_funnel, q70_full_outer,
-    q80_session_window)
+    q80_session_window, q197_attribution)
 }

@@ -313,6 +313,97 @@ object TextOps8 {
         .orderBy("source")
     })
 
+  /** LSH RECALL AUDIT: the QA gate a dedup pipeline owner runs before
+    * trusting the banded MinHash pass — on a bounded probe subset
+    * (doc_id < 300), compare the band-candidate pairs (threshold 0 keeps
+    * every candidate, so the operator exposes its raw candidate set)
+    * against brute-force exact Jaccard ≥ 0.15 ground truth. Reports
+    * measured recall and verify efficiency; a recall drop after a
+    * banding/k change flips the hash.
+    *
+    * Scale shape: the audited operator keeps its production plan (band
+    * equi-join, length-ratio prefilter disabled at t=0, two-pointer
+    * verify); the brute-force truth is deliberately bounded to the probe
+    * subset, never the corpus (the q110 probe-cap rule). */
+  val q198_lsh_recall = Q(
+    "q198_lsh_recall", {
+      import graft.functions.TextFunctions.minhashRotSql
+      val K = 8
+      val sigExprs = (0 until K)
+        .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
+      val bandRows = (0 until K)
+        .map(i => s"SELECT doc_id, $i AS band, sig_$i AS h FROM sig")
+        .mkString("\n  UNION ALL ")
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM documents WHERE doc_id < 300),
+              |sh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    generate_series(1, greatest(len(toks) - 2, 0)),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              |    AS sset
+              |  FROM tok),
+              |hsh AS (
+              |  SELECT doc_id, list_transform(sset, s -> md5(s)) AS hs
+              |  FROM sh),
+              |sig AS (
+              |  SELECT doc_id,
+              |  $sigExprs
+              |  FROM hsh),
+              |bands AS (
+              |  $bandRows),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+              |    AND a.doc_id < b.doc_id),
+              |exact AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              |  WHERE CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+              |      / (len(x.sset) + len(y.sset)
+              |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) >= 0.15),
+              |hit AS (
+              |  SELECT e.doc_a FROM exact e
+              |  JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+              |SELECT
+              |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+              |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+              |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+              |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+              |    / (SELECT count(*) FROM exact), 6) AS recall,
+              |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+              |    / (SELECT count(*) FROM cand), 6) AS verify_efficiency
+              |""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val subset = Tables.documents(s, d).filter(col("doc_id") < 300)
+      // threshold 0 disables both the length-ratio prefilter and the
+      // jaccard gate: the result is every distinct band-candidate pair
+      // WITH its exact verified jaccard
+      val cand = graft.operators.Dedup.minhashNearDupPairs(
+        subset, "doc_id", "text", k = 8, shingleN = 3, threshold = 0.0)
+      val sh = subset.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sset"))
+      val x = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+      val y = sh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter)
+      val nExact = x.join(y, col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.15)
+        .agg(count(lit(1)).as("n_exact"))
+      val candStats = cand.agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jaccard") >= 0.15, 1L).otherwise(0L)).as("n_hit"))
+      nExact.crossJoin(candStats)
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6)
+            .as("recall"),
+          round(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("verify_efficiency"))
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
-    q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams)
+    q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams,
+    q198_lsh_recall)
 }

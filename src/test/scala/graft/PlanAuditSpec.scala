@@ -291,6 +291,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Window") == 2, p)
   }
 
+  test("q197: first and last touch ride ONE user shuffle and ONE Window node") {
+    val p = plan("q197_attribution")
+    // min(pk) and max(pk) share the range-frame spec, so they compile
+    // into a single Window over one hashpartitioning(user_id) exchange;
+    // the channel matrix agg re-shuffles only ≤25 groups
+    assert(countOf(p, "Window") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1, p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the
