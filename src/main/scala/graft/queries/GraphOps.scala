@@ -131,6 +131,43 @@ object GraphOps {
   private val CoreRounds = 8
   private val CoreBucketCap = 50
 
+  /** Shared WITH-prefix building the user co-occurrence graph (users
+    * sharing a (minute, event_type) activity bucket, hub buckets capped
+    * at [[CoreBucketCap]]), ending in an `e(a, b)` edge CTE — q172 peels
+    * it, q199 predicts links on it. */
+  private def cooccurSqlPrefix: String =
+    s"""b AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS u,
+       |    CAST(epoch_us(ts) AS BIGINT) // 60000000 AS w,
+       |    event_type AS t
+       |  FROM events),
+       |bc AS (
+       |  SELECT w, t FROM b GROUP BY w, t
+       |  HAVING count(*) <= $CoreBucketCap),
+       |bk AS (SELECT b.* FROM b JOIN bc USING (w, t)),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.u AS a, y.u AS b
+       |  FROM bk x JOIN bk y ON x.w = y.w AND x.t = y.t AND x.u < y.u)""".stripMargin
+
+  /** Spark twin of [[cooccurSqlPrefix]]: the deduped, hub-capped edge
+    * set, localCheckpointed because every caller reuses it across
+    * several joins. */
+  private def cooccurEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val b = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        expr("ts div 60000000000").as("w"), col("event_type").as("t"))
+      .distinct()
+    val bk = b.join(
+      b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= CoreBucketCap).select("w", "t"),
+      Seq("w", "t"), "left_semi")
+    bk.toDF("w", "t", "a").join(bk.toDF("w", "t", "b"), Seq("w", "t"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint(true)
+  }
+
   /** Bounded k-core decomposition over the user co-occurrence graph
     * (users sharing a (minute, event_type) activity bucket — the
     * community/bot-ring graph event pipelines actually peel). Each round
@@ -167,18 +204,7 @@ object GraphOps {
            |  GROUP BY node),
            |c$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $CoreK)""".stripMargin
       val rounds = (1 to CoreRounds).map(round).mkString(",\n")
-      Some(s"""WITH b AS MATERIALIZED (
-              |  SELECT DISTINCT user_id AS u,
-              |    CAST(epoch_us(ts) AS BIGINT) // 60000000 AS w,
-              |    event_type AS t
-              |  FROM events),
-              |bc AS (
-              |  SELECT w, t FROM b GROUP BY w, t
-              |  HAVING count(*) <= $CoreBucketCap),
-              |bk AS (SELECT b.* FROM b JOIN bc USING (w, t)),
-              |e AS MATERIALIZED (
-              |  SELECT DISTINCT x.u AS a, y.u AS b
-              |  FROM bk x JOIN bk y ON x.w = y.w AND x.t = y.t AND x.u < y.u),
+      Some(s"""WITH $cooccurSqlPrefix,
               |c0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e),
               |$rounds,
               |df AS (
@@ -195,18 +221,7 @@ object GraphOps {
               |ORDER BY user_id""".stripMargin)
     },
     (s, d) => {
-      val b = Tables.events(s, d)
-        .select(col("user_id").as("u"),
-          expr("ts div 60000000000").as("w"), col("event_type").as("t"))
-        .distinct()
-      val bk = b.join(
-        b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= CoreBucketCap).select("w", "t"),
-        Seq("w", "t"), "left_semi")
-      val e = bk.toDF("w", "t", "a").join(bk.toDF("w", "t", "b"), Seq("w", "t"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-        .localCheckpoint(true) // rounds reuse the edge set; build it once
+      val e = cooccurEdges(s, d) // rounds reuse the edge set; built once
       def degreesWithin(active: org.apache.spark.sql.DataFrame) = {
         val e2 = e
           .join(active.toDF("a"), Seq("a"), "left_semi")
@@ -225,5 +240,66 @@ object GraphOps {
         .orderBy("user_id")
     })
 
-  val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore)
+  private val LinkTopN = 30
+
+  /** LINK PREDICTION on the co-occurrence graph: for non-adjacent user
+    * pairs, the common-neighbor count and Adamic-Adar score
+    * (Σ 1/ln deg(w) over shared neighbors w) — the classic
+    * recommendation/bot-ring-completion signal. Every common neighbor
+    * has degree ≥ 2 (it touches both endpoints), so ln(deg) is never
+    * zero; each 1/ln term is rounded to 6 decimals and summed as EXACT
+    * DECIMAL, making the score independent of partial-agg order under
+    * retry/speculation.
+    *
+    * Scale shape: wedges come from one neighbor-list self-join keyed on
+    * the shared node; wedge volume is Σ deg(w)², bounded here by the
+    * construction-time hub-bucket cap (the q133 degree-bound
+    * discipline). Existing edges leave by anti-join; TakeOrdered keeps
+    * the top N. */
+  val q199_link_prediction = Q(
+    "q199_link_prediction",
+    Some(s"""WITH $cooccurSqlPrefix,
+            |nb AS (SELECT a AS u, b AS v FROM e
+            |       UNION ALL SELECT b, a FROM e),
+            |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            |        FROM nb GROUP BY u),
+            |wed AS (
+            |  SELECT x.u AS u, y.u AS v, x.v AS w
+            |  FROM nb x JOIN nb y ON x.v = y.v AND x.u < y.u),
+            |cand AS (
+            |  SELECT w.u, w.v, CAST(count(*) AS BIGINT) AS common_neighbors,
+            |    CAST(sum(CAST(round(1.0 / ln(d.deg), 6) AS DECIMAL(18,6)))
+            |      AS DOUBLE) AS aa_score
+            |  FROM wed w JOIN deg d ON w.w = d.node
+            |  GROUP BY w.u, w.v)
+            |SELECT c.u, c.v, common_neighbors, aa_score
+            |FROM cand c
+            |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v)
+            |ORDER BY common_neighbors DESC, aa_score DESC, u, v
+            |LIMIT $LinkTopN""".stripMargin),
+    (s, d) => {
+      val e = cooccurEdges(s, d)
+      val nb = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = nb.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val wed = nb.toDF("u", "w")
+        .join(nb.toDF("v", "w2"), col("w") === col("w2"))
+        .filter(col("u") < col("v"))
+        .select("u", "v", "w")
+      val cand = wed.join(deg, col("w") === col("node"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(round(lit(1.0) / log(col("deg")), 6).cast("decimal(18,6)"))
+            .cast("double").as("aa_score"))
+      cand.join(e, col("u") === col("a") && col("v") === col("b"),
+          "left_anti")
+        .select("u", "v", "common_neighbors", "aa_score")
+        .orderBy(col("common_neighbors").desc, col("aa_score").desc,
+          col("u"), col("v"))
+        .limit(LinkTopN)
+    })
+
+  val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
+    q199_link_prediction)
 }

@@ -409,8 +409,87 @@ object LakeOps {
         .orderBy("o_orderpriority")
     })
 
+  /** LAYOUT-SKIPPING AUDIT: the measurement that justifies Z-order
+    * clustering (q77) — bin the key space once linearly (x-major) and
+    * once by Morton code, compute per-bin min/max stats exactly as a
+    * writer's file footers would, and count how many "files" a 2-D box
+    * probe must scan under each layout. Linear layout bounds only the
+    * leading dimension, so the probe hits a file stripe per x-run;
+    * Z-bins bound both dimensions.
+    *
+    * Bins partition the KEY SPACE (z >> s, not row ranks), matching
+    * what a range-partitioned write produces — so there is NO global
+    * row_number and no single-partition sort anywhere: two hash aggs
+    * over ≤1024 groups each, pure integer arithmetic, one rounded
+    * division per row of the 2-row report. */
+  val q201_layout_skipping = Q(
+    "q201_layout_skipping", {
+      val z = graft.operators.Layout.zValueSql("x", "y", 6)
+      Some(s"""WITH pts AS (
+              |  SELECT CAST(l_partkey % 64 AS BIGINT) AS x,
+              |    CAST(l_suppkey % 64 AS BIGINT) AS y
+              |  FROM lineitem),
+              |keyed AS (
+              |  SELECT x, y,
+              |    CAST($z AS BIGINT) // 64 AS zf,
+              |    (x * 64 + y) // 64 AS lf
+              |  FROM pts),
+              |zb AS (
+              |  SELECT zf AS f, min(x) AS mnx, max(x) AS mxx,
+              |    min(y) AS mny, max(y) AS mxy,
+              |    CAST(count(*) AS BIGINT) AS rows_f
+              |  FROM keyed GROUP BY zf),
+              |lb AS (
+              |  SELECT lf AS f, min(x) AS mnx, max(x) AS mxx,
+              |    min(y) AS mny, max(y) AS mxy,
+              |    CAST(count(*) AS BIGINT) AS rows_f
+              |  FROM keyed GROUP BY lf),
+              |rep AS (
+              |  SELECT 'linear' AS layout, * FROM lb
+              |  UNION ALL SELECT 'zorder', * FROM zb)
+              |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+              |  CAST(sum(CASE WHEN mnx <= 23 AND mxx >= 16
+              |    AND mny <= 23 AND mxy >= 16 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS files_hit,
+              |  CAST(sum(rows_f) AS BIGINT) AS rows_total,
+              |  CAST(sum(CASE WHEN mnx <= 23 AND mxx >= 16
+              |    AND mny <= 23 AND mxy >= 16 THEN rows_f ELSE 0 END)
+              |    AS BIGINT) AS rows_hit,
+              |  round(1 - CAST(sum(CASE WHEN mnx <= 23 AND mxx >= 16
+              |    AND mny <= 23 AND mxy >= 16 THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / count(*), 6) AS skip_pct
+              |FROM rep GROUP BY layout ORDER BY layout""".stripMargin)
+    },
+    (s, d) => {
+      val keyed = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 64).cast("long").as("x"),
+          (col("l_suppkey") % 64).cast("long").as("y"))
+        .withColumn("zf",
+          (graft.operators.Layout.zValue(col("x"), col("y"), 6) /
+            64).cast("long"))
+        .withColumn("lf",
+          ((col("x") * 64 + col("y")) / 64).cast("long"))
+      def bins(f: String) = keyed.groupBy(col(f).as("f"))
+        .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+          min(col("y")).as("mny"), max(col("y")).as("mxy"),
+          count(lit(1)).as("rows_f"))
+      val hit = col("mnx") <= 23 && col("mxx") >= 16 &&
+        col("mny") <= 23 && col("mxy") >= 16
+      def report(layout: String, b: org.apache.spark.sql.DataFrame) =
+        b.agg(count(lit(1)).as("n_files"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+          sum(col("rows_f")).as("rows_total"),
+          sum(when(hit, col("rows_f")).otherwise(0L)).as("rows_hit"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_total"), col("rows_hit"),
+            round(lit(1) - col("files_hit").cast("double") /
+              col("n_files"), 6).as("skip_pct"))
+      report("linear", bins("lf")).union(report("zorder", bins("zf")))
+        .orderBy("layout")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
     q130_asof_snapshot, q138_minmax_prune, q154_join_ivm,
-    q157_csv_roundtrip, q158_orc_roundtrip)
+    q157_csv_roundtrip, q158_orc_roundtrip, q201_layout_skipping)
 }
