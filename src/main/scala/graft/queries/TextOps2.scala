@@ -100,5 +100,55 @@ object TextOps2 {
             col("exact_users") <= 0.05).as("within_5pct"))
     })
 
-  val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct, q164_hll_merge)
+  /** HLL COHORT-OVERLAP estimate: |A∩B| for two behavioral cohorts
+    * (purchasers vs clickers) via sketch algebra — estA + estB −
+    * est(A ∪ B), the union computed by merging the two sketches
+    * (hll_union), never by re-scanning rows. The audience-overlap
+    * question every activation pipeline answers from pre-built daily
+    * sketches. Inclusion-exclusion inherits both sketches' error, so
+    * the gate is 10% (vs q54/q164's 5% single-set gates); exact counts
+    * ride the same scan and the oracle asserts them plus literal TRUE —
+    * estimator drift flips the hash.
+    *
+    * Scale shape: two sketch aggs + one exact per-user flag agg (the
+    * gate's witness — at production scale the gate is sampled, the
+    * sketches are the product); only KB-scale sketches move. */
+  val q200_hll_intersect = Q(
+    "q200_hll_intersect",
+    Some("""WITH f AS (
+            |  SELECT user_id,
+            |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+            |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+            |  FROM events GROUP BY user_id)
+            |SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+            |  CAST(sum(b) AS BIGINT) AS exact_b,
+            |  CAST(sum(a * b) AS BIGINT) AS exact_intersect,
+            |  TRUE AS within_10pct
+            |FROM f""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+      val ska = ev.filter(col("event_type") === "purchase")
+        .agg(expr("hll_sketch_agg(user_id)").as("ska"))
+      val skb = ev.filter(col("event_type") === "click")
+        .agg(expr("hll_sketch_agg(user_id)").as("skb"))
+      val est = ska.crossJoin(skb).select(
+        expr("hll_sketch_estimate(ska)").as("est_a"),
+        expr("hll_sketch_estimate(skb)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+      val exact = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("a"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("b"))
+        .agg(sum(col("a")).as("exact_a"), sum(col("b")).as("exact_b"),
+          sum(col("a") * col("b")).as("exact_intersect"))
+      exact.crossJoin(est)
+        .select(col("exact_a"), col("exact_b"), col("exact_intersect"),
+          (abs(col("est_a") + col("est_b") - col("est_u") -
+            col("exact_intersect")).cast("double") /
+            col("exact_intersect") <= 0.10).as("within_10pct"))
+    })
+
+  val all: Seq[Q] = Seq(q53_minhash_agg, q54_approx_distinct,
+    q164_hll_merge, q200_hll_intersect)
 }
