@@ -248,11 +248,16 @@ object Relational5 {
     * money double, DATE for the timestamp) so one uniform report schema
     * hashes identically across engines.
     *
-    * Scale shape: one scan; the four exact NDVs ride a single Expand
-    * (4-way row multiplication) + partial aggregation — the standard
-    * multi-distinct plan, still one shuffle. The single-row result is
-    * then unpivoted driver-free via stack(). At extreme scale the exact
-    * NDVs swap for the mergeable HLL family (q164) — same report shape. */
+    * Scale shape: two scans of the pruned 4-column read — NDVs in one
+    * distinct-only aggregate (the Expand multi-distinct plan, kept
+    * HASH-based by excluding non-distinct aggs: mixing them in trips
+    * Spark's first()-buffer recombination and sorts the whole x4
+    * Expand through a keyed SortAggregate), plain stats in a second
+    * expand-free keyless aggregate (string min/max buffers make it a
+    * SortAggregate by name, but with no keys it is a sort-free single
+    * pass). The single-row result is unpivoted driver-free via
+    * stack(). At extreme scale the exact NDVs swap for the mergeable
+    * HLL family (q164) — same report shape. */
   val q189_column_profile = Q(
     "q189_column_profile",
     Some("""SELECT * FROM (
@@ -291,24 +296,35 @@ object Relational5 {
     (s, d) => {
       def nulls(c: String) =
         sum(when(col(c).isNull, 1L).otherwise(0L))
-      val one = Tables.lineitem(s, d).agg(
+      // The NDVs and the plain stats are SEPARATE aggregates on purpose:
+      // one combined agg triggers Spark's mixed-distinct rewrite, whose
+      // first()-based recombination downgrades the whole cascade to a
+      // KEYED SortAggregate (two full sorts of the x5 Expand - measured
+      // 10 s at sf0.1 vs ~2 s split). Distinct-only stays a codegen'd
+      // HashAggregate pair; the stats agg never expands (its keyless
+      // SortAggregate is sort-free). The crossJoin glues two 1-row
+      // frames.
+      val li = Tables.lineitem(s, d)
+      val nd = li.agg(
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        countDistinct(col("l_quantity")).as("nd_qt"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        countDistinct(col("l_shipdate")).as("nd_sd"))
+      val st = li.agg(
         count(lit(1)).as("n_rows"),
         nulls("l_orderkey").as("nu_ok"),
-        countDistinct(col("l_orderkey")).as("nd_ok"),
         min(col("l_orderkey")).cast("string").as("mn_ok"),
         max(col("l_orderkey")).cast("string").as("mx_ok"),
         nulls("l_quantity").as("nu_qt"),
-        countDistinct(col("l_quantity")).as("nd_qt"),
         min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mn_qt"),
         max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("mx_qt"),
         nulls("l_returnflag").as("nu_rf"),
-        countDistinct(col("l_returnflag")).as("nd_rf"),
         min(col("l_returnflag")).as("mn_rf"),
         max(col("l_returnflag")).as("mx_rf"),
         nulls("l_shipdate").as("nu_sd"),
-        countDistinct(col("l_shipdate")).as("nd_sd"),
         min(col("l_shipdate")).cast("date").cast("string").as("mn_sd"),
         max(col("l_shipdate")).cast("date").cast("string").as("mx_sd"))
+      val one = st.crossJoin(nd)
       one.selectExpr(
         """stack(4,
           |  'l_orderkey',  n_rows, nu_ok, nd_ok, mn_ok, mx_ok,

@@ -276,10 +276,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q189: heterogeneous column profile is ONE scan — exact multi-distinct rides a single Expand") {
+  test("q189: profile stays HASH-aggregated — multi-distinct rides one Expand, no SortAggregate cascade") {
     val p = plan("q189_column_profile")
-    assert(countOf(p, "Scan parquet") == 1, p)
+    // two pruned scans (distinct-only + stats); mixing the two agg
+    // families would sort the whole x4 Expand through a KEYED
+    // SortAggregate. The stats branch legitimately shows a keyless
+    // SortAggregate (string min/max buffers aren't hash-mutable) but
+    // with no keys there is no Sort operator — assert exactly that.
+    assert(countOf(p, "Scan parquet") == 2, p)
     assert(p.contains("Expand"), p)
+    assert(!p.contains("SortAggregate(key=[l_"), p)
+    // the only Sort is the 4-row output ordering above stack()
+    assert(countOf(p, "- Sort \\[") == 1, p)
   }
 
   test("q190: both window specs AND the scorecard agg share ONE source shuffle") {
