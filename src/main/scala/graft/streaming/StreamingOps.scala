@@ -164,9 +164,14 @@ object StreamingOps {
     df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("json")).as[String]
   }
 
-  case class TwsEvent(user_id: Long, cents: Long)
-  case class TwsTotals(user_id: Long, n_events: Long, total_cents: Long)
-  private case class TwsState(n: Long, cents: Long)
+  // Aliases: the case classes live at the package top level because
+  // Janino cannot resolve methods on classes with '$' in their binary
+  // name (StreamingOps$TwsState) — the state encoder's UnsafeProjection
+  // silently fell back to interpreter mode when they were nested here.
+  type TwsEvent = graft.streaming.TwsEvent
+  val TwsEvent = graft.streaming.TwsEvent
+  type TwsTotals = graft.streaming.TwsTotals
+  val TwsTotals = graft.streaming.TwsTotals
 
   /** Running per-user totals on the `transformWithState` arbitrary-state
     * API (the successor of [flat]mapGroupsWithState — typed state handles
@@ -213,3 +218,9 @@ object StreamingOps {
         OutputMode.Update())
   }
 }
+
+/** Top-level (no '$' in the binary name) so Spark's codegen'd encoders
+  * compile — see the alias note inside [[StreamingOps]]. */
+case class TwsEvent(user_id: Long, cents: Long)
+case class TwsTotals(user_id: Long, n_events: Long, total_cents: Long)
+private[streaming] case class TwsState(n: Long, cents: Long)
