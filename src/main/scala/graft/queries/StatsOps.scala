@@ -242,7 +242,7 @@ object StatsOps {
         .agg(sum(dec(col("value"))).as("x"))
       val a = daily.withColumn("lag", explode(sequence(lit(1), lit(7))))
       val b = daily.select(col("day").as("bday"), col("x").as("bx"))
-      val pairs = a.join(b, a("day") + a("lag") === b("bday"))
+      val pairs = a.join(broadcast(b), a("day") + a("lag") === b("bday"))
         .select(col("lag"), col("x").cast("decimal(18,2)").as("px"),
           col("bx").cast("decimal(18,2)").as("py"))
       pairs.groupBy("lag")
@@ -321,6 +321,126 @@ object StatsOps {
         .orderBy("threshold")
     })
 
+  /** Spearman rank correlation of (l_quantity, l_extendedprice) — the
+    * robust monotone-association test (Pearson on average ranks). Both
+    * columns are 2-decimal bounded grids, so the global average ranks
+    * come from per-DISTINCT-VALUE cumulative windows over each grid
+    * (the q193/q202 histogram-of-counts shape — no global row sort,
+    * which is the classic Spearman scale-killer). rank2 = 2·avg_rank
+    * stays integer; rows join their two rank maps (the small quantity
+    * map broadcast), and ρ = Pearson over exact DECIMAL(38) rank
+    * moments with one final double expression. */
+  val q208_spearman = Q(
+    "q208_spearman",
+    Some("""WITH xg AS (
+           |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem GROUP BY 1),
+           |xr AS (
+           |  SELECT v, 2 * COALESCE(sum(n) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + n + 1 AS rx
+           |  FROM xg),
+           |yg AS (
+           |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem GROUP BY 1),
+           |yr AS (
+           |  SELECT v, 2 * COALESCE(sum(n) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + n + 1 AS ry
+           |  FROM yg),
+           |j AS (
+           |  SELECT CAST(xr.rx AS DECIMAL(18,0)) AS rx,
+           |    CAST(yr.ry AS DECIMAL(18,0)) AS ry
+           |  FROM lineitem l
+           |  JOIN xr ON CAST(l.l_quantity AS DECIMAL(18,2)) = xr.v
+           |  JOIN yr ON CAST(l.l_extendedprice AS DECIMAL(18,2)) = yr.v),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+           |    CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+           |    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+           |    CAST(sum(ry * ry) AS DOUBLE) AS syy
+           |  FROM j)
+           |SELECT n,
+           |  round((sxy - sx * sy / n)
+           |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS spearman_rho
+           |FROM m""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def rankMap(c: String, out: String) = {
+        val g = li.groupBy(dec(col(c)).as("v")).agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        g.select(col("v"),
+          (lit(2L) * coalesce(sum(col("n")).over(w), lit(0L)) + col("n") + 1L)
+            .cast("decimal(18,0)").as(out))
+      }
+      val xr = rankMap("l_quantity", "rx")
+      val yr = rankMap("l_extendedprice", "ry")
+      val j = li
+        .join(broadcast(xr), dec(col("l_quantity")) === xr("v"))
+        .join(yr, dec(col("l_extendedprice")) === yr("v"))
+        .select(col("rx"), col("ry"))
+      j.agg(count(lit(1)).as("n"),
+          sum(col("rx")).cast("double").as("sx"),
+          sum(col("ry")).cast("double").as("sy"),
+          sum(col("rx") * col("ry")).cast("double").as("sxy"),
+          sum(col("rx") * col("rx")).cast("double").as("sxx"),
+          sum(col("ry") * col("ry")).cast("double").as("syy"))
+        .select(col("n"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("spearman_rho"))
+    })
+
+  /** Left-outer interval join (click-after-impression WITH the misses):
+    * every view event left-joins purchases by the same user within
+    * [ts, ts+1h], then rolls up per user — total views, views that
+    * converted, and total pairs. The unmatched side is the point: an
+    * inner interval join (q71) cannot report conversion RATE. Batch
+    * semantics here; the streaming twin (both sides watermarked, state
+    * evicted past the horizon, null-padded rows emitted on watermark)
+    * is StreamingOps.intervalJoin(joinType="leftOuter"), spec-gated. */
+  val q209_left_interval = Q(
+    "q209_left_interval",
+    Some("""WITH v AS (
+           |  SELECT user_id, epoch_us(ts) AS us FROM events
+           |  WHERE event_type = 'view'),
+           |p AS (
+           |  SELECT user_id, epoch_us(ts) AS us FROM events
+           |  WHERE event_type = 'purchase'),
+           |j AS (
+           |  SELECT v.user_id, v.us, count(p.us) AS n_purch
+           |  FROM v LEFT JOIN p
+           |    ON p.user_id = v.user_id
+           |   AND p.us >= v.us AND p.us <= v.us + 3600000000
+           |  GROUP BY v.user_id, v.us)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+           |  CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_converted,
+           |  CAST(sum(n_purch) AS BIGINT) AS n_pairs
+           |FROM j GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), expr("ts div 1000").as("p_us"))
+      v.join(p, col("p_user") === col("user_id")
+            && col("p_us") >= col("us")
+            && col("p_us") <= col("us") + 3600000000L, "left")
+        .groupBy(col("user_id"), col("us"))
+        .agg(count(col("p_us")).as("n_purch"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("n_purch") > 0, 1L).otherwise(0L)).as("n_converted"),
+          sum(col("n_purch")).as("n_pairs"))
+        .orderBy("user_id")
+    })
+
   val all: Seq[Q] = Seq(q202_auc, q203_calibration, q204_ks_test, q205_chi2,
-    q206_acf, q207_gini_stump)
+    q206_acf, q207_gini_stump, q208_spearman, q209_left_interval)
 }

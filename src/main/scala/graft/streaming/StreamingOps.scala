@@ -142,19 +142,27 @@ object StreamingOps {
     * watermarks and the join condition bounds the time distance, so state
     * on each side is evictable — the only stream-stream join shape whose
     * state does not grow without bound. Columns are prefixed to keep both
-    * timestamps addressable downstream. */
+    * timestamps addressable downstream.
+    *
+    * `joinType` extends the shape to the outer variants ("leftOuter",
+    * "rightOuter", "fullOuter"): unmatched rows emit null-padded ONLY
+    * once the watermark passes the end of their match interval — the
+    * outer result is late by the watermark delay, which is the price of
+    * a correct "did not convert" signal on an unbounded stream. */
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       horizon: String = "1 hour",
       watermark: String = "2 hours",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(left.columns.toIndexedSeq.map(c => col(c).as(s"l_$c")): _*)
       .withWatermark(s"l_$tsCol", watermark)
     val r = right.select(right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark(s"r_$tsCol", watermark)
     l.join(r, col(s"l_$key") === col(s"r_$key") &&
       col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"),
+      joinType)
   }
 
   /** F5 parity: JSON serialization of a batch (the v1 response body,

@@ -308,6 +308,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1, p)
   }
 
+  test("q202/q204: rank cumulation runs on the aggregated score grid, not raw rows") {
+    // the Mann-Whitney / ECDF windows must sit ABOVE the score-keyed
+    // hash aggregation: one scan, one row-scale shuffle; the
+    // single-partition sort touches only the bounded 2-decimal grid
+    for (name <- Seq("q202_auc", "q204_ks_test")) {
+      val p = plan(name)
+      assert(countOf(p, "Scan parquet") == 1, p)
+      assert(p.contains("Window"), p)
+      // exactly one row-scale shuffle (the score-keyed agg); the
+      // SinglePartition exchange below the window moves only the grid
+      assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    }
+  }
+
+  test("q206: the day-lag self-join broadcasts the tiny day table") {
+    val p = plan("q206_acf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q208: Spearman has NO global row sort — ranks come from per-grid windows") {
+    val p = plan("q208_spearman")
+    // every Sort in the plan orders a grid column `v` (the post-agg
+    // distinct-value frames); a Sort over raw row columns would be the
+    // classic global-rank scale-killer
+    assert(countOf(p, "- Sort \\[v#") == countOf(p, "- Sort \\["), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q136: batched IVF keeps scan-side assignment; probes broadcast; corpus never hash-shuffles") {
     val p = plan("q136_ann_ivf_batch")
     // corpus assignment stays the packed-broadcast scan (as q56) and the

@@ -308,6 +308,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits null-padded misses after the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id",
+      horizon = "10 minutes", watermark = "30 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("loj_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      imps.addData(Ev(1, ts(0), 7, "imp", 0.0), Ev(2, ts(1), 9, "imp", 0.0))
+      clicks.addData(Ev(10, ts(5), 7, "click", 1.0)) // user 9 never clicks
+      q.processAllAvailable()
+      // advance both watermarks far past imp 2's interval end so the
+      // unmatched row is finalized and emitted null-padded
+      imps.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "imp", 0.0))
+      clicks.addData(Ev(11, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((1L, 10L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, -1L)), s"null-padded miss missing: $rows")
+    } finally q.stop()
+  }
+
   test("toJsonLines serializes rows as JSON objects (F5 parity)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
