@@ -441,6 +441,56 @@ object StatsOps {
         .orderBy("user_id")
     })
 
+  /** Per-source distribution-shift localization: for each document
+    * source, the Mann–Whitney AUC of its n_chars distribution against
+    * ALL documents (0.5 = no shift; →1 = this source is systematically
+    * longer). This is the "which source drifted" report that follows a
+    * failed global KS test (q204). Combined-sample ranks come from one
+    * cumulative window over the bounded length grid; each source's
+    * rank-sum is then a grouped dot product against the broadcast rank
+    * map — one scan, one (value,source) shuffle, one source-keyed agg. */
+  val q210_source_shift = Q(
+    "q210_source_shift",
+    Some("""WITH g AS (
+           |  SELECT n_chars AS v, source, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |vg AS (SELECT v, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY v),
+           |vr AS (
+           |  SELECT v, 2 * COALESCE(sum(n) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    + n + 1 AS rank2
+           |  FROM vg),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM g),
+           |s AS (
+           |  SELECT g.source, CAST(sum(g.c) AS BIGINT) AS ns,
+           |    CAST(sum(g.c * vr.rank2) AS BIGINT) AS s2
+           |  FROM g JOIN vr ON g.v = vr.v GROUP BY g.source)
+           |SELECT source, ns AS n_docs,
+           |  round(CAST(s2 - ns * (ns + 1) AS DOUBLE)
+           |    / (CAST(2 AS DOUBLE) * ns * (nn - ns)), 6) AS shift_auc
+           |FROM s, t ORDER BY source""".stripMargin),
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("v"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val vg = g.groupBy("v").agg(sum(col("c")).as("n"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val vr = vg.select(col("v").as("rv"),
+        (lit(2L) * coalesce(sum(col("n")).over(w), lit(0L)) + col("n") + 1L)
+          .as("rank2"))
+      val t = g.agg(sum(col("c")).as("nn"))
+      g.join(broadcast(vr), col("v") === col("rv"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("ns"), sum(col("c") * col("rank2")).as("s2"))
+        .crossJoin(broadcast(t))
+        .select(col("source"), col("ns").as("n_docs"),
+          round((col("s2") - col("ns") * (col("ns") + 1L)).cast("double")
+            / (lit(2L).cast("double") * col("ns") * (col("nn") - col("ns"))), 6)
+            .as("shift_auc"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q202_auc, q203_calibration, q204_ks_test, q205_chi2,
-    q206_acf, q207_gini_stump, q208_spearman, q209_left_interval)
+    q206_acf, q207_gini_stump, q208_spearman, q209_left_interval,
+    q210_source_shift)
 }

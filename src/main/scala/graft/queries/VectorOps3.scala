@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.cosineSql
@@ -248,6 +249,66 @@ object VectorOps3 {
         .limit(RerankK)
     })
 
+  /** Int8 scalar-quantization audit: per-vector min/max affine
+    * quantization to 255 levels (the standard embedding-store
+    * compression), reporting per label the reconstruction MSE and the
+    * worst absolute element error. Everything is scan-side per-row
+    * arithmetic — the elementwise dequantization error is a strict
+    * left-fold in BOTH engines (aggregate() vs list_reduce — identical
+    * operation order ⇒ identical doubles), per-row results cross rows
+    * only through exact DECIMAL sums. Degenerate constant vectors
+    * (max = min) quantize exactly (zero error) by convention. */
+  val q211_int8_quant = Q(
+    "q211_int8_quant",
+    Some("""WITH q AS (
+           |  SELECT label,
+           |    CASE WHEN list_max(embedding::DOUBLE[]) = list_min(embedding::DOUBLE[])
+           |      THEN 0.0 ELSE
+           |      list_reduce(list_transform(embedding::DOUBLE[], x ->
+           |        (x - (list_min(embedding::DOUBLE[])
+           |           + round((x - list_min(embedding::DOUBLE[]))
+           |               / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255), 0)
+           |             * ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255)))
+           |        * (x - (list_min(embedding::DOUBLE[])
+           |           + round((x - list_min(embedding::DOUBLE[]))
+           |               / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255), 0)
+           |             * ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255)))),
+           |        (a, b) -> a + b) END AS sse,
+           |    CASE WHEN list_max(embedding::DOUBLE[]) = list_min(embedding::DOUBLE[])
+           |      THEN 0.0 ELSE
+           |      list_max(list_transform(embedding::DOUBLE[], x ->
+           |        abs(x - (list_min(embedding::DOUBLE[])
+           |          + round((x - list_min(embedding::DOUBLE[]))
+           |              / ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255), 0)
+           |            * ((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255))))) END
+           |      AS max_err
+           |  FROM embeddings)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(sse AS DECIMAL(28,14))) AS DOUBLE) / count(*), 8)
+           |    AS avg_sse,
+           |  round(max(max_err), 8) AS worst_abs_err
+           |FROM q GROUP BY label ORDER BY label""".stripMargin),
+    (s, d) => {
+      val e = col("embedding").cast("array<double>")
+      val mn = array_min(e)
+      val mx = array_max(e)
+      val sc = (mx - mn) / 255
+      def errExpr(x: Column): Column = x - (mn + round((x - mn) / sc, 0) * sc)
+      val sse = when(mx === mn, lit(0.0)).otherwise(
+        aggregate(transform(e, x => errExpr(x) * errExpr(x)),
+          lit(0.0), (acc, v) => acc + v))
+      val maxErr = when(mx === mn, lit(0.0)).otherwise(
+        array_max(transform(e, x => abs(errExpr(x)))))
+      Tables.embeddings(s, d)
+        .select(col("label"), sse.as("sse"), maxErr.as("max_err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sse").cast("decimal(28,14)")).cast("double")
+            / count(lit(1)), 8).as("avg_sse"),
+          round(max(col("max_err")), 8).as("worst_abs_err"))
+        .orderBy("label")
+    })
+
   val all: Seq[Q] = Seq(q78_pq_adc, q87_pq_trained, q93_knn_label,
-    q128_pq_rerank)
+    q128_pq_rerank, q211_int8_quant)
 }
