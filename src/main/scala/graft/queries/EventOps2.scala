@@ -358,7 +358,63 @@ object EventOps2 {
         .limit(TriTopN)
     })
 
+  /** Inter-event think-time profile: exact p50/p90/p99 (+ exact mean)
+    * of per-user gaps between consecutive events, in seconds — the
+    * distribution that justifies a session gap constant (q68/q72's
+    * 30-minute default should sit past the knee of this curve). Gaps
+    * come from one user-keyed lead window; percentiles use q193's
+    * histogram-of-counts cumulative selection over the SECOND-bucketED
+    * gap grid (integer rank predicate 100·cum ≥ p·total — no
+    * interpolation, no global row sort). */
+  val q215_gap_percentiles = Q(
+    "q215_gap_percentiles",
+    Some("""WITH g AS (
+           |  SELECT (lead(us) OVER (PARTITION BY user_id
+           |      ORDER BY us, event_id) - us) // 1000000 AS gap_s
+           |  FROM (SELECT user_id, event_id,
+           |          CAST(epoch_us(ts) AS BIGINT) AS us FROM events) t),
+           |h AS (
+           |  SELECT gap_s, CAST(count(*) AS BIGINT) AS k FROM g
+           |  WHERE gap_s IS NOT NULL GROUP BY gap_s),
+           |c AS (
+           |  SELECT gap_s, k,
+           |    sum(k) OVER (ORDER BY gap_s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+           |    sum(k) OVER () AS total
+           |  FROM h)
+           |SELECT CAST(max(total) AS BIGINT) AS n_gaps,
+           |  round(CAST(sum(gap_s * k) AS DOUBLE) / max(total), 6) AS mean_s,
+           |  CAST(min(CASE WHEN 100 * ck >= 50 * total THEN gap_s END) AS BIGINT) AS p50_s,
+           |  CAST(min(CASE WHEN 100 * ck >= 90 * total THEN gap_s END) AS BIGINT) AS p90_s,
+           |  CAST(min(CASE WHEN 100 * ck >= 99 * total THEN gap_s END) AS BIGINT) AS p99_s
+           |FROM c""".stripMargin),
+    (s, d) => {
+      val wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"))
+        .select(floor((lead(col("us"), 1).over(wu) - col("us")) / 1000000L)
+          .as("gap_s"))
+        .where(col("gap_s").isNotNull)
+      val h = g.groupBy("gap_s").agg(count(lit(1)).as("k"))
+      val wc = Window.orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      h.select(col("gap_s"), col("k"),
+          sum(col("k")).over(wc).as("ck"),
+          sum(col("k")).over(wAll).as("total"))
+        .agg(max(col("total")).as("n_gaps"),
+          round(sum(col("gap_s") * col("k")).cast("double")
+            / max(col("total")), 6).as("mean_s"),
+          min(when(lit(100) * col("ck") >= lit(50) * col("total"),
+            col("gap_s"))).as("p50_s"),
+          min(when(lit(100) * col("ck") >= lit(90) * col("total"),
+            col("gap_s"))).as("p90_s"),
+          min(when(lit(100) * col("ck") >= lit(99) * col("total"),
+            col("gap_s"))).as("p99_s"))
+    })
+
   val all: Seq[Q] = Seq(q103_hopping_window, q104_interpolate, q105_ewma,
     q113_transition_matrix, q114_retention_cohorts, q116_rolling_distinct,
-    q153_binned_interval_join, q185_event_trigrams)
+    q153_binned_interval_join, q185_event_trigrams, q215_gap_percentiles)
 }

@@ -300,6 +300,69 @@ object GraphOps {
         .limit(LinkTopN)
     })
 
+  /** Degree assortativity of the co-occurrence graph: Pearson r over
+    * the (deg(a), deg(b)) pairs of every edge, symmetrized — positive r
+    * = hubs befriend hubs (community structure), negative = hub-spoke
+    * (bot-ring / broadcast shape). Reuses the hub-capped edge set; the
+    * two degree joins are node-keyed hash joins; moments are exact
+    * DECIMAL(38) sums (degrees are integers) with q97's one final
+    * double expression. Symmetrization makes sx=sy by construction —
+    * the general formula is kept so the oracle stays a verbatim
+    * Pearson. */
+  val q216_assortativity = Q(
+    "q216_assortativity",
+    Some(s"""WITH $cooccurSqlPrefix,
+            |deg AS MATERIALIZED (
+            |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+            |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+            |  GROUP BY node),
+            |ep AS MATERIALIZED (
+            |  SELECT CAST(da.dg AS DECIMAL(18,0)) AS x,
+            |    CAST(db.dg AS DECIMAL(18,0)) AS y
+            |  FROM e JOIN deg da ON e.a = da.node
+            |         JOIN deg db ON e.b = db.node),
+            |pairs AS (
+            |  SELECT x, y FROM ep UNION ALL SELECT y AS x, x AS y FROM ep),
+            |m AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+            |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+            |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+            |    CAST(sum(y * y) AS DOUBLE) AS syy
+            |  FROM pairs)
+            |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+            |  n // 2 AS n_edges,
+            |  round((sxy - sx * sy / n)
+            |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+            |    AS assortativity
+            |FROM m""".stripMargin),
+    (s, d) => {
+      val e = cooccurEdges(s, d)
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val ep = e
+        .join(deg.toDF("node_a", "dga"), col("a") === col("node_a"))
+        .join(deg.toDF("node_b", "dgb"), col("b") === col("node_b"))
+        .select(col("dga").cast("decimal(18,0)").as("x"),
+          col("dgb").cast("decimal(18,0)").as("y"))
+      val pairs = ep.union(ep.select(col("y").as("x"), col("x").as("y")))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      pairs.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("n_nodes"),
+          floor(col("n") / 2).as("n_edges"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+            .as("assortativity"))
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
-    q199_link_prediction)
+    q199_link_prediction, q216_assortativity)
 }

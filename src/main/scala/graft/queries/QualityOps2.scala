@@ -510,7 +510,140 @@ object QualityOps2 {
         .orderBy("user_id")
     })
 
+  /** Luhn-checksum PII audit, by construction-inversion (the q173/q186
+    * device): 16-digit card-like strings are synthesized from order keys
+    * — the correct Luhn check digit when o_orderkey % 3 = 0, off-by-one
+    * otherwise — and the detector (a strict left-fold over digit
+    * positions with the doubled-every-second-from-right rule) must
+    * recover EXACTLY the constructed valid fraction. `expected_valid`
+    * and `luhn_valid` agreeing inside one hash-gated row is the proof
+    * the validator works; a real PII scrub would gate redaction (q62)
+    * on this predicate. Scan-side integer arithmetic only. */
+  val q212_luhn_audit = Q(
+    "q212_luhn_audit",
+    Some("""WITH base AS (
+           |  SELECT o_orderkey,
+           |    lpad(CAST(o_orderkey % 1000000000 AS VARCHAR), 15, '4') AS b
+           |  FROM orders),
+           |built AS (
+           |  SELECT o_orderkey, b,
+           |    list_reduce(list_transform(generate_series(1, 15), i ->
+           |      CASE WHEN i % 2 = 1 THEN
+           |        CASE WHEN 2 * CAST(substring(b, 16 - i, 1) AS INT) > 9
+           |          THEN 2 * CAST(substring(b, 16 - i, 1) AS INT) - 9
+           |          ELSE 2 * CAST(substring(b, 16 - i, 1) AS INT) END
+           |      ELSE CAST(substring(b, 16 - i, 1) AS INT) END),
+           |      (x, y) -> x + y) AS s15
+           |  FROM base),
+           |cards AS (
+           |  SELECT o_orderkey,
+           |    b || CAST(CASE WHEN o_orderkey % 3 = 0
+           |      THEN (10 - s15 % 10) % 10
+           |      ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) AS card
+           |  FROM built),
+           |checked AS (
+           |  SELECT o_orderkey,
+           |    list_reduce(list_transform(generate_series(1, 16), i ->
+           |      CASE WHEN i % 2 = 0 THEN
+           |        CASE WHEN 2 * CAST(substring(card, 17 - i, 1) AS INT) > 9
+           |          THEN 2 * CAST(substring(card, 17 - i, 1) AS INT) - 9
+           |          ELSE 2 * CAST(substring(card, 17 - i, 1) AS INT) END
+           |      ELSE CAST(substring(card, 17 - i, 1) AS INT) END),
+           |      (x, y) -> x + y) % 10 = 0 AS ok
+           |  FROM cards)
+           |SELECT CAST(count(*) AS BIGINT) AS n_cards,
+           |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS luhn_valid,
+           |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS expected_valid,
+           |  CAST(sum(CASE WHEN ok THEN o_orderkey ELSE 0 END) AS BIGINT)
+           |    AS valid_key_sum
+           |FROM checked""".stripMargin),
+    (s, d) => {
+      val luhn15 =
+        """aggregate(sequence(1, 15), 0, (x, i) ->
+          |  x + CASE WHEN i % 2 = 1 THEN
+          |    CASE WHEN 2 * CAST(substring(b, 16 - i, 1) AS INT) > 9
+          |      THEN 2 * CAST(substring(b, 16 - i, 1) AS INT) - 9
+          |      ELSE 2 * CAST(substring(b, 16 - i, 1) AS INT) END
+          |  ELSE CAST(substring(b, 16 - i, 1) AS INT) END)""".stripMargin
+      val luhn16 =
+        """aggregate(sequence(1, 16), 0, (x, i) ->
+          |  x + CASE WHEN i % 2 = 0 THEN
+          |    CASE WHEN 2 * CAST(substring(card, 17 - i, 1) AS INT) > 9
+          |      THEN 2 * CAST(substring(card, 17 - i, 1) AS INT) - 9
+          |      ELSE 2 * CAST(substring(card, 17 - i, 1) AS INT) END
+          |  ELSE CAST(substring(card, 17 - i, 1) AS INT) END) % 10 = 0""".stripMargin
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          lpad(col("o_orderkey").cast("long").mod(1000000000L).cast("string"),
+            15, "4").as("b"))
+        .withColumn("s15", expr(luhn15))
+        .withColumn("card", concat(col("b"),
+          when(col("o_orderkey") % 3 === 0,
+            (lit(10) - col("s15") % 10) % 10)
+            .otherwise(((lit(10) - col("s15") % 10) % 10 + 1) % 10)
+            .cast("string")))
+        .withColumn("ok", expr(luhn16))
+        .agg(count(lit(1)).as("n_cards"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("luhn_valid"),
+          sum(when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L))
+            .as("expected_valid"),
+          sum(when(col("ok"), col("o_orderkey")).otherwise(0L))
+            .as("valid_key_sum"))
+    })
+
+  /** Benford first-significant-digit audit — the forensic screen for
+    * fabricated numeric columns: observed leading-digit fractions of
+    * `value` against the Benford expectation (log10(1+1/d) hardcoded as
+    * 6-decimal literals — identical constants, no libm). The leading
+    * digit comes from exact DECIMAL cents via string truncation, never
+    * floating log10. One scan, 9-row output. */
+  val q214_benford = Q(
+    "q214_benford",
+    Some("""WITH d AS (
+           |  SELECT CAST(substring(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+           |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM events WHERE value > 0),
+           |c AS (
+           |  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(count(*)) OVER () AS BIGINT) AS total
+           |  FROM d GROUP BY digit)
+           |SELECT digit, n,
+           |  round(CAST(n AS DOUBLE) / total, 6) AS obs_frac,
+           |  CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+           |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+           |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+           |    WHEN 9 THEN 0.045757 END AS DOUBLE) AS benford_frac,
+           |  round(CAST(n AS DOUBLE) / total
+           |    - CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+           |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+           |      WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+           |      WHEN 9 THEN 0.045757 END AS DOUBLE), 6) AS deviation
+           |FROM c ORDER BY digit""".stripMargin),
+    (s, d) => {
+      val benford = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val expFrac = benford.foldLeft(lit(null).cast("double")) {
+        case (acc, (k, v)) => when(col("digit") === k, lit(v)).otherwise(acc)
+      }
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.events(s, d)
+        .where(col("value") > 0)
+        .select(substring((Q.dec(col("value")) * 100).cast("long").cast("string"),
+          1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("obs_frac"),
+          expFrac.as("benford_frac"),
+          round(col("n").cast("double") / col("total") - expFrac, 6)
+            .as("deviation"))
+        .orderBy("digit")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
     q162_quantile_binning, q166_weighted_median, q167_cusum,
-    q174_source_influence, q182_batch_drift, q183_user_anomaly_days)
+    q174_source_influence, q182_batch_drift, q183_user_anomaly_days,
+    q212_luhn_audit, q214_benford)
 }

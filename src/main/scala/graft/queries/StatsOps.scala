@@ -490,7 +490,74 @@ object StatsOps {
         .orderBy("source")
     })
 
+  /** Robust daily trend: the Theil–Sen estimator (median of all pairwise
+    * slopes of daily totals vs the day index) next to the OLS slope it
+    * robustifies — one outlier day drags OLS but not the pair median.
+    * The O(days²) pair space lives entirely on the post-agg day table
+    * (≤365 rows/year regardless of row count); slopes are exact-input
+    * double divisions; the median is an explicit order-statistic select
+    * (row_number against (n+1)/2 and (n+2)/2 — no engine-specific
+    * interpolation), and OLS uses q97's exact decimal moments. */
+  val q213_theil_sen = Q(
+    "q213_theil_sen",
+    Some("""WITH daily AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    sum(CAST(value AS DECIMAL(18,2))) AS x
+           |  FROM events GROUP BY 1),
+           |sl AS (
+           |  SELECT CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope
+           |  FROM daily a JOIN daily b ON b.day > a.day),
+           |r AS (
+           |  SELECT slope,
+           |    row_number() OVER (ORDER BY slope) AS rn,
+           |    count(*) OVER () AS cnt
+           |  FROM sl),
+           |ts_med AS (
+           |  SELECT CAST(max(cnt) AS BIGINT) AS n_pairs,
+           |    round(avg(slope), 6) AS theil_sen_slope
+           |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(day AS DECIMAL(18,0))) AS DOUBLE) AS sd,
+           |    CAST(sum(x) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(day AS DECIMAL(18,0)) * x) AS DOUBLE) AS sdx,
+           |    CAST(sum(CAST(day AS DECIMAL(18,0)) * CAST(day AS DECIMAL(18,0)))
+           |      AS DOUBLE) AS sdd
+           |  FROM daily)
+           |SELECT m.n AS n_days, ts_med.n_pairs, ts_med.theil_sen_slope,
+           |  round((m.n * sdx - sd * sx) / (m.n * sdd - sd * sd), 6) AS ols_slope
+           |FROM ts_med, m""".stripMargin),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+      val b = daily.select(col("day").as("bday"), col("x").as("bx"))
+      val sl = daily.join(broadcast(b), col("bday") > col("day"))
+        .select(((col("bx") - col("x")).cast("double")
+          / (col("bday") - col("day"))).as("slope"))
+      val wAll = Window.partitionBy()
+      val r = sl.select(col("slope"),
+        row_number().over(Window.orderBy("slope")).as("rn"),
+        count(lit(1)).over(wAll).as("cnt"))
+      val tsMed = r
+        .where(col("rn") === floor((col("cnt") + 1) / 2)
+          || col("rn") === floor((col("cnt") + 2) / 2))
+        .agg(max(col("cnt")).as("n_pairs"),
+          round(avg(col("slope")), 6).as("theil_sen_slope"))
+      val dd = col("day").cast("decimal(18,0)")
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum(dd).cast("double").as("sd"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(dd * col("x")).cast("double").as("sdx"),
+        sum(dd * dd).cast("double").as("sdd"))
+      tsMed.crossJoin(m)
+        .select(col("n").as("n_days"), col("n_pairs"), col("theil_sen_slope"),
+          round((col("n") * col("sdx") - col("sd") * col("sx"))
+            / (col("n") * col("sdd") - col("sd") * col("sd")), 6)
+            .as("ols_slope"))
+    })
+
   val all: Seq[Q] = Seq(q202_auc, q203_calibration, q204_ks_test, q205_chi2,
     q206_acf, q207_gini_stump, q208_spearman, q209_left_interval,
-    q210_source_shift)
+    q210_source_shift, q213_theil_sen)
 }
