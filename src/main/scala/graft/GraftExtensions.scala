@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim, NfcNormalize,
-  DotProduct, JpegSofDims, Md5Shingles, SimhashBits, SlidingMins,
+  DotProduct, JpegSofDims, Md5Shingles, PosCharGrams, SimhashBits, SlidingMins,
   SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b) takes two arguments")
         SortedIntersectCount(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("pos_char_grams"),
+      info("pos_char_grams",
+        "pos_char_grams(text, k) - generator: one (pos, gram) row per positional char k-gram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pos_char_grams(text, k) takes two arguments")
+        PosCharGrams(args(0), intArg("pos_char_grams", args(1)))
       }))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",

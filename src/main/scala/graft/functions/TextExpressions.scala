@@ -375,3 +375,60 @@ case class SlidingMins(child: Expression, w: Int)
     copy(child = c)
   override def prettyName: String = "sliding_mins"
 }
+
+/** Native table-generating function (the UDTF tier of §2.9): text →
+  * one row per positional char k-gram, as (pos INT 1-based, gram
+  * STRING). ≡ `posexplode(transform(sequence(1, length(t)-k+1),
+  * i -> substr(t, i, k)))` shifted to 1-based — the composed form stays
+  * the definition and the DuckDB oracle's formulation
+  * (`generate_series` + `substring`), parity-spec'd — but emits rows
+  * lazily with no intermediate gram array (a 100 kB document would
+  * otherwise materialize ~100k-element Catalyst arrays per row).
+  * Positions index CODE POINTS like substr, so multi-byte text
+  * generates identically to the composed form. */
+case class PosCharGrams(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("gram", StringType,
+        nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val text = v.asInstanceOf[UTF8String].toString
+    val cps = text.codePointCount(0, text.length)
+    if (cps < k) return Iterator.empty
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var startChar = 0
+      private var i = 0
+      override def hasNext: Boolean = i <= cps - k
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val endChar = text.offsetByCodePoints(startChar, k)
+        val row = org.apache.spark.sql.catalyst.InternalRow(
+          i + 1, UTF8String.fromString(text.substring(startChar, endChar)))
+        startChar = text.offsetByCodePoints(startChar, 1)
+        i += 1
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "pos_char_grams"
+}

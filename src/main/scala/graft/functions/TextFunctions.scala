@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  private def bridge = org.apache.spark.sql.GraftBridge
+
+  /** Native generator: text → (pos, gram) rows of positional char
+    * k-grams (see [[PosCharGrams]]). Use in a select like explode:
+    * `df.select(col("lang"), posCharGrams(col("text"), 3).as(Seq("pos", "gram")))`. */
+  def posCharGrams(text: Column, k: Int): Column =
+    bridge.column(PosCharGrams(bridge.expression(text), k))
+
   /** Whitespace tokenization (documents.text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -112,6 +112,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-cell IVF population & dispersion audit — the cell-BALANCE
+    * report behind any IVF deployment decision (a hot cell turns nProbe
+    * search back into brute force; an empty cell wastes a probe slot).
+    * Same packed-broadcast scan-side argmax as `ivfTopK`, but the fold
+    * keeps the [bestSim, bestCid] pair so each row emits its cell AND
+    * its cosine distance to the assigned centroid in one pass. The pair
+    * column is referenced twice, which CollapseProject inlines into two
+    * folds per row — a deliberate constant-factor trade (2k cosines)
+    * that keeps the plan shuffle-free below the final cid-keyed agg.
+    * Distances are 6-decimal by construction, so the per-cell mean sums
+    * them in exact DECIMAL. */
+  def ivfCellProfile(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    corpus.crossJoin(packed)
+      .withColumn("__pair", aggregate(
+        transform(col("__cents"), c =>
+          array(round(cosine(col(vecCol), c("__cvec")), 6),
+            c("__cid").cast("double"))),
+        array(lit(-2.0), lit(0.0)),
+        (acc, p) => when(p(0) > acc(0) ||
+          (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc)))
+      .select(col("__pair")(1).cast("long").as("cid"),
+        (lit(1.0) - col("__pair")(0)).as("dist"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_dist"),
+        round(max(col("dist")), 6).as("max_dist"))
+      .orderBy("cid")
+  }
+
   /** Batched IVF ANN: ONE corpus pass serves a whole query batch — the
     * production serving shape, where per-query scans (q56) would repeat
     * the corpus read |batch| times. Corpus assignment is the same

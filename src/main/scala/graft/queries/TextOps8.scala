@@ -403,7 +403,44 @@ object TextOps8 {
             .as("verify_efficiency"))
     })
 
+  /** Per-language top-5 char trigrams via the NATIVE GENERATOR
+    * `pos_char_grams` (functions/PosCharGrams — the §2.9 UDTF tier):
+    * rows stream out of the generator lazily (no per-document gram
+    * array), aggregate on (lang, gram), and rank inside each language
+    * on the tiny per-lang gram table. Char-n-gram profiles ARE the
+    * classic language-ID model (q31's heuristic, made empirical). The
+    * oracle replays the grams with generate_series + substring. */
+  val q218_chargram_topk = Q(
+    "q218_chargram_topk",
+    Some("""WITH g AS (
+           |  SELECT lang,
+           |    unnest(list_transform(generate_series(1, len(text) - 2),
+           |      i -> substring(text, i, 3))) AS gram
+           |  FROM documents WHERE len(text) >= 3),
+           |c AS (
+           |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+           |  FROM g GROUP BY 1, 2),
+           |r AS (
+           |  SELECT lang, gram, n, ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY n DESC, gram) AS rk
+           |  FROM c)
+           |SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk
+           |FROM r WHERE rk <= 5
+           |ORDER BY lang, rk""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions.posCharGrams
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("gram"))
+      Tables.documents(s, d)
+        .select(col("lang"), posCharGrams(col("text"), 3).as(Seq("pos", "gram")))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select("lang", "gram", "n", "rk")
+        .orderBy("lang", "rk")
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
     q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams,
-    q198_lsh_recall)
+    q198_lsh_recall, q218_chargram_topk)
 }

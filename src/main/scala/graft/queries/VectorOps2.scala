@@ -54,6 +54,39 @@ object VectorOps2 {
         k = 5, nProbe = NProbe)
     })
 
+  /** IVF cell-balance audit over the q56 index: per cell, population and
+    * cosine-distance dispersion to the assigned centroid — the report
+    * that decides whether the cell layout needs re-training (hot cell ⇒
+    * nProbe search degrades to brute force) or fewer probe slots (empty
+    * cells). Assignment is the identical scan-side argmax the serving
+    * path uses, so the audit measures the REAL index, not a replica. */
+  val q217_ivf_balance = Q(
+    "q217_ivf_balance",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $NCentroids),
+            |assign AS (
+            |  SELECT vec_id, cid, round(${cosineSql("v", "cvec")}, 6) AS sim,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid) AS rnk
+            |  FROM e CROSS JOIN cent),
+            |members AS (SELECT vec_id, cid, sim FROM assign WHERE rnk = 1)
+            |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+            |  round(CAST(sum(CAST(1 - sim AS DECIMAL(18,6))) AS DOUBLE)
+            |    / count(*), 6) AS mean_dist,
+            |  round(max(1 - sim), 6) AS max_dist
+            |FROM members GROUP BY cid ORDER BY cid""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.ivfCellProfile(
+        emb.select("vec_id", "e"), "e",
+        emb.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("cid"), col("e").as("cvec")),
+        "cid", "cvec")
+    })
+
   private val KTrained = 8
   private val Iters = 2
 
@@ -221,5 +254,5 @@ object VectorOps2 {
     })
 
   val all: Seq[Q] = Seq(q56_ann_ivf, q57_ann_ivf_trained, q136_ann_ivf_batch,
-    q150_semantic_dedup)
+    q150_semantic_dedup, q217_ivf_balance)
 }

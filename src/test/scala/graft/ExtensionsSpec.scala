@@ -101,4 +101,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(o("maxOffsetsPerTrigger") == "100000")
     assert(o("kafka.security.protocol") == "SASL_SSL")
   }
+
+  test("pos_char_grams is callable as a SQL generator (LATERAL VIEW)") {
+    import spark.implicits._
+    Seq(("d1", "abcd")).toDF("id", "text").createOrReplaceTempView("pcg_in")
+    val rows = spark.sql(
+      "SELECT id, pos, gram FROM pcg_in LATERAL VIEW pos_char_grams(text, 2) t AS pos, gram")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((1, "ab"), (2, "bc"), (3, "cd")))
+  }
 }

@@ -155,4 +155,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fused == composed)
     assert(fused.length == 2)
   }
+
+  test("pos_char_grams generator matches the posexplode composition incl. multi-byte") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.posCharGrams
+    val df = Seq("abcde", "héllo wörld", "日本語のテキスト", "ab", "")
+      .toDF("text")
+    for (k <- Seq(1, 3)) {
+      val gen = df.select(col("text"), posCharGrams(col("text"), k).as(Seq("pos", "gram")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      val composed = df
+        .select(col("text"), posexplode(expr(
+          // guard: sequence(1, 0) would generate DESCENDING [1, 0]
+          s"""CASE WHEN length(text) >= $k
+             |  THEN transform(sequence(1, length(text) - $k + 1),
+             |         i -> substr(text, i, $k))
+             |  ELSE array() END""".stripMargin))
+          .as(Seq("pos0", "gram")))
+        .select(col("text"), (col("pos0") + 1).cast("int").as("pos"), col("gram"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(gen == composed, s"k=$k")
+    }
+  }
+
 }
