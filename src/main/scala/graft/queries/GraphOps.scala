@@ -363,6 +363,95 @@ object GraphOps {
             .as("assortativity"))
     })
 
+  /** Categorical modularity of the co-occurrence graph under the
+    * user's MODAL EVENT TYPE as community label (deterministic argmax,
+    * ties to the lexicographically first type): per label,
+    * Q_l = e_l/m − (d_l/2m)², where e_l = intra-label edges, d_l = the
+    * label's degree mass, m = |edges| — plus a '__all__' row whose
+    * contrib column is the total modularity. Positive Q = users cluster
+    * by behavioral type (real community structure); Q ≈ 0 = the
+    * co-occurrence graph mixes types at random. Complements q216's
+    * numeric (degree) assortativity with the labeled-partition view and
+    * needs NO connected-components run — the partition is a scan-side
+    * argmax. All joins are node-keyed equi joins; counts/degree sums
+    * are exact BIGINTs; per-label contribs are 6-decimal doubles summed
+    * in exact DECIMAL for the total row. */
+  val q223_modularity = Q(
+    "q223_modularity",
+    Some(s"""WITH $cooccurSqlPrefix,
+            |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+            |deg AS MATERIALIZED (
+            |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+            |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+            |  GROUP BY node),
+            |lab AS MATERIALIZED (
+            |  SELECT user_id AS node, event_type AS lbl FROM (
+            |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+            |      PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+            |    FROM events GROUP BY user_id, event_type) WHERE rn = 1),
+            |nl AS (
+            |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+            |    CAST(sum(dg) AS BIGINT) AS deg_sum
+            |  FROM deg d JOIN lab l ON d.node = l.node GROUP BY l.lbl),
+            |ie AS (
+            |  SELECT la.lbl, CAST(count(*) AS BIGINT) AS intra
+            |  FROM e JOIN lab la ON e.a = la.node
+            |         JOIN lab lb ON e.b = lb.node
+            |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+            |per AS (
+            |  SELECT nl.lbl AS label, nl.n_nodes,
+            |    CAST(COALESCE(ie.intra, 0) AS BIGINT) AS intra_edges,
+            |    nl.deg_sum,
+            |    round(CAST(COALESCE(ie.intra, 0) AS DOUBLE) / m.m
+            |      - (CAST(nl.deg_sum AS DOUBLE) / (2 * m.m))
+            |        * (CAST(nl.deg_sum AS DOUBLE) / (2 * m.m)), 6) AS contrib
+            |  FROM nl LEFT JOIN ie ON nl.lbl = ie.lbl CROSS JOIN m)
+            |SELECT label, n_nodes, intra_edges, deg_sum, contrib FROM per
+            |UNION ALL
+            |SELECT '__all__', CAST(sum(n_nodes) AS BIGINT),
+            |  CAST(sum(intra_edges) AS BIGINT), CAST(sum(deg_sum) AS BIGINT),
+            |  round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6)
+            |FROM per
+            |ORDER BY label""".stripMargin),
+    (s, d) => {
+      val e = cooccurEdges(s, d)
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val rnw = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("event_type"))
+      val lab = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(rnw)).where(col("rn") === 1)
+        .select(col("user_id").as("node"), col("event_type").as("lbl"))
+      val nl = deg.join(lab, "node").groupBy("lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("deg_sum"))
+      val ie = e
+        .join(lab.toDF("node_a", "la"), col("a") === col("node_a"))
+        .join(lab.toDF("node_b", "lb"), col("b") === col("node_b"))
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra"))
+      val per = nl.join(ie, Seq("lbl"), "left")
+        .withColumn("intra_edges", coalesce(col("intra"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .select(col("lbl").as("label"), col("n_nodes"), col("intra_edges"),
+          col("deg_sum"),
+          round(col("intra_edges").cast("double") / col("m")
+            - (col("deg_sum").cast("double") / (col("m") * 2))
+              * (col("deg_sum").cast("double") / (col("m") * 2)), 6)
+            .as("contrib"))
+      val total = per.agg(
+        sum(col("n_nodes")).as("n_nodes"),
+        sum(col("intra_edges")).as("intra_edges"),
+        sum(col("deg_sum")).as("deg_sum"),
+        round(sum(col("contrib").cast("decimal(18,6)")).cast("double"), 6)
+          .as("contrib"))
+        .select(lit("__all__").as("label"), col("n_nodes"),
+          col("intra_edges"), col("deg_sum"), col("contrib"))
+      per.union(total).orderBy("label")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
-    q199_link_prediction, q216_assortativity)
+    q199_link_prediction, q216_assortativity, q223_modularity)
 }

@@ -557,7 +557,61 @@ object StatsOps {
             .as("ols_slope"))
     })
 
+  /** Token-concentration Gini per source: how unequally the corpus'
+    * token budget is spread over its documents (G→0: uniform lengths;
+    * G→1: a few giant docs own the budget — the balance report behind
+    * mixture/quota decisions, q155/q61). Computed from the LENGTH
+    * HISTOGRAM, not a row sort: items in one (source, token-count) cell
+    * occupy consecutive ranks, so Σ rank·x collapses to
+    * Σ_cells x·(c·cum_before + c(c+1)/2) — the q193/q215
+    * histogram-of-counts device. Row-scale work is one hash agg; the
+    * cumulative window runs on the bounded per-source length grid. All
+    * moments are exact BIGINTs; one final double expression. */
+  val q224_token_gini = Q(
+    "q224_token_gini",
+    Some("""WITH x AS (
+           |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           |  FROM documents),
+           |g AS (
+           |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           |  FROM x GROUP BY 1, 2),
+           |w AS (
+           |  SELECT source, tok, c,
+           |    COALESCE(sum(c) OVER (PARTITION BY source ORDER BY tok
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |  FROM g),
+           |m AS (
+           |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(tok * c) AS BIGINT) AS tot,
+           |    CAST(sum(tok * (c * cb + (c * (c + 1)) // 2)) AS BIGINT) AS ws
+           |  FROM w GROUP BY source)
+           |SELECT source, n AS n_docs, tot AS total_tokens,
+           |  round(CAST(2 * ws AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+           |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+           |FROM m ORDER BY source""".stripMargin),
+    (s, d) => {
+      val grid = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val wspec = Window.partitionBy("source").orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cb", coalesce(sum(col("c")).over(wspec), lit(0L)))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n"),
+          sum(col("tok") * col("c")).as("tot"),
+          sum(col("tok") * (col("c") * col("cb")
+            + expr("(c * (c + 1)) div 2"))).as("ws"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("tot").as("total_tokens"),
+          round((col("ws") * 2).cast("double")
+              / (col("n").cast("double") * col("tot"))
+            - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q202_auc, q203_calibration, q204_ks_test, q205_chi2,
     q206_acf, q207_gini_stump, q208_spearman, q209_left_interval,
-    q210_source_shift, q213_theil_sen)
+    q210_source_shift, q213_theil_sen, q224_token_gini)
 }

@@ -440,7 +440,53 @@ object TextOps8 {
         .orderBy("lang", "rk")
     })
 
+  /** Flesch-reading-ease-style readability per source — the classic
+    * quality-filter signal (C4/Gopher-style pipelines gate on exactly
+    * such shallow linguistic ratios). Words = whitespace tokens,
+    * sentences = [.!?]+ runs (min 1), syllables ≈ vowel-group count —
+    * a deterministic, replayable approximation (real hyphenation needs
+    * a dictionary; the RATIOS are what quality gates threshold). All
+    * three counts are scan-side regex/split sizes; the per-doc score is
+    * one double expression rounded to 4 decimals, aggregated in exact
+    * decimal. One source-keyed hash agg — no window, no join. */
+  val q221_readability = Q(
+    "q221_readability",
+    Some("""WITH s AS (
+           |  SELECT source,
+           |    round(206.835
+           |      - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+           |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+           |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+           |          / len(string_split(text, ' '))), 4) AS rs
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  round(CAST(sum(CAST(rs AS DECIMAL(18,4))) AS DOUBLE)
+           |    / count(*), 6) AS mean_score,
+           |  round(CAST(sum(CASE WHEN rs < 30 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS low_share
+           |FROM s GROUP BY source ORDER BY source""".stripMargin),
+    (s, d) => {
+      val w = size(split(col("text"), " ")).cast("double")
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+        lit(1)).cast("double")
+      val syl = size(
+        regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+      val rs = round(lit(206.835) - lit(1.015) * (w / sents)
+        - lit(84.6) * (syl / w), 4)
+      Tables.documents(s, d)
+        .select(col("source"), rs.as("rs"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("rs").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 6).as("mean_score"),
+          round(sum(when(col("rs") < 30, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("low_share"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
     q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams,
-    q198_lsh_recall, q218_chargram_topk)
+    q198_lsh_recall, q218_chargram_topk, q221_readability)
 }

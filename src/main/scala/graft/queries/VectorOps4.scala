@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector ops, part 4: embedding-space QUALITY audits — the reports a
+  * pipeline runs before trusting its vector column at scale.
+  *
+  *  - q219: Johnson–Lindenstrauss random-projection distortion. The
+  *    64-d embeddings are projected to 16-d with a DETERMINISTIC ±1
+  *    sign matrix (sign = first md5 hex nibble of "i_j" < '8' — the
+  *    engine's standard portable-hash device, replayable bit-exactly in
+  *    any engine) and the pairwise squared-distance ratio
+  *    d²_proj/d²_orig is histogrammed over a bounded probe set. This is
+  *    the go/no-go report for shipping the cheaper 16-d index.
+  *  - q220: dimension-correlation audit — top-20 most correlated
+  *    coordinate pairs. Highly correlated dims mean wasted index bytes
+  *    (PQ subspaces assume decorrelation; q78/q87 inherit this).
+  *
+  * Scale shape: both are scan-side expression work + one bounded-group
+  * aggregation. q219's projection is O(N·d·r) inside the scan with NO
+  * shuffle; the pairwise audit is O(probe²) on a 100-vector broadcast
+  * probe set BY DESIGN (the audit samples, the projection scales).
+  * q220 explodes d(d−1)/2 = 2016 products per row, but partial
+  * aggregation collapses every partition to ≤2016 groups before the
+  * shuffle — the wire carries (i, j, decimal sum) triples only.
+  *
+  * Exactness: per-row products are rounded to 6 decimals and summed in
+  * DECIMAL(38,6) (order-independent under partial-agg reordering); the
+  * few genuinely sequential folds (projection, distance) use the
+  * engine's proven sequential-fold parity (aggregate ≡ list_sum, the
+  * cosineSql device). Doubles appear only in final per-row expressions
+  * built identically on both engines.
+  */
+object VectorOps4 {
+
+  private val Dim = 64
+  private val RDim = 16   // projected dimensionality (sqrt = 4)
+  private val ProbeN = 100
+
+  /** Spark-side projection: v (array<double>, 64) → 16-d array, each
+    * coordinate a sequential signed fold scaled by 1/sqrt(16), rounded
+    * to 6 decimals so downstream arithmetic is replayable. */
+  private val projSparkSql: String =
+    s"""transform(sequence(1, $RDim), j ->
+       |  round(aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) ->
+       |    acc + element_at(v, i) *
+       |      (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1) < '8'
+       |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) / 4, 6))""".stripMargin
+
+  private val projDuckSql: String =
+    s"""list_transform(generate_series(1, $RDim), j ->
+       |  round(list_sum(list_transform(generate_series(1, $Dim), i ->
+       |    v[i] * (CASE WHEN substring(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1) < '8'
+       |            THEN 1.0 ELSE -1.0 END))) / 4, 6))""".stripMargin
+
+  /** JL distortion report: histogram (decile buckets of the squared
+    * distance ratio) + per-bucket mean over all probe pairs. A healthy
+    * projection concentrates mass near bucket 10 (ratio ≈ 1.0). */
+  val q219_jl_projection = Q(
+    "q219_jl_projection",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |  WHERE vec_id < $ProbeN),
+            |p AS (
+            |  SELECT vec_id, v, $projDuckSql AS pv FROM e),
+            |pr AS (
+            |  SELECT
+            |    list_sum(list_transform(generate_series(1, $Dim),
+            |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS do2,
+            |    list_sum(list_transform(generate_series(1, $RDim),
+            |      j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j]))) AS dp2
+            |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+            |r AS (SELECT round(dp2 / do2, 6) AS ratio FROM pr WHERE do2 > 0)
+            |SELECT CAST(floor(ratio * 10) AS BIGINT) AS bucket,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+            |    / count(*), 6) AS mean_ratio
+            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val p = Tables.embeddings(s, d)
+        .filter(col("vec_id") < ProbeN)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id"), col("v"), expr(projSparkSql).as("pv"))
+      val pa = p.toDF("ia", "va", "pa")
+      val pb = p.toDF("ib", "vb", "pb")
+      pa.join(broadcast(pb), col("ia") < col("ib"))
+        .select(
+          expr(s"""aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), (acc, i) ->
+                  |  acc + (element_at(va, i) - element_at(vb, i))
+                  |      * (element_at(va, i) - element_at(vb, i)))""".stripMargin)
+            .as("do2"),
+          expr(s"""aggregate(sequence(1, $RDim), CAST(0 AS DOUBLE), (acc, j) ->
+                  |  acc + (element_at(pa, j) - element_at(pb, j))
+                  |      * (element_at(pa, j) - element_at(pb, j)))""".stripMargin)
+            .as("dp2"))
+        .where(col("do2") > 0)
+        .select(round(col("dp2") / col("do2"), 6).as("ratio"))
+        .groupBy(floor(col("ratio") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("ratio").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_ratio"))
+        .orderBy("bucket")
+    })
+
+  /** Dimension-correlation audit: Pearson r for every coordinate pair
+    * (i < j), top-20 by |r|. Per-row pair products are generated
+    * scan-side (nested transform + flatten + explode — no self-join of
+    * the corpus against itself), rounded to 6 decimals, and summed in
+    * exact decimal; per-dim moments come from one posexplode pass. */
+  val q220_dim_corr = Q(
+    "q220_dim_corr",
+    Some(s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+            |idx AS (SELECT i FROM generate_series(1, $Dim) t(i)),
+            |dim AS MATERIALIZED (
+            |  SELECT i, CAST(count(*) AS BIGINT) AS n,
+            |    sum(CAST(round(v[i], 6) AS DECIMAL(38,6))) AS sx,
+            |    sum(CAST(round(v[i] * v[i], 6) AS DECIMAL(38,6))) AS sxx
+            |  FROM e CROSS JOIN idx GROUP BY i),
+            |ps AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i < b.i),
+            |pg AS (
+            |  SELECT i, j,
+            |    sum(CAST(round(v[i] * v[j], 6) AS DECIMAL(38,6))) AS sxy
+            |  FROM e CROSS JOIN ps GROUP BY i, j),
+            |c AS (
+            |  SELECT pg.i, pg.j,
+            |    round((da.n * CAST(pg.sxy AS DOUBLE)
+            |           - CAST(da.sx AS DOUBLE) * CAST(db.sx AS DOUBLE))
+            |      / sqrt((da.n * CAST(da.sxx AS DOUBLE)
+            |              - CAST(da.sx AS DOUBLE) * CAST(da.sx AS DOUBLE))
+            |           * (db.n * CAST(db.sxx AS DOUBLE)
+            |              - CAST(db.sx AS DOUBLE) * CAST(db.sx AS DOUBLE))), 6)
+            |      AS corr
+            |  FROM pg JOIN dim da ON pg.i = da.i JOIN dim db ON pg.j = db.i)
+            |SELECT i, j, corr FROM c
+            |ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val dim = e.select(posexplode(col("v")).as(Seq("i0", "x")))
+        .select((col("i0") + 1).as("i"), col("x"))
+        .groupBy("i")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 6).cast("decimal(38,6)")).as("sx"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(38,6)")).as("sxx"))
+      val pg = e.select(explode(expr(
+          s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
+             |  transform(sequence(i + 1, $Dim), j -> named_struct(
+             |    'i', i, 'j', j,
+             |    'p', round(element_at(v, i) * element_at(v, j), 6)))))"""
+            .stripMargin)).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p").cast("decimal(38,6)")).as("sxy"))
+      val da = dim.toDF("di", "na", "sxa", "sxxa")
+      val db = dim.toDF("dj", "nb", "sxb", "sxxb")
+      pg.join(broadcast(da), col("i") === col("di"))
+        .join(broadcast(db), col("j") === col("dj"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round((col("na") * col("sxy").cast("double")
+              - col("sxa").cast("double") * col("sxb").cast("double"))
+            / sqrt((col("na") * col("sxxa").cast("double")
+                - col("sxa").cast("double") * col("sxa").cast("double"))
+              * (col("nb") * col("sxxb").cast("double")
+                - col("sxb").cast("double") * col("sxb").cast("double"))), 6)
+            .as("corr"))
+        .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+        .limit(20)
+    })
+
+  val all: Seq[Q] = Seq(q219_jl_projection, q220_dim_corr)
+}
