@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.{cosine, cosineSql}
 
 /** Vector ops, part 4: embedding-space QUALITY audits — the reports a
   * pipeline runs before trusting its vector column at scale.
@@ -168,5 +169,115 @@ object VectorOps4 {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(q219_jl_projection, q220_dim_corr)
+  private val NCentroids = 16
+  private val NProbe = 2
+  private val BatchQ = 8
+  private val RboK = 10
+
+  /** Truncated rank-biased-overlap weights for p = 0.9, depth 10:
+    * W(m) = Σ_{d=m..10} round(p^{d−1}/d, 10), as exact-decimal
+    * literals shared verbatim by both engines. RBO = (1−p)·Σ_{matched
+    * items} W(max(rank_A, rank_B)) — the per-item form of
+    * (1−p)·Σ_d p^{d−1}·overlap_d/d (an item in both lists from depth m
+    * onward contributes to every overlap_d with d ≥ m). Truncated = no
+    * extrapolation residual: identical lists score 1−p¹⁰ ≈ 0.651. */
+  private val rboW: Seq[(Int, String)] = Seq(
+    1 -> "2.3541639943", 2 -> "1.3541639943", 3 -> "0.9041639943",
+    4 -> "0.6341639943", 5 -> "0.4519139943", 6 -> "0.3206939943",
+    7 -> "0.2222789943", 8 -> "0.1463588514", 9 -> "0.0865717389",
+    10 -> "0.0387420489")
+
+  /** ANN quality beyond recall: per-query rank-biased overlap between
+    * the EXACT cosine top-10 and the IVF top-10 (q136's serving path,
+    * k=10). Recall counts hits; RBO weights them by rank — the metric
+    * that catches an index that finds the right items in the wrong
+    * order. Exact side is one corpus pass against the broadcast query
+    * batch; IVF side is the audited ivfTopKBatch plan; the comparison
+    * itself is list-metadata-sized (8 queries × 10 ranks). */
+  val q222_rbo = Q(
+    "q222_rbo",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $NCentroids),
+            |assign AS (
+            |  SELECT vec_id, v, cid,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid) AS rnk
+            |  FROM e CROSS JOIN cent WHERE e.vec_id >= $BatchQ),
+            |members AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $BatchQ),
+            |qprobe AS (
+            |  SELECT qid, qv, cid FROM (
+            |    SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid) AS rnk
+            |    FROM q CROSS JOIN cent) t
+            |  WHERE rnk <= $NProbe),
+            |cand AS (
+            |  SELECT p.qid, m.vec_id,
+            |    round(${cosineSql("m.v", "p.qv")}, 6) AS sim
+            |  FROM members m JOIN qprobe p ON m.cid = p.cid),
+            |ivf AS (
+            |  SELECT qid, vec_id, rk FROM (
+            |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand) t WHERE rk <= $RboK),
+            |exact AS (
+            |  SELECT qid, vec_id, ra FROM (
+            |    SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("e.v", "q.qv")}, 6) DESC, e.vec_id) AS ra
+            |    FROM e CROSS JOIN q WHERE e.vec_id >= $BatchQ) t
+            |  WHERE ra <= $RboK),
+            |wt(m, w) AS (VALUES
+            |  ${rboW.map { case (m, w) => s"($m, $w::DECIMAL(18,10))" }
+                     .mkString(",\n            |  ")}),
+            |ov AS (
+            |  SELECT x.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+            |    sum(w.w) AS sw
+            |  FROM exact x JOIN ivf i ON x.qid = i.qid AND x.vec_id = i.vec_id
+            |  JOIN wt w ON w.m = greatest(x.ra, i.rk)
+            |  GROUP BY x.qid)
+            |SELECT q.qid, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+            |  round(0.1 * CAST(COALESCE(ov.sw, 0) AS DOUBLE), 6) AS rbo
+            |FROM q LEFT JOIN ov ON q.qid = ov.qid
+            |ORDER BY q.qid""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") >= BatchQ).select("vec_id", "e")
+      val queries = emb.filter(col("vec_id") < BatchQ)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wexact = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val exact = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .withColumn("ra", row_number().over(wexact).cast("long"))
+        .filter(col("ra") <= RboK)
+        .select("qid", "vec_id", "ra")
+      val ivf = graft.operators.Similarity.ivfTopKBatch(
+          corpus, "vec_id", "e",
+          emb.filter(col("vec_id") < NCentroids)
+            .select(col("vec_id").as("cid"), col("e").as("cvec")),
+          "cid", "cvec",
+          emb.filter(col("vec_id") < BatchQ), "vec_id", "e",
+          k = RboK, nProbe = NProbe)
+        .select(col("qid"), col("vec_id"), col("rk"))
+      val wts = rboW.map { case (m, w) => (m.toLong, BigDecimal(w)) }
+        .toDF("m", "w")
+      val ov = exact.join(ivf, Seq("qid", "vec_id"))
+        .withColumn("m", greatest(col("ra"), col("rk")))
+        .join(broadcast(wts), Seq("m"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_overlap"), sum(col("w")).as("sw"))
+      queries.select("qid").join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(lit(0.1) * coalesce(col("sw").cast("double"), lit(0.0)), 6)
+            .as("rbo"))
+        .orderBy("qid")
+    })
+
+  val all: Seq[Q] = Seq(q219_jl_projection, q220_dim_corr, q222_rbo)
 }
