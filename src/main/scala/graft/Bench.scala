@@ -46,6 +46,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // keep stdout clean for the metric line
+    // Bench times the incremental entries (q170/q177) in their production
+    // shape — ONE batch against a prebuilt index — not the 3-wave
+    // equivalence replay Verify compares against the oracle (VERDICT r6
+    // #6: the replay is a demo loop and was the bench tail every round).
+    spark.conf.set("spark.graft.bench.singleWave", "true")
     // Untimed warmup: absorb JIT/codegen/first-scan costs so per-query
     // numbers reflect steady-state execution, then run in catalog order.
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -14,8 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The query surface treats `events.ts` as epoch-nanoseconds BIGINT (the
+    * original testdata shipped `timestamp[ns]`, surfaced as LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong`). Later testdata generations
+    * write `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ in
+    * Spark), which broke every `ts div …` site with DATATYPE_MISMATCH.
+    * Normalizing here — one projection at the scan, fully codegen'd,
+    * pruned away when `ts` is unused — keeps all 94 call sites unchanged
+    * under either physical type. Sessions run with
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→timestamp cast
+    * interprets values as UTC, matching the DuckDB oracle's `epoch_us(ts)`.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Register temp views for SQL-surface queries (rollup/cube/grouping sets
     * read best in SQL). Idempotent per session+dir. */

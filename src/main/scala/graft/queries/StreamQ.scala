@@ -47,7 +47,10 @@ object StreamQ {
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    s.readStream.schema(s.read.parquet(path).schema).parquet(asDir(path))
+    // Same epoch-nanos normalization as the batch loader (Tables): the
+    // projection composes with streaming sources just as with batch scans.
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(s.read.parquet(path).schema).parquet(asDir(path)))
   }
 
   /** Run a finite streaming frame to completion into a memory sink and

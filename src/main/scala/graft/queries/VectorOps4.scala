@@ -22,9 +22,9 @@ import graft.functions.VectorFunctions.{cosine, cosineSql}
   * aggregation. q219's projection is O(N·d·r) inside the scan with NO
   * shuffle; the pairwise audit is O(probe²) on a 100-vector broadcast
   * probe set BY DESIGN (the audit samples, the projection scales).
-  * q220 explodes d(d−1)/2 = 2016 products per row, but partial
-  * aggregation collapses every partition to ≤2016 groups before the
-  * shuffle — the wire carries (i, j, decimal sum) triples only.
+  * q220 sums each row's d(d−1)/2 = 2016 scaled products elementwise
+  * into one vector per partition (VecSumAggregator — no row expansion);
+  * the wire carries one 2016-long vector per partition, nothing more.
   *
   * Exactness: per-row products are rounded to 6 decimals and summed in
   * DECIMAL(38,6) (order-independent under partial-agg reordering); the
@@ -105,10 +105,15 @@ object VectorOps4 {
     })
 
   /** Dimension-correlation audit: Pearson r for every coordinate pair
-    * (i < j), top-20 by |r|. Per-row pair products are generated
-    * scan-side (nested transform + flatten + explode — no self-join of
-    * the corpus against itself), rounded to 6 decimals, and summed in
-    * exact decimal; per-dim moments come from one posexplode pass. */
+    * (i < j), top-20 by |r|. Pair-product sums use the array-of-sums
+    * device (VecSumAggregator): each row contributes ONE flattened
+    * d(d−1)/2-wide vector of 6-decimal-scaled integer products, summed
+    * elementwise map-side — no row expansion at all (the first cut
+    * exploded 2016 structs per row; VERDICT r6 flagged the per-row CPU).
+    * The single 2016-wide result row unpacks to (i,j) pairs only AFTER
+    * aggregation; per-dim moments come from one posexplode pass.
+    * Scaled-long sums are exact and associative, so the result is
+    * bit-identical to the oracle's decimal(38,6) sums. */
   val q220_dim_corr = Q(
     "q220_dim_corr",
     Some(s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
@@ -144,15 +149,30 @@ object VectorOps4 {
         .agg(count(lit(1)).as("n"),
           sum(round(col("x"), 6).cast("decimal(38,6)")).as("sx"),
           sum(round(col("x") * col("x"), 6).cast("decimal(38,6)")).as("sxx"))
-      val pg = e.select(explode(expr(
+      val nPairs = Dim * (Dim - 1) / 2
+      // Per-row vector of scaled-integer pair products. The double-round
+      // (round(p,6) then round(·1e6)) kills binary representation error
+      // so the long is exactly the oracle's DECIMAL(38,6) numerator.
+      val terms = e.select(expr(
+        s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
+           |  transform(sequence(i + 1, $Dim), j -> CAST(round(
+           |    round(element_at(v, i) * element_at(v, j), 6) * 1e6)
+           |    AS LONG))))""".stripMargin).as("t"))
+      val vecSum = udaf(new graft.functions.VecSumAggregator(nPairs))
+      // One result row: 2016 longs. Unpack to (k, sum) and attach (i, j)
+      // via a generated 2016-row index table — both post-agg, both tiny.
+      val sums = terms.agg(vecSum(col("t")).as("s"))
+        .select(posexplode(col("s")).as(Seq("k", "ssum")))
+      val pairIdx = s.range(1).select(posexplode(expr(
           s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
-             |  transform(sequence(i + 1, $Dim), j -> named_struct(
-             |    'i', i, 'j', j,
-             |    'p', round(element_at(v, i) * element_at(v, j), 6)))))"""
-            .stripMargin)).as("c"))
-        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p").cast("decimal(38,6)")).as("sxy"))
+             |  transform(sequence(i + 1, $Dim), j ->
+             |    named_struct('i', i, 'j', j))))""".stripMargin))
+          .as(Seq("k", "c")))
+        .select(col("k"), col("c.i").as("i"), col("c.j").as("j"))
+      val pg = sums.join(broadcast(pairIdx), "k")
+        .select(col("i"), col("j"),
+          (col("ssum").cast("decimal(38,0)") / lit(1000000))
+            .cast("decimal(38,6)").as("sxy"))
       val da = dim.toDF("di", "na", "sxa", "sxxa")
       val db = dim.toDF("dj", "nb", "sxb", "sxxb")
       pg.join(broadcast(da), col("i") === col("di"))

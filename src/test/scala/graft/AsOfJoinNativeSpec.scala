@@ -13,7 +13,7 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def inputs = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+    val ev = Tables.events(spark, sfDir).select(
       col("event_id"), col("user_id"),
       expr("timestamp_micros(ts div 1000)").as("ts_us"))
     val ords = spark.read.parquet(s"$sfDir/orders.parquet").select(

@@ -28,6 +28,34 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("audit: every main-source persist is PlanCache-registered or " +
+      "locally unpersisted") {
+    // The unpersist discipline, enforced statically: a raw .persist( in
+    // main source must either (a) route through PlanCache.persist — the
+    // documented releaseAll()/clearCache() harness contract — or (b) live
+    // in a file that also calls unpersist (builder-scoped lifetime, e.g.
+    // a try/finally or release-after-materialize). Anything else is a
+    // leak that survives the query that created it.
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get("src/main/scala")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val text = Files.readString(p)
+        val rawPersists = "(?<!PlanCache)\\.persist\\(".r
+          .findAllIn(text).size
+        val isPlanCacheItself = p.getFileName.toString == "PlanCache.scala"
+        val hasUnpersist = text.contains("unpersist(")
+        if (rawPersists > 0 && !isPlanCacheItself && !hasUnpersist)
+          Some(s"$p: $rawPersists raw persist(s), no unpersist in file")
+        else None
+      }.toList
+    assert(offenders.isEmpty,
+      "unpaired persists (route through PlanCache or unpersist locally):\n"
+        + offenders.mkString("\n"))
+  }
+
   test("releaseAll is idempotent and safe with nothing registered") {
     PlanCache.releaseAll()
     PlanCache.releaseAll()
