@@ -15,7 +15,8 @@ object SparkEntry {
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       LakeOps.all ++ QualityOps.all ++ QualityOps2.all ++
-      EventOps.all ++ EventOps2.all ++ OpsDiag.all ++ StatsOps.all ++
+      EventOps.all ++ EventOps2.all ++ EventOps3.all ++
+      OpsDiag.all ++ StatsOps.all ++
       GraphOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
       MultimodalQ.all ++ StreamQ.all

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event analytics, part 3: survival analysis and seasonal-baseline
+  * anomaly detection — two statistical families the earlier event
+  * entries (sessionization q68, funnel q69, cohorts q114, per-user
+  * anomaly days q183) don't cover.
+  *
+  *  - q225: Kaplan–Meier product-limit estimator over inter-purchase
+  *    gaps. Durations are day-granular user purchase→purchase gaps;
+  *    each user's final purchase→observation-end gap enters CENSORED
+  *    (the estimator's whole point — dropping those biases survival
+  *    down). This is the retention curve a growth team actually reads.
+  *  - q227: corpus-level (day-of-week × hour) seasonal baseline over a
+  *    DENSE day×hour grid (zero-event hours count — omitting them
+  *    biases every mean up), then per-cell z-scores against the
+  *    matching seasonal cell; top-20 |z| anomalies.
+  *
+  * Scale shape: both collapse the corpus with one hash agg onto a
+  * BOUNDED grid (distinct gap days ≤ observation span; day×hour cells =
+  * 24·span) — the q193/q215 histogram-of-counts device — so every
+  * window/cumulation below the agg runs on grid-sized data, never rows.
+  * The KM product runs in log space: per-day ln(1−d/n) rounded to 12
+  * then decimal-summed cumulatively (the q89 logprob discipline), so
+  * the running product is partial-agg-order independent and
+  * engine-exact; one final exp + round(6) emits the curve.
+  *
+  * Event-time arithmetic is exact microsecond longs (`ts div 1000` ≡
+  * DuckDB `epoch_us(ts)`); day-of-week is pure integer arithmetic on
+  * epoch days ((day+4) mod 7; 1970-01-01 was a Thursday) so no
+  * calendar/timezone function ever enters either engine.
+  */
+object EventOps3 {
+
+  private val DayUs = 86400000000L // microseconds per day
+
+  val q225_kaplan_meier = Q(
+    "q225_kaplan_meier",
+    Some(s"""WITH p AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events WHERE event_type = 'purchase'),
+            |mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS mxus FROM events),
+            |durs AS (
+            |  SELECT user_id,
+            |    CAST((COALESCE(lead(tus) OVER w, mxus) - tus) // $DayUs
+            |      AS BIGINT) AS dur_days,
+            |    CASE WHEN lead(tus) OVER w IS NULL THEN 0 ELSE 1 END AS ev
+            |  FROM p CROSS JOIN mx
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+            |byday AS (
+            |  SELECT dur_days AS day,
+            |    CAST(count(*) FILTER (ev = 1) AS BIGINT) AS d,
+            |    CAST(count(*) AS BIGINT) AS leaving
+            |  FROM durs GROUP BY dur_days),
+            |risk AS (
+            |  SELECT day, d,
+            |    (SELECT count(*) FROM durs) - COALESCE(sum(leaving) OVER (
+            |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            |      AND 1 PRECEDING), 0) AS n
+            |  FROM byday),
+            |km AS (
+            |  SELECT day, d, CAST(n AS BIGINT) AS n,
+            |    sum(CASE WHEN d < n THEN
+            |      CAST(round(ln((CAST(n AS DOUBLE) - d) / n), 12)
+            |        AS DECIMAL(28,12)) END) OVER (
+            |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS lsum,
+            |    max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (
+            |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS died_out
+            |  FROM risk WHERE d > 0)
+            |SELECT day, n AS n_risk, d AS n_events,
+            |  CASE WHEN died_out = 1 THEN CAST(0 AS DOUBLE)
+            |       ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS survival
+            |FROM km ORDER BY day""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val mx = ev.agg(max(expr("ts div 1000")).as("mxus"))
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      val durs = p.crossJoin(broadcast(mx))
+        .select(
+          (coalesce(lead(col("tus"), 1).over(w), col("mxus")) - col("tus"))
+            .as("gap"),
+          when(lead(col("tus"), 1).over(w).isNull, 0).otherwise(1).as("ev"))
+        .select(expr(s"gap div $DayUs").as("dur_days"), col("ev"))
+      val byday = durs.groupBy(col("dur_days").as("day"))
+        .agg(sum(col("ev")).cast("long").as("d"),
+          count(lit(1)).as("leaving"))
+      val total = durs.agg(count(lit(1)).as("ntot"))
+      // grid-sized (≤ observation-span rows) from here down: the
+      // unpartitioned windows run on the aggregated day grid, not rows
+      val wday = Window.orderBy("day")
+      val risk = byday.crossJoin(broadcast(total))
+        .withColumn("n", col("ntot") -
+          coalesce(sum(col("leaving")).over(
+            wday.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val cum = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risk.filter(col("d") > 0)
+        // d = n (the whole remaining risk set dies) pins S to exactly 0
+        // from that day on — ln(0) must never evaluate
+        .withColumn("lsum",
+          sum(when(col("d") < col("n"),
+            round(log((col("n").cast("double") - col("d")) / col("n")), 12)
+              .cast("decimal(28,12)"))).over(cum))
+        .withColumn("died_out",
+          max(when(col("d") === col("n"), 1).otherwise(0)).over(cum))
+        .select(col("day"), col("n").cast("long").as("n_risk"),
+          col("d").as("n_events"),
+          when(col("died_out") === 1, lit(0.0))
+            .otherwise(round(exp(col("lsum").cast("double")), 6))
+            .as("survival"))
+        .orderBy("day")
+    })
+
+  val q227_seasonal_anomaly = Q(
+    "q227_seasonal_anomaly",
+    Some(s"""WITH ev AS (
+            |  SELECT CAST(epoch_us(ts) AS BIGINT) // $DayUs AS day,
+            |    (CAST(epoch_us(ts) AS BIGINT) % $DayUs) // 3600000000 AS hour
+            |  FROM events),
+            |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+            |grid AS (
+            |  SELECT g.day, h.hour FROM span,
+            |    unnest(generate_series(d0, d1)) AS g(day),
+            |    unnest(generate_series(0, 23)) AS h(hour)),
+            |cnt AS (
+            |  SELECT day, hour, CAST(count(*) AS BIGINT) AS n
+            |  FROM ev GROUP BY day, hour),
+            |cells AS (
+            |  SELECT grid.day, grid.hour, (grid.day + 4) % 7 AS dow,
+            |    COALESCE(cnt.n, 0) AS n
+            |  FROM grid LEFT JOIN cnt
+            |    ON grid.day = cnt.day AND grid.hour = cnt.hour),
+            |base AS (
+            |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS k,
+            |    sum(CAST(n AS DECIMAL(28,12))) AS sx,
+            |    sum(CAST(n * n AS DECIMAL(28,12))) AS sxx
+            |  FROM cells GROUP BY dow, hour),
+            |z AS (
+            |  SELECT c.day, c.hour, c.n,
+            |    round(CAST(b.sx AS DOUBLE) / b.k, 6) AS expected,
+            |    round((c.n - CAST(b.sx AS DOUBLE) / b.k)
+            |      / sqrt((CAST(b.sxx AS DOUBLE)
+            |              - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.k)
+            |             / b.k), 6) AS zscore
+            |  FROM cells c JOIN base b ON c.dow = b.dow AND c.hour = b.hour
+            |  WHERE b.k > 1 AND CAST(b.sxx AS DOUBLE) * b.k
+            |        > CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+            |SELECT day, hour, n, expected, zscore
+            |FROM z ORDER BY abs(zscore) DESC, day, hour
+            |LIMIT 20""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr(s"(ts div 1000) div $DayUs").as("day"),
+        expr(s"((ts div 1000) % $DayUs) div 3600000000").as("hour"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+        .select(col("day"),
+          explode(expr("sequence(bigint(0), bigint(23))")).as("hour"))
+      val cnt = ev.groupBy("day", "hour").agg(count(lit(1)).as("n"))
+      val cells = grid.join(cnt, Seq("day", "hour"), "left")
+        .select(col("day"), col("hour"), ((col("day") + 4) % 7).as("dow"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val base = cells.groupBy("dow", "hour")
+        .agg(count(lit(1)).as("k"),
+          sum(col("n").cast("decimal(28,12)")).as("sx"),
+          sum((col("n") * col("n")).cast("decimal(28,12)")).as("sxx"))
+      val mean = col("sx").cast("double") / col("k")
+      cells.join(broadcast(base), Seq("dow", "hour"))
+        .filter(col("k") > 1 &&
+          col("sxx").cast("double") * col("k") >
+            col("sx").cast("double") * col("sx").cast("double"))
+        .select(col("day"), col("hour"), col("n"),
+          round(mean, 6).as("expected"),
+          round((col("n") - mean) /
+            sqrt((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("k"))
+              / col("k")), 6).as("zscore"))
+        .orderBy(abs(col("zscore")).desc, col("day"), col("hour"))
+        .limit(20)
+    })
+
+  val all: Seq[Q] = Seq(q225_kaplan_meier, q227_seasonal_anomaly)
+}

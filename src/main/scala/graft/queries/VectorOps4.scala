@@ -22,9 +22,10 @@ import graft.functions.VectorFunctions.{cosine, cosineSql}
   * aggregation. q219's projection is O(N·d·r) inside the scan with NO
   * shuffle; the pairwise audit is O(probe²) on a 100-vector broadcast
   * probe set BY DESIGN (the audit samples, the projection scales).
-  * q220 sums each row's d(d−1)/2 = 2016 scaled products elementwise
-  * into one vector per partition (VecSumAggregator — no row expansion);
-  * the wire carries one 2016-long vector per partition, nothing more.
+  * q220 quantizes coordinates once to the 6-decimal integer grid and
+  * accumulates the exact integer Gram moments per partition in one
+  * zero-allocation mapPartitions loop; the wire carries one
+  * (64+64+2016)-long summary row per partition, nothing more.
   *
   * Exactness: per-row products are rounded to 6 decimals and summed in
   * DECIMAL(38,6) (order-independent under partial-agg reordering); the
@@ -116,75 +117,101 @@ object VectorOps4 {
     * bit-identical to the oracle's decimal(38,6) sums. */
   val q220_dim_corr = Q(
     "q220_dim_corr",
-    Some(s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    Some(s"""WITH e AS (
+            |  SELECT list_transform(embedding::DOUBLE[],
+            |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS u
+            |  FROM embeddings),
             |idx AS (SELECT i FROM generate_series(1, $Dim) t(i)),
             |dim AS MATERIALIZED (
             |  SELECT i, CAST(count(*) AS BIGINT) AS n,
-            |    sum(CAST(round(v[i], 6) AS DECIMAL(38,6))) AS sx,
-            |    sum(CAST(round(v[i] * v[i], 6) AS DECIMAL(38,6))) AS sxx
+            |    sum(u[i]) AS s, sum(u[i] * u[i]) AS q
             |  FROM e CROSS JOIN idx GROUP BY i),
             |ps AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i < b.i),
             |pg AS (
-            |  SELECT i, j,
-            |    sum(CAST(round(v[i] * v[j], 6) AS DECIMAL(38,6))) AS sxy
+            |  SELECT i, j, sum(u[i] * u[j]) AS p
             |  FROM e CROSS JOIN ps GROUP BY i, j),
             |c AS (
             |  SELECT pg.i, pg.j,
-            |    round((da.n * CAST(pg.sxy AS DOUBLE)
-            |           - CAST(da.sx AS DOUBLE) * CAST(db.sx AS DOUBLE))
-            |      / sqrt((da.n * CAST(da.sxx AS DOUBLE)
-            |              - CAST(da.sx AS DOUBLE) * CAST(da.sx AS DOUBLE))
-            |           * (db.n * CAST(db.sxx AS DOUBLE)
-            |              - CAST(db.sx AS DOUBLE) * CAST(db.sx AS DOUBLE))), 6)
-            |      AS corr
+            |    round(CAST(da.n * pg.p - da.s * db.s AS DOUBLE)
+            |      / sqrt(CAST(da.n * da.q - da.s * da.s AS DOUBLE)
+            |           * CAST(db.n * db.q - db.s * db.s AS DOUBLE)), 6) AS corr
             |  FROM pg JOIN dim da ON pg.i = da.i JOIN dim db ON pg.j = db.i)
             |SELECT i, j, corr FROM c
             |ORDER BY abs(corr) DESC, i, j LIMIT 20""".stripMargin),
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("embedding").cast("array<double>").as("v"))
-      val dim = e.select(posexplode(col("v")).as(Seq("i0", "x")))
-        .select((col("i0") + 1).as("i"), col("x"))
-        .groupBy("i")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("x"), 6).cast("decimal(38,6)")).as("sx"),
-          sum(round(col("x") * col("x"), 6).cast("decimal(38,6)")).as("sxx"))
+      import s.implicits._
       val nPairs = Dim * (Dim - 1) / 2
-      // Per-row vector of scaled-integer pair products. The double-round
-      // (round(p,6) then round(·1e6)) kills binary representation error
-      // so the long is exactly the oracle's DECIMAL(38,6) numerator.
-      val terms = e.select(expr(
-        s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
-           |  transform(sequence(i + 1, $Dim), j -> CAST(round(
-           |    round(element_at(v, i) * element_at(v, j), 6) * 1e6)
-           |    AS LONG))))""".stripMargin).as("t"))
-      val vecSum = udaf(new graft.functions.VecSumAggregator(nPairs))
-      // One result row: 2016 longs. Unpack to (k, sum) and attach (i, j)
-      // via a generated 2016-row index table — both post-agg, both tiny.
-      val sums = terms.agg(vecSum(col("t")).as("s"))
-        .select(posexplode(col("s")).as(Seq("k", "ssum")))
+      // Per-partition exact integer Gram accumulation. Every coordinate
+      // is quantized ONCE to the 6-decimal grid — u = floor(x·1e6 + 0.5),
+      // pure IEEE ops, bit-identical in any engine — and all moments
+      // (Σu_i, Σu_i², Σu_iu_j) are plain long multiply-adds in one tight
+      // zero-allocation loop. This is the one place mapPartitions beats
+      // every declarative form: 2016 pair terms per row made the explode
+      // plan interpreter-bound (HOF lambdas don't codegen; 2×BigDecimal
+      // round per term) and a typed Aggregator boxes a 2016-long Seq per
+      // row through its encoder. Here a row costs 64 quantizes + 2080
+      // primitive FMAs, and a partition emits ONE (n, 64, 64, 2016)-long
+      // summary row — partial aggregation in its ideal form.
+      // Long-overflow bound: |u| ≤ 1e7 ⇒ |u·u| ≤ 1e14 ⇒ safe below
+      // ~9e4 rows·partition⁻¹·1e14 ≈ 9e18 — i.e. ≲ 90k rows of unit-norm
+      // 64-d vectors per partition; files.maxPartitionBytes (128 MB /
+      // 64 floats ≈ 500k rows) with |v| ≤ 1 keeps Σ|u·u| ≤ 5e17. The
+      // cross-partition merge below sums in DECIMAL(38,0).
+      val moments = Tables.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .as[Array[Double]]
+        .mapPartitions { it =>
+          var n = 0L
+          val u = new Array[Long](Dim)
+          val s1 = new Array[Long](Dim)
+          val sq = new Array[Long](Dim)
+          val sp = new Array[Long](nPairs)
+          while (it.hasNext) {
+            val v = it.next()
+            var i = 0
+            while (i < Dim) {
+              u(i) = math.floor(v(i) * 1e6 + 0.5).toLong
+              i += 1
+            }
+            n += 1
+            var k = 0
+            i = 0
+            while (i < Dim) {
+              s1(i) += u(i); sq(i) += u(i) * u(i)
+              var j = i + 1
+              while (j < Dim) { sp(k) += u(i) * u(j); k += 1; j += 1 }
+              i += 1
+            }
+          }
+          if (n == 0) Iterator.empty
+          else Iterator.single((n, s1.toSeq, sq.toSeq, sp.toSeq))
+        }.toDF("n", "s1", "sq", "sp")
+        .localCheckpoint(true) // ≤ #partitions rows; read 3× below
+      val total = moments.agg(sum(col("n")).as("n"))
+      val dim = moments
+        .select(posexplode(arrays_zip(col("s1"), col("sq"))).as(Seq("i0", "z")))
+        .groupBy((col("i0") + 1).as("i"))
+        .agg(sum(col("z.s1").cast("decimal(38,0)")).as("s"),
+          sum(col("z.sq").cast("decimal(38,0)")).as("q"))
       val pairIdx = s.range(1).select(posexplode(expr(
           s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
              |  transform(sequence(i + 1, $Dim), j ->
              |    named_struct('i', i, 'j', j))))""".stripMargin))
           .as(Seq("k", "c")))
         .select(col("k"), col("c.i").as("i"), col("c.j").as("j"))
-      val pg = sums.join(broadcast(pairIdx), "k")
-        .select(col("i"), col("j"),
-          (col("ssum").cast("decimal(38,0)") / lit(1000000))
-            .cast("decimal(38,6)").as("sxy"))
-      val da = dim.toDF("di", "na", "sxa", "sxxa")
-      val db = dim.toDF("dj", "nb", "sxb", "sxxb")
+      val pg = moments.select(posexplode(col("sp")).as(Seq("k", "pk")))
+        .groupBy("k").agg(sum(col("pk").cast("decimal(38,0)")).as("p"))
+        .join(broadcast(pairIdx), "k")
+      val da = dim.toDF("di", "sa", "qa")
+      val db = dim.toDF("dj", "sb", "qb")
       pg.join(broadcast(da), col("i") === col("di"))
         .join(broadcast(db), col("j") === col("dj"))
+        .crossJoin(broadcast(total))
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          round((col("na") * col("sxy").cast("double")
-              - col("sxa").cast("double") * col("sxb").cast("double"))
-            / sqrt((col("na") * col("sxxa").cast("double")
-                - col("sxa").cast("double") * col("sxa").cast("double"))
-              * (col("nb") * col("sxxb").cast("double")
-                - col("sxb").cast("double") * col("sxb").cast("double"))), 6)
-            .as("corr"))
+          round((col("n") * col("p") - col("sa") * col("sb")).cast("double")
+            / sqrt((col("n") * col("qa") - col("sa") * col("sa")).cast("double")
+              * (col("n") * col("qb") - col("sb") * col("sb")).cast("double")),
+            6).as("corr"))
         .orderBy(abs(col("corr")).desc, col("i"), col("j"))
         .limit(20)
     })
@@ -299,5 +326,112 @@ object VectorOps4 {
         .orderBy("qid")
     })
 
-  val all: Seq[Q] = Seq(q219_jl_projection, q220_dim_corr, q222_rbo)
+  /** Position discounts 1/log2(p+1), p = 1..10, rounded once to 10
+    * decimals and shared VERBATIM by both engines (the rboW device) — no
+    * cross-engine log2 ever runs. Relevance is graded by exact rank
+    * (rel = 11 − exact_rank for the exact top-10, else 0), so DCG is a
+    * sum of integer·decimal terms — exact, order-independent. */
+  private val ndcgDisc: Seq[(Int, String)] = Seq(
+    1 -> "1.0000000000", 2 -> "0.6309297536", 3 -> "0.5000000000",
+    4 -> "0.4306765581", 5 -> "0.3868528072", 6 -> "0.3562071871",
+    7 -> "0.3333333333", 8 -> "0.3154648768", 9 -> "0.3010299957",
+    10 -> "0.2890648263")
+
+  /** ANN quality, third lens: NDCG@10 of the IVF serving path against
+    * exact cosine. Recall (q198) counts hits, RBO (q222) weights by
+    * agreement depth; NDCG grades each hit by HOW relevant the item it
+    * displaced was — the metric that punishes an index whose misses are
+    * the best items. Same audited harness as q222: exact side is one
+    * corpus pass against the broadcast query batch, IVF side is
+    * ivfTopKBatch, the comparison is list-metadata-sized. */
+  val q226_ndcg = Q(
+    "q226_ndcg",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $NCentroids),
+            |assign AS (
+            |  SELECT vec_id, v, cid,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid) AS rnk
+            |  FROM e CROSS JOIN cent WHERE e.vec_id >= $BatchQ),
+            |members AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $BatchQ),
+            |qprobe AS (
+            |  SELECT qid, qv, cid FROM (
+            |    SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid) AS rnk
+            |    FROM q CROSS JOIN cent) t
+            |  WHERE rnk <= $NProbe),
+            |cand AS (
+            |  SELECT p.qid, m.vec_id,
+            |    round(${cosineSql("m.v", "p.qv")}, 6) AS sim
+            |  FROM members m JOIN qprobe p ON m.cid = p.cid),
+            |ivf AS (
+            |  SELECT qid, vec_id, rk FROM (
+            |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand) t WHERE rk <= $RboK),
+            |exact AS (
+            |  SELECT qid, vec_id, ra FROM (
+            |    SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("e.v", "q.qv")}, 6) DESC, e.vec_id) AS ra
+            |    FROM e CROSS JOIN q WHERE e.vec_id >= $BatchQ) t
+            |  WHERE ra <= $RboK),
+            |disc(p, w) AS (VALUES
+            |  ${ndcgDisc.map { case (p, w) => s"($p, $w::DECIMAL(18,10))" }
+                       .mkString(",\n            |  ")}),
+            |idcg AS (
+            |  SELECT sum((11 - p) * w) AS iw FROM disc),
+            |dcg AS (
+            |  SELECT i.qid, sum((11 - x.ra) * disc.w) AS dw
+            |  FROM ivf i JOIN exact x ON i.qid = x.qid AND i.vec_id = x.vec_id
+            |  JOIN disc ON disc.p = i.rk
+            |  GROUP BY i.qid)
+            |SELECT q.qid,
+            |  round(CAST(COALESCE(dcg.dw, 0) AS DOUBLE)
+            |    / CAST(idcg.iw AS DOUBLE), 6) AS ndcg
+            |FROM q CROSS JOIN idcg LEFT JOIN dcg ON q.qid = dcg.qid
+            |ORDER BY q.qid""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") >= BatchQ).select("vec_id", "e")
+      val queries = emb.filter(col("vec_id") < BatchQ)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wexact = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val exact = corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .withColumn("ra", row_number().over(wexact).cast("long"))
+        .filter(col("ra") <= RboK)
+        .select("qid", "vec_id", "ra")
+      val ivf = graft.operators.Similarity.ivfTopKBatch(
+          corpus, "vec_id", "e",
+          emb.filter(col("vec_id") < NCentroids)
+            .select(col("vec_id").as("cid"), col("e").as("cvec")),
+          "cid", "cvec",
+          emb.filter(col("vec_id") < BatchQ), "vec_id", "e",
+          k = RboK, nProbe = NProbe)
+        .select(col("qid"), col("vec_id"), col("rk"))
+      val disc = ndcgDisc.map { case (p, w) => (p.toLong, BigDecimal(w)) }
+        .toDF("p", "w")
+      val idcg = disc.agg(
+        sum((lit(11) - col("p")) * col("w")).as("iw"))
+      val dcg = ivf.join(exact, Seq("qid", "vec_id"))
+        .join(broadcast(disc), col("p") === col("rk"))
+        .groupBy("qid")
+        .agg(sum((lit(11) - col("ra")) * col("w")).as("dw"))
+      queries.select("qid").join(dcg, Seq("qid"), "left")
+        .crossJoin(broadcast(idcg))
+        .select(col("qid"),
+          round(coalesce(col("dw").cast("double"), lit(0.0))
+            / col("iw").cast("double"), 6).as("ndcg"))
+        .orderBy("qid")
+    })
+
+  val all: Seq[Q] =
+    Seq(q219_jl_projection, q220_dim_corr, q222_rbo, q226_ndcg)
 }
