@@ -3,10 +3,10 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Iterative graph analytics beyond connected components (Dedup): a
-  * fixed-iteration PageRank whose per-iteration arithmetic is engine- and
-  * partitioning-independent, so the trained scores are reproducible AND
-  * replayable by a SQL oracle.
+/** Iterative graph analytics beyond connected components (Dedup):
+  * fixed-iteration PageRank and HITS whose per-iteration arithmetic is
+  * engine- and partitioning-independent, so the trained scores are
+  * reproducible AND replayable by a SQL oracle.
   */
 object Graph {
 
@@ -59,6 +59,51 @@ object Graph {
     val out = pr.localCheckpoint(true)
     nodes.unpersist()
     withDeg.unpersist()
+    out
+  }
+
+  /** Fixed-iteration HITS (hubs & authorities, Kleinberg) over a directed
+    * edge list (src, dst). Each iteration: authority(dst) = Σ hub of
+    * in-neighbors, hub(src) = Σ authority of out-neighbors, each side
+    * max-normalized (÷ max, not L2 — no cross-engine sqrt-of-sum enters
+    * the recurrence) and rounded to 12 decimals.
+    *
+    * Determinism: the same round-to-12 + DECIMAL(28,12)-sum rule as
+    * [[pageRank]] makes both reductions partial-agg-order independent;
+    * the max-norm divisor is an exact double max. So 3 iterations on
+    * 1000 executors reproduce the oracle bit-for-bit.
+    *
+    * Shape at scale: per iteration, one edges⋈scores join keyed on one
+    * endpoint + one hash agg on the other + one broadcast of the 1-row
+    * max — constant shuffle count, node-keyed throughout; nothing is
+    * ever collected. Returns ('auth'|'hub', node, score) with score
+    * rounded to 6.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; every iteration's lineage reads it
+    var hub = e.select(col("src")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val ar = e.join(hub, "src")
+        .select(col("dst"), round(col("h"), 12).cast("decimal(28,12)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast("double").as("a"))
+      auth = ar.crossJoin(broadcast(ar.agg(max(col("a")).as("am"))))
+        .select(col("dst"), round(col("a") / col("am"), 12).as("a"))
+      val hr = e.join(auth, "dst")
+        .select(col("src"), round(col("a"), 12).cast("decimal(28,12)").as("c"))
+        .groupBy("src").agg(sum(col("c")).cast("double").as("h"))
+      hub = hr.crossJoin(broadcast(hr.agg(max(col("h")).as("hm"))))
+        .select(col("src"), round(col("h") / col("hm"), 12).as("h"))
+    }
+    val out = auth.select(lit("auth").as("side"), col("dst").as("node"),
+        round(col("a"), 6).as("score"))
+      .union(hub.select(lit("hub").as("side"), col("src").as("node"),
+        round(col("h"), 6).as("score")))
+      .localCheckpoint(true)
+    e.unpersist()
     out
   }
 }

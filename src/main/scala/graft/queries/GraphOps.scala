@@ -452,6 +452,54 @@ object GraphOps {
       per.union(total).orderBy("label")
     })
 
+  private val HitsIters = 3
+
+  /** HITS hubs & authorities on the supplier→part graph (the q117
+    * edge derivation): suppliers are hubs (they point at many parts),
+    * part buckets are authorities (pointed at by many suppliers) — the
+    * two-sided importance measure PageRank's single score conflates on
+    * bipartite-ish graphs. Max-normalized, 3 fixed iterations, every
+    * reduction round-12 + decimal-summed (operators/Graph.hits). The
+    * oracle unrolls the identical recurrence. */
+  val q228_hits = Q(
+    "q228_hits", {
+      def iter(prev: String, k: String) =
+        s"""ar$k AS (
+           |  SELECT e.dst, CAST(sum(CAST(round(p.h, 12) AS DECIMAL(28,12)))
+           |    AS DOUBLE) AS a
+           |  FROM e JOIN h$prev p ON p.src = e.src GROUP BY e.dst),
+           |a$k AS (
+           |  SELECT dst, round(a / (SELECT max(a) FROM ar$k), 12) AS a
+           |  FROM ar$k),
+           |hr$k AS (
+           |  SELECT e.src, CAST(sum(CAST(round(q.a, 12) AS DECIMAL(28,12)))
+           |    AS DOUBLE) AS h
+           |  FROM e JOIN a$k q ON q.dst = e.dst GROUP BY e.src),
+           |h$k AS (
+           |  SELECT src, round(h / (SELECT max(h) FROM hr$k), 12) AS h
+           |  FROM hr$k)""".stripMargin
+      Some(s"""WITH e AS (
+              |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+              |  FROM lineitem),
+              |h0 AS (SELECT DISTINCT src, CAST(1 AS DOUBLE) AS h FROM e),
+              |${iter("0", "1")},
+              |${iter("1", "2")},
+              |${iter("2", "3")}
+              |SELECT side, node, score FROM (
+              |  SELECT 'auth' AS side, dst AS node, round(a, 6) AS score
+              |  FROM a3
+              |  UNION ALL
+              |  SELECT 'hub' AS side, src AS node, round(h, 6) AS score
+              |  FROM h3)
+              |ORDER BY side, node""".stripMargin)
+    },
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      graft.operators.Graph.hits(edges, HitsIters)
+        .orderBy("side", "node")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
-    q199_link_prediction, q216_assortativity, q223_modularity)
+    q199_link_prediction, q216_assortativity, q223_modularity, q228_hits)
 }

@@ -296,7 +296,63 @@ object StreamQ {
         .orderBy("user_id")
     })
 
+  /** Streaming LEFT OUTER interval join run to completion ≡ batch left
+    * join restricted to DECIDABLE non-matches: matched pairs emit as in
+    * q71; an unmatched click emits null-padded only when Spark evicts
+    * its state. "Did not convert" becomes a fact once the watermark
+    * passes click + horizon, but Spark's two-sided interval analysis
+    * (JoinStateWatermarkPredicates over r ≥ l ∧ r ≤ l + horizon) holds
+    * left state a FULL HORIZON longer — eviction at watermark − horizon,
+    * measured empirically and pinned here: the oracle admits an
+    * unmatched click iff (tus + 2·horizon)//1000 < max_us//1000 at the
+    * watermark's ms granularity (the q92 boundary device extended from
+    * aggregation state to join-state eviction). The deferred emission is
+    * the price of the outer signal; state stays bounded exactly as in
+    * the inner form. */
+  val q230_stream_left_outer = Q(
+    "q230_stream_left_outer",
+    Some("""WITH l AS (
+            |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events WHERE event_type = 'click'),
+            |r AS (
+            |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events WHERE event_type = 'purchase'),
+            |mx AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS max_us
+            |       FROM events),
+            |m AS (
+            |  SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+            |    l.user_id AS user_id
+            |  FROM l JOIN r ON l.user_id = r.user_id
+            |    AND r.tus >= l.tus AND r.tus <= l.tus + 3600000000),
+            |um AS (
+            |  SELECT l.event_id AS click_id, CAST(NULL AS BIGINT)
+            |      AS purchase_id, l.user_id AS user_id
+            |  FROM l CROSS JOIN mx
+            |  WHERE NOT EXISTS (
+            |      SELECT 1 FROM r WHERE r.user_id = l.user_id
+            |        AND r.tus >= l.tus AND r.tus <= l.tus + 3600000000)
+            |    AND (l.tus + 7200000000) // 1000 < mx.max_us // 1000)
+            |SELECT click_id, purchase_id, user_id FROM m
+            |UNION ALL SELECT click_id, purchase_id, user_id FROM um
+            |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin),
+    (s, d) => {
+      val base = eventStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("ets"))
+      def side(tpe: String) = base.filter(col("event_type") === tpe)
+        .select("event_id", "user_id", "ets")
+      val joined = StreamingOps.intervalJoin(
+        side("click"), side("purchase"), "user_id",
+        horizon = "1 hour", watermark = "0 seconds", tsCol = "ets",
+        joinType = "leftOuter")
+      runToSink(joined, "q230_sink")
+        .select(col("l_event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"))
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
-    q142_stream_tws_totals)
+    q142_stream_tws_totals, q230_stream_left_outer)
 }

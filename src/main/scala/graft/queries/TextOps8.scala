@@ -486,7 +486,89 @@ object TextOps8 {
         .orderBy("source")
     })
 
+  private val SwChunk = 20 // tokens per language-ID chunk
+
+  /** Code-switch audit: language ID at CHUNK granularity (q82's
+    * non-overlapping token windows × q31's decision rule), then per-doc
+    * consistency — majority language, distinct predicted languages, and
+    * switch ratio (1 − majority share). A document whose chunks disagree
+    * is mixed-language (or template-injected) content that a doc-level
+    * language filter silently mislabels — the standard curation miss
+    * this audit surfaces.
+    *
+    * Scale shape: chunking is a scan-side explode bounded by
+    * tokens/chunk-size per doc; everything after is (doc, lang)-keyed
+    * hash aggs plus one doc-keyed majority window on the chunk-count
+    * grid — nothing corpus-pairwise, nothing collected. */
+  val q229_code_switch = Q(
+    "q229_code_switch",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            |ch AS (
+            |  SELECT doc_id,
+            |    list_slice(t, (c - 1) * $SwChunk + 1,
+            |      least(c * $SwChunk, len(t))) AS ctoks
+            |  FROM tok, unnest(generate_series(1,
+            |    CAST(ceil(len(t) / $SwChunk.0) AS BIGINT))) AS g(c)
+            |  WHERE len(t) > 0),
+            |pred AS (
+            |  SELECT doc_id,
+            |    CASE WHEN list_contains(ctoks, 'the') THEN 'en'
+            |         WHEN list_contains(ctoks, 'data') THEN 'de'
+            |         ELSE 'und' END AS plang
+            |  FROM ch),
+            |cnt AS (
+            |  SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS n
+            |  FROM pred GROUP BY doc_id, plang),
+            |tot AS (
+            |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+            |    CAST(count(*) AS BIGINT) AS n_langs
+            |  FROM cnt GROUP BY doc_id),
+            |maj AS (
+            |  SELECT doc_id, plang AS major_lang, n AS major_n FROM (
+            |    SELECT doc_id, plang, n, ROW_NUMBER() OVER (
+            |      PARTITION BY doc_id ORDER BY n DESC, plang) AS rn
+            |    FROM cnt) x WHERE rn = 1)
+            |SELECT t.doc_id, t.n_chunks, t.n_langs, m.major_lang,
+            |  round(1 - CAST(m.major_n AS DOUBLE) / t.n_chunks, 6)
+            |    AS switch_ratio
+            |FROM tot t JOIN maj m USING (doc_id)
+            |WHERE t.n_chunks >= 2 AND t.n_langs >= 2
+            |ORDER BY switch_ratio DESC, doc_id""".stripMargin),
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) > 0)
+      val pred = tok
+        .select(col("doc_id"), explode(expr(
+          s"sequence(bigint(1), cast(ceil(size(t) / $SwChunk.0) as bigint))"))
+          .as("cidx"), col("t"))
+        .select(col("doc_id"), expr(
+          s"slice(t, cast((cidx - 1) * $SwChunk + 1 as int), $SwChunk)")
+          .as("ctoks"))
+        .select(col("doc_id"),
+          when(array_contains(col("ctoks"), "the"), "en")
+            .when(array_contains(col("ctoks"), "data"), "de")
+            .otherwise("und").as("plang"))
+      val cnt = pred.groupBy("doc_id", "plang").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("doc_id")
+        .agg(sum(col("n")).as("n_chunks"), count(lit(1)).as("n_langs"))
+      val wmaj = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("n").desc, col("plang"))
+      val maj = cnt.withColumn("rn", row_number().over(wmaj))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("major_lang"),
+          col("n").as("major_n"))
+      tot.join(maj, "doc_id")
+        .filter(col("n_chunks") >= 2 && col("n_langs") >= 2)
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("major_lang"),
+          round(lit(1) - col("major_n").cast("double") / col("n_chunks"), 6)
+            .as("switch_ratio"))
+        .orderBy(col("switch_ratio").desc, col("doc_id"))
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
     q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams,
-    q198_lsh_recall, q218_chargram_topk, q221_readability)
+    q198_lsh_recall, q218_chargram_topk, q221_readability, q229_code_switch)
 }
