@@ -347,4 +347,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(countOf(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("q220: Gram moments come from ONE corpus pass; all joins broadcast") {
+    // the corpus is read exactly once (the mapPartitions moments scan is
+    // materialized by localCheckpoint, so the executed plan reads the
+    // per-partition summary rows); pair-index/dim/total attachment must
+    // all broadcast — a hash shuffle of anything corpus-shaped here
+    // would mean the row-expansion regression came back
+    val p = plan("q220_dim_corr")
+    assert(!p.contains("FileScan parquet") && !p.contains("Scan parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q225/q227: survival and seasonal windows run on aggregated grids, not rows") {
+    // KM: the only unpartitioned Sorts/Windows order the ≤span-sized day
+    // grid AFTER the (dur_days) hash agg; seasonal: the dense grid join
+    // broadcasts and the baseline re-enters as a broadcast
+    val p225 = plan("q225_kaplan_meier")
+    assert(p225.contains("Window"), p225)
+    assert(countOf(p225, "Exchange hashpartitioning") <= 3, p225)
+    val p227 = plan("q227_seasonal_anomaly")
+    assert(p227.contains("BroadcastHashJoin"), p227)
+    assert(p227.contains("TakeOrderedAndProject"), p227)
+    assert(!p227.contains("SortMergeJoin"), p227)
+  }
+
+  test("q228: HITS iterations read materialized scores — no per-iteration corpus re-scan") {
+    // Graph.hits materializes via localCheckpoint at the end and persists
+    // the edge frame; the executed plan may re-read edges per iteration
+    // from the CACHED distinct frame (InMemoryTableScan), never the
+    // parquet file more than once
+    val p = plan("q228_hits")
+    assert(countOf(p, "FileScan parquet").max(countOf(p, "Scan parquet")) <= 1, p)
+  }
 }
