@@ -106,4 +106,45 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** Bounded multi-source BFS: exact hop distances from each probe node
+    * to every node within `maxHops`, over an undirected edge list
+    * (symmetrize before calling if needed). Returns (probe, node, dist)
+    * with dist = the MINIMUM hop count.
+    *
+    * Level-synchronous frontier expansion — the textbook distributed
+    * BFS: each round joins the current frontier to the edge list on the
+    * frontier node (one node-keyed shuffle), min-aggregates candidate
+    * distances, and anti-joins out already-settled nodes, so a node
+    * enters the distance table exactly once, at its true distance.
+    * Rounds are materialized (localCheckpoint) like the CC fixpoint —
+    * lineage stays constant-depth, retries re-read a materialized
+    * frontier instead of replaying k joins. Frontier size is bounded by
+    * the reachable set; nothing is ever collected. Integer distances ⇒
+    * nothing to round; the result is trivially engine-exact.
+    */
+  def bfsHops(edges: DataFrame, probes: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = probes.select(col("probe"), col("probe").as("node"),
+      lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var hop = 1L
+    while (hop <= maxHops && frontier.take(1).nonEmpty) {
+      val candidates = frontier.join(e, frontier("node") === e("u"))
+        .select(col("probe"), col("v").as("node"))
+        .distinct()
+      frontier = candidates
+        .join(dist.select(col("probe"), col("node")), Seq("probe", "node"),
+          "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      dist = dist.union(frontier).localCheckpoint(true)
+      hop += 1
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -500,6 +500,57 @@ object GraphOps {
         .orderBy("side", "node")
     })
 
+  private val BfsHops = 4
+  private val BfsProbes = 3
+
+  /** Multi-source BFS hop histogram on the supplier↔part graph (q117's
+    * edges, symmetrized; supplier and part-bucket ids disambiguated by
+    * even/odd encoding): exact hop distances from the 3 lowest supplier
+    * nodes, reported as nodes-per-(probe, dist). The reachability
+    * profile is the locality diagnostic behind "how many hops until the
+    * graph saturates" — PageRank/HITS say who matters, this says how
+    * FAR things are. Level-synchronous frontier expansion
+    * (operators/Graph.bfsHops); oracle is a depth-bounded recursive CTE
+    * min-distance closure. Integer distances — nothing to round. */
+  val q232_bfs_hops = Q(
+    "q232_bfs_hops",
+    Some(s"""WITH RECURSIVE base AS (
+            |  SELECT DISTINCT l_suppkey * 2 AS u,
+            |    (l_partkey % 100) * 2 + 1 AS v
+            |  FROM lineitem),
+            |e AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+            |probes AS (
+            |  SELECT u AS probe FROM (SELECT DISTINCT u FROM base) t
+            |  ORDER BY u LIMIT $BfsProbes),
+            |walk(probe, node, d) AS (
+            |  SELECT probe, probe, 0 FROM probes
+            |  UNION
+            |  SELECT w.probe, e.v, w.d + 1
+            |  FROM walk w JOIN e ON e.u = w.node
+            |  WHERE w.d < $BfsHops),
+            |dist AS (
+            |  SELECT probe, node, min(d) AS d FROM walk GROUP BY probe, node)
+            |SELECT probe, CAST(d AS BIGINT) AS dist,
+            |  CAST(count(*) AS BIGINT) AS n_nodes
+            |FROM dist GROUP BY probe, d
+            |ORDER BY probe, dist""".stripMargin),
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select((col("l_suppkey") * 2).as("u"),
+          ((col("l_partkey") % 100) * 2 + 1).as("v"))
+        .distinct()
+      val edges = base.union(base.select(col("v").as("u"), col("u").as("v")))
+        .toDF("src", "dst")
+      val probes = base.select(col("u")).distinct()
+        .orderBy("u").limit(BfsProbes)
+        .select(col("u").as("probe"))
+      graft.operators.Graph.bfsHops(edges, probes, BfsHops)
+        .groupBy("probe", "dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("probe", "dist")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
-    q199_link_prediction, q216_assortativity, q223_modularity, q228_hits)
+    q199_link_prediction, q216_assortativity, q223_modularity, q228_hits,
+    q232_bfs_hops)
 }

@@ -336,8 +336,48 @@ object Relational5 {
         .orderBy("column_name")
     })
 
+  private val AsOfTolDays = 7L
+  private val AsOfTolUs = AsOfTolDays * 86400000000L
+
+  /** As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, the
+    * staleness cap every feature-store lookup needs): each event takes
+    * the latest order at-or-before it, but a match older than the
+    * tolerance is DROPPED to null — a stale feature is worse than no
+    * feature. Composition, not a new operator: the q24 union-interleave
+    * as-of carries (match time, value) as a struct (time leads, so the
+    * window's last() still picks the greatest match deterministically),
+    * and one scan-side predicate applies the staleness cap in exact
+    * microsecond longs. Same one-shuffle plan as q24. */
+  val q233_asof_tolerance = Q(
+    "q233_asof_tolerance",
+    Some(s"""SELECT event_id, user_id,
+            |  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders
+            |   WHERE o_custkey = user_id AND o_orderdate <= ts
+            |     AND o_orderdate >= ts - INTERVAL $AsOfTolDays DAY)
+            |    AS recent_order_day
+            |FROM events
+            |ORDER BY event_id""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts_us"),
+        expr("ts div 1000").as("tus"))
+      graft.operators.AsOfJoin.leftAsOf(
+          ev, "user_id", "ts_us",
+          Tables.orders(s, d), "o_custkey", "o_orderdate",
+          struct(
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("t"),
+            to_date(col("o_orderdate")).as("day")),
+          "m")
+        .select(col("event_id"), col("user_id"),
+          when(col("m").isNotNull &&
+            col("tus") - col("m.t") <= AsOfTolUs, col("m.day"))
+            .as("recent_order_day"))
+        .orderBy("event_id")
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
     q124_regexp_extract_all, q126_window_nav, q127_agg_filter,
-    q132_bloom_join, q189_column_profile)
+    q132_bloom_join, q189_column_profile, q233_asof_tolerance)
 }
