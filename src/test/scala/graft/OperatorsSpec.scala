@@ -192,4 +192,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((10L, 0L, 0L), (11L, 0L, 1L), (12L, 0L, 1L),
       (20L, 1L, 0L), (21L, 1L, 1L)))
   }
+
+  test("bfsHops: exact hop distances on a known graph, frontier never revisits") {
+    // path 1-2-3-4-5 plus a shortcut 1-4: dist(1→4) must be 1 (shortcut
+    // wins over the 3-hop path), dist(1→5)=2, and nodes beyond maxHops
+    // are absent
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val edges = base.union(base.select($"dst".as("src"), $"src".as("dst")))
+    val probes = Seq(1L).toDF("probe")
+    val got = graft.operators.Graph.bfsHops(edges, probes, maxHops = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (1L, 4L, 1L), (1L, 5L, 2L)))
+  }
+
+  test("bfsHops: maxHops bounds the result; unreachable components never appear") {
+    val base = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val edges = base.union(base.select($"dst".as("src"), $"src".as("dst")))
+    val got = graft.operators.Graph.bfsHops(
+        edges, Seq(1L).toDF("probe"), maxHops = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (1L, 2L, 1L))) // 3 is 2 hops, 8/9 disconnected
+  }
+
+  test("hits: star graph concentrates authority on the hub's target") {
+    // hubs 1,2,3 all point at authority 100; 1 also points at 101.
+    // After max-normalization: auth(100)=1 (three in-links), hub scores
+    // max-normalized with node 1 (two out-links) at 1.0
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 101L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.hits(edges, iters = 2)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("auth", 100L)) == 1.0)
+    assert(got(("auth", 101L)) < 1.0 && got(("auth", 101L)) > 0.0)
+    assert(got(("hub", 1L)) == 1.0)
+    assert(got(("hub", 2L)) == got(("hub", 3L)))
+    assert(got(("hub", 2L)) < 1.0)
+  }
 }
