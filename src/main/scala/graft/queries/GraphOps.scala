@@ -550,7 +550,73 @@ object GraphOps {
         .orderBy("probe", "dist")
     })
 
+  private val LpaRounds = 3
+
+  /** Synchronous label-propagation communities (LPA) on the q232 graph:
+    * every node simultaneously adopts its neighbors' most frequent
+    * label, ties to the SMALLEST label — the deterministic variant of
+    * Raghavan's LPA (async LPA is order-dependent; the sync+min-tie rule
+    * makes every round a pure function of the previous labeling, so the
+    * result is engine- and partitioning-exact). Unlike connected
+    * components (which merges everything reachable), LPA's fixed rounds
+    * find DENSE groups; unlike q223 (which scores a given partition),
+    * this DISCOVERS one.
+    *
+    * Scale shape per round: one edges⋈labels node-keyed join, one
+    * (node, label) hash agg, one per-node argmax window on the
+    * label-count grid — constant shuffle count, rounds materialized
+    * (the HITS/CC discipline). Oracle unrolls the rounds as MATERIALIZED
+    * CTEs. */
+  val q236_label_prop = Q(
+    "q236_label_prop", {
+      def round(prev: String, k: String) =
+        s"""l$k AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT c.node, c.label,
+           |      ROW_NUMBER() OVER (PARTITION BY c.node
+           |        ORDER BY c.cnt DESC, c.label) AS rn
+           |    FROM (
+           |      SELECT e.u AS node, p.label, count(*) AS cnt
+           |      FROM e JOIN l$prev p ON p.node = e.v
+           |      GROUP BY e.u, p.label) c) t
+           |  WHERE rn = 1)""".stripMargin
+      Some(s"""WITH base AS (
+              |  SELECT DISTINCT l_suppkey * 2 AS u,
+              |    (l_partkey % 100) * 2 + 1 AS v
+              |  FROM lineitem),
+              |e AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+              |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+              |${round("0", "1")},
+              |${round("1", "2")},
+              |${round("2", "3")}
+              |SELECT node, label FROM l$LpaRounds
+              |ORDER BY node""".stripMargin)
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, d)
+        .select((col("l_suppkey") * 2).as("u"),
+          ((col("l_partkey") % 100) * 2 + 1).as("v"))
+        .distinct()
+      val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true)
+      var labels = e.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
+      for (_ <- 0 until LpaRounds) {
+        labels = e.join(labels.toDF("v", "label"), "v")
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("node", "label")
+          .localCheckpoint(true)
+      }
+      labels.orderBy("node")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
     q199_link_prediction, q216_assortativity, q223_modularity, q228_hits,
-    q232_bfs_hops)
+    q232_bfs_hops, q236_label_prop)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions.hexSpanValSql
 
 /** Relational surface, part 5: correlated existence subqueries, LATERAL
   * joins, the exact-percentile family (median / percentile_disc /
@@ -376,8 +377,66 @@ object Relational5 {
         .orderBy("event_id")
     })
 
+  /** Bloom-filter FALSE-POSITIVE-RATE audit — the measurement behind
+    * q132's semi-join reduction: every true NON-member key (ground truth
+    * from an anti-join) probes the REAL mask `BloomJoin.buildMask`
+    * produced, and the measured FPR sits next to the standard
+    * (1−e^{−kn/m})^k bound. A hash-family or masking bug shows up as
+    * measured ≫ bound; an oversized mask as measured ≈ 0 ≪ bound. The
+    * oracle recomputes every bit position from the same md5 place-value
+    * device (`hexSpanValSql` ≡ the operator's `conv(substr(md5..)))`),
+    * so the filter's exact decisions — not just the count — are what the
+    * hash checks. Only key sets and the KB-scale bit mask move. */
+  val q235_bloom_fpr = Q(
+    "q235_bloom_fpr", {
+      def pos(seedExpr: String, keyExpr: String) =
+        s"(${hexSpanValSql(s"md5($seedExpr || '|' || CAST($keyExpr AS VARCHAR))", 0, 8)} % $BloomM)"
+      Some(s"""WITH members AS (
+              |  SELECT DISTINCT s_suppkey AS key FROM supplier
+              |  WHERE s_nationkey = $BloomNation),
+              |seeds AS (SELECT CAST(i AS VARCHAR) AS s
+              |          FROM generate_series(0, ${BloomK - 1}) t(i)),
+              |bits AS (
+              |  SELECT DISTINCT ${pos("s", "key")} AS b
+              |  FROM members CROSS JOIN seeds),
+              |probes AS (
+              |  SELECT DISTINCT l_suppkey AS key FROM lineitem
+              |  WHERE l_suppkey NOT IN (SELECT key FROM members)),
+              |hits AS (
+              |  SELECT p.key, CAST(count(*) AS BIGINT) AS nhit
+              |  FROM probes p CROSS JOIN seeds s
+              |  JOIN bits ON bits.b = ${pos("s.s", "p.key")}
+              |  GROUP BY p.key),
+              |fp AS (SELECT key FROM hits WHERE nhit = $BloomK)
+              |SELECT
+              |  CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+              |  CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+              |  CAST((SELECT count(*) FROM fp) AS BIGINT) AS n_false_pos,
+              |  round(CAST((SELECT count(*) FROM fp) AS DOUBLE)
+              |    / (SELECT count(*) FROM probes), 6) AS fpr""".stripMargin)
+    },
+    (s, d) => {
+      import graft.operators.BloomJoin
+      val members = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === BloomNation)
+        .select(col("s_suppkey").as("key")).distinct()
+      val mask = BloomJoin.buildMask(members, "key", BloomM, BloomK)
+      val probes = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("key")).distinct()
+        .join(members, Seq("key"), "left_anti")
+        .localCheckpoint(true) // feeds the probe filter AND its own count
+      val fp = BloomJoin.probeFilter(probes, "key", mask, BloomM, BloomK)
+      members.agg(count(lit(1)).as("n_members"))
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+        .crossJoin(fp.agg(count(lit(1)).as("n_false_pos")))
+        .select(col("n_members"), col("n_probes"), col("n_false_pos"),
+          round(col("n_false_pos").cast("double") / col("n_probes"), 6)
+            .as("fpr"))
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
     q124_regexp_extract_all, q126_window_nav, q127_agg_filter,
-    q132_bloom_join, q189_column_profile, q233_asof_tolerance)
+    q132_bloom_join, q189_column_profile, q233_asof_tolerance,
+    q235_bloom_fpr)
 }
