@@ -183,5 +183,58 @@ object EventOps3 {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(q225_kaplan_meier, q227_seasonal_anomaly)
+  /** Time-weighted average value (TWAP) per user-day — the temporal
+    * integral the plain mean gets wrong when observations are unevenly
+    * spaced: each value is weighted by how LONG it held (until the next
+    * event), normalized by the observed span. Step-function-integral
+    * semantics, last value contributes nothing (no successor interval) —
+    * stated in the docstring because both engines must replay the same
+    * convention.
+    *
+    * Scale shape: one (user, day)-keyed window for the successor time +
+    * one hash agg on the same key — a single shuffle. Exactness: value
+    * is exact DECIMAL(18,2), dt exact µs longs, the weighted sum is an
+    * exact decimal; one final double division + round(6). */
+  val q239_twap = Q(
+    "q239_twap",
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+            |    CAST(epoch_us(ts) AS BIGINT) // $DayUs AS day,
+            |    CAST(value AS DECIMAL(18,2)) AS v, event_id
+            |  FROM events),
+            |seg AS (
+            |  SELECT user_id, day, tus, v,
+            |    lead(tus) OVER (PARTITION BY user_id, day
+            |      ORDER BY tus, event_id) AS nxt
+            |  FROM ev),
+            |agg AS (
+            |  SELECT user_id, day,
+            |    CAST(count(*) AS BIGINT) AS n_events,
+            |    sum(CASE WHEN nxt IS NOT NULL THEN v * (nxt - tus) END) AS wsum,
+            |    max(tus) - min(tus) AS span
+            |  FROM seg GROUP BY user_id, day)
+            |SELECT user_id, day, n_events,
+            |  round(CAST(wsum AS DOUBLE) / span, 6) AS twap
+            |FROM agg WHERE span > 0
+            |ORDER BY user_id, day""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          expr(s"(ts div 1000) div $DayUs").as("day"),
+          col("value").cast("decimal(18,2)").as("v"), col("event_id"))
+        .withColumn("nxt", lead(col("tus"), 1).over(w))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("nxt").isNotNull,
+            col("v") * (col("nxt") - col("tus")))).as("wsum"),
+          (max(col("tus")) - min(col("tus"))).as("span"))
+        .filter(col("span") > 0)
+        .select(col("user_id"), col("day"), col("n_events"),
+          round(col("wsum").cast("double") / col("span"), 6).as("twap"))
+        .orderBy("user_id", "day")
+    })
+
+  val all: Seq[Q] =
+    Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap)
 }

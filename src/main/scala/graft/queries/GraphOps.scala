@@ -616,7 +616,65 @@ object GraphOps {
       labels.orderBy("node")
     })
 
+  private val PprProbes = 3
+
+  /** PERSONALIZED PageRank from the 3 lowest supplier nodes (q117's
+    * graph): random-walk-with-restart relevance — the "related to THESE
+    * items" recommendation score, where q117's uniform teleport measures
+    * global importance. Same round-12 decimal-sum per-iteration
+    * discipline; teleport enters as a broadcast membership join. Oracle
+    * unrolls the recurrence with the teleport CASE in place of the
+    * uniform 1/n term (binary 1−d, the q117 note). */
+  val q237_ppr = Q(
+    "q237_ppr", {
+      val dd = "CAST(0.85 AS DOUBLE)"
+      def iter(prev: String, k: String) =
+        s"""c$k AS (
+           |  SELECT e.dst, CAST(sum(CAST(round(p.pr / dg.deg, 12)
+           |    AS DECIMAL(28,12))) AS DOUBLE) AS s
+           |  FROM e JOIN p$prev p ON p.node = e.src
+           |  JOIN deg dg ON dg.src = e.src
+           |  GROUP BY e.dst),
+           |p$k AS (
+           |  SELECT t.node,
+           |    (CAST(1 AS DOUBLE) - $dd) * t.t
+           |      + $dd * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+           |  FROM t LEFT JOIN c$k c ON c.dst = t.node)""".stripMargin
+      Some(s"""WITH e AS (
+              |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+              |  FROM lineitem),
+              |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |        FROM e GROUP BY src),
+              |probes AS (
+              |  SELECT node FROM (SELECT DISTINCT l_suppkey AS node
+              |                    FROM lineitem) s
+              |  ORDER BY node LIMIT $PprProbes),
+              |t AS (
+              |  SELECT n.node,
+              |    CASE WHEN p.node IS NOT NULL
+              |         THEN CAST(1 AS DOUBLE) / (SELECT count(*) FROM probes)
+              |         ELSE CAST(0 AS DOUBLE) END AS t
+              |  FROM n LEFT JOIN probes p ON p.node = n.node),
+              |p0 AS (SELECT node, t AS pr FROM t),
+              |${iter("0", "1")},
+              |${iter("1", "2")},
+              |${iter("2", "3")}
+              |SELECT node, pr FROM p3
+              |ORDER BY node""".stripMargin)
+    },
+    (s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      val probes = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("node")).distinct()
+        .orderBy("node").limit(PprProbes)
+      graft.operators.Graph.pageRankPersonalized(
+          edges, probes, PrIters, Damping)
+        .orderBy("node")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
     q199_link_prediction, q216_assortativity, q223_modularity, q228_hits,
-    q232_bfs_hops, q236_label_prop)
+    q232_bfs_hops, q236_label_prop, q237_ppr)
 }

@@ -488,8 +488,86 @@ object LakeOps {
         .orderBy("layout")
     })
 
+  private val ChVirtual = 64   // virtual nodes per shard on the hash ring
+  private val ChFrom = 4       // shard count before the resize
+  private val ChTo = 5         // shard count after
+
+  /** Consistent-hashing resize audit: the movement matrix when a
+    * sharded layout grows from $ChFrom to $ChTo shards. Keys and ring
+    * positions are 13-hex-digit md5 values (the engine's portable-hash
+    * device); a key belongs to the shard owning the smallest ring
+    * position at-or-after it (wrapping). The report is the
+    * (from_shard → to_shard) doc-count matrix — consistent hashing's
+    * whole pitch is that the off-diagonal mass is ≈ 1/$ChTo, where
+    * modulo sharding moves almost everything; this entry MEASURES it.
+    *
+    * Scale shape: the ring (shards × $ChVirtual rows) is a constant-size
+    * broadcast; assignment is one scan-side min-over-ring argmin per key
+    * (a bounded cross join, the q219 probe-set rule). Pure integer hash
+    * arithmetic — nothing to round. */
+  val q238_shard_resize = Q(
+    "q238_shard_resize", {
+      def ring(n: Int, name: String) =
+        s"""$name AS (
+           |  SELECT s.i AS shard, ${hx(s"md5(s.i || '|' || v.i)")} AS rpos
+           |  FROM generate_series(0, ${n - 1}) s(i)
+           |  CROSS JOIN generate_series(0, ${ChVirtual - 1}) v(i))""".stripMargin
+      def assign(ringName: String, outName: String) =
+        s"""$outName AS (
+           |  SELECT doc_id, shard FROM (
+           |    SELECT k.doc_id, r.shard,
+           |      ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY
+           |        CASE WHEN r.rpos >= k.kpos THEN r.rpos - k.kpos
+           |             ELSE r.rpos - k.kpos + 4503599627370496 END,
+           |        r.shard) AS rn
+           |    FROM keys k CROSS JOIN $ringName r) t
+           |  WHERE rn = 1)""".stripMargin
+      Some(s"""WITH keys AS (
+              |  SELECT doc_id, ${hx("md5(CAST(doc_id AS VARCHAR))")} AS kpos
+              |  FROM documents),
+              |${ring(ChFrom, "ring_a")},
+              |${ring(ChTo, "ring_b")},
+              |${assign("ring_a", "asg_a")},
+              |${assign("ring_b", "asg_b")}
+              |SELECT a.shard AS from_shard, b.shard AS to_shard,
+              |  CAST(count(*) AS BIGINT) AS n_docs
+              |FROM asg_a a JOIN asg_b b ON a.doc_id = b.doc_id
+              |GROUP BY a.shard, b.shard
+              |ORDER BY from_shard, to_shard""".stripMargin)
+    },
+    (s, d) => {
+      def ringDf(n: Int) = s.range(n).select(col("id").as("shard"))
+        .crossJoin(s.range(ChVirtual).select(col("id").as("v")))
+        .select(col("shard"),
+          expr(hx("md5(shard || '|' || v)")).as("rpos"))
+      val keys = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(hx("md5(CAST(doc_id AS STRING))")).as("kpos"))
+      def assign(ring: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("doc_id").orderBy(
+          when(col("rpos") >= col("kpos"), col("rpos") - col("kpos"))
+            .otherwise(col("rpos") - col("kpos") + 4503599627370496L),
+          col("shard"))
+        keys.crossJoin(broadcast(ring))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("shard"))
+      }
+      assign(ringDf(ChFrom)).toDF("doc_id", "from_shard")
+        .join(assign(ringDf(ChTo)).toDF("doc_id", "to_shard"), "doc_id")
+        .groupBy("from_shard", "to_shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("from_shard", "to_shard")
+    })
+
+  /** 13-hex-digit md5 span as BIGINT (52-bit) — the shared ring/key
+    * position hash. */
+  private def hx(md5Expr: String) =
+    graft.functions.TextFunctions.hexSpanValSql(md5Expr, 0, 13)
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
     q130_asof_snapshot, q138_minmax_prune, q154_join_ivm,
-    q157_csv_roundtrip, q158_orc_roundtrip, q201_layout_skipping)
+    q157_csv_roundtrip, q158_orc_roundtrip, q201_layout_skipping,
+    q238_shard_resize)
 }
