@@ -79,7 +79,7 @@ object Bench {
     val results = timed.map { case (q, sec, _) => q.name -> sec }
     // The full-catalog pass carries 2-4× ordering/contention noise per
     // entry (SCALE.md) — a regression on one query is invisible in it. So
-    // after the pass, re-time the top-10 most expensive SUCCESSFUL
+    // after the pass, re-time the top-20 most expensive SUCCESSFUL
     // entries one at a time (caches cleared between, everything already
     // warm) and record that second map alongside: "queries" = catalog
     // order in one process, "isolated" = clean steady-state per entry.
@@ -88,7 +88,7 @@ object Bench {
     // failure, not masquerade as a near-zero isolated "time".
     val isolatedRaw =
       if (only.isDefined) Seq.empty[(String, (Double, Option[String]))]
-      else timed.filter(_._3.isEmpty).sortBy(-_._2).take(10).map { case (q, _, _) =>
+      else timed.filter(_._3.isEmpty).sortBy(-_._2).take(20).map { case (q, _, _) =>
         q.name -> timeEntry(spark, sfDir, q)
       }
     val isolated = isolatedRaw.collect { case (n, (sec, None)) => n -> sec }
@@ -101,8 +101,19 @@ object Bench {
       else s""","errors":${errors.map(jsonStr).mkString("[", ",", "]")}"""
     val isoJson =
       if (isolated.isEmpty) "" else s""","isolated":${jsonMap(isolated)}"""
+    // Entries timed in single-wave (production per-batch) shape under
+    // spark.graft.bench.singleWave — a DIFFERENT computation than the
+    // 3-wave replay the correctness harness verifies under the same
+    // name. Recorded so artifact consumers can tell the timed shape from
+    // the verified shape (ADVICE r7) and so these numbers are not
+    // compared against rounds 1-6, which timed the replay.
+    val singleWave = Seq("q170_incremental_neardup", "q177_incremental_cc")
+      .filter(n => results.exists(_._1 == n))
+    val swJson =
+      if (singleWave.isEmpty) ""
+      else s""","single_wave":${singleWave.map(jsonStr).mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(results)}$isoJson$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(results)}$isoJson$swJson$errJson,"sf":"$sfDir"}"""
     // Per-query detail goes ONLY to target/bench.json; stdout carries a short
     // total-only line. The driver captures a bounded TAIL of stdout — a long
     // line can start outside the window and become unparseable (BENCH_r01/r02

@@ -182,8 +182,13 @@ object Graph {
     val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
-    var dist = probes.select(col("probe"), col("probe").as("node"),
-      lit(0L).as("dist")).localCheckpoint(true)
+    // Dedup probes defensively (the other operators here distinct their
+    // inputs too): a duplicated probe row would duplicate every
+    // (probe, node, dist) row through the union below — the anti-join
+    // only guards keys ALREADY in dist, not same-round duplicates.
+    var dist = probes.select(col("probe")).distinct()
+      .select(col("probe"), col("probe").as("node"),
+        lit(0L).as("dist")).localCheckpoint(true)
     var frontier = dist
     var hop = 1L
     while (hop <= maxHops && frontier.take(1).nonEmpty) {

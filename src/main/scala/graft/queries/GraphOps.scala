@@ -454,8 +454,10 @@ object GraphOps {
 
   private val HitsIters = 3
 
-  /** HITS hubs & authorities on the supplier→part graph (the q117
-    * edge derivation): suppliers are hubs (they point at many parts),
+  /** HITS hubs & authorities on the supplier→part graph (supplier and
+    * part-bucket ids disambiguated by the q232/q236 even/odd encoding,
+    * so low supplier ids never collide with bucket ids):
+    * suppliers are hubs (they point at many parts),
     * part buckets are authorities (pointed at by many suppliers) — the
     * two-sided importance measure PageRank's single score conflates on
     * bipartite-ish graphs. Max-normalized, 3 fixed iterations, every
@@ -479,7 +481,8 @@ object GraphOps {
            |  SELECT src, round(h / (SELECT max(h) FROM hr$k), 12) AS h
            |  FROM hr$k)""".stripMargin
       Some(s"""WITH e AS (
-              |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+              |  SELECT DISTINCT l_suppkey * 2 AS src,
+              |    (l_partkey % 100) * 2 + 1 AS dst
               |  FROM lineitem),
               |h0 AS (SELECT DISTINCT src, CAST(1 AS DOUBLE) AS h FROM e),
               |${iter("0", "1")},
@@ -495,7 +498,8 @@ object GraphOps {
     },
     (s, d) => {
       val edges = Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+        .select((col("l_suppkey") * 2).as("src"),
+          ((col("l_partkey") % 100) * 2 + 1).as("dst"))
       graft.operators.Graph.hits(edges, HitsIters)
         .orderBy("side", "node")
     })
@@ -619,7 +623,11 @@ object GraphOps {
   private val PprProbes = 3
 
   /** PERSONALIZED PageRank from the 3 lowest supplier nodes (q117's
-    * graph): random-walk-with-restart relevance — the "related to THESE
+    * edge derivation, with supplier and part-bucket ids disambiguated
+    * by the q232/q236 even/odd encoding — the node set here is
+    * src ∪ dst, so an un-encoded low supplier id would conflate with a
+    * bucket id and receive inbound bucket mass, ADVICE r7):
+    * random-walk-with-restart relevance — the "related to THESE
     * items" recommendation score, where q117's uniform teleport measures
     * global importance. Same round-12 decimal-sum per-iteration
     * discipline; teleport enters as a broadcast membership join. Oracle
@@ -641,13 +649,14 @@ object GraphOps {
            |      + $dd * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
            |  FROM t LEFT JOIN c$k c ON c.dst = t.node)""".stripMargin
       Some(s"""WITH e AS (
-              |  SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+              |  SELECT DISTINCT l_suppkey * 2 AS src,
+              |    (l_partkey % 100) * 2 + 1 AS dst
               |  FROM lineitem),
               |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
               |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
               |        FROM e GROUP BY src),
               |probes AS (
-              |  SELECT node FROM (SELECT DISTINCT l_suppkey AS node
+              |  SELECT node FROM (SELECT DISTINCT l_suppkey * 2 AS node
               |                    FROM lineitem) s
               |  ORDER BY node LIMIT $PprProbes),
               |t AS (
@@ -665,9 +674,10 @@ object GraphOps {
     },
     (s, d) => {
       val edges = Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+        .select((col("l_suppkey") * 2).as("src"),
+          ((col("l_partkey") % 100) * 2 + 1).as("dst"))
       val probes = Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("node")).distinct()
+        .select((col("l_suppkey") * 2).as("node")).distinct()
         .orderBy("node").limit(PprProbes)
       graft.operators.Graph.pageRankPersonalized(
           edges, probes, PrIters, Damping)

@@ -501,10 +501,17 @@ object LakeOps {
     * whole pitch is that the off-diagonal mass is ≈ 1/$ChTo, where
     * modulo sharding moves almost everything; this entry MEASURES it.
     *
-    * Scale shape: the ring (shards × $ChVirtual rows) is a constant-size
-    * broadcast; assignment is one scan-side min-over-ring argmin per key
-    * (a bounded cross join, the q219 probe-set rule). Pure integer hash
-    * arithmetic — nothing to round. */
+    * Scale shape: each ring (shards × $ChVirtual rows, a constant) is
+    * packed into ONE array row (`collect_list`, the `Similarity`
+    * packed-centroid device) and crossed in as a broadcast; the owning
+    * shard is a scan-side `aggregate()` argmin over that array — a
+    * [dist, shard] running-min fold, clockwise distance via pmod so the
+    * key hash is referenced once per element. Both the before- and
+    * after-ring assignments happen in the SAME pass over documents, so
+    * there is no per-key window, no 320× crossJoin expansion, and no
+    * doc_id self-join; the only data shuffle is the final 20-group
+    * movement-matrix aggregation. Pure integer hash arithmetic (52-bit
+    * values in longs) — nothing to round. */
   val q238_shard_resize = Q(
     "q238_shard_resize", {
       def ring(n: Int, name: String) =
@@ -536,25 +543,32 @@ object LakeOps {
               |ORDER BY from_shard, to_shard""".stripMargin)
     },
     (s, d) => {
-      def ringDf(n: Int) = s.range(n).select(col("id").as("shard"))
-        .crossJoin(s.range(ChVirtual).select(col("id").as("v")))
-        .select(col("shard"),
-          expr(hx("md5(shard || '|' || v)")).as("rpos"))
-      val keys = Tables.documents(s, d)
+      // one-row packed ring: array of (rpos, shard) structs
+      def packedRing(n: Int, ringCol: String) =
+        s.range(n).select(col("id").as("shard"))
+          .crossJoin(s.range(ChVirtual).select(col("id").as("v")))
+          .select(struct(
+            expr(hx("md5(shard || '|' || v)")).as("rpos"),
+            col("shard")).as("__r"))
+          .agg(collect_list(col("__r")).as(ringCol))
+      // owning shard = argmin over the ring of the clockwise distance
+      // (rpos - kpos mod 2^52), ties to the lowest shard — one fold,
+      // no window (the Similarity.withNearestCid shape, min not max)
+      def owner(ringCol: String): org.apache.spark.sql.Column = aggregate(
+        transform(col(ringCol), r => array(
+          pmod(r("rpos") - col("kpos"), lit(4503599627370496L)),
+          r("shard"))),
+        array(lit(Long.MaxValue), lit(Long.MaxValue)),
+        (acc, p) => when(p(0) < acc(0) ||
+          (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc),
+        acc => acc(1))
+      Tables.documents(s, d)
         .select(col("doc_id"),
           expr(hx("md5(CAST(doc_id AS STRING))")).as("kpos"))
-      def assign(ring: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy("doc_id").orderBy(
-          when(col("rpos") >= col("kpos"), col("rpos") - col("kpos"))
-            .otherwise(col("rpos") - col("kpos") + 4503599627370496L),
-          col("shard"))
-        keys.crossJoin(broadcast(ring))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("shard"))
-      }
-      assign(ringDf(ChFrom)).toDF("doc_id", "from_shard")
-        .join(assign(ringDf(ChTo)).toDF("doc_id", "to_shard"), "doc_id")
+        .crossJoin(packedRing(ChFrom, "__ring_a"))
+        .crossJoin(packedRing(ChTo, "__ring_b"))
+        .select(owner("__ring_a").as("from_shard"),
+          owner("__ring_b").as("to_shard"))
         .groupBy("from_shard", "to_shard")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("from_shard", "to_shard")

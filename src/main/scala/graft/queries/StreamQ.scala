@@ -299,16 +299,17 @@ object StreamQ {
   /** Streaming LEFT OUTER interval join run to completion ≡ batch left
     * join restricted to DECIDABLE non-matches: matched pairs emit as in
     * q71; an unmatched click emits null-padded only when Spark evicts
-    * its state. "Did not convert" becomes a fact once the watermark
-    * passes click + horizon, but Spark's two-sided interval analysis
-    * (JoinStateWatermarkPredicates over r ≥ l ∧ r ≤ l + horizon) holds
-    * left state a FULL HORIZON longer — eviction at watermark − horizon,
-    * measured empirically and pinned here: the oracle admits an
-    * unmatched click iff (tus + 2·horizon)//1000 < max_us//1000 at the
-    * watermark's ms granularity (the q92 boundary device extended from
-    * aggregation state to join-state eviction). The deferred emission is
-    * the price of the outer signal; state stays bounded exactly as in
-    * the inner form. */
+    * its state. The eviction rule, pinned mechanically by
+    * StreamingOpsSpec's "eviction boundary" test (ADVICE r7 — the
+    * round-7 oracle encoded an equivalent-on-this-data empirical cutoff,
+    * tus + 2·horizon < max-over-ALL-events): the global watermark is the
+    * MIN over both branch watermarks (each = that side's max event time,
+    * delay 0, ms granularity), and an unmatched click is finalized iff
+    * its match-interval end sits STRICTLY below it —
+    * (tus + horizon)//1000 < least(max_click, max_purchase)//1000
+    * (the q92 boundary device extended from aggregation state to
+    * join-state eviction). The deferred emission is the price of the
+    * outer signal; state stays bounded exactly as in the inner form. */
   val q230_stream_left_outer = Q(
     "q230_stream_left_outer",
     Some("""WITH l AS (
@@ -317,8 +318,12 @@ object StreamQ {
             |r AS (
             |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
             |  FROM events WHERE event_type = 'purchase'),
-            |mx AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS max_us
-            |       FROM events),
+            |mx AS (SELECT least(
+            |    max(CASE WHEN event_type = 'click'
+            |        THEN CAST(epoch_us(ts) AS BIGINT) END),
+            |    max(CASE WHEN event_type = 'purchase'
+            |        THEN CAST(epoch_us(ts) AS BIGINT) END)) AS wm_us
+            |  FROM events),
             |m AS (
             |  SELECT l.event_id AS click_id, r.event_id AS purchase_id,
             |    l.user_id AS user_id
@@ -331,7 +336,7 @@ object StreamQ {
             |  WHERE NOT EXISTS (
             |      SELECT 1 FROM r WHERE r.user_id = l.user_id
             |        AND r.tus >= l.tus AND r.tus <= l.tus + 3600000000)
-            |    AND (l.tus + 7200000000) // 1000 < mx.max_us // 1000)
+            |    AND (l.tus + 3600000000) // 1000 < mx.wm_us // 1000)
             |SELECT click_id, purchase_id, user_id FROM m
             |UNION ALL SELECT click_id, purchase_id, user_id FROM um
             |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin),

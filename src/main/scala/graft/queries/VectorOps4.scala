@@ -171,6 +171,14 @@ object VectorOps4 {
             var i = 0
             while (i < Dim) {
               u(i) = math.floor(v(i) * 1e6 + 0.5).toLong
+              // Enforce the overflow bound the accumulators rely on
+              // (|u| ≤ 1e7, see docstring): a coordinate outside ±10
+              // would let the Long pair-sums wrap SILENTLY at ~90k
+              // rows/partition — fail loudly instead (ADVICE r7).
+              if (u(i) > 10000000L || u(i) < -10000000L)
+                throw new IllegalStateException(
+                  s"q220: |embedding coord| ${v(i)} exceeds the ±10 " +
+                    "contract backing exact-Long Gram accumulation")
               i += 1
             }
             n += 1

@@ -338,6 +338,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer join-state eviction boundary: unmatched left emits iff t + horizon < min-of-branch watermarks (strict)") {
+    // Pins the eviction rule q230's oracle encodes (ADVICE r7) so a
+    // Spark upgrade that changes JoinStateWatermarkPredicates fails THIS
+    // named test instead of q230's opaque hash check. The rule, for
+    // condition r >= l && r <= l + horizon with watermark delay 0:
+    //   - the global watermark is the MIN over the two branch
+    //     watermarks (each = that side's max seen event time);
+    //   - an unmatched left row at event time t is finalized (emitted
+    //     null-padded) iff t + horizon < wm — STRICTLY: equality keeps
+    //     the row in state.
+    // The right side's watermark is held at 10:21 while the left runs
+    // ahead to 10:41, so this also fails if the min policy changes.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id",
+      horizon = "10 minutes", watermark = "0 seconds",
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("loj_evict")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // three unmatched imps straddling the boundary for wm = 10:21
+      imps.addData(
+        Ev(1, ts(0), 7, "imp", 0.0),   // 10:00 + 10min = 10:10 < 10:21 → emit
+        Ev(2, ts(11), 8, "imp", 0.0),  // 10:11 + 10min = 10:21 = wm   → HELD
+        Ev(3, ts(15), 9, "imp", 0.0))  // 10:15 + 10min = 10:25 > wm   → HELD
+      q.processAllAvailable()
+      // left watermark → 10:41, right watermark → 10:21; global = 10:21
+      imps.addData(Ev(4, ts(41), 1, "imp", 0.0))
+      clicks.addData(Ev(10, ts(21), 2, "click", 1.0))
+      q.processAllAvailable()
+      val unmatchedUsers = spark.table("loj_evict")
+        .filter(col("r_event_id").isNull)
+        .select("l_user_id").as[Long].collect().toSet
+      assert(unmatchedUsers == Set(7L),
+        s"eviction boundary drifted: unmatched users $unmatchedUsers " +
+          "(expected exactly user 7: t+horizon strictly below " +
+          "min(left wm, right wm))")
+    } finally q.stop()
+  }
+
   test("toJsonLines serializes rows as JSON objects (F5 parity)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
