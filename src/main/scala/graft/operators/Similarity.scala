@@ -144,6 +144,33 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Per-vector cell assignment against a FIXED centroid set — the
+    * incremental index-maintenance primitive: each arriving batch of
+    * embeddings is assigned to the already-trained centroids and
+    * appended to the lake-held membership table, so a growing corpus
+    * never retrains or re-scans old batches (the ANN analogue of
+    * `Dedup.incrementalNearDupStep`). One scan-side packed-broadcast
+    * argmax fold per row (the `ivfTopK` shape): no window, no corpus
+    * shuffle, centroids ride in as one array row. Returns every corpus
+    * column (including the vector — callers drop it if the membership
+    * table stores ids only) + (`cid`, `csim`) where csim is the
+    * round-6 cosine to the owning centroid (ties to the lowest cid). */
+  def assignCells(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    corpus.crossJoin(packed)
+      .withColumn("__pair", aggregate(
+        transform(col("__cents"), c =>
+          array(round(cosine(col(vecCol), c("__cvec")), 6),
+            c("__cid").cast("double"))),
+        array(lit(-2.0), lit(0.0)),
+        (acc, p) => when(p(0) > acc(0) ||
+          (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc)))
+      .select(corpus.columns.toIndexedSeq.map(col) :+
+        col("__pair")(1).cast("long").as("cid") :+
+        col("__pair")(0).as("csim"): _*)
+  }
+
   /** Batched IVF ANN: ONE corpus pass serves a whole query batch — the
     * production serving shape, where per-query scans (q56) would repeat
     * the corpus read |batch| times. Corpus assignment is the same

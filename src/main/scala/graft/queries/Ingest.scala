@@ -90,5 +90,62 @@ object Ingest {
         .orderBy("partition", "offset", "kafka_key")
     })
 
-  val all: Seq[Q] = Seq(ingest_envelope_decode, ingest_batch_counts, ingest_key_decode)
+  private val GoldenCols = Seq(
+    "RATE_CARD_ID", "LAST_MODIFIED_BY", "LAST_MODIFIED_DT",
+    "RATE_CARD_TYPE_ID", "BASE_INVENTORY_TYPE_ID", "DIVISION_ID",
+    "RATE_CARD_NM", "RATE_CARD_DESC", "RATE_CARD_COMMENT_TXT",
+    "BASE_UNIT_LENGTH", "CRNCY_ID", "PRICING_RATING_ROLLOVER_IND",
+    "EPSD_IMP_EST_FILE_TYP_ID", "CNCRNCY_VRSN", "SRC_KEY_VAL",
+    "SRC_CDC_OPER_NM", "SRC_COMMIT_DT_UTC", "TRG_CRT_DT_PART_UTC",
+    "SRC_SCHEMA_NM")
+
+  /** The golden e2e as ONE canonical digest row (VERDICT r7 #7): decode
+    * the reference's sample event end to end, serialize every row as a
+    * '|'-joined canonical string over all 19 columns (nulls → '~N~';
+    * the one documented representation difference — pandas wrote the
+    * Avro union[null,long] EPSD column as double-with-NaN — mapped to
+    * BIGINT-or-null on the oracle side, SURVEY §7.4), and reduce to
+    * (n_rows, distinct_keys, digest_sum) where digest_sum is the exact
+    * BIGINT sum of each row-md5's first-13-hex-digit value (order-
+    * independent, collision-safe at 16 rows). The DuckDB oracle builds
+    * the SAME digest from the golden parquet the reference Lambda itself
+    * produced — the reference's own definition of correct, as a
+    * driver-hash-checked row (the 16×19 cell-level equality stays in
+    * IngestSpec; this entry makes its summary survive outside the test
+    * suite). */
+  val ingest_golden_digest = Q(
+    "ingest_golden_digest", {
+      val canon = GoldenCols.map {
+        case c @ "EPSD_IMP_EST_FILE_TYP_ID" =>
+          s"""coalesce(CASE WHEN isnan($c) THEN NULL
+             |    ELSE CAST(CAST($c AS BIGINT) AS VARCHAR) END, '~N~')""".stripMargin
+        case c => s"coalesce(CAST($c AS VARCHAR), '~N~')"
+      }.mkString(",\n    ")
+      val span = graft.functions.TextFunctions.hexSpanValSql("md5(rs)", 0, 13)
+      Some(s"""WITH r AS (
+              |  SELECT SRC_KEY_VAL, concat_ws('|',
+              |    $canon) AS rs
+              |  FROM read_parquet('$goldenParquet'))
+              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(count(DISTINCT SRC_KEY_VAL) AS BIGINT) AS distinct_keys,
+              |  CAST(sum($span) AS BIGINT) AS digest_sum
+              |FROM r""".stripMargin)
+    },
+    (s, _) => {
+      require(haveFixture, s"fixture missing: $sampleEvent")
+      val decoded = KafkaToParquet.decodeRecords(
+        Envelope.readEventJson(s, sampleEvent),
+        RatecardSchema.topic, RatecardSchema.provider)
+      val rs = concat_ws("|",
+        GoldenCols.map(c => coalesce(col(c).cast("string"), lit("~N~"))): _*)
+      decoded
+        .select(col("SRC_KEY_VAL"),
+          conv(substring(md5(rs), 1, 13), 16, 10).cast("long").as("dg"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("SRC_KEY_VAL")).as("distinct_keys"),
+          sum(col("dg")).as("digest_sum"))
+    })
+
+  val all: Seq[Q] = Seq(ingest_envelope_decode, ingest_batch_counts,
+    ingest_key_decode, ingest_golden_digest)
 }

@@ -568,7 +568,115 @@ object TextOps8 {
         .orderBy(col("switch_ratio").desc, col("doc_id"))
     })
 
+  private val SubK = 50              // tokens per exact window
+  private val SubW = 8               // winnowing selection window
+  private val SubMinRun = SubK + SubW - 1 // guaranteed-detected run length
+
+  /** EXACT long-substring cross-doc dedup at $SubK-token windows
+    * (VERDICT r7 #6) — the training-data-dedup literature shape (Lee et
+    * al.'s "Deduplicating Training Data" exact-substring pass): report
+    * every document pair sharing an exact duplicated token run of
+    * ≥ $SubMinRun tokens, with the pair's total shared-window count and
+    * its longest run. q149 dedups 4-token spans; this is the
+    * long-window variant whose index a winnowing selection bounds.
+    *
+    * Two passes, both scan-side until the joins:
+    * 1) CANDIDATES — per doc, md5 one hash per $SubK-token sliding
+    *    window, winnow with the q178 slidingMins device (window $SubW):
+    *    selection keeps ~2/($SubW+1) of the window hashes, and the
+    *    winnowing guarantee makes any shared run of ≥ $SubK+$SubW−1
+    *    tokens contribute a shared SELECTED fingerprint — so the
+    *    fp-keyed equi-join yields a candidate superset of every
+    *    reportable pair while the index stays sublinear in windows.
+    * 2) VERIFY — re-derive full windows for candidate endpoints only
+    *    (broadcast semi-join pushdown), equi-join on the chunk STRING
+    *    (not the hash — collision-proof), then exact run lengths by
+    *    gaps-and-islands per alignment diagonal (pa−pb). The windows
+    *    here are bounded by candidate count, never the corpus.
+    *
+    * The oracle is the BRUTE-FORCE substring join (all windows, no
+    * winnowing) + the same islands arithmetic — the final ≥ $SubMinRun
+    * filter makes brute force and winnowed-candidates-then-verify
+    * provably identical, which is exactly the equivalence the entry
+    * exists to prove. Sub-guarantee runs ($SubK..${SubMinRun - 1}) are
+    * excluded from BOTH sides by the filter. */
+  val q242_exact_substring_dedup = Q(
+    "q242_exact_substring_dedup",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |w AS (
+            |  SELECT doc_id, i AS pos,
+            |    array_to_string(ts[i:i+${SubK - 1}], ' ') AS chunk
+            |  FROM toks, unnest(generate_series(1, len(ts) - ${SubK - 1})) t(i)
+            |  WHERE len(ts) >= $SubK),
+            |j AS (
+            |  SELECT a.doc_id AS doc_a, a.pos AS pa,
+            |    b.doc_id AS doc_b, b.pos AS pb
+            |  FROM w a JOIN w b ON a.chunk = b.chunk AND a.doc_id < b.doc_id),
+            |runs AS (
+            |  SELECT doc_a, doc_b, pa - pb AS diff,
+            |    pa - ROW_NUMBER() OVER (
+            |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+            |  FROM j),
+            |r2 AS (SELECT doc_a, doc_b, count(*) AS consec
+            |       FROM runs GROUP BY doc_a, doc_b, diff, grp),
+            |mr AS (SELECT doc_a, doc_b,
+            |         CAST(max(consec) + ${SubK - 1} AS BIGINT) AS max_run
+            |       FROM r2 GROUP BY 1, 2),
+            |nw AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_windows
+            |       FROM j GROUP BY 1, 2)
+            |SELECT mr.doc_a, mr.doc_b, nw.n_windows, mr.max_run
+            |FROM mr JOIN nw ON nw.doc_a = mr.doc_a AND nw.doc_b = mr.doc_b
+            |WHERE mr.max_run >= $SubMinRun
+            |ORDER BY mr.doc_a, mr.doc_b""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= SubK)
+      // pass 1: winnowed fingerprint index → candidate pairs
+      val fps = toks
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("ts")) - (SubK - 1)),
+            i => md5(array_join(slice(col("ts"), i, lit(SubK)), " "))).as("gh"))
+        .filter(size(col("gh")) >= SubW)
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.slidingMins(col("gh"), SubW))).as("fp"))
+      val cand = fps.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fpb")),
+          col("fp") === col("fpb") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint(true) // tiny; read 3× below (both endpoints + join)
+      // pass 2: exact verification bounded to candidate endpoints
+      val w = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ts")) - (SubK - 1)),
+          i => array_join(slice(col("ts"), i, lit(SubK)), " ")))
+          .as(Seq("p0", "chunk")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("chunk"))
+      val wa = w.join(broadcast(cand.select(col("doc_a").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("chunk"))
+      val wb = w.join(broadcast(cand.select(col("doc_b").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("chunk"))
+      val j = cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b", "chunk"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+      val consec = j.withColumn("diff", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(wr))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(count(lit(1)).as("consec"))
+      val mr = consec.groupBy("doc_a", "doc_b")
+        .agg((max(col("consec")) + (SubK - 1)).cast("long").as("max_run"))
+      val nw = j.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_windows"))
+      mr.join(nw, Seq("doc_a", "doc_b"))
+        .filter(col("max_run") >= SubMinRun)
+        .select(col("doc_a"), col("doc_b"), col("n_windows"), col("max_run"))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val all: Seq[Q] = Seq(q186_nfc_normalize, q187_quality_gate,
     q191_canonical_uplift, q192_mojibake, q196_distinct_ngrams,
-    q198_lsh_recall, q218_chargram_topk, q221_readability, q229_code_switch)
+    q198_lsh_recall, q218_chargram_topk, q221_readability, q229_code_switch,
+    q242_exact_substring_dedup)
 }

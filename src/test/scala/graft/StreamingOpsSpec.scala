@@ -382,6 +382,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental ANN cell assignment via foreachBatch equals the batch index") {
+    // The q240 production shape driven through a real stream: centroids
+    // trained once (fixed frame here), each arriving micro-batch of new
+    // embeddings assigned via Similarity.assignCells and appended to the
+    // membership buffer — union over batches must equal the one-shot
+    // batch assignment of the same corpus, because assignment is per-row
+    // given fixed centroids.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val b1 = Seq((10L, Seq(0.9, 0.1, 0.0, 0.0)), (11L, Seq(0.1, 0.8, 0.0, 0.1)))
+    val b2 = Seq((12L, Seq(0.7, 0.2, 0.1, 0.0)), (13L, Seq(0.0, 0.9, 0.4, 0.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDF().toDF("vec_id", "e").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.assignCells(batch, "e", cents, "cid", "cvec")
+          .select("vec_id", "cid").collect()
+          .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batchIndex = Similarity.assignCells(
+        (b1 ++ b2).toDF("vec_id", "e"), "e", cents, "cid", "cvec")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toSet
+    assert(buf.asScala.toSet == batchIndex && batchIndex.nonEmpty,
+      s"incremental ${buf.asScala.toSet} vs batch $batchIndex")
+  }
+
   test("toJsonLines serializes rows as JSON objects (F5 parity)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
