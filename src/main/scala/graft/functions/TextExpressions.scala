@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One MD5 instance per (expression copy, thread): tasks deserialize
@@ -431,4 +431,91 @@ case class PosCharGrams(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "pos_char_grams"
+}
+
+/** Winnowed token-window fingerprints in ONE native pass: rolling
+  * polynomial hash over per-token FNV-1a 64 hashes gives every k-token
+  * window hash in O(n) (no window strings are ever materialized — the
+  * composed transform(array_join(slice)) form built ~k chars per
+  * token position and was the top isolated bench entry), then winnowing
+  * selects each w-window's minimum, deduplicated in first-occurrence
+  * order. Output: array<long> of selected fingerprints; empty when the
+  * doc has fewer than k tokens or fewer than w window positions.
+  *
+  * The fingerprint VALUES are an internal candidate-generation device
+  * (q242's oracle brute-forces all windows; the winnowing guarantee —
+  * any shared run of ≥ k+w−1 tokens yields a shared selected
+  * fingerprint — holds for ANY deterministic window hash, and a
+  * collision can only ADD a candidate that exact verification then
+  * discards). Unsigned-wraparound arithmetic (mod 2^64) keeps the
+  * rolling update exact: h(i+1) = (h(i) − t_i·M^(k−1))·M + t_{i+k}. */
+case class WinnowedTokenFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+  private val M = 6364136223846793005L // odd ⇒ invertible mod 2^64
+  private val powK1: Long = {
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= M; i += 1 }
+    p
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> input, got $other")
+  }
+
+  private def fnv1a(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (a.isNullAt(i)) 0L else fnv1a(a.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val m = n - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val wh = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * M + th(i); i += 1 }
+    wh(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - th(i - 1) * powK1) * M + th(i + k - 1)
+      wh(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= m - w) {
+      var best = wh(j)
+      i = j + 1
+      while (i < j + w) { if (wh(i) < best) best = wh(i); i += 1 }
+      seen.add(best): Unit
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "winnowed_token_fingerprints"
 }

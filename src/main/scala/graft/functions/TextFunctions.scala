@@ -105,6 +105,11 @@ object TextFunctions {
     br.column(SlidingMins(br.expression(a), w))
   }
 
+  def winnowedTokenFingerprints(tokens: Column, k: Int, w: Int): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(WinnowedTokenFingerprints(br.expression(tokens), k, w))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

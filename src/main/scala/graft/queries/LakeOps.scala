@@ -501,15 +501,15 @@ object LakeOps {
     * whole pitch is that the off-diagonal mass is ≈ 1/$ChTo, where
     * modulo sharding moves almost everything; this entry MEASURES it.
     *
-    * Scale shape: each ring (shards × $ChVirtual rows, a constant) is
-    * packed into ONE array row (`collect_list`, the `Similarity`
-    * packed-centroid device) and crossed in as a broadcast; the owning
-    * shard is a scan-side `aggregate()` argmin over that array — a
-    * [dist, shard] running-min fold, clockwise distance via pmod so the
-    * key hash is referenced once per element. Both the before- and
-    * after-ring assignments happen in the SAME pass over documents, so
-    * there is no per-key window, no 320× crossJoin expansion, and no
-    * doc_id self-join; the only data shuffle is the final 20-group
+    * Scale shape: each ring (shards × $ChVirtual entries, a constant) is
+    * computed DRIVER-SIDE with the same md5-hex-span arithmetic the SQL
+    * uses, sorted, and carried into the scan as literal arrays inside
+    * the native `RingOwner` expression — the owning shard is one binary
+    * search per key (log₂|ring| compares; the first cut's per-row
+    * O(|ring|) interpreted HOF fold was 1.5 s at sf0.1, this is
+    * scan-noise). Both the before- and after-ring assignments happen in
+    * the SAME pass over documents: no per-key window, no crossJoin at
+    * all, no doc_id self-join; the only shuffle is the final 20-group
     * movement-matrix aggregation. Pure integer hash arithmetic (52-bit
     * values in longs) — nothing to round. */
   val q238_shard_resize = Q(
@@ -543,36 +543,39 @@ object LakeOps {
               |ORDER BY from_shard, to_shard""".stripMargin)
     },
     (s, d) => {
-      // one-row packed ring: array of (rpos, shard) structs
-      def packedRing(n: Int, ringCol: String) =
-        s.range(n).select(col("id").as("shard"))
-          .crossJoin(s.range(ChVirtual).select(col("id").as("v")))
-          .select(struct(
-            expr(hx("md5(shard || '|' || v)")).as("rpos"),
-            col("shard")).as("__r"))
-          .agg(collect_list(col("__r")).as(ringCol))
-      // owning shard = argmin over the ring of the clockwise distance
-      // (rpos - kpos mod 2^52), ties to the lowest shard — one fold,
-      // no window (the Similarity.withNearestCid shape, min not max)
-      def owner(ringCol: String): org.apache.spark.sql.Column = aggregate(
-        transform(col(ringCol), r => array(
-          pmod(r("rpos") - col("kpos"), lit(4503599627370496L)),
-          r("shard"))),
-        array(lit(Long.MaxValue), lit(Long.MaxValue)),
-        (acc, p) => when(p(0) < acc(0) ||
-          (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc),
-        acc => acc(1))
+      def owner(n: Int): org.apache.spark.sql.Column = {
+        val (rpos, shard) = ringArrays(n)
+        val br = org.apache.spark.sql.GraftBridge
+        br.column(graft.functions.RingOwner(
+          br.expression(col("kpos")), rpos, shard))
+      }
       Tables.documents(s, d)
         .select(col("doc_id"),
           expr(hx("md5(CAST(doc_id AS STRING))")).as("kpos"))
-        .crossJoin(packedRing(ChFrom, "__ring_a"))
-        .crossJoin(packedRing(ChTo, "__ring_b"))
-        .select(owner("__ring_a").as("from_shard"),
-          owner("__ring_b").as("to_shard"))
+        .select(owner(ChFrom).as("from_shard"),
+          owner(ChTo).as("to_shard"))
         .groupBy("from_shard", "to_shard")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("from_shard", "to_shard")
     })
+
+  /** Driver-side ring construction — the JVM mirror of the oracle's
+    * `md5(shard || '|' || vnode)` 13-hex-digit span, sorted by position.
+    * MD5 is MD5: the JVM digest of the identical bytes yields the
+    * identical hex, so these constants are bit-equal to what the SQL
+    * ring CTE computes (spec-pinned in NativeExprPropertiesSpec). */
+  private[graft] def ringArrays(n: Int): (Array[Long], Array[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val entries = (for { sh <- 0 until n; v <- 0 until ChVirtual } yield {
+      val hex = md.digest(s"$sh|$v".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(13), 16), sh.toLong)
+    }).sortBy(_._1)
+    require(entries.map(_._1).distinct.size == entries.size,
+      "ring position collision — the oracle's lowest-shard tie rule " +
+        "would apply; regenerate with a different vnode count")
+    (entries.map(_._1).toArray, entries.map(_._2).toArray)
+  }
 
   /** 13-hex-digit md5 span as BIGINT (52-bit) — the shared ring/key
     * position hash. */

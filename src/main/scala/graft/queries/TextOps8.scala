@@ -630,18 +630,20 @@ object TextOps8 {
             |WHERE mr.max_run >= $SubMinRun
             |ORDER BY mr.doc_a, mr.doc_b""".stripMargin),
     (s, d) => {
-      import graft.functions.TextFunctions
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= SubK)
-      // pass 1: winnowed fingerprint index → candidate pairs
+      // pass 1: winnowed fingerprint index → candidate pairs, via the
+      // native WinnowedTokenFingerprints expression: O(tokens) rolling
+      // polynomial window hashes + winnow selection in one pass, never
+      // materializing a window string. The oracle never replays the
+      // selection — it brute-forces all windows — so the fingerprint
+      // hash only has to be deterministic, and a collision can only ADD
+      // a candidate that exact verification discards.
       val fps = toks
-        .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("ts")) - (SubK - 1)),
-            i => md5(array_join(slice(col("ts"), i, lit(SubK)), " "))).as("gh"))
-        .filter(size(col("gh")) >= SubW)
-        .select(col("doc_id"), explode(array_distinct(
-          TextFunctions.slidingMins(col("gh"), SubW))).as("fp"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.winnowedTokenFingerprints(
+            col("ts"), SubK, SubW)).as("fp"))
       val cand = fps.select(col("doc_id").as("doc_a"), col("fp"))
         .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fpb")),
           col("fp") === col("fpb") && col("doc_a") < col("doc_b"))

@@ -110,6 +110,42 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     assert(total <= 1.0 + 1e-9 && total >= 0.15 - 1e-9, total.toString)
   }
 
+  test("ring_owner: binary search ≡ brute-force min clockwise distance; JVM ring ≡ SQL md5 span") {
+    import graft.queries.LakeOps
+    // (a) the driver-side ring constants equal the SQL derivation the
+    // oracle uses — md5(shard || '|' || vnode) first-13-hex-digit span —
+    // evaluated through Spark's own md5/expr machinery
+    val (rpos, shard) = LakeOps.ringArrays(4)
+    val sqlRing = spark.range(4).selectExpr("id AS shard")
+      .crossJoin(spark.range(64).selectExpr("id AS v"))
+      .selectExpr(
+        graft.functions.TextFunctions.hexSpanValSql(
+          "md5(shard || '|' || v)", 0, 13) + " AS rpos",
+        "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rpos.toSeq == sqlRing.map(_._1).toSeq)
+    assert(shard.toSeq == sqlRing.map(_._2).toSeq)
+    // (b) for random key positions (plus the exact ring positions and
+    // their neighbours), the expression's binary search returns the
+    // brute-force argmin of (rpos - k mod 2^52), which is unique because
+    // positions are distinct
+    val mod = 4503599627370496L
+    def brute(k: Long): Long = {
+      val i = rpos.indices.minBy(i => java.lang.Math.floorMod(rpos(i) - k, mod))
+      shard(i)
+    }
+    val keys = Gen.listOfN(500, Gen.choose(0L, mod - 1)).sample.get ++
+      rpos.toSeq ++ rpos.toSeq.map(_ + 1) ++ rpos.toSeq.map(_ - 1) ++
+      Seq(0L, mod - 1)
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    val got = keys.toDF("k")
+      .select(col("k"), br.column(graft.functions.RingOwner(
+        br.expression(col("k")), rpos, shard)).as("owner"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (k, o) => assert(o == brute(k), s"k=$k") }
+  }
+
   test("jpeg_sof_dims: arbitrary bytes never throw; valid-by-construction streams always parse") {
     import spark.implicits._
     // adversarial: random bytes, random bytes behind a real SOI, lone

@@ -105,6 +105,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "b").map(_._4) == Seq(0L, 0L))
   }
 
+  test("q242 winnowing guarantee: a planted 57-token run is found, a 50-token run is filtered") {
+    // Independent of the driver corpus: plant (a) a shared run of
+    // exactly SubMinRun = 57 tokens (must be reported with max_run 57
+    // and 8 shared windows) and (b) a shared run of exactly 50 tokens —
+    // one matching window, but below the K+W-1 guarantee, so the filter
+    // must drop it on BOTH the winnowed path and the brute-force oracle.
+    import spark.implicits._
+    val s57 = (0 until 57).map(i => s"s$i")
+    val t50 = (0 until 50).map(i => s"t$i")
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val doc1 = (toks("u", 10) ++ s57 ++ toks("v", 10) ++ t50 ++ toks("w", 10))
+      .mkString(" ")
+    val doc2 = (toks("x", 20) ++ s57 ++ toks("y", 20)).mkString(" ")
+    val doc3 = (toks("p", 20) ++ t50 ++ toks("q", 20)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q242fix").toString
+    Seq((1L, doc1, "en", "synth", doc1.length.toLong),
+        (2L, doc2, "en", "synth", doc2.length.toLong),
+        (3L, doc3, "en", "synth", doc3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q242_exact_substring_dedup")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 8L, 57L)), s"got $out")
+  }
+
   test("IncrementalAgg: any split of the input merges to the whole-input summary") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(500)((rnd.nextInt(4).toString, rnd.nextInt(10000) / 100.0))

@@ -66,14 +66,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(countOf(p, "FileScan parquet").max(countOf(p, "Scan parquet")) <= 2, p)
   }
 
-  test("q238: ring assignment is scan-side — no window, no per-key shuffle") {
-    // both consistent-hash rings ride in as one-row packed arrays; the
-    // owning-shard argmin is an aggregate() fold per key, so the only
-    // hash exchange is the final 20-group movement-matrix aggregation
+  test("q238: ring assignment is scan-side — no window, no join, no per-key shuffle") {
+    // both consistent-hash rings are driver-computed constants inside
+    // the native RingOwner expression (binary search per key), so the
+    // plan has NO join of any kind and the only hash exchange is the
+    // final 20-group movement-matrix aggregation
     val p = plan("q238_shard_resize")
     assert(!p.contains("Window"), p)
     assert(countOf(p, "Exchange hashpartitioning") == 1, p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ring_owner"), p)
   }
 
   test("q78: PQ encode is scan-side; serving is broadcast joins + top-k") {
