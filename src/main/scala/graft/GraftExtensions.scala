@@ -120,6 +120,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "sliding_mins(a, w) takes two arguments")
         SlidingMins(args(0), intArg("sliding_mins", args(1)))
       }))
+    ext.injectFunction((FunctionIdentifier("winnowed_token_fingerprints"),
+      info("winnowed_token_fingerprints",
+        "winnowed_token_fingerprints(tokens, k, w) - winnow-selected rolling k-token window fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnowed_token_fingerprints(tokens, k, w) takes three arguments")
+        graft.functions.WinnowedTokenFingerprints(args(0),
+          intArg("winnowed_token_fingerprints", args(1)),
+          intArg("winnowed_token_fingerprints", args(2)))
+      }))
     ext.injectFunction((FunctionIdentifier("jpeg_sof_dims"),
       info("jpeg_sof_dims",
         "jpeg_sof_dims(payload) - struct(width, height) from a JPEG's SOF header, NULL if absent/corrupt"),

@@ -83,6 +83,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextFunctions.simhashOf(split(col("text"), " "), 16))
       .head().getLong(0)
     assert(r.getLong(2) == viaColumn)
+    // winnowed_token_fingerprints from SQL ≡ Column API, and a corpus
+    // of k+w-1 equal tokens on both sides shares a fingerprint
+    val wtf = spark.sql(
+      """SELECT winnowed_token_fingerprints(
+        |  array('a','b','c','d','e','f'), 3, 2) AS f""".stripMargin)
+      .head().getSeq[Long](0)
+    val viaCol = Seq(Seq("a", "b", "c", "d", "e", "f")).toDF("ts")
+      .select(graft.functions.TextFunctions
+        .winnowedTokenFingerprints(col("ts"), 3, 2))
+      .head().getSeq[Long](0)
+    assert(wtf == viaCol && wtf.nonEmpty, s"$wtf vs $viaCol")
     // jpeg_sof_dims from SQL: minimal SOI + SOF0 stream parses 2x1
     val j = spark.sql(
       """SELECT jpeg_sof_dims(
