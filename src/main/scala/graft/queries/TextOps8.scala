@@ -581,13 +581,15 @@ object TextOps8 {
     * long-window variant whose index a winnowing selection bounds.
     *
     * Two passes, both scan-side until the joins:
-    * 1) CANDIDATES — per doc, md5 one hash per $SubK-token sliding
-    *    window, winnow with the q178 slidingMins device (window $SubW):
-    *    selection keeps ~2/($SubW+1) of the window hashes, and the
-    *    winnowing guarantee makes any shared run of ≥ $SubK+$SubW−1
-    *    tokens contribute a shared SELECTED fingerprint — so the
-    *    fp-keyed equi-join yields a candidate superset of every
-    *    reportable pair while the index stays sublinear in windows.
+    * 1) CANDIDATES — per doc, ONE native pass
+    *    (WinnowedTokenFingerprints): O(tokens) rolling polynomial
+    *    window hashes + winnow selection at window $SubW, no window
+    *    string ever materialized. Selection keeps ~2/($SubW+1) of the
+    *    window hashes, and the winnowing guarantee makes any shared
+    *    run of ≥ $SubK+$SubW−1 tokens contribute a shared SELECTED
+    *    fingerprint — so the fp-keyed equi-join yields a candidate
+    *    superset of every reportable pair while the index stays
+    *    sublinear in windows.
     * 2) VERIFY — re-derive full windows for candidate endpoints only
     *    (broadcast semi-join pushdown), equi-join on the chunk STRING
     *    (not the hash — collision-proof), then exact run lengths by
