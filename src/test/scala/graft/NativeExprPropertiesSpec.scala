@@ -146,6 +146,45 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     got.foreach { case (k, o) => assert(o == brute(k), s"k=$k") }
   }
 
+  test("winnowed_token_fingerprints: matches an independent reference; planted shared runs always intersect") {
+    import spark.implicits._
+    val br = org.apache.spark.sql.GraftBridge
+    val (k, w) = (5, 3)
+    // independent JVM reference: FNV-1a per token, rolling polynomial
+    // (same published recurrence the expression documents), winnow mins,
+    // first-occurrence dedup
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val M = 6364136223846793005L
+    def ref(ts: Seq[String]): Seq[Long] = {
+      if (ts.length < k) return Seq.empty
+      val wh = ts.map(fnv).sliding(k).map(_.foldLeft(0L)(_ * M + _)).toVector
+      if (wh.length < w) return Seq.empty
+      wh.sliding(w).map(_.min).toVector.distinct
+    }
+    def run(docs: Seq[Seq[String]]): Seq[Seq[Long]] =
+      docs.toDF("ts").select(br.column(graft.functions.WinnowedTokenFingerprints(
+          br.expression(col("ts")), k, w)).as("f"))
+        .as[Seq[Long]].collect().toSeq
+    // (a) random docs (including sub-k and sub-w lengths) match the reference
+    val rnd = Gen.listOfN(200,
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf("a", "b", "c", "dd", "ee")))).sample.get
+    run(rnd).zip(rnd.map(ref)).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got == want, s"doc $i: ${rnd(i)}")
+    }
+    // (b) the guarantee: two docs sharing a planted run of k+w-1 unique
+    // tokens, embedded in unique surroundings, share >= 1 fingerprint
+    val shared = (0 until k + w - 1).map(i => s"s$i")
+    val d1 = (0 until 6).map(i => s"l$i") ++ shared ++ (0 until 6).map(i => s"r$i")
+    val d2 = (0 until 9).map(i => s"x$i") ++ shared ++ (0 until 4).map(i => s"y$i")
+    val Seq(f1, f2) = run(Seq(d1, d2))
+    assert(f1.toSet.intersect(f2.toSet).nonEmpty, s"$f1 vs $f2")
+  }
+
   test("jpeg_sof_dims: arbitrary bytes never throw; valid-by-construction streams always parse") {
     import spark.implicits._
     // adversarial: random bytes, random bytes behind a real SOI, lone
