@@ -601,7 +601,18 @@ object TextOps8 {
     * filter makes brute force and winnowed-candidates-then-verify
     * provably identical, which is exactly the equivalence the entry
     * exists to prove. Sub-guarantee runs ($SubK..${SubMinRun - 1}) are
-    * excluded from BOTH sides by the filter. */
+    * excluded from BOTH sides by the filter.
+    *
+    * Skew governance at 100 TB: a fingerprint shared by d documents
+    * contributes d² candidate rows, and web-scale corpora DO carry
+    * ubiquitous 50-token boilerplate (licenses, navigation). The
+    * production knob is q178's MOSS df-cap on the fp-keyed join —
+    * dropping fingerprints with df > cap bounds every bucket at the
+    * cost of narrowing the guarantee to non-boilerplate runs (text that
+    * ubiquitous is itself a dedup target first). It is deliberately NOT
+    * applied here because the cap acts on hash values the brute-force
+    * oracle cannot replay, and this entry's purpose is the PROVABLE
+    * equivalence; on this corpus max fp df is single-digit. */
   val q242_exact_substring_dedup = Q(
     "q242_exact_substring_dedup",
     Some(s"""WITH toks AS (
