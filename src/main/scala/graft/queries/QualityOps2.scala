@@ -270,7 +270,8 @@ object QualityOps2 {
             |g AS (SELECT CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6)))
             |    AS DOUBLE) / count(*) AS DOUBLE) AS gmean FROM events),
             |dev AS (
-            |  SELECT day, round(dmean - gmean, 6) AS dev
+            |  SELECT day,
+            |    floor((dmean - gmean) * 1000000 + 0.5) / 1000000.0 AS dev
             |  FROM daily CROSS JOIN g)
             |SELECT day, dev,
             |  CAST(CAST(sum(CAST(dev AS DECIMAL(30,6))) OVER (
@@ -293,8 +294,15 @@ object QualityOps2 {
       val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val sCol = sum(col("dev").cast("decimal(30,6)")).over(w).cast("double")
+      // dev via the explicit IEEE round formula (floor(x·1e6 + 0.5)/1e6,
+      // the q220 quantization device) instead of library round(x, 6):
+      // both engines evaluate the IDENTICAL double expression, where the
+      // libraries' half-up rules can disagree by 1e-6 when the double
+      // sits a sub-ulp from a .5 boundary (observed at sf0.001).
       daily.crossJoin(broadcast(g))
-        .select(col("day"), round(col("dmean") - col("gmean"), 6).as("dev"))
+        .select(col("day"),
+          (floor((col("dmean") - col("gmean")) * 1000000 + 0.5) /
+            lit(1000000.0)).as("dev"))
         .select(col("day"), col("dev"), sCol.as("s"),
           when(abs(sCol) > CusumH, 1L).otherwise(0L).as("shifted"))
         .orderBy("day")

@@ -397,8 +397,9 @@ object VectorOps4 {
             |  JOIN disc ON disc.p = i.rk
             |  GROUP BY i.qid)
             |SELECT q.qid,
-            |  round(CAST(COALESCE(dcg.dw, 0) AS DOUBLE)
-            |    / CAST(idcg.iw AS DOUBLE), 6) AS ndcg
+            |  floor(CAST(COALESCE(dcg.dw, 0) AS DOUBLE)
+            |    / CAST(idcg.iw AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+            |    AS ndcg
             |FROM q CROSS JOIN idcg LEFT JOIN dcg ON q.qid = dcg.qid
             |ORDER BY q.qid""".stripMargin),
     (s, d) => {
@@ -424,19 +425,31 @@ object VectorOps4 {
           emb.filter(col("vec_id") < BatchQ), "vec_id", "e",
           k = RboK, nProbe = NProbe)
         .select(col("qid"), col("vec_id"), col("rk"))
+      // Tight decimal types keep the gain×weight products EXACT at scale
+      // 10 (the oracle's DECIMAL(18,10) arithmetic): with the default
+      // long × decimal(38,18) promotion the product exceeds precision 38
+      // and Spark's allowPrecisionLoss truncates the scale to 6 — dw then
+      // differs from DuckDB's in the 7th decimal, which at sf0.001 landed
+      // the final ratio across a 1e-6 rounding boundary.
       val disc = ndcgDisc.map { case (p, w) => (p.toLong, BigDecimal(w)) }
         .toDF("p", "w")
-      val idcg = disc.agg(
-        sum((lit(11) - col("p")) * col("w")).as("iw"))
+        .select(col("p"), col("w").cast("decimal(18,10)").as("w"))
+      def gain(c: org.apache.spark.sql.Column) =
+        (lit(11) - c).cast("decimal(2,0)")
+      val idcg = disc.agg(sum(gain(col("p")) * col("w")).as("iw"))
       val dcg = ivf.join(exact, Seq("qid", "vec_id"))
         .join(broadcast(disc), col("p") === col("rk"))
         .groupBy("qid")
-        .agg(sum((lit(11) - col("ra")) * col("w")).as("dw"))
+        .agg(sum(gain(col("ra")) * col("w")).as("dw"))
+      // final ratio quantized by the explicit IEEE formula (q220 device)
+      // rather than library round: the engines' half-up rules disagree by
+      // 1e-6 when the ratio lands a sub-ulp from a .5 boundary (sf0.001)
       queries.select("qid").join(dcg, Seq("qid"), "left")
         .crossJoin(broadcast(idcg))
         .select(col("qid"),
-          round(coalesce(col("dw").cast("double"), lit(0.0))
-            / col("iw").cast("double"), 6).as("ndcg"))
+          (floor(coalesce(col("dw").cast("double"), lit(0.0))
+            / col("iw").cast("double") * 1000000 + 0.5) /
+            lit(1000000.0)).as("ndcg"))
         .orderBy("qid")
     })
 
