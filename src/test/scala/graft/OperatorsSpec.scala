@@ -130,6 +130,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 8L, 57L)), s"got $out")
   }
 
+  test("assignCells: cosine ties go to the lowest cid; empty corpus assigns nothing") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two identical centroids → every assignment ties → cid 0 must win
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    val got = Similarity.assignCells(
+        Seq((7L, Seq(0.6, 0.8)), (8L, Seq(1.0, 0.0))).toDF("vec_id", "e"),
+        "e", cents, "cid", "cvec")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 0L, 8L -> 0L), got.toString)
+    val empty = Similarity.assignCells(
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e"),
+      "e", cents, "cid", "cvec")
+    assert(empty.count() == 0)
+  }
+
   test("IncrementalAgg: any split of the input merges to the whole-input summary") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(500)((rnd.nextInt(4).toString, rnd.nextInt(10000) / 100.0))
