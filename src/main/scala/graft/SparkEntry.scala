@@ -14,6 +14,7 @@ object SparkEntry {
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
+      DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++
       OpsDiag.all ++ StatsOps.all ++

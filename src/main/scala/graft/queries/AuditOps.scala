@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 QA/audit addendum: annotator agreement, cheap-index
+  * truncation quality, and LSH band-parameter calibration — three
+  * standard "is the pipeline's machinery still sound" gates beside the
+  * q198/q222/q226 index-quality battery.
+  *
+  * Scale discipline: ground-truth passes are bounded to probe subsets
+  * (the q110/q198 probe-cap rule), all scores derive from exact BIGINT
+  * counts through one shared double expression, and every power is an
+  * explicit multiply chain (no cross-engine `pow`).
+  */
+object AuditOps {
+
+  private val KappaL = 10      // label classes (embeddings.label ∈ 0..9)
+  private val KappaFlipMod = 5 // 1-in-5 ids get a disagreeing rater
+
+  /** Cohen's kappa between two raters over the embedding labels — the
+    * chance-corrected agreement score every labeling/eval pipeline
+    * reports (raw agreement overstates quality when the label prior is
+    * skewed). Rater A is the stored label; rater B is a deterministic
+    * construction-inversion (the q212 device): ids whose md5 span ≡ 0
+    * (mod 5) report (label+1) mod 10, everything else agrees — so the
+    * expected agreement is known by construction and a drift in either
+    * the confusion arithmetic or the md5 device flips the hash. po, pe,
+    * κ all derive from exact BIGINT confusion counts through one shared
+    * double expression.
+    *
+    * Scale shape: one scan → one (a, b) hash agg; the confusion matrix
+    * (≤ L² rows) is checkpointed metadata feeding the marginal
+    * branches. */
+  val q247_cohens_kappa = Q(
+    "q247_cohens_kappa", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val flip = s"${hexSpanValSql("md5(CAST(vec_id AS VARCHAR))", 0, 2)} % $KappaFlipMod = 0"
+      Some(s"""WITH r AS (
+              |  SELECT CAST(label AS BIGINT) AS a,
+              |    CAST(CASE WHEN $flip THEN (label + 1) % $KappaL
+              |         ELSE label END AS BIGINT) AS b
+              |  FROM embeddings),
+              |conf AS (
+              |  SELECT a, b, CAST(count(*) AS BIGINT) AS n
+              |  FROM r GROUP BY a, b),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items FROM conf),
+              |agree AS (
+              |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+              |  FROM conf WHERE a = b),
+              |rs AS (SELECT a, CAST(sum(n) AS BIGINT) AS rn FROM conf GROUP BY a),
+              |cs AS (SELECT b, CAST(sum(n) AS BIGINT) AS cn FROM conf GROUP BY b),
+              |prod AS (
+              |  SELECT CAST(sum(rs.rn * cs.cn) AS BIGINT) AS s_prod
+              |  FROM rs JOIN cs ON rs.a = cs.b)
+              |SELECT n_items, n_agree, s_prod,
+              |  round(CAST(n_agree AS DOUBLE) / n_items, 6) AS po,
+              |  round(CAST(s_prod AS DOUBLE) / n_items / n_items, 6) AS pe,
+              |  round((CAST(n_agree AS DOUBLE) / n_items
+              |         - CAST(s_prod AS DOUBLE) / n_items / n_items)
+              |    / (1 - CAST(s_prod AS DOUBLE) / n_items / n_items), 6)
+              |    AS kappa
+              |FROM tot CROSS JOIN agree CROSS JOIN prod""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val flip = expr(s"${hexSpanValSql("__h", 0, 2)} % $KappaFlipMod = 0")
+      // checkpoint: the ≤L²-row confusion matrix feeds four branches
+      // (total, diagonal, row marginals, column marginals)
+      val conf = Tables.embeddings(s, d)
+        .withColumn("__h", md5(col("vec_id").cast("string")))
+        .select(col("label").cast("long").as("a"),
+          when(flip, (col("label") + 1) % KappaL)
+            .otherwise(col("label")).cast("long").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = conf.agg(sum(col("n")).as("n_items"))
+      val agree = conf.filter(col("a") === col("b"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_agree"))
+      val prod = conf.groupBy("a").agg(sum(col("n")).as("rn"))
+        .join(conf.groupBy("b").agg(sum(col("n")).as("cn")),
+          col("a") === col("b"))
+        .agg(sum(col("rn") * col("cn")).as("s_prod"))
+      val po = col("n_agree").cast("double") / col("n_items")
+      val pe = col("s_prod").cast("double") / col("n_items") / col("n_items")
+      tot.crossJoin(agree).crossJoin(prod)
+        .select(col("n_items"), col("n_agree"), col("s_prod"),
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+    })
+
+  private val TruncDims = 16
+  private val TruncQ = 8   // probe query batch (vec_id < 8, the q222 batch)
+  private val TruncK = 10
+
+  /** Embedding-truncation retrieval audit (the Matryoshka/dim-budget
+    * question): per probe query, how much of the exact full-dimension
+    * cosine top-10 survives when the index stores only the FIRST 16 of
+    * 64 coordinates? The plain-truncation complement of q219's JL
+    * projection — together they bound the two standard cheap-index
+    * routes (keep a prefix vs project). Both rankings use the audited
+    * brute-force device on the bounded probe batch; the comparison is
+    * list-metadata-sized (8 queries × 10 ranks).
+    *
+    * Scale shape: one corpus pass per ranking against the broadcast
+    * 8-query batch; candidate windows are keyed on the query id. */
+  val q248_truncation_audit = Q(
+    "q248_truncation_audit", {
+      def dotN(a: String, b: String, n: Int) =
+        s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      def cosN(a: String, b: String, n: Int) =
+        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $TruncQ),
+              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $TruncQ),
+              |full_rk AS (
+              |  SELECT qid, vec_id, rf FROM (
+              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+              |      ORDER BY round(${cosN("c.v", "q.qv", 64)}, 6) DESC, c.vec_id) AS rf
+              |    FROM c CROSS JOIN q) t WHERE rf <= $TruncK),
+              |trunc_rk AS (
+              |  SELECT qid, vec_id, rt FROM (
+              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+              |      ORDER BY round(${cosN("c.v", "q.qv", TruncDims)}, 6) DESC, c.vec_id) AS rt
+              |    FROM c CROSS JOIN q) t WHERE rt <= $TruncK),
+              |ov AS (
+              |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
+              |  FROM full_rk f JOIN trunc_rk t
+              |    ON f.qid = t.qid AND f.vec_id = t.vec_id
+              |  GROUP BY f.qid)
+              |SELECT q.qid, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+              |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / $TruncK, 6)
+              |    AS overlap_at_k
+              |FROM q LEFT JOIN ov ON ov.qid = q.qid
+              |ORDER BY q.qid""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val emb = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < TruncQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val corpus = emb.filter(col("vec_id") >= TruncQ).select("vec_id", "v")
+      def topk(simCol: org.apache.spark.sql.Column, as: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"), round(simCol, 6).as("sim"))
+          .withColumn(as, row_number().over(w).cast("long"))
+          .filter(col(as) <= TruncK)
+          .select("qid", "vec_id", as)
+      }
+      val full = topk(cosine(col("v"), col("qv")), "rf")
+      val trunc = topk(cosine(slice(col("v"), 1, TruncDims),
+        slice(col("qv"), 1, TruncDims)), "rt")
+      val ov = full.join(trunc, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      queries.select("qid").join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / TruncK, 6)
+            .as("overlap_at_k"))
+        .orderBy("qid")
+    })
+
+  private val ScurveProbe = 300  // bounded probe subset (the q198 cap)
+  private val ScurveBinW = 0.05
+
+  /** LSH S-curve calibration: the banding design (k = 8 signatures, 8
+    * bands of 1 row) promises candidate probability 1 − (1−s)⁸ at true
+    * Jaccard s. This entry MEASURES that curve — on the q198 probe
+    * subset, all pairs are bucketed by exact Jaccard (0.05-wide bins)
+    * and the operator's raw candidate set gives the empirical rate per
+    * bin, printed beside the closed form at the bin midpoint. q198
+    * answers "did we lose recall at the threshold"; this answers "is
+    * the whole curve where the banding math says it should be" — the
+    * audit that catches a band-hash bug that q198's single threshold
+    * can't see. The theoretical power is an explicit square-square-
+    * square multiply chain (pure IEEE multiplies — no cross-engine
+    * `pow`), and rates derive from exact BIGINT counts. Read the
+    * comparison per-bin, not as equality: the closed form is evaluated
+    * at the bin MIDPOINT while real pair mass sits at the bin bottom
+    * (measured sf0.01: bin 0 emp 0.0068 vs midpoint-theo 0.183 — the
+    * mass-weighted theo at s ≈ 0.001 is ~0.008, consistent), so the
+    * audit signal is the exact-duplicate bin pinned at 1.0 and the
+    * ORDER of the curve, which a band-hash bug breaks.
+    *
+    * Scale shape: the audited operator keeps its production plan; the
+    * all-pairs truth is bounded to the probe subset, never the corpus. */
+  val q249_lsh_scurve = Q(
+    "q249_lsh_scurve", {
+      import graft.functions.TextFunctions.minhashRotSql
+      val mid = s"($ScurveBinW * bin + ${ScurveBinW / 2})"
+      val sigExprs = (0 until 8)
+        .map(i => minhashRotSql("hs", i) + s" AS sig_$i").mkString(",\n  ")
+      val bandRows = (0 until 8)
+        .map(i => s"SELECT doc_id, $i AS band, sig_$i AS h FROM sig")
+        .mkString("\n  UNION ALL ")
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM documents WHERE doc_id < $ScurveProbe),
+              |sh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    generate_series(1, greatest(len(toks) - 2, 0)),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              |    AS sset
+              |  FROM tok),
+              |pairs AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+              |      / (len(x.sset) + len(y.sset)
+              |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) AS jac
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id),
+              |hsh AS (
+              |  SELECT doc_id, list_transform(sset, s -> md5(s)) AS hs
+              |  FROM sh),
+              |sig AS (
+              |  SELECT doc_id,
+              |  $sigExprs
+              |  FROM hsh),
+              |bands AS (
+              |  $bandRows),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+              |    AND a.doc_id < b.doc_id),
+              |b AS (
+              |  SELECT CAST(least(19, floor(p.jac / $ScurveBinW)) AS BIGINT) AS bin,
+              |    CAST(count(*) AS BIGINT) AS n_pairs,
+              |    CAST(sum(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)
+              |      AS BIGINT) AS n_cand
+              |  FROM pairs p LEFT JOIN cand c
+              |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+              |  GROUP BY 1)
+              |SELECT bin, n_pairs, n_cand,
+              |  round(CAST(n_cand AS DOUBLE) / n_pairs, 6) AS emp_rate,
+              |  round(1 - (((1 - $mid) * (1 - $mid)) * ((1 - $mid) * (1 - $mid)))
+              |          * (((1 - $mid) * (1 - $mid)) * ((1 - $mid) * (1 - $mid))), 6)
+              |    AS theo_rate
+              |FROM b ORDER BY bin""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val subset = Tables.documents(s, d).filter(col("doc_id") < ScurveProbe)
+      val cand = graft.operators.Dedup.minhashNearDupPairs(
+        subset, "doc_id", "text", k = 8, shingleN = 3, threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+      val sh = subset.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sset"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter)
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sb")),
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      val mid = lit(ScurveBinW) * col("bin") + lit(ScurveBinW / 2)
+      val a = lit(1) - mid
+      val a2 = a * a
+      val a4 = a2 * a2
+      pairs.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(least(lit(19), floor(col("jac") / ScurveBinW)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"))
+        .select(col("bin"), col("n_pairs"), col("n_cand"),
+          round(col("n_cand").cast("double") / col("n_pairs"), 6)
+            .as("emp_rate"),
+          round(lit(1) - a4 * a4, 6).as("theo_rate"))
+        .orderBy("bin")
+    })
+
+  val all: Seq[Q] = Seq(q247_cohens_kappa, q248_truncation_audit,
+    q249_lsh_scurve)
+}

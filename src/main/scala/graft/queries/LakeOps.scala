@@ -582,9 +582,69 @@ object LakeOps {
   private def hx(md5Expr: String) =
     graft.functions.TextFunctions.hexSpanValSql(md5Expr, 0, 13)
 
+  /** Retention/vacuum planner — the third lake-maintenance leg beside
+    * q77/q201 (layout) and q245 (compaction): on the q86 SCD2 versioned
+    * table, a version is VACUUM-ELIGIBLE once it is superseded (vto set)
+    * AND its supersession predates the retention cutoff — current
+    * versions and recently-superseded ones (time-travel window, q130)
+    * must stay. The cutoff is derived in exact integer µs as
+    * vmin + 4/5·(vmax − vmin), so the plan is scale-invariant and
+    * bit-identical cross-engine. Per-day report: version counts,
+    * deletable counts, survivors, reclaim fraction.
+    *
+    * Scale shape: the q86 user-keyed window (one shuffle), a 1-row
+    * min/max bound broadcast, one day-grid hash agg — nothing else. */
+  val q250_vacuum_plan = Q(
+    "q250_vacuum_plan",
+    Some("""WITH v AS (
+            |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS vfrom, event_id
+            |  FROM events WHERE event_type = 'purchase'),
+            |iv AS (
+            |  SELECT user_id, vfrom,
+            |    lead(vfrom) OVER (PARTITION BY user_id
+            |      ORDER BY vfrom, event_id) AS vto
+            |  FROM v),
+            |bounds AS (
+            |  SELECT CAST(min(vfrom) AS BIGINT) AS vmin,
+            |         CAST(max(vfrom) AS BIGINT) AS vmax FROM iv),
+            |cut AS (SELECT vmin + (vmax - vmin) * 4 // 5 AS cutoff FROM bounds)
+            |SELECT CAST(vfrom // 86400000000 AS BIGINT) AS day,
+            |  CAST(count(*) AS BIGINT) AS n_versions,
+            |  CAST(sum(CASE WHEN vto IS NOT NULL AND vto < cutoff
+            |       THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+            |  CAST(sum(CASE WHEN vto IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_current,
+            |  round(CAST(sum(CASE WHEN vto IS NOT NULL AND vto < cutoff
+            |       THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            |    AS reclaim_frac
+            |FROM iv CROSS JOIN cut
+            |GROUP BY 1 ORDER BY day""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("vfrom", "event_id")
+      val v = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("vfrom"),
+          col("event_id"))
+      val iv = v.withColumn("vto", lead(col("vfrom"), 1).over(w))
+      // bounds are window-invariant: lead() can't change min/max(vfrom),
+      // so the cutoff branch aggregates the PRE-window projection — one
+      // scan + a 1-row partial agg instead of replaying the key shuffle
+      val cut = v.agg(min(col("vfrom")).as("vmin"), max(col("vfrom")).as("vmax"))
+        .select(expr("vmin + (vmax - vmin) * 4 div 5").as("cutoff"))
+      val deletable = col("vto").isNotNull && col("vto") < col("cutoff")
+      iv.crossJoin(broadcast(cut))
+        .groupBy(expr("vfrom div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(deletable, 1L).otherwise(0L)).as("n_deletable"),
+          sum(when(col("vto").isNull, 1L).otherwise(0L)).as("n_current"),
+          round(sum(when(deletable, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("reclaim_frac"))
+        .orderBy("day")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
     q130_asof_snapshot, q138_minmax_prune, q154_join_ivm,
     q157_csv_roundtrip, q158_orc_roundtrip, q201_layout_skipping,
-    q238_shard_resize)
+    q238_shard_resize, q250_vacuum_plan)
 }

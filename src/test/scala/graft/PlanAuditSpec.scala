@@ -386,6 +386,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p227.contains("SortMergeJoin"), p227)
   }
 
+  test("q243/q246: grid entries materialize the corpus agg once — no per-branch re-scan") {
+    // both entries localCheckpoint their bounded metadata grid (sources /
+    // 2×10 bins); every downstream branch (normalizer, shares, totals)
+    // must read the materialized frame, never the parquet table again
+    for (name <- Seq("q243_temperature_mixture", "q246_psi_drift")) {
+      val p = plan(name)
+      assert(!p.contains("FileScan parquet") && !p.contains("Scan parquet"),
+        s"$name re-reads the corpus: $p")
+    }
+  }
+
+  test("q244: pair space is term-keyed over one persisted frame — no cartesian product") {
+    val p = plan("q244_vocab_overlap")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q245: the compaction window runs on the file-stats grid, not data rows") {
+    // one hash exchange (the (source, lang) size agg) before the
+    // unpartitioned window — the window input is the bounded metadata
+    // grid; a second hashpartitioning would mean the window moved onto
+    // data rows
+    val p = plan("q245_compaction_plan")
+    assert(p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q228: HITS iterations read materialized scores — no per-iteration corpus re-scan") {
     // Graph.hits materializes via localCheckpoint at the end and persists
     // the edge frame; the executed plan may re-read edges per iteration
