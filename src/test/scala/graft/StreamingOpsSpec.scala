@@ -419,6 +419,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"incremental ${buf.asScala.toSet} vs batch $batchIndex")
   }
 
+  test("drift-monitor bin counts maintained via foreachBatch equal the batch counts") {
+    // The q251 maintenance claim driven through a real stream: the
+    // monitor keeps one (bin -> count) map and each arriving micro-batch
+    // only ADDS its own bin counts — counts are associative, so the
+    // maintained map after all batches must equal the one-shot batch
+    // groupBy of the same rows. (The PSI arithmetic downstream is pure
+    // grid math over these counts; the streaming-specific part is
+    // exactly this accumulation.)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val binOf: Double => Long = v => math.min(9L, math.floor(v / 40.0).toLong)
+    val b1 = Seq(12.0, 47.0, 388.0, 41.0)
+    val b2 = Seq(3.0, 79.9, 120.0)
+    val maintained = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val in = MemoryStream[Double]
+    val q = in.toDF().toDF("value").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(least(lit(9), floor(col("value") / 40.0).cast("long"))
+            .as("bin"))
+          .groupBy("bin").count().collect()
+          .foreach { r =>
+            val bin = r.getLong(0)
+            maintained.updateWith(bin)(c => Some(c.getOrElse(0L) + r.getLong(1)))
+          }
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchCounts = (b1 ++ b2).groupBy(binOf).map { case (k, v) => k -> v.size.toLong }
+    assert(maintained.toMap == batchCounts && batchCounts.nonEmpty,
+      s"maintained ${maintained.toMap} vs batch $batchCounts")
+  }
+
   test("toJsonLines serializes rows as JSON objects (F5 parity)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
