@@ -434,9 +434,35 @@ object Relational5 {
             .as("fpr"))
     })
 
+  /** Per-group top-k WITH TIES — the rank() semantics SELECT TOP ...
+    * WITH TIES / FETCH FIRST ... WITH TIES expresses: every row tied
+    * with the k-th keeps its place, so the result size is data-dependent
+    * (q08's row_number() arbitrarily drops tied rows; this keeps them —
+    * the two entries together pin the difference). doc_id appears in the
+    * OUTPUT ordering only, never the rank ordering, so tie GROUPS are
+    * deterministic even though Spark's WindowGroupLimit pushdown applies
+    * to rank() exactly as to row_number(). */
+  val q259_topk_with_ties = Q(
+    "q259_topk_with_ties",
+    Some("""SELECT source, doc_id, n_chars, rnk FROM (
+            |  SELECT source, doc_id, n_chars,
+            |    CAST(rank() OVER (PARTITION BY source
+            |      ORDER BY n_chars DESC) AS BIGINT) AS rnk
+            |  FROM documents) t
+            |WHERE rnk <= 3 ORDER BY source, rnk, doc_id""".stripMargin),
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("source", "rnk", "doc_id")
+    })
+
   val all: Seq[Q] = Seq(q99_exists_subquery, q100_lateral_join,
     q101_median_mode, q102_rank_ratios, q123_string_agg,
     q124_regexp_extract_all, q126_window_nav, q127_agg_filter,
     q132_bloom_join, q189_column_profile, q233_asof_tolerance,
-    q235_bloom_fpr)
+    q235_bloom_fpr, q259_topk_with_ties)
 }
