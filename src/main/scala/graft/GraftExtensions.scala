@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom physical operator: native sort-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer rule: canonical HOF dot-product fold → native vec_dot
+    // (see plans/VectorFoldRewrite for the soundness argument; disable
+    // with spark.graft.rewriteVectorFolds=false)
+    ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
 
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - sequential dot product of two array<double>"),

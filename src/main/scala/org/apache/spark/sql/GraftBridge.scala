@@ -38,4 +38,25 @@ object GraftBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently register an optimizer rule on an already-built session
+    * (runtime twin of SparkSessionExtensions.injectOptimizerRule; rules
+    * land in the fixed-point "User Provided Optimizers" batch). */
+  def registerOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
+
+  /** Remove a runtime-registered optimizer rule (test hygiene: the shared
+    * suite session must not leak a rule into unrelated suites). */
+  def unregisterOptimizerRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.experimental.extraOptimizations =
+      cs.experimental.extraOptimizations.filterNot(_ == r)
+  }
 }
