@@ -453,6 +453,107 @@ object VectorOps4 {
         .orderBy("qid")
     })
 
+  private val SweepProbes = Seq(1, 2, 4)
+
+  /** IVF nProbe sweep — the serving-knob tuning table: recall@10 of the
+    * audited `ivfTopKBatch` path at nProbe ∈ {1, 2, 4} against the exact
+    * cosine top-10, one row per setting. q198/q222/q226 grade ONE
+    * operating point; this is the curve an index operator reads to pick
+    * it (more probes = more candidate scan per query = higher recall —
+    * the table quantifies the exchange rate). Exact side computed once
+    * and persisted; each sweep point reuses the production plan with
+    * only the probe count changed; hits are exact BIGINTs.
+    *
+    * Scale shape: one corpus pass for the exact baseline + one per sweep
+    * point (each the audited scan-side IVF plan); comparisons are
+    * list-metadata-sized. */
+  val q260_nprobe_sweep = Q(
+    "q260_nprobe_sweep", {
+      def ivfBlock(np: Int) =
+        s"""cand_$np AS (
+           |  SELECT p.qid, m.vec_id,
+           |    round(${cosineSql("m.v", "p.qv")}, 6) AS sim
+           |  FROM members m JOIN (SELECT qid, qv, cid FROM qpr
+           |                       WHERE rnk <= $np) p ON m.cid = p.cid),
+           |ivf_$np AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+           |    FROM cand_$np) t WHERE rk <= $RboK),
+           |row_$np AS (
+           |  SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+           |    round(CAST(count(*) AS DOUBLE) / ${BatchQ * RboK}, 6)
+           |      AS recall_at_10
+           |  FROM ivf_$np i JOIN exact x
+           |    ON i.qid = x.qid AND i.vec_id = x.vec_id)""".stripMargin
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cent AS (
+              |  SELECT vec_id AS cid, v AS cvec FROM e
+              |  WHERE vec_id < $NCentroids),
+              |assign AS (
+              |  SELECT vec_id, v, cid,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_id
+              |           ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC,
+              |             cid) AS rnk
+              |  FROM e CROSS JOIN cent WHERE e.vec_id >= $BatchQ),
+              |members AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e
+              |      WHERE vec_id < $BatchQ),
+              |qpr AS (
+              |  SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid)
+              |    AS rnk
+              |  FROM q CROSS JOIN cent),
+              |exact AS (
+              |  SELECT qid, vec_id FROM (
+              |    SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (
+              |      PARTITION BY q.qid
+              |      ORDER BY round(${cosineSql("e.v", "q.qv")}, 6) DESC,
+              |        e.vec_id) AS ra
+              |    FROM e CROSS JOIN q WHERE e.vec_id >= $BatchQ) t
+              |  WHERE ra <= $RboK),
+              |${SweepProbes.map(ivfBlock).mkString(",\n")}
+              |SELECT nprobe, n_hits, recall_at_10 FROM (
+              |  ${SweepProbes.map(np => s"SELECT * FROM row_$np")
+                   .mkString("\n  UNION ALL ")})
+              |ORDER BY nprobe""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") >= BatchQ).select("vec_id", "e")
+      val queries = emb.filter(col("vec_id") < BatchQ)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wexact = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      // persisted: the 80-row exact baseline joins once per sweep point
+      val exact = graft.operators.PlanCache.persist(
+        corpus.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("e"), col("qe")), 6).as("sim"))
+          .withColumn("ra", row_number().over(wexact).cast("long"))
+          .filter(col("ra") <= RboK)
+          .select("qid", "vec_id"))
+      val rows = SweepProbes.map { np =>
+        graft.operators.Similarity.ivfTopKBatch(
+            corpus, "vec_id", "e",
+            emb.filter(col("vec_id") < NCentroids)
+              .select(col("vec_id").as("cid"), col("e").as("cvec")),
+            "cid", "cvec",
+            emb.filter(col("vec_id") < BatchQ), "vec_id", "e",
+            k = RboK, nProbe = np)
+          .select("qid", "vec_id")
+          .join(exact, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            round(col("n_hits").cast("double") / (BatchQ * RboK), 6)
+              .as("recall_at_10"))
+      }
+      rows.reduce(_.unionAll(_)).orderBy("nprobe")
+    })
+
   val all: Seq[Q] =
-    Seq(q219_jl_projection, q220_dim_corr, q222_rbo, q226_ndcg)
+    Seq(q219_jl_projection, q220_dim_corr, q222_rbo, q226_ndcg,
+      q260_nprobe_sweep)
 }

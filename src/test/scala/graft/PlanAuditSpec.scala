@@ -415,6 +415,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q254/q256: experiment and RFM readouts are one user agg + broadcasts") {
+    // q254: the persisted per-user frame feeds pooled moments and
+    // per-arm sums; every re-entry (theta row, moment row, boundaries)
+    // must broadcast — a SortMergeJoin here would mean a user-keyed
+    // frame is being shuffled for a 1-row attachment
+    for (name <- Seq("q254_cuped_ab", "q256_rfm_segments")) {
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan"), s"$name lost the persist: $p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles for metadata: $p")
+    }
+  }
+
+  test("q255: weighted sampling plans as TakeOrdered, not a global sort") {
+    val p = plan("q255_weighted_sample_es")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q253: conformal threshold selection runs on the score grid") {
+    // the cumulative window orders the post-agg (n_chars, count) grid;
+    // the only join shapes are broadcasts of the 1-row k and threshold
+    val p = plan("q253_conformal_coverage")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q228: HITS iterations read materialized scores — no per-iteration corpus re-scan") {
     // Graph.hits materializes via localCheckpoint at the end and persists
     // the edge frame; the executed plan may re-read edges per iteration
