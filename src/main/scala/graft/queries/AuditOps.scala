@@ -453,6 +453,110 @@ object AuditOps {
         .orderBy("arm")
     })
 
+  /** RRF weights 1/(60+r) for r = 1..10, rounded once to 9 decimals and
+    * shared VERBATIM by both engines (the q222 rboW device) — no
+    * cross-engine division of odd denominators ever runs. */
+  private val rrfW: Seq[(Int, String)] = (1 to 10).map { r =>
+    r -> BigDecimal(1).bigDecimal
+      .divide(new java.math.BigDecimal(60 + r), 9,
+        java.math.RoundingMode.HALF_UP).toPlainString
+  }
+
+  /** Reciprocal-rank fusion of two retrievers — the standard hybrid-
+    * search combiner (score = Σ 1/(60+rankᵢ), absent → 0), fusing the
+    * exact full-dimension ranking with q248's cheap 16-dim truncation:
+    * the production pattern where an expensive and a cheap retriever
+    * vote and RRF needs no score calibration between them. Weights are
+    * shared 9-decimal literals summed in exact decimal, so the fused
+    * ordering is bit-stable; ties break on vec_id.
+    *
+    * Scale shape: both rankings are the audited bounded-probe brute
+    * device; the fusion join and the top-5 window run on 8×10-row list
+    * metadata. */
+  val q262_rrf_fusion = Q(
+    "q262_rrf_fusion", {
+      def dotN(a: String, b: String, n: Int) =
+        s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      def cosN(a: String, b: String, n: Int) =
+        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e
+              |      WHERE vec_id < $TruncQ),
+              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $TruncQ),
+              |full_rk AS (
+              |  SELECT qid, vec_id, rf FROM (
+              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
+              |      PARTITION BY q.qid
+              |      ORDER BY round(${cosN("c.v", "q.qv", 64)}, 6) DESC,
+              |        c.vec_id) AS rf
+              |    FROM c CROSS JOIN q) t WHERE rf <= $TruncK),
+              |trunc_rk AS (
+              |  SELECT qid, vec_id, rt FROM (
+              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
+              |      PARTITION BY q.qid
+              |      ORDER BY round(${cosN("c.v", "q.qv", TruncDims)}, 6) DESC,
+              |        c.vec_id) AS rt
+              |    FROM c CROSS JOIN q) t WHERE rt <= $TruncK),
+              |w(r, wt) AS (VALUES
+              |  ${rrfW.map { case (r, w) => s"($r, $w::DECIMAL(18,9))" }
+                     .mkString(",\n              |  ")}),
+              |fused AS (
+              |  SELECT coalesce(f.qid, t.qid) AS qid,
+              |    coalesce(f.vec_id, t.vec_id) AS vec_id,
+              |    CAST(coalesce(wf.wt, 0) + coalesce(wt2.wt, 0)
+              |      AS DECIMAL(18,9)) AS rrf
+              |  FROM full_rk f FULL OUTER JOIN trunc_rk t
+              |    ON f.qid = t.qid AND f.vec_id = t.vec_id
+              |  LEFT JOIN w wf ON wf.r = f.rf
+              |  LEFT JOIN w wt2 ON wt2.r = t.rt)
+              |SELECT qid, vec_id, CAST(rrf AS DOUBLE) AS rrf,
+              |  CAST(frank AS BIGINT) AS frank
+              |FROM (
+              |  SELECT qid, vec_id, rrf, ROW_NUMBER() OVER (
+              |    PARTITION BY qid ORDER BY rrf DESC, vec_id) AS frank
+              |  FROM fused) t
+              |WHERE frank <= 5 ORDER BY qid, frank""".stripMargin)
+    },
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.VectorFunctions.cosine
+      val emb = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < TruncQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val corpus = emb.filter(col("vec_id") >= TruncQ).select("vec_id", "v")
+      def topk(simCol: org.apache.spark.sql.Column, as: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"), round(simCol, 6).as("sim"))
+          .withColumn(as, row_number().over(w).cast("long"))
+          .filter(col(as) <= TruncK)
+          .select("qid", "vec_id", as)
+      }
+      val full = topk(cosine(col("v"), col("qv")), "rf")
+      val trunc = topk(cosine(slice(col("v"), 1, TruncDims),
+        slice(col("qv"), 1, TruncDims)), "rt")
+      val w = rrfW.map { case (r, wt) => (r.toLong, BigDecimal(wt)) }
+        .toDF("r", "wt")
+        .select(col("r"), col("wt").cast("decimal(18,9)").as("wt"))
+      val fused = full.join(trunc, Seq("qid", "vec_id"), "full_outer")
+        .join(broadcast(w.toDF("rf", "wf")), Seq("rf"), "left")
+        .join(broadcast(w.toDF("rt", "wt2")), Seq("rt"), "left")
+        .select(col("qid"), col("vec_id"),
+          (coalesce(col("wf"), lit(0)) + coalesce(col("wt2"), lit(0)))
+            .cast("decimal(18,9)").as("rrf"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf").desc, col("vec_id"))
+      fused.withColumn("frank", row_number().over(wRank).cast("long"))
+        .filter(col("frank") <= 5)
+        .select(col("qid"), col("vec_id"),
+          col("rrf").cast("double").as("rrf"), col("frank"))
+        .orderBy("qid", "frank")
+    })
+
   val all: Seq[Q] = Seq(q247_cohens_kappa, q248_truncation_audit,
-    q249_lsh_scurve, q253_conformal_coverage, q254_cuped_ab)
+    q249_lsh_scurve, q253_conformal_coverage, q254_cuped_ab,
+    q262_rrf_fusion)
 }

@@ -86,5 +86,106 @@ object TextOps3 {
         .orderBy("doc_a", "doc_b")
     })
 
-  val all: Seq[Q] = Seq(q55_simhash_pairs)
+  private val SweepProbe = 300
+  private val SweepMaxT = 8
+
+  /** SimHash threshold sweep — q260's tuning-curve idea pointed at the
+    * OTHER near-dup family: on the q198 probe subset, every pair's
+    * 64-bit simhash hamming distance meets the exact-Jaccard ≥ 0.15
+    * ground truth, and each threshold t ∈ 0..8 gets its
+    * precision/recall row. q55 ships one operating point (bands +
+    * hamming ≤ 3); this is the curve that justifies it — a simhash or
+    * banding bug bends the whole curve, not just one cell. Counts are
+    * exact BIGINTs; precision is NULL where nothing is flagged (both
+    * engines agree by construction).
+    *
+    * Scale shape: the all-pairs truth is bounded to the probe subset
+    * (the q110/q198 cap); the production path stays banded (q55). */
+  val q263_simhash_sweep = Q(
+    "q263_simhash_sweep",
+    Some(s"""WITH exploded AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            |  FROM documents WHERE doc_id < $SweepProbe),
+            |${simhashSelect("exploded")},
+            |tok3 AS (
+            |  SELECT doc_id, string_split(text, ' ') AS toks
+            |  FROM documents WHERE doc_id < $SweepProbe),
+            |sh3 AS (
+            |  SELECT doc_id, list_distinct(list_transform(
+            |    generate_series(1, greatest(len(toks) - 2, 0)),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            |    AS sset
+            |  FROM tok3),
+            |pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+            |      AS hamming
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            |truth AS (
+            |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+            |  FROM sh3 x JOIN sh3 y ON x.doc_id < y.doc_id
+            |  WHERE CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+            |      / (len(x.sset) + len(y.sset)
+            |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))) >= 0.15),
+            |marked AS (
+            |  SELECT p.doc_a, p.doc_b, p.hamming,
+            |    CAST(CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+            |      AS is_truth
+            |  FROM pairs p LEFT JOIN truth t
+            |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+            |SELECT g.t,
+            |  CAST(sum(CASE WHEN hamming <= g.t THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_flagged,
+            |  CAST(sum(is_truth) AS BIGINT) AS n_truth,
+            |  CAST(sum(CASE WHEN hamming <= g.t THEN is_truth ELSE 0 END)
+            |    AS BIGINT) AS n_hit,
+            |  round(CAST(sum(CASE WHEN hamming <= g.t THEN is_truth ELSE 0
+            |      END) AS DOUBLE)
+            |    / nullif(sum(CASE WHEN hamming <= g.t THEN 1 ELSE 0 END), 0),
+            |    6) AS precision,
+            |  round(CAST(sum(CASE WHEN hamming <= g.t THEN is_truth ELSE 0
+            |      END) AS DOUBLE) / nullif(sum(is_truth), 0), 6) AS recall
+            |FROM marked CROSS JOIN
+            |  (SELECT unnest(range(0, ${SweepMaxT + 1})) AS t) g
+            |GROUP BY g.t ORDER BY g.t""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.shingles
+      val subset = Tables.documents(s, d).filter(col("doc_id") < SweepProbe)
+      val sh = subset.select(col("doc_id"),
+        simhashOf(tokens(col("text")), Bits).as("simhash"))
+      val pairs = sh.toDF("doc_a", "ha").join(sh.toDF("doc_b", "hb"),
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+            .as("hamming"))
+      val sets = subset.select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sset"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter)
+      val truth = sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")),
+          col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.15)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("is_truth"))
+      val marked = pairs.join(truth, Seq("doc_a", "doc_b"), "left")
+        .select(col("hamming"), coalesce(col("is_truth"), lit(0L))
+          .as("is_truth"))
+      val flagged = when(col("hamming") <= col("t"), 1L).otherwise(0L)
+      val hit = when(col("hamming") <= col("t"), col("is_truth"))
+        .otherwise(0L)
+      marked.crossJoin(broadcast(
+          (0 to SweepMaxT).map(_.toLong).toDF("t")))
+        .groupBy("t")
+        .agg(sum(flagged).as("n_flagged"), sum(col("is_truth")).as("n_truth"),
+          sum(hit).as("n_hit"),
+          round(sum(hit).cast("double")
+            / nullif(sum(flagged), lit(0)), 6).as("precision"),
+          round(sum(hit).cast("double")
+            / nullif(sum(col("is_truth")), lit(0)), 6).as("recall"))
+        .orderBy("t")
+    })
+
+  val all: Seq[Q] = Seq(q55_simhash_pairs, q263_simhash_sweep)
 }
