@@ -111,10 +111,10 @@ object TextOps3 {
             |  SELECT doc_id, string_split(text, ' ') AS toks
             |  FROM documents WHERE doc_id < $SweepProbe),
             |sh3 AS (
-            |  SELECT doc_id, list_distinct(list_transform(
+            |  SELECT doc_id, list_transform(list_distinct(list_transform(
             |    generate_series(1, greatest(len(toks) - 2, 0)),
-            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-            |    AS sset
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+            |    s -> md5(s)) AS sset
             |  FROM tok3),
             |pairs AS (
             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -159,14 +159,18 @@ object TextOps3 {
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
             .as("hamming"))
+      // truth sets travel as SORTED md5 arrays so the intersection is
+      // the native two-pointer sorted_intersect_count (the q36 verify
+      // device) — cardinalities, hence Jaccard, are invariant under the
+      // injective hash; the oracle mirrors the md5'd sets (unsorted —
+      // list_filter doesn't need the order, the count is the same)
       val sets = subset.select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")))).as("sset"))
-      val inter = size(array_intersect(col("sa"), col("sb")))
-      val jac = inter.cast("double") /
-        (size(col("sa")) + size(col("sb")) - inter)
-      val truth = sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")),
-          col("doc_a") < col("doc_b"))
+        sort_array(md5Shingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val inter = sortedIntersectCount(col("sa"), col("sb")).cast("long")
+      val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+      val truth = sets.toDF("doc_a", "sa", "na")
+        .join(sets.toDF("doc_b", "sb", "nb"), col("doc_a") < col("doc_b"))
         .filter(jac >= 0.15)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_truth"))
       val marked = pairs.join(truth, Seq("doc_a", "doc_b"), "left")
