@@ -82,6 +82,29 @@ class VectorFoldRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritten and un-rewritten folds agree bit-for-bit over 100 derived vectors") {
+    // Arrays derived from the row id (non-foldable, varied magnitudes &
+    // signs); the rewritten plan must reproduce the lambda fold's
+    // doubles EXACTLY — any reordering of the index-order additions
+    // would surface here as a last-ulp diff
+    // only +/−/× of non-nullable inputs: a / or % would mark the
+    // elements nullable (divide-by-zero → null) and correctly block the
+    // rewrite's containsNull=false guard
+    def df = spark.range(100).select(
+      array((0 until 8).map(i =>
+        (col("id") * (i + 3) - lit(350)).cast("double") * 0.25): _*).as("a"),
+      array((0 until 8).map(i =>
+        (col("id") * (i + 5) - lit(410)).cast("double") * 0.125): _*).as("b"))
+      .select(col("a"), col("b"), expr(FoldSql).as("d"))
+    val plain = df.collect().map(_.getDouble(2)).toSeq
+    val rewritten = withRule {
+      val r = df
+      assert(r.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      r.collect().map(_.getDouble(2)).toSeq
+    }
+    assert(plain == rewritten && plain.distinct.size > 1)
+  }
+
   test("spark.graft.rewriteVectorFolds=false disables the rule") {
     withRule {
       spark.conf.set("spark.graft.rewriteVectorFolds", "false")
