@@ -556,7 +556,114 @@ object AuditOps {
         .orderBy("qid", "frank")
     })
 
+  /** (bands, rows-per-band) factorizations of the k = 8 signature. */
+  private val BandingOptions = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** LSH banding PLANNER — q249 audits the curve the current (8, 1)
+    * banding produces; this entry chooses among every factorization of
+    * the k = 8 signature by evaluating each design's closed-form curve
+    * 1 − (1 − s^r)^b against the CORPUS's own pair-similarity histogram
+    * (the probe-bounded all-pairs bins): per (b, r) the expected
+    * candidate volume Σ n_pairs·P(mid) — the verify cost the design
+    * buys — and the curve's separation P(0.7) − P(0.3) — the
+    * selectivity it delivers. All powers are explicit square-square-
+    * square multiply chains (integer exponents only, no cross-engine
+    * `pow`); expected volumes are round-then-decimal-summed per bin.
+    *
+    * Measured (sf0.01): the production (8, 1) design buys its
+    * recall-first curve (P(0.3) = 0.94 — right for the t = 0.15 dedup
+    * gate) at 8229 expected verify candidates, while (4, 2) maximizes
+    * separation (0.62) at 119 — the quantified trade a threshold change
+    * would re-read this table for.
+    *
+    * Scale shape: one probe-bounded all-pairs histogram (the q198 cap),
+    * then pure literal arithmetic on the 4-design × 20-bin grid. */
+  val q265_banding_planner = Q(
+    "q265_banding_planner", {
+      def sq(t: String) = s"($t * $t)"
+      def powTxt(x: String, n: Int): String = n match {
+        case 1 => x
+        case 2 => sq(x)
+        case 4 => sq(sq(x))
+        case 8 => sq(sq(sq(x)))
+      }
+      def pTxt(s: String, b: Int, r: Int) =
+        s"(1 - ${powTxt(s"(1 - ${powTxt(s, r)})", b)})"
+      val mid = s"($ScurveBinW * bin + ${ScurveBinW / 2})"
+      def designRow(b: Int, r: Int) =
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |    round(${pTxt("0.3", b, r)}, 6) AS p_at_030,
+           |    round(${pTxt("0.7", b, r)}, 6) AS p_at_070,
+           |    round(${pTxt("0.7", b, r)} - ${pTxt("0.3", b, r)}, 6)
+           |      AS separation,
+           |    round(CAST((SELECT sum(CAST(round(n_pairs * ${pTxt(mid, b, r)}, 9)
+           |        AS DECIMAL(28,9))) FROM bins) AS DOUBLE), 3)
+           |      AS exp_candidates""".stripMargin
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks
+              |  FROM documents WHERE doc_id < $ScurveProbe),
+              |sh AS (
+              |  SELECT doc_id, list_transform(list_distinct(list_transform(
+              |    generate_series(1, greatest(len(toks) - 2, 0)),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+              |    s -> md5(s)) AS sset
+              |  FROM tok),
+              |pairs AS (
+              |  SELECT CAST(least(19, floor(
+              |    (CAST(len(list_filter(x.sset, v -> list_contains(y.sset, v))) AS DOUBLE)
+              |      / (len(x.sset) + len(y.sset)
+              |         - len(list_filter(x.sset, v -> list_contains(y.sset, v)))))
+              |    / $ScurveBinW)) AS BIGINT) AS bin
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id),
+              |bins AS (
+              |  SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+              |  FROM pairs GROUP BY bin)
+              |SELECT * FROM (
+              |  ${BandingOptions.map { case (b, r) => designRow(b, r) }
+                   .mkString("\n  UNION ALL\n  ")})
+              |ORDER BY bands DESC""".stripMargin)
+    },
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.{tokens, md5Shingles, sortedIntersectCount}
+      def powCol(x: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+        n match {
+          case 1 => x
+          case 2 => x * x
+          case 4 => { val a = x * x; a * a }
+          case 8 => { val a = x * x; val b = a * a; b * b }
+        }
+      def p(sv: org.apache.spark.sql.Column, b: Int, r: Int) =
+        lit(1) - powCol(lit(1) - powCol(sv, r), b)
+      val subset = Tables.documents(s, d).filter(col("doc_id") < ScurveProbe)
+      val sets = subset.select(col("doc_id"),
+        sort_array(md5Shingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val inter = sortedIntersectCount(col("sa"), col("sb")).cast("long")
+      val jac = inter.cast("double") / (col("na") + col("nb") - inter)
+      // checkpoint: the 20-row bin histogram feeds one branch per design
+      val bins = sets.toDF("doc_a", "sa", "na")
+        .join(sets.toDF("doc_b", "sb", "nb"), col("doc_a") < col("doc_b"))
+        .groupBy(least(lit(19), floor(jac / ScurveBinW)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
+      val mid = lit(ScurveBinW) * col("bin") + lit(ScurveBinW / 2)
+      val rows = BandingOptions.map { case (b, r) =>
+        val expCand = bins
+          .select(round(col("n_pairs") * p(mid, b, r), 9)
+            .cast("decimal(28,9)").as("t"))
+          .agg(round(sum(col("t")).cast("double"), 3).as("exp_candidates"))
+        expCand.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          round(p(lit(0.3), b, r), 6).as("p_at_030"),
+          round(p(lit(0.7), b, r), 6).as("p_at_070"),
+          round(p(lit(0.7), b, r) - p(lit(0.3), b, r), 6).as("separation"),
+          col("exp_candidates"))
+      }
+      rows.reduce(_.unionAll(_)).orderBy(col("bands").desc)
+    })
+
   val all: Seq[Q] = Seq(q247_cohens_kappa, q248_truncation_audit,
     q249_lsh_scurve, q253_conformal_coverage, q254_cuped_ab,
-    q262_rrf_fusion)
+    q262_rrf_fusion, q265_banding_planner)
 }
