@@ -611,7 +611,71 @@ object StatsOps {
         .orderBy("source")
     })
 
+  /** Mann–Kendall trend test on the daily-total series — the
+    * SIGNIFICANCE complement of q213's Theil–Sen slope (the pair answers
+    * "how steep" and "is it real"): S = Σ sign(xⱼ − xᵢ) over day pairs,
+    * tie-corrected variance n(n−1)(2n+5) − Σt(t−1)(2t+5) over 18, and
+    * the continuity-corrected Z. S, the tie term, and 18·Var are exact
+    * BIGINTs; Z is one shared double expression (sqrt IEEE-exact).
+    *
+    * Scale shape: the O(days²) pair space lives on the post-agg DAY
+    * GRID (the q213 rule) — ~30 rows self-joined, never events. */
+  val q266_mann_kendall = Q(
+    "q266_mann_kendall",
+    Some("""WITH d AS (
+           |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1),
+           |p AS (
+           |  SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1
+           |       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+           |  FROM d a JOIN d b ON a.day < b.day),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+           |ties AS (
+           |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+           |    AS BIGINT) AS tie_term
+           |  FROM (SELECT n, CAST(count(*) AS BIGINT) AS t
+           |        FROM d GROUP BY n HAVING count(*) > 1)),
+           |v AS (
+           |  SELECT CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+           |    AS BIGINT) AS v18
+           |  FROM nn CROSS JOIN ties)
+           |SELECT p.s, nn.n AS n_days,
+           |  round(CAST(v.v18 AS DOUBLE) / 18, 6) AS var_s,
+           |  round(CASE
+           |    WHEN p.s > 0 THEN (p.s - 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+           |    WHEN p.s < 0 THEN (p.s + 1) / sqrt(CAST(v.v18 AS DOUBLE) / 18)
+           |    ELSE 0 END, 6) AS z
+           |FROM p CROSS JOIN nn CROSS JOIN v""".stripMargin),
+    (s, d) => {
+      // checkpoint: the ~30-row day grid feeds the pair join (twice),
+      // the count, and the tie branches
+      val day = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val p = day.toDF("da", "na").join(day.toDF("db", "nb"),
+          col("da") < col("db"))
+        .agg(sum(when(col("nb") > col("na"), 1L)
+          .when(col("nb") < col("na"), -1L).otherwise(0L)).as("s"))
+      val nn = day.agg(count(lit(1)).as("n"))
+      val ties = day.groupBy("n").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tie_term"))
+      val v18 = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+        - col("tie_term")).as("v18")
+      val sd = sqrt(col("v18").cast("double") / 18)
+      p.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+        .select(col("s"), col("n"), col("tie_term"), v18)
+        .select(col("s"), col("n").as("n_days"),
+          round(col("v18").cast("double") / 18, 6).as("var_s"),
+          round(when(col("s") > 0, (col("s") - 1) / sd)
+            .when(col("s") < 0, (col("s") + 1) / sd)
+            .otherwise(lit(0)), 6).as("z"))
+    })
+
   val all: Seq[Q] = Seq(q202_auc, q203_calibration, q204_ks_test, q205_chi2,
     q206_acf, q207_gini_stump, q208_spearman, q209_left_interval,
-    q210_source_shift, q213_theil_sen, q224_token_gini)
+    q210_source_shift, q213_theil_sen, q224_token_gini, q266_mann_kendall)
 }
