@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Round-8 QA/audit addendum: annotator agreement, cheap-index
-  * truncation quality, and LSH band-parameter calibration — three
-  * standard "is the pipeline's machinery still sound" gates beside the
-  * q198/q222/q226 index-quality battery.
+  * truncation quality, LSH band-parameter calibration and planning,
+  * conformal coverage, CUPED experiment readouts, and RRF hybrid
+  * fusion — the "is the pipeline's machinery still sound" gates beside
+  * the q198/q222/q226 index-quality battery.
   *
   * Scale discipline: ground-truth passes are bounded to probe subsets
   * (the q110/q198 probe-cap rule), all scores derive from exact BIGINT
