@@ -235,6 +235,47 @@ object EventOps3 {
         .orderBy("user_id", "day")
     })
 
+  /** Cumulative-reach curve: running count of distinct users ever seen,
+    * by day — the audience-growth chart, and the standard workaround for
+    * Spark's unsupported COUNT(DISTINCT) OVER: distinct-so-far ≡
+    * cumulative sum of FIRST-SEEN counts, so one user-keyed min-day agg
+    * plus a cumulative window on the day grid replaces any windowed
+    * distinct (integer counts — trivially engine-exact).
+    *
+    * Scale shape: one user hash agg, then everything lives on the
+    * ≤span-sized day grid (the q193/q215 rule). */
+  val q268_cumulative_reach = Q(
+    "q268_cumulative_reach",
+    Some("""WITH f AS (
+           |  SELECT user_id,
+           |    CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day
+           |  FROM events GROUP BY user_id),
+           |d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT)
+           |      AS new_users FROM f GROUP BY 1),
+           |days AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000
+           |         AS BIGINT) AS day FROM events)
+           |SELECT days.day, CAST(coalesce(d.new_users, 0) AS BIGINT)
+           |    AS new_users,
+           |  CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY days.day)
+           |    AS BIGINT) AS cumulative_users
+           |FROM days LEFT JOIN d ON d.day = days.day
+           |ORDER BY days.day""".stripMargin),
+    (s, d) => {
+      val dayOf = expr("(ts div 1000) div 86400000000")
+      val firsts = Tables.events(s, d)
+        .groupBy("user_id").agg(min(dayOf).as("first_day"))
+        .groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val days = Tables.events(s, d).select(dayOf.as("day")).distinct()
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      days.join(firsts, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cumulative_users", sum(col("new_users")).over(wCum))
+        .orderBy("day")
+    })
+
   val all: Seq[Q] =
-    Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap)
+    Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
+      q268_cumulative_reach)
 }

@@ -553,7 +553,78 @@ object VectorOps4 {
       rows.reduce(_.unionAll(_)).orderBy("nprobe")
     })
 
+  /** Simplified silhouette per cluster — the clustering-quality score
+    * beside q217's balance audit and q241's drift monitor: for each
+    * point, a = cosine distance to its OWN (nearest) centroid, b = the
+    * best alternative centroid's distance, s = (b − a)/max(a, b) — the
+    * centroid-proxy silhouette (full silhouette's pairwise means would
+    * be corpus-quadratic; the proxy is the standard scale substitute).
+    * Per-point s is rounded once and per-cluster means are exact-decimal
+    * sums. A degenerate point (a = b = 0) scores 0 by explicit guard.
+    *
+    * Scale shape: the point×centroid grid is one scan-side broadcast
+    * cross (k = 16 constant), the per-point window is k-sized, and
+    * everything after is cluster-grid arithmetic. */
+  val q269_silhouette = Q(
+    "q269_silhouette",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e
+            |  WHERE vec_id < $NCentroids),
+            |dist AS (
+            |  SELECT e.vec_id, cent.cid,
+            |    round(1 - round(${cosineSql("e.v", "cent.cvec")}, 6), 6)
+            |      AS dist,
+            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            |      ORDER BY round(${cosineSql("e.v", "cent.cvec")}, 6) DESC,
+            |        cent.cid) AS rnk
+            |  FROM e CROSS JOIN cent WHERE e.vec_id >= $NCentroids),
+            |ab AS (
+            |  SELECT vec_id,
+            |    min(CASE WHEN rnk = 1 THEN cid END) AS own_cid,
+            |    min(CASE WHEN rnk = 1 THEN dist END) AS a,
+            |    min(CASE WHEN rnk > 1 THEN dist END) AS b
+            |  FROM dist GROUP BY vec_id),
+            |s AS (
+            |  SELECT own_cid, CAST(round(CASE WHEN greatest(a, b) > 0
+            |      THEN (b - a) / greatest(a, b) ELSE 0 END, 9)
+            |    AS DECIMAL(28,9)) AS sil
+            |  FROM ab)
+            |SELECT CAST(own_cid AS BIGINT) AS cid,
+            |  CAST(count(*) AS BIGINT) AS n_members,
+            |  round(CAST(sum(sil) AS DOUBLE) / count(*), 6)
+            |    AS mean_silhouette
+            |FROM s GROUP BY own_cid ORDER BY cid""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val wRnk = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      val dist = emb.filter(col("vec_id") >= NCentroids)
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          round(cosine(col("v"), col("cvec")), 6).as("sim"))
+        .withColumn("dist", round(lit(1) - col("sim"), 6))
+        .withColumn("rnk", row_number().over(wRnk))
+      val ab = dist.groupBy("vec_id").agg(
+        min(when(col("rnk") === 1, col("cid"))).as("own_cid"),
+        min(when(col("rnk") === 1, col("dist"))).as("a"),
+        min(when(col("rnk") > 1, col("dist"))).as("b"))
+      val sil = when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0))
+      ab.select(col("own_cid"),
+          round(sil, 9).cast("decimal(28,9)").as("sil"))
+        .groupBy(col("own_cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("sil")).cast("double") / count(lit(1)), 6)
+            .as("mean_silhouette"))
+        .orderBy("cid")
+    })
+
   val all: Seq[Q] =
     Seq(q219_jl_projection, q220_dim_corr, q222_rbo, q226_ndcg,
-      q260_nprobe_sweep)
+      q260_nprobe_sweep, q269_silhouette)
 }
