@@ -157,6 +157,15 @@ object Similarity {
     * round-6 cosine to the owning centroid (ties to the lowest cid). */
   def assignCells(corpus: DataFrame, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    // Fail loudly on an untrained index: packCentroids' global agg still
+    // yields one row for an EMPTY centroid frame, and the argmax fold
+    // would then return its sentinel seed — every row silently assigned
+    // (cid 0, csim −2.0). A batch arriving before training must error,
+    // not poison the membership table.
+    require(!centroids.isEmpty,
+      "assignCells: centroid frame is empty — train centroids before " +
+        "assigning (an empty index would silently assign every row to " +
+        "cid 0 with the sentinel similarity)")
     val packed = packCentroids(centroids, cidCol, cvecCol)
     corpus.crossJoin(packed)
       .withColumn("__pair", aggregate(

@@ -52,7 +52,10 @@ object VectorFoldRewrite extends Rule[LogicalPlan] {
   private val ConfKey = "spark.graft.rewriteVectorFolds"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    // anything but (case-insensitive) "true" disables: a kill switch must
+    // degrade gracefully, not crash every query at optimization time the
+    // way String.toBoolean would on "0"/"off"
+    if (!conf.getConfString(ConfKey, "true").equalsIgnoreCase("true")) plan
     else plan.transformAllExpressions {
       case agg: ArrayAggregate =>
         rewrite(agg).getOrElse(agg)

@@ -107,24 +107,7 @@ object AuditOps {
     * 8-query batch; candidate windows are keyed on the query id. */
   val q248_truncation_audit = Q(
     "q248_truncation_audit", {
-      def dotN(a: String, b: String, n: Int) =
-        s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-      def cosN(a: String, b: String, n: Int) =
-        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $TruncQ),
-              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $TruncQ),
-              |full_rk AS (
-              |  SELECT qid, vec_id, rf FROM (
-              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
-              |      ORDER BY round(${cosN("c.v", "q.qv", 64)}, 6) DESC, c.vec_id) AS rf
-              |    FROM c CROSS JOIN q) t WHERE rf <= $TruncK),
-              |trunc_rk AS (
-              |  SELECT qid, vec_id, rt FROM (
-              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
-              |      ORDER BY round(${cosN("c.v", "q.qv", TruncDims)}, 6) DESC, c.vec_id) AS rt
-              |    FROM c CROSS JOIN q) t WHERE rt <= $TruncK),
+      Some(s"""WITH $truncRankingSqlPrefix,
               |ov AS (
               |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap
               |  FROM full_rk f JOIN trunc_rk t
@@ -137,24 +120,7 @@ object AuditOps {
               |ORDER BY q.qid""".stripMargin)
     },
     (s, d) => {
-      import graft.functions.VectorFunctions.cosine
-      val emb = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-      val queries = emb.filter(col("vec_id") < TruncQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val corpus = emb.filter(col("vec_id") >= TruncQ).select("vec_id", "v")
-      def topk(simCol: org.apache.spark.sql.Column, as: String) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        corpus.crossJoin(broadcast(queries))
-          .select(col("qid"), col("vec_id"), round(simCol, 6).as("sim"))
-          .withColumn(as, row_number().over(w).cast("long"))
-          .filter(col(as) <= TruncK)
-          .select("qid", "vec_id", as)
-      }
-      val full = topk(cosine(col("v"), col("qv")), "rf")
-      val trunc = topk(cosine(slice(col("v"), 1, TruncDims),
-        slice(col("qv"), 1, TruncDims)), "rt")
+      val (queries, full, trunc) = truncRankings(s, d)
       val ov = full.join(trunc, Seq("qid", "vec_id"))
         .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
       queries.select("qid").join(ov, Seq("qid"), "left")
@@ -164,6 +130,57 @@ object AuditOps {
             .as("overlap_at_k"))
         .orderBy("qid")
     })
+
+  private def dotNSql(a: String, b: String, n: Int) =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cosNSql(a: String, b: String, n: Int) =
+    s"(${dotNSql(a, b, n)} / (sqrt(${dotNSql(a, a, n)}) * sqrt(${dotNSql(b, b, n)})))"
+
+  /** Shared WITH-body for the exact full-dim and 16-dim-truncated
+    * rankings over the bounded probe batch — q248 compares them, q262
+    * fuses them; ONE definition keeps the two audits coupled (a tie-rule
+    * or dimension change cannot silently diverge). */
+  private def truncRankingSqlPrefix: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $TruncQ),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $TruncQ),
+       |full_rk AS (
+       |  SELECT qid, vec_id, rf FROM (
+       |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cosNSql("c.v", "q.qv", 64)}, 6) DESC, c.vec_id) AS rf
+       |    FROM c CROSS JOIN q) t WHERE rf <= $TruncK),
+       |trunc_rk AS (
+       |  SELECT qid, vec_id, rt FROM (
+       |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cosNSql("c.v", "q.qv", TruncDims)}, 6) DESC, c.vec_id) AS rt
+       |    FROM c CROSS JOIN q) t WHERE rt <= $TruncK)""".stripMargin
+
+  /** Scala twin of [[truncRankingSqlPrefix]]: (query ids, full-dim
+    * top-10 with rank `rf`, truncated top-10 with rank `rt`). */
+  private def truncRankings(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import graft.functions.VectorFunctions.cosine
+    val emb = Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < TruncQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= TruncQ).select("vec_id", "v")
+    def topk(simCol: org.apache.spark.sql.Column, as: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), round(simCol, 6).as("sim"))
+        .withColumn(as, row_number().over(w).cast("long"))
+        .filter(col(as) <= TruncK)
+        .select("qid", "vec_id", as)
+    }
+    (queries,
+      topk(cosine(col("v"), col("qv")), "rf"),
+      topk(cosine(slice(col("v"), 1, TruncDims),
+        slice(col("qv"), 1, TruncDims)), "rt"))
+  }
 
   private val ScurveProbe = 300  // bounded probe subset (the q198 cap)
   private val ScurveBinW = 0.05
@@ -476,29 +493,7 @@ object AuditOps {
     * metadata. */
   val q262_rrf_fusion = Q(
     "q262_rrf_fusion", {
-      def dotN(a: String, b: String, n: Int) =
-        s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-      def cosN(a: String, b: String, n: Int) =
-        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
-      Some(s"""WITH e AS (
-              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |q AS (SELECT vec_id AS qid, v AS qv FROM e
-              |      WHERE vec_id < $TruncQ),
-              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $TruncQ),
-              |full_rk AS (
-              |  SELECT qid, vec_id, rf FROM (
-              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
-              |      PARTITION BY q.qid
-              |      ORDER BY round(${cosN("c.v", "q.qv", 64)}, 6) DESC,
-              |        c.vec_id) AS rf
-              |    FROM c CROSS JOIN q) t WHERE rf <= $TruncK),
-              |trunc_rk AS (
-              |  SELECT qid, vec_id, rt FROM (
-              |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
-              |      PARTITION BY q.qid
-              |      ORDER BY round(${cosN("c.v", "q.qv", TruncDims)}, 6) DESC,
-              |        c.vec_id) AS rt
-              |    FROM c CROSS JOIN q) t WHERE rt <= $TruncK),
+      Some(s"""WITH $truncRankingSqlPrefix,
               |w(r, wt) AS (VALUES
               |  ${rrfW.map { case (r, w) => s"($r, $w::DECIMAL(18,9))" }
                      .mkString(",\n              |  ")}),
@@ -521,24 +516,7 @@ object AuditOps {
     },
     (s, d) => {
       import s.implicits._
-      import graft.functions.VectorFunctions.cosine
-      val emb = Tables.embeddings(s, d)
-        .withColumn("v", col("embedding").cast("array<double>"))
-      val queries = emb.filter(col("vec_id") < TruncQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val corpus = emb.filter(col("vec_id") >= TruncQ).select("vec_id", "v")
-      def topk(simCol: org.apache.spark.sql.Column, as: String) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-        corpus.crossJoin(broadcast(queries))
-          .select(col("qid"), col("vec_id"), round(simCol, 6).as("sim"))
-          .withColumn(as, row_number().over(w).cast("long"))
-          .filter(col(as) <= TruncK)
-          .select("qid", "vec_id", as)
-      }
-      val full = topk(cosine(col("v"), col("qv")), "rf")
-      val trunc = topk(cosine(slice(col("v"), 1, TruncDims),
-        slice(col("qv"), 1, TruncDims)), "rt")
+      val (_, full, trunc) = truncRankings(s, d)
       val w = rrfW.map { case (r, wt) => (r.toLong, BigDecimal(wt)) }
         .toDF("r", "wt")
         .select(col("r"), col("wt").cast("decimal(18,9)").as("wt"))

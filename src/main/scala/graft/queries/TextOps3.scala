@@ -91,7 +91,7 @@ object TextOps3 {
 
   /** SimHash threshold sweep — q260's tuning-curve idea pointed at the
     * OTHER near-dup family: on the q198 probe subset, every pair's
-    * 64-bit simhash hamming distance meets the exact-Jaccard ≥ 0.15
+    * 32-bit simhash hamming distance meets the exact-Jaccard ≥ 0.15
     * ground truth, and each threshold t ∈ 0..8 gets its
     * precision/recall row. q55 ships one operating point (bands +
     * hamming ≤ 3); this is the curve that justifies it — a simhash or
@@ -150,7 +150,6 @@ object TextOps3 {
             |GROUP BY g.t ORDER BY g.t""".stripMargin),
     (s, d) => {
       import s.implicits._
-      import graft.functions.TextFunctions.shingles
       val subset = Tables.documents(s, d).filter(col("doc_id") < SweepProbe)
       val sh = subset.select(col("doc_id"),
         simhashOf(tokens(col("text")), Bits).as("simhash"))

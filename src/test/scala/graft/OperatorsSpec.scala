@@ -144,6 +144,15 @@ class OperatorsSpec extends AnyFunSuite {
       Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e"),
       "e", cents, "cid", "cvec")
     assert(empty.count() == 0)
+    // an UNTRAINED index must fail loudly, not silently assign every row
+    // to the argmax fold's sentinel seed (cid 0, csim −2.0)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.assignCells(
+        Seq((7L, Seq(0.6, 0.8))).toDF("vec_id", "e"),
+        "e", Seq.empty[(Long, Seq[Double])].toDF("cid", "cvec"),
+        "cid", "cvec")
+    }
+    assert(ex.getMessage.contains("centroid frame is empty"), ex.getMessage)
   }
 
   test("IncrementalAgg: any split of the input merges to the whole-input summary") {
