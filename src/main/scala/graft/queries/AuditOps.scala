@@ -642,7 +642,73 @@ object AuditOps {
       rows.reduce(_.unionAll(_)).orderBy(col("bands").desc)
     })
 
+  /** Two-proportion z-test between the q254 experiment arms — the
+    * INFERENCE readout the CUPED entry's point estimates feed: per-user
+    * high-value conversion (any purchase > 250), pooled-variance z from
+    * the four exact BIGINT counts through one shared double expression
+    * (sqrt IEEE-exact). A degenerate pool (all or none converted)
+    * reports z = 0 by explicit guard rather than NaN — identically on
+    * both engines.
+    *
+    * Scale shape: one user-keyed hash agg, one 4-count roll-up, scalar
+    * arithmetic. */
+  val q270_two_proportion_z = Q(
+    "q270_two_proportion_z", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val arm = s"${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} % 2"
+      Some(s"""WITH u AS (
+              |  SELECT user_id, $arm AS arm,
+              |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 250
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+              |  FROM events GROUP BY user_id),
+              |a AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n0,
+              |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+              |      AS BIGINT) AS c0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n1,
+              |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+              |      AS BIGINT) AS c1
+              |  FROM u)
+              |SELECT n0, c0, n1, c1,
+              |  round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+              |  round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+              |  round(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+              |    THEN (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+              |      / sqrt(CAST(c0 + c1 AS DOUBLE) / (n0 + n1)
+              |        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              |        * (1.0 / n0 + 1.0 / n1))
+              |    ELSE 0 END, 6) AS z
+              |FROM a""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val arm = expr(s"${hexSpanValSql("__h", 0, 2)} % 2")
+      val u = Tables.events(s, d)
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .groupBy(col("user_id"), arm.as("arm"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 250, 1L).otherwise(0L)).as("converted"))
+      val a = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c1"))
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      val z = (col("c1").cast("double") / col("n1")
+        - col("c0").cast("double") / col("n0")) /
+        sqrt(pp * (lit(1) - pp) * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      a.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast("double") / col("n0"), 6).as("p0"),
+        round(col("c1").cast("double") / col("n1"), 6).as("p1"),
+        round(when(col("c0") + col("c1") > 0 &&
+          col("c0") + col("c1") < col("n0") + col("n1"), z)
+          .otherwise(lit(0)), 6).as("z"))
+    })
+
   val all: Seq[Q] = Seq(q247_cohens_kappa, q248_truncation_audit,
     q249_lsh_scurve, q253_conformal_coverage, q254_cuped_ab,
-    q262_rrf_fusion, q265_banding_planner)
+    q262_rrf_fusion, q265_banding_planner, q270_two_proportion_z)
 }
