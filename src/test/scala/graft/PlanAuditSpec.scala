@@ -442,6 +442,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q267/q268: ranking and reach stay one-agg shapes") {
+    // q267: Wilson ranking is one item hash agg + scan-side closed form
+    // + TakeOrdered — a rangepartitioning Exchange would mean a global
+    // sort crept in. q268: the cumulative window runs on the day grid
+    // after the user min-day agg — window input is never raw events.
+    val p267 = plan("q267_wilson_ranking")
+    assert(p267.contains("TakeOrderedAndProject"), p267)
+    assert(!p267.contains("Exchange rangepartitioning"), p267)
+    val p268 = plan("q268_cumulative_reach")
+    assert(p268.contains("Window"), p268)
+    assert(!p268.contains("SortMergeJoin"), p268)
+  }
+
   test("q228: HITS iterations read materialized scores — no per-iteration corpus re-scan") {
     // Graph.hits materializes via localCheckpoint at the end and persists
     // the edge frame; the executed plan may re-read edges per iteration
