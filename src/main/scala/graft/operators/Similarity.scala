@@ -53,13 +53,28 @@ object Similarity {
     * array<struct<__cid,__cvec>> — attaching it to a scan is a broadcast
     * nested-loop join with a single-row build side: no shuffle, no row
     * expansion, and nearest-centroid assignment becomes a pure scan-side
-    * expression. */
+    * expression.
+    *
+    * Fail-loud guard: the global `collect_list` agg still yields one row
+    * for an EMPTY centroid frame, and every downstream argmax fold would
+    * then return its sentinel seed (cid 0, sim −2.0) — silently assigning
+    * every row of a batch that arrived before training. The guard rides
+    * INSIDE the packed row (`raise_error` on an empty array), so it costs
+    * zero extra Spark jobs and fires on whichever query first consumes the
+    * untrained index (ADVICE r8: the former eager `require(!isEmpty)` in
+    * `assignCells` executed the centroid plan once per call just to
+    * check). */
   private def packCentroids(centroids: DataFrame,
       cidCol: String, cvecCol: String): DataFrame =
     broadcast(centroids
       .select(struct(col(cidCol).cast("long").as("__cid"),
         col(cvecCol).as("__cvec")).as("__c"))
-      .agg(collect_list(col("__c")).as("__cents")))
+      .agg(collect_list(col("__c")).as("__cents"))
+      .select(when(size(col("__cents")) > 0, col("__cents"))
+        .otherwise(raise_error(lit(
+          "packCentroids: centroid frame is empty — train centroids " +
+            "before use (an empty index would silently assign every row " +
+            "to the argmax sentinel)"))).as("__cents")))
 
   /** Scan-side nearest-centroid assignment, given the packed `__cents`
     * array: argmax of round(cosine, 6), ties to the LOWEST cid, as ONE
@@ -157,15 +172,9 @@ object Similarity {
     * round-6 cosine to the owning centroid (ties to the lowest cid). */
   def assignCells(corpus: DataFrame, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    // Fail loudly on an untrained index: packCentroids' global agg still
-    // yields one row for an EMPTY centroid frame, and the argmax fold
-    // would then return its sentinel seed — every row silently assigned
-    // (cid 0, csim −2.0). A batch arriving before training must error,
-    // not poison the membership table.
-    require(!centroids.isEmpty,
-      "assignCells: centroid frame is empty — train centroids before " +
-        "assigning (an empty index would silently assign every row to " +
-        "cid 0 with the sentinel similarity)")
+    // An untrained (empty) index fails loudly at execution time via the
+    // raise_error guard packCentroids embeds in the packed row — no
+    // eager emptiness job here (ADVICE r8).
     val packed = packCentroids(centroids, cidCol, cvecCol)
     corpus.crossJoin(packed)
       .withColumn("__pair", aggregate(

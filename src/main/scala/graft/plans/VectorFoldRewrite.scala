@@ -34,8 +34,21 @@ import graft.functions.DotProduct
   * falls through the If's null/false predicate to the NULL branch (and
   * under `legacySizeOfNull` both-null gives −1 = −1 → `vec_dot`'s
   * null-safe eval returns NULL just the same). Because no
-  * `ArrayAggregate` survives in the output, the rule is idempotent under
-  * the fixed-point "User Provided Optimizers" batch.
+  * `ArrayAggregate` survives in the output, the rule is idempotent, so
+  * it is safe in any fixed-point batch. Production injection
+  * (`GraftExtensions.injectOptimizerRule`) registers it into the
+  * operator-optimization batches (`extendedOperatorOptimizationRules`);
+  * only the experimental `GraftBridge` path the spec uses lands in the
+  * "User Provided Optimizers" batch.
+  *
+  * Cost note: the output references each input expression three times
+  * (two `Size`s + `DotProduct`) where the fold evaluated each once — for
+  * an expensive deterministic input (a transform/slice, not a bare
+  * attribute) this can triple per-row evaluation unless
+  * common-subexpression elimination catches it. Acceptable here because
+  * every catalog call site feeds bare column attributes; revisit the
+  * guard (restrict to `Attribute` inputs) if profiling ever shows this
+  * rewrite on a hot path with computed inputs.
   *
   * Guards that must NOT fire the rewrite: a non-identity finish lambda,
   * a zero literal other than +0.0 (−0.0 changes the empty-array sum

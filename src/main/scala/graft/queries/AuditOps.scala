@@ -313,8 +313,8 @@ object AuditOps {
               |  SELECT doc_id, source, n_chars, $fold AS fold FROM documents),
               |calib AS (SELECT n_chars FROM r WHERE fold < 4),
               |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
-              |k AS (SELECT CAST(ceil((n_cal + 1) * $ConfAlpha) AS BIGINT)
-              |      AS kth FROM nc),
+              |k AS (SELECT least(CAST(ceil((n_cal + 1) * $ConfAlpha)
+              |      AS BIGINT), n_cal) AS kth FROM nc),
               |hist AS (
               |  SELECT n_chars, CAST(count(*) AS BIGINT) AS c
               |  FROM calib GROUP BY n_chars),
@@ -347,8 +347,15 @@ object AuditOps {
         .withColumn("__h", md5(col("doc_id").cast("string")))
         .select(col("source"), col("n_chars"), fold.as("fold")))
       val calib = r.filter(col("fold") < 4)
+      // kth clamped to n_cal (ADVICE r8): ⌈(n+1)·0.9⌉ > n whenever the
+      // calibration fold has < 9 rows, and an out-of-range order
+      // statistic would make the threshold (and every coverage column)
+      // silently NULL — clamping reports the largest calibration score
+      // (the most conservative valid threshold) instead. No-op at any
+      // real scale; matters only on degenerate tiny inputs.
       val k = calib.agg(count(lit(1)).as("n_cal"))
-        .select(ceil((col("n_cal") + 1) * ConfAlpha).cast("long").as("kth"))
+        .select(least(ceil((col("n_cal") + 1) * ConfAlpha).cast("long"),
+          col("n_cal")).as("kth"))
       val wCum = org.apache.spark.sql.expressions.Window
         .orderBy("n_chars")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -309,7 +309,16 @@ object StreamQ {
     * (tus + horizon)//1000 < least(max_click, max_purchase)//1000
     * (the q92 boundary device extended from aggregation state to
     * join-state eviction). The deferred emission is the price of the
-    * outer signal; state stays bounded exactly as in the inner form. */
+    * outer signal; state stays bounded exactly as in the inner form.
+    *
+    * SPARK-UPGRADE CANARY: if this entry's hash breaks on a Spark
+    * version bump, run the named test
+    * "left-outer join-state eviction boundary: unmatched left emits iff
+    * t + horizon < min-of-branch watermarks (strict)"
+    * (StreamingOpsSpec) FIRST — it pins today's
+    * JoinStateWatermarkPredicates eviction rule mechanically and will
+    * localize the change, instead of debugging this oracle's opaque
+    * hash mismatch. */
   val q230_stream_left_outer = Q(
     "q230_stream_left_outer",
     Some("""WITH l AS (

@@ -145,14 +145,19 @@ class OperatorsSpec extends AnyFunSuite {
       "e", cents, "cid", "cvec")
     assert(empty.count() == 0)
     // an UNTRAINED index must fail loudly, not silently assign every row
-    // to the argmax fold's sentinel seed (cid 0, csim −2.0)
-    val ex = intercept[IllegalArgumentException] {
+    // to the argmax fold's sentinel seed (cid 0, csim −2.0). The guard is
+    // a raise_error INSIDE the packed broadcast row (ADVICE r8: no eager
+    // emptiness job), so it fires at execution time of the consuming
+    // query — walk the cause chain for the message.
+    val ex = intercept[Throwable] {
       Similarity.assignCells(
         Seq((7L, Seq(0.6, 0.8))).toDF("vec_id", "e"),
         "e", Seq.empty[(Long, Seq[Double])].toDF("cid", "cvec"),
-        "cid", "cvec")
+        "cid", "cvec").collect()
     }
-    assert(ex.getMessage.contains("centroid frame is empty"), ex.getMessage)
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("centroid frame is empty"), msgs)
   }
 
   test("IncrementalAgg: any split of the input merges to the whole-input summary") {
