@@ -15,7 +15,7 @@ object SparkEntry {
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
-      LakeOps.all ++ QualityOps.all ++ QualityOps2.all ++
+      LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++
       OpsDiag.all ++ StatsOps.all ++ StatsOps2.all ++
       GraphOps.all ++ MiningOps.all ++

@@ -1,0 +1,450 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q.dec
+
+/** Round-9 governance / lake-operations battery: skyline queries,
+  * key discovery, referential-integrity and erasure audits, replica
+  * anti-entropy (Merkle-style), column-encoding advice, and scale-safe
+  * dense id minting.
+  *
+  * Shared discipline: anything quadratic runs on a bounded grid or
+  * inside a pruned bucket; global ordering never materializes as a
+  * single-partition sort over rows (q280's two-phase rank is the
+  * explicit alternative); audits move keys and counts, not payloads.
+  */
+object GovOps {
+
+  /** 2-D skyline (Pareto frontier) of orders — maximize total price,
+    * minimize order date ("earliest big orders"): the dominance query
+    * whose textbook form is an O(n²) NOT EXISTS self-theta-join. Scale
+    * shape is a TWO-PHASE exact skyline: (1) bucket prices ($2000 cents
+    * buckets) and take each bucket's min date — a bounded grid; (2) a
+    * running min over strictly-higher buckets gives every bucket a
+    * dominance threshold (any row at-or-after it is dominated by some
+    * strictly-more-expensive row), broadcast back to prune the scan;
+    * (3) only in-bucket survivor pairs are compared exactly. Any
+    * same-bucket dominator of a survivor is itself a survivor (its date
+    * is ≤ and the threshold prunes monotonically), so the in-bucket
+    * anti-join over survivors is exact. The oracle replays the brute
+    * NOT EXISTS on a deterministic 1/3 key slice (the slice keeps its
+    * O(n²) affordable; the Spark side runs the same slice). */
+  val q274_pareto_frontier = Q(
+    "q274_pareto_frontier",
+    Some("""WITH o AS (
+           |  SELECT o_orderkey,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents,
+           |    CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |      AS BIGINT) AS order_day
+           |  FROM orders WHERE o_orderkey % 3 = 0)
+           |SELECT a.o_orderkey, a.cents, a.order_day
+           |FROM o a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM o b
+           |  WHERE b.cents >= a.cents AND b.order_day <= a.order_day
+           |    AND (b.cents > a.cents OR b.order_day < a.order_day))
+           |ORDER BY a.cents DESC, a.o_orderkey""".stripMargin),
+    (s, d) => {
+      val o = graft.operators.PlanCache.persist(Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("order_day"))
+        .withColumn("bucket", expr("cents div 200000")))
+      // phase 1+2: bucket grid → per-bucket min date → strict-upper
+      // running min (the dominance threshold), tiny post-agg window
+      val wUp = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val thr = o.groupBy("bucket").agg(min("order_day").as("m"))
+        .withColumn("thr", min(col("m")).over(wUp))
+        .select(col("bucket"), col("thr"))
+      // phase 3: prune, then exact dominance only within a bucket
+      val surv = graft.operators.PlanCache.persist(
+        o.join(broadcast(thr), Seq("bucket"))
+          .filter(col("thr").isNull || col("order_day") < col("thr"))
+          .select("bucket", "o_orderkey", "cents", "order_day"))
+      val b = surv.select(col("bucket").as("bbucket"),
+        col("cents").as("bc"), col("order_day").as("bd"))
+      surv.join(b, col("bucket") === col("bbucket") &&
+          col("bc") >= col("cents") && col("bd") <= col("order_day") &&
+          (col("bc") > col("cents") || col("bd") < col("order_day")),
+          "left_anti")
+        .select("o_orderkey", "cents", "order_day")
+        .orderBy(col("cents").desc, col("o_orderkey"))
+    })
+
+  /** Candidate-key discovery over orders: exact NDV per candidate column
+    * (and two composites) vs the row count — the primary-key audit every
+    * inherited table needs before an upsert/CDC pipeline can key on it.
+    * One scan with a multi-count-distinct Expand (the q189 profile
+    * plan); composites ride the same agg as '|'-joined strings (no NULL
+    * columns here, so the concat is injective on the domain). */
+  val q275_candidate_keys = Q(
+    "q275_candidate_keys",
+    Some("""WITH m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+           |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+           |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d4,
+           |    CAST(count(DISTINCT datediff('day', DATE '1970-01-01',
+           |      o_orderdate)) AS BIGINT) AS d5,
+           |    CAST(count(DISTINCT CAST(o_custkey AS VARCHAR) || '|' ||
+           |      CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+           |        AS VARCHAR)) AS BIGINT) AS d6,
+           |    CAST(count(DISTINCT o_orderstatus || '|' || o_orderpriority)
+           |      AS BIGINT) AS d7
+           |  FROM orders)
+           |SELECT col_name, ndv, n AS n_rows,
+           |  round(CAST(ndv AS DOUBLE) / n, 6) AS unique_ratio,
+           |  CAST(CASE WHEN ndv = n THEN 1 ELSE 0 END AS BIGINT) AS is_key
+           |FROM (
+           |  SELECT 'o_orderkey' AS col_name, d1 AS ndv, n FROM m
+           |  UNION ALL SELECT 'o_custkey', d2, n FROM m
+           |  UNION ALL SELECT 'o_orderstatus', d3, n FROM m
+           |  UNION ALL SELECT 'o_orderpriority', d4, n FROM m
+           |  UNION ALL SELECT 'order_day', d5, n FROM m
+           |  UNION ALL SELECT 'o_custkey+order_day', d6, n FROM m
+           |  UNION ALL SELECT 'o_orderstatus+o_orderpriority', d7, n FROM m)
+           |ORDER BY col_name""".stripMargin),
+    (s, d) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val m = Tables.orders(s, d).agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("d1"),
+        countDistinct(col("o_custkey")).as("d2"),
+        countDistinct(col("o_orderstatus")).as("d3"),
+        countDistinct(col("o_orderpriority")).as("d4"),
+        countDistinct(day).as("d5"),
+        countDistinct(concat_ws("|", col("o_custkey"), day)).as("d6"),
+        countDistinct(concat_ws("|", col("o_orderstatus"),
+          col("o_orderpriority"))).as("d7"))
+      val named = Seq("o_orderkey" -> "d1", "o_custkey" -> "d2",
+        "o_orderstatus" -> "d3", "o_orderpriority" -> "d4",
+        "order_day" -> "d5", "o_custkey+order_day" -> "d6",
+        "o_orderstatus+o_orderpriority" -> "d7")
+      m.select(explode(array(named.map { case (nm, dc) =>
+          struct(lit(nm).as("col_name"), col(dc).as("ndv"), col("n"))
+        }: _*)).as("r"))
+        .select(col("r.col_name"), col("r.ndv"), col("r.n").as("n_rows"),
+          round(col("r.ndv").cast("double") / col("r.n"), 6)
+            .as("unique_ratio"),
+          when(col("r.ndv") === col("r.n"), 1L).otherwise(0L).as("is_key"))
+        .orderBy("col_name")
+    })
+
+  private case class FkEdge(name: String, child: String, fk: String,
+      parent: String, pk: String)
+  private val FkEdges = Seq(
+    FkEdge("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    FkEdge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    FkEdge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    FkEdge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    FkEdge("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    FkEdge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"))
+
+  /** Referential-integrity audit across every foreign-key edge of the
+    * star schema: child rows whose key has no parent (orphans), as count
+    * and distinct-key count — the pre-flight every join-dependent
+    * pipeline (and every q04-style broadcast join) silently assumes.
+    * Per edge: one LEFT join of the child's key column against the
+    * parent's DISTINCT key set (dimension-sized → broadcast; the fact
+    * side never moves beyond its own agg). Six 1-row branches union. */
+  val q276_fk_orphans = Q(
+    "q276_fk_orphans",
+    Some(FkEdges.map { e =>
+      s"""SELECT '${e.name}' AS edge,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphans,
+         |  CAST(count(DISTINCT CASE WHEN p.__pk IS NULL THEN c.${e.fk} END)
+         |    AS BIGINT) AS n_orphan_keys,
+         |  round(CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS orphan_rate
+         |FROM ${e.child} c
+         |LEFT JOIN (SELECT DISTINCT ${e.pk} AS __pk FROM ${e.parent}) p
+         |  ON c.${e.fk} = p.__pk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")),
+    (s, d) => {
+      FkEdges.map { e =>
+        val parentK = Tables(s, d, e.parent)
+          .select(col(e.pk).as("__pk")).distinct()
+        Tables(s, d, e.child).select(col(e.fk))
+          .join(broadcast(parentK), col(e.fk) === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("__pk").isNull, col(e.fk)))
+              .as("n_orphan_keys"))
+          .select(lit(e.name).as("edge"), col("n_child"), col("n_orphans"),
+            col("n_orphan_keys"),
+            round(col("n_orphans").cast("double") / col("n_child"), 6)
+              .as("orphan_rate"))
+      }.reduce(_.unionAll(_)).orderBy("edge")
+    })
+
+  /** GDPR-style erasure cascade: a deterministic tombstone set (every
+    * 97th customer key) propagated through the FK graph — per table, how
+    * many rows the erasure touches. The cascade is two semi-joins
+    * (orders on the tombstoned customers, lineitem on the affected
+    * orders); tombstone and affected-order key sets are
+    * erasure-request-sized, so they broadcast and the fact tables are
+    * each read once. The count report is what a deletion-SLA dashboard
+    * ships; the same semi-join shape with a NOT turns into the actual
+    * retention delete. */
+  val q277_erasure_cascade = Q(
+    "q277_erasure_cascade",
+    Some("""WITH tomb AS (
+           |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+           |eo AS (
+           |  SELECT o_orderkey FROM orders
+           |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+           |r AS (
+           |  SELECT 'customer' AS table_name,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM tomb) AS n_erased
+           |  UNION ALL
+           |  SELECT 'orders',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           |    (SELECT CAST(count(*) AS BIGINT) FROM eo)
+           |  UNION ALL
+           |  SELECT 'lineitem',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           |     WHERE l_orderkey IN (SELECT o_orderkey FROM eo)))
+           |SELECT table_name, n_rows, n_erased,
+           |  round(CAST(n_erased AS DOUBLE) / n_rows, 6) AS erased_pct
+           |FROM r ORDER BY table_name""".stripMargin),
+    (s, d) => {
+      val tomb = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val eo = Tables.orders(s, d)
+        .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select("o_orderkey")
+      def row(name: String, total: DataFrame, erased: DataFrame): DataFrame =
+        total.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(erased.agg(count(lit(1)).as("n_erased")))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_erased"),
+            round(col("n_erased").cast("double") / col("n_rows"), 6)
+              .as("erased_pct"))
+      val li = Tables.lineitem(s, d)
+      val liErased = li.join(broadcast(eo),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      row("customer", Tables.customer(s, d), tomb)
+        .unionAll(row("orders", Tables.orders(s, d), eo))
+        .unionAll(row("lineitem", li, liErased))
+        .orderBy("table_name")
+    })
+
+  /** Merkle-style replica anti-entropy: two lineitem "replicas" (B is A
+    * with a deterministic corruption — +1 quantity on every orderkey
+    * ≡ 7 mod 1000), compared bucket-first: per-bucket checksums (exact
+    * DECIMAL(38) sums of a 13-hex-digit digest value) disagree only
+    * where rows actually differ, so the row-level drill re-reads ONLY
+    * the disagreeing buckets (a bucket-keyed semi join) — at 100 TB the
+    * repair pass touches diff-bucket data, not the table. This is q119's
+    * table checksum extended into the localizing hierarchy an actual
+    * repair needs. */
+  val q278_merkle_diff = Q(
+    "q278_merkle_diff", {
+      def side(corrupt: Boolean) = {
+        val qc =
+          if (corrupt)
+            """CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |      + CASE WHEN l_orderkey % 1000 = 7 THEN 100 ELSE 0 END"""
+              .stripMargin
+          else "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        s"""SELECT l_orderkey, l_linenumber, l_orderkey % 256 AS bucket,
+           |    md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+           |        CAST(l_linenumber AS VARCHAR) || '|' ||
+           |        CAST($qc AS VARCHAR)) AS dg
+           |  FROM lineitem""".stripMargin
+      }
+      import graft.functions.TextFunctions.hexSpanValSql
+      val dv = hexSpanValSql("dg", 0, 13)
+      Some(s"""WITH a AS (${side(false)}),
+              |b AS (${side(true)}),
+              |av AS (SELECT l_orderkey, l_linenumber, bucket, $dv AS v FROM a),
+              |bv AS (SELECT l_orderkey, l_linenumber, bucket, $dv AS v FROM b),
+              |ac AS (SELECT bucket, sum(CAST(v AS DECIMAL(38,0))) AS cks
+              |       FROM av GROUP BY bucket),
+              |bc AS (SELECT bucket, sum(CAST(v AS DECIMAL(38,0))) AS cks
+              |       FROM bv GROUP BY bucket),
+              |diff AS (
+              |  SELECT ac.bucket FROM ac JOIN bc ON ac.bucket = bc.bucket
+              |  WHERE ac.cks <> bc.cks),
+              |ak AS (
+              |  SELECT bucket, l_orderkey, l_linenumber,
+              |    sum(CAST(v AS DECIMAL(38,0))) AS kv
+              |  FROM av WHERE bucket IN (SELECT bucket FROM diff)
+              |  GROUP BY bucket, l_orderkey, l_linenumber),
+              |bk AS (
+              |  SELECT bucket, l_orderkey, l_linenumber,
+              |    sum(CAST(v AS DECIMAL(38,0))) AS kv
+              |  FROM bv WHERE bucket IN (SELECT bucket FROM diff)
+              |  GROUP BY bucket, l_orderkey, l_linenumber),
+              |drill AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_keys_checked,
+              |    CAST(sum(CASE WHEN ak.kv <> bk.kv THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_keys_diff
+              |  FROM ak JOIN bk ON ak.l_orderkey = bk.l_orderkey
+              |    AND ak.l_linenumber = bk.l_linenumber)
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM ac) AS n_buckets,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM diff) AS n_buckets_diff,
+              |  n_keys_checked, n_keys_diff
+              |FROM drill""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      def side(corrupt: Boolean): DataFrame = {
+        val base = (dec(col("l_quantity")) * 100).cast("long")
+        val qc =
+          if (corrupt)
+            base + when(col("l_orderkey") % 1000 === 7, 100L).otherwise(0L)
+          else base
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_orderkey") % 256).as("bucket"),
+            md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+              qc)).as("__dg"))
+          .withColumn("v", expr(hexSpanValSql("__dg", 0, 13)))
+          .drop("__dg")
+      }
+      val av = graft.operators.PlanCache.persist(side(corrupt = false))
+      val bv = graft.operators.PlanCache.persist(side(corrupt = true))
+      def cks(df: DataFrame) = df.groupBy("bucket")
+        .agg(sum(col("v").cast("decimal(38,0)")).as("cks"))
+      val diff = cks(av).join(cks(bv).withColumnRenamed("cks", "cks_b"),
+          "bucket")
+        .filter(col("cks") =!= col("cks_b"))
+        .select("bucket")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+      // drill compares per-key AGGREGATED checksums (exact decimal sums)
+      // instead of joining raw rows — a raw-key join would m×m-expand
+      // duplicate keys and count cross-matches as phantom diffs.
+      def keyed(df: DataFrame) =
+        df.join(broadcast(diff), Seq("bucket"), "left_semi")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(sum(col("v").cast("decimal(38,0)")).as("kv"))
+      val drill = keyed(av)
+        .join(keyed(bv).withColumnRenamed("kv", "kv_b"),
+          Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).as("n_keys_checked"),
+          sum(when(col("kv") =!= col("kv_b"), 1L).otherwise(0L))
+            .as("n_keys_diff"))
+      val nb = cks(av).agg(count(lit(1)).as("n_buckets"))
+      val nd = diff.agg(count(lit(1)).as("n_buckets_diff"))
+      broadcast(nb).crossJoin(broadcast(nd)).crossJoin(drill)
+        .select("n_buckets", "n_buckets_diff", "n_keys_checked",
+          "n_keys_diff")
+    })
+
+  private val EncCols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+
+  /** Column-encoding advisor: per column, exact NDV and the average
+    * run length in the table's natural (orderkey, linenumber) order —
+    * the two statistics that decide dictionary vs RLE vs plain parquet
+    * encoding (the decision a lake compaction job applies file by
+    * file). Runs are counted inside order-key partitions (a keyed
+    * window, never a global sort); rule: NDV ≤ 64 → dict, else mean
+    * run ≥ 2 → RLE, else plain. One scan per audited column. */
+  val q279_encoding_advisor = Q(
+    "q279_encoding_advisor",
+    Some(EncCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, ndv, n_runs,
+         |  round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len,
+         |  CASE WHEN ndv <= 64 THEN 'dict'
+         |       WHEN n_rows >= 2 * n_runs THEN 'rle'
+         |       ELSE 'plain' END AS advice
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+         |    CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_runs
+         |  FROM (
+         |    SELECT CAST($c AS VARCHAR) AS v,
+         |      lag(CAST($c AS VARCHAR)) OVER (PARTITION BY l_orderkey
+         |        ORDER BY l_linenumber, CAST($c AS VARCHAR)) AS pv
+         |    FROM lineitem))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    (s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+      // in-partition order adds the value itself as tiebreak: rows tied
+      // on linenumber sort by value (deterministic), and equal values'
+      // relative order cannot change the run count.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("v"))
+      EncCols.map { c =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col(c).cast("string").as("v"))
+          .withColumn("pv", lag(col("v"), 1).over(w))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("v")).as("ndv"),
+            sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L)
+              .otherwise(0L)).as("n_runs"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+            col("n_runs"),
+            round(col("n_rows").cast("double") / col("n_runs"), 6)
+              .as("avg_run_len"),
+            when(col("ndv") <= 64, "dict")
+              .when(col("n_rows") >= lit(2) * col("n_runs"), "rle")
+              .otherwise("plain").as("advice"))
+      }.reduce(_.unionAll(_)).orderBy("col_name")
+    })
+
+  /** Scale-safe dense id minting: assign documents contiguous ids
+    * 1..N in a deterministic global order (md5 of the natural key)
+    * WITHOUT the classic global-window row_number() — which plans as a
+    * single-partition sort of the whole table and is the canonical
+    * scale-killer this entry exists to replace. Two-phase rank instead:
+    * the md5's leading byte buckets rows into 256 hash-ordered ranges;
+    * per-bucket counts (one 256-row agg) prefix-sum into bucket offsets
+    * on the post-agg grid; each row's id = its bucket's offset + its
+    * rank WITHIN the bucket (a bucket-keyed window). Because the bucket
+    * value IS the md5 prefix, (bucket, md5) order equals global md5
+    * order, so the result is bit-identical to the oracle's global
+    * row_number. */
+  val q280_id_minting = Q(
+    "q280_id_minting",
+    Some("""SELECT doc_id,
+           |  CAST(row_number() OVER (
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           |    AS new_id
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .withColumn("bucket", expr(hexSpanValSql("__h", 0, 2)))
+      val wOff = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select("bucket", "off")
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("__h"), col("doc_id"))
+      docs.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("new_id",
+          (col("off") + row_number().over(wIn)).cast("long"))
+        .select("doc_id", "new_id")
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[Q] = Seq(q274_pareto_frontier, q275_candidate_keys,
+    q276_fk_orphans, q277_erasure_cascade, q278_merkle_diff,
+    q279_encoding_advisor, q280_id_minting)
+}
