@@ -12,7 +12,7 @@ object SparkEntry {
       Relational4.all ++ Relational5.all ++ ModernSql.all ++
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
-      TextOps6.all ++ TextOps7.all ++ TextOps8.all ++
+      TextOps6.all ++ TextOps7.all ++ TextOps8.all ++ TextOps9.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
@@ -20,6 +20,7 @@ object SparkEntry {
       OpsDiag.all ++ StatsOps.all ++ StatsOps2.all ++
       GraphOps.all ++ MiningOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
+      VectorOps5.all ++
       MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 text additions: interpolated Kneser–Ney bigram scoring. */
+object TextOps9 {
+
+  private val KnD = 0.75 // absolute discount
+
+  /** Interpolated Kneser–Ney bigram language model, scored per source —
+    * the estimator that actually ships in n-gram LMs, where q152's
+    * add-one smoothing is the didactic baseline: probability mass is
+    * moved by ABSOLUTE DISCOUNTING (max(c−d,0)/c(v)) and backed off to
+    * the CONTINUATION unigram (how many distinct contexts a word
+    * follows, not how often it occurs — the "San Francisco" correction).
+    * All model tables are exact-count aggs off ONE bigram hash agg:
+    * c(v,w); per-context totals and fan-out N1+(v·) (one groupBy over
+    * the bigram-TYPE table, so fan-out is a count, not a distinct);
+    * continuation counts N1+(·w) likewise; the global type count is a
+    * 1-row broadcast. p_KN is scalar arithmetic on those counts, −ln
+    * rounds at 8 (the q152 convention), per-doc means are decimal-exact,
+    * and the per-source roll-up averages the round-6 per-doc scores.
+    * Scale shape = q152's: the score table joins the bigram stream on
+    * the bigram key (no forced broadcast — a natural corpus's bigram
+    * table grows toward |V|²). */
+  val q284_kn_bigram = Q(
+    "q284_kn_bigram",
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, source, string_split(text, ' ') AS ts
+            |  FROM documents),
+            |bg AS (
+            |  SELECT doc_id, source, unnest(list_transform(
+            |    range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS big
+            |  FROM toks WHERE len(ts) >= 2),
+            |bgc AS (
+            |  SELECT big, CAST(count(*) AS BIGINT) AS fb
+            |  FROM bg GROUP BY big),
+            |ctx AS (
+            |  SELECT string_split(big, ' ')[1] AS w1,
+            |    CAST(sum(fb) AS BIGINT) AS fc,
+            |    CAST(count(*) AS BIGINT) AS n1fwd
+            |  FROM bgc GROUP BY string_split(big, ' ')[1]),
+            |cont AS (
+            |  SELECT string_split(big, ' ')[2] AS w2,
+            |    CAST(count(*) AS BIGINT) AS n1bwd
+            |  FROM bgc GROUP BY string_split(big, ' ')[2]),
+            |btot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bgc),
+            |scores AS (
+            |  SELECT big, round(-ln(
+            |    greatest(fb - $KnD, 0.0) / fc
+            |    + ($KnD * n1fwd / fc) * (CAST(n1bwd AS DOUBLE) / bt)), 8)
+            |    AS nlp
+            |  FROM bgc
+            |  JOIN ctx ON string_split(bgc.big, ' ')[1] = ctx.w1
+            |  JOIN cont ON string_split(bgc.big, ' ')[2] = cont.w2
+            |  CROSS JOIN btot),
+            |docs AS (
+            |  SELECT doc_id, source,
+            |    round(CAST(sum(CAST(nlp AS DECIMAL(20,8))) AS DOUBLE)
+            |      / count(*), 6) AS doc_nlp
+            |  FROM bg JOIN scores ON bg.big = scores.big
+            |  GROUP BY doc_id, source)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  round(CAST(sum(CAST(doc_nlp AS DECIMAL(20,6))) AS DOUBLE)
+            |    / count(*), 6) AS mean_kn_nlp
+            |FROM docs GROUP BY source
+            |ORDER BY source""".stripMargin),
+    (s, d) => {
+      val withTs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      val bg = withTs.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .as("big"))
+      val bgc = graft.operators.PlanCache.persist(
+        bg.groupBy("big").agg(count(lit(1)).as("fb")))
+      val ctx = bgc.groupBy(split(col("big"), " ")(0).as("w1"))
+        .agg(sum(col("fb")).as("fc"), count(lit(1)).as("n1fwd"))
+      val cont = bgc.groupBy(split(col("big"), " ")(1).as("w2"))
+        .agg(count(lit(1)).as("n1bwd"))
+      val btot = bgc.agg(count(lit(1)).as("bt"))
+      val pkn = greatest(col("fb") - KnD, lit(0.0)) / col("fc") +
+        (lit(KnD) * col("n1fwd") / col("fc")) *
+          (col("n1bwd").cast("double") / col("bt"))
+      val scores = bgc
+        .join(ctx, split(col("big"), " ")(0) === col("w1"))
+        .join(cont, split(col("big"), " ")(1) === col("w2"))
+        .crossJoin(broadcast(btot))
+        .select(col("big"), round(-log(pkn), 8).as("nlp"))
+      // no broadcast hint on the bigram-keyed score join (q152's note)
+      val docs = bg.join(scores, "big")
+        .groupBy("doc_id", "source")
+        .agg(round(sum(col("nlp").cast("decimal(20,8)")).cast("double")
+          / count(lit(1)), 6).as("doc_nlp"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("doc_nlp").cast("decimal(20,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_kn_nlp"))
+        .orderBy("source")
+    })
+
+  val all: Seq[Q] = Seq(q284_kn_bigram)
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Round-9 vector-retrieval battery: MMR-diversified reranking, binary
+  * (sign-bit) quantization with Hamming shortlisting, and Matryoshka
+  * prefix-dimension recall — the serving-side levers (diversity, memory,
+  * dimension truncation) around the ANN family q38–q260 built.
+  */
+object VectorOps5 {
+
+  private val MmrK = 12      // retrieved candidate pool
+  private val MmrPicks = 4   // diversified picks
+  private val MmrLambda = 0.7
+
+  /** Maximal-marginal-relevance reranking: retrieve a top-12 candidate
+    * pool by cosine (the q38 scalable shape — broadcast query, corpus
+    * TakeOrdered), then greedily pick 4 results maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked. The greedy is inherently
+    * sequential, but it runs ENTIRELY on the candidate pool — pool
+    * retrieval is the only corpus-scale work, and the 4 steps are
+    * 1-row argmax fetches over ≤12 rows (the TextOps7 bounded-fetch
+    * pattern); candidate pairwise sims are a 12×12 scan-side product.
+    * The oracle replays the identical greedy as chained CTEs. Ties at
+    * every argmax break by vec_id, and every compared score is the same
+    * IEEE expression on round-6 inputs on both engines. */
+  val q281_mmr_rerank = Q(
+    "q281_mmr_rerank", {
+      val lam = MmrLambda
+      val om = 1 - MmrLambda   // literal 0.3 — parsed identically
+      def pickStep(n: Int) = {
+        val selPrev = (1 until n).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""p$n AS (
+           |  SELECT c.vec_id, c.sim, max(pc.ps) AS pen
+           |  FROM cand c JOIN pc ON pc.va = c.vec_id
+           |    AND pc.vb IN ($selPrev)
+           |  WHERE c.vec_id NOT IN ($selPrev)
+           |  GROUP BY c.vec_id, c.sim),
+           |s$n AS (
+           |  SELECT vec_id, sim, pen FROM p$n
+           |  ORDER BY $lam * sim - $om * pen DESC, vec_id LIMIT 1)"""
+          .stripMargin
+      }
+      val steps = (2 to MmrPicks).map(pickStep).mkString(",\n")
+      val outRows = (2 to MmrPicks).map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS step, vec_id, sim AS relevance,
+           |  round(pen, 6) AS penalty,
+           |  round($lam * sim - $om * pen, 6) AS mmr
+           |FROM s$n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH q AS (
+              |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              |  WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS e,
+              |    round(${cosineSql("(embedding::DOUBLE[])", "qe")}, 6) AS sim
+              |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+              |  ORDER BY sim DESC, vec_id LIMIT $MmrK),
+              |pc AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb,
+              |    round(${cosineSql("a.e", "b.e")}, 6) AS ps
+              |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+              |s1 AS (
+              |  SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id
+              |  LIMIT 1),
+              |$steps
+              |SELECT CAST(1 AS BIGINT) AS step, vec_id, sim AS relevance,
+              |  CAST(0.0 AS DOUBLE) AS penalty,
+              |  round($lam * sim, 6) AS mmr
+              |FROM s1
+              |UNION ALL
+              |$outRows
+              |ORDER BY step""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      val cand = graft.operators.PlanCache.persist(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("e"),
+            round(cosine(col("e"), col("qe")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(MmrK))
+      val b = cand.select(col("vec_id").as("vb"), col("e").as("be"))
+      val pc = graft.operators.PlanCache.persist(
+        cand.join(b, col("vec_id") =!= col("vb"))
+          .select(col("vec_id").as("va"), col("vb"),
+            round(cosine(col("e"), col("be")), 6).as("ps")))
+      // greedy loop: each pick is a 1-row fetch over the ≤12-row pool
+      val first = cand.orderBy(col("sim").desc, col("vec_id"))
+        .select(col("vec_id"), col("sim")).limit(1)
+      var picked = Seq(first.head().getLong(0))
+      var out = first.select(lit(1L).as("step"), col("vec_id"),
+        col("sim").as("relevance"), lit(0.0).as("penalty"),
+        round(lit(MmrLambda) * col("sim"), 6).as("mmr"))
+      for (step <- 2 to MmrPicks) {
+        val pen = pc.filter(col("vb").isin(picked: _*))
+          .groupBy("va").agg(max(col("ps")).as("pen"))
+        val score = lit(MmrLambda) * col("sim") -
+          lit(1 - MmrLambda) * col("pen")
+        val pick = cand.filter(!col("vec_id").isin(picked: _*))
+          .join(pen, col("vec_id") === col("va"))
+          .orderBy(score.desc, col("vec_id")).limit(1)
+          .select(lit(step.toLong).as("step"), col("vec_id"),
+            col("sim").as("relevance"), round(col("pen"), 6).as("penalty"),
+            round(score, 6).as("mmr"))
+        picked = picked :+ pick.head().getLong(1)
+        out = out.unionAll(pick)
+      }
+      out.orderBy("step")
+    })
+
+  /** Binary-quantization serving: every embedding's 64 sign bits packed
+    * into two BIGINT halves (a scan-side fold — 16 bytes/vector instead
+    * of 512, the memory story PQ told at finer grain), shortlist-by-
+    * Hamming-distance (popcount over XOR, codegen-friendly integer ops),
+    * then exact-cosine rerank of the 32-candidate shortlist; reports
+    * recall@5 against the full-precision top-5. The corpus-scale work is
+    * the packed scan + a 32-row TakeOrdered; floats only touch the
+    * shortlist. Two 32-bit halves (not one 64-bit word) keep every
+    * shifted literal non-negative in BIGINT on both engines. */
+  val q282_hamming_rerank = Q(
+    "q282_hamming_rerank", {
+      def packSql(e: String, from: Int) =
+        s"""list_reduce(list_transform(generate_series(1, 32),
+           |  i -> CASE WHEN $e[i + ${from - 1}] > 0
+           |       THEN (CAST(1 AS BIGINT) << (i - 1))
+           |       ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)"""
+          .stripMargin
+      Some(s"""WITH p AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS e,
+              |    ${packSql("(embedding::DOUBLE[])", 1)} AS h1,
+              |    ${packSql("(embedding::DOUBLE[])", 33)} AS h2
+              |  FROM embeddings),
+              |q AS (SELECT e AS qe, h1 AS qh1, h2 AS qh2 FROM p
+              |      WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, e, qe,
+              |    bit_count(xor(h1, qh1)) + bit_count(xor(h2, qh2)) AS ham
+              |  FROM p CROSS JOIN q WHERE vec_id <> 0
+              |  ORDER BY ham, vec_id LIMIT 32),
+              |rr AS (
+              |  SELECT vec_id, round(${cosineSql("e", "qe")}, 6) AS sim
+              |  FROM cand ORDER BY sim DESC, vec_id LIMIT 5),
+              |t AS (
+              |  SELECT vec_id,
+              |    round(${cosineSql("(embedding::DOUBLE[])", "qe")}, 6)
+              |      AS sim
+              |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+              |  ORDER BY sim DESC, vec_id LIMIT 5)
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM cand)
+              |    AS n_candidates,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM rr JOIN t
+              |     USING (vec_id)) AS n_overlap,
+              |  (SELECT round(count(*) / 5.0, 6) FROM rr JOIN t
+              |     USING (vec_id)) AS recall_at_5""".stripMargin)
+    },
+    (s, d) => {
+      def pack(from: Int) =
+        expr(s"""aggregate(transform(sequence(1, 32),
+                |  i -> IF(element_at(e, i + ${from - 1}) > CAST(0 AS DOUBLE),
+                |       shiftleft(CAST(1 AS BIGINT), i - 1),
+                |       CAST(0 AS BIGINT))),
+                |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin)
+      val p = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("h1", pack(1)).withColumn("h2", pack(33))
+        .select("vec_id", "e", "h1", "h2")
+      val q = p.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("h1").as("qh1"), col("h2").as("qh2"))
+      val ham = expr("bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2)")
+      val cand = graft.operators.PlanCache.persist(
+        p.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("ham", ham)
+          .orderBy(col("ham"), col("vec_id")).limit(32))
+      val rr = cand
+        .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val t = p.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q.select(col("qe"))))
+        .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      val overlap = rr.select("vec_id")
+        .join(t.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      broadcast(nc).crossJoin(broadcast(overlap))
+        .select(col("n_candidates"), col("n_overlap"),
+          round(col("n_overlap") / 5.0, 6).as("recall_at_5"))
+    })
+
+  private val MatDims = Seq(8, 16, 32)
+
+  /** Matryoshka (prefix-dimension) recall: rank by cosine over only the
+    * first m dimensions (m = 8/16/32) and measure top-10 recall against
+    * the full 64-dim ranking — the measurement behind the
+    * store-a-prefix / rerank-with-full-dims serving trade. Prefix
+    * cosine folds the SAME index order as the full kernel (the oracle's
+    * generate_series(1, m) fold mirrors the sliced native expression
+    * bit-for-bit); each dimension level is one corpus pass + a top-10
+    * TakeOrdered; the recall join is k×k. */
+  val q283_matryoshka_recall = Q(
+    "q283_matryoshka_recall", {
+      def dotN(a: String, b: String, n: Int) =
+        s"list_reduce(list_transform(generate_series(1, $n), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      def cosN(a: String, b: String, n: Int) =
+        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+      val e = "(embedding::DOUBLE[])"
+      def top10(n: Int, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, round(${cosN(e, "qe", n)}, 6) AS sim
+           |    FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+           |  ORDER BY sim DESC, vec_id LIMIT 10)""".stripMargin
+      val dims = MatDims.map(n => top10(n, s"p$n")).mkString(",\n")
+      val rows = MatDims.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS dim,
+           |  (SELECT round(count(*) / 10.0, 6) FROM p$n JOIN t
+           |     USING (vec_id)) AS recall_at_10""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH q AS (
+              |  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+              |  WHERE vec_id = 0),
+              |${top10(64, "t")},
+              |$dims
+              |$rows
+              |ORDER BY dim""".stripMargin)
+    },
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") =!= 0)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      def top10(n: Int): DataFrame =
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(cosine(slice(col("e"), 1, n), slice(col("qe"), 1, n)), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+      val t = graft.operators.PlanCache.persist(top10(64))
+      MatDims.map { n =>
+        top10(n).join(t, "vec_id").agg(count(lit(1)).as("k"))
+          .select(lit(n.toLong).as("dim"),
+            round(col("k") / 10.0, 6).as("recall_at_10"))
+      }.reduce(_.unionAll(_)).orderBy("dim")
+    })
+
+  val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
+    q283_matryoshka_recall)
+}
