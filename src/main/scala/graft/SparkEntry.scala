@@ -17,7 +17,7 @@ object SparkEntry {
       DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++
-      OpsDiag.all ++ StatsOps.all ++ StatsOps2.all ++
+      OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
       GraphOps.all ++ MiningOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
       VectorOps5.all ++
