@@ -463,4 +463,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q228_hits")
     assert(countOf(p, "FileScan parquet").max(countOf(p, "Scan parquet")) <= 1, p)
   }
+
+  test("q274: skyline dominance join extracts the bucket equi key — never a nested loop over rows") {
+    // the in-bucket exact check must plan as a hash/sort-merge anti join
+    // on the bucket key with the dominance predicate as a join condition;
+    // a BroadcastNestedLoopJoin here would be the O(n²) skyline the
+    // two-phase design exists to avoid
+    val p = plan("q274_pareto_frontier")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q280: id minting never sorts rows globally — bucket window + broadcast offsets") {
+    // the row-scale window partitions by the hash-prefix bucket; the
+    // 256-row offset grid joins back as a broadcast. A SortMergeJoin or
+    // a row-scale single-partition window would mean the two-phase rank
+    // regressed to the global row_number it replaces.
+    val p = plan("q280_id_minting")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q282: hamming shortlist is scan-side pack + TakeOrdered — floats only in the shortlist") {
+    // sign-bit packing and hamming distance are per-row integer
+    // expressions; the 32-candidate shortlist is TakeOrderedAndProject;
+    // no window and no row-scale hash shuffle anywhere
+    val p = plan("q282_hamming_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
