@@ -366,7 +366,56 @@ object StreamQ {
         .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     })
 
+  /** Streaming cumulative reach ≡ batch q268 — the EIGHTH
+    * replay-equivalence member, for unwatermarked Update-mode
+    * aggregation state: the per-user first-seen day is a streaming
+    * min() aggregate (state = one day per user, bounded by the user
+    * population, RocksDB provider pinned as in q142); every micro-batch
+    * emits a key's updated minimum, the update stream is MONOTONE
+    * DECREASING per key, so the final state recovered from any
+    * at-least-once sink is the per-key min whatever the batching
+    * schedule (the q142 recovery device with min for max). The day
+    * spine and the reach cumsum are batch-side grid arithmetic on the
+    * recovered state — calendar metadata, not stream state. Oracle =
+    * q268's SQL verbatim: streaming run-to-completion must equal the
+    * batch first-seen computation exactly. */
+  val q291_stream_reach = Q(
+    "q291_stream_reach",
+    Some("""WITH f AS (
+           |  SELECT user_id,
+           |    CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day
+           |  FROM events GROUP BY user_id),
+           |d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT)
+           |      AS new_users FROM f GROUP BY 1),
+           |days AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000
+           |         AS BIGINT) AS day FROM events)
+           |SELECT days.day, CAST(coalesce(d.new_users, 0) AS BIGINT)
+           |    AS new_users,
+           |  CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY days.day)
+           |    AS BIGINT) AS cumulative_users
+           |FROM days LEFT JOIN d ON d.day = days.day
+           |ORDER BY days.day""".stripMargin),
+    (s, d) => {
+      val dayOf = expr("(ts div 1000) div 86400000000")
+      val firsts = eventStream(s, d)
+        .select(col("user_id"), dayOf.as("day"))
+        .groupBy("user_id").agg(min("day").as("first_day"))
+      val sink = runToSinkUpdate(firsts, "q291_sink")
+      // final state per user = the min across its updates (monotone)
+      val fin = sink.groupBy("user_id").agg(min("first_day").as("first_day"))
+        .groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val days = graft.Tables.events(s, d).select(dayOf.as("day")).distinct()
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      days.join(fin, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(wCum).cast("long"))
+        .orderBy("day")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
-    q142_stream_tws_totals, q230_stream_left_outer)
+    q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach)
 }
