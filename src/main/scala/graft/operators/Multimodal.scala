@@ -156,6 +156,41 @@ object Multimodal {
         .cast("long"))
   }
 
+  /** BMP dimensions + orientation: 'BM' magic, BITMAPINFOHEADER width
+    * i32 LE at byte offset 19 (1-based) and height i32 LE at 23 — the
+    * height is SIGNED: negative means a top-down pixel order, which the
+    * parser must surface (reported as abs(height) + a topdown flag)
+    * rather than hand a consumer a negative dimension. Pure codegen'd
+    * column expression, same scan-side metadata-mining contract as
+    * pngDims. */
+  def bmpDims(content: Column): Column = {
+    def le(off: Int, len: Int) = (0 until len).map(i =>
+      conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+    val rawH = le(23, 4)
+    // two's-complement i32: values above 2^31 are negative heights
+    val signedH = when(rawH >= lit(2147483648L), rawH - lit(4294967296L))
+      .otherwise(rawH)
+    when(length(content) >= 30 &&
+        hex(substring(content, 1, 2)) === "424D",
+      struct(le(19, 4).as("width"),
+        abs(signedH).as("height"),
+        when(signedH < 0, 1L).otherwise(0L).as("topdown")))
+  }
+
+  /** GIF logical-screen dimensions: 'GIF87a'/'GIF89a' magic, width and
+    * height u16 LE at byte offsets 7/9 (1-based). Null struct for
+    * non-GIF/corrupt payloads. */
+  def gifDims(content: Column): Column = {
+    def le(off: Int, len: Int) = (0 until len).map(i =>
+      conv(hex(substring(content, off + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+    when(length(content) >= 13 &&
+        (hex(substring(content, 1, 6)) === "474946383761" ||
+          hex(substring(content, 1, 6)) === "474946383961"),
+      struct(le(7, 2).as("width"), le(9, 2).as("height")))
+  }
+
   /** JPEG dimensions via a real SOF marker-segment walk (unlike PNG/WAV,
     * the frame header sits behind a variable-length segment list — see
     * functions/JpegSofDims). Null struct for non-JPEG/corrupt payloads. */

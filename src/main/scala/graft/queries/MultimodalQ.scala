@@ -176,6 +176,71 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** BMP + GIF header mining (construction-inversion, the q111/q173
+    * device): even docs BUILD a BITMAPINFOHEADER BMP whose width/height
+    * are formula-derived — every 23rd doc stores the height NEGATIVE
+    * (two's-complement i32, the real-world top-down pixel-order flag a
+    * naive parser hands through as a negative dimension); odd docs build
+    * a GIF89a logical screen descriptor (u16 LE fields). Every 17th doc
+    * gets a corrupt magic and must null out. Spark parses the bytes back
+    * with the REAL fixed-offset little-endian parsers
+    * (`Multimodal.bmpDims`/`gifDims`, codegen'd column expressions);
+    * the oracle knows every answer in closed form from doc_id. */
+  val q294_bmp_gif_dims = Q(
+    "q294_bmp_gif_dims",
+    Some("""SELECT doc_id,
+            |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'gif' END AS fmt,
+            |  CASE WHEN doc_id % 17 = 0 THEN NULL
+            |       WHEN doc_id % 2 = 0 THEN CAST(doc_id % 2000 + 1 AS BIGINT)
+            |       ELSE CAST(doc_id % 900 + 1 AS BIGINT) END AS width,
+            |  CASE WHEN doc_id % 17 = 0 THEN NULL
+            |       WHEN doc_id % 2 = 0 THEN CAST((doc_id * 3) % 1500 + 1 AS BIGINT)
+            |       ELSE CAST((doc_id * 11) % 700 + 1 AS BIGINT) END AS height,
+            |  CASE WHEN doc_id % 17 = 0 THEN NULL
+            |       WHEN doc_id % 2 = 0 AND doc_id % 23 = 0 THEN CAST(1 AS BIGINT)
+            |       ELSE CAST(0 AS BIGINT) END AS topdown
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      // little-endian hex: byte i = ⌊v / 256^i⌋ % 256 — the divisor is a
+      // power of two, so the double division is exact for v < 2^53
+      def leHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        concat((0 until bytes).map(i =>
+          lpad(hex(floor(v / lit(1L << (8 * i))).cast("long") % 256),
+            2, "0")): _*)
+      val bmpW = col("doc_id") % 2000 + 1
+      val bmpHmag = (col("doc_id") * 3) % 1500 + 1
+      // top-down BMPs store the height as a NEGATIVE i32 (two's complement)
+      val bmpHraw = when(col("doc_id") % 23 === 0, lit(4294967296L) - bmpHmag)
+        .otherwise(bmpHmag)
+      val bmpMagic = when(col("doc_id") % 17 === 0, "4242").otherwise("424D")
+      val bmpHex = concat(bmpMagic,
+        lit("00000000"), lit("00000000"), lit("36000000"), // size/resv/offset
+        lit("28000000"),                                   // DIB header size
+        leHex(bmpW, 4), leHex(bmpHraw, 4),
+        lit("0100"), lit("1800"))                          // planes, 24 bpp
+      val gifW = col("doc_id") % 900 + 1
+      val gifH = (col("doc_id") * 11) % 700 + 1
+      val gifMagic = when(col("doc_id") % 17 === 0, "584946383961")
+        .otherwise("474946383961")
+      val gifHex = concat(gifMagic, leHex(gifW, 2), leHex(gifH, 2),
+        lit("F70000"))
+      val payload = unhex(when(col("doc_id") % 2 === 0, bmpHex)
+        .otherwise(gifHex))
+      val bmp = Multimodal.bmpDims(payload)
+      val gif = Multimodal.gifDims(payload)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "bmp").otherwise("gif").as("fmt"),
+          when(col("doc_id") % 2 === 0, bmp("width"))
+            .otherwise(gif("width")).as("width"),
+          when(col("doc_id") % 2 === 0, bmp("height"))
+            .otherwise(gif("height")).as("height"),
+          when(col("doc_id") % 2 === 0, bmp("topdown"))
+            .otherwise(when(gif("width").isNotNull, 0L)).as("topdown"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
-    q111_jpeg_dims, q173_wav_info)
+    q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims)
 }

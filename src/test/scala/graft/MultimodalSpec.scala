@@ -105,6 +105,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nc.isNullAt(0))
   }
 
+  test("BMP/GIF header parsers: LE fields, signed top-down height, corruption, truncation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30-byte BMP prefix: 'BM' + BITMAPINFOHEADER, 800×600 bottom-up
+    def bmpBytes(w: Int, h: Long): Array[Byte] = {
+      def le(v: Long, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+      (Seq(0x42, 0x4D).map(_.toByte) ++ le(0, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w.toLong, 4) ++ le(h & 0xFFFFFFFFL, 4) ++
+        le(1, 2) ++ le(24, 2)).toArray
+    }
+    // 13-byte GIF prefix: GIF89a + 320×200 logical screen
+    val gif: Array[Byte] = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00).map(_.toByte))
+    val rows = Seq(
+      (1L, bmpBytes(800, 600L)),
+      (2L, bmpBytes(1024, -768L)), // top-down: height stored negative
+      (3L, gif),
+      (4L, Array.fill(30)(0x51.toByte)))
+      .toDF("id", "content")
+      .select(col("id"),
+        Multimodal.bmpDims(col("content")).as("bmp"),
+        Multimodal.gifDims(col("content")).as("gif"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).getLong(0) == 800L)
+    assert(rows(0).getStruct(1).getLong(1) == 600L)
+    assert(rows(0).getStruct(1).getLong(2) == 0L)
+    assert(rows(1).getStruct(1).getLong(0) == 1024L)
+    assert(rows(1).getStruct(1).getLong(1) == 768L) // abs of the i32
+    assert(rows(1).getStruct(1).getLong(2) == 1L)   // topdown flagged
+    assert(rows(2).isNullAt(1))
+    assert(rows(2).getStruct(2).getLong(0) == 320L)
+    assert(rows(2).getStruct(2).getLong(1) == 200L)
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    // truncation: magic alone must not fabricate dimensions
+    val short = Seq((1L, bmpBytes(800, 600L).take(10)), (2L, gif.take(8)))
+      .toDF("id", "content")
+      .select(Multimodal.bmpDims(col("content")).as("bmp"),
+        Multimodal.gifDims(col("content")).as("gif"))
+      .orderBy(col("bmp").isNull).collect()
+    assert(short.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("jpeg SOF walker: segment skip, decoys, standalone markers, corruption") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
