@@ -469,6 +469,77 @@ object StatsOps2 {
           / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
     })
 
+  /** Seasonality strength of the daily revenue series: the STL-style
+    * variance-decomposition number 1 − Var(residual)/Var(total), with
+    * the seasonal component = weekday means — answers "is the weekly
+    * cycle strong enough to partition training epochs by week" (the
+    * decision q206's ACF hints at, as a single [0,1] statistic). Daily
+    * totals are exact decimal sums; weekday means are a 7-row agg
+    * broadcast back; residuals round at 6 then decimal-sum into the
+    * variance moments, so the statistic is partition-order-independent.
+    * Everything after the one events hash agg runs on the ≤|days| grid. */
+  val q296_seasonality_strength = Q(
+    "q296_seasonality_strength",
+    Some("""WITH daily AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+           |  FROM events GROUP BY 1),
+           |wk AS (
+           |  SELECT day % 7 AS w, CAST(count(*) AS BIGINT) AS nw,
+           |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           |      AS wmean
+           |  FROM daily GROUP BY 1),
+           |r AS (
+           |  SELECT day, x, round(x - wmean, 6) AS resid
+           |  FROM daily JOIN wk ON wk.w = day % 7),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           |      AS sx,
+           |    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           |      AS sxx,
+           |    CAST(sum(CAST(resid AS DECIMAL(28,6))) AS DOUBLE) AS sr,
+           |    CAST(sum(CAST(round(resid * resid, 6) AS DECIMAL(28,6)))
+           |      AS DOUBLE) AS srr
+           |  FROM r)
+           |SELECT n_days,
+           |  round(sxx / n_days - (sx / n_days) * (sx / n_days), 6)
+           |    AS var_total,
+           |  round(srr / n_days - (sr / n_days) * (sr / n_days), 6)
+           |    AS var_resid,
+           |  round(greatest(0.0, 1 - (srr / n_days - (sr / n_days)
+           |      * (sr / n_days))
+           |    / (sxx / n_days - (sx / n_days) * (sx / n_days))), 6)
+           |    AS strength
+           |FROM m""".stripMargin),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(dec(col("value"))).cast("double").as("x"))
+      val wk = daily.groupBy((col("day") % 7).as("w"))
+        .agg(count(lit(1)).as("nw"),
+          (sum(col("x").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("wmean"))
+      val r = daily.join(broadcast(wk), col("w") === col("day") % 7)
+        .select(col("day"), col("x"),
+          round(col("x") - col("wmean"), 6).as("resid"))
+      val m = r.agg(count(lit(1)).as("n_days"),
+        sum(round(col("x"), 6).cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(28,6)"))
+          .cast("double").as("sxx"),
+        sum(col("resid").cast("decimal(28,6)")).cast("double").as("sr"),
+        sum(round(col("resid") * col("resid"), 6).cast("decimal(28,6)"))
+          .cast("double").as("srr"))
+      val vt = col("sxx") / col("n_days") -
+        (col("sx") / col("n_days")) * (col("sx") / col("n_days"))
+      val vr = col("srr") / col("n_days") -
+        (col("sr") / col("n_days")) * (col("sr") / col("n_days"))
+      m.select(col("n_days"), round(vt, 6).as("var_total"),
+        round(vr, 6).as("var_resid"),
+        round(greatest(lit(0.0), lit(1) - vr / vt), 6).as("strength"))
+    })
+
   val all: Seq[Q] = Seq(q271_kendall_tau, q272_sprt, q273_pettitt,
-    q285_mahalanobis, q286_pca2d, q287_ols_multi)
+    q285_mahalanobis, q286_pca2d, q287_ols_multi,
+    q296_seasonality_strength)
 }
