@@ -642,9 +642,84 @@ object LakeOps {
         .orderBy("day")
     })
 
+  /** Bitemporal as-of lookup — the time-travel read q130 (valid time)
+    * and q86 (SCD2 intervals) stop short of: "as of VALID time V, as
+    * KNOWN at TRANSACTION time T". The version stream is the purchase
+    * history with a deterministic md5-derived ingest delay as the
+    * transaction time (late-arriving data is the whole point — a
+    * version can be valid before the warehouse knew it). A 3×3 probe
+    * grid (exact integer fractions of the observed span) broadcasts
+    * against the versions; per (probe, user) the answer is the max
+    * vfrom among versions with vfrom ≤ V AND tx ≤ T (one keyed window,
+    * rank never globalizes); the report aggregates per probe. Answers
+    * MUST differ along the T axis where V is fixed — that delta IS the
+    * late-data correction a transaction-time-blind read silently
+    * backdates. */
+  val q297_bitemporal_asof = Q(
+    "q297_bitemporal_asof", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val delay = s"(${hexSpanValSql("h", 0, 6)} % 259200000000)" // 0..3 days µs
+      Some(s"""WITH v AS (
+              |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS vfrom,
+              |    CAST(epoch_us(ts) AS BIGINT) + $delay AS tx,
+              |    event_id,
+              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |      AS cents
+              |  FROM (SELECT *, md5(CAST(event_id AS VARCHAR)) AS h
+              |        FROM events WHERE event_type = 'purchase')),
+              |span AS (
+              |  SELECT min(vfrom) AS lo, max(tx) AS hi FROM v),
+              |probes AS (
+              |  SELECT lo + k.v * ((hi - lo) // 4) AS vq,
+              |    lo + t.v * ((hi - lo) // 4) AS tq
+              |  FROM span
+              |  CROSS JOIN (VALUES (1), (2), (3)) k(v)
+              |  CROSS JOIN (VALUES (1), (2), (3)) t(v)),
+              |hit AS (
+              |  SELECT p.vq, p.tq, v.user_id, v.cents,
+              |    row_number() OVER (PARTITION BY p.vq, p.tq, v.user_id
+              |      ORDER BY v.vfrom DESC, v.event_id DESC) AS rn
+              |  FROM v JOIN probes p ON v.vfrom <= p.vq AND v.tx <= p.tq)
+              |SELECT vq, tq, CAST(count(*) AS BIGINT) AS n_users,
+              |  CAST(CAST(sum(cents) AS DOUBLE) / 100 AS DOUBLE)
+              |    AS total_value
+              |FROM hit WHERE rn = 1
+              |GROUP BY vq, tq
+              |ORDER BY vq, tq""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val v = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("h", md5(col("event_id").cast("string")))
+        .select(col("user_id"), expr("ts div 1000").as("vfrom"),
+          (expr("ts div 1000") +
+            expr(hexSpanValSql("h", 0, 6)) % 259200000000L).as("tx"),
+          col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val span = v.agg(min("vfrom").as("lo"), max("tx").as("hi"))
+      val ks = Seq(1L, 2L, 3L)
+      val probes = span
+        .withColumn("kv", explode(array(ks.map(lit): _*)))
+        .withColumn("tv", explode(array(ks.map(lit): _*)))
+        .select((col("lo") + col("kv") * expr("(hi - lo) div 4")).as("vq"),
+          (col("lo") + col("tv") * expr("(hi - lo) div 4")).as("tq"))
+      val w = Window.partitionBy("vq", "tq", "user_id")
+        .orderBy(col("vfrom").desc, col("event_id").desc)
+      v.join(broadcast(probes),
+          col("vfrom") <= col("vq") && col("tx") <= col("tq"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("vq", "tq")
+        .agg(count(lit(1)).as("n_users"),
+          (sum("cents").cast("double") / 100).cast("double")
+            .as("total_value"))
+        .orderBy("vq", "tq")
+    })
+
   val all: Seq[Q] = Seq(q85_snapshot_diff, q86_scd2_intervals,
     q118_schema_evolution, q119_table_checksum, q125_jsonl_roundtrip,
     q130_asof_snapshot, q138_minmax_prune, q154_join_ivm,
     q157_csv_roundtrip, q158_orc_roundtrip, q201_layout_skipping,
-    q238_shard_resize, q250_vacuum_plan)
+    q238_shard_resize, q250_vacuum_plan, q297_bitemporal_asof)
 }
