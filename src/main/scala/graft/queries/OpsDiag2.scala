@@ -176,5 +176,49 @@ object OpsDiag2 {
         .orderBy("source")
     })
 
-  val all: Seq[Q] = Seq(q288_freshness_sla, q289_hill_tail, q290_bh_fdr)
+  private val SaltTargetRows = 50000L
+  private val SaltCap = 32L
+
+  /** Salting planner — the decision layer in front of q47/q64's salted
+    * execution: WHICH keys need salting and by how much. Per join/agg
+    * key, the exact row count → salt factor = ⌈count/target⌉ capped at
+    * the q64 replication bound; reports the post-salt expected max
+    * per-reducer share so the plan's effect is visible before running
+    * it. One key-keyed hash agg + a 1-row total broadcast; the planner
+    * output is key-domain-sized metadata (the thing a nightly job
+    * materializes and the morning's joins read). */
+  val q298_salt_planner = Q(
+    "q298_salt_planner",
+    Some(s"""WITH k AS (
+            |  SELECT l_returnflag AS key, CAST(count(*) AS BIGINT) AS n
+            |  FROM lineitem GROUP BY l_returnflag),
+            |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM k)
+            |SELECT key, n,
+            |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+            |  least(CAST(ceil(CAST(n AS DOUBLE) / $SaltTargetRows)
+            |    AS BIGINT), $SaltCap) AS salt_factor,
+            |  round(CAST(n AS DOUBLE)
+            |    / least(CAST(ceil(CAST(n AS DOUBLE) / $SaltTargetRows)
+            |        AS BIGINT), $SaltCap) / total, 6) AS post_salt_share
+            |FROM k CROSS JOIN t
+            |ORDER BY key""".stripMargin),
+    (s, d) => {
+      val k = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val t = k.agg(sum("n").cast("long").as("total"))
+      val factor = least(
+        ceil(col("n").cast("double") / SaltTargetRows).cast("long"),
+        lit(SaltCap))
+      k.crossJoin(broadcast(t))
+        .select(col("key"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          factor.as("salt_factor"),
+          round(col("n").cast("double") / factor / col("total"), 6)
+            .as("post_salt_share"))
+        .orderBy("key")
+    })
+
+  val all: Seq[Q] = Seq(q288_freshness_sla, q289_hill_tail, q290_bh_fdr,
+    q298_salt_planner)
 }

@@ -101,5 +101,59 @@ object TextOps9 {
         .orderBy("source")
     })
 
-  val all: Seq[Q] = Seq(q284_kn_bigram)
+  /** Near-duplicate EVIDENCE report — the explainability layer a dedup
+    * sign-off needs on top of q35/q36's pair lists: for each probe-set
+    * pair above the threshold, the exact Jaccard AND the first three
+    * shared shingles as human-readable proof (sorted order, joined to
+    * one string so the report is flat). Spark's array_intersect and the
+    * oracle's list_filter(contains) both preserve the LEFT (sorted)
+    * array's order over distinct elements, so the evidence string is
+    * engine-identical. Pair volume is probe-bounded (the q35 device);
+    * in production the pair list comes from the banded q36 operator and
+    * this report joins it — evidence extraction stays pair-bounded. */
+  val q299_dup_evidence = Q(
+    "q299_dup_evidence",
+    Some("""WITH sh AS (
+           |  SELECT doc_id, list_sort(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           |         || ' ' || string_split(text,' ')[i+2]))) AS sset
+           |  FROM documents WHERE doc_id < 100),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    len(list_filter(a.sset, x -> list_contains(b.sset, x)))
+           |      AS n_shared,
+           |    len(a.sset) AS na, len(b.sset) AS nb,
+           |    array_to_string(list_filter(a.sset,
+           |      x -> list_contains(b.sset, x))[1:3], '|') AS evidence
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+           |  round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 6)
+           |    AS jaccard, evidence
+           |FROM p
+           |WHERE CAST(n_shared AS DOUBLE) / (na + nb - n_shared) >= 0.02
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    (s, d) => {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val sh = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_sort(array_distinct(shingles(tokens(col("text")))))
+            .as("sset"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
+      val shared = array_intersect(col("sa"), col("sb"))
+      val nShared = size(shared)
+      val jac = nShared.cast("double") /
+        (size(col("sa")) + size(col("sb")) - nShared)
+      a.join(b, col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.02)
+        .select(col("doc_a"), col("doc_b"),
+          nShared.cast("long").as("n_shared"),
+          round(jac, 6).as("jaccard"),
+          concat_ws("|", slice(shared, 1, 3)).as("evidence"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  val all: Seq[Q] = Seq(q284_kn_bigram, q299_dup_evidence)
 }
