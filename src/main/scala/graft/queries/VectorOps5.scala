@@ -252,6 +252,106 @@ object VectorOps5 {
       }.reduce(_.unionAll(_)).orderBy("dim")
     })
 
+  private val MrrCent = 16
+  private val MrrQ = 8
+  private val MrrProbe = 2
+  private val MrrK = 10
+
+  /** Mean reciprocal rank of the IVF serving path — the eval metric the
+    * recall (q260), nDCG (q226), and RBO (q222) audits don't give: "at
+    * what position does the TRUE best answer surface", the number a
+    * retrieval-augmented pipeline with a top-1 consumer actually cares
+    * about. Per query in the q136 batch: the exact top-1 (brute-force,
+    * probe-bounded) looked up in the audited `ivfTopKBatch` top-10;
+    * rr = 1/rank (0 when absent), MRR = the decimal-exact mean. All
+    * corpus-scale work is the two audited shapes (one IVF batch pass +
+    * one exact pass over the bounded query batch); the join is k×|batch|
+    * list metadata. */
+  val q302_ann_mrr = Q(
+    "q302_ann_mrr",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |cent AS (
+            |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < $MrrCent),
+            |assign AS (
+            |  SELECT vec_id, v, cid,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id
+            |      ORDER BY round(${cosineSql("v", "cvec")}, 6) DESC, cid)
+            |      AS rnk
+            |  FROM e CROSS JOIN cent WHERE e.vec_id >= $MrrQ),
+            |members AS (SELECT vec_id, v, cid FROM assign WHERE rnk = 1),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $MrrQ),
+            |qprobe AS (
+            |  SELECT qid, qv, cid FROM (
+            |    SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY round(${cosineSql("qv", "cvec")}, 6) DESC, cid)
+            |      AS rnk
+            |    FROM q CROSS JOIN cent) t
+            |  WHERE rnk <= $MrrProbe),
+            |cand AS (
+            |  SELECT p.qid, m.vec_id,
+            |    round(${cosineSql("m.v", "p.qv")}, 6) AS sim
+            |  FROM members m JOIN qprobe p ON m.cid = p.cid),
+            |ivf AS (
+            |  SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk FROM (
+            |    SELECT qid, vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand) t
+            |  WHERE rk <= $MrrK),
+            |truth AS (
+            |  SELECT qid, vec_id AS true_best FROM (
+            |    SELECT q.qid, e2.vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("e2.v", "q.qv")}, 6) DESC,
+            |        e2.vec_id) AS rnk
+            |    FROM e e2 CROSS JOIN q WHERE e2.vec_id >= $MrrQ) t
+            |  WHERE rnk = 1),
+            |j AS (
+            |  SELECT t.qid, t.true_best, i.rk
+            |  FROM truth t LEFT JOIN ivf i
+            |    ON i.qid = t.qid AND i.vec_id = t.true_best),
+            |m AS (
+            |  SELECT round(CAST(sum(CAST(round(coalesce(1.0 / rk, 0), 9)
+            |      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mrr
+            |  FROM j)
+            |SELECT j.qid, j.true_best, j.rk AS found_rank,
+            |  round(coalesce(1.0 / j.rk, 0), 9) AS rr, m.mrr
+            |FROM j CROSS JOIN m
+            |ORDER BY j.qid""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") >= MrrQ).select("vec_id", "e")
+      val queries = emb.filter(col("vec_id") < MrrQ)
+        .select(col("vec_id").as("qid"), col("e"))
+      val ivf = graft.operators.Similarity.ivfTopKBatch(
+        corpus, "vec_id", "e",
+        emb.filter(col("vec_id") < MrrCent)
+          .select(col("vec_id").as("cid"), col("e").as("cvec")),
+        "cid", "cvec", queries, "qid", "e", k = MrrK, nProbe = MrrProbe)
+        .select(col("qid"), col("vec_id"), col("rk"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val truth = corpus
+        .crossJoin(broadcast(queries.select(col("qid"), col("e").as("qv"))))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("e"), col("qv")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(wT))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("vec_id").as("true_best"))
+      val j = graft.operators.PlanCache.persist(truth.join(ivf,
+          truth("qid") === ivf("qid") &&
+            col("true_best") === ivf("vec_id"), "left")
+        .select(truth("qid"), col("true_best"), col("rk")))
+      val rr = round(coalesce(lit(1.0) / col("rk"), lit(0.0)), 9)
+      val m = j.agg(round(sum(rr.cast("decimal(18,9)")).cast("double")
+        / count(lit(1)), 6).as("mrr"))
+      j.crossJoin(broadcast(m))
+        .select(col("qid"), col("true_best"), col("rk").as("found_rank"),
+          rr.as("rr"), col("mrr"))
+        .orderBy("qid")
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
-    q283_matryoshka_recall)
+    q283_matryoshka_recall, q302_ann_mrr)
 }
