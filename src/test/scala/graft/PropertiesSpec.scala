@@ -144,4 +144,49 @@ class PropertiesSpec extends AnyFunSuite {
     // deterministic under any partitioning (retry/speculation safety)
     assert(run(corpus.repartition(7)) == got)
   }
+
+  test("bmpDims/gifDims round-trip arbitrary constructed headers exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def le(v: Long, n: Int) =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    // 60 random (width, height, topdown) triples, incl. i32 sign edges
+    val cases = Seq.tabulate(60) { i =>
+      val w = rnd.nextInt(1 << 16).toLong + 1
+      val h = rnd.nextInt(1 << 16).toLong + 1
+      val topdown = i % 3 == 0
+      (i.toLong, w, h, topdown)
+    } :+ (1000L, 2147483647L, 2147483647L, false) :+
+      (1001L, 1L, 2147483647L, true)
+    val bmps = cases.map { case (id, w, h, td) =>
+      val hRaw = if (td) (-h) & 0xFFFFFFFFL else h
+      val bytes = (Seq(0x42, 0x4D).map(_.toByte) ++ le(0, 4) ++ le(0, 4) ++
+        le(54, 4) ++ le(40, 4) ++ le(w, 4) ++ le(hRaw, 4) ++
+        le(1, 2) ++ le(24, 2)).toArray
+      (id, w, h, if (td) 1L else 0L, bytes)
+    }
+    val back = bmps.toDF("id", "w", "h", "td", "content")
+      .select(col("id"), col("w"), col("h"), col("td"),
+        graft.operators.Multimodal.bmpDims(col("content")).as("p"))
+      .select(col("id"), col("w"), col("h"), col("td"),
+        col("p.width"), col("p.height"), col("p.topdown"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    back.foreach { case (id, w, h, td, pw, ph, ptd) =>
+      assert(pw == w && ph == h && ptd == td, s"bmp case $id")
+    }
+    val gifs = cases.filter(_._2 < 65536).filter(_._3 < 65536)
+      .map { case (id, w, h, _) =>
+        val bytes = ("GIF87a".getBytes("US-ASCII") ++
+          le(w, 2) ++ le(h, 2) ++ Seq(0xF7, 0, 0).map(_.toByte)).toArray
+        (id, w, h, bytes)
+      }
+    val gback = gifs.toDF("id", "w", "h", "content")
+      .select(col("id"), col("w"), col("h"),
+        graft.operators.Multimodal.gifDims(col("content")).as("p"))
+      .select(col("id"), col("w"), col("h"), col("p.width"), col("p.height"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    gback.foreach { case (id, w, h, pw, ph) =>
+      assert(pw == w && ph == h, s"gif case $id")
+    }
+  }
 }
