@@ -194,5 +194,143 @@ object StatsOps3 {
         round((est - col("true_n")) / col("true_n"), 6).as("rel_err"))
     })
 
-  val all: Seq[Q] = Seq(q300_anova_f, q301_srm, q303_capture_recapture)
+  // z literals shared across engines (9-decimal, computed offline):
+  // two-sided α = 0.05 and 80% power
+  private val ZAlpha = 1.959963985
+  private val ZBeta = 0.841621234
+  private val Mde = 0.02
+
+  /** Experiment sizing (power analysis): the n-per-arm required to
+    * detect a 2 pp absolute lift on the observed per-user conversion
+    * rate at α = 0.05 / 80% power, with unpooled variances — the
+    * question asked BEFORE q254/q270/q301 ever run. The baseline rate
+    * comes from one user-keyed agg; the closed form runs on one row
+    * with the z quantiles as shared 9-decimal literals (no engine
+    * inverse-normal). Also reports the runway: days to enroll that many
+    * users at the observed new-user rate. */
+  val q304_power_analysis = Q(
+    "q304_power_analysis",
+    Some(s"""WITH u AS (
+            |  SELECT user_id,
+            |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 250
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+            |    CAST(min(epoch_us(ts) // 86400000000) AS BIGINT)
+            |      AS first_day
+            |  FROM events GROUP BY user_id),
+            |m AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+            |    CAST(sum(conv) AS DOUBLE) / count(*) AS p,
+            |    CAST(count(DISTINCT first_day) AS BIGINT) AS n_days
+            |  FROM u),
+            |c AS (
+            |  SELECT n_users, n_days, p,
+            |    ceil(($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta)
+            |      * (p * (1 - p) + (p + $Mde) * (1 - p - $Mde))
+            |      / ($Mde * $Mde)) AS n_arm
+            |  FROM m)
+            |SELECT n_users, round(p, 6) AS base_rate,
+            |  $Mde AS mde,
+            |  CAST(n_arm AS BIGINT) AS n_per_arm,
+            |  CAST(ceil(2 * n_arm / (CAST(n_users AS DOUBLE) / n_days))
+            |    AS BIGINT) AS days_to_enroll
+            |FROM c""".stripMargin),
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 250, 1L).otherwise(0L)).as("conv"),
+          min(expr("(ts div 1000) div 86400000000")).as("first_day"))
+      val m = u.agg(count(lit(1)).as("n_users"),
+        (sum("conv").cast("double") / count(lit(1))).as("p"),
+        countDistinct("first_day").as("n_days"))
+      val z2 = (ZAlpha + ZBeta) * (ZAlpha + ZBeta)
+      val nArm = ceil(lit(z2) *
+        (col("p") * (lit(1) - col("p")) +
+          (col("p") + Mde) * (lit(1) - col("p") - Mde)) / (Mde * Mde))
+      m.select(col("n_users"), round(col("p"), 6).as("base_rate"),
+        lit(Mde).as("mde"),
+        nArm.cast("long").as("n_per_arm"),
+        ceil(lit(2) * nArm /
+          (col("n_users").cast("double") / col("n_days")))
+          .cast("long").as("days_to_enroll"))
+    })
+
+  /** Inverse-propensity-weighted ATE with a KNOWN confounded
+    * assignment — the causal-inference counterpoint to q254's
+    * randomized arms: treatment probability depends on activity BY
+    * CONSTRUCTION (p = 0.7 for high-activity users, 0.3 otherwise, md5
+    * draw), and activity drives spend, so the naive treated-minus-
+    * control difference carries structural confounding bias; weighting
+    * each user by 1/p(treat|x) (known here — the construction-inversion
+    * of a fitted propensity model) removes that bias. The true effect
+    * is zero by construction, so the IPW column is an UNBIASED estimate
+    * of zero — at this user count it still carries the estimator's
+    * inflated variance (weights up to 1/0.3), the classic bias-for-
+    * variance trade the side-by-side columns make visible. Per-user
+    * terms round at 6 then decimal-sum, one user-keyed agg total. */
+  val q305_ipw_ate = Q(
+    "q305_ipw_ate", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val udraw = s"(${hexSpanValSql("h", 4, 4)} / 65536.0)"
+      Some(s"""WITH u AS (
+              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+              |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+              |      AS y
+              |  FROM events GROUP BY user_id),
+              |t AS (
+              |  SELECT user_id, y,
+              |    CASE WHEN n_ev > 66 THEN 0.7 ELSE 0.3 END AS prop,
+              |    CASE WHEN $udraw <
+              |      (CASE WHEN n_ev > 66 THEN 0.7 ELSE 0.3 END)
+              |      THEN 1 ELSE 0 END AS treat
+              |  FROM (SELECT u.*, md5(CAST(user_id AS VARCHAR)) AS h FROM u)),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(treat) AS BIGINT) AS n_treat,
+              |    CAST(sum(CASE WHEN treat = 1
+              |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+              |      / sum(treat) AS mean_t,
+              |    CAST(sum(CASE WHEN treat = 0
+              |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+              |      / sum(1 - treat) AS mean_c,
+              |    CAST(sum(CAST(round(treat * y / prop, 6)
+              |      AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ipw_t,
+              |    CAST(sum(CAST(round((1 - treat) * y / (1 - prop), 6)
+              |      AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ipw_c
+              |  FROM t)
+              |SELECT n, n_treat,
+              |  round((mean_t - mean_c) / 100, 6) AS naive_diff,
+              |  round((ipw_t - ipw_c) / 100, 6) AS ipw_ate
+              |FROM m""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          (sum(dec(col("value"))) * 100).cast("long").as("y"))
+        .withColumn("h", md5(col("user_id").cast("string")))
+      val prop = when(col("n_ev") > 66, 0.7).otherwise(0.3)
+      val t = u.select(col("user_id"), col("y"), prop.as("prop"),
+        when(expr(hexSpanValSql("h", 4, 4)) / 65536.0 < prop, 1)
+          .otherwise(0).as("treat"))
+      val m = t.agg(count(lit(1)).as("n"),
+        sum("treat").cast("long").as("n_treat"),
+        (sum(when(col("treat") === 1, col("y").cast("decimal(38,0)")))
+          .cast("double") / sum("treat")).as("mean_t"),
+        (sum(when(col("treat") === 0, col("y").cast("decimal(38,0)")))
+          .cast("double") / sum(lit(1) - col("treat"))).as("mean_c"),
+        (sum(round(col("treat") * col("y") / col("prop"), 6)
+          .cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("ipw_t"),
+        (sum(round((lit(1) - col("treat")) * col("y") /
+          (lit(1) - col("prop")), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1))).as("ipw_c"))
+      m.select(col("n"), col("n_treat"),
+        round((col("mean_t") - col("mean_c")) / 100, 6).as("naive_diff"),
+        round((col("ipw_t") - col("ipw_c")) / 100, 6).as("ipw_ate"))
+    })
+
+  val all: Seq[Q] = Seq(q300_anova_f, q301_srm, q303_capture_recapture,
+    q304_power_analysis, q305_ipw_ate)
 }
