@@ -519,3 +519,93 @@ case class WinnowedTokenFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
   override def prettyName: String = "winnowed_token_fingerprints"
 }
+
+/** Jaro–Winkler similarity of two strings — classic Winkler variant,
+  * pinned to match DuckDB's `jaro_winkler_similarity` (the oracle
+  * engine) bit-for-bit: match window `max(len)/2 − 1` clamped at 0,
+  * transpositions = floor(out-of-order matches / 2), prefix bonus
+  * `l·0.1·(1−jaro)` for the common prefix capped at 4 applied only when
+  * jaro > 0.7 (boost threshold), and 0.0 when EITHER side is empty
+  * (DuckDB returns 0 even for ''≡''). The blocked entity-resolution
+  * join (q312) evaluates this on every in-block candidate pair, so the
+  * scorer is a static call inside the codegen span — no interpreted
+  * boundary per pair. */
+case class JaroWinkler(
+    left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two string inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerAlgo.score(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinklerAlgo.score($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinklerAlgo {
+  /** See JaroWinkler's doc for the pinned semantics. Works on UTF-16
+    * chars (identical to code points for the BMP text this corpus
+    * carries; DuckDB operates on bytes — equal for ASCII, and the
+    * parity spec pins the probe vectors). */
+  def score(aU: UTF8String, bU: UTF8String): Double = {
+    val a = aU.toString
+    val b = bU.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val bMatched = new Array[Boolean](lb)
+    val aMatchPos = new Array[Int](math.min(la, lb))
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val ca = a.charAt(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var hit = false
+      while (j <= hi && !hit) {
+        if (!bMatched(j) && ca == b.charAt(j)) {
+          bMatched(j) = true
+          aMatchPos(m) = i
+          m += 1
+          hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // walk matched chars of both sides in order; count disagreements
+    var mism = 0
+    var k = 0
+    i = 0
+    while (i < m) {
+      while (!bMatched(k)) k += 1
+      if (a.charAt(aMatchPos(i)) != b.charAt(k)) mism += 1
+      k += 1
+      i += 1
+    }
+    val t = mism / 2 // floor — matches the oracle engine
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}

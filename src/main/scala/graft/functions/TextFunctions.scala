@@ -110,6 +110,13 @@ object TextFunctions {
     br.column(WinnowedTokenFingerprints(br.expression(tokens), k, w))
   }
 
+  /** Jaro–Winkler similarity (native codegen'd expression, pinned to
+    * DuckDB's jaro_winkler_similarity semantics — see JaroWinkler). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(JaroWinkler(br.expression(a), br.expression(b)))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

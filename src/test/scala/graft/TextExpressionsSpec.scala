@@ -178,4 +178,100 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  /** Jaro-Winkler parity: the native expression must match the oracle
+    * engine's jaro_winkler_similarity BIT-FOR-BIT on these DuckDB-
+    * generated probe vectors (60 seeded random pairs + the published
+    * worked examples + the edge/boundary probes that pinned the
+    * semantics: floor'd transpositions, 0.7 boost threshold, prefix cap
+    * 4, empty -> 0). */
+  test("jaro-winkler matches the oracle engine exactly") {
+    import spark.implicits._
+    val vectors: Seq[(String, String, Double)] = Seq(
+    ("aaxcbbbxax", "eaedaaabbee", 0.5848484848484848d),
+    ("", "bxxxedbd", 0.0d),
+    ("c  a  bxd", "cbb c", 0.5407407407407407d),
+    ("a", "ac cec", 0.7500000000000001d),
+    ("axdeadaec xe", "ebxaa", 0.6277777777777778d),
+    ("b ca b adc", "x cbccb", 0.6047619047619048d),
+    ("cxxxaexbex", "bdd", 0.0d),
+    ("xxeb", "c   ab a c", 0.45d),
+    ("cabexc", "xdd", 0.0d),
+    ("dbcbbxeecx", "dedcbbeda", 0.6185185185185186d),
+    ("a abxb xdead", "edece", 0.42777777777777776d),
+    ("", "xaxe c xca", 0.0d),
+    ("dbda", "xce bea xc", 0.5666666666666667d),
+    ("eebbc be e", "", 0.0d),
+    ("cdaac  cb", "", 0.0d),
+    ("eaa", "d a e bbxde", 0.44949494949494945d),
+    ("ce", "dbe xxbxc", 0.5370370370370371d),
+    ("xxcded", "b", 0.0d),
+    ("aca", "ebebaaxxa", 0.48148148148148145d),
+    ("aa", "aebcx", 0.5666666666666667d),
+    ("bebxeed", "d", 0.0d),
+    ("baaxdc", "dd xax", 0.38888888888888884d),
+    ("xaadxc  ab", "bed", 0.4777777777777778d),
+    ("db", "db a", 0.8666666666666667d),
+    ("eaax", "aa  bbd", 0.5952380952380952d),
+    ("db dabd", "", 0.0d),
+    ("c  dcd", "x exxdbbcba", 0.5909090909090909d),
+    ("xeaxcaaed", "ebaea b", 0.5873015873015873d),
+    ("e", "x", 0.0d),
+    ("dae", "eea", 0.0d),
+    ("adxeeeccb", "xcbcdbxxcd", 0.5518518518518518d),
+    ("aade", "aaebecbca", 0.6944444444444443d),
+    ("ccb", "exce x", 0.5d),
+    ("ax ecxab", "aaxe", 0.7375d),
+    ("cc", "bxcbxx ce", 0.5370370370370371d),
+    ("c aaxd", "aac", 0.7222222222222222d),
+    ("xc", "xd", 0.6666666666666666d),
+    ("xdeaaaxb", "a ceebdb", 0.47222222222222215d),
+    ("", "c  a", 0.0d),
+    ("bxbxa", "e de", 0.0d),
+    ("bb b  bdabx", "d x", 0.47474747474747475d),
+    ("bcb xad a", "bb dcc", 0.662962962962963d),
+    ("bbaxbdcc a", "cxed", 0.5666666666666667d),
+    ("ecaacbeca", "e", 0.7333333333333334d),
+    ("cx cde", "adebcaxd", 0.5138888888888888d),
+    ("", "exxxxxb", 0.0d),
+    ("daxce", "x axc", 0.7333333333333334d),
+    ("cxdcdxce", "bd", 0.5416666666666666d),
+    ("dxxbeecde", "", 0.0d),
+    ("cbd", "excdddxbe", 0.6296296296296297d),
+    ("xbxac", "xxeca  b", 0.6833333333333332d),
+    ("cb bbaabde", "addxebxxdddb", 0.5722222222222223d),
+    ("xx", "", 0.0d),
+    ("a dbb xeda", "b adb dx", 0.85d),
+    ("eec de x", "d edbx d", 0.6166666666666667d),
+    ("c b xc", "edxbcdaxcbcc", 0.5833333333333334d),
+    ("eabbb", "xbxbad", 0.5777777777777778d),
+    ("ceddab", "d exa", 0.5888888888888889d),
+    ("eddacc d  de", "xe ebdbcdda", 0.6262626262626263d),
+    ("cxx dx", "d", 0.0d),
+    ("MARTHA", "MARHTA", 0.9611111111111111d),
+    ("DIXON", "DICKSONX", 0.8133333333333332d),
+    ("JELLYFISH", "SMELLYFISH", 0.8962962962962964d),
+    ("abc", "abc", 1.0d),
+    ("", "abc", 0.0d),
+    ("", "", 0.0d),
+    ("a", "b", 0.0d),
+    ("a", "a", 1.0d),
+    ("CRATE", "TRACE", 0.7333333333333334d),
+    ("DwAyNE", "DuANE", 0.8400000000000001d),
+    ("lemon tan", "lemon tin", 0.9555555555555556d),
+    ("aXXXXXX", "aYYYYYY", 0.42857142857142855d),
+    ("abcdYYYY", "abcdXXXX", 0.6666666666666666d),
+    ("ab", "aba", 0.9111111111111111d),
+    ("aaaaa", "aaaaaa", 0.9666666666666667d),
+    ("prefixmatch", "prefixnomat", 0.9272727272727274d),
+    ("xxabcyy", "xxbcayy", 0.9619047619047619d),
+    )
+    val df = vectors.toDF("a", "b", "want")
+    val bad = df
+      .select(col("a"), col("b"), col("want"),
+        jaroWinkler(col("a"), col("b")).as("got"))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+  }
+
 }
