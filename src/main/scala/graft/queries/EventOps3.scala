@@ -275,7 +275,95 @@ object EventOps3 {
         .orderBy("day")
     })
 
+  /** SAX (symbolic aggregate approximation) daily motifs over the hourly
+    * spend series: each complete 24-hour day is z-normalized, PAA'd into
+    * four 6-hour segments, and each segment mapped to one of four
+    * symbols by the fixed Gaussian breakpoints ±0.6745/0 — the classic
+    * time-series symbolization, with motif discovery = counting the
+    * resulting 4-letter daily words. Determinism discipline: hourly
+    * means round at 6 into DECIMAL(18,6) so every later per-day /
+    * per-segment sum is exact; z-scores round at 6 before the breakpoint
+    * compare so both engines pick identical symbols; the word assembles
+    * via 4 conditional MAXes (no ordered string_agg). One corpus pass
+    * (the hour agg); everything after runs on the day×hour grid. */
+  val q316_sax_motifs = Q(
+    "q316_sax_motifs",
+    Some(s"""WITH hourly AS (
+            |  SELECT epoch_us(ts) // 3600000000 AS hour,
+            |    CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+            |      AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS x
+            |  FROM events GROUP BY 1),
+            |hg AS (
+            |  SELECT hour // 24 AS day, (hour % 24) // 6 AS seg, x
+            |  FROM hourly),
+            |full_days AS (
+            |  SELECT day FROM hg GROUP BY day HAVING count(*) = 24),
+            |dm AS (
+            |  SELECT day, CAST(sum(x) AS DOUBLE) / 24 AS mu,
+            |    sqrt(CAST(sum(x * x) AS DOUBLE) / 24
+            |      - (CAST(sum(x) AS DOUBLE) / 24)
+            |      * (CAST(sum(x) AS DOUBLE) / 24)) AS sd
+            |  FROM hg JOIN full_days USING (day) GROUP BY day),
+            |segs AS (
+            |  SELECT hg.day, seg,
+            |    CAST(sum(x) AS DOUBLE) / 6 AS seg_mean
+            |  FROM hg JOIN full_days USING (day) GROUP BY hg.day, seg),
+            |sym AS (
+            |  SELECT s.day, s.seg,
+            |    CASE
+            |      WHEN z < -0.6745 THEN 'a'
+            |      WHEN z < 0 THEN 'b'
+            |      WHEN z < 0.6745 THEN 'c'
+            |      ELSE 'd' END AS c
+            |  FROM (SELECT s.day, s.seg,
+            |          CASE WHEN d.sd = 0 THEN CAST(0 AS DOUBLE)
+            |               ELSE round((s.seg_mean - d.mu) / d.sd, 6) END
+            |            AS z
+            |        FROM segs s JOIN dm d ON d.day = s.day) s),
+            |words AS (
+            |  SELECT day,
+            |    max(CASE WHEN seg = 0 THEN c END)
+            |    || max(CASE WHEN seg = 1 THEN c END)
+            |    || max(CASE WHEN seg = 2 THEN c END)
+            |    || max(CASE WHEN seg = 3 THEN c END) AS word
+            |  FROM sym GROUP BY day)
+            |SELECT word, CAST(count(*) AS BIGINT) AS n_days
+            |FROM words GROUP BY word
+            |ORDER BY n_days DESC, word""".stripMargin),
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 3600000000").as("hour"))
+        .agg(round(sum(Q.dec(col("value"))).cast("double") /
+          count(lit(1)), 6).cast("decimal(18,6)").as("x"))
+      val hg = graft.operators.PlanCache.persist(hourly.select(
+        expr("hour div 24").as("day"),
+        expr("(hour % 24) div 6").as("seg"), col("x")))
+      val fullDays = hg.groupBy("day").agg(count(lit(1)).as("nh"))
+        .filter(col("nh") === 24).select("day")
+      val base = hg.join(fullDays, "day")
+      val mu = sum("x").cast("double") / 24
+      val dm = base.groupBy("day")
+        .agg(mu.as("mu"),
+          sqrt(sum(col("x") * col("x")).cast("double") / 24 - mu * mu)
+            .as("sd"))
+      val segs = base.groupBy("day", "seg")
+        .agg((sum("x").cast("double") / 6).as("seg_mean"))
+      val z = when(col("sd") === 0, lit(0.0))
+        .otherwise(round((col("seg_mean") - col("mu")) / col("sd"), 6))
+      val sym = segs.join(dm, "day")
+        .select(col("day"), col("seg"),
+          when(z < -0.6745, "a").when(z < 0, "b")
+            .when(z < 0.6745, "c").otherwise("d").as("c"))
+      val words = sym.groupBy("day").agg(concat(
+        max(when(col("seg") === 0, col("c"))),
+        max(when(col("seg") === 1, col("c"))),
+        max(when(col("seg") === 2, col("c"))),
+        max(when(col("seg") === 3, col("c")))).as("word"))
+      words.groupBy("word").agg(count(lit(1)).as("n_days"))
+        .orderBy(col("n_days").desc, col("word"))
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
-      q268_cumulative_reach)
+      q268_cumulative_reach, q316_sax_motifs)
 }

@@ -694,7 +694,88 @@ object GraphOps {
         .orderBy("node")
     })
 
+  /** Weisfeiler–Lehman color refinement (2 rounds) on the supplier↔part
+    * bipartite graph (q232's even/odd node encoding): label₀ = degree,
+    * label_{r+1}(u) = md5(label_r(u) ‖ ':' ‖ sorted neighbor labels) —
+    * the canonical structural-role signature (graph-isomorphism
+    * refinement; the node-feature hash GNN pipelines use). The readout
+    * is the refinement progression: distinct colors after rounds 0/1/2
+    * plus the largest round-2 color class. Each round is ONE edge-keyed
+    * join + ONE node-keyed agg with a sorted collect_list (deterministic
+    * under any partial-agg order) — constant shuffles per round, no
+    * iteration-growing state, same scale shape as q117/q236. */
+  val q313_wl_colors = Q(
+    "q313_wl_colors",
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS u,
+           |    (l_partkey % 100) * 2 + 1 AS v
+           |  FROM lineitem),
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |l0 AS (
+           |  SELECT u AS node, CAST(CAST(count(*) AS BIGINT) AS VARCHAR)
+           |    AS lab
+           |  FROM e GROUP BY u),
+           |r1 AS (
+           |  SELECT e.u AS node,
+           |    md5(lu.lab || ':'
+           |      || array_to_string(list_sort(list(lv.lab)), ',')) AS lab
+           |  FROM e JOIN l0 lu ON lu.node = e.u
+           |         JOIN l0 lv ON lv.node = e.v
+           |  GROUP BY e.u, lu.lab),
+           |r2 AS (
+           |  SELECT e.u AS node,
+           |    md5(lu.lab || ':'
+           |      || array_to_string(list_sort(list(lv.lab)), ',')) AS lab
+           |  FROM e JOIN r1 lu ON lu.node = e.u
+           |         JOIN r1 lv ON lv.node = e.v
+           |  GROUP BY e.u, lu.lab)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_nodes,
+           |  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM l0)
+           |    AS colors_deg,
+           |  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM r1)
+           |    AS colors_r1,
+           |  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM r2)
+           |    AS colors_r2,
+           |  (SELECT CAST(max(c) AS BIGINT) FROM (
+           |     SELECT count(*) AS c FROM r2 GROUP BY lab))
+           |    AS max_class_r2""".stripMargin),
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d)
+        .select((col("l_suppkey") * 2).as("u"),
+          ((col("l_partkey") % 100) * 2 + 1).as("v"))
+        .distinct()
+      // persisted: the symmetrized edge list drives every round twice
+      val e = graft.operators.PlanCache.persist(
+        e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
+      val l0 = graft.operators.PlanCache.persist(
+        e.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).cast("string").as("lab")))
+      def refine(lab: org.apache.spark.sql.DataFrame) =
+        graft.operators.PlanCache.persist(
+          e.join(lab.select(col("node").as("u"), col("lab").as("ulab")),
+              "u")
+            .join(lab.select(col("node").as("v"), col("lab").as("vlab")),
+              "v")
+            .groupBy(col("u").as("node"), col("ulab"))
+            .agg(sort_array(collect_list(col("vlab"))).as("nl"))
+            .select(col("node"),
+              md5(concat(col("ulab"), lit(":"), concat_ws(",", col("nl"))))
+                .as("lab")))
+      val r1 = refine(l0)
+      val r2 = refine(r1)
+      val maxClass = r2.groupBy("lab").agg(count(lit(1)).as("c"))
+        .agg(max("c").cast("long").as("max_class_r2"))
+      l0.agg(count(lit(1)).as("n_nodes"),
+          countDistinct("lab").as("colors_deg"))
+        .crossJoin(broadcast(r1.agg(countDistinct("lab").as("colors_r1"))))
+        .crossJoin(broadcast(r2.agg(countDistinct("lab").as("colors_r2"))))
+        .crossJoin(broadcast(maxClass))
+        .select(col("n_nodes"), col("colors_deg"), col("colors_r1"),
+          col("colors_r2"), col("max_class_r2"))
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
     q199_link_prediction, q216_assortativity, q223_modularity, q228_hits,
-    q232_bfs_hops, q236_label_prop, q237_ppr)
+    q232_bfs_hops, q236_label_prop, q237_ppr, q313_wl_colors)
 }

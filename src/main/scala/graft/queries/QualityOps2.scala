@@ -650,8 +650,63 @@ object QualityOps2 {
         .orderBy("digit")
     })
 
+  /** Source-concentration report per language (the "are we one takedown
+    * away from losing a language" curation readout): Herfindahl index of
+    * source shares, its inverse (effective number of sources), and the
+    * top-2 concentration ratio. Everything runs on the lang × source
+    * count grid: per-source share² terms round at 9 then decimal-sum per
+    * language; CR2 is a rank-2 window on the same grid. One corpus agg
+    * total — the grid is |langs|·|sources| rows at any corpus size. */
+  val q317_source_hhi = Q(
+    "q317_source_hhi",
+    Some("""WITH g AS (
+           |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |t AS (
+           |  SELECT lang, source, c,
+           |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY c DESC, source) AS rk
+           |  FROM g),
+           |m AS (
+           |  SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           |    CAST(count(*) AS BIGINT) AS n_sources,
+           |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+           |      * (CAST(c AS DOUBLE) / n), 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) AS hhi,
+           |    CAST(sum(CASE WHEN rk <= 2 THEN c ELSE 0 END) AS BIGINT)
+           |      AS top2
+           |  FROM t GROUP BY lang)
+           |SELECT lang, n_docs, n_sources, round(hhi, 9) AS hhi,
+           |  round(1 / hhi, 6) AS eff_sources,
+           |  round(CAST(top2 AS DOUBLE) / n_docs, 6) AS cr2
+           |FROM m ORDER BY lang""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy("lang")
+      val t = g.select(col("lang"), col("source"), col("c"),
+        sum("c").over(wl).as("n"),
+        row_number().over(wl.orderBy(col("c").desc, col("source")))
+          .as("rk"))
+      val share = col("c").cast("double") / col("n")
+      val m = t.groupBy("lang").agg(
+        max("n").cast("long").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(round(share * share, 9).cast("decimal(28,9)")).cast("double")
+          .as("hhi"),
+        sum(when(col("rk") <= 2, col("c")).otherwise(0L)).cast("long")
+          .as("top2"))
+      m.select(col("lang"), col("n_docs"), col("n_sources"),
+        round(col("hhi"), 9).as("hhi"),
+        round(lit(1) / col("hhi"), 6).as("eff_sources"),
+        round(col("top2").cast("double") / col("n_docs"), 6).as("cr2"))
+        .orderBy("lang")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
     q162_quantile_binning, q166_weighted_median, q167_cusum,
     q174_source_influence, q182_batch_drift, q183_user_anomaly_days,
-    q212_luhn_audit, q214_benford)
+    q212_luhn_audit, q214_benford, q317_source_hhi)
 }

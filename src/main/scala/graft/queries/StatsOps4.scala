@@ -420,6 +420,113 @@ object StatsOps4 {
           .otherwise("large").as("magnitude"))
     })
 
+  /** Bradley–Terry strengths from pairwise comparisons — the preference-
+    * data fitter an RLHF pipeline runs over A-vs-B judgments. Comparisons
+    * derive deterministically from the corpus: per user, event type A
+    * "beats" B when the user's exact decimal spend on A exceeds B (ties
+    * drop; both-present pairs only). Three unrolled
+    * minorization–maximization iterations run on the k×k pair grid
+    * (k = 5 event types): p_i ← W_i / Σ_j n_ij/(p_i+p_j), then
+    * sum-normalized to k. The corpus contributes ONE user×type agg and
+    * ONE user-keyed pair self-join; every iteration is grid-only
+    * arithmetic. Per-term doubles round at 9 then decimal-sum so the
+    * Σ_j fold is partial-agg-order independent on both engines. */
+  val q315_bradley_terry = Q(
+    "q315_bradley_terry", {
+      def iter(i: Int, prev: String) =
+        s"""d$i AS (
+           |  SELECT dirn.i AS t,
+           |    CAST(sum(CAST(round(dirn.n / (pi.p + pj.p), 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS dsum
+           |  FROM dirn JOIN $prev pi ON pi.t = dirn.i
+           |            JOIN $prev pj ON pj.t = dirn.j
+           |  GROUP BY dirn.i),
+           |praw$i AS (
+           |  SELECT w.t, round(w.w / d.dsum, 9) AS praw
+           |  FROM wtot w JOIN d$i d ON d.t = w.t),
+           |p$i AS (
+           |  SELECT t, round(praw * (SELECT count(*) FROM wtot)
+           |    / (SELECT CAST(sum(CAST(praw AS DECIMAL(28,9))) AS DOUBLE)
+           |       FROM praw$i), 9) AS p
+           |  FROM praw$i)""".stripMargin
+      Some(s"""WITH ut AS (
+              |  SELECT user_id, event_type,
+              |    sum(CAST(value AS DECIMAL(18,2))) AS s
+              |  FROM events GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT a.event_type AS ta, b.event_type AS tb,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS wa
+              |  FROM ut a JOIN ut b
+              |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+              |  WHERE a.s <> b.s
+              |  GROUP BY 1, 2),
+              |dirn AS (
+              |  SELECT ta AS i, tb AS j, n, wa AS w FROM pairs
+              |  UNION ALL
+              |  SELECT tb AS i, ta AS j, n, n - wa AS w FROM pairs),
+              |wtot AS (
+              |  SELECT i AS t, CAST(sum(n) AS BIGINT) AS games,
+              |    CAST(sum(w) AS BIGINT) AS wins,
+              |    CAST(sum(w) AS DOUBLE) AS w
+              |  FROM dirn GROUP BY i),
+              |p0 AS (SELECT t, CAST(1 AS DOUBLE) AS p FROM wtot),
+              |${iter(1, "p0")},
+              |${iter(2, "p1")},
+              |${iter(3, "p2")}
+              |SELECT w.t AS event_type, w.games, w.wins, p3.p AS strength
+              |FROM wtot w JOIN p3 ON p3.t = w.t
+              |ORDER BY strength DESC, event_type""".stripMargin)
+    },
+    (s, d) => {
+      val ut = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(sum(dec(col("value"))).as("s"))
+      val a = ut.select(col("user_id"), col("event_type").as("ta"),
+        col("s").as("sa"))
+      val b = ut.select(col("user_id"), col("event_type").as("tb"),
+        col("s").as("sb"))
+      val pairs = a.join(b, Seq("user_id"))
+        .filter(col("ta") < col("tb") && col("sa") =!= col("sb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("wa"))
+      val dirn = graft.operators.PlanCache.persist(
+        pairs.select(col("ta").as("i"), col("tb").as("j"), col("n"),
+          col("wa").as("w"))
+          .union(pairs.select(col("tb").as("i"), col("ta").as("j"),
+            col("n"), (col("n") - col("wa")).as("w"))))
+      val wtot = graft.operators.PlanCache.persist(
+        dirn.groupBy(col("i").as("t"))
+          .agg(sum("n").cast("long").as("games"),
+            sum("w").cast("long").as("wins"),
+            sum("w").cast("double").as("w")))
+      val k = wtot.agg(count(lit(1)).as("k"),
+        lit(1).as("__one")) // single-row scalar frame for normalization
+      def iterate(prev: org.apache.spark.sql.DataFrame) = {
+        val dsum = dirn
+          .join(prev.select(col("t").as("i"), col("p").as("pi")), "i")
+          .join(prev.select(col("t").as("j"), col("p").as("pj")), "j")
+          .groupBy(col("i").as("t"))
+          .agg(sum(round(col("n") / (col("pi") + col("pj")), 9)
+            .cast("decimal(28,9)")).cast("double").as("dsum"))
+        val praw = wtot.join(dsum, "t")
+          .select(col("t"), round(col("w") / col("dsum"), 9).as("praw"))
+        val norm = praw.agg(
+          sum(col("praw").cast("decimal(28,9)")).cast("double").as("sp"))
+        praw.crossJoin(broadcast(norm)).crossJoin(broadcast(k))
+          .select(col("t"),
+            round(col("praw") * col("k") / col("sp"), 9).as("p"))
+      }
+      val p0 = wtot.select(col("t"), lit(1.0).as("p"))
+      val p3 = iterate(iterate(iterate(p0)))
+      wtot.join(p3, "t")
+        .select(col("t").as("event_type"), col("games"), col("wins"),
+          col("p").as("strength"))
+        .orderBy(col("strength").desc, col("event_type"))
+    })
+
   val all: Seq[Q] = Seq(q306_t_closeness, q307_log_rank, q308_did,
-    q309_kruskal_wallis, q310_cliffs_delta)
+    q309_kruskal_wallis, q310_cliffs_delta, q315_bradley_terry)
 }

@@ -352,6 +352,136 @@ object VectorOps5 {
         .orderBy("qid")
     })
 
+  private val FilQ = 30  // filtered-ANN query batch
+  private val FilC = 16  // centroids (corpus vec_id 30..45)
+  private val FilK = 5
+  private val FilNp = 3
+
+  /** Filtered ANN: pre-filter vs post-filter recall under a metadata
+    * predicate (label must equal the query's label) — THE operational
+    * choice in vector serving. Both strategies share one IVF route
+    * (scan-side cell assignment, 3-probe candidate join); PRE-filter
+    * applies the predicate to candidates before the top-5 window,
+    * POST-filter ranks unfiltered then drops non-matching results,
+    * losing shortlist slots to wrong-label neighbors — the measured
+    * recall gap is the entry's readout. Ground truth is the exact
+    * label-filtered top-5. Corpus passes: one assignment scan + one
+    * candidate join per strategy-shared frame; windows run per-query on
+    * candidates only. */
+  val q314_filtered_ann = Q(
+    "q314_filtered_ann",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+            |  FROM embeddings),
+            |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+            |      WHERE vec_id < $FilQ),
+            |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= $FilQ),
+            |cent AS (SELECT vec_id AS cid, v AS cvec FROM c
+            |         WHERE vec_id < ${FilQ + FilC}),
+            |exact AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("c.v", "q.qv")}, 6) DESC,
+            |        c.vec_id) AS ra
+            |    FROM c JOIN q ON c.label = q.qlabel) t
+            |  WHERE ra <= $FilK),
+            |nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+            |assign AS (
+            |  SELECT vec_id, label, v, cid FROM (
+            |    SELECT c.vec_id, c.label, c.v, cent.cid,
+            |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+            |        ORDER BY round(${cosineSql("c.v", "cent.cvec")}, 6)
+            |          DESC, cid) AS rnk
+            |    FROM c CROSS JOIN cent) t WHERE rnk = 1),
+            |qpr AS (
+            |  SELECT qid, qlabel, qv, cid FROM (
+            |    SELECT q.qid, q.qlabel, q.qv, cent.cid,
+            |      ROW_NUMBER() OVER (PARTITION BY q.qid
+            |        ORDER BY round(${cosineSql("q.qv", "cent.cvec")}, 6)
+            |          DESC, cid) AS rnk
+            |    FROM q CROSS JOIN cent) t WHERE rnk <= $FilNp),
+            |cand AS (
+            |  SELECT p.qid, p.qlabel, a.vec_id, a.label,
+            |    round(${cosineSql("a.v", "p.qv")}, 6) AS sim
+            |  FROM assign a JOIN qpr p ON a.cid = p.cid),
+            |pre AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand WHERE label = qlabel) t WHERE rk <= $FilK),
+            |post AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id, label, qlabel,
+            |      ROW_NUMBER() OVER (PARTITION BY qid
+            |        ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand) t WHERE rk <= $FilK AND label = qlabel),
+            |hp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pre
+            |       JOIN exact USING (qid, vec_id)),
+            |ho AS (SELECT CAST(count(*) AS BIGINT) AS n FROM post
+            |       JOIN exact USING (qid, vec_id))
+            |SELECT * FROM (
+            |  SELECT 'prefilter' AS strategy, n_exact, n AS n_hits,
+            |    round(CAST(n AS DOUBLE) / n_exact, 6) AS recall
+            |  FROM hp CROSS JOIN nex
+            |  UNION ALL
+            |  SELECT 'postfilter' AS strategy, n_exact, n AS n_hits,
+            |    round(CAST(n AS DOUBLE) / n_exact, 6) AS recall
+            |  FROM ho CROSS JOIN nex) t
+            |ORDER BY strategy""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val corpus = emb.filter(col("vec_id") >= FilQ)
+        .select("vec_id", "label", "e")
+      val queries = emb.filter(col("vec_id") < FilQ)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("e").as("qe"))
+      val cents = emb
+        .filter(col("vec_id") >= FilQ && col("vec_id") < FilQ + FilC)
+        .select(col("vec_id").as("cid"), col("e").as("cvec"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exact = graft.operators.PlanCache.persist(
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("label") === col("qlabel"))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("e"), col("qe")), 6).as("sim"))
+          .withColumn("ra", row_number().over(wq))
+          .filter(col("ra") <= FilK).select("qid", "vec_id"))
+      val nex = exact.agg(count(lit(1)).as("n_exact"))
+      val assigned = graft.operators.Similarity.assignCells(
+        corpus, "e", cents, "cid", "cvec")
+      val wqc = Window.partitionBy("qid")
+        .orderBy(col("csim").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qlabel"), col("qe"), col("cid"),
+          round(cosine(col("qe"), col("cvec")), 6).as("csim"))
+        .withColumn("rnk", row_number().over(wqc))
+        .filter(col("rnk") <= FilNp)
+        .select("qid", "qlabel", "qe", "cid")
+      val cand = graft.operators.PlanCache.persist(
+        assigned.join(broadcast(probes), Seq("cid"))
+          .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+            round(cosine(col("e"), col("qe")), 6).as("sim")))
+      val pre = cand.filter(col("label") === col("qlabel"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= FilK).select("qid", "vec_id")
+      val post = cand.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= FilK && col("label") === col("qlabel"))
+        .select("qid", "vec_id")
+      def row(name: String, hits: DataFrame) =
+        hits.join(exact, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nex))
+          .select(lit(name).as("strategy"), col("n_exact"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      row("postfilter", post).union(row("prefilter", pre))
+        .orderBy("strategy")
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
-    q283_matryoshka_recall, q302_ann_mrr)
+    q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann)
 }
