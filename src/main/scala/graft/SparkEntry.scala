@@ -19,7 +19,7 @@ object SparkEntry {
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
-      StatsOps3.all ++ StatsOps4.all ++
+      StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++
       GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ SpatialOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
       VectorOps5.all ++

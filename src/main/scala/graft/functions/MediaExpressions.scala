@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** JPEG SOF dimension parser — a REAL marker-segment walker (unlike the
   * PNG/WAV fixed-offset parsers, JPEG's frame header sits behind a
@@ -71,4 +71,81 @@ case class JpegSofDims(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "jpeg_sof_dims"
+}
+
+/** TIFF dimensions via a real IFD walk — the header family's only
+  * DUAL-ENDIAN format: byte order from the II/MM magic, the 42 check,
+  * then the first IFD's 12-byte entries scanned for ImageWidth (256) /
+  * ImageLength (257), honoring the left-justified inline value rule
+  * (SHORT type 3 reads a u16, LONG type 4 a u32, both in the file's
+  * byte order). Returns struct(width, height, bigendian) or null on
+  * corrupt magic / truncation / missing tags. Tag values beyond these
+  * two are skipped, so real-world IFDs with extra entries parse fine.
+  * CodegenFallback: per-row cost is a bounded byte walk (≤ entries·12),
+  * dominated by the struct allocation, not the eval boundary.
+  *
+  * Reference behavior modeled: the reference treats media as opaque
+  * blobs (lambda stores bytes untouched); header mining is the
+  * scan-side metadata layer built on top (SURVEY §2.11 multimodal). */
+case class TiffDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bigendian", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary payload, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 8) return null
+    val le =
+      if ((b(0) & 0xFF) == 0x49 && (b(1) & 0xFF) == 0x49) true
+      else if ((b(0) & 0xFF) == 0x4D && (b(1) & 0xFF) == 0x4D) false
+      else return null
+    def u16(p: Int): Int =
+      if (le) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (le) (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      else ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    if (u16(2) != 42) return null
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val p0 = ifd.toInt
+    val n = u16(p0)
+    if (p0 + 2 + 12 * n > b.length) return null
+    var width = -1L
+    var height = -1L
+    var i = 0
+    while (i < n) {
+      val e = p0 + 2 + 12 * i
+      val tag = u16(e)
+      if (tag == 256 || tag == 257) {
+        val typ = u16(e + 2)
+        val count = u32(e + 4)
+        // inline values only (count 1, SHORT/LONG); anything else is not
+        // a plain dimension — treat as corrupt rather than guessing
+        if (count != 1L || (typ != 3 && typ != 4)) return null
+        val v = if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+        if (tag == 256) width = v else height = v
+      }
+      i += 1
+    }
+    if (width < 0 || height < 0) return null
+    new GenericInternalRow(Array[Any](width, height, if (le) 0L else 1L))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "tiff_dims"
 }

@@ -199,6 +199,13 @@ object Multimodal {
     b.column(graft.functions.JpegSofDims(b.expression(content)))
   }
 
+  /** TIFF dimensions via a real dual-endian IFD walk (see
+    * functions/TiffDims). Null struct for non-TIFF/corrupt payloads. */
+  def tiffDims(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.TiffDims(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

@@ -241,6 +241,59 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** TIFF header mining by construction-inversion (the q294 device, now
+    * for the family's only DUAL-ENDIAN format): per doc a minimal TIFF
+    * is formula-built — even ids little-endian ("II", LONG-typed
+    * dimension tags), odd ids big-endian ("MM", SHORT-typed, exercising
+    * the left-justified inline value rule) — and every 17th doc gets a
+    * corrupt magic that must null out. Spark parses the bytes back with
+    * the REAL IFD walker (`Multimodal.tiffDims`); the oracle knows every
+    * answer in closed form from doc_id, so any parser drift (endianness,
+    * offsets, type widths) breaks the hash. */
+  val q321_tiff_dims = Q(
+    "q321_tiff_dims",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(doc_id % 4000 + 1 AS BIGINT) END AS width,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST((doc_id * 7) % 3000 + 1 AS BIGINT) END AS height,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(1 AS BIGINT) END AS bigendian
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      def leHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        concat((0 until bytes).map(i =>
+          lpad(hex(floor(v / lit(1L << (8 * i))).cast("long") % 256),
+            2, "0")): _*)
+      def beHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(v.cast("long")), 2 * bytes, "0")
+      val w = col("doc_id") % 4000 + 1
+      val h = (col("doc_id") * 7) % 3000 + 1
+      val leMagic = when(col("doc_id") % 17 === 0, "58582A00")
+        .otherwise("49492A00")
+      val leHdr = concat(leMagic, lit("08000000"), lit("0200"),
+        lit("0001"), lit("0400"), lit("01000000"), leHex(w, 4),
+        lit("0101"), lit("0400"), lit("01000000"), leHex(h, 4),
+        lit("00000000"))
+      val beMagic = when(col("doc_id") % 17 === 0, "5858002A")
+        .otherwise("4D4D002A")
+      val beHdr = concat(beMagic, lit("00000008"), lit("0002"),
+        lit("0100"), lit("0003"), lit("00000001"),
+        concat(beHex(w, 2), lit("0000")),
+        lit("0101"), lit("0003"), lit("00000001"),
+        concat(beHex(h, 2), lit("0000")),
+        lit("00000000"))
+      val payload = unhex(when(col("doc_id") % 2 === 0, leHdr)
+        .otherwise(beHdr))
+      val t = Multimodal.tiffDims(payload)
+      Tables.documents(s, d)
+        .select(col("doc_id"), t("width").as("width"),
+          t("height").as("height"), t("bigendian").as("bigendian"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
-    q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims)
+    q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims)
 }

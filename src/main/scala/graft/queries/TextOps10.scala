@@ -123,5 +123,95 @@ object TextOps10 {
         .orderBy(col("jw").desc, col("name_a"), col("name_b"))
     })
 
-  val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match)
+  /** Classifier evaluation for the q31 language-ID heuristic: per-class
+    * precision / recall / F1 from the truth×prediction confusion grid,
+    * with macro-F1 carried on every row — the eval harness a language-ID
+    * stage ships with (q31 reports raw confusion counts; this is the
+    * decision-grade readout). Undefined ratios (a class never predicted
+    * or absent) report 0 by the standard convention on BOTH engines.
+    * One corpus agg onto the ≤ |langs|² grid; macro-F1 decimal-averages
+    * the rounded per-class F1s. */
+  val q319_langid_eval = Q(
+    "q319_langid_eval",
+    Some("""WITH pred AS (
+           |  SELECT lang,
+           |    CASE WHEN contains(text, 'the ') THEN 'en'
+           |         WHEN contains(text, 'data ') THEN 'de'
+           |         ELSE 'und' END AS predicted,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |classes AS (SELECT DISTINCT lang FROM pred),
+           |pc AS (
+           |  SELECT c.lang,
+           |    COALESCE((SELECT sum(n) FROM pred p
+           |      WHERE p.lang = c.lang AND p.predicted = c.lang), 0) AS tp,
+           |    COALESCE((SELECT sum(n) FROM pred p
+           |      WHERE p.lang <> c.lang AND p.predicted = c.lang), 0) AS fp,
+           |    COALESCE((SELECT sum(n) FROM pred p
+           |      WHERE p.lang = c.lang AND p.predicted <> c.lang), 0) AS fn
+           |  FROM classes c),
+           |m AS (
+           |  SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           |    CAST(fn AS BIGINT) AS fn,
+           |    CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)
+           |         ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS p,
+           |    CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)
+           |         ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS r
+           |  FROM pc),
+           |f AS (
+           |  SELECT lang, tp, fp, fn, p, r,
+           |    CASE WHEN p + r = 0 THEN CAST(0 AS DOUBLE)
+           |         ELSE round(2 * p * r / (p + r), 6) END AS f1
+           |  FROM m),
+           |mac AS (
+           |  SELECT round(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+           |    / count(*), 6) AS macro_f1 FROM f)
+           |SELECT lang, tp, fp, fn, p AS precision_, r AS recall, f1,
+           |  macro_f1
+           |FROM f CROSS JOIN mac ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val pred = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .groupBy(col("lang"),
+          when(col("text").contains("the "), "en")
+            .when(col("text").contains("data "), "de")
+            .otherwise("und").as("predicted"))
+        .agg(count(lit(1)).as("n")))
+      val classes = pred.select("lang").distinct()
+      val tp = pred.filter(col("lang") === col("predicted"))
+        .groupBy("lang").agg(sum("n").as("tp"))
+      val fp = pred.filter(col("lang") =!= col("predicted"))
+        .groupBy(col("predicted").as("lang")).agg(sum("n").as("fp"))
+      val fn = pred.filter(col("lang") =!= col("predicted"))
+        .groupBy("lang").agg(sum("n").as("fn"))
+      val pc = classes
+        .join(tp, Seq("lang"), "left").join(fp, Seq("lang"), "left")
+        .join(fn, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+          coalesce(col("fp"), lit(0L)).cast("long").as("fp"),
+          coalesce(col("fn"), lit(0L)).cast("long").as("fn"))
+      val p = when(col("tp") + col("fp") === 0, lit(0.0))
+        .otherwise(round(col("tp").cast("double") /
+          (col("tp") + col("fp")), 6))
+      val r = when(col("tp") + col("fn") === 0, lit(0.0))
+        .otherwise(round(col("tp").cast("double") /
+          (col("tp") + col("fn")), 6))
+      val m = pc.select(col("lang"), col("tp"), col("fp"), col("fn"),
+        p.as("p"), r.as("r"))
+      val f = graft.operators.PlanCache.persist(m.select(col("lang"),
+        col("tp"), col("fp"), col("fn"), col("p"), col("r"),
+        when(col("p") + col("r") === 0, lit(0.0))
+          .otherwise(round(lit(2) * col("p") * col("r") /
+            (col("p") + col("r")), 6)).as("f1")))
+      val mac = f.agg(round(sum(col("f1").cast("decimal(18,6)"))
+        .cast("double") / count(lit(1)), 6).as("macro_f1"))
+      f.crossJoin(broadcast(mac))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"),
+          col("p").as("precision_"), col("r").as("recall"), col("f1"),
+          col("macro_f1"))
+        .orderBy("lang")
+    })
+
+  val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match,
+    q319_langid_eval)
 }

@@ -482,6 +482,58 @@ object VectorOps5 {
         .orderBy("strategy")
     })
 
+  /** IVF nlist planner — the sizing decision made BEFORE q57/q136 train
+    * anything: per candidate cell count, the expected per-query scan
+    * cost model centroids + nprobe·(N/nlist) (the standard IVF cost
+    * curve, minimized near √(nprobe·N)), evaluated from ONE corpus
+    * count. The planner marks the argmin row and carries the analytic
+    * optimum for comparison — pure metadata arithmetic, the q265/q298
+    * planner pattern applied to the ANN index family. */
+  val q323_ivf_nlist_planner = Q(
+    "q323_ivf_nlist_planner", {
+      val cells = Seq(4, 8, 16, 32, 64, 128)
+      val rows = cells.map(c => s"SELECT CAST($c AS BIGINT) AS nlist")
+        .mkString(" UNION ALL ")
+      Some(s"""WITH n AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              |cand AS ($rows),
+              |costs AS (
+              |  SELECT nlist,
+              |    CAST(nlist AS DOUBLE) AS centroid_cost,
+              |    round(3.0 * n / nlist, 6) AS probe_cost,
+              |    round(nlist + 3.0 * n / nlist, 6) AS total_cost
+              |  FROM cand CROSS JOIN n),
+              |best AS (
+              |  SELECT min(total_cost) AS best_cost FROM costs)
+              |SELECT nlist, centroid_cost, probe_cost, total_cost,
+              |  CASE WHEN total_cost = best_cost THEN 1 ELSE 0 END
+              |    AS is_optimal,
+              |  round(sqrt(3.0 * n), 6) AS analytic_opt
+              |FROM costs CROSS JOIN best CROSS JOIN n
+              |ORDER BY nlist""".stripMargin)
+    },
+    (s, d) => {
+      val n = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+      val cand = s.range(0, 6).toDF("i")
+        .select(expr("shiftleft(4L, CAST(i AS INT))").as("nlist"))
+      val costs = cand.crossJoin(broadcast(n))
+        .select(col("nlist"),
+          col("nlist").cast("double").as("centroid_cost"),
+          round(lit(3.0) * col("n") / col("nlist"), 6).as("probe_cost"),
+          round(col("nlist") + lit(3.0) * col("n") / col("nlist"), 6)
+            .as("total_cost"),
+          round(sqrt(lit(3.0) * col("n")), 6).as("analytic_opt"))
+      val best = costs.agg(min("total_cost").as("best_cost"))
+      costs.crossJoin(broadcast(best))
+        .select(col("nlist"), col("centroid_cost"), col("probe_cost"),
+          col("total_cost"),
+          when(col("total_cost") === col("best_cost"), 1).otherwise(0)
+            .as("is_optimal"),
+          col("analytic_opt"))
+        .orderBy("nlist")
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
-    q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann)
+    q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann,
+    q323_ivf_nlist_planner)
 }

@@ -190,4 +190,43 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("n") =!= 4).count()
     assert(bad == 0)
   }
+
+  test("TIFF IFD walker: dual endian, inline value rule, extra tags, truncation") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    def dims(hexStr: String) = {
+      val df = spark.sql(s"SELECT unhex('$hexStr') AS b")
+      val r = df.select(Multimodal.tiffDims(col("b")).as("t"))
+        .select("t.width", "t.height", "t.bigendian").collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    // LE, LONG-typed 640x480
+    val le = "49492A00" + "08000000" + "0200" +
+      "0001" + "0400" + "01000000" + "80020000" +
+      "0101" + "0400" + "01000000" + "E0010000" + "00000000"
+    assert(dims(le) == Some((640L, 480L, 0L)))
+    // BE, SHORT-typed 17x9 — left-justified inline u16 values
+    val be = "4D4D002A" + "00000008" + "0002" +
+      "0100" + "0003" + "00000001" + "00110000" +
+      "0101" + "0003" + "00000001" + "00090000" + "00000000"
+    assert(dims(be) == Some((17L, 9L, 1L)))
+    // extra unknown tag (315 Artist, skipped) before the dimension tags
+    val extra = "49492A00" + "08000000" + "0300" +
+      "3B01" + "0200" + "04000000" + "61626300" +
+      "0001" + "0300" + "01000000" + "0500" + "0000" +
+      "0101" + "0300" + "01000000" + "0700" + "0000" + "00000000"
+    assert(dims(extra) == Some((5L, 7L, 0L)))
+    // corrupt magic, wrong 42, truncated IFD, missing height tag -> null
+    assert(dims("58582A00" + "08000000" + "0000") == None)
+    assert(dims("49492B00" + "08000000" + "0000") == None)
+    assert(dims("49492A00" + "08000000" + "0500" + "0001") == None)
+    val noH = "49492A00" + "08000000" + "0100" +
+      "0001" + "0400" + "01000000" + "80020000" + "00000000"
+    assert(dims(noH) == None)
+    // non-inline dimension (count != 1) is corrupt, not a guess
+    val badCount = "49492A00" + "08000000" + "0200" +
+      "0001" + "0400" + "02000000" + "80020000" +
+      "0101" + "0400" + "01000000" + "E0010000" + "00000000"
+    assert(dims(badCount) == None)
+  }
 }
