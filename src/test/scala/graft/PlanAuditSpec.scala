@@ -494,4 +494,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q311: boilerplate audit is term-keyed over one persisted shingle frame") {
+    val p = plan("q311_boilerplate")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BroadcastNestedLoopJoins are the 1-row scalar attaches
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q312: entity matching is a broadcast block-join with the codegen'd scorer") {
+    val p = plan("q312_jw_entity_match")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("jaro_winkler"), p)
+  }
+
+  test("q314: filtered-ANN candidates come from a broadcast probe join") {
+    val p = plan("q314_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q321: TIFF mining is scan-side — no join, expression in the scan projection") {
+    val p = plan("q321_tiff_dims")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("tiff_dims"), p)
+  }
 }
