@@ -363,7 +363,97 @@ object EventOps3 {
         .orderBy(col("n_days").desc, col("word"))
     })
 
+  /** k-step absorption probability on the q113 Markov chain: treating
+    * 'purchase' as absorbing, the probability of reaching it within 1/2/3
+    * steps from each start state — r_{k+1}(s) = P(s,pur) +
+    * Σ_{s'≠pur} P(s,s')·r_k(s'), the funnel question ("how close is each
+    * state to converting") the raw transition matrix doesn't answer.
+    * The chain estimate is q113's one window + one agg; the three
+    * iterations run on the k×k grid with round(·,9)-then-decimal-sum
+    * folds, so the matrix-vector products are partial-agg-order
+    * independent on both engines. */
+  val q325_markov_absorption = Q(
+    "q325_markov_absorption", {
+      def step(i: Int, prev: String) =
+        s"""r$i AS (
+           |  SELECT b.state,
+           |    round(b.r1 + COALESCE((
+           |      SELECT CAST(sum(CAST(round(p.p * rr.r, 9)
+           |        AS DECIMAL(28,9))) AS DOUBLE)
+           |      FROM p JOIN $prev rr ON rr.state = p.to_type
+           |      WHERE p.from_type = b.state
+           |        AND p.to_type <> 'purchase'), 0), 9) AS r
+           |  FROM base b)""".stripMargin
+      Some(s"""WITH s AS (
+              |  SELECT user_id, event_type,
+              |    lead(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY epoch_us(ts), event_id) AS next_type
+              |  FROM events),
+              |t AS (
+              |  SELECT event_type AS from_type, next_type AS to_type,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM s WHERE next_type IS NOT NULL
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT from_type, to_type,
+              |    round(CAST(n AS DOUBLE)
+              |      / sum(n) OVER (PARTITION BY from_type), 9) AS p
+              |  FROM t),
+              |base AS (
+              |  SELECT f.from_type AS state,
+              |    COALESCE((SELECT p FROM p WHERE p.from_type = f.from_type
+              |      AND p.to_type = 'purchase'), 0) AS r1
+              |  FROM (SELECT DISTINCT from_type FROM p) f),
+              |r1v AS (SELECT state, r1 AS r FROM base),
+              |${step(2, "r1v")},
+              |${step(3, "r2")}
+              |SELECT b.state AS state, round(b.r1, 9) AS within_1,
+              |  r2.r AS within_2, r3.r AS within_3
+              |FROM base b JOIN r2 ON r2.state = b.state
+              |JOIN r3 ON r3.state = b.state
+              |ORDER BY b.state""".stripMargin)
+    },
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val p = graft.operators.PlanCache.persist(t.select(
+        col("from_type"), col("to_type"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 9).as("p")))
+      val states = p.select(col("from_type").as("state")).distinct()
+      val base = graft.operators.PlanCache.persist(states
+        .join(p.filter(col("to_type") === "purchase")
+          .select(col("from_type").as("state"), col("p").as("pp")),
+          Seq("state"), "left")
+        .select(col("state"), coalesce(col("pp"), lit(0.0)).as("r1")))
+      def step(prev: org.apache.spark.sql.DataFrame) = {
+        val carry = p.filter(col("to_type") =!= "purchase")
+          .join(prev.select(col("state").as("to_type"), col("r")), "to_type")
+          .groupBy(col("from_type").as("state"))
+          .agg(sum(round(col("p") * col("r"), 9).cast("decimal(28,9)"))
+            .cast("double").as("carry"))
+        base.join(carry, Seq("state"), "left")
+          .select(col("state"),
+            round(col("r1") + coalesce(col("carry"), lit(0.0)), 9).as("r"))
+      }
+      val r1v = base.select(col("state"), col("r1").as("r"))
+      val r2 = step(r1v)
+      val r3 = step(r2)
+      base.join(r2.select(col("state"), col("r").as("within_2")), "state")
+        .join(r3.select(col("state"), col("r").as("within_3")), "state")
+        .select(col("state"), round(col("r1"), 9).as("within_1"),
+          col("within_2"), col("within_3"))
+        .orderBy("state")
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
-      q268_cumulative_reach, q316_sax_motifs)
+      q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption)
 }

@@ -444,7 +444,35 @@ object GovOps {
         .orderBy("doc_id")
     })
 
+  /** Differential-privacy release planner (privacy family #4 after
+    * q156/q257/q306): for each (lang, source) cell of a counts release
+    * under ε = 1.0 split across 3 releases (Laplace scale b = 3 for
+    * sensitivity-1 counts — shared literals, no noise is drawn, the
+    * PLAN is the deterministic artifact), the relative noise b/count
+    * and the suppress decision (count < 10·b ⇒ expected |noise| swamps
+    * the value). One corpus agg onto the release grid; the flag is the
+    * "publish, coarsen, or suppress" decision a data-governance release
+    * pipeline applies before any DP mechanism runs. */
+  val q324_dp_release_plan = Q(
+    "q324_dp_release_plan",
+    Some("""WITH g AS (
+           |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT lang, source, c,
+           |  CAST(3.0 AS DOUBLE) AS laplace_b,
+           |  round(3.0 / c, 6) AS rel_noise,
+           |  CASE WHEN c < 30 THEN 1 ELSE 0 END AS suppress
+           |FROM g ORDER BY lang, source""".stripMargin),
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .select(col("lang"), col("source"), col("c"),
+          lit(3.0).as("laplace_b"),
+          round(lit(3.0) / col("c"), 6).as("rel_noise"),
+          when(col("c") < 30, 1).otherwise(0).as("suppress"))
+        .orderBy("lang", "source"))
+
   val all: Seq[Q] = Seq(q274_pareto_frontier, q275_candidate_keys,
     q276_fk_orphans, q277_erasure_cascade, q278_merkle_diff,
-    q279_encoding_advisor, q280_id_minting)
+    q279_encoding_advisor, q280_id_minting, q324_dp_release_plan)
 }

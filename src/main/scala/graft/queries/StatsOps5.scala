@@ -251,6 +251,75 @@ object StatsOps5 {
         .orderBy("look")
     })
 
+  /** Overdispersion check per event type: variance-to-mean ratio of
+    * DAILY counts on the DENSE day grid (zero-event days count — q227's
+    * lesson; omitting them biases the variance down) and the dispersion
+    * statistic (n−1)·VMR ~ χ²_{n−1} under Poisson — the diagnostic that
+    * decides whether count models downstream need a negative-binomial.
+    * Exact integer count moments per type; doubles only in the final
+    * per-type row. */
+  val q327_dispersion = Q(
+    "q327_dispersion",
+    Some("""WITH ev AS (
+           |  SELECT event_type,
+           |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           |  FROM events),
+           |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+           |types AS (SELECT DISTINCT event_type FROM ev),
+           |grid AS (
+           |  SELECT t.event_type, g.day
+           |  FROM span, types t, unnest(generate_series(d0, d1)) AS g(day)),
+           |cnt AS (
+           |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+           |  FROM ev GROUP BY 1, 2),
+           |cells AS (
+           |  SELECT grid.event_type, grid.day, COALESCE(cnt.c, 0) AS c
+           |  FROM grid LEFT JOIN cnt
+           |    ON grid.event_type = cnt.event_type AND grid.day = cnt.day),
+           |m AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(c) AS BIGINT) AS s,
+           |    CAST(sum(c * c) AS BIGINT) AS ss
+           |  FROM cells GROUP BY event_type)
+           |SELECT event_type, n_days,
+           |  round(CAST(s AS DOUBLE) / n_days, 6) AS mean_daily,
+           |  round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+           |    / (n_days - 1) / (CAST(s AS DOUBLE) / n_days), 6) AS vmr,
+           |  round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+           |    / (CAST(s AS DOUBLE) / n_days), 6) AS stat,
+           |  CAST(n_days - 1 AS BIGINT) AS df
+           |FROM m ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val types = ev.select("event_type").distinct()
+      val grid = span
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .crossJoin(broadcast(types))
+      val cnt = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("c"))
+      val cells = grid.join(cnt, Seq("event_type", "day"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val m = cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("c").cast("long").as("s"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+      val mean = col("s").cast("double") / col("n_days")
+      val svar = (col("ss").cast("double") -
+        col("s").cast("double") * col("s") / col("n_days")) /
+        (col("n_days") - 1)
+      m.select(col("event_type"), col("n_days"),
+          round(mean, 6).as("mean_daily"),
+          round(svar / mean, 6).as("vmr"),
+          round((col("ss").cast("double") -
+            col("s").cast("double") * col("s") / col("n_days")) / mean, 6)
+            .as("stat"),
+          (col("n_days") - 1).cast("long").as("df"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
-    q322_group_sequential)
+    q322_group_sequential, q327_dispersion)
 }

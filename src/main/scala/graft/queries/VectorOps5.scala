@@ -533,7 +533,130 @@ object VectorOps5 {
         .orderBy("nlist")
     })
 
+  /** Late-interaction (maxsim) retrieval — the ColBERT scoring shape:
+    * "documents" are vec_id-div-10 groups of vectors, and
+    * score(qdoc, cdoc) = Σ_{query vec} max_{corpus vec} cos — every
+    * query vector independently finds its best corpus-side match and
+    * the per-vector maxima sum. Corpus pass: ONE broadcast of the 30
+    * query vectors against the corpus scan, then two grid aggs
+    * ((qvec, cdoc) max → (qdoc, cdoc) decimal-sum of round-6 maxima —
+    * partial-agg-order independent) and a per-qdoc top-5 window on the
+    * doc-pair grid. At scale the (qvec, cdoc) partial-max is the
+    * map-side combine that keeps the shuffle at |qvecs|·|docs|, never
+    * |qvecs|·|vectors|. */
+  val q326_maxsim_retrieval = Q(
+    "q326_maxsim_retrieval",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |qv AS (SELECT vec_id, vec_id // 10 AS qdoc, v FROM e
+            |       WHERE vec_id < 30),
+            |cv AS (SELECT vec_id, vec_id // 10 AS cdoc, v FROM e
+            |       WHERE vec_id >= 30),
+            |vm AS (
+            |  SELECT qv.qdoc, qv.vec_id AS qvec, cv.cdoc,
+            |    max(round(${cosineSql("qv.v", "cv.v")}, 6)) AS best
+            |  FROM qv CROSS JOIN cv
+            |  GROUP BY 1, 2, 3),
+            |sc AS (
+            |  SELECT qdoc, cdoc,
+            |    CAST(sum(CAST(best AS DECIMAL(18,6))) AS DOUBLE) AS score
+            |  FROM vm GROUP BY qdoc, cdoc),
+            |rk AS (
+            |  SELECT qdoc, cdoc, round(score, 6) AS score,
+            |    ROW_NUMBER() OVER (PARTITION BY qdoc
+            |      ORDER BY score DESC, cdoc) AS rank
+            |  FROM sc)
+            |SELECT qdoc, CAST(rank AS BIGINT) AS rank, cdoc, score
+            |FROM rk WHERE rank <= 5 ORDER BY qdoc, rank""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val qv = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qvec"), expr("vec_id div 10").as("qdoc"),
+          col("v").as("qv"))
+      val cv = e.filter(col("vec_id") >= 30)
+        .select(expr("vec_id div 10").as("cdoc"), col("v"))
+      val vm = cv.crossJoin(broadcast(qv))
+        .groupBy("qdoc", "qvec", "cdoc")
+        .agg(max(round(cosine(col("qv"), col("v")), 6)).as("best"))
+      val sc = vm.groupBy("qdoc", "cdoc")
+        .agg(sum(col("best").cast("decimal(18,6)")).cast("double")
+          .as("score"))
+      val w = Window.partitionBy("qdoc")
+        .orderBy(col("score").desc, col("cdoc"))
+      sc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qdoc"), col("rank"), col("cdoc"),
+          round(col("score"), 6).as("score"))
+        .orderBy("qdoc", "rank")
+    })
+
+  private val CalThresholds = Seq(0.20, 0.25, 0.30, 0.35, 0.40, 0.45)
+
+  /** Semantic-dedup threshold calibration: for each candidate cosine
+    * threshold, the merge count and FALSE-MERGE rate (merged pairs whose
+    * labels disagree) measured on the sign-LSH in-bucket pair set — the
+    * "pick the knob before running q150" audit, using labels as the
+    * ground-truth proxy. Pairs come from the SAME bucket join the dedup
+    * path uses (bounded, never all-pairs); the threshold sweep is 6
+    * conditional aggs over that one pair frame. Rows with no merges
+    * report 0 by convention. */
+  val q328_dedup_threshold_cal = Q(
+    "q328_dedup_threshold_cal", {
+      import VectorOps.Planes8
+      val sweep = CalThresholds.map { t =>
+        s"""SELECT $t AS threshold,
+           |  CAST(sum(CASE WHEN sim >= $t THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_merges,
+           |  CASE WHEN sum(CASE WHEN sim >= $t THEN 1 ELSE 0 END) = 0
+           |    THEN CAST(0 AS DOUBLE)
+           |    ELSE round(CAST(sum(CASE WHEN sim >= $t AND la <> lb
+           |      THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / sum(CASE WHEN sim >= $t THEN 1 ELSE 0 END), 6) END
+           |    AS false_merge_rate
+           |FROM prs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH b AS (
+              |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+              |    ${lshBucketSql("(embedding::DOUBLE[])", Planes8)} AS bucket
+              |  FROM embeddings),
+              |prs AS (
+              |  SELECT a.label AS la, b.label AS lb,
+              |    round(${cosineSql("a.e", "b.e")}, 6) AS sim
+              |  FROM b a JOIN b b ON a.bucket = b.bucket
+              |    AND a.vec_id < b.vec_id)
+              |SELECT * FROM ($sweep) t
+              |ORDER BY threshold""".stripMargin)
+    },
+    (s, d) => {
+      import VectorOps.Planes8
+      val b = graft.operators.Similarity.withLshBucket(
+        Tables.embeddings(s, d)
+          .withColumn("e", col("embedding").cast("array<double>"))
+          .select("vec_id", "label", "e"), "e", Planes8)
+      val l = b.select(col("bucket"), col("vec_id").as("ia"),
+        col("label").as("la"), col("e").as("ea"))
+      val r = b.select(col("bucket"), col("vec_id").as("ib"),
+        col("label").as("lb"), col("e").as("eb"))
+      val prs = graft.operators.PlanCache.persist(
+        l.join(r, Seq("bucket")).filter(col("ia") < col("ib"))
+          .select(col("la"), col("lb"),
+            round(cosine(col("ea"), col("eb")), 6).as("sim")))
+      val rows = CalThresholds.map { t =>
+        val merges = sum(when(col("sim") >= t, 1L).otherwise(0L))
+        val bad = sum(when(col("sim") >= t && col("la") =!= col("lb"), 1L)
+          .otherwise(0L))
+        prs.agg(merges.as("n_merges"), bad.as("n_bad"))
+          .select(lit(t).as("threshold"), col("n_merges"),
+            when(col("n_merges") === 0, lit(0.0))
+              .otherwise(round(col("n_bad").cast("double") /
+                col("n_merges"), 6)).as("false_merge_rate"))
+      }
+      rows.reduce(_ union _).orderBy("threshold")
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
     q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann,
-    q323_ivf_nlist_planner)
+    q323_ivf_nlist_planner, q326_maxsim_retrieval, q328_dedup_threshold_cal)
 }
