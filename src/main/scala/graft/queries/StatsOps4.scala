@@ -515,9 +515,14 @@ object StatsOps4 {
           .select(col("t"), round(col("w") / col("dsum"), 9).as("praw"))
         val norm = praw.agg(
           sum(col("praw").cast("decimal(28,9)")).cast("double").as("sp"))
-        praw.crossJoin(broadcast(norm)).crossJoin(broadcast(k))
-          .select(col("t"),
-            round(col("praw") * col("k") / col("sp"), 9).as("p"))
+        // persisted: each iteration is referenced TWICE by the next
+        // (p_i and p_j joins) plus its own normalizer — without a
+        // materialization point the re-execution count grows 3^k
+        // (measured: 49 s → ~1 s at sf0.1)
+        graft.operators.PlanCache.persist(
+          praw.crossJoin(broadcast(norm)).crossJoin(broadcast(k))
+            .select(col("t"),
+              round(col("praw") * col("k") / col("sp"), 9).as("p")))
       }
       val p0 = wtot.select(col("t"), lit(1.0).as("p"))
       val p3 = iterate(iterate(iterate(p0)))

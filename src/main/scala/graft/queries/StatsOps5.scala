@@ -320,6 +320,386 @@ object StatsOps5 {
         .orderBy("event_type")
     })
 
+  /** Delta-method z-test for a RATIO metric (revenue per event) between
+    * the md5 arms — the metric-engineering staple: per-user (y, n)
+    * pairs make the ratio R = ΣY/ΣN a ratio of means, and
+    * Var(R) ≈ (s_y² − 2R·s_yn + R²·s_n²)/(k·n̄²) — the linearization a
+    * naive per-event t-test gets wrong because events within a user
+    * correlate. All six moments per arm are EXACT integer sums off one
+    * user-keyed agg (cents and counts); doubles enter only in the final
+    * 2-row arithmetic. */
+  val q329_delta_method = Q(
+    "q329_delta_method", {
+      val arm = s"${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} % 2"
+      Some(s"""WITH u AS (
+              |  SELECT user_id, $arm AS arm,
+              |    CAST(sum(CASE WHEN event_type = 'purchase'
+              |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+              |      DECIMAL(18,2)) END) * 100 AS BIGINT) AS y,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2),
+              |m AS (
+              |  SELECT arm, CAST(count(*) AS BIGINT) AS k,
+              |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+              |    CAST(sum(n) AS DOUBLE) AS sn,
+              |    CAST(sum(CAST(y AS DECIMAL(38,0))
+              |      * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+              |    CAST(sum(n * n) AS DOUBLE) AS snn,
+              |    CAST(sum(CAST(y AS DECIMAL(38,0)) * n) AS DOUBLE) AS syn
+              |  FROM u GROUP BY arm),
+              |r AS (
+              |  SELECT arm, k, sy / sn AS ratio,
+              |    ((syy - sy * sy / k) / (k - 1)
+              |      - 2 * (sy / sn) * ((syn - sy * sn / k) / (k - 1))
+              |      + (sy / sn) * (sy / sn)
+              |        * ((snn - sn * sn / k) / (k - 1)))
+              |      / (k * (sn / k) * (sn / k)) AS var_r
+              |  FROM m)
+              |SELECT
+              |  round((SELECT ratio FROM r WHERE arm = 0) / 100, 6)
+              |    AS ratio_ctrl,
+              |  round((SELECT ratio FROM r WHERE arm = 1) / 100, 6)
+              |    AS ratio_treat,
+              |  round(sqrt((SELECT var_r FROM r WHERE arm = 0)) / 100, 6)
+              |    AS se_ctrl,
+              |  round(sqrt((SELECT var_r FROM r WHERE arm = 1)) / 100, 6)
+              |    AS se_treat,
+              |  round(((SELECT ratio FROM r WHERE arm = 1)
+              |      - (SELECT ratio FROM r WHERE arm = 0))
+              |    / sqrt((SELECT var_r FROM r WHERE arm = 0)
+              |      + (SELECT var_r FROM r WHERE arm = 1)), 6) AS z"""
+        .stripMargin)
+    },
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .groupBy(col("user_id"),
+          (expr(hexSpanValSql("__h", 0, 2)) % 2).as("arm"))
+        .agg((sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+          .cast("long").as("y"),
+          count(lit(1)).as("n"))
+      val yd = col("y").cast("decimal(38,0)")
+      val m = u.groupBy("arm").agg(count(lit(1)).as("k"),
+        sum(yd).cast("double").as("sy"),
+        sum("n").cast("double").as("sn"),
+        sum(yd * yd).cast("double").as("syy"),
+        sum(col("n") * col("n")).cast("double").as("snn"),
+        sum(yd * col("n")).cast("double").as("syn"))
+      val ratio = col("sy") / col("sn")
+      val varR = ((col("syy") - col("sy") * col("sy") / col("k")) /
+        (col("k") - 1) -
+        lit(2) * ratio * ((col("syn") - col("sy") * col("sn") / col("k")) /
+          (col("k") - 1)) +
+        ratio * ratio * ((col("snn") - col("sn") * col("sn") / col("k")) /
+          (col("k") - 1))) /
+        (col("k") * (col("sn") / col("k")) * (col("sn") / col("k")))
+      val r = graft.operators.PlanCache.persist(
+        m.select(col("arm"), ratio.as("ratio"), varR.as("var_r")))
+      val c0 = r.filter(col("arm") === 0)
+        .select(col("ratio").as("r0"), col("var_r").as("v0"))
+      val c1 = r.filter(col("arm") === 1)
+        .select(col("ratio").as("r1"), col("var_r").as("v1"))
+      broadcast(c0).crossJoin(broadcast(c1))
+        .select(round(col("r0") / 100, 6).as("ratio_ctrl"),
+          round(col("r1") / 100, 6).as("ratio_treat"),
+          round(sqrt(col("v0")) / 100, 6).as("se_ctrl"),
+          round(sqrt(col("v1")) / 100, 6).as("se_treat"),
+          round((col("r1") - col("r0")) / sqrt(col("v0") + col("v1")), 6)
+            .as("z"))
+    })
+
+  /** Generalized-ESD outlier sweep (3 rounds) on per-user total spend:
+    * each round recomputes mean/sd on the REMAINING set, reports the
+    * most extreme user's R statistic = max|x−μ|/s, and removes that one
+    * point — the iterative refinement Grubbs-style tests need because a
+    * gross outlier masks the next one. Rounds are grid-frame anti-joins
+    * against the (≤3-row) removed set; the extreme pick ties-break on
+    * user_id so both engines remove the identical point. No critical
+    * values on purpose (t quantiles are libm-unstable); R_i + n_i is
+    * the portable readout. */
+  val q330_gesd_outliers = Q(
+    "q330_gesd_outliers", {
+      def roundCte(i: Int, rem: String) =
+        s"""s$i AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))
+           |      * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS ss
+           |  FROM $rem),
+           |p$i AS (
+           |  SELECT $i AS round, r.user_id, r.y, s$i.n,
+           |    abs(r.y - s$i.s / s$i.n)
+           |      / sqrt((s$i.ss - s$i.s * s$i.s / s$i.n) / (s$i.n - 1))
+           |      AS rstat
+           |  FROM $rem r CROSS JOIN s$i
+           |  ORDER BY abs(r.y - s$i.s / s$i.n) DESC, r.user_id LIMIT 1),
+           |rem$i AS (
+           |  SELECT r.* FROM $rem r
+           |  WHERE r.user_id NOT IN (SELECT user_id FROM p$i))"""
+          .stripMargin
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+              |      AS y
+              |  FROM events GROUP BY user_id),
+              |${roundCte(1, "u")},
+              |${roundCte(2, "rem1")},
+              |${roundCte(3, "rem2")}
+              |SELECT round, user_id, round(y / 100.0, 2) AS value,
+              |  n, round(rstat, 6) AS r_stat
+              |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              |      UNION ALL SELECT * FROM p3) t
+              |ORDER BY round""".stripMargin)
+    },
+    (s, d) => {
+      val u = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((sum(dec(col("value"))) * 100).cast("long").as("y")))
+      def sweep(rem: org.apache.spark.sql.DataFrame, i: Int) = {
+        val yd = col("y").cast("decimal(38,0)")
+        val st = rem.agg(count(lit(1)).as("n"),
+          sum(yd).cast("double").as("s"),
+          sum(yd * yd).cast("double").as("ss"))
+        val pick = rem.crossJoin(broadcast(st))
+          .select(lit(i).as("round"), col("user_id"), col("y"), col("n"),
+            (abs(col("y") - col("s") / col("n")) /
+              sqrt((col("ss") - col("s") * col("s") / col("n")) /
+                (col("n") - 1))).as("rstat"),
+            abs(col("y") - col("s") / col("n")).as("dev"))
+          .orderBy(col("dev").desc, col("user_id")).limit(1)
+          .drop("dev")
+        val next = rem.join(
+          pick.select(col("user_id")), Seq("user_id"), "left_anti")
+        (graft.operators.PlanCache.persist(pick),
+          graft.operators.PlanCache.persist(next))
+      }
+      val (p1, rem1) = sweep(u, 1)
+      val (p2, rem2) = sweep(rem1, 2)
+      val (p3, _) = sweep(rem2, 3)
+      p1.union(p2).union(p3)
+        .select(col("round"), col("user_id"),
+          round(col("y") / 100.0, 2).as("value"), col("n"),
+          round(col("rstat"), 6).as("r_stat"))
+        .orderBy("round")
+    })
+
+  /** Partial autocorrelation (lags 1–3) of the daily-spend series via
+    * the Durbin–Levinson recursion unrolled on the 3-lag ACF row — the
+    * "is it AR(1) or AR(2)" order-selection readout q206's raw ACF
+    * can't give (ACF of an AR(1) decays forever; PACF cuts off). The
+    * lagged-pair Pearson per lag is q206's grid device verbatim; the
+    * recursion is pure 1-row arithmetic with each φ rounded at 9 so
+    * both engines iterate on identical doubles. */
+  val q331_pacf = Q(
+    "q331_pacf",
+    Some("""WITH daily AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    sum(CAST(value AS DECIMAL(18,2))) AS x
+           |  FROM events GROUP BY 1),
+           |p AS (
+           |  SELECT l.lag AS lag, CAST(a.x AS DECIMAL(18,2)) AS x,
+           |    CAST(b.x AS DECIMAL(18,2)) AS y
+           |  FROM daily a
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l
+           |  JOIN daily b ON b.day = a.day + l.lag),
+           |m AS (
+           |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+           |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+           |    CAST(sum(y * y) AS DOUBLE) AS syy
+           |  FROM p GROUP BY lag),
+           |acf AS (
+           |  SELECT lag,
+           |    round((sxy - sx * sy / n)
+           |      / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+           |      AS r
+           |  FROM m),
+           |wide AS (
+           |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+           |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+           |    max(CASE WHEN lag = 3 THEN r END) AS r3
+           |  FROM acf),
+           |dl AS (
+           |  SELECT r1, r2, r3,
+           |    round((r2 - r1 * r1) / (1 - r1 * r1), 9) AS phi22
+           |  FROM wide),
+           |dl2 AS (
+           |  SELECT r1, r2, r3, phi22,
+           |    round(r1 - phi22 * r1, 9) AS phi21
+           |  FROM dl),
+           |dl3 AS (
+           |  SELECT r1, r2, r3, phi22,
+           |    round((r3 - phi21 * r2 - phi22 * r1)
+           |      / (1 - phi21 * r1 - phi22 * r2), 9) AS phi33
+           |  FROM dl2)
+           |SELECT CAST(1 AS BIGINT) AS lag, r1 AS acf,
+           |  CAST(r1 AS DOUBLE) AS pacf FROM dl3
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), r2, phi22 FROM dl3
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), r3, phi33 FROM dl3
+           |ORDER BY lag""".stripMargin),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+      val a = daily.withColumn("lag", explode(sequence(lit(1), lit(3))))
+      val b = daily.select(col("day").as("bday"), col("x").as("bx"))
+      val m = a.join(broadcast(b), a("day") + a("lag") === b("bday"))
+        .select(col("lag"), col("x").cast("decimal(18,2)").as("px"),
+          col("bx").cast("decimal(18,2)").as("py"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum("px").cast("double").as("sx"),
+          sum("py").cast("double").as("sy"),
+          sum(col("px") * col("py")).cast("double").as("sxy"),
+          sum(col("px") * col("px")).cast("double").as("sxx"),
+          sum(col("py") * col("py")).cast("double").as("syy"))
+      val acf = m.select(col("lag"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r"))
+      val wide = acf.agg(
+        max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+      val dl3 = wide
+        .withColumn("phi22",
+          round((col("r2") - col("r1") * col("r1")) /
+            (lit(1) - col("r1") * col("r1")), 9))
+        .withColumn("phi21", round(col("r1") - col("phi22") * col("r1"), 9))
+        .withColumn("phi33",
+          round((col("r3") - col("phi21") * col("r2") -
+            col("phi22") * col("r1")) /
+            (lit(1) - col("phi21") * col("r1") -
+              col("phi22") * col("r2")), 9))
+      val p = graft.operators.PlanCache.persist(dl3)
+      p.select(lit(1L).as("lag"), col("r1").as("acf"),
+          col("r1").cast("double").as("pacf"))
+        .union(p.select(lit(2L), col("r2"), col("phi22")))
+        .union(p.select(lit(3L), col("r3"), col("phi33")))
+        .orderBy("lag")
+    })
+
+  /** Logistic regression by 2 unrolled Newton–Raphson steps — "model
+    * training as a query": P(conversion | standardized log-activity)
+    * with exact sufficient statistics per step (per-user gradient and
+    * Hessian terms round at 9 then decimal-sum, so the Newton updates
+    * are partial-agg-order independent), coefficients flowing between
+    * steps as a broadcast 1-row frame — never a driver collect. The
+    * 2×2 Hessian inverts in closed form. Reports both steps'
+    * coefficients plus the step-2 log-likelihood. */
+  val q332_logistic_newton = Q(
+    "q332_logistic_newton", {
+      def stepSql(i: Int, prev: String) =
+        s"""g$i AS (
+           |  SELECT
+           |    CAST(sum(CAST(round(conv - 1 / (1 + exp(-(b0 + b1 * x))), 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS g0,
+           |    CAST(sum(CAST(round((conv - 1 / (1 + exp(-(b0 + b1 * x))))
+           |      * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS g1,
+           |    CAST(sum(CAST(round((1 / (1 + exp(-(b0 + b1 * x))))
+           |      * (1 - 1 / (1 + exp(-(b0 + b1 * x)))), 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS h00,
+           |    CAST(sum(CAST(round((1 / (1 + exp(-(b0 + b1 * x))))
+           |      * (1 - 1 / (1 + exp(-(b0 + b1 * x)))) * x, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS h01,
+           |    CAST(sum(CAST(round((1 / (1 + exp(-(b0 + b1 * x))))
+           |      * (1 - 1 / (1 + exp(-(b0 + b1 * x)))) * x * x, 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE) AS h11
+           |  FROM feat CROSS JOIN $prev),
+           |b$i AS (
+           |  SELECT
+           |    round(b0 + (h11 * g0 - h01 * g1)
+           |      / (h00 * h11 - h01 * h01), 9) AS b0,
+           |    round(b1 + (h00 * g1 - h01 * g0)
+           |      / (h00 * h11 - h01 * h01), 9) AS b1
+           |  FROM g$i CROSS JOIN $prev)""".stripMargin
+      Some(s"""WITH u AS (
+              |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+              |    CAST(max(CASE WHEN event_type = 'purchase'
+              |      AND value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+              |  FROM events GROUP BY user_id),
+              |mo AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS k,
+              |    CAST(sum(n_ev) AS DOUBLE) AS s,
+              |    CAST(sum(n_ev * n_ev) AS DOUBLE) AS ss
+              |  FROM u),
+              |feat AS (
+              |  SELECT conv,
+              |    round((n_ev - s / k)
+              |      / sqrt((ss - s * s / k) / (k - 1)), 6) AS x
+              |  FROM u CROSS JOIN mo),
+              |b0v AS (SELECT CAST(0 AS DOUBLE) AS b0,
+              |        CAST(0 AS DOUBLE) AS b1),
+              |${stepSql(1, "b0v")},
+              |${stepSql(2, "b1")},
+              |ll AS (
+              |  SELECT CAST(sum(CAST(round(
+              |    conv * ln(1 / (1 + exp(-(b0 + b1 * x))))
+              |    + (1 - conv) * ln(1 - 1 / (1 + exp(-(b0 + b1 * x)))), 9)
+              |    AS DECIMAL(28,9))) AS DOUBLE) AS ll
+              |  FROM feat CROSS JOIN b2)
+              |SELECT (SELECT b0 FROM b1) AS b0_step1,
+              |  (SELECT b1 FROM b1) AS b1_step1,
+              |  (SELECT b0 FROM b2) AS b0_step2,
+              |  (SELECT b1 FROM b2) AS b1_step2,
+              |  round((SELECT ll FROM ll), 6) AS log_lik""".stripMargin)
+    },
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          max(when(col("event_type") === "purchase" && col("value") > 250,
+            1L).otherwise(0L)).as("conv"))
+      val mo = u.agg(count(lit(1)).as("k"),
+        sum("n_ev").cast("double").as("s"),
+        sum(col("n_ev") * col("n_ev")).cast("double").as("ss"))
+      val feat = graft.operators.PlanCache.persist(
+        u.crossJoin(broadcast(mo))
+          .select(col("conv"),
+            round((col("n_ev") - col("s") / col("k")) /
+              sqrt((col("ss") - col("s") * col("s") / col("k")) /
+                (col("k") - 1)), 6).as("x")))
+      def pCol = lit(1) / (lit(1) + exp(-(col("b0") + col("b1") * col("x"))))
+      def step(prev: org.apache.spark.sql.DataFrame) = {
+        val g = feat.crossJoin(broadcast(prev)).agg(
+          sum(round(col("conv") - pCol, 9).cast("decimal(28,9)"))
+            .cast("double").as("g0"),
+          sum(round((col("conv") - pCol) * col("x"), 9)
+            .cast("decimal(28,9)")).cast("double").as("g1"),
+          sum(round(pCol * (lit(1) - pCol), 9).cast("decimal(28,9)"))
+            .cast("double").as("h00"),
+          sum(round(pCol * (lit(1) - pCol) * col("x"), 9)
+            .cast("decimal(28,9)")).cast("double").as("h01"),
+          sum(round(pCol * (lit(1) - pCol) * col("x") * col("x"), 9)
+            .cast("decimal(28,9)")).cast("double").as("h11"))
+        val det = col("h00") * col("h11") - col("h01") * col("h01")
+        g.crossJoin(broadcast(prev))
+          .select(
+            round(col("b0") + (col("h11") * col("g0") -
+              col("h01") * col("g1")) / det, 9).as("b0"),
+            round(col("b1") + (col("h00") * col("g1") -
+              col("h01") * col("g0")) / det, 9).as("b1"))
+      }
+      val b0v = mo.select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+      val b1f = graft.operators.PlanCache.persist(step(b0v))
+      val b2f = graft.operators.PlanCache.persist(step(b1f))
+      val ll = feat.crossJoin(broadcast(b2f))
+        .agg(sum(round(col("conv") * log(pCol) +
+          (lit(1) - col("conv")) * log(lit(1) - pCol), 9)
+          .cast("decimal(28,9)")).cast("double").as("ll"))
+      broadcast(b1f.select(col("b0").as("b0_step1"), col("b1").as("b1_step1")))
+        .crossJoin(broadcast(b2f.select(col("b0").as("b0_step2"),
+          col("b1").as("b1_step2"))))
+        .crossJoin(ll)
+        .select(col("b0_step1"), col("b1_step1"), col("b0_step2"),
+          col("b1_step2"), round(col("ll"), 6).as("log_lik"))
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
-    q322_group_sequential, q327_dispersion)
+    q322_group_sequential, q327_dispersion, q329_delta_method,
+    q330_gesd_outliers, q331_pacf, q332_logistic_newton)
 }
