@@ -212,6 +212,132 @@ object TextOps10 {
         .orderBy("lang")
     })
 
+  /** Quality-filter disparity across languages — the fairness audit an
+    * LLM curation pipeline owes its long-tail languages: the q187 gate
+    * rules (length / mean-word-length / type-token / max-word-length)
+    * evaluated per LANG, each group's pass rate compared to the
+    * best-passing group, with the four-fifths-rule flag (ratio < 0.8 ⇒
+    * the filter disproportionately drops that language). One scan-side
+    * rule projection + one lang-keyed agg; the ratio/flag arithmetic
+    * runs on the |langs| grid. */
+  val q333_filter_disparity = Q(
+    "q333_filter_disparity",
+    Some("""WITH m AS (
+           |  SELECT lang,
+           |    len(text) - len(replace(text, ' ', '')) + 1 AS words,
+           |    len(replace(text, ' ', '')) AS letters,
+           |    len(list_distinct(string_split(text, ' '))) AS dwords,
+           |    list_max(list_transform(string_split(text, ' '),
+           |      w -> len(w))) AS maxw
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang,
+           |    CASE WHEN words >= 50 AND words <= 100000
+           |      AND letters >= 3 * words AND letters <= 10 * words
+           |      AND 5 * dwords >= 2 * words AND maxw <= 30
+           |      THEN 1 ELSE 0 END AS pass
+           |  FROM m),
+           |g AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(pass) AS BIGINT) AS n_pass,
+           |    round(CAST(sum(pass) AS DOUBLE) / count(*), 6) AS pass_rate
+           |  FROM r GROUP BY lang),
+           |b AS (SELECT max(pass_rate) AS best FROM g)
+           |SELECT lang, n_docs, n_pass, pass_rate,
+           |  round(pass_rate / best, 6) AS ratio_to_best,
+           |  CASE WHEN pass_rate < 0.8 * best THEN 1 ELSE 0 END
+           |    AS four_fifths_flag
+           |FROM g CROSS JOIN b ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val words = length(col("text")) -
+        length(regexp_replace(col("text"), " ", "")) + 1
+      val letters = length(regexp_replace(col("text"), " ", ""))
+      val dwords = size(array_distinct(toks))
+      val maxw = array_max(transform(toks, w => length(w)))
+      val pass = when(words >= 50 && words <= 100000 &&
+        letters >= lit(3) * words && letters <= lit(10) * words &&
+        lit(5) * dwords >= lit(2) * words && maxw <= 30, 1).otherwise(0)
+      val g = Tables.documents(s, d)
+        .select(col("lang"), pass.as("pass"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("pass").cast("long").as("n_pass"),
+          round(sum("pass").cast("double") / count(lit(1)), 6)
+            .as("pass_rate"))
+      val b = g.agg(max("pass_rate").as("best"))
+      g.crossJoin(broadcast(b))
+        .select(col("lang"), col("n_docs"), col("n_pass"), col("pass_rate"),
+          round(col("pass_rate") / col("best"), 6).as("ratio_to_best"),
+          when(col("pass_rate") < lit(0.8) * col("best"), 1).otherwise(0)
+            .as("four_fifths_flag"))
+        .orderBy("lang")
+    })
+
+  /** Top-k term churn between corpus halves (doc_id parity = the two
+    * "batches"): which of each half's top-10 terms entered, exited, or
+    * moved — the trending-vocabulary readout a refresh pipeline prints
+    * per ingest batch. Term counts are one hash agg per half off one
+    * scan (conditional aggregation, no second pass); ranks come from
+    * windows on the two 10-row top lists; the FULL OUTER join of the
+    * lists classifies each term. */
+  val q336_topk_churn = Q(
+    "q336_topk_churn",
+    Some("""WITH t AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term,
+           |    doc_id % 2 AS half
+           |  FROM documents),
+           |c AS (
+           |  SELECT term,
+           |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ca,
+           |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS cb
+           |  FROM t GROUP BY term),
+           |ra AS (
+           |  SELECT term, ca, ROW_NUMBER() OVER (ORDER BY ca DESC, term)
+           |    AS rank_a
+           |  FROM c QUALIFY rank_a <= 10),
+           |rb AS (
+           |  SELECT term, cb, ROW_NUMBER() OVER (ORDER BY cb DESC, term)
+           |    AS rank_b
+           |  FROM c QUALIFY rank_b <= 10)
+           |SELECT COALESCE(ra.term, rb.term) AS term,
+           |  CAST(ra.rank_a AS BIGINT) AS rank_a,
+           |  CAST(rb.rank_b AS BIGINT) AS rank_b,
+           |  CASE WHEN ra.term IS NULL THEN 'entered'
+           |       WHEN rb.term IS NULL THEN 'exited'
+           |       ELSE 'stayed' END AS status
+           |FROM ra FULL OUTER JOIN rb ON ra.term = rb.term
+           |ORDER BY COALESCE(ra.rank_a, 99), COALESCE(rb.rank_b, 99),
+           |  term""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"),
+          (col("doc_id") % 2).as("half"))
+        .groupBy("term")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb")))
+      // TakeOrdered first, THEN rank on the 10-row frame — the global
+      // window never sees the full vocabulary
+      val ra = c.orderBy(col("ca").desc, col("term")).limit(10)
+        .withColumn("rank_a", row_number()
+          .over(Window.orderBy(col("ca").desc, col("term"))).cast("long"))
+        .select("term", "rank_a")
+      val rb = c.orderBy(col("cb").desc, col("term")).limit(10)
+        .withColumn("rank_b", row_number()
+          .over(Window.orderBy(col("cb").desc, col("term"))).cast("long"))
+        .select("term", "rank_b")
+      ra.join(rb, Seq("term"), "full_outer")
+        .select(col("term"), col("rank_a"), col("rank_b"),
+          when(col("rank_a").isNull, "entered")
+            .when(col("rank_b").isNull, "exited")
+            .otherwise("stayed").as("status"))
+        .orderBy(coalesce(col("rank_a"), lit(99L)),
+          coalesce(col("rank_b"), lit(99L)), col("term"))
+    })
+
   val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match,
-    q319_langid_eval)
+    q319_langid_eval, q333_filter_disparity, q336_topk_churn)
 }

@@ -656,7 +656,160 @@ object VectorOps5 {
       rows.reduce(_ union _).orderBy("threshold")
     })
 
+  /** Serving-quality audit beyond accuracy: CATALOG COVERAGE (what
+    * fraction of the corpus is ever recommended) and INTRA-LIST
+    * DIVERSITY (mean pairwise 1−cos within each top-5 list) of the
+    * exact top-5 results for a 30-query batch — the two metrics a
+    * recommender audits when recall alone looks fine but everyone gets
+    * the same five popular items. One corpus pass builds the result
+    * lists (q38's broadcast top-k shape); the ILD pair space is
+    * 10 pairs × 30 queries of GRID arithmetic. */
+  val q334_rec_coverage_ild = Q(
+    "q334_rec_coverage_ild",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 30),
+            |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 30),
+            |res AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("c.v", "q.qv")}, 6) DESC,
+            |        c.vec_id) AS rk
+            |    FROM c CROSS JOIN q) t WHERE rk <= 5),
+            |cov AS (
+            |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_rec,
+            |    CAST((SELECT count(*) FROM c) AS BIGINT) AS n_corpus
+            |  FROM res),
+            |prs AS (
+            |  SELECT a.qid,
+            |    round(1 - round(${cosineSql("ea.v", "eb.v")}, 6), 6) AS dist
+            |  FROM res a JOIN res b
+            |    ON a.qid = b.qid AND a.vec_id < b.vec_id
+            |  JOIN c ea ON ea.vec_id = a.vec_id
+            |  JOIN c eb ON eb.vec_id = b.vec_id),
+            |ild AS (
+            |  SELECT round(CAST(sum(CAST(dist AS DECIMAL(18,6)))
+            |    AS DOUBLE) / count(*), 6) AS mean_ild,
+            |    CAST(count(*) AS BIGINT) AS n_pairs
+            |  FROM prs)
+            |SELECT n_corpus, n_rec,
+            |  round(CAST(n_rec AS DOUBLE) / n_corpus, 6) AS coverage,
+            |  n_pairs, mean_ild
+            |FROM cov CROSS JOIN ild""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val q = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 30).select("vec_id", "v")
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val res = graft.operators.PlanCache.persist(
+        c.crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 5).select("qid", "vec_id"))
+      val nCorpus = c.agg(count(lit(1)).as("n_corpus"))
+      val cov = res.agg(countDistinct("vec_id").as("n_rec"))
+        .crossJoin(broadcast(nCorpus))
+      val ea = c.select(col("vec_id").as("ia"), col("v").as("va"))
+      val eb = c.select(col("vec_id").as("ib"), col("v").as("vb"))
+      val prs = res.select(col("qid"), col("vec_id").as("ia"))
+        .join(res.select(col("qid"), col("vec_id").as("ib")), Seq("qid"))
+        .filter(col("ia") < col("ib"))
+        .join(broadcast(ea), Seq("ia")).join(broadcast(eb), Seq("ib"))
+        .select(round(lit(1) -
+          round(cosine(col("va"), col("vb")), 6), 6).as("dist"))
+      val ild = prs.agg(
+        round(sum(col("dist").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_ild"),
+        count(lit(1)).as("n_pairs"))
+      cov.crossJoin(broadcast(ild))
+        .select(col("n_corpus"), col("n_rec"),
+          round(col("n_rec").cast("double") / col("n_corpus"), 6)
+            .as("coverage"),
+          col("n_pairs"), col("mean_ild"))
+    })
+
+  /** Hubness audit — the high-dimensional ANN pathology where a few
+    * "hub" vectors appear in everyone's neighbor lists: the
+    * k-occurrence distribution (how often each corpus vector shows up
+    * across the batch's exact top-5 lists, zeros included) summarized
+    * as max occurrence, occupancy, and the moment skewness of the
+    * counts — rising skew is the canonical hubness signal. Occurrence
+    * counts come from the same one-pass result build as q334; the
+    * zero-including moments use COUNT totals, never a zero-filled
+    * join. */
+  val q335_hubness = Q(
+    "q335_hubness",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 30),
+            |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 30),
+            |res AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT q.qid, c.vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY q.qid
+            |      ORDER BY round(${cosineSql("c.v", "q.qv")}, 6) DESC,
+            |        c.vec_id) AS rk
+            |    FROM c CROSS JOIN q) t WHERE rk <= 5),
+            |occ AS (
+            |  SELECT vec_id, CAST(count(*) AS BIGINT) AS k
+            |  FROM res GROUP BY vec_id),
+            |m AS (
+            |  SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n,
+            |    CAST((SELECT count(*) FROM occ) AS BIGINT) AS n_hit,
+            |    CAST((SELECT max(k) FROM occ) AS BIGINT) AS max_occ,
+            |    CAST((SELECT sum(k) FROM occ) AS BIGINT) AS s1,
+            |    CAST((SELECT sum(k * k) FROM occ) AS BIGINT) AS s2,
+            |    CAST((SELECT sum(k * k * k) FROM occ) AS BIGINT) AS s3)
+            |SELECT n AS n_corpus, n_hit, max_occ,
+            |  round(CAST(n_hit AS DOUBLE) / n, 6) AS occupancy,
+            |  round((CAST(s3 AS DOUBLE) / n
+            |      - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n
+            |        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            |      - pow(CAST(s1 AS DOUBLE) / n, 3))
+            |    / pow(CAST(s2 AS DOUBLE) / n
+            |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+            |      1.5), 6) AS skewness
+            |FROM m""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val q = e.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 30).select("vec_id", "v")
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val occ = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 5)
+        .groupBy("vec_id").agg(count(lit(1)).as("k"))
+      val mo = occ.agg(count(lit(1)).as("n_hit"),
+        max("k").cast("long").as("max_occ"),
+        sum("k").cast("long").as("s1"),
+        sum(col("k") * col("k")).cast("long").as("s2"),
+        sum(col("k") * col("k") * col("k")).cast("long").as("s3"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val m1 = col("s1").cast("double") / col("n")
+      val m2 = col("s2").cast("double") / col("n")
+      val m3 = col("s3").cast("double") / col("n")
+      val variance = m2 - m1 * m1
+      mo.crossJoin(broadcast(n))
+        .select(col("n").as("n_corpus"), col("n_hit"), col("max_occ"),
+          round(col("n_hit").cast("double") / col("n"), 6).as("occupancy"),
+          round((m3 - lit(3.0) * m1 * variance - pow(m1, 3)) /
+            pow(variance, 1.5), 6).as("skewness"))
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
     q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann,
-    q323_ivf_nlist_planner, q326_maxsim_retrieval, q328_dedup_threshold_cal)
+    q323_ivf_nlist_planner, q326_maxsim_retrieval, q328_dedup_threshold_cal,
+    q334_rec_coverage_ild, q335_hubness)
 }
