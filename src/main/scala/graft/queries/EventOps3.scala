@@ -453,7 +453,102 @@ object EventOps3 {
         .orderBy("state")
     })
 
+  /** Seasonal-naive forecast BACKTEST — the eval q227's anomaly model
+    * never gets: train weekday means on the first half of the daily
+    * series, forecast the second half, and report MAE plus the
+    * empirical coverage of the [train-residual p10, p90] band — the
+    * "is the model calibrated out of sample" readout. Daily totals are
+    * exact decimals; residual quantiles are exact order statistics
+    * (rank windows) on the train-day grid; per-day error terms round at
+    * 6 then decimal-sum. */
+  val q339_seasonal_backtest = Q(
+    "q339_seasonal_backtest",
+    Some(s"""WITH daily AS (
+            |  SELECT epoch_us(ts) // $DayUs AS day,
+            |    sum(CAST(value AS DECIMAL(18,2))) AS y
+            |  FROM events GROUP BY 1),
+            |span AS (
+            |  SELECT (min(day) + max(day)) // 2 AS cutoff FROM daily),
+            |train AS (
+            |  SELECT day, (day + 4) % 7 AS dow, y FROM daily CROSS JOIN span
+            |  WHERE day < cutoff),
+            |test AS (
+            |  SELECT day, (day + 4) % 7 AS dow, y FROM daily CROSS JOIN span
+            |  WHERE day >= cutoff),
+            |wd AS (
+            |  SELECT dow, round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS fc
+            |  FROM train GROUP BY dow),
+            |resid AS (
+            |  SELECT round(CAST(t.y AS DOUBLE) - wd.fc, 6) AS r
+            |  FROM train t JOIN wd USING (dow)),
+            |rq AS (
+            |  SELECT
+            |    max(CASE WHEN rk = CAST(ceil(0.1 * n) AS BIGINT)
+            |      THEN r END) AS r10,
+            |    max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+            |      THEN r END) AS r90
+            |  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk,
+            |          count(*) OVER () AS n FROM resid) t),
+            |ev AS (
+            |  SELECT round(CAST(t.y AS DOUBLE) - wd.fc, 6) AS err
+            |  FROM test t JOIN wd USING (dow)),
+            |m AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+            |    round(CAST(sum(CAST(round(abs(err), 6) AS DECIMAL(28,6)))
+            |      AS DOUBLE) / count(*), 6) AS mae,
+            |    CAST(sum(CASE WHEN err >= r10 AND err <= r90
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+            |  FROM ev CROSS JOIN rq)
+            |SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+            |  n_test, mae, (SELECT r10 FROM rq) AS r10,
+            |  (SELECT r90 FROM rq) AS r90,
+            |  round(CAST(n_in AS DOUBLE) / n_test, 6) AS coverage
+            |FROM m""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"(ts div 1000) div $DayUs").as("day"))
+        .agg(sum(Q.dec(col("value"))).as("y"))
+      val span = daily.agg(
+        expr("(min(day) + max(day)) div 2").as("cutoff"))
+      val flagged = graft.operators.PlanCache.persist(
+        daily.crossJoin(broadcast(span))
+          .select(col("day"), ((col("day") + 4) % 7).as("dow"), col("y"),
+            (col("day") < col("cutoff")).as("is_train")))
+      val train = flagged.filter(col("is_train"))
+      val test = flagged.filter(!col("is_train"))
+      val wd = train.groupBy("dow")
+        .agg(round(sum("y").cast("double") / count(lit(1)), 6).as("fc"))
+      val resid = train.join(broadcast(wd), "dow")
+        .select(round(col("y").cast("double") - col("fc"), 6).as("r"))
+      val wr = Window.orderBy("r")
+      val wall = Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rq = resid
+        .select(col("r"), row_number().over(wr).as("rk"),
+          count(lit(1)).over(wall).as("n"))
+        .agg(max(when(col("rk") ===
+          ceil(lit(0.1) * col("n")).cast("long"), col("r"))).as("r10"),
+          max(when(col("rk") ===
+            ceil(lit(0.9) * col("n")).cast("long"), col("r"))).as("r90"))
+      val ev = test.join(broadcast(wd), "dow")
+        .select(round(col("y").cast("double") - col("fc"), 6).as("err"))
+      val m = ev.crossJoin(broadcast(rq))
+        .agg(count(lit(1)).as("n_test"),
+          round(sum(round(abs(col("err")), 6).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1)), 6).as("mae"),
+          sum(when(col("err") >= col("r10") && col("err") <= col("r90"),
+            1L).otherwise(0L)).as("n_in"))
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      broadcast(nTrain).crossJoin(m).crossJoin(broadcast(rq))
+        .select(col("n_train"), col("n_test"), col("mae"),
+          col("r10"), col("r90"),
+          round(col("n_in").cast("double") / col("n_test"), 6)
+            .as("coverage"))
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
-      q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption)
+      q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption,
+      q339_seasonal_backtest)
 }

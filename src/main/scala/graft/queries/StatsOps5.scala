@@ -699,7 +699,81 @@ object StatsOps5 {
           col("b1_step2"), round(col("ll"), 6).as("log_lik"))
     })
 
+  /** Simpson's-paradox guard: mean spend for high- vs low-activity
+    * users, POOLED and within each event-type stratum, with a reversal
+    * flag wherever a stratum's gap disagrees in sign with the pooled
+    * gap — the aggregation-reversal check a dashboard needs before
+    * anyone reads the pooled number. One user-keyed agg (the tier), one
+    * join back, one 4-way conditional agg per stratum + pooled; exact
+    * cent sums throughout. */
+  val q338_simpson_guard = Q(
+    "q338_simpson_guard",
+    Some("""WITH uu AS (
+           |  SELECT user_id,
+           |    CASE WHEN count(*) > 66 THEN 1 ELSE 0 END AS hi
+           |  FROM events GROUP BY user_id),
+           |t AS (
+           |  SELECT event_type, hi,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           |  FROM events JOIN uu USING (user_id)),
+           |strata AS (
+           |  SELECT event_type,
+           |    CAST(sum(hi) AS BIGINT) AS n_high,
+           |    CAST(sum(1 - hi) AS BIGINT) AS n_low,
+           |    CAST(sum(CASE WHEN hi = 1
+           |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+           |      / sum(hi) / 100 AS mh,
+           |    CAST(sum(CASE WHEN hi = 0
+           |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+           |      / sum(1 - hi) / 100 AS ml
+           |  FROM t GROUP BY event_type),
+           |pooled AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN hi = 1
+           |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+           |      / sum(hi) / 100
+           |    - CAST(sum(CASE WHEN hi = 0
+           |      THEN CAST(y AS DECIMAL(38,0)) END) AS DOUBLE)
+           |      / sum(1 - hi) / 100 AS pooled_diff
+           |  FROM t)
+           |SELECT event_type, n_high, n_low,
+           |  round(mh, 6) AS mean_high, round(ml, 6) AS mean_low,
+           |  round(mh - ml, 6) AS diff,
+           |  round(pooled_diff, 6) AS pooled_diff,
+           |  CASE WHEN (mh - ml) * pooled_diff < 0 THEN 1 ELSE 0 END
+           |    AS reversal
+           |FROM strata CROSS JOIN pooled
+           |ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val uu = ev.groupBy("user_id")
+        .agg(when(count(lit(1)) > 66, 1).otherwise(0).as("hi"))
+      val t = graft.operators.PlanCache.persist(
+        ev.join(uu, "user_id")
+          .select(col("event_type"), col("hi"),
+            (dec(col("value")) * 100).cast("long").as("y")))
+      val yd = col("y").cast("decimal(38,0)")
+      def mh = sum(when(col("hi") === 1, yd)).cast("double") /
+        sum("hi") / 100
+      def ml = sum(when(col("hi") === 0, yd)).cast("double") /
+        sum(lit(1) - col("hi")) / 100
+      val strata = t.groupBy("event_type").agg(
+        sum("hi").cast("long").as("n_high"),
+        sum(lit(1) - col("hi")).cast("long").as("n_low"),
+        mh.as("mh"), ml.as("ml"))
+      val pooled = t.agg((mh - ml).as("pooled_diff"))
+      strata.crossJoin(broadcast(pooled))
+        .select(col("event_type"), col("n_high"), col("n_low"),
+          round(col("mh"), 6).as("mean_high"),
+          round(col("ml"), 6).as("mean_low"),
+          round(col("mh") - col("ml"), 6).as("diff"),
+          round(col("pooled_diff"), 6).as("pooled_diff"),
+          when((col("mh") - col("ml")) * col("pooled_diff") < 0, 1)
+            .otherwise(0).as("reversal"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
-    q330_gesd_outliers, q331_pacf, q332_logistic_newton)
+    q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard)
 }

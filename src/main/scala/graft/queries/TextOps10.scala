@@ -338,6 +338,94 @@ object TextOps10 {
           coalesce(col("rank_b"), lit(99L)), col("term"))
     })
 
+  /** Content-defined chunking (storage-dedup's CDC, token-granular): a
+    * chunk boundary falls AFTER any token whose md5 prefix ≡ 0 (mod 8)
+    * — content-derived, so an insertion only reshuffles chunks locally
+    * (the property fixed-width chunking lacks). Reports expected chunk
+    * geometry plus the cross-corpus dedup dividend: distinct chunk
+    * hashes vs total, and chunks appearing in >1 document. Chunk
+    * assembly is a per-doc cumulative window (doc-keyed — never a
+    * global sort); chunk hashing/grouping is one term-keyed agg. */
+  val q340_cdc_chunking = Q(
+    "q340_cdc_chunking", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val bnd = s"CASE WHEN ${hexSpanValSql("md5(tok)", 0, 2)} % 8 = 0" +
+        " THEN 1 ELSE 0 END"
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, g.i AS pos, ts[g.i] AS tok
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+              |        FROM documents) t,
+              |    unnest(generate_series(1, len(ts))) AS g(i)),
+              |flagged AS (
+              |  SELECT doc_id, pos, tok, $bnd AS bnd
+              |  FROM tok),
+              |chunked AS (
+              |  SELECT doc_id, tok,
+              |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS chunk_no,
+              |    pos
+              |  FROM flagged),
+              |chunks AS (
+              |  SELECT doc_id, chunk_no,
+              |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+              |    CAST(count(*) AS BIGINT) AS n_toks
+              |  FROM chunked GROUP BY doc_id, chunk_no),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+              |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+              |    CAST(sum(n_toks) AS BIGINT) AS n_toks
+              |  FROM chunks),
+              |xd AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_shared FROM (
+              |    SELECT h FROM (
+              |      SELECT h, count(DISTINCT doc_id) AS nd
+              |      FROM chunks GROUP BY h) t WHERE nd > 1) t2)
+              |SELECT n_chunks, n_distinct,
+              |  round(1 - CAST(n_distinct AS DOUBLE) / n_chunks, 6)
+              |    AS dedup_ratio,
+              |  round(CAST(n_toks AS DOUBLE) / n_chunks, 6)
+              |    AS mean_chunk_toks,
+              |  n_shared
+              |FROM m CROSS JOIN xd""".stripMargin)
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.hexSpanValSql
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).as("pos"), col("tok"))
+      val bnd = when(expr(hexSpanValSql("md5(tok)", 0, 2)) % 8 === 0, 1)
+        .otherwise(0)
+      val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunked = tok
+        .withColumn("bnd", bnd)
+        .withColumn("chunk_no", coalesce(sum("bnd").over(wdoc), lit(0)))
+      val chunks = graft.operators.PlanCache.persist(chunked
+        .groupBy("doc_id", "chunk_no")
+        .agg(md5(concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok"))).as("h"),
+          count(lit(1)).as("n_toks")))
+      val m = chunks.agg(count(lit(1)).as("n_chunks"),
+        countDistinct("h").as("n_distinct"),
+        sum("n_toks").cast("long").as("n_toks"))
+      val xd = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .agg(count(lit(1)).as("n_shared"))
+      m.crossJoin(broadcast(xd))
+        .select(col("n_chunks"), col("n_distinct"),
+          round(lit(1) - col("n_distinct").cast("double") /
+            col("n_chunks"), 6).as("dedup_ratio"),
+          round(col("n_toks").cast("double") / col("n_chunks"), 6)
+            .as("mean_chunk_toks"),
+          col("n_shared"))
+    })
+
   val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match,
-    q319_langid_eval, q333_filter_disparity, q336_topk_churn)
+    q319_langid_eval, q333_filter_disparity, q336_topk_churn,
+    q340_cdc_chunking)
 }

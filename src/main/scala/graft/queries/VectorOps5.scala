@@ -808,8 +808,72 @@ object VectorOps5 {
             pow(variance, 1.5), 6).as("skewness"))
     })
 
+  /** Hard-negative mining for contrastive training — per anchor, the
+    * nearest SAME-label vector (the positive a batch would use) and the
+    * nearest DIFFERENT-label vector (the hard negative), with the
+    * margin between them; anchors ordered hardest-first (smallest
+    * margin), the exact mining pass an embedding-finetune data pipeline
+    * runs. One corpus pass (broadcast anchors), two label-gated rank-1
+    * windows on candidates only. */
+  val q337_hard_negatives = Q(
+    "q337_hard_negatives",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+            |  FROM embeddings),
+            |a AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+            |      WHERE vec_id < 20),
+            |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+            |cand AS (
+            |  SELECT a.qid, a.qlabel, c.vec_id, c.label,
+            |    round(${cosineSql("c.v", "a.qv")}, 6) AS sim
+            |  FROM c CROSS JOIN a),
+            |pos AS (
+            |  SELECT qid, vec_id AS pos_id, sim AS pos_sim FROM (
+            |    SELECT qid, vec_id, sim, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand WHERE label = qlabel) t WHERE rk = 1),
+            |neg AS (
+            |  SELECT qid, vec_id AS neg_id, sim AS neg_sim FROM (
+            |    SELECT qid, vec_id, sim, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            |    FROM cand WHERE label <> qlabel) t WHERE rk = 1)
+            |SELECT a.qid, CAST(a.qlabel AS BIGINT) AS label,
+            |  pos_id, pos_sim, neg_id, neg_sim,
+            |  round(pos_sim - neg_sim, 6) AS margin
+            |FROM a JOIN pos ON pos.qid = a.qid
+            |JOIN neg ON neg.qid = a.qid
+            |ORDER BY margin, a.qid""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val a = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      val c = e.filter(col("vec_id") >= 20).select("vec_id", "label", "v")
+      val cand = graft.operators.PlanCache.persist(
+        c.crossJoin(broadcast(a))
+          .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+            round(cosine(col("v"), col("qv")), 6).as("sim")))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val pos = cand.filter(col("label") === col("qlabel"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id").as("pos_id"),
+          col("sim").as("pos_sim"))
+      val neg = cand.filter(col("label") =!= col("qlabel"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id").as("neg_id"),
+          col("sim").as("neg_sim"))
+      a.join(pos, "qid").join(neg, "qid")
+        .select(col("qid"), col("qlabel").cast("long").as("label"),
+          col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"),
+          round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+        .orderBy(col("margin"), col("qid"))
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
     q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann,
     q323_ivf_nlist_planner, q326_maxsim_retrieval, q328_dedup_threshold_cal,
-    q334_rec_coverage_ild, q335_hubness)
+    q334_rec_coverage_ild, q335_hubness, q337_hard_negatives)
 }
