@@ -547,8 +547,112 @@ object EventOps3 {
             .as("coverage"))
     })
 
+  /** Anomaly-detector CONSENSUS over the daily-spend series: three
+    * detectors with different failure modes — global z-score (|z|>2,
+    * mean/sd), modified z via MAD (|0.6745·(x−med)/MAD|>2.5, robust to
+    * the outliers the first one chases), and Tukey's IQR fences
+    * (1.5·IQR) — each voting per day; days flagged by ≥2 make the
+    * consensus list. Median/quartiles are exact order statistics (rank
+    * windows) on the day grid; all three detectors share ONE daily agg.
+    * The ensemble is the operational answer to single-detector false
+    * alarms. */
+  val q343_anomaly_consensus = Q(
+    "q343_anomaly_consensus",
+    Some(s"""WITH daily AS (
+            |  SELECT epoch_us(ts) // $DayUs AS day,
+            |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+            |  FROM events GROUP BY 1),
+            |mo AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS s,
+            |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(28,6)))
+            |      AS DOUBLE) AS ss
+            |  FROM daily),
+            |rk AS (
+            |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY y, day) AS r,
+            |    count(*) OVER () AS n
+            |  FROM daily),
+            |qs AS (
+            |  SELECT
+            |    max(CASE WHEN r = CAST(ceil(0.25 * n) AS BIGINT)
+            |      THEN y END) AS q1,
+            |    max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+            |      THEN y END) AS med,
+            |    max(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT)
+            |      THEN y END) AS q3
+            |  FROM rk),
+            |madr AS (
+            |  SELECT max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+            |    THEN ad END) AS mad
+            |  FROM (SELECT abs(y - med) AS ad,
+            |          ROW_NUMBER() OVER (ORDER BY abs(y - med), day) AS r,
+            |          count(*) OVER () AS n
+            |        FROM daily CROSS JOIN qs) t),
+            |flags AS (
+            |  SELECT day, round(y, 2) AS y,
+            |    CASE WHEN abs((y - s / n)
+            |      / sqrt((ss - s * s / n) / (n - 1))) > 2
+            |      THEN 1 ELSE 0 END AS f_z,
+            |    CASE WHEN mad > 0 AND
+            |      abs(0.6745 * (y - med) / mad) > 2.5
+            |      THEN 1 ELSE 0 END AS f_mad,
+            |    CASE WHEN y < q1 - 1.5 * (q3 - q1)
+            |      OR y > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS f_iqr
+            |  FROM daily CROSS JOIN mo CROSS JOIN qs CROSS JOIN madr)
+            |SELECT day, y, f_z, f_mad, f_iqr,
+            |  CAST(f_z + f_mad + f_iqr AS BIGINT) AS votes
+            |FROM flags WHERE f_z + f_mad + f_iqr >= 2
+            |ORDER BY day""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .groupBy(expr(s"(ts div 1000) div $DayUs").as("day"))
+        .agg(sum(Q.dec(col("value"))).cast("double").as("y")))
+      val mo = daily.agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("s"),
+        sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+          .cast("double").as("ss"))
+      val wr = Window.orderBy(col("y"), col("day"))
+      val wall = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val rk = daily.select(col("y"), row_number().over(wr).as("r"),
+        count(lit(1)).over(wall).as("n"))
+      def oStat(p: Double) =
+        max(when(col("r") === ceil(lit(p) * col("n")).cast("long"),
+          col("y")))
+      val qs = rk.agg(oStat(0.25).as("q1"), oStat(0.50).as("med"),
+        oStat(0.75).as("q3"))
+      val wad = Window.orderBy(col("ad"), col("day"))
+      val madr = daily.crossJoin(broadcast(qs))
+        .select(col("day"), abs(col("y") - col("med")).as("ad"))
+        .select(col("ad"), row_number().over(wad).as("r"),
+          count(lit(1)).over(Window.orderBy(col("ad"), col("day"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("n"))
+        .agg(max(when(col("r") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("ad"))).as("mad"))
+      val fz = when(abs((col("y") - col("s") / col("n")) /
+        sqrt((col("ss") - col("s") * col("s") / col("n")) /
+          (col("n") - 1))) > 2, 1).otherwise(0)
+      val fmad = when(col("mad") > 0 &&
+        abs(lit(0.6745) * (col("y") - col("med")) / col("mad")) > 2.5, 1)
+        .otherwise(0)
+      val fiqr = when(
+        col("y") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+          col("y") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)
+        .otherwise(0)
+      daily.crossJoin(broadcast(mo)).crossJoin(broadcast(qs))
+        .crossJoin(broadcast(madr))
+        .select(col("day"), round(col("y"), 2).as("y"),
+          fz.as("f_z"), fmad.as("f_mad"), fiqr.as("f_iqr"))
+        .withColumn("votes",
+          (col("f_z") + col("f_mad") + col("f_iqr")).cast("long"))
+        .filter(col("votes") >= 2)
+        .orderBy("day")
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
       q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption,
-      q339_seasonal_backtest)
+      q339_seasonal_backtest, q343_anomaly_consensus)
 }

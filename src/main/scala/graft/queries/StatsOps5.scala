@@ -773,7 +773,96 @@ object StatsOps5 {
         .orderBy("event_type")
     })
 
+  /** Rank-1 ALS on the user × event-type spend matrix — collaborative
+    * filtering training as a query, q332's "model fitting stays in the
+    * engine" theme for recommenders: two alternations of
+    * u_i = Σ_j r_ij·v_j / Σ_j v_j² (per-user agg over a broadcast item
+    * row) and v_j = Σ_i r_ij·u_i / Σ_i u_i² (item-keyed agg over the
+    * user-joined ratings), then the reconstruction RMSE. Every
+    * cross-row sum is round(·,6/9)-then-decimal-sum so the factor
+    * values are partial-agg-order independent; factors flow as
+    * broadcast frames (items) and keyed joins (users) — no collect. */
+  val q341_rank1_als = Q(
+    "q341_rank1_als", {
+      def uStep(i: Int, vPrev: String) =
+        s"""u$i AS (
+           |  SELECT user_id,
+           |    round(CAST(sum(CAST(round(r.r * v.v, 6) AS DECIMAL(28,6)))
+           |        AS DOUBLE)
+           |      / sum(CAST(round(v.v * v.v, 6) AS DECIMAL(28,6))), 6)
+           |      AS u
+           |  FROM r JOIN $vPrev v ON v.event_type = r.event_type
+           |  GROUP BY user_id)""".stripMargin
+      def vStep(i: Int, uPrev: String) =
+        s"""v$i AS (
+           |  SELECT event_type,
+           |    round(CAST(sum(CAST(round(r.r * u.u, 6) AS DECIMAL(28,6)))
+           |        AS DOUBLE)
+           |      / sum(CAST(round(u.u * u.u, 6) AS DECIMAL(28,6))), 6)
+           |      AS v
+           |  FROM r JOIN $uPrev u ON u.user_id = r.user_id
+           |  GROUP BY event_type)""".stripMargin
+      Some(s"""WITH r AS (
+              |  SELECT user_id, event_type,
+              |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              |      / 100 AS DOUBLE) AS r
+              |  FROM events GROUP BY 1, 2),
+              |v0 AS (
+              |  SELECT DISTINCT event_type, CAST(1 AS DOUBLE) AS v FROM r),
+              |${uStep(1, "v0")},
+              |${vStep(1, "u1")},
+              |${uStep(2, "v1")},
+              |${vStep(2, "u2")},
+              |fit AS (
+              |  SELECT round(sqrt(CAST(sum(CAST(round(
+              |      (r.r - u.u * v.v) * (r.r - u.u * v.v), 9)
+              |      AS DECIMAL(28,9))) AS DOUBLE) / count(*)), 6) AS rmse
+              |  FROM r JOIN u2 u ON u.user_id = r.user_id
+              |         JOIN v2 v ON v.event_type = r.event_type)
+              |SELECT v2.event_type, v2.v AS factor, fit.rmse
+              |FROM v2 CROSS JOIN fit
+              |ORDER BY event_type""".stripMargin)
+    },
+    (s, d) => {
+      val r = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg((sum(dec(col("value"))).cast("double") / 100).as("r")))
+      def uStep(v: org.apache.spark.sql.DataFrame) =
+        graft.operators.PlanCache.persist(
+          r.join(broadcast(v), "event_type")
+            .groupBy("user_id")
+            .agg(round(
+              sum(round(col("r") * col("v"), 6).cast("decimal(28,6)"))
+                .cast("double") /
+                sum(round(col("v") * col("v"), 6).cast("decimal(28,6)"))
+                  .cast("double"), 6).as("u")))
+      def vStep(u: org.apache.spark.sql.DataFrame) =
+        graft.operators.PlanCache.persist(
+          r.join(u, "user_id")
+            .groupBy("event_type")
+            .agg(round(
+              sum(round(col("r") * col("u"), 6).cast("decimal(28,6)"))
+                .cast("double") /
+                sum(round(col("u") * col("u"), 6).cast("decimal(28,6)"))
+                  .cast("double"), 6).as("v")))
+      val v0 = r.select("event_type").distinct()
+        .withColumn("v", lit(1.0))
+      val u1 = uStep(v0)
+      val v1 = vStep(u1)
+      val u2 = uStep(v1)
+      val v2 = vStep(u2)
+      val fit = r.join(u2, "user_id").join(broadcast(v2), "event_type")
+        .agg(round(sqrt(
+          sum(round((col("r") - col("u") * col("v")) *
+            (col("r") - col("u") * col("v")), 9).cast("decimal(28,9)"))
+            .cast("double") / count(lit(1))), 6).as("rmse"))
+      v2.crossJoin(broadcast(fit))
+        .select(col("event_type"), col("v").as("factor"), col("rmse"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
-    q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard)
+    q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
+    q341_rank1_als)
 }

@@ -872,8 +872,110 @@ object VectorOps5 {
         .orderBy(col("margin"), col("qid"))
     })
 
+  /** Deterministic k-means++ style initialization by FARTHEST-POINT
+    * (maximin) traversal: seed with the lowest corpus id, then three
+    * times pick the vector maximizing its min cosine-distance to the
+    * chosen set — the spread-out init that beats random seeding for the
+    * q57/q240 IVF training, made deterministic (maximin is the
+    * derandomized k-means++). Each pick is one corpus scan against a
+    * ≤4-row broadcast chosen set + a 1-row TakeOrdered fetch (the
+    * TextOps7 bounded-fetch regime); the final row reports the
+    * mean min-distance under the 4 centers (init quality). */
+  val q342_maximin_init = Q(
+    "q342_maximin_init", {
+      def pick(i: Int, chosen: String) =
+        s"""d$i AS (
+           |  SELECT c.vec_id,
+           |    min(round(1 - round(${cosineSql("c.v", "ch.v")}, 6), 6))
+           |      AS mind
+           |  FROM c CROSS JOIN $chosen ch GROUP BY c.vec_id),
+           |p$i AS (
+           |  SELECT $i AS pick_order, vec_id, mind FROM d$i
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM $chosen)
+           |  ORDER BY mind DESC, vec_id LIMIT 1),
+           |ch$i AS (
+           |  SELECT ch.vec_id, ch.v FROM $chosen ch
+           |  UNION ALL
+           |  SELECT p.vec_id, c.v FROM p$i p JOIN c ON c.vec_id = p.vec_id)"""
+          .stripMargin
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 30),
+              |ch0 AS (SELECT vec_id, v FROM c
+              |        ORDER BY vec_id LIMIT 1),
+              |${pick(1, "ch0")},
+              |${pick(2, "ch1")},
+              |${pick(3, "ch2")},
+              |q AS (
+              |  SELECT round(CAST(sum(CAST(mind AS DECIMAL(18,6)))
+              |    AS DOUBLE) / count(*), 6) AS mean_mind
+              |  FROM (SELECT c.vec_id,
+              |          min(round(1 - round(${cosineSql("c.v", "ch.v")}, 6),
+              |            6)) AS mind
+              |        FROM c CROSS JOIN ch3 ch GROUP BY c.vec_id) t)
+              |SELECT * FROM (
+              |  SELECT CAST(0 AS BIGINT) AS pick_order,
+              |    (SELECT vec_id FROM ch0) AS vec_id,
+              |    CAST(NULL AS DOUBLE) AS maximin_dist,
+              |    (SELECT mean_mind FROM q) AS mean_mind_final
+              |  UNION ALL
+              |  SELECT CAST(pick_order AS BIGINT), vec_id, mind,
+              |    (SELECT mean_mind FROM q) FROM p1
+              |  UNION ALL
+              |  SELECT CAST(pick_order AS BIGINT), vec_id, mind,
+              |    (SELECT mean_mind FROM q) FROM p2
+              |  UNION ALL
+              |  SELECT CAST(pick_order AS BIGINT), vec_id, mind,
+              |    (SELECT mean_mind FROM q) FROM p3) t
+              |ORDER BY pick_order""".stripMargin)
+    },
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      val c = graft.operators.PlanCache.persist(
+        e.filter(col("vec_id") >= 30).select("vec_id", "v"))
+      val ch0 = c.orderBy("vec_id").limit(1)
+      // per-row distance over the broadcast chosen set; the group-min
+      // collapses the |chosen| copies
+      def minDist2(chosen: DataFrame) = c.crossJoin(broadcast(chosen
+          .select(col("vec_id").as("cid"), col("v").as("cv"))))
+        .select(col("vec_id"),
+          round(lit(1) - round(cosine(col("v"), col("cv")), 6), 6)
+            .as("d1"))
+        .groupBy("vec_id").agg(min("d1").as("mind"))
+      def pick(i: Int, chosen: DataFrame) = {
+        val d = minDist2(chosen)
+        val p = d.join(chosen.select(col("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(lit(i.toLong).as("pick_order"), col("vec_id"),
+            col("mind"))
+        val next = chosen.select("vec_id", "v")
+          .union(p.join(c, "vec_id").select(col("vec_id"), col("v")))
+        (graft.operators.PlanCache.persist(p),
+          graft.operators.PlanCache.persist(next))
+      }
+      val (p1, ch1) = pick(1, ch0)
+      val (p2, ch2) = pick(2, ch1)
+      val (p3, ch3) = pick(3, ch2)
+      val q = minDist2(ch3)
+        .agg(round(sum(col("mind").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_mind"))
+      val rows = ch0.select(lit(0L).as("pick_order"), col("vec_id"),
+          lit(null).cast("double").as("maximin_dist"))
+        .union(p1.select(col("pick_order"), col("vec_id"),
+          col("mind").as("maximin_dist")))
+        .union(p2.select(col("pick_order"), col("vec_id"), col("mind")))
+        .union(p3.select(col("pick_order"), col("vec_id"), col("mind")))
+      rows.crossJoin(broadcast(q))
+        .select(col("pick_order"), col("vec_id"), col("maximin_dist"),
+          col("mean_mind").as("mean_mind_final"))
+        .orderBy("pick_order")
+    })
+
   val all: Seq[Q] = Seq(q281_mmr_rerank, q282_hamming_rerank,
     q283_matryoshka_recall, q302_ann_mrr, q314_filtered_ann,
     q323_ivf_nlist_planner, q326_maxsim_retrieval, q328_dedup_threshold_cal,
-    q334_rec_coverage_ild, q335_hubness, q337_hard_negatives)
+    q334_rec_coverage_ild, q335_hubness, q337_hard_negatives,
+    q342_maximin_init)
 }
