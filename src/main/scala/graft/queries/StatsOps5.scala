@@ -861,8 +861,100 @@ object StatsOps5 {
         .orderBy("event_type")
     })
 
+  // Poisson(1) CDF cutpoints (shared 4-decimal literals): a uniform
+  // draw maps to the replicate weight 0..5
+  private val PoisCdf = Seq(0.3679, 0.7358, 0.9197, 0.9810, 0.9963)
+
+  /** CLUSTER (Poisson) bootstrap for the q329 ratio metric — resampling
+    * USERS, not events, so within-user correlation survives into the
+    * interval (the error the naive event bootstrap makes). Deterministic:
+    * replicate b's weight for a user is a pseudo-Poisson(1) draw mapped
+    * from hex span b of the user's md5 through fixed CDF cutpoints —
+    * both engines enumerate identical weight tables. 16 replicates ride
+    * ONE users×16 flat-map + one grid agg; the replicate-spread SE and
+    * the ±1.96·SE interval sit beside the q329 delta-method answer. */
+  val q344_poisson_bootstrap = Q(
+    "q344_poisson_bootstrap", {
+      val w = PoisCdf.zipWithIndex
+        .map { case (c, i) => s"WHEN u < $c THEN $i" }
+        .mkString("CASE ", " ", " ELSE 5 END")
+      Some(s"""WITH ub AS (
+              |  SELECT user_id,
+              |    CAST(sum(CASE WHEN event_type = 'purchase'
+              |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS
+              |      DECIMAL(18,2)) END) * 100 AS BIGINT) AS y,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM events GROUP BY user_id),
+              |px AS (
+              |  SELECT y, n, g.b,
+              |    ${hexSpanValSql("md5(CAST(user_id AS VARCHAR) || '|' || CAST(g.b AS VARCHAR))", 0, 4)}
+              |      / 65536.0 AS u
+              |  FROM ub CROSS JOIN
+              |    (SELECT unnest(generate_series(1, 16)) AS b) g),
+              |reps AS (
+              |  SELECT b,
+              |    CAST(sum(($w) * CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+              |      / CAST(sum(($w) * n) AS DOUBLE) / 100 AS r
+              |  FROM px GROUP BY b),
+              |obs AS (
+              |  SELECT CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+              |    / sum(n) / 100 AS r0
+              |  FROM ub),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS nb,
+              |    CAST(sum(CAST(round(r, 9) AS DECIMAL(28,9))) AS DOUBLE)
+              |      / count(*) AS rbar,
+              |    CAST(sum(CAST(round(r * r, 9) AS DECIMAL(28,9)))
+              |      AS DOUBLE) AS srr
+              |  FROM reps)
+              |SELECT round(r0, 6) AS observed, nb,
+              |  round(rbar, 6) AS rep_mean,
+              |  round(sqrt((srr - nb * rbar * rbar) / (nb - 1)), 6) AS se,
+              |  round(r0 - 1.96 * sqrt((srr - nb * rbar * rbar) / (nb - 1)),
+              |    6) AS ci_lo,
+              |  round(r0 + 1.96 * sqrt((srr - nb * rbar * rbar) / (nb - 1)),
+              |    6) AS ci_hi
+              |FROM obs CROSS JOIN m""".stripMargin)
+    },
+    (s, d) => {
+      val ub = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
+          .cast("long").as("y"),
+          count(lit(1)).as("n"))
+      val px = ub
+        .select(col("user_id"), col("y"), col("n"),
+          explode(sequence(lit(1), lit(16))).as("b"))
+        .withColumn("h",
+          md5(concat(col("user_id").cast("string"), lit("|"),
+            col("b").cast("string"))))
+        .select(col("y"), col("n"), col("b"),
+          (expr(hexSpanValSql("h", 0, 4)) / 65536.0).as("u"))
+      val w = PoisCdf.zipWithIndex.foldRight(lit(5): org.apache.spark.sql
+          .Column) { case ((c, i), acc) => when(col("u") < c, i).otherwise(acc) }
+      val reps = px.groupBy("b")
+        .agg((sum(w * col("y").cast("decimal(38,0)")).cast("double") /
+          sum(w * col("n")).cast("double") / 100).as("r"))
+      val obs = ub.agg((sum(col("y").cast("decimal(38,0)")).cast("double") /
+        sum("n") / 100).as("r0"))
+      val m = reps.agg(count(lit(1)).as("nb"),
+        (sum(round(col("r"), 9).cast("decimal(28,9)")).cast("double") /
+          count(lit(1))).as("rbar"),
+        sum(round(col("r") * col("r"), 9).cast("decimal(28,9)"))
+          .cast("double").as("srr"))
+      val se = sqrt((col("srr") - col("nb") * col("rbar") * col("rbar")) /
+        (col("nb") - 1))
+      obs.crossJoin(broadcast(m))
+        .select(round(col("r0"), 6).as("observed"), col("nb"),
+          round(col("rbar"), 6).as("rep_mean"),
+          round(se, 6).as("se"),
+          round(col("r0") - lit(1.96) * se, 6).as("ci_lo"),
+          round(col("r0") + lit(1.96) * se, 6).as("ci_hi"))
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
     q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
-    q341_rank1_als)
+    q341_rank1_als, q344_poisson_bootstrap)
 }

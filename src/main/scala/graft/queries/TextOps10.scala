@@ -425,7 +425,114 @@ object TextOps10 {
           col("n_shared"))
     })
 
+  /** Perplexity-filter PLANNER: before a cross-entropy filter ships,
+    * sweep its threshold over the doc-level unigram cross-entropy
+    * distribution (p50/p75/p90 order statistics of H = −mean log2
+    * p(token) under the corpus LM) and report, per candidate threshold,
+    * the overall drop rate plus the worst per-language drop rate and
+    * the q333 four-fifths disparity flag — the "does this quality knob
+    * silently delete a language" pre-flight. Two corpus passes (term LM
+    * + term-keyed logprob join); thresholds and per-lang rates are
+    * order-statistic / conditional-agg work on the doc grid. */
+  val q345_ppl_filter_plan = Q(
+    "q345_ppl_filter_plan",
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |lm AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS c,
+           |    CAST((SELECT count(*) FROM t) AS BIGINT) AS n
+           |  FROM t GROUP BY term),
+           |dh AS (
+           |  SELECT t.doc_id, t.lang,
+           |    round(CAST(sum(CAST(round(-log2(CAST(lm.c AS DOUBLE) / lm.n),
+           |      9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS h
+           |  FROM t JOIN lm ON lm.term = t.term
+           |  GROUP BY t.doc_id, t.lang),
+           |qs AS (
+           |  SELECT
+           |    max(CASE WHEN r = CAST(ceil(0.50 * n) AS BIGINT)
+           |      THEN h END) AS p50,
+           |    max(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT)
+           |      THEN h END) AS p75,
+           |    max(CASE WHEN r = CAST(ceil(0.90 * n) AS BIGINT)
+           |      THEN h END) AS p90
+           |  FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS r,
+           |          count(*) OVER () AS n FROM dh) t),
+           |thr AS (
+           |  SELECT 'p50' AS thr_label, p50 AS thr FROM qs
+           |  UNION ALL SELECT 'p75', p75 FROM qs
+           |  UNION ALL SELECT 'p90', p90 FROM qs),
+           |lr AS (
+           |  SELECT thr_label, thr, lang,
+           |    round(CAST(sum(CASE WHEN h > thr THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / count(*), 6) AS drop_rate
+           |  FROM dh CROSS JOIN thr GROUP BY thr_label, thr, lang),
+           |agg AS (
+           |  SELECT thr_label, thr,
+           |    max(drop_rate) AS max_lang_drop,
+           |    min(drop_rate) AS min_lang_drop
+           |  FROM lr GROUP BY thr_label, thr),
+           |ov AS (
+           |  SELECT thr_label,
+           |    round(CAST(sum(CASE WHEN h > thr THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / count(*), 6) AS overall_drop
+           |  FROM dh CROSS JOIN thr GROUP BY thr_label, thr)
+           |SELECT a.thr_label, round(a.thr, 6) AS threshold,
+           |  ov.overall_drop, a.max_lang_drop, a.min_lang_drop,
+           |  CASE WHEN a.max_lang_drop > 0 AND
+           |    a.min_lang_drop < 0.8 * a.max_lang_drop
+           |    THEN 1 ELSE 0 END AS disparity_flag
+           |FROM agg a JOIN ov ON ov.thr_label = a.thr_label
+           |ORDER BY a.thr_label""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("term")))
+      val n = t.agg(count(lit(1)).as("n"))
+      val lm = t.groupBy("term").agg(count(lit(1)).as("c"))
+      val dh = graft.operators.PlanCache.persist(
+        t.join(lm, "term").crossJoin(broadcast(n))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(
+            round(-log2(col("c").cast("double") / col("n")), 9)
+              .cast("decimal(28,9)")).cast("double") / count(lit(1)), 6)
+            .as("h")))
+      val wr = Window.orderBy(col("h"), col("doc_id"))
+      val wall = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val rk = dh.select(col("h"), row_number().over(wr).as("r"),
+        count(lit(1)).over(wall).as("nn"))
+      def oStat(p: Double) =
+        max(when(col("r") === ceil(lit(p) * col("nn")).cast("long"),
+          col("h")))
+      val qs = rk.agg(oStat(0.50).as("p50"), oStat(0.75).as("p75"),
+        oStat(0.90).as("p90"))
+      val thr = qs.select(lit("p50").as("thr_label"), col("p50").as("thr"))
+        .union(qs.select(lit("p75"), col("p75")))
+        .union(qs.select(lit("p90"), col("p90")))
+      val base = dh.crossJoin(broadcast(thr))
+      val lr = base.groupBy("thr_label", "thr", "lang")
+        .agg(round(sum(when(col("h") > col("thr"), 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("drop_rate"))
+      val agg = lr.groupBy("thr_label", "thr")
+        .agg(max("drop_rate").as("max_lang_drop"),
+          min("drop_rate").as("min_lang_drop"))
+      val ov = base.groupBy("thr_label", "thr")
+        .agg(round(sum(when(col("h") > col("thr"), 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("overall_drop"))
+        .select("thr_label", "overall_drop")
+      agg.join(ov, "thr_label")
+        .select(col("thr_label"), round(col("thr"), 6).as("threshold"),
+          col("overall_drop"), col("max_lang_drop"), col("min_lang_drop"),
+          when(col("max_lang_drop") > 0 &&
+            col("min_lang_drop") < lit(0.8) * col("max_lang_drop"), 1)
+            .otherwise(0).as("disparity_flag"))
+        .orderBy("thr_label")
+    })
+
   val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match,
     q319_langid_eval, q333_filter_disparity, q336_topk_churn,
-    q340_cdc_chunking)
+    q340_cdc_chunking, q345_ppl_filter_plan)
 }
