@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic generator table — a full DataSourceV2 `TableProvider`
+  * with BOTH scan-time optimizations a real connector owes Catalyst:
+  *
+  *   - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
+  *     the pruned fields (a projection never reaches the row builder);
+  *   - `SupportsPushDownFilters`: range/equality predicates on `id`
+  *     tighten the generated interval BEFORE any row exists, and are
+  *     reported as fully handled so Catalyst drops its Filter node (and
+  *     with it the `id` column, when unprojected).
+  *
+  * Rows are closed-form functions of `id` (`bucket = id % 97`,
+  * `v = ((id·7919) mod 10⁴)/100` — exact 2-decimal money-like values,
+  * `tag = 't' ‖ id mod 7`), so a SQL oracle replays the identical table
+  * from `generate_series` — the construction-inversion device applied
+  * to a whole data source. At cluster scale this IS the synthetic-data
+  * harness: `slices` input partitions generate independently with zero
+  * storage or shuffle, so a 100 TB table costs nothing but CPU.
+  *
+  * Reference behavior modeled: the reference's fixture generator writes
+  * synthetic envelope batches to parquet before reading them back
+  * (make_fixtures.py); this source skips the materialization round-trip.
+  */
+class GenDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenDocs.schema
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(4))
+}
+
+object GenDocs {
+  val schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("bucket", LongType, nullable = false)
+    .add("v", DoubleType, nullable = false)
+    .add("tag", StringType, nullable = false)
+}
+
+private[sources] class GenTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"gen_docs($rows)"
+  override def schema(): StructType = GenDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+private[sources] class GenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GenDocs.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, residual) = filters.partition {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    accepted = handled
+    residual // everything here Spark re-evaluates; nothing is lost
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
+    required)
+}
+
+private[sources] case class GenSlice(lo: Long, hi: Long) extends InputPartition
+
+private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    val per = math.max(1L, (n + slices - 1) / slices)
+    Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
+      .map(s => GenSlice(s, math.min(hi, s + per)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val s = p.asInstanceOf[GenSlice]
+        new PartitionReader[InternalRow] {
+          private var id = s.lo - 1
+          override def next(): Boolean = { id += 1; id < s.hi }
+          override def get(): InternalRow = {
+            // only the PRUNED fields are ever computed/boxed
+            val vals = fields.map {
+              case "id"     => id: java.lang.Long
+              case "bucket" => (id % 97): java.lang.Long
+              case "v"      => ((id * 7919) % 10000) / 100.0: java.lang.Double
+              case "tag"    => UTF8String.fromString("t" + (id % 7))
+            }
+            new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}

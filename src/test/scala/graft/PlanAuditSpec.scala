@@ -521,4 +521,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("tiff_dims"), p)
   }
+
+  test("q346: DSv2 pushdown reaches the generator source — range narrowed, id pruned, no Filter") {
+    val p = plan("q346_gen_source")
+    assert(p.contains("GenScan id=[1000,50000)"), p)
+    assert(p.contains("cols=v,tag"), p)
+    // no Filter OPERATOR may survive ("RuntimeFilters: []" in the scan
+    // line is not one)
+    assert(countOf(p, """\+- Filter""") == 0, p)
+  }
 }
