@@ -917,12 +917,14 @@ object StatsOps5 {
               |FROM obs CROSS JOIN m""".stripMargin)
     },
     (s, d) => {
-      val ub = Tables.events(s, d)
+      // persisted: the user grid feeds both the 16-replicate flat-map
+      // and the observed-ratio agg
+      val ub = graft.operators.PlanCache.persist(Tables.events(s, d)
         .groupBy("user_id")
         .agg((sum(when(col("event_type") === "purchase", dec(col("value")))
           .otherwise(lit(0).cast("decimal(18,2)"))) * 100)
           .cast("long").as("y"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n")))
       val px = ub
         .select(col("user_id"), col("y"), col("n"),
           explode(sequence(lit(1), lit(16))).as("b"))
