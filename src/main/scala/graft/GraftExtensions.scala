@@ -141,5 +141,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "jpeg_sof_dims(payload) takes one argument")
         JpegSofDims(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 boost threshold, prefix cap 4, empty -> 0)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b) takes two arguments")
+        graft.functions.JaroWinkler(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("tiff_dims"),
+      info("tiff_dims",
+        "tiff_dims(payload) - struct(width, height, bigendian) from a TIFF's first IFD, NULL if corrupt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tiff_dims(payload) takes one argument")
+        graft.functions.TiffDims(args(0))
+      }))
   }
 }

@@ -121,4 +121,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(rows == Seq((1, "ab"), (2, "bc"), (3, "cd")))
   }
+
+  test("jaro_winkler and tiff_dims are callable from SQL") {
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw, " +
+        s"tiff_dims(unhex('49492A000800000002000001040001000000800200000101040001000000E001000000000000')).width AS w")
+      .collect()(0)
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getLong(1) == 640L)
+  }
 }
