@@ -497,38 +497,42 @@ object StatsOps4 {
           col("wa").as("w"))
           .union(pairs.select(col("tb").as("i"), col("ta").as("j"),
             col("n"), (col("n") - col("wa")).as("w"))))
-      val wtot = graft.operators.PlanCache.persist(
-        dirn.groupBy(col("i").as("t"))
-          .agg(sum("n").cast("long").as("games"),
-            sum("w").cast("long").as("wins"),
-            sum("w").cast("double").as("w")))
-      val k = wtot.agg(count(lit(1)).as("k"),
-        lit(1).as("__one")) // single-row scalar frame for normalization
-      def iterate(prev: org.apache.spark.sql.DataFrame) = {
-        val dsum = dirn
-          .join(prev.select(col("t").as("i"), col("p").as("pi")), "i")
-          .join(prev.select(col("t").as("j"), col("p").as("pj")), "j")
-          .groupBy(col("i").as("t"))
-          .agg(sum(round(col("n") / (col("pi") + col("pj")), 9)
-            .cast("decimal(28,9)")).cast("double").as("dsum"))
-        val praw = wtot.join(dsum, "t")
-          .select(col("t"), round(col("w") / col("dsum"), 9).as("praw"))
-        val norm = praw.agg(
-          sum(col("praw").cast("decimal(28,9)")).cast("double").as("sp"))
-        // persisted: each iteration is referenced TWICE by the next
-        // (p_i and p_j joins) plus its own normalizer — without a
-        // materialization point the re-execution count grows 3^k
-        // (measured: 49 s → ~1 s at sf0.1)
-        graft.operators.PlanCache.persist(
-          praw.crossJoin(broadcast(norm)).crossJoin(broadcast(k))
-            .select(col("t"),
-              round(col("praw") * col("k") / col("sp"), 9).as("p")))
+      // ADJUDICATED COLLECT (the Similarity.scala:262 regime): the
+      // directed pair grid has k·(k−1) rows where k = |event_type|
+      // domain (5 here; bounded by the type vocabulary at ANY corpus
+      // size) — index metadata, not data. Running the 3 MM iterations
+      // as a DataFrame chain cost ~12 tiny jobs (7.4 s of pure
+      // scheduling in the isolated bench); on the collected grid the
+      // iterations are microseconds. Arithmetic replicates the engines'
+      // round() (BigDecimal HALF_UP on the double) and decimal-sums
+      // each Σ_j fold, so the strengths are bit-identical to the SQL
+      // oracle's CTE replay.
+      val grid = dirn.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      def r9(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      val types = grid.map(_._1).distinct.sorted
+      val games = types.map(t => t -> grid.filter(_._1 == t).map(_._3).sum)
+        .toMap
+      val wins = types.map(t => t -> grid.filter(_._1 == t).map(_._4).sum)
+        .toMap
+      var p = types.map(_ -> 1.0).toMap
+      for (_ <- 1 to 3) {
+        val praw = types.map { t =>
+          val dsum = grid.filter(_._1 == t)
+            .map(e => java.math.BigDecimal.valueOf(
+              r9(e._3.toDouble / (p(t) + p(e._2)))))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+          t -> r9(wins(t).toDouble / dsum)
+        }.toMap
+        val sp = types.map(t => java.math.BigDecimal.valueOf(praw(t)))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+        p = types.map(t => t -> r9(praw(t) * types.length / sp)).toMap
       }
-      val p0 = wtot.select(col("t"), lit(1.0).as("p"))
-      val p3 = iterate(iterate(iterate(p0)))
-      wtot.join(p3, "t")
-        .select(col("t").as("event_type"), col("games"), col("wins"),
-          col("p").as("strength"))
+      val out = types.map(t => (t, games(t), wins(t), p(t)))
+      s.createDataFrame(out.toIndexedSeq)
+        .toDF("event_type", "games", "wins", "strength")
         .orderBy(col("strength").desc, col("event_type"))
     })
 
