@@ -651,8 +651,149 @@ object EventOps3 {
         .orderBy("day")
     })
 
+  /** Offline policy evaluation by REPLAY MATCHING (the bandit-log
+    * estimator): a target policy ("always play the action with the best
+    * first-half conversion rate") is evaluated on the second half using
+    * ONLY the logged events whose action matches the policy's choice —
+    * the unbiased trick that lets logged traffic grade a policy that
+    * never ran. Actions = event types, reward = high-value purchase
+    * behavior (value > 250). Train/eval split at the corpus midpoint
+    * day; the policy pick is a 1-row TakeOrdered off the train grid;
+    * the replay estimate and the logged baseline are two conditional
+    * aggs over the eval half. */
+  val q349_bandit_replay = Q(
+    "q349_bandit_replay",
+    Some(s"""WITH ev AS (
+            |  SELECT event_type AS action,
+            |    CASE WHEN value > 250 THEN 1 ELSE 0 END AS reward,
+            |    epoch_us(ts) // $DayUs AS day
+            |  FROM events),
+            |span AS (SELECT (min(day) + max(day)) // 2 AS cutoff FROM ev),
+            |pick AS (
+            |  SELECT action AS best_action FROM ev CROSS JOIN span
+            |  WHERE day < cutoff
+            |  GROUP BY action
+            |  ORDER BY CAST(sum(reward) AS DOUBLE) / count(*) DESC, action
+            |  LIMIT 1),
+            |eval_h AS (
+            |  SELECT action, reward FROM ev CROSS JOIN span
+            |  WHERE day >= cutoff),
+            |m AS (
+            |  SELECT
+            |    CAST(count(*) AS BIGINT) AS n_eval,
+            |    CAST(sum(CASE WHEN action = best_action THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS n_matched,
+            |    round(CAST(sum(CASE WHEN action = best_action
+            |      THEN reward END) AS DOUBLE)
+            |      / sum(CASE WHEN action = best_action THEN 1 ELSE 0 END),
+            |      6) AS replay_reward,
+            |    round(CAST(sum(reward) AS DOUBLE) / count(*), 6)
+            |      AS logged_reward
+            |  FROM eval_h CROSS JOIN pick)
+            |SELECT (SELECT best_action FROM pick) AS best_action,
+            |  n_eval, n_matched, replay_reward, logged_reward,
+            |  round(replay_reward - logged_reward, 6) AS lift
+            |FROM m""".stripMargin),
+    (s, d) => {
+      val ev = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .select(col("event_type").as("action"),
+          when(col("value") > 250, 1).otherwise(0).as("reward"),
+          expr(s"(ts div 1000) div $DayUs").as("day")))
+      val span = ev.agg(expr("(min(day) + max(day)) div 2").as("cutoff"))
+      val withCut = ev.crossJoin(broadcast(span))
+      val pick = withCut.filter(col("day") < col("cutoff"))
+        .groupBy("action")
+        .agg((sum("reward").cast("double") / count(lit(1))).as("rate"))
+        .orderBy(col("rate").desc, col("action")).limit(1)
+        .select(col("action").as("best_action"))
+      val m = withCut.filter(col("day") >= col("cutoff"))
+        .crossJoin(broadcast(pick))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("action") === col("best_action"), 1L).otherwise(0L))
+            .as("n_matched"),
+          round(sum(when(col("action") === col("best_action"),
+            col("reward"))).cast("double") /
+            sum(when(col("action") === col("best_action"), 1L)
+              .otherwise(0L)), 6).as("replay_reward"),
+          round(sum("reward").cast("double") / count(lit(1)), 6)
+            .as("logged_reward"))
+      broadcast(pick).crossJoin(m)
+        .select(col("best_action"), col("n_eval"), col("n_matched"),
+          col("replay_reward"), col("logged_reward"),
+          round(col("replay_reward") - col("logged_reward"), 6).as("lift"))
+    })
+
+  /** Conditional quantile curve: P50/P90 of per-user total spend WITHIN
+    * each user-activity quintile — the heteroskedasticity readout a
+    * mean-regression (q287) hides: does spend dispersion grow with
+    * activity? Quintile boundaries and within-quintile quantiles are
+    * both exact order statistics (rank windows) on the user grid;
+    * per-quintile windows partition by quintile so no global sort ever
+    * forms. */
+  val q350_conditional_quantiles = Q(
+    "q350_conditional_quantiles",
+    Some("""WITH u AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+           |  FROM events GROUP BY user_id),
+           |rk AS (
+           |  SELECT user_id, n_ev, y,
+           |    ROW_NUMBER() OVER (ORDER BY n_ev, user_id) AS r,
+           |    count(*) OVER () AS n
+           |  FROM u),
+           |q AS (
+           |  SELECT user_id, y,
+           |    LEAST(CAST(FLOOR(5.0 * (r - 1) / n) AS BIGINT), 4)
+           |      AS quintile
+           |  FROM rk),
+           |qr AS (
+           |  SELECT quintile, y,
+           |    ROW_NUMBER() OVER (PARTITION BY quintile
+           |      ORDER BY y, user_id) AS r,
+           |    count(*) OVER (PARTITION BY quintile) AS n
+           |  FROM q)
+           |SELECT quintile, CAST(max(n) AS BIGINT) AS n_users,
+           |  round(max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT)
+           |    THEN y END), 2) AS p50,
+           |  round(max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+           |    THEN y END), 2) AS p90
+           |FROM qr GROUP BY quintile ORDER BY quintile""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(Q.dec(col("value"))).cast("double").as("y"))
+      val wr = Window.orderBy(col("n_ev"), col("user_id"))
+      val wall = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val q = u
+        .select(col("user_id"), col("y"),
+          row_number().over(wr).as("r"),
+          count(lit(1)).over(wall).as("n"))
+        .select(col("user_id"), col("y"),
+          least(floor(lit(5.0) * (col("r") - 1) / col("n")).cast("long"),
+            lit(4L)).as("quintile"))
+      val wq = Window.partitionBy("quintile").orderBy(col("y"),
+        col("user_id"))
+      val wqa = Window.partitionBy("quintile")
+      val qr = q.select(col("quintile"), col("y"),
+        row_number().over(wq).as("r"),
+        count(lit(1)).over(wqa).as("n"))
+      qr.groupBy("quintile")
+        .agg(max("n").cast("long").as("n_users"),
+          round(max(when(col("r") ===
+            ceil(lit(0.5) * col("n")).cast("long"), col("y"))), 2)
+            .as("p50"),
+          round(max(when(col("r") ===
+            ceil(lit(0.9) * col("n")).cast("long"), col("y"))), 2)
+            .as("p90"))
+        .orderBy("quintile")
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
       q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption,
-      q339_seasonal_backtest, q343_anomaly_consensus)
+      q339_seasonal_backtest, q343_anomaly_consensus, q349_bandit_replay,
+      q350_conditional_quantiles)
 }

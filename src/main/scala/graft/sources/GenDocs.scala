@@ -135,3 +135,86 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Write side: a counting "blackhole" sink exercising the FULL DataSourceV2
+// write protocol (WriteBuilder → BatchWrite → per-task DataWriter →
+// WriterCommitMessage → driver-side commit). Rows are counted, not stored —
+// the benchmarking sink that measures a pipeline's produce rate without
+// paying storage, and the minimal correct template for any real v2 sink
+// (task messages carry partial counts; only COMMITTED tasks aggregate, so
+// speculative/failed attempts can never double-count).
+// ---------------------------------------------------------------------------
+
+object CountingSink {
+  /** Committed totals per sink run id — written ONCE per run at driver-side
+    * commit (the v2 contract: task messages → one atomic publish). */
+  private val committed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def result(runId: String): Option[Long] = Option(committed.get(runId))
+  private[sources] def publish(runId: String, n: Long): Unit =
+    committed.put(runId, n)
+  def clear(): Unit = committed.clear()
+}
+
+class CountingSinkProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType().add("value", StringType)
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CountingTable(schema,
+      Option(properties.get("runid")).getOrElse("default"))
+}
+
+private[sources] class CountingTable(writeSchema: StructType, runId: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"counting_sink($runId)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new CountingBatchWrite(runId)
+        }
+    }
+}
+
+private[sources] case class CountMsg(n: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class CountingBatchWrite(runId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new org.apache.spark.sql.connector.write.DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+        new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+          private var n = 0L
+          override def write(record: InternalRow): Unit = n += 1
+          override def commit()
+              : org.apache.spark.sql.connector.write.WriterCommitMessage =
+            CountMsg(n)
+          override def abort(): Unit = () // uncommitted counts vanish
+          override def close(): Unit = ()
+        }
+    }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    CountingSink.publish(runId,
+      messages.map(_.asInstanceOf[CountMsg].n).sum)
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = ()
+}
