@@ -791,9 +791,83 @@ object EventOps3 {
         .orderBy("quintile")
     })
 
+  /** Tail-based sampling planner (the observability-pipeline retention
+    * rule): keep ALL error events, everything at or above the global
+    * p99 value (the slow tail — exact order statistic), and a
+    * deterministic 1% md5 baseline of the rest; report per-reason
+    * retained counts, the overall retention rate, and the compression
+    * factor. Reasons are disjoint by precedence (error > tail >
+    * baseline) so the counts add up exactly; one corpus pass + the
+    * p99 rank window on the value grid. */
+  val q352_tail_sampling = Q(
+    "q352_tail_sampling", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val base = s"${hexSpanValSql("md5(CAST(event_id AS VARCHAR))", 0, 3)} % 100 = 0"
+      Some(s"""WITH v AS (
+              |  SELECT CAST(value AS DECIMAL(18,2)) AS val,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1),
+              |p99 AS (
+              |  SELECT min(val) AS p99 FROM (
+              |    SELECT val, sum(c) OVER (ORDER BY val DESC
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |      sum(c) OVER () AS n
+              |    FROM v) t WHERE cum <= ceil(0.01 * n)),
+              |cls AS (
+              |  SELECT CASE
+              |      WHEN event_type = 'error' THEN 'error'
+              |      WHEN CAST(value AS DECIMAL(18,2)) >= p99 THEN 'tail'
+              |      WHEN $base THEN 'baseline'
+              |      ELSE 'drop' END AS reason
+              |  FROM events CROSS JOIN p99),
+              |m AS (
+              |  SELECT reason, CAST(count(*) AS BIGINT) AS n
+              |  FROM cls GROUP BY reason),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m)
+              |SELECT reason, n,
+              |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+              |  round(CAST(total AS DOUBLE)
+              |    / sum(CASE WHEN reason <> 'drop' THEN n END) OVER (), 6)
+              |    AS compression
+              |FROM m CROSS JOIN tot
+              |ORDER BY reason""".stripMargin)
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.hexSpanValSql
+      val ev = Tables.events(s, d)
+      val v = ev.groupBy(Q.dec(col("value")).as("val"))
+        .agg(count(lit(1)).as("c"))
+      val wdesc = Window.orderBy(col("val").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy(col("val").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val p99 = v.select(col("val"), sum("c").over(wdesc).as("cum"),
+          sum("c").over(wall).as("n"))
+        .filter(col("cum") <= ceil(lit(0.01) * col("n")))
+        .agg(min("val").as("p99"))
+      val cls = ev.crossJoin(broadcast(p99))
+        .withColumn("__h", md5(col("event_id").cast("string")))
+        .select(when(col("event_type") === "error", "error")
+          .when(Q.dec(col("value")) >= col("p99"), "tail")
+          .when(expr(hexSpanValSql("__h", 0, 3)) % 100 === 0, "baseline")
+          .otherwise("drop").as("reason"))
+      val m = graft.operators.PlanCache.persist(
+        cls.groupBy("reason").agg(count(lit(1)).as("n")))
+      val tot = m.agg(sum("n").cast("long").as("total"))
+      val kept = m.filter(col("reason") =!= "drop")
+        .agg(sum("n").cast("long").as("kept"))
+      m.crossJoin(broadcast(tot)).crossJoin(broadcast(kept))
+        .select(col("reason"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("total").cast("double") / col("kept"), 6)
+            .as("compression"))
+        .orderBy("reason")
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
       q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption,
       q339_seasonal_backtest, q343_anomaly_consensus, q349_bandit_replay,
-      q350_conditional_quantiles)
+      q350_conditional_quantiles, q352_tail_sampling)
 }

@@ -228,4 +228,64 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
       assert(r.getStruct(2).getInt(1) == r.getInt(1), r.toString)
     }
   }
+
+  test("jaro_winkler: range, symmetry, identity, and arbitrary input safety") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const(' ')))
+      .map(_.mkString)
+    val pairs = Gen.listOfN(300, Gen.zip(strGen, strGen)).sample.get
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        jaroWinkler(col("a"), col("b")).as("ab"),
+        jaroWinkler(col("b"), col("a")).as("ba"),
+        jaroWinkler(col("a"), col("a")).as("aa"))
+      .collect()
+    out.foreach { r =>
+      val (a, ab, ba, aa) = (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(ab >= 0.0 && ab <= 1.0, s"range: $r")
+      assert(ab == ba, s"symmetry: $r")
+      // identity is 1 for non-empty strings, 0 for the empty (oracle
+      // engine semantics: ''~'' scores 0)
+      assert(aa == (if (a.isEmpty) 0.0 else 1.0), s"identity: $r")
+    }
+  }
+
+  test("tiff_dims: construction-inversion fuzz over random dims/endian; junk never throws") {
+    import spark.implicits._
+    val cases = Gen.listOfN(150, Gen.zip(
+      Gen.chooseNum(1, 65535), Gen.chooseNum(1, 65535),
+      Gen.oneOf(true, false))).sample.get
+    def le16(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    def be16(v: Int) = f"$v%04X"
+    def hexFor(w: Int, h: Int, le: Boolean): String =
+      if (le)
+        "49492A00" + "08000000" + "0200" +
+          "0001" + "0300" + "01000000" + le16(w) + "0000" +
+          "0101" + "0300" + "01000000" + le16(h) + "0000" + "00000000"
+      else
+        "4D4D002A" + "00000008" + "0002" +
+          "0100" + "0003" + "00000001" + be16(w) + "0000" +
+          "0101" + "0003" + "00000001" + be16(h) + "0000" + "00000000"
+    val rows = cases.map { case (w, h, le) => (w.toLong, h.toLong,
+      if (le) 0L else 1L, hexFor(w, h, le)) }
+    val out = rows.toDF("w", "h", "bigendian", "hex")
+      .select(col("w"), col("h"), col("bigendian"),
+        graft.operators.Multimodal.tiffDims(unhex(col("hex"))).as("t"))
+      .select(col("w"), col("h"), col("bigendian"),
+        col("t.width"), col("t.height"), col("t.bigendian").as("be"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(0), s"width: $r")
+      assert(r.getLong(4) == r.getLong(1), s"height: $r")
+      assert(r.getLong(5) == r.getLong(2), s"endian: $r")
+    }
+    // arbitrary junk bytes: never throw, parse to NULL or a struct
+    val junk = Gen.listOfN(200, Gen.listOf(Gen.chooseNum(0, 255))).sample.get
+      .map(bs => bs.map(b => f"$b%02X").mkString)
+    val n = junk.toDF("hex")
+      .select(graft.operators.Multimodal.tiffDims(unhex(col("hex"))).as("t"))
+      .count()
+    assert(n == 200L)
+  }
 }
