@@ -955,8 +955,56 @@ object StatsOps5 {
           round(col("r0") + lit(1.96) * se, 6).as("ci_hi"))
     })
 
+  /** Hash-uniformity audit — the foundation check under EVERY md5-based
+    * device in this engine (splits q60, arms q254/q270, samples
+    * q131/q255/q347, bootstrap q344): one-sample KS of the per-user
+    * md5-span draw against U(0,1). D = max(i/n − u₍ᵢ₎, u₍ᵢ₎ − (i−1)/n)
+    * over the sorted draws (rank window on the user grid), compared to
+    * the α = 0.05 asymptotic critical value 1.358/√n (shared literal).
+    * If this ever fails, every downstream randomized entry is suspect —
+    * which is exactly why it's IN the catalog. */
+  val q354_hash_uniformity = Q(
+    "q354_hash_uniformity",
+    Some(s"""WITH u AS (
+            |  SELECT ${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 4)}
+            |    / 65536.0 AS x
+            |  FROM (SELECT DISTINCT user_id FROM events)),
+            |rk AS (
+            |  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i,
+            |    count(*) OVER () AS n
+            |  FROM u),
+            |d AS (
+            |  SELECT CAST(max(n) AS BIGINT) AS n,
+            |    round(max(GREATEST(CAST(i AS DOUBLE) / n - x,
+            |      x - (CAST(i AS DOUBLE) - 1) / n)), 6) AS ks_d
+            |  FROM rk)
+            |SELECT n, ks_d,
+            |  round(1.358 / sqrt(n), 6) AS d_crit_05,
+            |  CASE WHEN ks_d < 1.358 / sqrt(n) THEN 1 ELSE 0 END
+            |    AS uniform_ok
+            |FROM d""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .select((expr(hexSpanValSql("__h", 0, 4)) / 65536.0).as("x"))
+      val wr = Window.orderBy("x")
+      val wall = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val rk = u.select(col("x"), row_number().over(wr).as("i"),
+        count(lit(1)).over(wall).as("n"))
+      val dd = rk.agg(max("n").cast("long").as("n"),
+        round(max(greatest(col("i").cast("double") / col("n") - col("x"),
+          col("x") - (col("i").cast("double") - 1) / col("n"))), 6)
+          .as("ks_d"))
+      dd.select(col("n"), col("ks_d"),
+        round(lit(1.358) / sqrt(col("n")), 6).as("d_crit_05"),
+        when(col("ks_d") < lit(1.358) / sqrt(col("n")), 1).otherwise(0)
+          .as("uniform_ok"))
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
     q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
-    q341_rank1_als, q344_poisson_bootstrap)
+    q341_rank1_als, q344_poisson_bootstrap, q354_hash_uniformity)
 }

@@ -532,7 +532,78 @@ object TextOps10 {
         .orderBy("thr_label")
     })
 
+  private val DedupSampleN = 40
+
+  /** Dedup-AWARE sampling — "count every near-dup cluster once": each
+    * document's sampling weight is 1/|its q73 cluster| (singletons keep
+    * weight 1), then the q255 Efraimidis–Spirakis fixed-n draw picks 40
+    * docs — so a cluster of 20 boilerplate copies competes with one
+    * unique doc on equal footing, the correction an LLM data pipeline
+    * applies so duplicated content can't dominate the training mix.
+    * Clusters come from the banded-LSH closure (never all-pairs);
+    * non-clustered docs join in with cluster size 1 via a LEFT join;
+    * the draw is the TakeOrdered shape, no global sort. The readout
+    * carries per-pick cluster sizes so the de-duplication effect is
+    * visible (large clusters appear, but at most ~once). */
+  val q353_dedup_aware_sample = Q(
+    "q353_dedup_aware_sample", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val u = s"(${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 13)} + 1) / CAST(4503599627370497 AS DOUBLE)"
+      Some(s"""${TextOps.lshPairsSqlPrefix},
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+              |reach AS (
+              |  SELECT node, node AS m FROM cnodes
+              |  UNION
+              |  SELECT r.node, e.v AS m FROM reach r JOIN edges e
+              |    ON e.u = r.m),
+              |cl AS (
+              |  SELECT node AS doc_id, min(m) AS cluster_id
+              |  FROM reach GROUP BY node),
+              |sizes AS (
+              |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+              |  FROM cl GROUP BY cluster_id),
+              |docs AS (
+              |  SELECT d.doc_id,
+              |    COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+              |    COALESCE(sizes.csize, 1) AS csize
+              |  FROM documents d
+              |  LEFT JOIN cl ON cl.doc_id = d.doc_id
+              |  LEFT JOIN sizes ON sizes.cluster_id = cl.cluster_id),
+              |k AS (
+              |  SELECT doc_id, cluster_id, csize,
+              |    round(-ln($u) * csize, 9) AS draw_key
+              |  FROM docs)
+              |SELECT doc_id, cluster_id, csize, draw_key
+              |FROM k ORDER BY draw_key, doc_id
+              |LIMIT $DedupSampleN""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val docs = Tables.documents(s, d)
+      val cl = graft.operators.Dedup.nearDupClusters(
+        docs, "doc_id", "text",
+        k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+      val clp = graft.operators.PlanCache.persist(cl)
+      val sizes = clp.groupBy("cluster_id")
+        .agg(count(lit(1)).as("csize"))
+      val base = docs.select("doc_id")
+        .join(clp, Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("csize"))
+        .withColumn("__uh", md5(col("doc_id").cast("string")))
+      val u = expr(s"(${hexSpanValSql("__uh", 0, 13)} + 1) / CAST(4503599627370497 AS DOUBLE)")
+      base.select(col("doc_id"), col("cluster_id"), col("csize"),
+          round(-log(u) * col("csize"), 9).as("draw_key"))
+        .orderBy(col("draw_key"), col("doc_id"))
+        .limit(DedupSampleN)
+    })
+
   val all: Seq[Q] = Seq(q311_boilerplate, q312_jw_entity_match,
     q319_langid_eval, q333_filter_disparity, q336_topk_churn,
-    q340_cdc_chunking, q345_ppl_filter_plan)
+    q340_cdc_chunking, q345_ppl_filter_plan, q353_dedup_aware_sample)
 }
