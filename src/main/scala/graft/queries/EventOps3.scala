@@ -865,9 +865,132 @@ object EventOps3 {
         .orderBy("reason")
     })
 
+  private val DebounceUs = 1000000L // 1 second
+
+  /** Telemetry debounce — collapse retry/double-fire BURSTS: within each
+    * (user, type) stream, consecutive events each ≤ 1 s after their
+    * predecessor form one burst, and only the burst's first event
+    * survives. The chained semantics ("within 1 s of the previous KEPT"
+    * = "within 1 s of the previous event", for bursts defined by
+    * consecutive gaps) is exactly the sessionization device: flag gap >
+    * 1 s, cumulative-sum the flags into burst ids, keep rank-1 — all
+    * windows KEYED per (user, type), never global. Per-type collapse
+    * rates are the readout an SDK team uses to size the client-side
+    * debounce. */
+  val q355_debounce = Q(
+    "q355_debounce",
+    Some(s"""WITH e AS (
+            |  SELECT user_id, event_type, event_id,
+            |    CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events),
+            |flagged AS (
+            |  SELECT event_type,
+            |    CASE WHEN lag(tus) OVER w IS NULL
+            |         OR tus - lag(tus) OVER w > $DebounceUs
+            |         THEN 1 ELSE 0 END AS first_of_burst
+            |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+            |    ORDER BY tus, event_id))
+            |SELECT event_type,
+            |  CAST(count(*) AS BIGINT) AS n_events,
+            |  CAST(sum(first_of_burst) AS BIGINT) AS n_kept,
+            |  CAST(count(*) - sum(first_of_burst) AS BIGINT) AS n_collapsed,
+            |  round(1 - CAST(sum(first_of_burst) AS DOUBLE) / count(*), 6)
+            |    AS collapse_rate
+            |FROM flagged GROUP BY event_type
+            |ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tus"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("first_of_burst",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > DebounceUs, 1)
+            .otherwise(0))
+      flagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("first_of_burst").cast("long").as("n_kept"),
+          (count(lit(1)) - sum("first_of_burst")).cast("long")
+            .as("n_collapsed"),
+          round(lit(1) - sum("first_of_burst").cast("double") /
+            count(lit(1)), 6).as("collapse_rate"))
+        .orderBy("event_type")
+    })
+
+  /** Knee (elbow) detection on the spend-concentration capture curve:
+    * users ranked by total spend, cumulative spend share per decile,
+    * and the kneedle statistic — each decile's vertical gap above the
+    * diagonal chord — whose argmax is the operating point where
+    * marginal capture starts decaying (the "target this many users"
+    * decision). Decile bounds come from rank windows on the user grid;
+    * the curve and the knee live on the 10-row grid. */
+  val q356_capture_knee = Q(
+    "q356_capture_knee",
+    Some("""WITH u AS (
+           |  SELECT user_id,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+           |      AS y
+           |  FROM events GROUP BY user_id),
+           |rk AS (
+           |  SELECT y, ROW_NUMBER() OVER (ORDER BY y DESC, user_id) AS r,
+           |    count(*) OVER () AS n,
+           |    sum(CAST(y AS DECIMAL(38,0))) OVER () AS tot
+           |  FROM u),
+           |dd AS (
+           |  SELECT LEAST(CAST(FLOOR(10.0 * (r - 1) / n) AS BIGINT), 9)
+           |      AS decile,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+           |    CAST(max(tot) AS DECIMAL(38,0)) AS tot
+           |  FROM rk GROUP BY 1),
+           |curve AS (
+           |  SELECT decile,
+           |    round(CAST(sum(s) OVER (ORDER BY decile
+           |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(tot AS DOUBLE),
+           |      6) AS cum_share
+           |  FROM dd),
+           |gaps AS (
+           |  SELECT decile, cum_share,
+           |    round(cum_share - (decile + 1) / 10.0, 6) AS chord_gap
+           |  FROM curve),
+           |best AS (SELECT max(chord_gap) AS mg FROM gaps)
+           |SELECT decile, cum_share, chord_gap,
+           |  CASE WHEN chord_gap = mg THEN 1 ELSE 0 END AS is_knee
+           |FROM gaps CROSS JOIN best ORDER BY decile""".stripMargin),
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("y"))
+      val wr = Window.orderBy(col("y").desc, col("user_id"))
+      val wall = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val rk = u.select(col("y"), row_number().over(wr).as("r"),
+        count(lit(1)).over(wall).as("n"),
+        sum(col("y").cast("decimal(38,0)")).over(wall).as("tot"))
+      val dd = rk.groupBy(least(floor(lit(10.0) * (col("r") - 1) /
+          col("n")).cast("long"), lit(9L)).as("decile"))
+        .agg(sum(col("y").cast("decimal(38,0)")).as("s"),
+          max("tot").as("tot"))
+      val wcum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = dd.select(col("decile"),
+        round(sum("s").over(wcum).cast("double") /
+          col("tot").cast("double"), 6).as("cum_share"))
+      val gaps = curve.select(col("decile"), col("cum_share"),
+        round(col("cum_share") - (col("decile") + 1) / 10.0, 6)
+          .as("chord_gap"))
+      val best = gaps.agg(max("chord_gap").as("mg"))
+      gaps.crossJoin(broadcast(best))
+        .select(col("decile"), col("cum_share"), col("chord_gap"),
+          when(col("chord_gap") === col("mg"), 1).otherwise(0)
+            .as("is_knee"))
+        .orderBy("decile")
+    })
+
   val all: Seq[Q] =
     Seq(q225_kaplan_meier, q227_seasonal_anomaly, q239_twap,
       q268_cumulative_reach, q316_sax_motifs, q325_markov_absorption,
       q339_seasonal_backtest, q343_anomaly_consensus, q349_bandit_replay,
-      q350_conditional_quantiles, q352_tail_sampling)
+      q350_conditional_quantiles, q352_tail_sampling, q355_debounce,
+      q356_capture_knee)
 }
