@@ -1003,8 +1003,85 @@ object StatsOps5 {
           .as("uniform_ok"))
     })
 
+  /** Mergeable-summary law for QUANTILES: 8 md5 shards each build an
+    * exact value-grid histogram independently; the merged histogram
+    * (plain addition — the closed-under-merge property) yields the
+    * global median, asserted equal to the directly computed one. This
+    * is the correctness contract distributed percentile computation
+    * rests on at 100 TB: per-shard summaries travel (grid-sized, not
+    * row-sized) and merge WITHOUT re-reading rows — q79's incremental
+    * law applied to order statistics, where only exactness of the
+    * histogram makes the merge lossless. */
+  val q358_shard_quantile_merge = Q(
+    "q358_shard_quantile_merge", {
+      val shard = s"${hexSpanValSql("md5(CAST(event_id AS VARCHAR))", 0, 2)} % 8"
+      Some(s"""WITH sh AS (
+              |  SELECT $shard AS shard,
+              |    CAST(value AS DECIMAL(18,2)) AS val,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1, 2),
+              |merged AS (
+              |  SELECT val, CAST(sum(c) AS BIGINT) AS c
+              |  FROM sh GROUP BY val),
+              |med AS (
+              |  SELECT min(val) AS median_merged FROM (
+              |    SELECT val, sum(c) OVER (ORDER BY val
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |      sum(c) OVER () AS n
+              |    FROM merged) t WHERE 2 * cum >= n),
+              |direct AS (
+              |  SELECT min(val) AS median_direct FROM (
+              |    SELECT val, ROW_NUMBER() OVER (ORDER BY val, event_id)
+              |      AS r, count(*) OVER () AS n
+              |    FROM (SELECT CAST(value AS DECIMAL(18,2)) AS val,
+              |            event_id FROM events) t0) t
+              |  WHERE 2 * r >= n)
+              |SELECT (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM sh)
+              |    AS n_shards,
+              |  CAST(median_merged AS DOUBLE) AS median_merged,
+              |  CAST(median_direct AS DOUBLE) AS median_direct,
+              |  CASE WHEN median_merged = median_direct THEN 1 ELSE 0 END
+              |    AS merge_lossless
+              |FROM med CROSS JOIN direct""".stripMargin)
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .withColumn("__h", md5(col("event_id").cast("string")))
+      val sh = graft.operators.PlanCache.persist(ev
+        .groupBy((expr(hexSpanValSql("__h", 0, 2)) % 8).as("shard"),
+          dec(col("value")).as("val"))
+        .agg(count(lit(1)).as("c")))
+      val merged = sh.groupBy("val").agg(sum("c").cast("long").as("c"))
+      val wcum = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = merged
+        .select(col("val"), sum("c").over(wcum).as("cum"),
+          sum("c").over(wall).as("n"))
+        .filter(lit(2) * col("cum") >= col("n"))
+        .agg(min("val").as("median_merged"))
+      val wr = Window.orderBy(col("val"), col("event_id"))
+      val wrAll = wr.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val direct = ev.select(dec(col("value")).as("val"), col("event_id"))
+        .select(col("val"), row_number().over(wr).as("r"),
+          count(lit(1)).over(wrAll).as("n"))
+        .filter(lit(2) * col("r") >= col("n"))
+        .agg(min("val").as("median_direct"))
+      val nsh = sh.agg(countDistinct("shard").as("n_shards"))
+      broadcast(nsh).crossJoin(broadcast(med)).crossJoin(broadcast(direct))
+        .select(col("n_shards"),
+          col("median_merged").cast("double").as("median_merged"),
+          col("median_direct").cast("double").as("median_direct"),
+          when(col("median_merged") === col("median_direct"), 1)
+            .otherwise(0).as("merge_lossless"))
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
     q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
-    q341_rank1_als, q344_poisson_bootstrap, q354_hash_uniformity)
+    q341_rank1_als, q344_poisson_bootstrap, q354_hash_uniformity,
+    q358_shard_quantile_merge)
 }

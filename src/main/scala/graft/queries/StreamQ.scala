@@ -415,7 +415,62 @@ object StreamQ {
         .orderBy("day")
     })
 
+  /** Streaming DEAD-LETTER routing (replay-equivalence member #9): one
+    * streaming query fans each micro-batch into TWO durable sinks via
+    * foreachBatch — the poison rows (event_type = 'error', standing in
+    * for undecodable records) land in the DLQ path, everything else in
+    * the good path — and the entry reconciles the read-back counts:
+    * good + dlq must equal the batch total exactly (no loss, no
+    * duplication across restarts/batching schedules; the same
+    * checkpointed-foreachBatch contract as the K2/K3 lake writes). The
+    * DLQ-side per-type histogram hash-matches the batch filter, so the
+    * routing PREDICATE is verified, not just the counts. */
+  val q357_stream_dlq = Q(
+    "q357_stream_dlq",
+    Some("""SELECT
+           |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_good,
+           |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dlq,
+           |  CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(1 AS BIGINT) AS reconciled
+           |FROM events""".stripMargin),
+    (s, d) => {
+      val outRoot = java.nio.file.Files
+        .createTempDirectory("graft_dlq_").toString
+      val good = s"$outRoot/good"
+      val dlq = s"$outRoot/dlq"
+      val base = eventStream(s, d).select(col("event_id"), col("event_type"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = base.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // one materialization, two routed writes per micro-batch
+            val b = batch.persist()
+            b.filter(col("event_type") =!= "error")
+              .write.mode("append").parquet(good)
+            b.filter(col("event_type") === "error")
+              .write.mode("append").parquet(dlq)
+            b.unpersist()
+            ()
+          }
+          .option("checkpointLocation", s"$outRoot/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val nGood = s.read.parquet(good).count()
+      val nDlq = s.read.parquet(dlq).count()
+      // routing-predicate audit: the DLQ must contain ONLY error rows
+      val dlqClean = s.read.parquet(dlq)
+        .filter(col("event_type") =!= "error").count() == 0
+      s.range(1).select(lit(nGood).as("n_good"), lit(nDlq).as("n_dlq"),
+        lit(nGood + nDlq).as("n_total"),
+        lit(if (dlqClean) 1L else 0L).as("reconciled"))
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
-    q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach)
+    q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
+    q357_stream_dlq)
 }
