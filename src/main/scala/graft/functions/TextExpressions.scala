@@ -557,13 +557,16 @@ case class JaroWinkler(
 }
 
 object JaroWinklerAlgo {
-  /** See JaroWinkler's doc for the pinned semantics. Works on UTF-16
-    * chars (identical to code points for the BMP text this corpus
-    * carries; DuckDB operates on bytes — equal for ASCII, and the
-    * parity spec pins the probe vectors). */
+  /** See JaroWinkler's doc for the pinned semantics. Compares the raw
+    * UTF-8 BYTES of each string — exactly what DuckDB's
+    * `jaro_winkler_similarity` does — so scores agree with the oracle
+    * byte-for-byte on non-ASCII input too (ADVICE r9: the former
+    * UTF-16 walk diverged on any multi-byte code point; a é counts as
+    * two byte positions here, as in DuckDB). Also skips the
+    * UTF8String→String decode per call. */
   def score(aU: UTF8String, bU: UTF8String): Double = {
-    val a = aU.toString
-    val b = bU.toString
+    val a = aU.getBytes
+    val b = bU.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -573,12 +576,12 @@ object JaroWinklerAlgo {
     var m = 0
     var i = 0
     while (i < la) {
-      val ca = a.charAt(i)
+      val ca = a(i)
       var j = math.max(0, i - window)
       val hi = math.min(lb - 1, i + window)
       var hit = false
       while (j <= hi && !hit) {
-        if (!bMatched(j) && ca == b.charAt(j)) {
+        if (!bMatched(j) && ca == b(j)) {
           bMatched(j) = true
           aMatchPos(m) = i
           m += 1
@@ -589,13 +592,13 @@ object JaroWinklerAlgo {
       i += 1
     }
     if (m == 0) return 0.0
-    // walk matched chars of both sides in order; count disagreements
+    // walk matched bytes of both sides in order; count disagreements
     var mism = 0
     var k = 0
     i = 0
     while (i < m) {
       while (!bMatched(k)) k += 1
-      if (a.charAt(aMatchPos(i)) != b.charAt(k)) mism += 1
+      if (a(aMatchPos(i)) != b(k)) mism += 1
       k += 1
       i += 1
     }
@@ -605,7 +608,7 @@ object JaroWinklerAlgo {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

@@ -1031,11 +1031,13 @@ object StatsOps5 {
               |    FROM merged) t WHERE 2 * cum >= n),
               |direct AS (
               |  SELECT min(val) AS median_direct FROM (
-              |    SELECT val, ROW_NUMBER() OVER (ORDER BY val, event_id)
-              |      AS r, count(*) OVER () AS n
+              |    SELECT val, sum(c) OVER (ORDER BY val
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |      sum(c) OVER () AS n
               |    FROM (SELECT CAST(value AS DECIMAL(18,2)) AS val,
-              |            event_id FROM events) t0) t
-              |  WHERE 2 * r >= n)
+              |            CAST(count(*) AS BIGINT) AS c
+              |          FROM events GROUP BY 1) g) t
+              |  WHERE 2 * cum >= n)
               |SELECT (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM sh)
               |    AS n_shards,
               |  CAST(median_merged AS DOUBLE) AS median_merged,
@@ -1062,13 +1064,18 @@ object StatsOps5 {
           sum("c").over(wall).as("n"))
         .filter(lit(2) * col("cum") >= col("n"))
         .agg(min("val").as("median_merged"))
-      val wr = Window.orderBy(col("val"), col("event_id"))
-      val wrAll = wr.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val direct = ev.select(dec(col("value")).as("val"), col("event_id"))
-        .select(col("val"), row_number().over(wr).as("r"),
-          count(lit(1)).over(wrAll).as("n"))
-        .filter(lit(2) * col("r") >= col("n"))
+      // the direct side is the same exact-histogram device WITHOUT the
+      // shard key (an independent aggregation path, so the merge law is
+      // still tested against a separately computed median) — ranking raw
+      // rows would be an unpartitioned window over the whole table, a
+      // single-partition global sort the corpus discipline bans (ADVICE
+      // r9); the windows below run on the bounded value grid only
+      val direct = Tables.events(s, d)
+        .groupBy(dec(col("value")).as("val"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("val"), sum("c").over(wcum).as("cum"),
+          sum("c").over(wall).as("n"))
+        .filter(lit(2) * col("cum") >= col("n"))
         .agg(min("val").as("median_direct"))
       val nsh = sh.agg(countDistinct("shard").as("n_shards"))
       broadcast(nsh).crossJoin(broadcast(med)).crossJoin(broadcast(direct))

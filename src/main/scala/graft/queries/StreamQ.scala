@@ -459,11 +459,15 @@ object StreamQ {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      val nGood = s.read.parquet(good).count()
-      val nDlq = s.read.parquet(dlq).count()
+      // read back with the writer's schema: a run where one route gets
+      // zero rows leaves that directory with no part files, and schema
+      // inference would throw instead of counting 0 (ADVICE r9)
+      val routeSchema = base.schema
+      val nGood = s.read.schema(routeSchema).parquet(good).count()
+      val dlqDf = s.read.schema(routeSchema).parquet(dlq)
+      val nDlq = dlqDf.count()
       // routing-predicate audit: the DLQ must contain ONLY error rows
-      val dlqClean = s.read.parquet(dlq)
-        .filter(col("event_type") =!= "error").count() == 0
+      val dlqClean = dlqDf.filter(col("event_type") =!= "error").count() == 0
       s.range(1).select(lit(nGood).as("n_good"), lit(nDlq).as("n_dlq"),
         lit(nGood + nDlq).as("n_total"),
         lit(if (dlqClean) 1L else 0L).as("reconciled"))

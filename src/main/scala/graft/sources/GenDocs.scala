@@ -74,9 +74,18 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long) =>
+        // v + 1 would wrap negative at Long.MaxValue and silently widen
+        // the scan while the filter is reported handled; no id exceeds
+        // MaxValue, so the correct pushdown is an empty range (ADVICE r9)
+        if (v == Long.MaxValue) lo = Long.MaxValue
+        else lo = math.max(lo, v + 1)
+        true
       case LessThan("id", v: Long)           => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long) =>
+        // id <= MaxValue constrains nothing; v + 1 would wrap (ADVICE r9)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+        true
       case EqualTo("id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contract of the `graft.sources.GenDocs` DSv2 read
+  * connector's filter pushdown — in particular the Long.MaxValue
+  * boundary (ADVICE r9): `v + 1` inside pushFilters would wrap negative
+  * and silently corrupt the generated interval while the filter is
+  * reported fully handled, i.e. WRONG RESULTS, not an error. The plan
+  * shape itself (pushed range + pruned columns, no surviving Filter) is
+  * pinned in PlanAuditSpec's q346 test. */
+class GenDocsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def gen = spark.read.format("graft.sources.GenDocs")
+    .option("rows", "100").option("slices", "4").load()
+
+  test("plain range pushdown generates exactly the requested interval") {
+    assert(gen.filter(col("id") >= 10L && col("id") < 20L).count() == 10L)
+    assert(gen.filter(col("id") > 10L && col("id") <= 20L).count() == 10L)
+    assert(gen.filter(col("id") === 42L).count() == 1L)
+  }
+
+  test("id > Long.MaxValue yields an empty scan, not a wrapped range") {
+    assert(gen.filter(col("id") > lit(Long.MaxValue)).count() == 0L)
+  }
+
+  test("id <= Long.MaxValue constrains nothing — all rows survive") {
+    assert(gen.filter(col("id") <= lit(Long.MaxValue)).count() == 100L)
+    // and combined with a real bound, only the real bound applies
+    assert(gen.filter(col("id") <= lit(Long.MaxValue) && col("id") >= 90L)
+      .count() == 10L)
+  }
+}

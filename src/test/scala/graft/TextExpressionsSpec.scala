@@ -264,6 +264,21 @@ class TextExpressionsSpec extends AnyFunSuite {
     ("aaaaa", "aaaaaa", 0.9666666666666667d),
     ("prefixmatch", "prefixnomat", 0.9272727272727274d),
     ("xxabcyy", "xxbcayy", 0.9619047619047619d),
+    // non-ASCII probes (ADVICE r9): the scorer compares raw UTF-8
+    // BYTES, exactly like the oracle engine — a multi-byte code point
+    // counts as several positions on both sides. DuckDB-generated.
+    ("café", "cafe", 0.8483333333333334d),
+    ("café", "café", 1.0d),
+    ("über", "uber", 0.7833333333333333d),
+    ("naïve", "naive", 0.8577777777777779d),
+    ("日本語", "日本語テキスト", 0.8857142857142858d),
+    ("résumé", "resume", 0.75d),
+    ("Müller", "Mueller", 0.8285714285714287d),
+    ("español", "espanol", 0.9214285714285715d),
+    ("中文", "英文", 0.6666666666666666d),
+    ("αβγδε", "αβγξε", 0.96d),
+    ("Łódź", "Lodz", 0.46428571428571425d),
+    ("smörgåsbord", "smorgasbord", 0.8694638694638694d),
     )
     val df = vectors.toDF("a", "b", "want")
     val bad = df
