@@ -13,7 +13,7 @@ object SparkEntry {
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++ TextOps9.all ++
-      TextOps10.all ++
+      TextOps10.all ++ TextOps11.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Round-10 curation additions: tokenizer fertility by language,
+  * split-to-split contamination containment, and length-matched
+  * importance resampling — the three audits a corpus release runs after
+  * dedup/quality gating and before mixture planning.
+  */
+object TextOps11 {
+
+  import TextOps7.{BpeTrainRounds, US}
+
+  /** Tokenizer FERTILITY by language — the fairness number a
+    * multilingual tokenizer owner tracks (Ács 2019; XLM-R §5): the
+    * trained BPE (q169's merge table, via the shared training chain)
+    * segments every corpus word, and per lang the audit reports
+    * tokens/word, chars/token, and RELATIVE fertility vs the whole
+    * corpus (>1 = this language pays more tokens per word than average,
+    * i.e. its context windows hold less text). Relative fertility is
+    * computed by exact cross-multiplication — (n_tok·gw)/(n_words·gt)
+    * as decimal products divided once — so no ratio-of-rounded-doubles
+    * drift exists between engines.
+    *
+    * Scale shape: training is vocab-sized (q169's analysis); serving is
+    * ONE word-keyed broadcast join of the exploded corpus against the
+    * vocab-sized segmentation table + one lang-keyed agg — exactly the
+    * q175 plan with lang instead of source, plus a 5-row grid pass. */
+  val q359_tokenizer_fertility = Q(
+    "q359_tokenizer_fertility",
+    Some(s"""${TextOps7.bpeTrainSqlChain},
+            |tok AS (
+            |  SELECT w, CAST(len(string_split(trim(s, chr(31)),
+            |    chr(31)||chr(31))) AS BIGINT) AS n_tok
+            |  FROM r$BpeTrainRounds),
+            |dw AS (
+            |  SELECT lang, unnest(string_split(text, ' ')) AS w
+            |  FROM documents),
+            |j AS (
+            |  SELECT lang, dw.w, n_tok FROM dw JOIN tok USING (w)
+            |  WHERE len(dw.w) > 0),
+            |per AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+            |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            |    CAST(sum(len(w)) AS BIGINT) AS n_chars
+            |  FROM j GROUP BY lang),
+            |g AS (
+            |  SELECT CAST(sum(n_words) AS BIGINT) AS gw,
+            |    CAST(sum(n_tokens) AS BIGINT) AS gt
+            |  FROM per)
+            |SELECT lang, n_words, n_tokens,
+            |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word,
+            |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+            |  round(CAST(CAST(n_tokens AS HUGEINT) * gw AS DOUBLE)
+            |    / CAST(CAST(n_words AS HUGEINT) * gt AS DOUBLE), 6)
+            |    AS rel_fertility
+            |FROM per CROSS JOIN g ORDER BY lang""".stripMargin),
+    (s, d) => {
+      val (_, trained) = TextOps7.trainBpe(s, d)
+      val tok = trained.select(col("w"),
+        size(expr(s"split(trim(BOTH '$US' FROM s), '$US$US')"))
+          .cast("long").as("n_tok"))
+      val dw = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      // persisted: the lang grid feeds both the output rows and the
+      // corpus-total aggregation
+      val per = graft.operators.PlanCache.persist(
+        dw.join(broadcast(tok), "w")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+            sum(length(col("w")).cast("long")).as("n_chars")))
+      val g = per.agg(sum("n_words").cast("long").as("gw"),
+        sum("n_tokens").cast("long").as("gt"))
+      def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      per.crossJoin(broadcast(g))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"),
+          round((d19(col("n_tokens")) * d19(col("gw"))).cast("double")
+            / (d19(col("n_words")) * d19(col("gt"))).cast("double"), 6)
+            .as("rel_fertility"))
+        .orderBy("lang")
+    })
+
+  /** Split-to-split CONTAMINATION matrix — the leakage audit a release
+    * runs AFTER splitting (q60) and dedup: for every ordered pair of
+    * splits (train/val/test by the md5 doc draw), the containment
+    * |shingles(A) ∩ shingles(B)| / |shingles(A)| over DISTINCT 5-token
+    * shingles. q84 checks the corpus against an external benchmark;
+    * this closes the loop INTERNALLY — val/test rows contaminated by
+    * train (or each other) are exactly what makes eval numbers lie.
+    *
+    * Scale shape: one scan-side digest pass (native Md5Shingles) to the
+    * DISTINCT (split, shingle) table, then a shingle-keyed self-join —
+    * per-shingle fanout is at most 3×3 (splits, a constant), so the
+    * join volume is ≤ 9·|distinct shingles|; only 32-char md5s travel,
+    * and nothing doc×doc ever forms. */
+  val q360_split_contamination = Q(
+    "q360_split_contamination", {
+      import TextFunctions.hexSpanValSql
+      val f = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 10"
+      Some(s"""WITH docs AS (
+              |  SELECT CASE WHEN $f < 8 THEN 'train'
+              |              WHEN $f = 8 THEN 'val' ELSE 'test' END AS sp,
+              |    string_split(text, ' ') AS ts
+              |  FROM documents),
+              |sh AS (
+              |  SELECT DISTINCT sp, unnest(list_transform(
+              |    generate_series(1, greatest(len(ts) - 4, 0)),
+              |    i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+              |      || ' ' || ts[i+3] || ' ' || ts[i+4]))) AS h
+              |  FROM docs),
+              |sz AS (SELECT sp, CAST(count(*) AS BIGINT) AS n
+              |       FROM sh GROUP BY sp),
+              |inter AS (
+              |  SELECT a.sp AS split_a, b.sp AS split_b,
+              |    CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM sh a JOIN sh b USING (h)
+              |  GROUP BY 1, 2)
+              |SELECT split_a, split_b, n_shared, z.n AS size_a,
+              |  round(CAST(n_shared AS DOUBLE) / z.n, 6) AS containment
+              |FROM inter JOIN sz z ON z.sp = split_a
+              |ORDER BY split_a, split_b""".stripMargin)
+    },
+    (s, d) => {
+      import TextFunctions.{hexSpanValSql, md5Shingles, tokens}
+      val f = expr(s"${hexSpanValSql("__h", 0, 2)} % 10")
+      val sp = when(f < 8, "train").when(f === 8, "val").otherwise("test")
+      // persisted: the distinct (split, shingle) table feeds the size
+      // agg and both sides of the containment self-join
+      val sh = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(sp.as("sp"),
+          explode(md5Shingles(tokens(col("text")), 5)).as("h"))
+        .distinct())
+      val sz = sh.groupBy("sp").agg(count(lit(1)).as("n"))
+      sh.select(col("sp").as("split_a"), col("h"))
+        .join(sh.select(col("sp").as("split_b"), col("h")), Seq("h"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sz.select(col("sp").as("split_a"),
+          col("n").as("size_a"))), Seq("split_a"))
+        .select(col("split_a"), col("split_b"), col("n_shared"),
+          col("size_a"),
+          round(col("n_shared").cast("double") / col("size_a"), 6)
+            .as("containment"))
+        .orderBy("split_a", "split_b")
+    })
+
+  /** Length-matched IMPORTANCE RESAMPLING plan — distribution matching
+    * (the DSIR/doremi-adjacent device on the cheapest feature): train's
+    * length-bucket distribution is reweighted to match val's, so a
+    * filter that skewed train short (or long) stops biasing every
+    * downstream curve. Per bucket: w_b = (t_b/N_t)/(s_b/N_s), computed
+    * by exact cross-multiplication; buckets absent from val get w = 0
+    * (dropped mass), and the plan's health metric is the effective
+    * sample size of the reweighted train set, ESS = T′²/Σ(t_b²/s_b)
+    * (algebraically exact for piecewise-constant weights — per-bucket
+    * terms round at 9 and decimal-sum, the one-rounding discipline).
+    * A low ESS says the match is too aggressive to resample at all.
+    *
+    * Scale shape: one corpus hash agg to the (split, bucket) grid;
+    * every division happens on the bucket grid. */
+  val q361_length_matched_resampling = Q(
+    "q361_length_matched_resampling", {
+      import TextFunctions.hexSpanValSql
+      val f = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 10"
+      Some(s"""WITH r AS (
+              |  SELECT CASE WHEN $f < 8 THEN 'train'
+              |              WHEN $f = 8 THEN 'val' ELSE 'test' END AS sp,
+              |    CAST(n_chars // 100 AS BIGINT) AS bucket
+              |  FROM documents),
+              |grid AS (
+              |  SELECT bucket,
+              |    CAST(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS s_b,
+              |    CAST(sum(CASE WHEN sp = 'val' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS t_b
+              |  FROM r GROUP BY bucket HAVING
+              |    sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) > 0),
+              |tot AS (
+              |  SELECT CAST(sum(s_b) AS BIGINT) AS ns,
+              |    CAST(sum(t_b) AS BIGINT) AS nt FROM grid),
+              |ess AS (
+              |  SELECT round(CAST(sum(t_b) AS DOUBLE) * sum(t_b)
+              |    / CAST(sum(CAST(round(CAST(t_b AS DOUBLE) * t_b / s_b, 9)
+              |        AS DECIMAL(28,9))) AS DOUBLE), 6) AS ess
+              |  FROM grid WHERE t_b > 0)
+              |SELECT bucket, s_b AS n_train, t_b AS n_val,
+              |  round(CAST(CAST(t_b AS HUGEINT) * ns AS DOUBLE)
+              |    / CAST(CAST(s_b AS HUGEINT) * nt AS DOUBLE), 6) AS weight,
+              |  e.ess
+              |FROM grid CROSS JOIN tot CROSS JOIN ess e
+              |ORDER BY bucket""".stripMargin)
+    },
+    (s, d) => {
+      import TextFunctions.hexSpanValSql
+      val f = expr(s"${hexSpanValSql("__h", 0, 2)} % 10")
+      val sp = when(f < 8, "train").when(f === 8, "val").otherwise("test")
+      // persisted: the bucket grid feeds totals, the ESS sum, and the
+      // output rows
+      val grid = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(sp.as("sp"), expr("n_chars div 100").as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(col("sp") === "train", 1L).otherwise(0L)).as("s_b"),
+          sum(when(col("sp") === "val", 1L).otherwise(0L)).as("t_b"))
+        .filter(col("s_b") > 0))
+      val tot = grid.agg(sum("s_b").cast("long").as("ns"),
+        sum("t_b").cast("long").as("nt"))
+      val essTerm = round(col("t_b").cast("double") * col("t_b")
+        / col("s_b"), 9).cast("decimal(28,9)")
+      val ess = grid.filter(col("t_b") > 0)
+        .agg(round(sum("t_b").cast("double") * sum("t_b")
+          / sum(essTerm).cast("double"), 6).as("ess"))
+      def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      grid.crossJoin(broadcast(tot)).crossJoin(broadcast(ess))
+        .select(col("bucket"), col("s_b").as("n_train"),
+          col("t_b").as("n_val"),
+          round((d19(col("t_b")) * d19(col("ns"))).cast("double")
+            / (d19(col("s_b")) * d19(col("nt"))).cast("double"), 6)
+            .as("weight"),
+          col("ess"))
+        .orderBy("bucket")
+    })
+
+  val all: Seq[Q] = Seq(q359_tokenizer_fertility, q360_split_contamination,
+    q361_length_matched_resampling)
+}

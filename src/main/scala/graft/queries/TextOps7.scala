@@ -9,7 +9,7 @@ import graft.Tables
   */
 object TextOps7 {
 
-  private val BpeTrainRounds = 6
+  private[queries] val BpeTrainRounds = 6
 
   /** Unit separator — the per-symbol wrapper that makes plain leftmost-
     * nonoverlapping `replace()` implement the greedy BPE merge exactly:
@@ -20,7 +20,7 @@ object TextOps7 {
     * never false-match a substring of another symbol. Both engines'
     * `replace` scan leftmost-nonoverlapping, so the rewrite is
     * bit-identical. */
-  private val US = "\u001f"
+  private[queries] val US = "\u001f"
 
   /** BPE merge TRAINING (Sennrich et al. 2016, the count-and-merge loop):
     * start from every distinct word as its character sequence (weighted
