@@ -101,6 +101,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // lets v2 sources' reported KeyGroupedPartitioning drive planning
+      // (shuffle-free agg/join over graft.sources.GenDocs keyed scans)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // keep stdout clean for the metric line
     // Bench times the incremental entries (q170/q177) in their production

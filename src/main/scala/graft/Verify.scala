@@ -20,6 +20,9 @@ object Verify {
       // (same total order; queries derive micro timestamps when needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // lets v2 sources' reported KeyGroupedPartitioning drive planning
+      // (shuffle-free agg/join over graft.sources.GenDocs keyed scans)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

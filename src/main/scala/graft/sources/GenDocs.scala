@@ -41,7 +41,8 @@ class GenDocs extends TableProvider {
       properties: util.Map[String, String]): Table =
     new GenTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(4))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(4),
+      Option(properties.get("partitionBy")).contains("tag"))
 }
 
 object GenDocs {
@@ -52,17 +53,17 @@ object GenDocs {
     .add("tag", StringType, nullable = false)
 }
 
-private[sources] class GenTable(rows: Long, slices: Int)
+private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"gen_docs($rows)"
   override def schema(): StructType = GenDocs.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    new GenScanBuilder(rows, slices, keyed)
 }
 
-private[sources] class GenScanBuilder(rows: Long, slices: Int)
+private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -99,35 +100,81 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
-    required)
+    required, keyed)
 }
 
-private[sources] case class GenSlice(lo: Long, hi: Long) extends InputPartition
+/** Contiguous id slice (the default layout): [lo, hi), step 1. */
+private[sources] case class GenSlice(lo: Long, hi: Long, step: Long = 1L)
+    extends InputPartition
+
+/** One slice per tag value (`partitionBy=tag`): ids ≡ tag (mod 7) inside
+  * [lo, hi), stepping by 7 — and the partition DECLARES its key, which
+  * is what lets Spark treat the scan as storage-partitioned. */
+private[sources] case class TagSlice(start: Long, hi: Long, tag: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString("t" + tag)))
+}
 
 private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, keyed: Boolean) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
+      (if (keyed) " keyed=tag" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
-    val per = math.max(1L, (n + slices - 1) / slices)
-    Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
-      .map(s => GenSlice(s, math.min(hi, s + per)): InputPartition)
-      .toArray
-  }
+  /** `partitionBy=tag` ⇒ the generated layout IS key-grouped on tag
+    * (each slice holds exactly one tag's ids), reported via the DSv2
+    * partitioning contract so Catalyst plans tag-clustered aggregations
+    * and joins WITHOUT an Exchange (storage-partitioned execution;
+    * needs `spark.sql.sources.v2.bucketing.enabled`, which the graft
+    * session builders set). The report is downgraded to Unknown when
+    * `tag` was pruned away — the clustering key must be resolvable
+    * against the scan output, and a keyless projection can't use the
+    * co-location anyway. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyed && required.fieldNames.contains("tag"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("tag")), TagMod)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
+
+  private val TagMod = 7
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (keyed) {
+      // all TagMod slices, even when the pushed range empties one: the
+      // reported numPartitions and the planned slices must agree
+      (0 until TagMod).map { t =>
+        val start = lo + (((t - lo % TagMod) + TagMod) % TagMod)
+        TagSlice(start, hi, t): InputPartition
+      }.toArray
+    } else {
+      val n = hi - lo
+      val per = math.max(1L, (n + slices - 1) / slices)
+      Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
+        .map(s => GenSlice(s, math.min(hi, s + per)): InputPartition)
+        .toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val s = p.asInstanceOf[GenSlice]
+        val (first, bound, step) = p match {
+          case GenSlice(l, h, st) => (l, h, st)
+          case TagSlice(st, h, _) => (st, h, 7L)
+        }
         new PartitionReader[InternalRow] {
-          private var id = s.lo - 1
-          override def next(): Boolean = { id += 1; id < s.hi }
+          private var id = first - step
+          override def next(): Boolean = { id += step; id < bound }
           override def get(): InternalRow = {
             // only the PRUNED fields are ever computed/boxed
             val vals = fields.map {

@@ -32,4 +32,22 @@ class GenDocsSpec extends AnyFunSuite {
     assert(gen.filter(col("id") <= lit(Long.MaxValue) && col("id") >= 90L)
       .count() == 10L)
   }
+
+  private def keyedGen(rows: Long) = spark.read
+    .format("graft.sources.GenDocs")
+    .option("rows", rows.toString).option("partitionBy", "tag").load()
+
+  test("partitionBy=tag generates the same table, laid out one tag per slice") {
+    val plain = gen.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keyed = keyedGen(100).groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keyed == plain)
+    // pushed id ranges compose with the keyed layout (per-tag stepping
+    // must start at the first id ≥ lo congruent to the tag)
+    assert(keyedGen(100).filter(col("id") >= 13L && col("id") < 57L)
+      .count() == 44L)
+    assert(keyedGen(100).filter(col("id") >= 13L && col("id") < 57L)
+      .agg(sum(col("id"))).collect()(0).getLong(0) == (13L until 57L).sum)
+  }
 }

@@ -530,4 +530,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // line is not one)
     assert(countOf(p, """\+- Filter""") == 0, p)
   }
+
+  test("q362: storage-partitioned execution — aggs and join over the keyed scans use ZERO hash exchanges") {
+    val p = plan("q362_spj_gen")
+    // both sides aggregate directly on their KeyGroupedPartitioning scans
+    // and the tag join is storage-partitioned; the only Exchange allowed
+    // is the final 7-row orderBy's rangepartitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("keyed=tag"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
 }

@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // lets v2 sources' reported KeyGroupedPartitioning drive planning
+      // (shuffle-free agg/join over graft.sources.GenDocs keyed scans)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // Force UnsafeExternalSorter to spill every 4096 rows: tiny local
       // test data never spills naturally, so buffer-reuse bugs in spill
       // readers (values retained across next()) would otherwise only
