@@ -22,7 +22,7 @@ object SparkEntry {
       StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++
       GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ SpatialOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
-      VectorOps5.all ++
+      VectorOps5.all ++ VectorOps6.all ++
       MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

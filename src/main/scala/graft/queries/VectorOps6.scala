@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.{cosine, cosineSql, hyperplanes, lshBucket, lshBucketSql}
+
+/** Round-10 vector additions: task-specific DATA VALUATION (KNN-Shapley)
+  * and external clustering validation (adjusted Rand index) — the two
+  * audits that close the loop from "we built an index / we filtered the
+  * corpus" to "which points actually helped".
+  */
+object VectorOps6 {
+
+  private val ShapK = 5 // the KNN classifier's K being valued
+
+  /** KNN-Shapley DATA VALUATION (Jia et al., VLDB 2019): the exact
+    * Shapley value of every training point for a K-NN classifier is
+    * computable in closed form from the validation-ranked neighbor
+    * lists — s(α_N) = 𝟙[y_N = y_q]/N and
+    * s(α_i) = s(α_{i+1}) + (𝟙_i − 𝟙_{i+1})·min(K,i)/(K·i) — i.e. a
+    * SUFFIX SUM down each query's ranking, no 2^N coalitions. Negative
+    * values flag mislabeled/harmful points; that per-label census is
+    * the output. Per-rank terms round at 9 and travel as decimals
+    * through the suffix window (partial-agg-order-proof), every later
+    * mean re-rounds once — the engine-parity discipline.
+    *
+    * Scale shape: the ranking is the bounded-query-batch brute shape
+    * (q38's device): |val|·|train| scored rows, windows keyed by qid —
+    * the corpus is never self-joined; at production scale the same
+    * closed form runs on shortlists from the IVF index (q57) instead
+    * of exact rankings, identically shaped. */
+  val q363_knn_shapley = Q(
+    "q363_knn_shapley",
+    Some(s"""WITH emb AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+            |  FROM embeddings),
+            |q AS (SELECT vec_id AS qid, label AS ql, e AS qe
+            |      FROM emb WHERE vec_id % 50 = 0),
+            |t AS (SELECT vec_id AS tid, label AS tl, e AS te
+            |      FROM emb WHERE vec_id % 50 <> 0),
+            |ranked AS (
+            |  SELECT qid, tid, tl,
+            |    CASE WHEN tl = ql THEN 1 ELSE 0 END AS m,
+            |    ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY round(${cosineSql("te", "qe")}, 6) DESC, tid) AS r,
+            |    CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n
+            |  FROM t CROSS JOIN q),
+            |terms AS (
+            |  SELECT qid, tid, tl, m, r, n,
+            |    CAST(round(coalesce(
+            |      (m - lead(m) OVER (PARTITION BY qid ORDER BY r))
+            |        * CAST(least($ShapK, r) AS DOUBLE) / ($ShapK * r),
+            |      0), 9) AS DECIMAL(28,9)) AS term,
+            |    CAST(max(CASE WHEN r = n THEN m END)
+            |      OVER (PARTITION BY qid) AS DOUBLE) / n AS base
+            |  FROM ranked),
+            |sv AS (
+            |  SELECT qid, tid, tl,
+            |    round(base + CAST(sum(term) OVER (PARTITION BY qid
+            |      ORDER BY r DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+            |      AS s
+            |  FROM terms),
+            |pt AS (
+            |  SELECT tid, tl,
+            |    round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE)
+            |      / count(*), 6) AS v
+            |  FROM sv GROUP BY tid, tl)
+            |SELECT tl AS label, CAST(count(*) AS BIGINT) AS n_train,
+            |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+            |    / count(*), 6) AS mean_sv,
+            |  CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_negative
+            |FROM pt GROUP BY tl ORDER BY label""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("e").as("qe"))
+      val t = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("tid"), col("label").as("tl"),
+          col("e").as("te"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("__sim").desc, col("tid"))
+      val wAll = Window.partitionBy("qid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = t.crossJoin(broadcast(q))
+        .withColumn("__sim", round(cosine(col("te"), col("qe")), 6))
+        .withColumn("m", when(col("tl") === col("ql"), 1).otherwise(0))
+        .withColumn("r", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      val wLead = Window.partitionBy("qid").orderBy("r")
+      val terms = ranked
+        .withColumn("term", round(coalesce(
+          (col("m") - lead("m", 1).over(wLead))
+            * least(lit(ShapK), col("r")).cast("double")
+            / (lit(ShapK) * col("r")), lit(0.0)), 9).cast("decimal(28,9)"))
+        .withColumn("base",
+          max(when(col("r") === col("n"), col("m"))).over(wAll)
+            .cast("double") / col("n"))
+      val wSuffix = Window.partitionBy("qid").orderBy(col("r").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sv = terms.withColumn("s",
+        round(col("base") + sum(col("term")).over(wSuffix).cast("double"), 6))
+      val pt = sv.groupBy("tid", "tl")
+        .agg(round(sum(col("s").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("v"))
+      pt.groupBy(col("tl").as("label"))
+        .agg(count(lit(1)).as("n_train"),
+          round(sum(col("v").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_sv"),
+          sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy("label")
+    })
+
+  private val AriPlanes = hyperplanes(4)
+
+  /** Adjusted Rand index — EXTERNAL validation of an unsupervised
+    * clustering against reference labels, chance-corrected (plain Rand
+    * rewards any fine clustering; ARI is 0 in expectation for a random
+    * one). The clustering under audit is the 4-plane sign-LSH bucket
+    * (q39's sketch family: does a 4-bit projection recover label
+    * structure at all?). Everything is pair-counting combinatorics on
+    * the cluster×label CONTINGENCY GRID: with SI = Σ C(n_ij,2),
+    * SA = Σ C(a_i,2), SB = Σ C(b_j,2), CN = C(N,2),
+    * ARI = (2·SI·CN − 2·SA·SB) / (CN·(SA+SB) − 2·SA·SB) — computed on
+    * exact integer products (decimal/hugeint) with ONE double division
+    * at the end, so no floating intermediate exists anywhere.
+    *
+    * Scale shape: one corpus hash agg to the contingency grid
+    * (clusters × labels, bounded); the combinatorics run on the grid.
+    * (The exact products bound the auditable N to ~10^9 before
+    * decimal(38) overflows — audit samples, not raw 100 TB corpora;
+    * the docstring is the contract.) */
+  val q364_clustering_ari = Q(
+    "q364_clustering_ari",
+    Some(s"""WITH b AS (
+            |  SELECT ${lshBucketSql("(embedding::DOUBLE[])", AriPlanes)}
+            |      AS cl, label
+            |  FROM embeddings),
+            |grid AS (
+            |  SELECT cl, label, CAST(count(*) AS BIGINT) AS c
+            |  FROM b GROUP BY cl, label),
+            |si AS (SELECT CAST(sum(c * (c - 1) / 2) AS HUGEINT) AS si
+            |       FROM grid),
+            |sa AS (SELECT CAST(sum(a * (a - 1) / 2) AS HUGEINT) AS sa FROM
+            |       (SELECT CAST(sum(c) AS BIGINT) AS a FROM grid GROUP BY cl)),
+            |sb AS (SELECT CAST(sum(b2 * (b2 - 1) / 2) AS HUGEINT) AS sb FROM
+            |       (SELECT CAST(sum(c) AS BIGINT) AS b2 FROM grid
+            |        GROUP BY label)),
+            |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+            |         CAST(sum(c) * (sum(c) - 1) / 2 AS HUGEINT) AS cn
+            |       FROM grid),
+            |k AS (SELECT CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters,
+            |        CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+            |      FROM grid)
+            |SELECT n, n_clusters, n_labels,
+            |  round(CAST(2 * si * cn - 2 * sa * sb AS DOUBLE)
+            |    / CAST(cn * (sa + sb) - 2 * sa * sb AS DOUBLE), 6) AS ari
+            |FROM si CROSS JOIN sa CROSS JOIN sb CROSS JOIN nn
+            |CROSS JOIN k""".stripMargin),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      val grid = graft.operators.PlanCache.persist(emb
+        .select(lshBucket(col("e"), AriPlanes).as("cl"), col("label"))
+        .groupBy("cl", "label").agg(count(lit(1)).as("c")))
+      def c2(x: org.apache.spark.sql.Column) =
+        (x.cast("decimal(38,0)") * (x - 1)) / 2
+      val si = grid.agg(sum(c2(col("c"))).cast("decimal(38,0)").as("si"))
+      val sa = grid.groupBy("cl").agg(sum("c").cast("long").as("a"))
+        .agg(sum(c2(col("a"))).cast("decimal(38,0)").as("sa"))
+      val sb = grid.groupBy("label").agg(sum("c").cast("long").as("b2"))
+        .agg(sum(c2(col("b2"))).cast("decimal(38,0)").as("sb"))
+      val nn = grid.agg(sum("c").cast("long").as("n"))
+        .select(col("n"), c2(col("n")).cast("decimal(38,0)").as("cn"))
+      val k = grid.agg(countDistinct("cl").as("n_clusters"),
+        countDistinct("label").as("n_labels"))
+      broadcast(si).crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(k))
+        .select(col("n"), col("n_clusters"), col("n_labels"),
+          round((lit(2) * col("si") * col("cn")
+            - lit(2) * col("sa") * col("sb")).cast("double")
+            / (col("cn") * (col("sa") + col("sb"))
+              - lit(2) * col("sa") * col("sb")).cast("double"), 6)
+            .as("ari"))
+    })
+
+  val all: Seq[Q] = Seq(q363_knn_shapley, q364_clustering_ari)
+}
