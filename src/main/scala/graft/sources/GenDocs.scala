@@ -63,14 +63,71 @@ private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean)
     new GenScanBuilder(rows, slices, keyed)
 }
 
+/** Closed-form aggregate kinds the generator can answer WITHOUT
+  * generating rows (SupportsPushDownAggregates): over a tag slice
+  * {start, start+7, …} ∩ [lo, hi) every one is arithmetic on the
+  * stride — count = |slice|, min/max = endpoints, sum = arithmetic
+  * series. */
+private[sources] sealed trait GenAgg
+private[sources] case object AggCount extends GenAgg
+private[sources] case object AggMinId extends GenAgg
+private[sources] case object AggMaxId extends GenAgg
+private[sources] case object AggSumId extends GenAgg
+
 private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenDocs.schema
+  private var pushedAgg: Option[(Seq[GenAgg], Boolean)] = None
+
+  private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String): Boolean = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+      r.fieldNames.sameElements(Array(name))
+    case _ => false
+  }
+
+  private def parseAggs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[GenAgg], Boolean)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (!keyed) return None
+    val groupTag = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(g) if isCol(g, "tag") => true
+      case _ => return None
+    }
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => AggCount
+      case m: Min if isCol(m.column, "id") => AggMinId
+      case m: Max if isCol(m.column, "id") => AggMaxId
+      case s2: Sum if !s2.isDistinct && isCol(s2.column, "id") => AggSumId
+      case _ => return None
+    }
+    Some((funcs, groupTag))
+  }
+
+  /** Grouped-by-tag aggregations are COMPLETE pushdowns in keyed mode:
+    * every tag lives in exactly one slice, so per-slice closed forms ARE
+    * the final groups and Spark plans no aggregate operator at all.
+    * Global (no-group) aggregations stay partial — 7 per-slice rows that
+    * Spark's final aggregation folds (count→sum, min→min, …). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    parseAggs(agg).exists(_._2)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = parseAggs(agg)
+    pushedAgg.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
@@ -100,7 +157,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     required = requiredSchema
 
   override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
-    required, keyed)
+    required, keyed, pushedAgg)
 }
 
 /** Contiguous id slice (the default layout): [lo, hi), step 1. */
@@ -118,14 +175,30 @@ private[sources] case class TagSlice(start: Long, hi: Long, tag: Int)
 }
 
 private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, keyed: Boolean) extends Scan with Batch
+    required: StructType, keyed: Boolean,
+    aggSpec: Option[(Seq[GenAgg], Boolean)]) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  override def readSchema(): StructType = required
+  // Spark's pushed-aggregate contract: scan rows carry the GROUP
+  // columns first, then the aggregate columns (V2ScanRelationPushDown's
+  // groupOutput ++ aggOutput layout)
+  override def readSchema(): StructType = aggSpec match {
+    case Some((funcs, groupTag)) =>
+      val base = if (groupTag)
+        new StructType().add("tag", StringType, nullable = false)
+      else new StructType()
+      funcs.zipWithIndex.foldLeft(base) {
+        case (st, (_, i)) => st.add(s"agg_$i", LongType)
+      }
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
-      (if (keyed) " keyed=tag" else "")
+      (if (keyed) " keyed=tag" else "") +
+      aggSpec.map { case (fs, g) =>
+        s" pushedAggs=[${fs.mkString(",")}] grouped=$g"
+      }.getOrElse("")
 
   /** `partitionBy=tag` ⇒ the generated layout IS key-grouped on tag
     * (each slice holds exactly one tag's ids), reported via the DSv2
@@ -138,7 +211,7 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
     * co-location anyway. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (keyed && required.fieldNames.contains("tag"))
+    if (keyed && readSchema().fieldNames.contains("tag"))
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity("tag")), TagMod)
@@ -151,9 +224,13 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
   override def planInputPartitions(): Array[InputPartition] =
     if (keyed) {
       // all TagMod slices, even when the pushed range empties one: the
-      // reported numPartitions and the planned slices must agree
+      // reported numPartitions and the planned slices must agree.
+      // Overflow care: lo + off would wrap when lo is near Long.MaxValue
+      // (a pushed empty range), so emptiness is decided on hi - lo ≥ 0
+      // first and the addition only happens when it cannot overflow.
       (0 until TagMod).map { t =>
-        val start = lo + (((t - lo % TagMod) + TagMod) % TagMod)
+        val off = (((t - lo % TagMod) + TagMod) % TagMod).toLong
+        val start = if (hi - lo <= off) hi else lo + off
         TagSlice(start, hi, t): InputPartition
       }.toArray
     } else {
@@ -166,26 +243,59 @@ private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
+    val agg = aggSpec
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val (first, bound, step) = p match {
           case GenSlice(l, h, st) => (l, h, st)
           case TagSlice(st, h, _) => (st, h, 7L)
         }
-        new PartitionReader[InternalRow] {
-          private var id = first - step
-          override def next(): Boolean = { id += step; id < bound }
-          override def get(): InternalRow = {
-            // only the PRUNED fields are ever computed/boxed
-            val vals = fields.map {
-              case "id"     => id: java.lang.Long
-              case "bucket" => (id % 97): java.lang.Long
-              case "v"      => ((id * 7919) % 10000) / 100.0: java.lang.Double
-              case "tag"    => UTF8String.fromString("t" + (id % 7))
+        agg match {
+          case Some((funcs, groupTag)) =>
+            // closed forms over the slice's arithmetic progression — the
+            // scan never materializes a row of the underlying table
+            val n = if (first >= bound) 0L else (bound - 1 - first) / step + 1
+            val tagStr = p match {
+              case TagSlice(_, _, t) => UTF8String.fromString("t" + t)
+              case _ => null
             }
-            new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            def value(f: GenAgg): Any = f match {
+              case AggCount => n: java.lang.Long
+              case AggMinId =>
+                if (n == 0) null else (first: java.lang.Long)
+              case AggMaxId =>
+                if (n == 0) null else (first + step * (n - 1)): java.lang.Long
+              case AggSumId =>
+                if (n == 0) null
+                else (n * first + step * n * (n - 1) / 2): java.lang.Long
+            }
+            val vals = (if (groupTag) Array[Any](tagStr)
+              else Array.empty[Any]) ++ funcs.map(value)
+            // grouped mode: an empty slice means the group does not
+            // exist — emit nothing; global mode: always emit the partial
+            // (count 0 / null extrema) so Spark's final fold sees it
+            val emit = !groupTag || n > 0
+            new PartitionReader[InternalRow] {
+              private var done = !emit
+              override def next(): Boolean = { val r = !done; done = true; r }
+              override def get(): InternalRow = new GenericInternalRow(vals)
+              override def close(): Unit = ()
+            }
+          case None => new PartitionReader[InternalRow] {
+            private var id = first - step
+            override def next(): Boolean = { id += step; id < bound }
+            override def get(): InternalRow = {
+              // only the PRUNED fields are ever computed/boxed
+              val vals = fields.map {
+                case "id"     => id: java.lang.Long
+                case "bucket" => (id % 97): java.lang.Long
+                case "v"      => ((id * 7919) % 10000) / 100.0: java.lang.Double
+                case "tag"    => UTF8String.fromString("t" + (id % 7))
+              }
+              new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            }
+            override def close(): Unit = ()
           }
-          override def close(): Unit = ()
         }
       }
     }

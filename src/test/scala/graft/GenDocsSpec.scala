@@ -50,4 +50,46 @@ class GenDocsSpec extends AnyFunSuite {
     assert(keyedGen(100).filter(col("id") >= 13L && col("id") < 57L)
       .agg(sum(col("id"))).collect()(0).getLong(0) == (13L until 57L).sum)
   }
+
+  test("grouped aggregate pushdown: closed-form per-tag results, no aggregate operator") {
+    val df = keyedGen(1000)
+      .filter(col("id") >= 10L && col("id") < 900L)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"), sum("id").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggs=[AggCount,AggMinId,AggMaxId,AggSumId]"),
+      plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val got = df.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = (10L until 900L).groupBy(id => "t" + (id % 7))
+      .map { case (t, ids) => t -> (ids.size.toLong, ids.min, ids.max,
+        ids.sum) }
+    assert(got == want)
+  }
+
+  test("global aggregate pushdown stays partial and folds per-slice closed forms") {
+    val df = keyedGen(1000).filter(col("id") >= 10L && col("id") < 900L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"), sum("id").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggs="), plan)
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (890L, 10L, 899L, (10L until 900L).sum))
+    // an empty pushed range must still report count 0
+    val e = keyedGen(1000).filter(col("id") > lit(Long.MaxValue))
+      .agg(count(lit(1)).as("n")).collect()(0)
+    assert(e.getLong(0) == 0L)
+  }
+
+  test("unsupported aggregates fall back to row generation") {
+    // sum(v) is not a closed form the source offers — no pushdown
+    val df = keyedGen(100).groupBy("tag").agg(sum("v").as("sv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAggs="), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(df.count() == 7L)
+  }
 }

@@ -540,4 +540,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("keyed=tag"), p)
     assert(p.contains("SortMergeJoin"), p)
   }
+
+  test("q365: complete aggregate pushdown — no aggregate operator, closed-form scan") {
+    val p = plan("q365_agg_pushdown")
+    assert(p.contains("pushedAggs=[AggCount,AggMinId,AggMaxId,AggSumId]"), p)
+    assert(p.contains("grouped=true"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
