@@ -174,10 +174,63 @@ private[sources] case class TagSlice(start: Long, hi: Long, tag: Int)
     new GenericInternalRow(Array[Any](UTF8String.fromString("t" + tag)))
 }
 
-private[sources] class GenScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, keyed: Boolean,
+private[sources] class GenScan(private var lo: Long, private var hi: Long,
+    slices: Int, required: StructType, keyed: Boolean,
     aggSpec: Option[(Seq[GenAgg], Boolean)]) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** EXACT statistics (SupportsReportStatistics) — a generator knows its
+    * cardinality in closed form, and reporting it is what lets Catalyst
+    * plan joins correctly at PLAN time: without it a v2 scan defaults to
+    * `defaultSizeInBytes` (≈∞), a small gen side can never be chosen as
+    * a broadcast build, and broadcast-reusing optimizations (DPP/runtime
+    * filtering, which is reuseBroadcastOnly by default) silently
+    * degenerate. Row width = 8 B per long/double + 10 B for the tag. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rowsOut: Long = aggSpec match {
+        case Some((_, true)) => math.min(TagMod.toLong, math.max(0L, hi - lo))
+        case Some((_, false)) => TagMod.toLong
+        case None => math.max(0L, hi - lo)
+      }
+      private val width: Long = readSchema().fields.map(f =>
+        if (f.dataType == StringType) 10L else 8L).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowsOut * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowsOut)
+    }
+
+  /** RUNTIME filtering (the DSv2 dynamic-partition-pruning hook): `id`
+    * is declared filterable, so when this scan sits on the probe side
+    * of a join whose build side is small and selective, AQE hands the
+    * build side's key set back as an `In("id", …)` filter AFTER it
+    * materializes — and the generated interval narrows to the keys'
+    * envelope before any probe row exists. Narrowing is conservative
+    * (min..max of the key set); the join itself still applies the
+    * exact predicate, which is the DPP contract — pruning is an
+    * optimization, never a correctness dependency. Skipped in keyed
+    * mode: re-planning the slice list there would have to preserve the
+    * reported KeyGroupedPartitioning's partition count. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (keyed || aggSpec.isDefined) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", values) =>
+      val longs = values.collect { case v: Long => v }
+      if (longs.nonEmpty) {
+        lo = math.max(lo, longs.min)
+        val mx = longs.max
+        hi = if (mx == Long.MaxValue) hi else math.min(hi, mx + 1)
+      } else { hi = lo } // empty build side ⇒ empty probe scan
+    case _ => () // unknown runtime filters are ignored, not applied
+  }
 
   // Spark's pushed-aggregate contract: scan rows carry the GROUP
   // columns first, then the aggregate columns (V2ScanRelationPushDown's

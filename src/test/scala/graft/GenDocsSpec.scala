@@ -84,6 +84,35 @@ class GenDocsSpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L)
   }
 
+  test("runtime filtering narrows the generated interval to the build side's key envelope") {
+    def g(rows: Long) = spark.read.format("graft.sources.GenDocs")
+      .option("rows", rows.toString).option("slices", "4").load()
+    val big = g(1000000L).select("id", "v")
+    // the dim filter is on bucket, NOT the join key, so no static filter
+    // can be inferred onto the probe side — the runtime In-filter is the
+    // only pruning; ids ≡ 5 (mod 97) below 500 = {5,102,199,296,393,490}
+    val dim = g(500L).filter(col("bucket") === 5L).select(col("id"))
+    val j = big.join(dim, "id").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val r = j.collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == Seq(5L, 102L, 199L, 296L, 393L, 490L).sum)
+    // after execution the probe scan's description reflects the
+    // runtime-narrowed interval (filter() mutated the range before
+    // partition planning) and carries a live dynamicpruning filter
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("GenScan id=[5,491)"), p)
+    assert(p.contains("dynamicpruningexpression(id"), p)
+  }
+
+  test("reported statistics make the small gen side a broadcast build") {
+    def g(rows: Long) = spark.read.format("graft.sources.GenDocs")
+      .option("rows", rows.toString).option("slices", "4").load()
+    val j = g(1000000L).join(g(100L).select("id"), "id")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p)
+  }
+
   test("unsupported aggregates fall back to row generation") {
     // sum(v) is not a closed form the source offers — no pushdown
     val df = keyedGen(100).groupBy("tag").agg(sum("v").as("sv"))

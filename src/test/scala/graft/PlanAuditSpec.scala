@@ -534,11 +534,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q362: storage-partitioned execution — aggs and join over the keyed scans use ZERO hash exchanges") {
     val p = plan("q362_spj_gen")
     // both sides aggregate directly on their KeyGroupedPartitioning scans
-    // and the tag join is storage-partitioned; the only Exchange allowed
-    // is the final 7-row orderBy's rangepartitioning
+    // (partial+final adjacent, no exchange between); the only Exchange
+    // allowed is the final 7-row orderBy's rangepartitioning. The join
+    // itself may be storage-partitioned SMJ or (with reported stats) a
+    // broadcast of the 7-row aggregated side — both are shuffle-free.
     assert(countOf(p, "Exchange hashpartitioning") == 0, p)
     assert(p.contains("keyed=tag"), p)
-    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
   test("q365: complete aggregate pushdown — no aggregate operator, closed-form scan") {
@@ -547,5 +549,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("grouped=true"), p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q366: the probe scan carries a live runtime dynamicpruning filter on id") {
+    val p = plan("q366_runtime_pruned_join")
+    assert(p.contains("dynamicpruningexpression(id"), p)
+    // the build side must be a broadcast (reported stats) — reuse-only
+    // DPP dies without it
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      p)
   }
 }
