@@ -473,8 +473,93 @@ object StreamQ {
         lit(if (dlqClean) 1L else 0L).as("reconciled"))
     })
 
+  /** Streaming QUANTILE monitoring (replay-equivalence member #10): the
+    * mergeable-summary law q358 proves in batch, driven through REAL
+    * multi-micro-batch streaming machinery — the input is split into 4
+    * files and `maxFilesPerTrigger=1` under Trigger.AvailableNow yields
+    * exactly 4 checkpointed micro-batches; each batch appends its EXACT
+    * value-grid histogram (grid-sized, never row-sized) to a summary
+    * store via foreachBatch, and the monitor's read side merges the
+    * stored summaries by plain addition. Asserted: the merged median
+    * equals the direct batch median (losslessness), and the summed
+    * histogram counts equal the input row count (no loss/duplication
+    * across batch boundaries). This is the production shape of
+    * percentile dashboards over a 100 TB stream: per-batch summaries
+    * travel, raw rows never do. */
+  val q367_stream_quantile_monitor = Q(
+    "q367_stream_quantile_monitor",
+    Some("""WITH g AS (
+           |  SELECT CAST(value AS DECIMAL(18,2)) AS val,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1),
+           |med AS (
+           |  SELECT min(val) AS m FROM (
+           |    SELECT val, sum(c) OVER (ORDER BY val
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |      sum(c) OVER () AS n
+           |    FROM g) t WHERE 2 * cum >= n)
+           |SELECT CAST(4 AS BIGINT) AS n_batches,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+           |  CAST(m AS DOUBLE) AS median_stream,
+           |  CAST(m AS DOUBLE) AS median_batch,
+           |  CAST(1 AS BIGINT) AS lossless
+           |FROM med""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_qmon_").toString
+      val inDir = s"$root/in"
+      val sumDir = s"$root/hist"
+      val ev = graft.Tables.events(s, d)
+        .select(col("value").cast("decimal(18,2)").as("val"))
+      // 4 input files ⇒ exactly 4 micro-batches under
+      // maxFilesPerTrigger=1 (AvailableNow honors source limits)
+      ev.repartition(4).write.parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // the ONLY thing persisted per batch is the grid histogram
+            b.groupBy("val").agg(count(lit(1)).as("c"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sumDir)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val hist = graft.operators.PlanCache.persist(
+        s.read.parquet(sumDir))
+      def medOf(grid: DataFrame): DataFrame = {
+        val wcum = Window.orderBy("val")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.orderBy("val")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        grid.select(col("val"), sum("c").over(wcum).as("cum"),
+            sum("c").over(wall).as("n"))
+          .filter(lit(2) * col("cum") >= col("n"))
+          .agg(min("val").as("m"))
+      }
+      val medS = medOf(hist.groupBy("val").agg(sum("c").cast("long").as("c")))
+        .select(col("m").as("ms"))
+      val medB = medOf(ev.groupBy("val").agg(count(lit(1)).as("c")))
+        .select(col("m").as("mb"))
+      val meta = hist.agg(countDistinct("batch_id").as("n_batches"),
+        sum("c").cast("long").as("n_rows"))
+      broadcast(meta).crossJoin(broadcast(medS)).crossJoin(broadcast(medB))
+        .select(col("n_batches"), col("n_rows"),
+          col("ms").cast("double").as("median_stream"),
+          col("mb").cast("double").as("median_batch"),
+          when(col("ms") === col("mb"), 1L).otherwise(0L).as("lossless"))
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
-    q357_stream_dlq)
+    q357_stream_dlq, q367_stream_quantile_monitor)
 }
