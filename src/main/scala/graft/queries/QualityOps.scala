@@ -352,7 +352,219 @@ object QualityOps {
         .orderBy("o_orderpriority")
     })
 
+  /** Multinomial naive-Bayes language-ID, trained AND honestly evaluated
+    * on the corpus (train folds 0–3 by the md5 doc draw, test fold 4 —
+    * q253's split device): Laplace-smoothed per-(term, lang) log-likelihoods
+    * plus log priors, per-test-doc argmax, and the full confusion matrix —
+    * the cheap trained classifier a curation pipeline prefers over the
+    * q29-style n-gram heuristic once it has labels. EVERY score is an
+    * exact DECIMAL(·,8) sum of per-term rounded log-probs (tf × round(lnp,
+    * 8)), so the argmax — including its lang tie-break — is bit-identical
+    * across engines and partial-agg orders; no raw double ever rides a
+    * shuffle.
+    *
+    * Scale shape: one corpus token agg; the model is a vocab×langs table
+    * (broadcast — vocab ≪ corpus, the q175 rule) joined LEFT so unseen
+    * terms fall back to the per-lang smoothing floor; candidate rows =
+    * test tokens × |langs| (a constant fanout), ranked by a doc-keyed
+    * 5-row window. */
+  val q368_naive_bayes_langid = Q(
+    "q368_naive_bayes_langid", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val fold = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 5"
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, lang, $fold AS fold,
+              |    unnest(string_split(text, ' ')) AS term
+              |  FROM documents),
+              |tok AS (
+              |  SELECT doc_id, lang, fold, term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM base WHERE len(term) > 0 GROUP BY 1, 2, 3, 4),
+              |tr AS (SELECT * FROM tok WHERE fold < 4),
+              |model AS (
+              |  SELECT term, lang, CAST(sum(tf) AS BIGINT) AS c
+              |  FROM tr GROUP BY 1, 2),
+              |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+              |       FROM model GROUP BY 1),
+              |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+              |       FROM model),
+              |nd AS (
+              |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndl
+              |  FROM documents WHERE $fold < 4 GROUP BY 1),
+              |ndt AS (SELECT CAST(sum(ndl) AS BIGINT) AS ndall FROM nd),
+              |lstat AS (
+              |  SELECT l.lang, tot, v,
+              |    CAST(round(ln(CAST(ndl AS DOUBLE) / ndall), 8)
+              |      AS DECIMAL(20,8)) AS plp,
+              |    CAST(round(ln(1.0 / (tot + v)), 8) AS DECIMAL(20,8)) AS dlp
+              |  FROM lt l JOIN nd USING (lang) CROSS JOIN vv CROSS JOIN ndt),
+              |te AS (SELECT doc_id, lang AS true_lang, term, tf
+              |       FROM tok WHERE fold = 4),
+              |cand AS (
+              |  SELECT t.doc_id, t.true_lang, s.lang, s.plp,
+              |    t.tf * coalesce(CAST(round(ln(CAST(m.c + 1 AS DOUBLE)
+              |        / (s.tot + s.v)), 8) AS DECIMAL(20,8)), s.dlp)
+              |      AS contrib
+              |  FROM te t CROSS JOIN lstat s
+              |  LEFT JOIN model m ON m.term = t.term AND m.lang = s.lang),
+              |sc AS (
+              |  SELECT doc_id, true_lang, lang,
+              |    max(plp) + sum(contrib) AS score
+              |  FROM cand GROUP BY 1, 2, 3),
+              |pred AS (
+              |  SELECT doc_id, true_lang, lang AS pred,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY score DESC, lang) AS rk
+              |  FROM sc)
+              |SELECT true_lang AS lang, pred, CAST(count(*) AS BIGINT) AS n
+              |FROM pred WHERE rk = 1
+              |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val fold = expr(s"${hexSpanValSql("__h", 0, 2)} % 5")
+      val docs = Tables.documents(s, d)
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+      val tok = graft.operators.PlanCache.persist(docs
+        .select(col("doc_id"), col("lang"), fold.as("fold"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "lang", "fold", "term")
+        .agg(count(lit(1)).as("tf")))
+      val model = graft.operators.PlanCache.persist(
+        tok.filter(col("fold") < 4)
+          .groupBy("term", "lang").agg(sum("tf").cast("long").as("c")))
+      val lt = model.groupBy("lang").agg(sum("c").cast("long").as("tot"))
+      val vv = model.agg(countDistinct("term").as("v"))
+      val nd = docs.filter(fold < 4)
+        .groupBy("lang").agg(countDistinct("doc_id").as("ndl"))
+      val ndt = nd.agg(sum("ndl").cast("long").as("ndall"))
+      val lstat = lt.join(nd, "lang")
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(ndt))
+        .select(col("lang"), col("tot"), col("v"),
+          round(log(col("ndl").cast("double") / col("ndall")), 8)
+            .cast("decimal(20,8)").as("plp"),
+          round(log(lit(1.0) / (col("tot") + col("v"))), 8)
+            .cast("decimal(20,8)").as("dlp"))
+      val te = tok.filter(col("fold") === 4)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          col("term"), col("tf"))
+      val cand = te.crossJoin(broadcast(lstat))
+        .join(broadcast(model), Seq("term", "lang"), "left")
+        .select(col("doc_id"), col("true_lang"), col("lang"), col("plp"),
+          (col("tf") * coalesce(
+            round(log((col("c") + 1).cast("double")
+              / (col("tot") + col("v"))), 8).cast("decimal(20,8)"),
+            col("dlp"))).as("contrib"))
+      val sc = cand.groupBy("doc_id", "true_lang", "lang")
+        .agg((max(col("plp")) + sum(col("contrib"))).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("true_lang").as("lang"), col("lang").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    })
+
+  /** Decision-STUMP training (exact threshold search): for each of three
+    * cheap document features, the single split `x ≤ t` that best
+    * separates English from non-English — majority class on each side,
+    * threshold chosen by exact correct-count maximization (ties → the
+    * smallest t). This is the depth-1 tree a labeling pipeline trains in
+    * one pass as a quality/routing gate, and the exact-histogram
+    * counterpart of sklearn's stump. All search arithmetic is integer
+    * (cumulative pos/n on the value grid); the only doubles are the two
+    * display accuracies, rounded once.
+    *
+    * Scale shape: ONE corpus scan melts the 3 features; per feature the
+    * threshold search runs on the distinct-value GRID (cumulative
+    * windows partitioned by feature over grid rows, never doc rows). */
+  val q369_decision_stump = Q(
+    "q369_decision_stump",
+    Some("""WITH f AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    n_chars,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |melt AS (
+           |  SELECT 'n_chars' AS feature, n_chars AS x, y FROM f
+           |  UNION ALL
+           |  SELECT 'n_tok', n_tok, y FROM f
+           |  UNION ALL
+           |  SELECT 'chars_per_tok_x100',
+           |    CASE WHEN n_tok > 0 THEN (n_chars * 100) // n_tok
+           |         ELSE 0 END, y FROM f),
+           |grid AS (
+           |  SELECT feature, CAST(x AS BIGINT) AS x,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+           |  FROM melt GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT feature, x,
+           |    CAST(sum(n) OVER w AS BIGINT) AS n1,
+           |    CAST(sum(p) OVER w AS BIGINT) AS p1,
+           |    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+           |    CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
+           |  FROM grid
+           |  WINDOW w AS (PARTITION BY feature ORDER BY x
+           |    ROWS UNBOUNDED PRECEDING)),
+           |scored AS (
+           |  SELECT feature, x, nt, pt,
+           |    greatest(p1, n1 - p1)
+           |      + greatest(pt - p1, (nt - n1) - (pt - p1)) AS correct,
+           |    ROW_NUMBER() OVER (PARTITION BY feature
+           |      ORDER BY greatest(p1, n1 - p1)
+           |        + greatest(pt - p1, (nt - n1) - (pt - p1)) DESC, x)
+           |      AS rk
+           |  FROM cum)
+           |SELECT feature, x AS best_t, correct AS n_correct,
+           |  round(CAST(correct AS DOUBLE) / nt, 6) AS acc,
+           |  round(CAST(greatest(pt, nt - pt) AS DOUBLE) / nt, 6)
+           |    AS baseline_acc
+           |FROM scored WHERE rk = 1 ORDER BY feature""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("n_chars"),
+          size(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .cast("long").as("n_tok"))
+      val melt = f.select(explode(array(
+          struct(lit("n_chars").as("feature"), col("n_chars").as("x")),
+          struct(lit("n_tok").as("feature"), col("n_tok").as("x")),
+          struct(lit("chars_per_tok_x100").as("feature"),
+            when(col("n_tok") > 0, expr("(n_chars * 100) div n_tok"))
+              .otherwise(0L).as("x")))).as("m"), col("y"))
+        .select(col("m.feature").as("feature"),
+          col("m.x").cast("long").as("x"), col("y"))
+      val grid = melt.groupBy("feature", "x")
+        .agg(count(lit(1)).as("n"), sum("y").as("p"))
+      val wCum = Window.partitionBy("feature").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("feature")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = grid.select(col("feature"), col("x"),
+        sum("n").over(wCum).cast("long").as("n1"),
+        sum("p").over(wCum).cast("long").as("p1"),
+        sum("n").over(wAll).cast("long").as("nt"),
+        sum("p").over(wAll).cast("long").as("pt"))
+      val correct = greatest(col("p1"), col("n1") - col("p1")) +
+        greatest(col("pt") - col("p1"),
+          (col("nt") - col("n1")) - (col("pt") - col("p1")))
+      val wRk = Window.partitionBy("feature")
+        .orderBy(correct.desc, col("x"))
+      cum.withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") === 1)
+        .select(col("feature"), col("x").as("best_t"),
+          correct.as("n_correct"),
+          round(correct.cast("double") / col("nt"), 6).as("acc"),
+          round(greatest(col("pt"), col("nt") - col("pt")).cast("double")
+            / col("nt"), 6).as("baseline_acc"))
+        .orderBy("feature")
+    })
+
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
     q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile,
-    q129_histogram, q139_winsorized_mean, q145_median_impute)
+    q129_histogram, q139_winsorized_mean, q145_median_impute,
+    q368_naive_bayes_langid, q369_decision_stump)
 }
