@@ -149,3 +149,77 @@ case class TiffDims(child: Expression)
     copy(child = c)
   override def prettyName: String = "tiff_dims"
 }
+
+/** PNG IHDR mining via a real chunk walk — the header family's only
+  * CHUNKED format: the 8-byte signature (\x89PNG\r\n\x1a\n), then
+  * length-prefixed chunks (u32 BE length, 4-byte type, payload, CRC)
+  * walked until IHDR is found (spec says IHDR is first, but the walker
+  * tolerates preceding ancillary chunks the way lenient real-world
+  * readers do) or IEND/truncation ends the scan. IHDR yields
+  * struct(width, height, bit_depth, color_type, interlace) — width and
+  * height u32 BE, the other three single bytes. Null on corrupt
+  * signature, truncated chunk, or a stream with no IHDR. CRCs are not
+  * verified (metadata mining, not integrity checking — the lake's
+  * checksum layer owns that). CodegenFallback: per-row cost is a
+  * bounded chunk walk dominated by the struct allocation.
+  *
+  * Reference behavior modeled: the reference treats media as opaque
+  * blobs (lambda stores bytes untouched); header mining is the
+  * scan-side metadata layer built on top (SURVEY §2.11 multimodal). */
+case class PngDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bit_depth", LongType, nullable = false),
+    StructField("color_type", LongType, nullable = false),
+    StructField("interlace", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary payload, got $other")
+  }
+
+  private val Sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 8) return null
+    var i = 0
+    while (i < 8) {
+      if ((b(i) & 0xFF) != Sig(i)) return null
+      i += 1
+    }
+    def u32(p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    var p = 8
+    while (p + 8 <= b.length) {
+      val len = u32(p)
+      val isIhdr = b(p + 4) == 'I' && b(p + 5) == 'H' &&
+        b(p + 6) == 'D' && b(p + 7) == 'R'
+      val isIend = b(p + 4) == 'I' && b(p + 5) == 'E' &&
+        b(p + 6) == 'N' && b(p + 7) == 'D'
+      if (isIhdr) {
+        if (len < 13L || p + 8 + 13 > b.length) return null
+        val d = p + 8
+        return new GenericInternalRow(Array[Any](
+          u32(d), u32(d + 4), (b(d + 8) & 0xFF).toLong,
+          (b(d + 9) & 0xFF).toLong, (b(d + 12) & 0xFF).toLong))
+      }
+      if (isIend) return null
+      // skip payload + CRC; a length past the buffer is a truncation
+      if (len > b.length.toLong) return null
+      p += 8 + len.toInt + 4
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "png_dims"
+}

@@ -612,3 +612,100 @@ object JaroWinklerAlgo {
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
+
+/** Damerau–Levenshtein edit distance (FULL Lowrance–Wagner variant, not
+  * the restricted OSA), pinned to match DuckDB's `damerau_levenshtein`
+  * (the oracle engine) bit-for-bit: it operates on the raw UTF-8 BYTES
+  * of each string (so `éa`→`aé` costs 2, the two-byte é never forming
+  * an adjacent transposition — exactly what the oracle returns) and
+  * allows a transposition to span previously-edited material
+  * (`CA`→`ABC` = 2, where OSA gives 3). Cost model: unit
+  * insert/delete/substitute/transpose. The blocked spell-variant join
+  * (q370) evaluates this on every in-block candidate pair, so the
+  * scorer is a static call inside the codegen span. */
+case class DamerauLevenshtein(
+    left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two string inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauAlgo.distance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DamerauAlgo.distance($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "damerau_levenshtein"
+}
+
+object DamerauAlgo {
+  /** Lowrance–Wagner full DL over UTF-8 bytes (see DamerauLevenshtein's
+    * doc for the pinned semantics). The classic (la+2)×(lb+2) matrix
+    * with a 256-slot last-seen-row index per byte value; O(la·lb) time,
+    * allocation bounded by the two input lengths (strings in the
+    * catalog's use are short name/title fields, so the quadratic cost
+    * is per-pair trivial — the cost driver is the candidate-pair count,
+    * which blocking bounds). */
+  def distance(aU: UTF8String, bU: UTF8String): Long = {
+    val a = aU.getBytes
+    val b = bU.getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) {
+      d((i + 1) * w) = inf
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= lb) {
+      d(j + 1) = inf
+      d(w + j + 1) = j
+      j += 1
+    }
+    val da = new Array[Int](256) // last row where each byte value occurred
+    i = 1
+    while (i <= la) {
+      var db = 0 // last column in row i where a match occurred
+      val ca = a(i - 1) & 0xFF
+      j = 1
+      while (j <= lb) {
+        val cb = b(j - 1) & 0xFF
+        val k = da(cb)
+        val l = db
+        val cost = if (ca == cb) { db = j; 0 } else 1
+        val subst = d(i * w + j) + cost
+        val insert = d((i + 1) * w + j) + 1
+        val delete = d(i * w + j + 1) + 1
+        val transp = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = subst
+        if (insert < m) m = insert
+        if (delete < m) m = delete
+        if (transp < m) m = transp
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(ca) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1).toLong
+  }
+}

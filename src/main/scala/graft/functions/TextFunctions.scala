@@ -117,6 +117,14 @@ object TextFunctions {
     br.column(JaroWinkler(br.expression(a), br.expression(b)))
   }
 
+  /** Damerau–Levenshtein distance (native codegen'd expression, full
+    * Lowrance–Wagner variant pinned to DuckDB's damerau_levenshtein
+    * byte-level semantics — see DamerauLevenshtein). */
+  def damerauLevenshtein(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(DamerauLevenshtein(br.expression(a), br.expression(b)))
+  }
+
   def minhashRot(md5Col: Column, i: Int): Column =
     if (i == 0) array_min(md5Col)
     else array_min(transform(md5Col, h =>

@@ -206,6 +206,16 @@ object Multimodal {
     b.column(graft.functions.TiffDims(b.expression(content)))
   }
 
+  /** Full PNG IHDR via a real chunk walk (see functions/PngDims) — the
+    * native big sibling of the fixed-offset `pngDims` above: tolerates
+    * ancillary chunks ahead of IHDR and also surfaces bit depth, color
+    * type, and the interlace flag. Null struct for non-PNG/corrupt
+    * payloads. */
+  def pngInfo(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.PngDims(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

@@ -294,6 +294,68 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** PNG IHDR mining by construction-inversion (the q294/q321 device,
+    * now for the family's only CHUNKED format): per doc a minimal PNG
+    * is formula-built — signature, an optional leading `tEXt` ancillary
+    * chunk on every 11th doc (forcing the chunk WALK, not a fixed
+    * offset), the IHDR with formula-derived width/height (u32 BE),
+    * bit depth, color type, and interlace flag, then IEND — and every
+    * 17th doc gets a corrupt signature byte that must null out. Spark
+    * parses the bytes back with the REAL chunk walker
+    * (`Multimodal.pngDims`); the oracle knows every answer in closed
+    * form from doc_id, so any walker drift (chunk skip arithmetic, BE
+    * field order, signature check) breaks the hash. */
+  val q371_png_dims = Q(
+    "q371_png_dims",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(doc_id % 3000 + 1 AS BIGINT) END AS width,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST((doc_id * 13) % 2200 + 1 AS BIGINT) END AS height,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(list_extract([1, 2, 4, 8, 16],
+           |         CAST(doc_id % 5 AS INT) + 1) AS BIGINT) END AS bit_depth,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(list_extract([0, 2, 3, 4, 6],
+           |         CAST((doc_id * 7) % 5 AS INT) + 1) AS BIGINT)
+           |       END AS color_type,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       WHEN doc_id % 19 = 0 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS interlace
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      def beHex(v: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(v.cast("long")), 2 * bytes, "0")
+      val w = col("doc_id") % 3000 + 1
+      val h = (col("doc_id") * 13) % 2200 + 1
+      val bd = element_at(
+        array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)),
+        (col("doc_id") % 5).cast("int") + 1)
+      val ct = element_at(
+        array(lit(0L), lit(2L), lit(3L), lit(4L), lit(6L)),
+        ((col("doc_id") * 7) % 5).cast("int") + 1)
+      val il = when(col("doc_id") % 19 === 0, 1L).otherwise(0L)
+      val sig = when(col("doc_id") % 17 === 0, "89504E480D0A1A0A")
+        .otherwise("89504E470D0A1A0A")
+      // 4-byte tEXt chunk ahead of IHDR: len=4, type, payload, CRC
+      val junk = when(col("doc_id") % 11 === 0,
+        concat(lit("00000004"), lit("74455874"), lit("41414141"),
+          lit("00000000"))).otherwise(lit(""))
+      val ihdr = concat(lit("0000000D"), lit("49484452"),
+        beHex(w, 4), beHex(h, 4), beHex(bd, 1), beHex(ct, 1),
+        lit("0000"), beHex(il, 1), lit("00000000"))
+      val iend = lit("0000000049454E4400000000")
+      val payload = unhex(concat(sig, junk, ihdr, iend))
+      val p = Multimodal.pngInfo(payload)
+      Tables.documents(s, d)
+        .select(col("doc_id"), p("width").as("width"),
+          p("height").as("height"), p("bit_depth").as("bit_depth"),
+          p("color_type").as("color_type"), p("interlace").as("interlace"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
-    q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims)
+    q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims,
+    q371_png_dims)
 }

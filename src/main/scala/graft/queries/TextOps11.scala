@@ -229,6 +229,105 @@ object TextOps11 {
         .orderBy("bucket")
     })
 
+  /** Spell-variant matching with the FULL Damerau–Levenshtein distance
+    * (native codegen'd expression, `functions.DamerauLevenshtein` —
+    * Lowrance–Wagner, transpositions included, pinned to the oracle
+    * engine's byte-level semantics) by construction-inversion: per part
+    * a typo is formula-built from its name — adjacent transposition,
+    * deletion, or substitution by `p_partkey % 3` at a key-derived
+    * position — then (a) the (variant, dl, lev) grid pins the
+    * distance semantics over 2 000 real strings (a transposition costs
+    * 1 under DL but 2 under plain Levenshtein — the column pair is the
+    * proof), and (b) each typo runs a BLOCKED dictionary match
+    * (block = first byte + length ±1) counting candidates and dl ≤ 1
+    * matches, with `n_blockmiss` counting the typos whose first-char
+    * edit pushed the true name out of its own block — the classic
+    * blocking-recall tradeoff, measured.
+    *
+    * Scale shape: typo synthesis and both distances are scan-side
+    * codegen'd expressions; the dictionary (distinct names) is a
+    * broadcast build side; the block join bounds candidate pairs to
+    * (first byte × length band) cells — never an all-pairs product;
+    * the final agg lands on a ≤ 3×3×3 grid. */
+  val q370_damerau_match = Q(
+    "q370_damerau_match",
+    Some("""WITH p AS (
+           |  SELECT p_partkey AS pk, p_name AS name,
+           |    p_partkey % (length(p_name) - 1) + 1 AS pos,
+           |    p_partkey % 3 AS variant
+           |  FROM part),
+           |t AS (
+           |  SELECT pk, name, variant,
+           |    CASE variant
+           |      WHEN 0 THEN substr(name, 1, pos - 1)
+           |        || substr(name, pos + 1, 1) || substr(name, pos, 1)
+           |        || substr(name, pos + 2, 1000000)
+           |      WHEN 1 THEN substr(name, 1, pos - 1)
+           |        || substr(name, pos + 1, 1000000)
+           |      ELSE substr(name, 1, pos - 1) || 'q'
+           |        || substr(name, pos + 1, 1000000)
+           |    END AS typo
+           |  FROM p),
+           |d AS (
+           |  SELECT pk, name, variant, typo,
+           |    CAST(damerau_levenshtein(name, typo) AS BIGINT) AS dl,
+           |    CAST(levenshtein(name, typo) AS BIGINT) AS lev
+           |  FROM t),
+           |dict AS (SELECT DISTINCT p_name AS dname FROM part),
+           |cand AS (
+           |  SELECT d.pk, CAST(count(*) AS BIGINT) AS c_cand,
+           |    CAST(sum(CASE WHEN damerau_levenshtein(d.typo, dict.dname)
+           |      <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_match
+           |  FROM d JOIN dict
+           |    ON substr(d.typo, 1, 1) = substr(dict.dname, 1, 1)
+           |   AND abs(length(d.typo) - length(dict.dname)) <= 1
+           |  GROUP BY 1)
+           |SELECT variant, dl, lev, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(coalesce(c_cand, 0)) AS BIGINT) AS n_cand,
+           |  CAST(sum(coalesce(c_match, 0)) AS BIGINT) AS n_match,
+           |  CAST(sum(CASE WHEN substr(typo, 1, 1) <> substr(name, 1, 1)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_blockmiss
+           |FROM d LEFT JOIN cand USING (pk)
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey").as("pk"), col("p_name").as("name"),
+        (col("p_partkey") % (length(col("p_name")) - 1) + 1).as("pos"),
+        (col("p_partkey") % 3).as("variant"))
+      val t = p.select(col("pk"), col("name"), col("variant"),
+        expr("""CASE variant
+               |  WHEN 0 THEN substring(name, 1, pos - 1)
+               |    || substring(name, pos + 1, 1) || substring(name, pos, 1)
+               |    || substring(name, pos + 2, 1000000)
+               |  WHEN 1 THEN substring(name, 1, pos - 1)
+               |    || substring(name, pos + 1, 1000000)
+               |  ELSE substring(name, 1, pos - 1) || 'q'
+               |    || substring(name, pos + 1, 1000000)
+               |END""".stripMargin).as("typo"))
+      val dd = graft.operators.PlanCache.persist(t.select(
+        col("pk"), col("name"), col("variant"), col("typo"),
+        TextFunctions.damerauLevenshtein(col("name"), col("typo")).as("dl"),
+        levenshtein(col("name"), col("typo")).cast("long").as("lev")))
+      val dict = Tables.part(s, d).select(col("p_name").as("dname")).distinct()
+      val cand = dd.join(broadcast(dict),
+          substring(col("typo"), 1, 1) === substring(col("dname"), 1, 1) &&
+            abs(length(col("typo")) - length(col("dname"))) <= 1)
+        .groupBy("pk")
+        .agg(count(lit(1)).as("c_cand"),
+          sum(when(TextFunctions.damerauLevenshtein(
+            col("typo"), col("dname")) <= 1, 1L).otherwise(0L))
+            .as("c_match"))
+      dd.join(cand, Seq("pk"), "left")
+        .groupBy("variant", "dl", "lev")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("c_cand"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("c_match"), lit(0L))).as("n_match"),
+          sum(when(substring(col("typo"), 1, 1) =!=
+            substring(col("name"), 1, 1), 1L).otherwise(0L))
+            .as("n_blockmiss"))
+        .orderBy("variant", "dl", "lev")
+    })
+
   val all: Seq[Q] = Seq(q359_tokenizer_fertility, q360_split_contamination,
-    q361_length_matched_resampling)
+    q361_length_matched_resampling, q370_damerau_match)
 }

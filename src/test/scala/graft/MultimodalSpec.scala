@@ -105,6 +105,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nc.isNullAt(0))
   }
 
+  test("PNG chunk walker: ancillary chunks, IHDR fields, IEND stop, corruption") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val sig = "89504E470D0A1A0A"
+    val ihdr = "0000000D" + "49484452" +
+      "00000280" + "000001E0" + // 640 x 480
+      "10" + "06" + "0000" + "01" + // depth 16, type 6, interlace 1
+      "00000000"
+    val iend = "0000000049454E4400000000"
+    def info(h: String) = Seq(Tuple1(hexBytes(h))).toDF("c")
+      .select(Multimodal.pngInfo(col("c")).as("p")).head() match {
+        case r if r.isNullAt(0) => None
+        case r =>
+          val s = r.getStruct(0)
+          Some((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+            s.getLong(4)))
+      }
+    // canonical: IHDR first
+    assert(info(sig + ihdr + iend) == Some((640L, 480L, 16L, 6L, 1L)))
+    // two ancillary chunks ahead of IHDR: the walker must SKIP by
+    // declared length (different lengths each) and still find IHDR
+    val junk1 = "00000004" + "74455874" + "41414141" + "00000000"
+    val junk2 = "00000002" + "7A545874" + "4242" + "00000000"
+    assert(info(sig + junk1 + junk2 + ihdr + iend) ==
+      Some((640L, 480L, 16L, 6L, 1L)))
+    // corrupt signature byte, truncated mid-chunk, IEND before IHDR,
+    // and a declared length past the buffer -> null, never garbage
+    assert(info("89504E480D0A1A0A" + ihdr + iend) == None)
+    assert(info(sig + "0000000D" + "49484452" + "000002") == None)
+    assert(info(sig + iend + ihdr) == None)
+    assert(info(sig + "0FFFFFFF" + "74455874") == None)
+  }
+
   test("BMP/GIF header parsers: LE fields, signed top-down height, corruption, truncation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -289,4 +289,83 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("; "))
   }
 
+  /** Damerau–Levenshtein parity: the native expression must match the
+    * oracle engine's damerau_levenshtein EXACTLY on these DuckDB-
+    * generated probe vectors (30 seeded random pairs + the published
+    * worked examples + the probes that pin the semantics: FULL
+    * Lowrance–Wagner — transpositions may span edited material, so
+    * CA→ABC costs 2 where OSA gives 3 — and raw UTF-8 BYTE comparison,
+    * so the two-byte é never forms an adjacent transposition:
+    * éa→aé = 2). */
+  test("damerau-levenshtein matches the oracle engine exactly") {
+    import spark.implicits._
+    val vectors: Seq[(String, String, Long)] = Seq(
+      ("bdxaa", "aceaebaa", 6L),
+      ("dabaed", "", 6L),
+      ("abxxeaeed", "", 9L),
+      ("ae ", "cd", 3L),
+      ("ea", "ce xbaeex", 7L),
+      ("cae", "aeaebdxed c", 9L),
+      ("edccb b", " baecedcxdc", 8L),
+      ("aaedb cbd", "axa ee", 7L),
+      ("cxced", " da acdxx", 8L),
+      ("a", "xcxex dcxdx", 11L),
+      ("adcbe", "d", 4L),
+      ("", " cb", 3L),
+      ("bdd dabddec", " d", 9L),
+      ("cxdcxdbb", "b", 7L),
+      ("bx", "ad ", 3L),
+      ("bccabdece", "cbx eexxx", 8L),
+      ("", "   x ed", 7L),
+      ("ddadxd", "", 6L),
+      ("abd", "ac", 2L),
+      ("aaaebeace", "", 9L),
+      (" ", "edb", 3L),
+      ("ccecdaa dd", "dcabaxc", 8L),
+      ("cd xbeabecb", "ea ecx ax c", 9L),
+      ("cbc bee ", "cxbe    ", 5L),
+      (" b ", "x bbed", 4L),
+      ("xaa c", "cbxecd ", 6L),
+      ("ccababdbcbd", "e adxc xa", 9L),
+      ("ad x bdbd ", "ca xdddxax", 7L),
+      ("bb", "", 2L),
+      ("ed", "be edxcbee", 8L),
+      ("CA", "ABC", 2L),
+      ("ABC", "CA", 2L),
+      ("ab", "ba", 1L),
+      ("smtih", "smith", 1L),
+      ("kitten", "sitting", 3L),
+      ("éa", "aé", 2L),
+      ("héllo", "hello", 2L),
+      ("", "", 0L),
+      ("", "abc", 3L),
+      ("abc", "", 3L),
+      ("a", "a", 0L),
+      ("ba", "ab", 1L),
+      ("red widget", "red widgte", 1L),
+      ("teh cat", "the cat", 1L),
+      ("abcdef", "abcfed", 2L),
+      ("aabb", "bbaa", 3L),
+      ("ifshe", "fishe", 1L),
+      ("café", "cafe", 2L),
+      ("日本語", "本日語", 4L),
+      ("aXcdXba", "abcdXba", 1L),
+      ("specter", "spectre", 1L),
+      ("tranpsose far", "transpose far", 1L),
+    )
+    val df = vectors.toDF("a", "b", "want")
+    val bad = df
+      .select(col("a"), col("b"), col("want"),
+        damerauLevenshtein(col("a"), col("b")).as("got"))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // symmetry on the random block
+    val sym = df.select(
+        damerauLevenshtein(col("a"), col("b")).as("ab"),
+        damerauLevenshtein(col("b"), col("a")).as("ba"))
+      .filter(col("ab") =!= col("ba")).count()
+    assert(sym == 0)
+  }
+
 }
