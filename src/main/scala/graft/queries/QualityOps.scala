@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -368,11 +369,14 @@ object QualityOps {
     * terms fall back to the per-lang smoothing floor; candidate rows =
     * test tokens × |langs| (a constant fanout), ranked by a doc-keyed
     * 5-row window. */
-  val q368_naive_bayes_langid = Q(
-    "q368_naive_bayes_langid", {
-      import graft.functions.TextFunctions.hexSpanValSql
-      val fold = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 5"
-      Some(s"""WITH base AS (
+  /** Shared oracle-SQL prefix for the naive-Bayes chain (q368 + q372):
+    * CTEs from tokenization through `sc` = per-(test doc, candidate
+    * lang) exact DECIMAL(20,8) log-posterior score. Kept as one string
+    * so the two entries can never drift apart on the model. */
+  private val NbSqlThroughSc: String = {
+    import graft.functions.TextFunctions.hexSpanValSql
+    val fold = s"${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 2)} % 5"
+    (s"""WITH base AS (
               |  SELECT doc_id, lang, $fold AS fold,
               |    unnest(string_split(text, ' ')) AS term
               |  FROM documents),
@@ -401,7 +405,8 @@ object QualityOps {
               |       FROM tok WHERE fold = 4),
               |cand AS (
               |  SELECT t.doc_id, t.true_lang, s.lang, s.plp,
-              |    t.tf * coalesce(CAST(round(ln(CAST(m.c + 1 AS DOUBLE)
+              |    CAST(t.tf AS DECIMAL(12,0))
+              |      * coalesce(CAST(round(ln(CAST(m.c + 1 AS DOUBLE)
               |        / (s.tot + s.v)), 8) AS DECIMAL(20,8)), s.dlp)
               |      AS contrib
               |  FROM te t CROSS JOIN lstat s
@@ -409,7 +414,12 @@ object QualityOps {
               |sc AS (
               |  SELECT doc_id, true_lang, lang,
               |    max(plp) + sum(contrib) AS score
-              |  FROM cand GROUP BY 1, 2, 3),
+              |  FROM cand GROUP BY 1, 2, 3)""").stripMargin
+  }
+
+  val q368_naive_bayes_langid = Q(
+    "q368_naive_bayes_langid",
+    Some(NbSqlThroughSc + """,
               |pred AS (
               |  SELECT doc_id, true_lang, lang AS pred,
               |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -417,10 +427,24 @@ object QualityOps {
               |  FROM sc)
               |SELECT true_lang AS lang, pred, CAST(count(*) AS BIGINT) AS n
               |FROM pred WHERE rk = 1
-              |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin)
-    },
+              |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin),
     (s, d) => {
-      import graft.functions.TextFunctions.hexSpanValSql
+      val sc = nbScores(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("true_lang").as("lang"), col("lang").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    })
+
+  /** Spark side of `NbSqlThroughSc`: per-(test doc, candidate lang)
+    * exact decimal log-posterior scores — the shared model behind the
+    * q368 confusion matrix and the q372 calibration audit. Persists the
+    * token and model frames (each feeds two+ aggregations). */
+  private def nbScores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.hexSpanValSql
       val fold = expr(s"${hexSpanValSql("__h", 0, 2)} % 5")
       val docs = Tables.documents(s, d)
         .withColumn("__h", md5(col("doc_id").cast("string")))
@@ -451,19 +475,121 @@ object QualityOps {
       val cand = te.crossJoin(broadcast(lstat))
         .join(broadcast(model), Seq("term", "lang"), "left")
         .select(col("doc_id"), col("true_lang"), col("lang"), col("plp"),
-          (col("tf") * coalesce(
+          // tf rides as DECIMAL(12,0), not LONG: long × decimal(20,8)
+          // would overflow precision 38 and Spark would then drop the
+          // result scale to 6 (allowPrecisionLoss), silently truncating
+          // the 7th/8th log-prob decimals the oracle keeps — the r8
+          // decimal-truncation trap, found here by q372's conf drift.
+          (col("tf").cast("decimal(12,0)") * coalesce(
             round(log((col("c") + 1).cast("double")
               / (col("tot") + col("v"))), 8).cast("decimal(20,8)"),
             col("dlp"))).as("contrib"))
-      val sc = cand.groupBy("doc_id", "true_lang", "lang")
+      cand.groupBy("doc_id", "true_lang", "lang")
         .agg((max(col("plp")) + sum(col("contrib"))).as("score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-      sc.withColumn("rk", row_number().over(w))
+  }
+
+  /** Calibration audit of the q368 classifier — the post-training step a
+    * labeling pipeline runs before TRUSTING the model's confidence for
+    * routing/auto-accept: per test doc the softmax confidence of the
+    * argmax language (exp of exact-decimal score gaps, so the softmax's
+    * only float op is one exp + one divide on deterministic inputs),
+    * then the RELIABILITY TABLE (decile confidence bins × empirical
+    * accuracy), the Brier score, and the expected calibration error.
+    * ECE folds to Σ_b |n_correct_b − Σconf_b| / N — all-decimal until
+    * the final display divides. An over-confident bin (avg_conf ≫ acc)
+    * is the signal to recalibrate before using scores as probabilities.
+    *
+    * Scale shape: inherits the q368 chain (one corpus token agg, vocab
+    * broadcast, constant |langs| fanout); everything after `sc` is
+    * doc-keyed aggs onto a ≤ 10-row bin grid. */
+  val q372_nb_calibration = Q(
+    "q372_nb_calibration",
+    Some(NbSqlThroughSc + """,
+              |pred AS (
+              |  SELECT doc_id, true_lang, lang,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id
+              |      ORDER BY score DESC, lang) AS rk
+              |  FROM sc),
+              |mx AS (SELECT doc_id, max(score) AS smax FROM sc GROUP BY 1),
+              |rel AS (
+              |  SELECT sc.doc_id,
+              |    CAST(round(exp(CAST(sc.score - mx.smax AS DOUBLE)), 8)
+              |      AS DECIMAL(20,8)) AS r
+              |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id),
+              |rs AS (SELECT doc_id, sum(r) AS rsum FROM rel GROUP BY 1),
+              |per AS (
+              |  SELECT p.doc_id,
+              |    CASE WHEN p.lang = p.true_lang THEN 1 ELSE 0 END AS correct,
+              |    CAST(round(1.0 / CAST(rs.rsum AS DOUBLE), 6)
+              |      AS DECIMAL(10,6)) AS conf
+              |  FROM pred p JOIN rs ON p.doc_id = rs.doc_id
+              |  WHERE p.rk = 1),
+              |binned AS (
+              |  SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+              |    correct, conf
+              |  FROM per),
+              |bins AS (
+              |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(correct) AS BIGINT) AS n_correct,
+              |    sum(conf) AS sumconf
+              |  FROM binned GROUP BY 1),
+              |gl AS (
+              |  SELECT round(CAST(sum((conf - correct) * (conf - correct))
+              |      AS DOUBLE) / count(*), 6) AS brier,
+              |    CAST(count(*) AS BIGINT) AS nn
+              |  FROM binned),
+              |es AS (
+              |  SELECT sum(abs(CAST(n_correct AS DECIMAL(20,6)) - sumconf))
+              |    AS sabs FROM bins)
+              |SELECT bin, n, n_correct,
+              |  round(CAST(sumconf AS DOUBLE) / n, 6) AS avg_conf,
+              |  round(CAST(n_correct AS DOUBLE) / n, 6) AS acc,
+              |  gl.brier AS brier,
+              |  round(CAST(es.sabs AS DOUBLE) / gl.nn, 6) AS ece
+              |FROM bins CROSS JOIN gl CROSS JOIN es
+              |ORDER BY bin""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = graft.operators.PlanCache.persist(nbScores(s, d))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang"))
+      val pred = sc.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .groupBy(col("true_lang").as("lang"), col("lang").as("pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred")
+        .select(col("doc_id"),
+          when(col("lang") === col("true_lang"), 1).otherwise(0)
+            .as("correct"))
+      val mx = sc.groupBy("doc_id").agg(max("score").as("smax"))
+      val rel = sc.join(mx, "doc_id")
+        .select(col("doc_id"),
+          round(exp((col("score") - col("smax")).cast("double")), 8)
+            .cast("decimal(20,8)").as("r"))
+      val rs = rel.groupBy("doc_id").agg(sum("r").as("rsum"))
+      val per = pred.join(rs, "doc_id")
+        .select(col("doc_id"), col("correct"),
+          round(lit(1.0) / col("rsum").cast("double"), 6)
+            .cast("decimal(10,6)").as("conf"))
+      val binned = graft.operators.PlanCache.persist(per.select(
+        least(floor(col("conf") * 10).cast("long"), lit(9L)).as("bin"),
+        col("correct"), col("conf")))
+      val bins = graft.operators.PlanCache.persist(
+        binned.groupBy("bin").agg(count(lit(1)).as("n"),
+          sum("correct").cast("long").as("n_correct"),
+          sum("conf").as("sumconf")))
+      val glob = binned.agg(
+        round(sum((col("conf") - col("correct")) *
+          (col("conf") - col("correct"))).cast("double")
+          / count(lit(1)), 6).as("brier"),
+        count(lit(1)).as("nn"))
+      val es = bins.agg(
+        sum(abs(col("n_correct").cast("decimal(20,6)") - col("sumconf")))
+          .as("sabs"))
+      bins.crossJoin(broadcast(glob)).crossJoin(broadcast(es))
+        .select(col("bin"), col("n"), col("n_correct"),
+          round(col("sumconf").cast("double") / col("n"), 6).as("avg_conf"),
+          round(col("n_correct").cast("double") / col("n"), 6).as("acc"),
+          col("brier"),
+          round(col("sabs").cast("double") / col("nn"), 6).as("ece"))
+        .orderBy("bin")
     })
 
   /** Decision-STUMP training (exact threshold search): for each of three
@@ -566,5 +692,5 @@ object QualityOps {
   val all: Seq[Q] = Seq(q89_unigram_logprob, q90_zscore_outliers,
     q91_dq_checks, q97_bivariate_stats, q98_mad, q121_profile,
     q129_histogram, q139_winsorized_mean, q145_median_impute,
-    q368_naive_bayes_langid, q369_decision_stump)
+    q368_naive_bayes_langid, q369_decision_stump, q372_nb_calibration)
 }

@@ -187,5 +187,102 @@ object VectorOps6 {
             .as("ari"))
     })
 
-  val all: Seq[Q] = Seq(q363_knn_shapley, q364_clustering_ari)
+  /** INT8 scalar quantization (per-dimension min–max, the vector-DB
+    * storage workhorse: 64 B/vector instead of 256 B float32) with its
+    * serving-quality audit: codes are `⌊(x−mn_d)·255/(mx_d−mn_d)+0.5⌋`
+    * clamped to [0,255], candidate ranking uses the INTEGER code dot
+    * product (exact arithmetic — no float drift can exist in the
+    * quantized ranking), and recall@10 vs the exact float cosine top-10
+    * is reported per query. Complements q78/q87 (product quantization —
+    * codebook per subspace) with the simpler, rotation-free scheme real
+    * systems try first. Constant dims quantize to 0 by the mx=mn guard.
+    *
+    * Scale shape: the per-dimension min/max "training" is ONE corpus agg
+    * onto a 64-row grid, carried as a 1-row broadcast of two arrays (the
+    * centroid-localization device — bounded metadata, no data collect);
+    * quantization is a scan-side transform; the audit is the bounded-
+    * query-batch brute shape (q38): 10 broadcast queries × one corpus
+    * pass computing BOTH rankings, so exact-vs-quantized needs no second
+    * scan. At 100 TB the same plan serves with the code column stored
+    * and the float column only fetched for rerank. */
+  val q373_int8_quant_recall = Q(
+    "q373_int8_quant_recall",
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |dims AS (
+            |  SELECT r.i AS i, min(v[r.i]) AS mn, max(v[r.i]) AS mx
+            |  FROM e CROSS JOIN generate_series(1, 64) r(i) GROUP BY 1),
+            |mm AS (SELECT list(mn ORDER BY i) AS mns,
+            |              list(mx ORDER BY i) AS mxs FROM dims),
+            |codes AS (
+            |  SELECT vec_id, v,
+            |    list_transform(generate_series(1, 64), i ->
+            |      CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+            |        ELSE greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+            |          CAST(floor((v[i] - mns[i]) * 255 / (mxs[i] - mns[i])
+            |            + 0.5) AS BIGINT))) END) AS c
+            |  FROM e CROSS JOIN mm),
+            |q AS (SELECT vec_id AS qid, v AS qv, c AS qc
+            |      FROM codes WHERE vec_id % 50 = 0),
+            |pairs AS (
+            |  SELECT q.qid, s.vec_id AS vid,
+            |    round(${cosineSql("s.v", "q.qv")}, 6) AS sim,
+            |    list_reduce(list_transform(generate_series(1, 64),
+            |      i -> q.qc[i] * s.c[i]), (x, y) -> x + y) AS qd
+            |  FROM codes s CROSS JOIN q WHERE s.vec_id <> q.qid),
+            |rk AS (
+            |  SELECT qid, vid,
+            |    ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY sim DESC, vid) AS erk,
+            |    ROW_NUMBER() OVER (PARTITION BY qid
+            |      ORDER BY qd DESC, vid) AS qrk
+            |  FROM pairs)
+            |SELECT qid,
+            |  CAST(sum(CASE WHEN erk <= 10 AND qrk <= 10 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_hit,
+            |  CAST(sum(CASE WHEN erk <= 10 AND qrk <= 10 THEN 1 ELSE 0 END)
+            |    AS DOUBLE) / 10 AS recall
+            |FROM rk GROUP BY 1 ORDER BY qid""".stripMargin),
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dims = e.select(posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+      val mm = dims.agg(
+        expr("transform(array_sort(collect_list(struct(p, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(p, mx))), s -> s.mx)")
+          .as("mxs"))
+      val codes = graft.operators.PlanCache.persist(
+        e.crossJoin(broadcast(mm)).select(col("vec_id"), col("v"),
+          expr("""transform(v, (x, i) ->
+                 |  CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+                 |    ELSE greatest(CAST(0 AS BIGINT),
+                 |      least(CAST(255 AS BIGINT),
+                 |        CAST(floor((x - mns[i]) * 255 / (mxs[i] - mns[i])
+                 |          + 0.5) AS BIGINT))) END)""".stripMargin).as("c")))
+      val q = codes.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("c").as("qc"))
+      val pairs = codes.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          round(cosine(col("v"), col("qv")), 6).as("sim"),
+          expr("aggregate(zip_with(qc, c, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)").as("qd"))
+      val er = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+      val qr = Window.partitionBy("qid").orderBy(col("qd").desc, col("vid"))
+      val hit = when(col("erk") <= 10 && col("qrk") <= 10, 1L).otherwise(0L)
+      pairs
+        .withColumn("erk", row_number().over(er))
+        .withColumn("qrk", row_number().over(qr))
+        .groupBy("qid")
+        .agg(sum(hit).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("qid")
+    })
+
+  val all: Seq[Q] = Seq(q363_knn_shapley, q364_clustering_ari,
+    q373_int8_quant_recall)
 }
