@@ -705,8 +705,90 @@ object QualityOps2 {
         .orderBy("lang")
     })
 
+  /** HBOS — histogram-based outlier score (Goldstein–Dengel 2012), the
+    * density-estimation member of the anomaly family beside q90's
+    * z-score, q98's MAD, and q343's consensus vote: each of three cheap
+    * event features (value, props length, hour-of-day) gets a 10-bin
+    * equal-width histogram, a point's score is Σ_f −ln(density of its
+    * bin), and the top 20 scorers surface. Unlike z-scores, HBOS flags
+    * points in ANY low-density region — multimodal columns included —
+    * with no distributional assumption. Per-bin −ln(density) rounds at
+    * 8 and the 3-term per-event sum rides exact decimal, so the final
+    * ranking (score desc, event_id) is engine- and order-identical.
+    *
+    * Scale shape: min/max "training" is one corpus agg onto a 3-row
+    * grid; the histogram is a (feature, bin) agg onto ≤ 30 rows; both
+    * join back broadcast; the result is a TakeOrdered 20 — no window,
+    * no collect, three map-side-friendly passes. */
+  val q375_hbos = Q(
+    "q375_hbos",
+    Some("""WITH f AS (
+           |  SELECT event_id, CAST(value AS DOUBLE) AS v,
+           |    CAST(len(props) AS DOUBLE) AS lp,
+           |    CAST(extract(hour FROM ts) AS DOUBLE) AS hr
+           |  FROM events),
+           |melt AS (
+           |  SELECT event_id, 'v' AS feature, v AS x FROM f
+           |  UNION ALL SELECT event_id, 'lp', lp FROM f
+           |  UNION ALL SELECT event_id, 'hr', hr FROM f),
+           |mm AS (
+           |  SELECT feature, min(x) AS mn, max(x) AS mx,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM melt GROUP BY 1),
+           |bx AS (
+           |  SELECT m.event_id, m.feature,
+           |    CASE WHEN mm.mx = mm.mn THEN 0
+           |      ELSE least(CAST(floor((m.x - mm.mn) * 10 / (mm.mx - mm.mn))
+           |        AS BIGINT), 9) END AS bin
+           |  FROM melt m JOIN mm USING (feature)),
+           |hist AS (
+           |  SELECT feature, bin, CAST(count(*) AS BIGINT) AS c
+           |  FROM bx GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT b.event_id,
+           |    sum(CAST(round(-ln(CAST(h.c AS DOUBLE) / mm.n), 8)
+           |      AS DECIMAL(20,8))) AS score
+           |  FROM bx b
+           |  JOIN hist h ON b.feature = h.feature AND b.bin = h.bin
+           |  JOIN mm ON mm.feature = b.feature
+           |  GROUP BY 1)
+           |SELECT event_id, CAST(score AS DOUBLE) AS score
+           |FROM scored
+           |ORDER BY score DESC, event_id
+           |LIMIT 20""".stripMargin),
+    (s, d) => {
+      val f = Tables.events(s, d).select(col("event_id"),
+        col("value").cast("double").as("v"),
+        length(col("props")).cast("double").as("lp"),
+        expr("(ts div 3600000000000) % 24").cast("double").as("hr"))
+      val melt = f.select(col("event_id"), explode(array(
+          struct(lit("v").as("feature"), col("v").as("x")),
+          struct(lit("lp").as("feature"), col("lp").as("x")),
+          struct(lit("hr").as("feature"), col("hr").as("x")))).as("m"))
+        .select(col("event_id"), col("m.feature").as("feature"),
+          col("m.x").as("x"))
+      val mm = melt.groupBy("feature").agg(min("x").as("mn"),
+        max("x").as("mx"), count(lit(1)).as("n"))
+      val bx = graft.operators.PlanCache.persist(
+        melt.join(broadcast(mm), "feature")
+          .select(col("event_id"), col("feature"),
+            when(col("mx") === col("mn"), 0L)
+              .otherwise(least(floor((col("x") - col("mn")) * 10
+                / (col("mx") - col("mn"))).cast("long"), lit(9L)))
+              .as("bin")))
+      val hist = bx.groupBy("feature", "bin").agg(count(lit(1)).as("c"))
+      bx.join(broadcast(hist), Seq("feature", "bin"))
+        .join(broadcast(mm.select(col("feature"), col("n"))), "feature")
+        .groupBy("event_id")
+        .agg(sum(round(-log(col("c").cast("double") / col("n")), 8)
+          .cast("decimal(20,8)")).as("score"))
+        .select(col("event_id"), col("score").cast("double").as("score"))
+        .orderBy(col("score").desc, col("event_id"))
+        .limit(20)
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
     q162_quantile_binning, q166_weighted_median, q167_cusum,
     q174_source_influence, q182_batch_drift, q183_user_anomaly_days,
-    q212_luhn_audit, q214_benford, q317_source_hhi)
+    q212_luhn_audit, q214_benford, q317_source_hhi, q375_hbos)
 }

@@ -328,6 +328,94 @@ object TextOps11 {
         .orderBy("variant", "dl", "lev")
     })
 
+  /** SORTED-NEIGHBORHOOD dedup (Hernández–Stolfo) — the third blocking
+    * strategy in the family, beside LSH banding (q36) and key blocking
+    * (q370): records sort by a normalized key (text lowercased,
+    * space-stripped, first 16 chars) and each record is compared only
+    * to its w−1 successors in sort order, so candidate pairs are
+    * O(n·w) regardless of duplicate-cluster shape. Pairs come from
+    * `lead()` at offsets 1–3 inside 2-char key-prefix blocks (the
+    * blocked-SNM variant: the window never spans the corpus, so no
+    * global single-partition sort exists — the repo's window
+    * discipline), exact shingle Jaccard scores each pair, and the
+    * report grids by offset: nearer neighbors in sort order should
+    * carry higher mean similarity — the monotone decay IS the evidence
+    * the sort key clusters duplicates.
+    *
+    * Scale shape: one scan builds (key, shingle set); the only shuffle
+    * is the block-keyed sort; pairs = 3n rows; per-pair Jaccard rounds
+    * at 6 and sums in decimal, so the offset means are partial-agg-
+    * order-proof. */
+  val q374_sorted_neighborhood = Q(
+    "q374_sorted_neighborhood",
+    Some("""WITH sh AS (
+           |  SELECT doc_id,
+           |    substr(replace(lower(text), ' ', ''), 1, 16) AS k,
+           |    list_distinct(list_transform(
+           |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           |      i -> string_split(text, ' ')[i] || ' '
+           |        || string_split(text, ' ')[i+1] || ' '
+           |        || string_split(text, ' ')[i+2])) AS sset
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, sset,
+           |    lead(sset, 1) OVER win AS s1,
+           |    lead(sset, 2) OVER win AS s2,
+           |    lead(sset, 3) OVER win AS s3
+           |  FROM sh
+           |  WINDOW win AS (PARTITION BY substr(k, 1, 2)
+           |    ORDER BY k, doc_id)),
+           |pairs AS (
+           |  SELECT 1 AS off, sset AS sa, s1 AS sb FROM w WHERE s1 IS NOT NULL
+           |  UNION ALL SELECT 2, sset, s2 FROM w WHERE s2 IS NOT NULL
+           |  UNION ALL SELECT 3, sset, s3 FROM w WHERE s3 IS NOT NULL),
+           |j AS (
+           |  SELECT off, coalesce(
+           |    CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+           |      / nullif(len(sa) + len(sb)
+           |        - len(list_filter(sa, x -> list_contains(sb, x))), 0),
+           |    0) AS jac
+           |  FROM pairs)
+           |SELECT off, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dups,
+           |  round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(12,6)))
+           |    AS DOUBLE) / count(*), 6) AS mean_jac
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        expr("substr(replace(lower(text), ' ', ''), 1, 16)").as("k"),
+        array_distinct(shingles(tokens(col("text")))).as("sset"))
+      val win = Window.partitionBy(substring(col("k"), 1, 2))
+        .orderBy("k", "doc_id")
+      val w = sh.select(col("doc_id"), col("sset"),
+        lead(col("sset"), 1).over(win).as("s1"),
+        lead(col("sset"), 2).over(win).as("s2"),
+        lead(col("sset"), 3).over(win).as("s3"))
+      val pairs = w.select(explode(array(
+          struct(lit(1).as("off"), col("sset").as("sa"), col("s1").as("sb")),
+          struct(lit(2).as("off"), col("sset").as("sa"), col("s2").as("sb")),
+          struct(lit(3).as("off"), col("sset").as("sa"), col("s3").as("sb"))))
+          .as("p"))
+        .select(col("p.off").as("off"), col("p.sa").as("sa"),
+          col("p.sb").as("sb"))
+        .filter(col("sb").isNotNull)
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val uni = size(col("sa")) + size(col("sb")) - inter
+      val jac = when(uni === 0, lit(0.0))
+        .otherwise(inter.cast("double") / uni)
+      pairs.select(col("off"), jac.as("jac"))
+        .groupBy("off")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jac") >= 0.3, 1L).otherwise(0L)).as("n_dups"),
+          round(sum(round(col("jac"), 6).cast("decimal(12,6)"))
+            .cast("double") / count(lit(1)), 6).as("mean_jac"))
+        .orderBy("off")
+    })
+
   val all: Seq[Q] = Seq(q359_tokenizer_fertility, q360_split_contamination,
-    q361_length_matched_resampling, q370_damerau_match)
+    q361_length_matched_resampling, q370_damerau_match,
+    q374_sorted_neighborhood)
 }
