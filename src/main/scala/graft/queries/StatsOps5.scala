@@ -1086,9 +1086,143 @@ object StatsOps5 {
             .otherwise(0).as("merge_lossless"))
     })
 
+  /** V-OPTIMAL histogram planning (Jagadish et al., VLDB '98 — the
+    * bucketing a CBO's column statistics want): events.value pre-bins
+    * onto a 64-cell equal-width grid (exact integer cents, so the grid
+    * moments n/Σx/Σx² are exact), then the classic O(cells²·B) dynamic
+    * program finds, for every bucket budget k = 1..8, the partition of
+    * the grid minimizing total within-bucket SSE. The output is the
+    * planner curve (k, total SSE, error vs the flat 1-bucket baseline)
+    * — the elbow tells the stats collector how many buckets this
+    * column's shape deserves. Cross-engine determinism: segment SSE is
+    * `(Δq) − (Δs)²/(Δn)` on exact integer prefix deltas, and both
+    * engines evaluate dp(k−1,j) + sse(j+1,i) with identical IEEE
+    * operand structure, so min() sees bit-identical candidates.
+    *
+    * Scale shape: ONE corpus scan builds the 64-row grid; the DP runs
+    * on the grid alone (the adjudicated bounded-metadata device — the
+    * k-unrolled SQL twin is the proof the driver loop computes the same
+    * table; 64²·8 ops, microseconds). At 100 TB only the grid agg
+    * scales with data. */
+  val q377_voptimal_histogram = Q(
+    "q377_voptimal_histogram", {
+      // shared SSE fragment over prefix arrays (1-based cell index)
+      // prefix positions are 0-based; DuckDB lists are 1-based, hence +1
+      def sse(a: String, b: String) =
+        s"""CASE WHEN pn[($b) + 1] - pn[($a) + 1] = 0 THEN 0.0
+           |  ELSE CAST(pq[($b) + 1] - pq[($a) + 1] AS DOUBLE)
+           |    - CAST(ps[($b) + 1] - ps[($a) + 1] AS DOUBLE)
+           |      * CAST(ps[($b) + 1] - ps[($a) + 1] AS DOUBLE)
+           |      / CAST(pn[($b) + 1] - pn[($a) + 1] AS DOUBLE) END""".stripMargin
+      val dpSteps = (2 to 8).map { k =>
+        s"""dp$k AS (
+           |  SELECT g.i,
+           |    min(d.cost + ${sse("d.i", "g.i")}) AS cost
+           |  FROM dp${k - 1} d JOIN idx g ON d.i < g.i
+           |  CROSS JOIN pre
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val curve = (1 to 8).map { k =>
+        s"SELECT $k AS k, cost FROM dp$k WHERE i = 64"
+      }.mkString("\nUNION ALL ")
+      Some(s"""WITH c AS (
+           |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+           |  FROM events),
+           |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+           |cells AS (
+           |  SELECT least((64 * (cents - mn)) // (mx - mn + 1), 63) AS cell,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS s,
+           |    CAST(sum(cents * cents) AS BIGINT) AS q
+           |  FROM c CROSS JOIN mm GROUP BY 1),
+           |grid AS (
+           |  SELECT g.i AS cell,
+           |    coalesce(cells.n, 0) AS n, coalesce(cells.s, 0) AS s,
+           |    coalesce(cells.q, 0) AS q
+           |  FROM generate_series(0, 63) g(i)
+           |  LEFT JOIN cells ON cells.cell = g.i),
+           |pre AS (
+           |  SELECT list_prepend(CAST(0 AS BIGINT),
+           |      list(CAST(cn AS BIGINT) ORDER BY cell)) AS pn,
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list(CAST(cs AS BIGINT) ORDER BY cell)) AS ps,
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list(CAST(cq AS BIGINT) ORDER BY cell)) AS pq
+           |  FROM (
+           |    SELECT cell,
+           |      sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+           |      sum(q) OVER w AS cq
+           |    FROM grid
+           |    WINDOW w AS (ORDER BY cell ROWS UNBOUNDED PRECEDING))),
+           |idx AS (SELECT g.i FROM generate_series(1, 64) g(i)),
+           |dp1 AS (
+           |  SELECT g.i, ${sse("0", "g.i")} AS cost
+           |  FROM idx g CROSS JOIN pre),
+           |$dpSteps,
+           |curve AS ($curve)
+           |SELECT k AS n_buckets,
+           |  CAST(floor(cost) AS BIGINT) AS total_sse,
+           |  round(CASE WHEN first_value(cost) OVER (ORDER BY k) = 0
+           |    THEN 0.0 ELSE cost / first_value(cost) OVER (ORDER BY k)
+           |    END, 6) AS err_vs_flat
+           |FROM curve ORDER BY k""".stripMargin)
+    },
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      val mm = c.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val cells = c.crossJoin(broadcast(mm))
+        .select(least(expr("(64 * (cents - mn)) div (mx - mn + 1)"),
+          lit(63L)).as("cell"), col("cents"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("s"),
+          sum(col("cents") * col("cents")).cast("long").as("q"))
+      // The 64-cell grid is bounded METADATA (the q315 adjudication):
+      // collecting it costs one 64-row fetch; the DP below is 64²·8
+      // integer-delta float ops, mirrored 1:1 by the SQL's unrolled
+      // dp2..dp8 CTEs so both engines walk identical IEEE operands.
+      val rows = cells.collect().map(r =>
+        (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+      val n = new Array[Long](65); val s2 = new Array[Long](65)
+      val q2 = new Array[Long](65)
+      rows.foreach { case (cell, cn, cs, cq) =>
+        n(cell + 1) = cn; s2(cell + 1) = cs; q2(cell + 1) = cq }
+      for (i <- 1 to 64) {
+        n(i) += n(i - 1); s2(i) += s2(i - 1); q2(i) += q2(i - 1)
+      }
+      def sse(a: Int, b: Int): Double =
+        if (n(b) - n(a) == 0) 0.0
+        else (q2(b) - q2(a)).toDouble -
+          (s2(b) - s2(a)).toDouble * (s2(b) - s2(a)).toDouble /
+            (n(b) - n(a)).toDouble
+      val dp = Array.ofDim[Double](9, 65)
+      for (i <- 1 to 64) dp(1)(i) = sse(0, i)
+      // dp(k)(i) exists only for i ≥ k (the SQL dp_k CTE likewise has
+      // no row below i = k: the join chain needs k ascending indices)
+      for (k <- 2 to 8; i <- k to 64)
+        dp(k)(i) = ((k - 1) until i).map(j => dp(k - 1)(j) + sse(j, i)).min
+      val flat = dp(1)(64)
+      // total_sse displays as ⌊cost⌋: at ~1e10 cents² the 4th decimal
+      // sits below the double's ulp, where the two engines' round()
+      // implementations legitimately disagree — floor of the identical
+      // double is exact on both
+      val out = (1 to 8).map { k =>
+        val cost = dp(k)(64)
+        (k, math.floor(cost).toLong,
+         if (flat == 0.0) 0.0
+         else BigDecimal(cost / flat)
+           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      import s.implicits._
+      out.toDF("n_buckets", "total_sse", "err_vs_flat")
+        .select(col("n_buckets").cast("int").as("n_buckets"),
+          col("total_sse"), col("err_vs_flat"))
+        .orderBy("n_buckets")
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
     q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
     q341_rank1_als, q344_poisson_bootstrap, q354_hash_uniformity,
-    q358_shard_quantile_merge)
+    q358_shard_quantile_merge, q377_voptimal_histogram)
 }

@@ -558,8 +558,122 @@ object StreamQ {
           when(col("ms") === col("mb"), 1L).otherwise(0L).as("lossless"))
     })
 
+  /** Streaming LATE-DATA accounting (replay-equivalence member #11):
+    * the watermark discipline made AUDITABLE — instead of the built-in
+    * silent drop, each micro-batch computes the watermark exactly the
+    * way Structured Streaming does (max event time seen in EARLIER
+    * batches, minus the delay), routes rows older than it to a late
+    * sink, and persists per-batch counts. Input disorder is controlled:
+    * events slice into 4 arrival batches by time quartile, except every
+    * 11th event is held back two batches — those stragglers are the
+    * late rows. The oracle replays the whole arrival schedule and
+    * watermark recursion in closed form from event_id/ts, so any drift
+    * in the watermark arithmetic (delay units, batch boundary, the
+    * strictly-earlier-batch rule) breaks the hash. Batch 0 has no
+    * watermark and can never drop — pinned by the NULL wm row.
+    *
+    * Scale shape: the state that crosses batches is ONE max-timestamp
+    * row per batch (summaries travel, rows don't — the q367 law); the
+    * audit output is a 4-row grid. Production variant: the late sink
+    * is a real dead-letter table and the counts feed the freshness SLA
+    * dashboard (q288). */
+  val q376_stream_late_data = Q(
+    "q376_stream_late_data",
+    Some("""WITH e AS (
+           |  SELECT event_id, epoch_us(ts) AS us FROM events),
+           |mm AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+           |arr AS (
+           |  SELECT event_id, us,
+           |    CASE WHEN event_id % 11 = 0
+           |      THEN least((4 * (us - mn)) // (mx - mn + 1) + 2, 3)
+           |      ELSE least((4 * (us - mn)) // (mx - mn + 1), 3)
+           |    END AS b
+           |  FROM e CROSS JOIN mm),
+           |bmax AS (SELECT b, max(us) AS bmx FROM arr GROUP BY 1),
+           |wm AS (
+           |  SELECT b, max(bmx) OVER (ORDER BY b
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    - 3600000000 AS w
+           |  FROM bmax)
+           |SELECT arr.b AS batch, CAST(count(*) AS BIGINT) AS n_arrived,
+           |  CAST(sum(CASE WHEN wm.w IS NOT NULL AND arr.us < wm.w
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           |  CAST(wm.w AS BIGINT) AS wm_us
+           |FROM arr JOIN wm ON arr.b = wm.b
+           |GROUP BY 1, 4 ORDER BY 1""".stripMargin),
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_late_").toString
+      val delayUs = 3600000000L
+      val e = graft.Tables.events(s, d)
+        .select(col("event_id"), expr("ts div 1000").as("us"))
+      val mm = e.agg(min("us").as("mn"), max("us").as("mx"))
+      val quart = expr("(4 * (us - mn)) div (mx - mn + 1)")
+      val arr = e.crossJoin(broadcast(mm))
+        .select(col("event_id"), col("us"),
+          when(col("event_id") % 11 === 0, least(quart + 2, lit(3L)))
+            .otherwise(least(quart, lit(3L))).as("b"))
+      // 4 slice dirs named in arrival order: the file source sorts by
+      // path, so slice k IS micro-batch k under maxFilesPerTrigger=1
+      (0 to 3).foreach { b =>
+        arr.filter(col("b") === b).select("event_id", "us")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/in/slice$b")
+        // the file source batches by modification time, not path: pin
+        // strictly increasing mtimes so slice k IS micro-batch k even
+        // when the four writes land inside one clock tick
+        val dir = java.nio.file.Paths.get(s"$root/in/slice$b")
+        java.nio.file.Files.list(dir).forEach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + b * 60000L))
+        }
+      }
+      val inSchema = s.read.parquet(s"$root/in/slice0").schema
+      val audit = s"$root/audit"
+      val wmStore = s"$root/wm"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val q = s.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sp = batch.sparkSession
+            // watermark = max event time of STRICTLY EARLIER batches −
+            // delay (exactly Structured Streaming's recursion, but with
+            // the drop made visible): one tiny row per batch crosses
+            // the boundary, never data
+            val priorMax: Option[Long] =
+              try Option(sp.read.parquet(wmStore)
+                  .agg(max("bmx")).head().get(0)).map(_.toString.toLong)
+              catch { case _: Throwable => None }
+            val wm = priorMax.map(_ - delayUs)
+            val b = batch.persist()
+            val late = wm.map(w => b.filter(col("us") < w).count())
+              .getOrElse(0L)
+            val total = b.count()
+            val bmx = Option(b.agg(max("us")).head().get(0))
+              .map(_.toString.toLong).getOrElse(Long.MinValue)
+            b.unpersist()
+            val one = sp.range(1)
+            one.select(lit(id).as("batch"), lit(total).as("n_arrived"),
+                lit(late).as("n_late"),
+                wm.map(lit(_)).getOrElse(lit(null)).cast("long").as("wm_us"))
+              .write.mode("append").parquet(audit)
+            one.select(lit(id).as("b"), lit(bmx).as("bmx"))
+              .write.mode("append").parquet(wmStore)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(audit)
+        .select(col("batch"), col("n_arrived"), col("n_late"), col("wm_us"))
+        .orderBy("batch")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
-    q357_stream_dlq, q367_stream_quantile_monitor)
+    q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data)
 }
