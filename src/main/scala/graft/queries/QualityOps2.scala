@@ -787,8 +787,72 @@ object QualityOps2 {
         .limit(20)
     })
 
+
+  /** GINI coefficient + Lorenz curve of per-source token contribution —
+    * the inequality lens on corpus composition beside q317's HHI (which
+    * answers "how concentrated"; Gini answers "how UNEQUAL", and the
+    * Lorenz points show where the inequality lives). Gini uses the
+    * exact mean-absolute-difference identity G = Σᵢⱼ|cᵢ−cⱼ| / (2n·Σc)
+    * on integer token counts — an all-pairs sum, but over the SOURCE
+    * grid (k×k, k = #sources), never over documents. Lorenz = sources
+    * sorted by contribution ascending, cumulative share at each rank.
+    * All arithmetic is integer until the two final display divides.
+    *
+    * Scale shape: one corpus token agg onto the source grid; the pair
+    * sum and the rank window both run on grid rows. */
+  val q379_source_gini = Q(
+    "q379_source_gini",
+    Some("""WITH t AS (
+           |  SELECT source, CAST(sum(len(list_filter(
+           |    string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |               CAST(sum(c) AS BIGINT) AS sc FROM t),
+           |gin AS (
+           |  SELECT round(CAST(sum(abs(a.c - b.c)) AS DOUBLE)
+           |    / (2.0 * tot.n * tot.sc), 6) AS gini
+           |  FROM t a CROSS JOIN t b CROSS JOIN tot
+           |  GROUP BY tot.n, tot.sc),
+           |lor AS (
+           |  SELECT source, c,
+           |    ROW_NUMBER() OVER (ORDER BY c, source) AS rk,
+           |    sum(c) OVER (ORDER BY c, source
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT CAST(rk AS BIGINT) AS rk, source, c AS tokens,
+           |  round(CAST(cum AS DOUBLE) / tot.sc, 6) AS cum_share,
+           |  gin.gini AS gini
+           |FROM lor CROSS JOIN tot CROSS JOIN gin
+           |ORDER BY rk""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .cast("long")).cast("long").as("c")))
+      val tot = t.agg(count(lit(1)).as("n"), sum("c").cast("long").as("sc"))
+      val gin = t.select(col("c").as("ca"))
+        .crossJoin(t.select(col("c").as("cb")))
+        .crossJoin(broadcast(tot))
+        .groupBy("n", "sc")
+        .agg(round(sum(abs(col("ca") - col("cb"))).cast("double")
+          / (lit(2.0) * col("n") * col("sc")), 6).as("gini"))
+        .select("gini")
+      val w = Window.orderBy("c", "source")
+      val wc = Window.orderBy("c", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(wc))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(gin))
+        .select(col("rk"), col("source"), col("c").as("tokens"),
+          round(col("cum").cast("double") / col("sc"), 6).as("cum_share"),
+          col("gini"))
+        .orderBy("rk")
+    })
+
   val all: Seq[Q] = Seq(q151_dsir_resample, q152_bigram_ppl,
     q162_quantile_binning, q166_weighted_median, q167_cusum,
     q174_source_influence, q182_batch_drift, q183_user_anomaly_days,
-    q212_luhn_audit, q214_benford, q317_source_hhi, q375_hbos)
+    q212_luhn_audit, q214_benford, q317_source_hhi, q375_hbos,
+    q379_source_gini)
 }

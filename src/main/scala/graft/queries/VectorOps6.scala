@@ -283,6 +283,109 @@ object VectorOps6 {
         .orderBy("qid")
     })
 
+  /** FACILITY-LOCATION greedy selection (submodular coverage — the
+    * standard objective behind "pick k representative documents for
+    * annotation/eval"): maximize Σ_corpus max_{s∈S} cos(v, s) over a
+    * bounded candidate pool, greedily. The (1−1/e) guarantee makes the
+    * greedy chain THE practical algorithm; this is the coverage-side
+    * complement of q342's maximin (diversity) pick. Six rounds; each
+    * round scores every remaining candidate by total covered similarity
+    * given the current best-coverage vector and takes the argmax
+    * (ties → smallest id). Similarities round at 6 and ride decimal,
+    * so every round's argmax and the coverage curve are engine- and
+    * order-identical; the pre-pick state is best = −1 (cosine's floor),
+    * making round-1 gains a constant shift — argmax unaffected.
+    *
+    * Scale shape: ONE corpus×24-candidate similarity pass (the bounded
+    * query-batch brute shape), persisted; each round is a corpus-keyed
+    * join + candidate-grid agg + 1-row argmax fetch (the q342 device);
+    * the per-round best vector is persisted to break the iteration-
+    * lineage blowup (the q315 trap). */
+  val q378_facility_location = Q(
+    "q378_facility_location", {
+      val rounds = (1 to 6).map { r =>
+        val prev = if (r == 1) "best0" else s"best${r - 1}"
+        val excl =
+          if (r == 1) ""
+          else "WHERE s.cand NOT IN (" +
+            (1 until r).map(i => s"SELECT cand FROM pick$i")
+              .mkString(" UNION ALL ") + ")"
+        s"""pick$r AS (
+           |  SELECT s.cand, sum(greatest(b.best, s.sim)) AS cov
+           |  FROM $prev b JOIN base s ON s.vid = b.vid
+           |  $excl
+           |  GROUP BY 1 ORDER BY cov DESC, cand LIMIT 1),
+           |best$r AS (
+           |  SELECT b.vid, greatest(b.best, s.sim) AS best
+           |  FROM $prev b JOIN base s ON s.vid = b.vid
+           |   AND s.cand = (SELECT cand FROM pick$r))""".stripMargin
+      }.mkString(",\n")
+      val curve = (1 to 6).map(r =>
+        s"SELECT $r AS pick, cand, cov FROM pick$r").mkString("\nUNION ALL ")
+      Some(s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cands AS (SELECT vec_id AS cand, v AS cv FROM e
+           |          WHERE vec_id < 24),
+           |base AS (
+           |  SELECT e.vec_id AS vid, c.cand,
+           |    CAST(round(${cosineSql("e.v", "c.cv")}, 6)
+           |      AS DECIMAL(10,6)) AS sim
+           |  FROM e CROSS JOIN cands c),
+           |best0 AS (
+           |  SELECT vec_id AS vid, CAST(-1 AS DECIMAL(10,6)) AS best
+           |  FROM e),
+           |$rounds,
+           |curve AS ($curve)
+           |SELECT pick, cand AS chosen,
+           |  CAST(CAST(cov AS DECIMAL(18,6)) AS DOUBLE) AS coverage,
+           |  CAST(CAST(cov - coalesce(lag(cov) OVER (ORDER BY pick), cov)
+           |    AS DECIMAL(18,6)) AS DOUBLE) AS gain
+           |FROM curve ORDER BY pick""".stripMargin)
+    },
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cands = e.filter(col("vec_id") < 24)
+        .select(col("vec_id").as("cand"), col("v").as("cv"))
+      val base = graft.operators.PlanCache.persist(
+        e.crossJoin(broadcast(cands))
+          .select(col("vec_id").as("vid"), col("cand"),
+            round(cosine(col("v"), col("cv")), 6)
+              .cast("decimal(10,6)").as("sim")))
+      var best = graft.operators.PlanCache.persist(
+        e.select(col("vec_id").as("vid"),
+          lit(-1).cast("decimal(10,6)").as("best")))
+      var chosen = List.empty[(Int, Long, java.math.BigDecimal)]
+      for (r <- 1 to 6) {
+        val taken = chosen.map(_._2)
+        val scores = best.join(base, "vid")
+          .filter(if (taken.isEmpty) lit(true)
+            else !col("cand").isin(taken: _*))
+          .groupBy("cand")
+          .agg(sum(greatest(col("best"), col("sim"))).as("cov"))
+          .orderBy(col("cov").desc, col("cand"))
+          .limit(1).collect()(0)
+        val pick = scores.getLong(0)
+        val cov = scores.getDecimal(1)
+        chosen = chosen :+ ((r, pick, cov))
+        best = graft.operators.PlanCache.persist(
+          best.join(base.filter(col("cand") === pick)
+              .select(col("vid"), col("sim")), "vid")
+            .select(col("vid"),
+              greatest(col("best"), col("sim")).as("best")))
+      }
+      import s.implicits._
+      val rowsOut = chosen.map { case (r, c, cov) =>
+        (r, c, cov.doubleValue,
+          if (r == 1) 0.0
+          else cov.subtract(chosen(r - 2)._3).doubleValue)
+      }
+      rowsOut.toDF("pick", "chosen", "coverage", "gain")
+        .select(col("pick").cast("int").as("pick"), col("chosen"),
+          col("coverage"), col("gain"))
+        .orderBy("pick")
+    })
+
   val all: Seq[Q] = Seq(q363_knn_shapley, q364_clustering_ari,
-    q373_int8_quant_recall)
+    q373_int8_quant_recall, q378_facility_location)
 }
