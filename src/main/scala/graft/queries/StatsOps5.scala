@@ -1220,9 +1220,84 @@ object StatsOps5 {
         .orderBy("n_buckets")
     })
 
+  /** EXACT 1-D Wasserstein (earth-mover's) distance between every pair
+    * of event types' value distributions — the drift/shift measure with
+    * actual units (average cents a mass unit must travel), where PSI
+    * (q246) and KS (q354) only score overlap. Uses the CDF identity
+    * W₁ = ∫|F_a − F_b| dv on the exact cent grid, with the integrand
+    * cross-multiplied to integers — |cumA·nB − cumB·nA| · gap — summed
+    * as BIGINTs and divided ONCE at the end by nA·nB·100, so the
+    * statistic is exact to the final double (no per-grid-point float).
+    *
+    * Scale shape: one corpus agg to the (type, cents) grid; per-type
+    * CDFs are type-partitioned windows over grid rows; the pair join
+    * is grid×types, never row-level. */
+  val q381_wasserstein_1d = Q(
+    "q381_wasserstein_1d",
+    Some("""WITH c AS (
+           |  SELECT event_type AS t,
+           |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           |    CAST(count(*) AS BIGINT) AS k
+           |  FROM events GROUP BY 1, 2),
+           |vals AS (SELECT DISTINCT cents FROM c),
+           |types AS (SELECT t, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY 1),
+           |grid AS (
+           |  SELECT ty.t, ty.n, v.cents, coalesce(c.k, 0) AS k
+           |  FROM vals v CROSS JOIN types ty
+           |  LEFT JOIN c ON c.t = ty.t AND c.cents = v.cents),
+           |cdf AS (
+           |  SELECT t, n, cents,
+           |    CAST(sum(k) OVER (PARTITION BY t ORDER BY cents
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    lead(cents) OVER (PARTITION BY t ORDER BY cents) AS nxt
+           |  FROM grid),
+           |pairs AS (
+           |  SELECT a.t AS type_a, b.t AS type_b, a.n AS na, b.n AS nb,
+           |    CAST(sum(abs(a.cum * b.n - b.cum * a.n)
+           |      * (a.nxt - a.cents)) AS BIGINT) AS num
+           |  FROM cdf a JOIN cdf b
+           |    ON a.cents = b.cents AND a.t < b.t AND a.nxt IS NOT NULL
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT type_a, type_b,
+           |  round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb * 100), 6)
+           |    AS w1
+           |FROM pairs ORDER BY type_a, type_b""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .agg(count(lit(1)).as("k"))
+      val vals = c.select("cents").distinct()
+      val types = c.groupBy("t").agg(sum("k").cast("long").as("n"))
+      val grid = vals.crossJoin(broadcast(types))
+        .join(c, Seq("t", "cents"), "left")
+        .select(col("t"), col("n"), col("cents"),
+          coalesce(col("k"), lit(0L)).as("k"))
+      val wCum = Window.partitionBy("t").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy("t").orderBy("cents")
+      val cdf = grid.select(col("t"), col("n"), col("cents"),
+        sum("k").over(wCum).cast("long").as("cum"),
+        lead("cents", 1).over(wLead).as("nxt"))
+      val a = cdf.select(col("t").as("type_a"), col("n").as("na"),
+        col("cents"), col("cum").as("cuma"), col("nxt"))
+      val b = cdf.select(col("t").as("type_b"), col("n").as("nb"),
+        col("cents"), col("cum").as("cumb"))
+      a.join(b, Seq("cents"))
+        .filter(col("type_a") < col("type_b") && col("nxt").isNotNull)
+        .groupBy("type_a", "type_b", "na", "nb")
+        .agg(sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          * (col("nxt") - col("cents"))).cast("long").as("num"))
+        .select(col("type_a"), col("type_b"),
+          round(col("num").cast("double")
+            / (col("na").cast("double") * col("nb") * 100), 6).as("w1"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[Q] = Seq(q318_permutation_test, q320_mi_feature,
     q322_group_sequential, q327_dispersion, q329_delta_method,
     q330_gesd_outliers, q331_pacf, q332_logistic_newton, q338_simpson_guard,
     q341_rank1_als, q344_poisson_bootstrap, q354_hash_uniformity,
-    q358_shard_quantile_merge, q377_voptimal_histogram)
+    q358_shard_quantile_merge, q377_voptimal_histogram, q381_wasserstein_1d)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -386,6 +387,150 @@ object VectorOps6 {
         .orderBy("pick")
     })
 
+  /** GRID-DBSCAN density clustering (the cell-quantized DBSCAN every
+    * scale-out system actually runs): embeddings project onto their
+    * first two dimensions, a 16×16 grid bins them, cells with ≥ 3
+    * points are CORE, clusters are 8-neighborhood connected components
+    * of core cells (label = min linear cell id), non-core populated
+    * cells adjacent to a core cell join as BORDER (min adjacent core
+    * label), everything else is noise (cluster −1). Density clustering
+    * finds non-convex shapes k-means (q179/q342) cannot, with no k.
+    *
+    * Scale shape: binning is scan-side; at 100 TB only the binning agg
+    * touches data. The per-cell step runs on the driver over the
+    * CONSTRUCTION-BOUNDED ≤ 256-row grid (same bounded-metadata regime
+    * as Dedup.scala's sub-threshold union-find): union-find over core
+    * 8-adjacency with min-cid labels, which is exactly the SQL twin's
+    * reflexive-closure min(dst). The first draft instead unrolled the
+    * closure as 8 in-plan squaring self-joins — Spark's
+    * InjectRuntimeFilter then embeds a copy of the opposite side's full
+    * lineage in a bloom subquery at EVERY squaring, so plan size grows
+    * ~3× per iteration and the optimizer OOMs before any data moves;
+    * a 256-cell graph is metadata, not a dataset, and is treated as
+    * such. */
+  val q380_grid_dbscan = Q(
+    "q380_grid_dbscan", {
+      val sq = (1 to 8).map { h =>
+        s"""r$h AS (
+           |  SELECT DISTINCT a.src, b.dst
+           |  FROM r${h - 1} a JOIN r${h - 1} b ON a.dst = b.src)"""
+          .stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH e AS (
+           |  SELECT vec_id, embedding[1]::DOUBLE AS x,
+           |    embedding[2]::DOUBLE AS y
+           |  FROM embeddings),
+           |mm AS (SELECT min(x) AS mnx, max(x) AS mxx,
+           |              min(y) AS mny, max(y) AS mxy FROM e),
+           |cells AS (
+           |  SELECT least(CAST(floor((x - mnx) * 16 / (mxx - mnx))
+           |      AS BIGINT), 15) AS gx,
+           |    least(CAST(floor((y - mny) * 16 / (mxy - mny))
+           |      AS BIGINT), 15) AS gy,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM e CROSS JOIN mm GROUP BY 1, 2),
+           |core AS (SELECT gx, gy, gx * 16 + gy AS cid, n
+           |         FROM cells WHERE n >= 3),
+           |edges AS (
+           |  SELECT a.cid AS src, b.cid AS dst
+           |  FROM core a JOIN core b
+           |    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+           |r0 AS (SELECT src, dst FROM edges),
+           |$sq,
+           |lab AS (SELECT src AS cid, min(dst) AS cluster
+           |        FROM r8 GROUP BY 1),
+           |border AS (
+           |  SELECT c.gx, c.gy, c.n, min(l.cluster) AS cluster
+           |  FROM cells c JOIN core k
+           |    ON abs(c.gx - k.gx) <= 1 AND abs(c.gy - k.gy) <= 1
+           |   AND c.n < 3
+           |  JOIN lab l ON l.cid = k.cid
+           |  GROUP BY 1, 2, 3),
+           |assigned AS (
+           |  SELECT l.cluster, CAST(1 AS BIGINT) AS is_core, c.n
+           |  FROM core c JOIN lab l ON l.cid = c.cid
+           |  UNION ALL
+           |  SELECT cluster, CAST(0 AS BIGINT), n FROM border),
+           |noise AS (
+           |  SELECT CAST(-1 AS BIGINT) AS cluster,
+           |    CAST(count(*) AS BIGINT) AS n_cells,
+           |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_core_pts,
+           |    CAST(0 AS BIGINT) AS n_border_pts
+           |  FROM cells c
+           |  WHERE NOT EXISTS (SELECT 1 FROM core k
+           |    WHERE abs(c.gx - k.gx) <= 1 AND abs(c.gy - k.gy) <= 1))
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(sum(CASE WHEN is_core = 1 THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_core_pts,
+           |  CAST(sum(CASE WHEN is_core = 0 THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_border_pts
+           |FROM assigned GROUP BY 1
+           |UNION ALL SELECT * FROM noise
+           |ORDER BY cluster""".stripMargin)
+    },
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select(
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val mm = e.agg(min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"))
+      // The ONLY corpus pass: scan-side binning to the ≤256-cell grid.
+      // Collecting that grid is bounded metadata by construction
+      // (16×16 = 256 rows max regardless of input size).
+      val grid: Array[(Long, Long, Long)] = e.crossJoin(broadcast(mm))
+        .select(
+          least(floor((col("x") - col("mnx")) * 16
+            / (col("mxx") - col("mnx"))).cast("long"), lit(15L)).as("gx"),
+          least(floor((col("y") - col("mny")) * 16
+            / (col("mxy") - col("mny"))).cast("long"), lit(15L)).as("gy"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect()
+      val core = grid.filter(_._3 >= 3)
+      val cid = core.map { case (gx, gy, _) => gx * 16 + gy }
+      val idx = cid.zipWithIndex.toMap
+      // union-find over 8-adjacency of core cells, min-cid component
+      // label == the SQL twin's reflexive-closure min(dst)
+      val parent = Array.tabulate(core.length)(identity)
+      def find(i: Int): Int = {
+        var r = i; while (parent(r) != r) r = parent(r)
+        var c = i
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for (i <- core.indices; j <- core.indices
+           if i < j && math.abs(core(i)._1 - core(j)._1) <= 1 &&
+             math.abs(core(i)._2 - core(j)._2) <= 1) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(ri) = rj
+      }
+      val rootMin = core.indices.groupBy(find)
+        .map { case (r, ms) => r -> ms.map(cid).min }
+      val label = core.indices.map(i => rootMin(find(i))).toArray
+      val coreRows = core.indices.map(i =>
+        (label(i), 1L, core(i)._3))
+      val borderRows = grid.filter(_._3 < 3).flatMap { case (gx, gy, n) =>
+        val adj = core.indices.filter(i =>
+          math.abs(core(i)._1 - gx) <= 1 && math.abs(core(i)._2 - gy) <= 1)
+        if (adj.isEmpty) None else Some((adj.map(label).min, 0L, n))
+      }
+      val clustered = (coreRows ++ borderRows)
+        .groupBy(_._1).toSeq.map { case (cl, rows) =>
+          (cl, rows.size.toLong,
+            rows.collect { case (_, 1L, n) => n }.sum,
+            rows.collect { case (_, 0L, n) => n }.sum)
+        }
+      val noiseCells = grid.filter { case (gx, gy, _) =>
+        !core.exists(k =>
+          math.abs(k._1 - gx) <= 1 && math.abs(k._2 - gy) <= 1)
+      }
+      val noise = (-1L, noiseCells.length.toLong,
+        noiseCells.map(_._3).sum, 0L)
+      (clustered :+ noise)
+        .toDF("cluster", "n_cells", "n_core_pts", "n_border_pts")
+        .orderBy("cluster")
+    })
+
   val all: Seq[Q] = Seq(q363_knn_shapley, q364_clustering_ari,
-    q373_int8_quant_recall, q378_facility_location)
+    q373_int8_quant_recall, q378_facility_location, q380_grid_dbscan)
 }
