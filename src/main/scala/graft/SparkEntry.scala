@@ -13,13 +13,13 @@ object SparkEntry {
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++ TextOps9.all ++
-      TextOps10.all ++ TextOps11.all ++
+      TextOps10.all ++ TextOps11.all ++ TextOps12.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
-      StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++
+      StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++ StatsOps6.all ++
       GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ SpatialOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
       VectorOps5.all ++ VectorOps6.all ++
