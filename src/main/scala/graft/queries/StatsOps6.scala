@@ -83,5 +83,177 @@ object StatsOps6 {
         .orderBy("event_type")
     })
 
-  val all: Seq[Q] = Seq(q382_kmv_distinct)
+  /** Leave-one-SOURCE-out OLS influence — data valuation at the
+    * provenance grain (vs q363's per-point KNN-Shapley): fit
+    * tokens ~ n_chars over all documents, then for every source re-fit
+    * WITHOUT that source's docs and report the slope shift. The trick
+    * that makes this O(sources) instead of O(sources) full refits: OLS
+    * needs only the sufficient statistics (n, Σx, Σy, Σxx, Σxy), which
+    * subtract groupwise — one corpus pass builds the per-source grid,
+    * the global row is the grid's own sum, and every LOO fit is
+    * arithmetic on two grid rows. All sums are exact DECIMAL(38,0)
+    * integers; doubles appear only in the final divides. */
+  val q384_loo_influence = Q(
+    "q384_loo_influence",
+    Some("""WITH d AS (
+           |  SELECT source, n_chars AS x,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+           |  FROM documents),
+           |g AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+           |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+           |  FROM d GROUP BY source),
+           |tot AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS DECIMAL(38,0)) AS sx,
+           |    CAST(sum(sy) AS DECIMAL(38,0)) AS sy, CAST(sum(sxx) AS DECIMAL(38,0)) AS sxx,
+           |    CAST(sum(sxy) AS DECIMAL(38,0)) AS sxy
+           |  FROM g),
+           |fits AS (
+           |  SELECT g.source, g.n AS n_docs,
+           |    (CAST(t.n AS DOUBLE) * t.sxy - CAST(t.sx AS DOUBLE) * t.sy)
+           |      / (CAST(t.n AS DOUBLE) * t.sxx - CAST(t.sx AS DOUBLE) * t.sx)
+           |      AS slope_full,
+           |    (CAST(t.n - g.n AS DOUBLE) * (t.sxy - g.sxy)
+           |       - CAST(t.sx - g.sx AS DOUBLE) * (t.sy - g.sy))
+           |      / (CAST(t.n - g.n AS DOUBLE) * (t.sxx - g.sxx)
+           |       - CAST(t.sx - g.sx AS DOUBLE) * (t.sx - g.sx))
+           |      AS slope_loo
+           |  FROM g CROSS JOIN tot t)
+           |SELECT source, n_docs, round(slope_full, 8) AS slope_full,
+           |  round(slope_loo, 8) AS slope_loo,
+           |  round(slope_loo - slope_full, 8) AS slope_delta
+           |FROM fits ORDER BY source""".stripMargin),
+    (s, d) => {
+      val dd = Tables.documents(s, d).select(col("source"),
+        col("n_chars").cast("decimal(38,0)").as("x"),
+        size(split(col("text"), " ")).cast("decimal(38,0)").as("y"))
+      val g = graft.operators.PlanCache.persist(
+        dd.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum("x").cast("decimal(38,0)").as("sx"),
+          sum("y").cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy")))
+      val tot = g.agg(sum("n").cast("long").as("tn"),
+        sum("sx").cast("decimal(38,0)").as("tsx"),
+        sum("sy").cast("decimal(38,0)").as("tsy"),
+        sum("sxx").cast("decimal(38,0)").as("tsxx"),
+        sum("sxy").cast("decimal(38,0)").as("tsxy"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          ((dbl(col("tn")) * col("tsxy") - dbl(col("tsx")) * col("tsy"))
+            / (dbl(col("tn")) * col("tsxx") - dbl(col("tsx")) * col("tsx")))
+            .as("slope_full"),
+          ((dbl(col("tn") - col("n")) * (col("tsxy") - col("sxy"))
+            - dbl(col("tsx") - col("sx")) * (col("tsy") - col("sy")))
+            / (dbl(col("tn") - col("n")) * (col("tsxx") - col("sxx"))
+              - dbl(col("tsx") - col("sx")) * (col("tsx") - col("sx"))))
+            .as("slope_loo"))
+        .select(col("source"), col("n_docs"),
+          round(col("slope_full"), 8).as("slope_full"),
+          round(col("slope_loo"), 8).as("slope_loo"),
+          round(col("slope_loo") - col("slope_full"), 8).as("slope_delta"))
+        .orderBy("source")
+    })
+
+  private val NeymanN = 1000
+
+  /** Neyman-optimal stratified sampling allocation: split a budget of
+    * n = 1000 draws across event-type strata ∝ N_h·S_h (population size
+    * × within-stratum sd) — the allocation minimizing the stratified
+    * mean's variance — next to the proportional (∝ N_h) baseline.
+    * Integerization is largest-remainder (floor every share, hand the
+    * leftover units to the largest fractional parts, ties to the
+    * earlier type name), so both columns sum to exactly n. S_h comes
+    * from exact cent sums (n·Σv² − (Σv)² over BIGINTs); doubles enter
+    * only at the sd/weight divides. One corpus agg to the ≤8-row
+    * stratum grid; windows touch only that grid. */
+  val q385_neyman_allocation = Q(
+    "q385_neyman_allocation",
+    Some(s"""WITH g AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+            |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+            |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+            |      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+            |  FROM events GROUP BY event_type),
+            |sd AS (
+            |  SELECT event_type, nh,
+            |    sqrt((CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+            |      / (CAST(nh AS DOUBLE) * (nh - 1))) / 100 AS sh
+            |  FROM g),
+            |w AS (
+            |  SELECT event_type, nh, sh,
+            |    CAST(nh AS DOUBLE) * sh AS wne,
+            |    CAST(nh AS DOUBLE) AS wpr,
+            |    sum(CAST(nh AS DOUBLE) * sh) OVER () AS wne_tot,
+            |    sum(CAST(nh AS DOUBLE)) OVER () AS wpr_tot
+            |  FROM sd),
+            |fl AS (
+            |  SELECT event_type, nh, sh,
+            |    floor($NeymanN * wne / wne_tot) AS f_ne,
+            |    $NeymanN * wne / wne_tot - floor($NeymanN * wne / wne_tot) AS r_ne,
+            |    floor($NeymanN * wpr / wpr_tot) AS f_pr,
+            |    $NeymanN * wpr / wpr_tot - floor($NeymanN * wpr / wpr_tot) AS r_pr
+            |  FROM w),
+            |rk AS (
+            |  SELECT *,
+            |    row_number() OVER (ORDER BY r_ne DESC, event_type) AS k_ne,
+            |    row_number() OVER (ORDER BY r_pr DESC, event_type) AS k_pr,
+            |    $NeymanN - sum(f_ne) OVER () AS left_ne,
+            |    $NeymanN - sum(f_pr) OVER () AS left_pr
+            |  FROM fl)
+            |SELECT event_type, nh AS n_pop, round(sh, 6) AS sd,
+            |  CAST(f_pr + CASE WHEN k_pr <= left_pr THEN 1 ELSE 0 END AS BIGINT)
+            |    AS n_prop,
+            |  CAST(f_ne + CASE WHEN k_ne <= left_ne THEN 1 ELSE 0 END AS BIGINT)
+            |    AS n_neyman
+            |FROM rk ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("value") * 100, 0).cast("long")
+      val g = Tables.events(s, d)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("nh"),
+          sum("c").cast("long").as("s1"),
+          sum(col("c") * col("c")).cast("long").as("s2"))
+      val sd = g.select(col("event_type"), col("nh"),
+        (sqrt((col("nh").cast("double") * col("s2")
+          - col("s1").cast("double") * col("s1"))
+          / (col("nh").cast("double") * (col("nh") - 1))) / 100).as("sh"))
+      val wAll = Window.partitionBy()
+      val w = sd.select(col("event_type"), col("nh"), col("sh"),
+        (col("nh").cast("double") * col("sh")).as("wne"),
+        col("nh").cast("double").as("wpr"))
+        .withColumn("wne_tot", sum("wne").over(wAll))
+        .withColumn("wpr_tot", sum("wpr").over(wAll))
+      val fl = w.select(col("event_type"), col("nh"), col("sh"),
+        floor(lit(NeymanN) * col("wne") / col("wne_tot")).as("f_ne"),
+        (lit(NeymanN) * col("wne") / col("wne_tot")
+          - floor(lit(NeymanN) * col("wne") / col("wne_tot"))).as("r_ne"),
+        floor(lit(NeymanN) * col("wpr") / col("wpr_tot")).as("f_pr"),
+        (lit(NeymanN) * col("wpr") / col("wpr_tot")
+          - floor(lit(NeymanN) * col("wpr") / col("wpr_tot"))).as("r_pr"))
+      val rk = fl
+        .withColumn("k_ne", row_number().over(
+          Window.orderBy(col("r_ne").desc, col("event_type"))))
+        .withColumn("k_pr", row_number().over(
+          Window.orderBy(col("r_pr").desc, col("event_type"))))
+        .withColumn("left_ne", lit(NeymanN) - sum("f_ne").over(wAll))
+        .withColumn("left_pr", lit(NeymanN) - sum("f_pr").over(wAll))
+      rk.select(col("event_type"), col("nh").as("n_pop"),
+          round(col("sh"), 6).as("sd"),
+          (col("f_pr") + when(col("k_pr") <= col("left_pr"), 1L)
+            .otherwise(0L)).cast("long").as("n_prop"),
+          (col("f_ne") + when(col("k_ne") <= col("left_ne"), 1L)
+            .otherwise(0L)).cast("long").as("n_neyman"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
+    q385_neyman_allocation)
 }
