@@ -17,7 +17,7 @@ object SparkEntry {
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
       LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
-      EventOps.all ++ EventOps2.all ++ EventOps3.all ++
+      EventOps.all ++ EventOps2.all ++ EventOps3.all ++ EventOps4.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
       StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++ StatsOps6.all ++
       GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ SpatialOps.all ++

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-10 event-series additions: row-pattern (MATCH_RECOGNIZE-style)
+  * detection over daily aggregates.
+  */
+object EventOps4 {
+
+  /** V-shape (drawdown-and-recovery) pattern detection per event type —
+    * the MATCH_RECOGNIZE `(DOWN+ UP+)` idiom Spark SQL lacks, emulated
+    * with gaps-and-islands: daily cent totals → day-over-day delta
+    * signs → maximal constant-sign runs (island id = row_number −
+    * per-sign row_number) → a DOWN island whose immediate successor is
+    * an UP island forms a V; per type, report the DEEPEST V (largest
+    * summed drawdown, tie → earliest). Flat days (delta 0) break
+    * adjacency, so the pattern is strict: every step down, then every
+    * step up.
+    *
+    * Scale shape: ONE corpus agg to the (type × day) grid; every
+    * window thereafter partitions that bounded grid by type. The
+    * corpus never sees a window — the same discipline the q358 rework
+    * established. */
+  val q387_vshape_pattern = Q(
+    "q387_vshape_pattern",
+    Some("""WITH day AS (
+           |  SELECT event_type,
+           |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           |      AS tot
+           |  FROM events GROUP BY 1, 2),
+           |del AS (
+           |  SELECT event_type, day, tot,
+           |    tot - lag(tot) OVER (PARTITION BY event_type ORDER BY day)
+           |      AS delta
+           |  FROM day),
+           |sgn AS (
+           |  SELECT event_type, day, delta,
+           |    CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1 ELSE 0 END
+           |      AS sg,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+           |      AS idx
+           |  FROM del WHERE delta IS NOT NULL),
+           |isl AS (
+           |  SELECT event_type, sg,
+           |    min(day) AS first_day, max(day) AS last_day,
+           |    CAST(sum(delta) AS BIGINT) AS move,
+           |    min(idx) AS seq, CAST(count(*) AS BIGINT) AS len
+           |  FROM (
+           |    SELECT *, idx - row_number() OVER (
+           |      PARTITION BY event_type, sg ORDER BY idx) AS grp
+           |    FROM sgn) t
+           |  GROUP BY event_type, sg, grp),
+           |pair AS (
+           |  SELECT a.event_type, a.first_day AS first_down_day,
+           |    a.last_day AS trough_day, b.last_day AS recover_day,
+           |    -a.move AS depth_cents, b.move AS recovery_cents
+           |  FROM isl a JOIN isl b
+           |    ON b.event_type = a.event_type AND b.seq = a.seq + a.len
+           |   AND a.sg = -1 AND b.sg = 1),
+           |best AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY depth_cents DESC, first_down_day) AS r
+           |  FROM pair)
+           |SELECT event_type, first_down_day, trough_day, recover_day,
+           |  depth_cents, recovery_cents
+           |FROM best WHERE r = 1 ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val day = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").cast("long").as("tot"))
+      val wDay = Window.partitionBy("event_type").orderBy("day")
+      val del = day.withColumn("delta",
+        col("tot") - lag("tot", 1).over(wDay))
+      val sgn = del.filter(col("delta").isNotNull)
+        .withColumn("sg",
+          when(col("delta") > 0, 1).when(col("delta") < 0, -1).otherwise(0))
+        .withColumn("idx", row_number().over(wDay))
+      val isl = sgn
+        .withColumn("grp", col("idx") - row_number().over(
+          Window.partitionBy("event_type", "sg").orderBy("idx")))
+        .groupBy("event_type", "sg", "grp")
+        .agg(min("day").as("first_day"), max("day").as("last_day"),
+          sum("delta").cast("long").as("move"),
+          min("idx").as("seq"), count(lit(1)).as("len"))
+      val a = isl.filter(col("sg") === -1).select(col("event_type"),
+        col("first_day").as("first_down_day"),
+        col("last_day").as("trough_day"),
+        (-col("move")).as("depth_cents"),
+        (col("seq") + col("len")).as("nxt"))
+      val b = isl.filter(col("sg") === 1).select(col("event_type"),
+        col("last_day").as("recover_day"),
+        col("move").as("recovery_cents"), col("seq").as("nxt"))
+      val pair = a.join(b, Seq("event_type", "nxt"))
+      pair
+        .withColumn("r", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("depth_cents").desc, col("first_down_day"))))
+        .filter(col("r") === 1)
+        .select("event_type", "first_down_day", "trough_day",
+          "recover_day", "depth_cents", "recovery_cents")
+        .orderBy("event_type")
+    })
+
+  val all: Seq[Q] = Seq(q387_vshape_pattern)
+}

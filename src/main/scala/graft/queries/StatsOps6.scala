@@ -254,6 +254,140 @@ object StatsOps6 {
         .orderBy("event_type")
     })
 
+  private val RanTol = 50 // inlier band, chars
+  private val RanC = 16 // candidate lines
+
+  /** RANSAC robust line fit with DETERMINISTIC candidates (the
+    * hash-seeded twist that makes the classic reproducible across
+    * engines): the 32 docs with the smallest md5 hashes form 16
+    * candidate (x=tokens, y=n_chars) point-pairs; each candidate line
+    * counts its inliers (|y − a − b·x| ≤ 50) in one corpus×16 broadcast
+    * pass; the winner (max inliers, tie → lowest candidate id) is
+    * refit by exact-decimal OLS over its own inliers. Where q213's
+    * Theil–Sen medians all pairwise slopes, RANSAC is the
+    * O(candidates·n) regime that survives >50% structured outliers.
+    *
+    * Scale shape: anchor selection is the map-side-bounded
+    * TopKAggregator (32 longs shuffle, no sort); then two corpus
+    * passes — one counts all 16 candidates at once, one refits the
+    * winner. */
+  val q386_ransac_line = Q(
+    "q386_ransac_line",
+    Some(s"""WITH d AS (
+            |  SELECT doc_id,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+            |    n_chars AS y
+            |  FROM documents),
+            |h AS (
+            |  SELECT doc_id, x, y,
+            |    ${hexSpanValSql("md5(CAST(doc_id AS VARCHAR))", 0, 8)} AS hv
+            |  FROM d),
+            |rk AS (
+            |  SELECT x, y, row_number() OVER (ORDER BY hv, doc_id) AS rn
+            |  FROM h),
+            |cands AS (
+            |  SELECT CAST((rn - 1) // 2 AS BIGINT) AS cand,
+            |    max(CASE WHEN (rn - 1) % 2 = 0 THEN x END) AS x1,
+            |    max(CASE WHEN (rn - 1) % 2 = 0 THEN y END) AS y1,
+            |    max(CASE WHEN (rn - 1) % 2 = 1 THEN x END) AS x2,
+            |    max(CASE WHEN (rn - 1) % 2 = 1 THEN y END) AS y2
+            |  FROM rk WHERE rn <= ${2 * RanC} GROUP BY 1),
+            |lines AS (
+            |  SELECT cand,
+            |    CAST(y2 - y1 AS DOUBLE) / (x2 - x1) AS b,
+            |    y1 - CAST(y2 - y1 AS DOUBLE) / (x2 - x1) * x1 AS a
+            |  FROM cands WHERE x1 <> x2),
+            |inl AS (
+            |  SELECT l.cand, CAST(count(*) AS BIGINT) AS n_inliers
+            |  FROM d CROSS JOIN lines l
+            |  WHERE abs(y - (l.a + l.b * x)) <= $RanTol
+            |  GROUP BY l.cand),
+            |win AS (
+            |  SELECT cand, a, b FROM (
+            |    SELECT i.cand, l.a, l.b,
+            |      row_number() OVER (ORDER BY i.n_inliers DESC, i.cand) AS r
+            |    FROM inl i JOIN lines l ON l.cand = i.cand) t
+            |  WHERE r = 1),
+            |ref AS (
+            |  SELECT w.cand,
+            |    CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+            |  FROM d CROSS JOIN win w
+            |  WHERE abs(y - (w.a + w.b * x)) <= $RanTol
+            |  GROUP BY w.cand),
+            |refit AS (
+            |  SELECT cand,
+            |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS rb,
+            |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS ra
+            |  FROM ref)
+            |SELECT l.cand, i.n_inliers, round(l.b, 6) AS slope_cand,
+            |  round(r.rb, 6) AS refit_slope, round(r.ra, 6) AS refit_intercept
+            |FROM lines l JOIN inl i ON i.cand = l.cand
+            |LEFT JOIN refit r ON r.cand = l.cand
+            |ORDER BY l.cand""".stripMargin),
+    (s, d) => {
+      val dd = graft.operators.PlanCache.persist(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y")))
+      val botk = udaf(new graft.functions.TopKAggregator(2 * RanC))
+      val anchorIds = dd
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          (-expr(hexSpanValSql("__h", 0, 8))).cast("double").as("score"))
+        .agg(botk(col("score"), col("doc_id")).as("ids"))
+        .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      val cands = broadcast(anchorIds).join(dd, "doc_id")
+        .select(expr("CAST(pos AS BIGINT) div 2").as("cand"),
+          (col("pos") % 2).as("role"), col("x"), col("y"))
+        .groupBy("cand").agg(
+          max(when(col("role") === 0, col("x"))).as("x1"),
+          max(when(col("role") === 0, col("y"))).as("y1"),
+          max(when(col("role") === 1, col("x"))).as("x2"),
+          max(when(col("role") === 1, col("y"))).as("y2"))
+      val lines = graft.operators.PlanCache.persist(
+        cands.filter(col("x1") =!= col("x2"))
+          .select(col("cand"),
+            ((col("y2") - col("y1")).cast("double") / (col("x2") - col("x1")))
+              .as("b"))
+          .join(cands.select("cand", "x1", "y1"), "cand")
+          .select(col("cand"), col("b"),
+            (col("y1") - col("b") * col("x1")).as("a")))
+      val inl = graft.operators.PlanCache.persist(
+        dd.crossJoin(broadcast(lines))
+          .filter(abs(col("y") - (col("a") + col("b") * col("x"))) <= RanTol)
+          .groupBy("cand").agg(count(lit(1)).as("n_inliers")))
+      val win = inl.join(lines, "cand")
+        .orderBy(col("n_inliers").desc, col("cand")).limit(1)
+        .select("cand", "a", "b")
+      val ref = dd.crossJoin(broadcast(win))
+        .filter(abs(col("y") - (col("a") + col("b") * col("x"))) <= RanTol)
+        .groupBy("cand").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+            .as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+            .as("sxy"))
+      val refit = ref.select(col("cand"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("rb"),
+        col("n"), col("sx"), col("sy"))
+        .select(col("cand"), col("rb"),
+          ((col("sy") - col("rb") * col("sx")) / col("n")).as("ra"))
+      lines.join(inl, "cand")
+        .join(refit, Seq("cand"), "left")
+        .select(col("cand"), col("n_inliers"),
+          round(col("b"), 6).as("slope_cand"),
+          round(col("rb"), 6).as("refit_slope"),
+          round(col("ra"), 6).as("refit_intercept"))
+        .orderBy("cand")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
-    q385_neyman_allocation)
+    q385_neyman_allocation, q386_ransac_line)
 }
