@@ -16,7 +16,7 @@ object SparkEntry {
       TextOps10.all ++ TextOps11.all ++ TextOps12.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
       DataOps5.all ++ AuditOps.all ++
-      LakeOps.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
+      LakeOps.all ++ LakeOps2.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++ EventOps4.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
       StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++ StatsOps6.all ++

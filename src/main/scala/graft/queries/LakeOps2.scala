@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{HilbertLayout, Layout}
+
+/** Round-10 lake-layout additions: Hilbert-curve clustering measured
+  * against Z-order.
+  */
+object LakeOps2 {
+
+  private val HBits = 8 // 256×256 grid → 16-bit keys
+  // Key range per "file". DELIBERATELY not a power of 4: a 4^k span
+  // makes every file an aligned 2^k×2^k quadrant under BOTH curves —
+  // identical spatial partitions, identical file counts (measured: at
+  // span 1024 all four boxes tie 4=4). Misaligned 1500-key files
+  // (≈44 of them) expose the real difference: a box is few contiguous
+  // key runs under Hilbert, many Morton-jump fragments under Z.
+  private val FileSpan = 1500L
+
+  /** Z-order vs Hilbert-curve clustering shoot-out: lineitem rows land
+    * on a 256×256 (partkey-bucket × orderkey-bucket) grid, each row gets
+    * both layout keys (Morton via q77's interleave, Hilbert via the new
+    * native codegen'd `hilbert_xy` expression), keys split into ~44
+    * equal-width key-range "files", and four representative box
+    * predicates count how many files each layout makes a min/max-
+    * pruning reader touch. Hilbert's guarantee — every unit key step is
+    * a grid-adjacent move, no Morton quadrant jumps — shows up directly
+    * as files_hilbert ≤ files_z on compact boxes; this entry is the
+    * measured justification for choosing the curve before rewriting
+    * 100 TB (the write path itself is q77's repartitionByRange +
+    * sortWithinPartitions, unchanged).
+    *
+    * Oracle: the SQL twin replays the identical xy→d walk as a chained
+    * per-level CTE rotation (HilbertLayout.hilbertCtesSql), so the
+    * native expression is pinned bit-for-bit at every grid cell the
+    * data exercises. */
+  val q390_hilbert_layout = Q(
+    "q390_hilbert_layout", {
+      val z = Layout.zValueSql("x", "y", HBits)
+      val (hCtes, hLast) = HilbertLayout.hilbertCtesSql("src", HBits)
+      Some(s"""WITH src AS (
+              |  SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+              |    CAST(l_orderkey % 256 AS BIGINT) AS y
+              |  FROM lineitem),
+              |$hCtes,
+              |keyed AS (
+              |  SELECT x, y, CAST($z AS BIGINT) AS zk, hd AS hk
+              |  FROM $hLast),
+              |boxes AS (
+              |  SELECT * FROM (VALUES
+              |    (CAST(1 AS BIGINT), 0, 63, 0, 63),
+              |    (2, 96, 159, 96, 159),
+              |    (3, 200, 255, 0, 55),
+              |    (4, 32, 47, 128, 255)) b(box_id, x1, x2, y1, y2))
+              |SELECT b.box_id,
+              |  CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(count(DISTINCT k.zk // $FileSpan) AS BIGINT) AS files_z,
+              |  CAST(count(DISTINCT k.hk // $FileSpan) AS BIGINT)
+              |    AS files_hilbert
+              |FROM keyed k JOIN boxes b
+              |  ON k.x BETWEEN b.x1 AND b.x2 AND k.y BETWEEN b.y1 AND b.y2
+              |GROUP BY b.box_id
+              |ORDER BY b.box_id""".stripMargin)
+    },
+    (s, d) => {
+      import s.implicits._
+      val keyed = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).cast("long").as("x"),
+          (col("l_orderkey") % 256).cast("long").as("y"))
+        .withColumn("zk", Layout.zValue(col("x"), col("y"), HBits))
+        .withColumn("hk", HilbertLayout.hilbertValue(col("x"), col("y"),
+          HBits))
+      val boxes = Seq((1L, 0, 63, 0, 63), (2L, 96, 159, 96, 159),
+        (3L, 200, 255, 0, 55), (4L, 32, 47, 128, 255))
+        .toDF("box_id", "x1", "x2", "y1", "y2")
+      keyed.join(broadcast(boxes),
+          col("x").between(col("x1"), col("x2")) &&
+            col("y").between(col("y1"), col("y2")))
+        .groupBy("box_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(expr(s"zk div $FileSpan")).as("files_z"),
+          countDistinct(expr(s"hk div $FileSpan")).as("files_hilbert"))
+        .orderBy("box_id")
+    })
+
+  val all: Seq[Q] = Seq(q390_hilbert_layout)
+}

@@ -57,4 +57,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(zTouched * 4 <= idTouched,
       s"z-order touched $zTouched bins, id-order $idTouched")
   }
+
+  test("hilbert index is a bijection with unit-step grid adjacency (bits=4)") {
+    // all 256 cells of the 16x16 grid: d must be a permutation of
+    // 0..255 and consecutive d's must be Manhattan-distance-1 neighbors
+    // -- the locality property Z-order lacks (and the reason q390 exists)
+    val pts = spark.range(256).select(
+      (col("id") % 16).as("x"), expr("id div 16").as("y"))
+    val got = pts.select(col("x"), col("y"),
+        graft.operators.HilbertLayout.hilbertValue(col("x"), col("y"), 4)
+          .as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 256L),
+      "hilbert keys must be a bijection onto 0..255")
+    got.sliding(2).foreach { case Array((_, (x1, y1)), (d2, (x2, y2))) =>
+      val manhattan = math.abs(x1 - x2) + math.abs(y1 - y2)
+      assert(manhattan == 1, s"step to d=$d2 jumped $manhattan cells")
+    }
+  }
+
+  test("hilbert column expression matches the oracle CTE walk (bits=8)") {
+    val pts = spark.range(4096).select(
+      (col("id") * 2654435761L % 256).as("x"),
+      (col("id") * 40503L % 256).as("y"))
+    pts.createOrReplaceTempView("hilb_src")
+    val (ctes, last) = graft.operators.HilbertLayout.hilbertCtesSql("hilb_src", 8)
+    // replay the DuckDB CTE chain in Spark SQL: // -> div is the only
+    // dialect difference, and EXCLUDE -> EXCEPT
+    val sparkSql = s"WITH $ctes SELECT x, y, hd FROM $last"
+      .replace("//", "div").replace("EXCLUDE", "EXCEPT")
+    val viaCte = spark.sql(sparkSql)
+    val bad = pts.select(col("x"), col("y"),
+        graft.operators.HilbertLayout.hilbertValue(col("x"), col("y"), 8)
+          .as("de"))
+      .join(viaCte, Seq("x", "y"))
+      .filter(col("de") =!= col("hd")).count()
+    assert(bad == 0)
+  }
 }
