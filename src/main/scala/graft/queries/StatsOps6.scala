@@ -388,6 +388,165 @@ object StatsOps6 {
         .orderBy("cand")
     })
 
+  /** Isotonic calibration by PAV — computed through the MINIMAX
+    * identity fitted(i) = max_{j≤i} min_{k≥i} mean(pos, j..k) rather
+    * than the sequential pool-adjacent-violators loop, because minimax
+    * is pure relational algebra: on B ≤ 20 observed score bins it is a
+    * j×i×k grid (≤ B³ = 8000 tuples) of exact integer prefix-sum
+    * differences, identical on both engines, where the PAV loop is
+    * stateful and unportable. Score = stopword-ratio of each doc
+    * (binned by INTEGER arithmetic, stop·20 div tokens — no float
+    * boundary can flip a bin), label = lang='en'; output is the raw
+    * vs isotonic per-bin rate, monotone by construction.
+    *
+    * Scale shape: one corpus pass to the ≤20-bin grid; the cubic
+    * minimax runs on grid rows only. */
+  val q391_isotonic_pav = Q(
+    "q391_isotonic_pav",
+    Some("""WITH d AS (
+           |  SELECT len(list_filter(string_split(text, ' '),
+           |      t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS stop,
+           |    len(string_split(text, ' ')) AS tok,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM documents),
+           |b AS (
+           |  SELECT least((stop * 20) // tok, 19) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS pos
+           |  FROM d WHERE tok > 0 GROUP BY 1),
+           |idx AS (
+           |  SELECT bin, n, pos,
+           |    row_number() OVER (ORDER BY bin) AS i,
+           |    sum(n) OVER (ORDER BY bin) AS cn,
+           |    sum(pos) OVER (ORDER BY bin) AS cp
+           |  FROM b),
+           |mjk AS (
+           |  SELECT j.i AS j, k.i AS k,
+           |    CAST(k.cp - j.cp + j.pos AS DOUBLE)
+           |      / (k.cn - j.cn + j.n) AS m
+           |  FROM idx j JOIN idx k ON j.i <= k.i),
+           |inner_min AS (
+           |  SELECT i.i, p.j, min(p.m) AS mn
+           |  FROM idx i JOIN mjk p ON p.j <= i.i AND p.k >= i.i
+           |  GROUP BY i.i, p.j),
+           |fit AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+           |SELECT x.bin, x.n, x.pos,
+           |  round(CAST(x.pos AS DOUBLE) / x.n, 6) AS raw_rate,
+           |  round(f.iso, 6) AS iso_rate
+           |FROM idx x JOIN fit f ON f.i = x.i
+           |ORDER BY x.bin""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = Tables.documents(s, d)
+        .select(expr("size(filter(split(text, ' '), " +
+            "t -> t IN ('the', 'and', 'of', 'to', 'a')))").as("stop"),
+          size(split(col("text"), " ")).as("tok"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+        .filter(col("tok") > 0)
+      val b = dd
+        .groupBy(least(expr("(stop * 20) div tok"), lit(19)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("pos"))
+      val wB = Window.orderBy("bin")
+      val idx = graft.operators.PlanCache.persist(b
+        .withColumn("i", row_number().over(wB))
+        .withColumn("cn", sum("n").over(wB))
+        .withColumn("cp", sum("pos").over(wB)))
+      val mjk = idx.toDF("binj", "nj", "posj", "j", "cnj", "cpj")
+        .join(idx.toDF("bink", "nk", "posk", "k", "cnk", "cpk"),
+          col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("cpk") - col("cpj") + col("posj")).cast("double")
+            / (col("cnk") - col("cnj") + col("nj"))).as("m"))
+      val innerMin = idx.select(col("i"))
+        .join(mjk, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min("m").as("mn"))
+      val fit = innerMin.groupBy("i").agg(max("mn").as("iso"))
+      idx.join(fit, "i")
+        .select(col("bin"), col("n"), col("pos"),
+          round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("bin")
+    })
+
+  /** Two-sample Cramér–von Mises distance between every event-type
+    * pair's value distributions — the INTEGRATED squared CDF gap,
+    * completing the drift toolkit next to KS (sup gap, q204), PSI
+    * (binned likelihood, q246) and W₁ (mass transport, q381):
+    * T = Σ_l h_l·(F_a(v_l) − F_b(v_l))² · (mn/N²) evaluated at every
+    * pooled observation. The integrand cross-multiplies to integers —
+    * h·(cumA·nB − cumB·nA)² — summed exactly in wide integers (the
+    * square alone reaches ~10²¹ at sf0.1, past BIGINT: DECIMAL(38,0)
+    * on Spark, HUGEINT on the oracle — DuckDB's decimal multiply
+    * overflows its 38-digit width where hugeint does not), with ONE
+    * double divide at the end, so the statistic is
+    * exact to the final rounding. Same grid shape as q381: one corpus
+    * agg to the (type, cents) grid, per-type CDF windows on grid rows,
+    * a grid-level pair join. */
+  val q392_cvm_test = Q(
+    "q392_cvm_test",
+    Some("""WITH c AS (
+           |  SELECT event_type AS t,
+           |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           |    CAST(count(*) AS BIGINT) AS k
+           |  FROM events GROUP BY 1, 2),
+           |vals AS (SELECT DISTINCT cents FROM c),
+           |types AS (SELECT t, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY 1),
+           |grid AS (
+           |  SELECT ty.t, ty.n, v.cents, coalesce(c.k, 0) AS k
+           |  FROM vals v CROSS JOIN types ty
+           |  LEFT JOIN c ON c.t = ty.t AND c.cents = v.cents),
+           |cdf AS (
+           |  SELECT t, n, cents, k,
+           |    CAST(sum(k) OVER (PARTITION BY t ORDER BY cents
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM grid),
+           |pairs AS (
+           |  SELECT a.t AS type_a, b.t AS type_b, a.n AS na, b.n AS nb,
+           |    sum(CAST(a.k + b.k AS HUGEINT)
+           |      * (a.cum * b.n - b.cum * a.n)
+           |      * (a.cum * b.n - b.cum * a.n)) AS num
+           |  FROM cdf a JOIN cdf b ON a.cents = b.cents AND a.t < b.t
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT type_a, type_b, na, nb,
+           |  round(CAST(num AS DOUBLE)
+           |    / (CAST(na AS DOUBLE) * nb * (na + nb) * (na + nb)), 8)
+           |    AS cvm_t
+           |FROM pairs ORDER BY type_a, type_b""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type").as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .agg(count(lit(1)).as("k"))
+      val vals = c.select("cents").distinct()
+      val types = c.groupBy("t").agg(sum("k").cast("long").as("n"))
+      val grid = vals.crossJoin(broadcast(types))
+        .join(c, Seq("t", "cents"), "left")
+        .select(col("t"), col("n"), col("cents"),
+          coalesce(col("k"), lit(0L)).as("k"))
+      val wCum = Window.partitionBy("t").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid.select(col("t"), col("n"), col("cents"), col("k"),
+        sum("k").over(wCum).cast("long").as("cum"))
+      val a = cdf.toDF("type_a", "na", "cents", "ka", "cuma")
+      val b = cdf.toDF("type_b", "nb", "cents", "kb", "cumb")
+      a.join(b, Seq("cents"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b", "na", "nb")
+        .agg(sum((col("ka") + col("kb")).cast("decimal(38,0)")
+          * (col("cuma") * col("nb") - col("cumb") * col("na"))
+          * (col("cuma") * col("nb") - col("cumb") * col("na")))
+          .cast("decimal(38,0)").as("num"))
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+          round(col("num").cast("double")
+            / (col("na").cast("double") * col("nb")
+              * (col("na") + col("nb")) * (col("na") + col("nb"))), 8)
+            .as("cvm_t"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
-    q385_neyman_allocation, q386_ransac_line)
+    q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
+    q392_cvm_test)
 }
