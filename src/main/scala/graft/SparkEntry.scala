@@ -23,7 +23,7 @@ object SparkEntry {
       GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ MiningOps3.all ++
       LinkOps.all ++ SpatialOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
-      VectorOps5.all ++ VectorOps6.all ++
+      VectorOps5.all ++ VectorOps6.all ++ VectorOps7.all ++
       MultimodalQ.all ++ StreamQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -492,4 +492,25 @@ object Similarity {
         round(cosine(col("__ea"), col("__eb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Scan-side nearest-centroid assignment under SQUARED L2 — the
+    * residual-quantization / PQ-metric sibling of [[assignCells]]
+    * (argmin round(L2², 6), ties to lowest cid, same single-fold packed
+    * broadcast, same lazy raise_error emptiness guard). Appends
+    * (cid, cdist) to the corpus columns. */
+  def assignCellsL2(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val packed = packCentroids(centroids, cidCol, cvecCol)
+    corpus.crossJoin(packed)
+      .withColumn("__pair", aggregate(
+        transform(col("__cents"), c =>
+          array(round(l2sq(col(vecCol), c("__cvec")), 6),
+            c("__cid").cast("double"))),
+        array(lit(Double.MaxValue), lit(0.0)),
+        (acc, p) => when(p(0) < acc(0) ||
+          (p(0) === acc(0) && p(1) < acc(1)), p).otherwise(acc)))
+      .select(corpus.columns.toIndexedSeq.map(col) :+
+        col("__pair")(1).cast("long").as("cid") :+
+        col("__pair")(0).as("cdist"): _*)
+  }
 }
