@@ -223,3 +223,74 @@ case class PngDims(child: Expression)
     copy(child = c)
   override def prettyName: String = "png_dims"
 }
+
+/** ZIP archive summary — a REAL End-Of-Central-Directory walker: the
+  * EOCD record is found by scanning BACKWARD from the file tail (its
+  * trailing variable-length comment means it has no fixed offset — the
+  * quirk every real unzipper must handle), then the central directory
+  * it points at is walked entry by entry, each record advancing by
+  * 46 + nameLen + extraLen + commentLen. Returns
+  * struct(n_entries, comp_bytes, first_name); NULL on a missing/
+  * corrupt EOCD signature, a bad entry signature, or any walk past the
+  * buffer.
+  *
+  * CodegenFallback: one eval per blob over tail+directory bytes, same
+  * adjudication as the other container parsers.
+  */
+case class ZipInfo(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_entries", LongType, nullable = false),
+    StructField("comp_bytes", LongType, nullable = false),
+    StructField("first_name", org.apache.spark.sql.types.StringType,
+      nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary payload, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 22) return null
+    def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    // backward scan for EOCD sig 50 4B 05 06 (comment ≤ 65535 bytes)
+    var p = b.length - 22
+    val floor = math.max(0, b.length - 22 - 65535)
+    while (p >= floor && !(b(p) == 0x50 && b(p + 1) == 0x4B &&
+        b(p + 2) == 0x05 && b(p + 3) == 0x06)) p -= 1
+    if (p < floor) return null
+    val total = u16(p + 10)
+    val cdOff = u32(p + 16)
+    if (cdOff < 0 || cdOff > b.length) return null
+    var q = cdOff.toInt
+    var comp = 0L
+    var firstName: org.apache.spark.unsafe.types.UTF8String = null
+    var e = 0
+    while (e < total) {
+      if (q + 46 > b.length) return null
+      if (!(b(q) == 0x50 && b(q + 1) == 0x4B &&
+          b(q + 2) == 0x01 && b(q + 3) == 0x02)) return null
+      val nameLen = u16(q + 28)
+      val extraLen = u16(q + 30)
+      val cmtLen = u16(q + 32)
+      if (q + 46 + nameLen > b.length) return null
+      if (e == 0) firstName = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b, q + 46, nameLen)
+      comp += u32(q + 20)
+      q += 46 + nameLen + extraLen + cmtLen
+      e += 1
+    }
+    new GenericInternalRow(Array[Any](total.toLong, comp, firstName))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "zip_info"
+}

@@ -216,6 +216,11 @@ object Multimodal {
     b.column(graft.functions.PngDims(b.expression(content)))
   }
 
+  def zipInfo(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.ZipInfo(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

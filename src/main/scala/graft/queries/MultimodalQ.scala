@@ -355,7 +355,62 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** ZIP central-directory mining, proven by construction-inversion:
+    * each document BUILDS a structurally-valid archive tail — k = 1..3
+    * central-directory records (46 bytes + name each) followed by the
+    * End-Of-Central-Directory record, every 11th doc carrying an EOCD
+    * comment so the record is NOT at a fixed tail offset (the backward
+    * signature scan every real unzipper needs), every 17th doc given a
+    * corrupt EOCD signature. Spark parses the bytes back with the
+    * native walker (functions/ZipInfo); the oracle states the
+    * construction formulas directly. */
+  val q395_zip_central_dir = Q(
+    "q395_zip_central_dir",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(doc_id % 3 + 1 AS BIGINT) END AS n_entries,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(list_sum(list_transform(
+           |         range(0, doc_id % 3 + 1),
+           |         i -> (doc_id * 31 + i * 7) % 1000)) AS BIGINT)
+           |       END AS comp_bytes,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'F0' END AS first_name
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      def leHex(v: org.apache.spark.sql.Column, n: Int) =
+        concat((0 until n).map(i =>
+          lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+      val k = col("doc_id") % 3 + 1
+      def compOf(i: Int) = (col("doc_id") * 31 + lit(i * 7)) % 1000
+      def cdEntry(i: Int) = concat(
+        lit("504B0102"), lit("14001400"), lit("00000800"),
+        lit("00000000"), lit("00000000"), // time+date, crc
+        leHex(compOf(i), 4), leHex(compOf(i), 4),
+        lit("020000000000"),       // nlen=2, elen=0, clen=0
+        lit("00000000"),            // disk, internal attrs
+        lit("00000000"),            // external attrs
+        lit("00000000"),            // local-header offset
+        lit(f"46${0x30 + i}%02X")) // name "F<i>"
+      val cd = concat(cdEntry(0),
+        when(k >= 2, cdEntry(1)).otherwise(lit("")),
+        when(k >= 3, cdEntry(2)).otherwise(lit("")))
+      val clen = when(col("doc_id") % 11 === 0, 4L).otherwise(0L)
+      val comment = when(col("doc_id") % 11 === 0, lit("41414141"))
+        .otherwise(lit(""))
+      val sig = when(col("doc_id") % 17 === 0, "504B0500")
+        .otherwise("504B0506")
+      val eocd = concat(sig, lit("00000000"),
+        leHex(k, 2), leHex(k, 2), leHex(k * 48, 4), lit("00000000"),
+        leHex(clen, 2), comment)
+      val z = Multimodal.zipInfo(unhex(concat(cd, eocd)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), z("n_entries").as("n_entries"),
+          z("comp_bytes").as("comp_bytes"), z("first_name").as("first_name"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
     q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims,
-    q371_png_dims)
+    q371_png_dims, q395_zip_central_dir)
 }

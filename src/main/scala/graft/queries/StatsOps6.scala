@@ -546,7 +546,91 @@ object StatsOps6 {
         .orderBy("type_a", "type_b")
     })
 
+  private val FmM = 16 // stochastic-averaging buckets
+  private val FmPhi = 0.77351 // Flajolet–Martin correction constant
+
+  /** Flajolet–Martin probabilistic counting (the 1983 original, with
+    * stochastic averaging) per event type, audited against the exact
+    * count — the third cardinality sketch next to KMV (q382, k order
+    * statistics) and HLL (q54/q164, registers): 16 buckets by hash%16,
+    * per bucket R_j = max over elements of (trailing-zeros(h)+1), and
+    * est = (m/φ)·2^(ΣR_j/m). The lowest-set-bit rank extracts as
+    * log2(h & −h) — exact on both engines because the argument is a
+    * power of two. ΣR_j is committed as an exact integer column so the
+    * audit does not hinge on pow(2, fractional) ulps.
+    *
+    * Scale shape: scan-side rank, one (type × bucket) max-agg, a
+    * 16-row-per-type grid join for empty buckets; maxes merge map-side
+    * so only m smallints per group per partition shuffle. */
+  val q394_fm_sketch = Q(
+    "q394_fm_sketch",
+    Some(s"""WITH pu AS (
+            |  SELECT DISTINCT event_type, user_id FROM events),
+            |h AS (
+            |  SELECT event_type,
+            |    ${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 8)} AS hv
+            |  FROM pu),
+            |r AS (
+            |  SELECT event_type, hv % $FmM AS b,
+            |    CASE WHEN hv // $FmM = 0 THEN 0
+            |         ELSE CAST(round(log2((hv // $FmM)
+            |           & (-(hv // $FmM))), 0) AS BIGINT) + 1 END AS rho
+            |  FROM h),
+            |rmax AS (
+            |  SELECT event_type, b, max(rho) AS rj
+            |  FROM r GROUP BY 1, 2),
+            |grid AS (
+            |  SELECT t.event_type, g.b, coalesce(m.rj, 0) AS rj
+            |  FROM (SELECT DISTINCT event_type FROM pu) t
+            |  CROSS JOIN (SELECT unnest(generate_series(0, ${FmM - 1}))
+            |              AS b) g
+            |  LEFT JOIN rmax m ON m.event_type = t.event_type AND m.b = g.b),
+            |st AS (
+            |  SELECT event_type, CAST(sum(rj) AS BIGINT) AS r_sum
+            |  FROM grid GROUP BY 1),
+            |ex AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+            |  FROM pu GROUP BY 1),
+            |est AS (
+            |  SELECT e.event_type, e.n_exact, s.r_sum,
+            |    round($FmM / $FmPhi
+            |      * pow(2, CAST(s.r_sum AS DOUBLE) / $FmM), 4) AS fm_est
+            |  FROM ex e JOIN st s ON s.event_type = e.event_type)
+            |SELECT event_type, n_exact, r_sum, fm_est,
+            |  round(abs(fm_est - n_exact) / n_exact, 6) AS rel_err
+            |FROM est ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val pu = graft.operators.PlanCache.persist(
+        Tables.events(s, d).select("event_type", "user_id").distinct())
+      val h = pu.withColumn("__h", md5(col("user_id").cast("string")))
+        .select(col("event_type"), expr(hexSpanValSql("__h", 0, 8)).as("hv"))
+      val rest = expr(s"hv div $FmM")
+      val r = h.select(col("event_type"), (col("hv") % FmM).as("b"),
+        when(rest === 0, 0L)
+          .otherwise(round(log2(rest.bitwiseAND(-rest)), 0).cast("long") + 1)
+          .as("rho"))
+      val rmax = r.groupBy("event_type", "b").agg(max("rho").as("rj"))
+      val grid = pu.select("event_type").distinct()
+        .crossJoin(broadcast(
+          s.range(FmM).select(col("id").as("b"))))
+        .join(rmax, Seq("event_type", "b"), "left")
+        .select(col("event_type"), coalesce(col("rj"), lit(0L)).as("rj"))
+      val st = grid.groupBy("event_type")
+        .agg(sum("rj").cast("long").as("r_sum"))
+      val ex = pu.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      ex.join(st, "event_type")
+        .select(col("event_type"), col("n_exact"), col("r_sum"),
+          round(lit(FmM / FmPhi)
+            * pow(lit(2.0), col("r_sum").cast("double") / FmM), 4)
+            .as("fm_est"))
+        .select(col("event_type"), col("n_exact"), col("r_sum"),
+          col("fm_est"),
+          round(abs(col("fm_est") - col("n_exact")) / col("n_exact"), 6)
+            .as("rel_err"))
+        .orderBy("event_type")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
     q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
-    q392_cvm_test)
+    q392_cvm_test, q394_fm_sketch)
 }
