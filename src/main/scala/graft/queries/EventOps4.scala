@@ -106,5 +106,84 @@ object EventOps4 {
         .orderBy("event_type")
     })
 
-  val all: Seq[Q] = Seq(q387_vshape_pattern)
+  private val PhDelta = 0L // tolerated per-day drift, cents
+  private val PhLambda = 100000L // alarm threshold, cents
+
+  /** Page–Hinkley change detection per event type — the sequential
+    * drift alarm (the PH test behind most stream-drift monitors, here
+    * in its batch-replay form): over daily cent totals x_t, the
+    * cumulative deviation m_t = Σ_{i≤t}(x_i − mean(x_1..x_i) − δ)
+    * minus its running minimum exceeds λ ⇒ alarm. The running mean is
+    * taken as FLOOR(S_i / i) so the entire recursion stays in exact
+    * BIGINTs on both engines — a windowed double prefix-sum would hit
+    * DuckDB's segment-tree addition order vs Spark's running
+    * accumulation and diverge in the last ulp; floor-mean changes the
+    * statistic by < 1 cent per step and is stated, not hidden.
+    *
+    * Scale shape: one corpus agg to the (type × day) grid; every
+    * window (prefix sum, prefix min) partitions that grid by type. */
+  val q396_page_hinkley = Q(
+    "q396_page_hinkley",
+    Some(s"""WITH day AS (
+            |  SELECT event_type,
+            |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+            |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            |      AS tot
+            |  FROM events GROUP BY 1, 2),
+            |pre AS (
+            |  SELECT event_type, day, tot,
+            |    CAST(sum(tot) OVER w AS BIGINT) AS s,
+            |    row_number() OVER w AS i
+            |  FROM day
+            |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+            |    ROWS UNBOUNDED PRECEDING)),
+            |dev AS (
+            |  SELECT event_type, day,
+            |    tot - s // i - $PhDelta AS d
+            |  FROM pre),
+            |m AS (
+            |  SELECT event_type, day,
+            |    CAST(sum(d) OVER w AS BIGINT) AS mt
+            |  FROM dev
+            |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+            |    ROWS UNBOUNDED PRECEDING)),
+            |ph AS (
+            |  SELECT event_type, day,
+            |    mt - min(mt) OVER (PARTITION BY event_type ORDER BY day
+            |      ROWS UNBOUNDED PRECEDING) AS ph
+            |  FROM m)
+            |SELECT event_type,
+            |  CAST(sum(CASE WHEN ph > $PhLambda THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_alarm_days,
+            |  min(CASE WHEN ph > $PhLambda THEN day END) AS first_alarm_day,
+            |  CAST(max(ph) AS BIGINT) AS max_ph
+            |FROM ph GROUP BY event_type
+            |ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val day = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").cast("long").as("tot"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = day
+        .withColumn("s", sum("tot").over(w).cast("long"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .select(col("event_type"), col("day"),
+          (col("tot") - expr("s div i") - PhDelta).as("d"))
+      val ph = dev
+        .withColumn("mt", sum("d").over(w).cast("long"))
+        .withColumn("ph", col("mt") - min("mt").over(w))
+      ph.groupBy("event_type")
+        .agg(sum(when(col("ph") > PhLambda, 1L).otherwise(0L)).cast("long")
+            .as("n_alarm_days"),
+          min(when(col("ph") > PhLambda, col("day"))).as("first_alarm_day"),
+          max("ph").cast("long").as("max_ph"))
+        .orderBy("event_type")
+    })
+
+  val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley)
 }

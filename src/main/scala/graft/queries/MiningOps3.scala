@@ -66,5 +66,102 @@ object MiningOps3 {
         .orderBy("ta", "tb")
     })
 
-  val all: Seq[Q] = Seq(q389_seq_patterns)
+  /** CART's optimal categorical split (Breiman's theorem): to split a
+    * categorical feature on a binary target you do NOT search all 2^C
+    * subsets — order the categories by positive rate and the optimal
+    * split is one of the C−1 contiguous prefix cuts. Feature = doc
+    * source, target = lang='en': per-cut weighted Gini impurity
+    * (nL·gL + nR·gR)/N over the rate-ordered prefix, best cut flagged
+    * (ties → smallest cut). Complements q369's numeric threshold
+    * stump with the categorical half of the tree-split toolkit. All
+    * counts are exact integers; the Gini doubles divide exact ints
+    * < 2⁵³ with the same expression shape on both engines, so the
+    * argmin cannot drift.
+    *
+    * Scale shape: one corpus agg to the ≤|sources| grid; ordering,
+    * prefix sums, and the cut scan all run on grid rows. */
+  val q397_cart_split = Q(
+    "q397_cart_split",
+    Some("""WITH g AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS pos
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |        CAST(sum(pos) AS BIGINT) AS pp FROM g),
+           |ord AS (
+           |  SELECT source, n, pos,
+           |    row_number() OVER (ORDER BY CAST(pos AS DOUBLE) / n, source)
+           |      AS k,
+           |    CAST(sum(n) OVER (ORDER BY CAST(pos AS DOUBLE) / n, source
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+           |    CAST(sum(pos) OVER (ORDER BY CAST(pos AS DOUBLE) / n, source
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+           |  FROM g),
+           |cuts AS (
+           |  SELECT o.k AS cut_k, o.source AS last_left,
+           |    o.cn AS n_left, o.cp AS pos_left,
+           |    (o.cn - (CAST(o.cp AS DOUBLE) * o.cp
+           |       + CAST(o.cn - o.cp AS DOUBLE) * (o.cn - o.cp)) / o.cn
+           |     + (t.nn - o.cn)
+           |     - (CAST(t.pp - o.cp AS DOUBLE) * (t.pp - o.cp)
+           |       + CAST(t.nn - o.cn - t.pp + o.cp AS DOUBLE)
+           |         * (t.nn - o.cn - t.pp + o.cp)) / (t.nn - o.cn))
+           |    / t.nn AS gini_w
+           |  FROM ord o CROSS JOIN tot t
+           |  WHERE o.cn < t.nn),
+           |best AS (
+           |  SELECT cut_k, row_number() OVER (
+           |    ORDER BY round(gini_w, 12), cut_k) AS r
+           |  FROM cuts)
+           |SELECT c.cut_k, c.last_left, c.n_left, c.pos_left,
+           |  round(c.gini_w, 6) AS gini_w,
+           |  CAST(CASE WHEN b.r = 1 THEN 1 ELSE 0 END AS BIGINT) AS best
+           |FROM cuts c JOIN best b ON b.cut_k = c.cut_k
+           |ORDER BY c.cut_k""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).cast("long")
+            .as("pos"))
+      val tot = g.agg(sum("n").cast("long").as("nn"),
+        sum("pos").cast("long").as("pp"))
+      val ordW = Window.orderBy(col("pos").cast("double") / col("n"),
+        col("source"))
+      val ord = g
+        .withColumn("k", row_number().over(ordW))
+        .withColumn("cn", sum("n").over(
+          ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("cp", sum("pos").over(
+          ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      val cuts = graft.operators.PlanCache.persist(
+        ord.crossJoin(broadcast(tot))
+          .filter(col("cn") < col("nn"))
+          .select(col("k").cast("long").as("cut_k"),
+            col("source").as("last_left"),
+            col("cn").as("n_left"), col("cp").as("pos_left"),
+            ((col("cn") - (dbl(col("cp")) * col("cp")
+              + dbl(col("cn") - col("cp")) * (col("cn") - col("cp")))
+                / col("cn")
+              + (col("nn") - col("cn"))
+              - (dbl(col("pp") - col("cp")) * (col("pp") - col("cp"))
+                + dbl(col("nn") - col("cn") - col("pp") + col("cp"))
+                  * (col("nn") - col("cn") - col("pp") + col("cp")))
+                / (col("nn") - col("cn")))
+              / col("nn")).as("gini_w")))
+      val best = cuts.select(col("cut_k"),
+        row_number().over(Window.orderBy(round(col("gini_w"), 12),
+          col("cut_k"))).as("r"))
+      cuts.join(best, "cut_k")
+        .select(col("cut_k"), col("last_left"), col("n_left"),
+          col("pos_left"), round(col("gini_w"), 6).as("gini_w"),
+          when(col("r") === 1, 1L).otherwise(0L).cast("long").as("best"))
+        .orderBy("cut_k")
+    })
+
+  val all: Seq[Q] = Seq(q389_seq_patterns, q397_cart_split)
 }
