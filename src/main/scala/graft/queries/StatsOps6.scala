@@ -630,7 +630,149 @@ object StatsOps6 {
         .orderBy("event_type")
     })
 
+  /** LMG relative importance (the Shapley decomposition of R², Lindeman–
+    * Merenda–Gold): how much of a document's n_chars does each of
+    * token count / stopword count / distinct-token count deserve credit
+    * for, averaging the incremental R² over all 3! regressor orderings.
+    * These three regressors are heavily collinear (r ≈ 0.61–0.91) —
+    * exactly the regime LMG exists for, where marginal R²s triple-count
+    * the shared length signal and sum far past the full R². Needs R²
+    * of all 7 regressor subsets; every one comes in closed form from
+    * the correlation matrix (pairs via the partial-R² identity, the
+    * triple via Cramer's-rule normal equations), and the correlation
+    * matrix comes from ONE corpus pass of exact DECIMAL(38,0) sums
+    * (BIGINT-safe at this sf, not at 10⁴× it). Doubles enter only in
+    * the closed-form scalar algebra on the 1-row stat frame, written
+    * with the identical expression shape on both engines. */
+  val q399_lmg_importance = Q(
+    "q399_lmg_importance",
+    Some("""WITH v AS (
+           |  SELECT n_chars AS y,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS a,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS BIGINT) AS b,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           |      AS c
+           |  FROM documents),
+           |st AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(a AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+           |    CAST(sum(CAST(b AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+           |    CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS pyy,
+           |    CAST(sum(CAST(a AS DECIMAL(38,0)) * a) AS DOUBLE) AS paa,
+           |    CAST(sum(CAST(b AS DECIMAL(38,0)) * b) AS DOUBLE) AS pbb,
+           |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS pcc,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0)) * a) AS DOUBLE) AS pya,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0)) * b) AS DOUBLE) AS pyb,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0)) * c) AS DOUBLE) AS pyc,
+           |    CAST(sum(CAST(a AS DECIMAL(38,0)) * b) AS DOUBLE) AS pab,
+           |    CAST(sum(CAST(a AS DECIMAL(38,0)) * c) AS DOUBLE) AS pac,
+           |    CAST(sum(CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE) AS pbc
+           |  FROM v),
+           |cr AS (
+           |  SELECT
+           |    (n * pya - sy * sa) / sqrt((n * pyy - sy * sy) * (n * paa - sa * sa)) AS r1,
+           |    (n * pyb - sy * sb) / sqrt((n * pyy - sy * sy) * (n * pbb - sb * sb)) AS r2,
+           |    (n * pyc - sy * sc) / sqrt((n * pyy - sy * sy) * (n * pcc - sc * sc)) AS r3,
+           |    (n * pab - sa * sb) / sqrt((n * paa - sa * sa) * (n * pbb - sb * sb)) AS r12,
+           |    (n * pac - sa * sc) / sqrt((n * paa - sa * sa) * (n * pcc - sc * sc)) AS r13,
+           |    (n * pbc - sb * sc) / sqrt((n * pbb - sb * sb) * (n * pcc - sc * sc)) AS r23
+           |  FROM st),
+           |sub AS (
+           |  SELECT r1 * r1 AS q1, r2 * r2 AS q2, r3 * r3 AS q3,
+           |    (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12) / (1 - r12 * r12) AS q12,
+           |    (r1 * r1 + r3 * r3 - 2 * r1 * r3 * r13) / (1 - r13 * r13) AS q13,
+           |    (r2 * r2 + r3 * r3 - 2 * r2 * r3 * r23) / (1 - r23 * r23) AS q23,
+           |    r1 * ((r1 * (1 - r23 * r23) + r2 * (r13 * r23 - r12)
+           |        + r3 * (r12 * r23 - r13))
+           |      / (1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23))
+           |    + r2 * ((r2 * (1 - r13 * r13) + r1 * (r13 * r23 - r12)
+           |        + r3 * (r12 * r13 - r23))
+           |      / (1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23))
+           |    + r3 * ((r3 * (1 - r12 * r12) + r1 * (r12 * r23 - r13)
+           |        + r2 * (r12 * r13 - r23))
+           |      / (1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23))
+           |    AS q123
+           |  FROM cr)
+           |SELECT feature,
+           |  round(alone, 6) AS r2_alone,
+           |  round(lmg, 6) AS lmg_share,
+           |  round(q123, 6) AS r2_full
+           |FROM (
+           |  SELECT 'tokens' AS feature, q1 AS alone,
+           |    (2 * q1 + (q12 - q2) + (q13 - q3) + 2 * (q123 - q23)) / 6 AS lmg,
+           |    q123 FROM sub
+           |  UNION ALL
+           |  SELECT 'stopwords', q2,
+           |    (2 * q2 + (q12 - q1) + (q23 - q3) + 2 * (q123 - q13)) / 6,
+           |    q123 FROM sub
+           |  UNION ALL
+           |  SELECT 'distinct_tokens', q3,
+           |    (2 * q3 + (q13 - q1) + (q23 - q2) + 2 * (q123 - q12)) / 6,
+           |    q123 FROM sub) t
+           |ORDER BY feature""".stripMargin),
+    (s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val v = Tables.documents(s, d).select(
+        col("n_chars").as("y"),
+        size(split(col("text"), " ")).cast("long").as("a"),
+        expr("size(filter(split(text, ' '), " +
+          "t -> t IN ('the', 'and', 'of', 'to', 'a')))").cast("long").as("b"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("c"))
+      val st = v.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("a"))).cast("double").as("sa"),
+        sum(dec(col("b"))).cast("double").as("sb"),
+        sum(dec(col("c"))).cast("double").as("sc"),
+        sum(dec(col("y")) * col("y")).cast("double").as("pyy"),
+        sum(dec(col("a")) * col("a")).cast("double").as("paa"),
+        sum(dec(col("b")) * col("b")).cast("double").as("pbb"),
+        sum(dec(col("c")) * col("c")).cast("double").as("pcc"),
+        sum(dec(col("y")) * col("a")).cast("double").as("pya"),
+        sum(dec(col("y")) * col("b")).cast("double").as("pyb"),
+        sum(dec(col("y")) * col("c")).cast("double").as("pyc"),
+        sum(dec(col("a")) * col("b")).cast("double").as("pab"),
+        sum(dec(col("a")) * col("c")).cast("double").as("pac"),
+        sum(dec(col("b")) * col("c")).cast("double").as("pbc"))
+      val cr = st.selectExpr(
+        "(n * pya - sy * sa) / sqrt((n * pyy - sy * sy) * (n * paa - sa * sa)) AS r1",
+        "(n * pyb - sy * sb) / sqrt((n * pyy - sy * sy) * (n * pbb - sb * sb)) AS r2",
+        "(n * pyc - sy * sc) / sqrt((n * pyy - sy * sy) * (n * pcc - sc * sc)) AS r3",
+        "(n * pab - sa * sb) / sqrt((n * paa - sa * sa) * (n * pbb - sb * sb)) AS r12",
+        "(n * pac - sa * sc) / sqrt((n * paa - sa * sa) * (n * pcc - sc * sc)) AS r13",
+        "(n * pbc - sb * sc) / sqrt((n * pbb - sb * sb) * (n * pcc - sc * sc)) AS r23")
+      val det = "(1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 - r23 * r23)"
+      val sub = cr.selectExpr(
+        "r1 * r1 AS q1", "r2 * r2 AS q2", "r3 * r3 AS q3",
+        "(r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12) / (1 - r12 * r12) AS q12",
+        "(r1 * r1 + r3 * r3 - 2 * r1 * r3 * r13) / (1 - r13 * r13) AS q13",
+        "(r2 * r2 + r3 * r3 - 2 * r2 * r3 * r23) / (1 - r23 * r23) AS q23",
+        s"""r1 * ((r1 * (1 - r23 * r23) + r2 * (r13 * r23 - r12)
+           |    + r3 * (r12 * r23 - r13)) / $det)
+           |+ r2 * ((r2 * (1 - r13 * r13) + r1 * (r13 * r23 - r12)
+           |    + r3 * (r12 * r13 - r23)) / $det)
+           |+ r3 * ((r3 * (1 - r12 * r12) + r1 * (r12 * r23 - r13)
+           |    + r2 * (r12 * r13 - r23)) / $det) AS q123""".stripMargin)
+      val one = graft.operators.PlanCache.persist(sub)
+      def row(f: String, alone: String, lmg: String) =
+        one.selectExpr(s"'$f' AS feature", s"$alone AS alone",
+          s"$lmg AS lmg", "q123")
+      row("tokens", "q1",
+          "(2 * q1 + (q12 - q2) + (q13 - q3) + 2 * (q123 - q23)) / 6")
+        .unionAll(row("stopwords", "q2",
+          "(2 * q2 + (q12 - q1) + (q23 - q3) + 2 * (q123 - q13)) / 6"))
+        .unionAll(row("distinct_tokens", "q3",
+          "(2 * q3 + (q13 - q1) + (q23 - q2) + 2 * (q123 - q12)) / 6"))
+        .select(col("feature"), round(col("alone"), 6).as("r2_alone"),
+          round(col("lmg"), 6).as("lmg_share"),
+          round(col("q123"), 6).as("r2_full"))
+        .orderBy("feature")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
     q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
-    q392_cvm_test, q394_fm_sketch)
+    q392_cvm_test, q394_fm_sketch, q399_lmg_importance)
 }

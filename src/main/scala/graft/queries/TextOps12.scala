@@ -109,5 +109,71 @@ object TextOps12 {
         .limit(TrTopK)
     })
 
-  val all: Seq[Q] = Seq(q383_textrank)
+  private val GtMaxR = 10
+
+  /** Good–Turing smoothing (the 1953 estimator behind Katz backoff and
+    * every held-out vocabulary-mass argument): from the frequency-of-
+    * frequencies table S(r), the smoothed count of an r-times-seen term
+    * is rstar = (r+1)·S(r+1)/S(r), and the leftover mass S(1)/N is what
+    * a language model must reserve for UNSEEN vocabulary. Output rows
+    * r = 1..10: S(r), rstar, the smoothed probability mass S(r)·rstar/N
+    * next to the maximum-likelihood mass S(r)·r/N it deflates (rstar NULL
+    * where S(r+1) = 0 — simple GT is honest about needing the
+    * smoothed-S regression beyond that point). Terms are BIGRAMS: the
+    * unigram vocabulary here is 31 words with min count 26 (no tail at
+    * all — GT would emit zero rows); bigrams give a 900+-term Zipf tail
+    * with real hapaxes, which is also the n-gram grain Katz backoff
+    * actually smooths.
+    *
+    * Scale shape: one corpus explode→term agg, a second agg to the
+    * bounded count-of-counts grid; the r+1 lookup is a grid self-join. */
+  val q398_good_turing = Q(
+    "q398_good_turing",
+    Some(s"""WITH tc AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS r
+            |  FROM (
+            |    SELECT unnest(list_transform(range(1, len(ts)),
+            |      i -> ts[i] || ' ' || ts[i + 1])) AS w
+            |    FROM (SELECT string_split(text, ' ') AS ts
+            |          FROM documents) s) t
+            |  GROUP BY w),
+            |ff AS (
+            |  SELECT r, CAST(count(*) AS BIGINT) AS s
+            |  FROM tc GROUP BY r),
+            |n AS (SELECT CAST(sum(r * s) AS BIGINT) AS n FROM ff)
+            |SELECT f.r, f.s AS n_terms,
+            |  round((f.r + 1) * CAST(f2.s AS DOUBLE) / f.s, 6) AS r_star,
+            |  round(f.s * ((f.r + 1) * CAST(f2.s AS DOUBLE) / f.s) / n.n, 6)
+            |    AS gt_mass,
+            |  round(CAST(f.s * f.r AS DOUBLE) / n.n, 6) AS ml_mass
+            |FROM ff f
+            |LEFT JOIN ff f2 ON f2.r = f.r + 1
+            |CROSS JOIN n
+            |WHERE f.r <= $GtMaxR
+            |ORDER BY f.r""".stripMargin),
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ts"))
+        .select(explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
+            " ELSE array() END")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val ff = graft.operators.PlanCache.persist(
+        tc.groupBy("r").agg(count(lit(1)).as("s")))
+      val n = ff.agg(sum(col("r") * col("s")).cast("long").as("n"))
+      ff.join(ff.toDF("r2", "s2"), col("r2") === col("r") + 1, "left")
+        .crossJoin(broadcast(n))
+        .filter(col("r") <= GtMaxR)
+        .select(col("r"), col("s").as("n_terms"),
+          round((col("r") + 1) * col("s2").cast("double") / col("s"), 6)
+            .as("r_star"),
+          round(col("s") * ((col("r") + 1) * col("s2").cast("double")
+            / col("s")) / col("n"), 6).as("gt_mass"),
+          round((col("s") * col("r")).cast("double") / col("n"), 6)
+            .as("ml_mass"))
+        .orderBy("r")
+    })
+
+  val all: Seq[Q] = Seq(q383_textrank, q398_good_turing)
 }
