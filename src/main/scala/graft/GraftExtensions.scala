@@ -155,5 +155,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "tiff_dims(payload) takes one argument")
         graft.functions.TiffDims(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("hilbert_xy"),
+      info("hilbert_xy",
+        "hilbert_xy(x, y, bits) - position of (x, y) on the order-`bits` Hilbert curve (layout key)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hilbert_xy(x, y, bits) takes three arguments")
+        graft.functions.HilbertIndex(args(0), args(1),
+          intArg("hilbert_xy", args(2)))
+      }))
+    ext.injectFunction((FunctionIdentifier("zip_info"),
+      info("zip_info",
+        "zip_info(payload) - struct(n_entries, comp_bytes, first_name) from a ZIP central directory, NULL if corrupt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "zip_info(payload) takes one argument")
+        graft.functions.ZipInfo(args(0))
+      }))
   }
 }

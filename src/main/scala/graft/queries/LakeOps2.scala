@@ -84,5 +84,81 @@ object LakeOps2 {
         .orderBy("box_id")
     })
 
-  val all: Seq[Q] = Seq(q390_hilbert_layout)
+  private val DvFiles = 16
+
+  /** Deletion-vector merge-on-read (the Delta/Iceberg v2 "position
+    * delete" path): rows live in 16 immutable "files" keyed by a
+    * derived in-file position; deletes land NOT as rewrites but as a
+    * per-file sidecar of dead positions; a read applies the sidecar as
+    * a scan-side membership test. Here the DV sidecar is built as one
+    * sorted position array per file (an md5 rule kills ~3/16 of rows),
+    * broadcast to the scan, and applied with array_contains — the
+    * real merge-on-read shape where the DV is KB-scale metadata riding
+    * the broadcast, NEVER a row-level anti-join shuffle (the oracle states the delete
+    * rule inline — construction inversion). Output:
+    * per-file total/deleted/surviving counts and a surviving-rows
+    * checksum.
+    *
+    * Scale note: a per-file DV is a compressed bitmap a few KB wide
+    * even for multi-GB files — collecting it to the broadcast side is
+    * the design, not a shortcut; the data path stays one scan. */
+  val q401_deletion_vectors = Q(
+    "q401_deletion_vectors",
+    Some(s"""WITH rows_ AS (
+            |  SELECT DISTINCT l_orderkey % $DvFiles AS file_id,
+            |    (l_orderkey // $DvFiles) * 10 + l_linenumber AS pos,
+            |    l_orderkey AS ok
+            |  FROM lineitem),
+            |flagged AS (
+            |  SELECT file_id, pos, ok,
+            |    ${hexDigit("md5(CAST(file_id * 10000000 + pos AS VARCHAR))")}
+            |      < 3 AS dead
+            |  FROM rows_)
+            |SELECT file_id,
+            |  CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_deleted,
+            |  CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT)
+            |    AS n_surviving,
+            |  CAST(sum(CASE WHEN dead THEN NULL ELSE ok END) AS BIGINT)
+            |    AS survivor_checksum
+            |FROM flagged
+            |GROUP BY file_id
+            |ORDER BY file_id""".stripMargin),
+    (s, d) => {
+      // DISTINCT: (l_orderkey, l_linenumber) pairs duplicate in the
+      // testdata (the known trap) — the derived position must be unique
+      // within its file for deletion-vector semantics to be well-formed
+      val rows = graft.operators.PlanCache.persist(
+        Tables.lineitem(s, d).select(
+          (col("l_orderkey") % DvFiles).as("file_id"),
+          (expr(s"l_orderkey div $DvFiles") * 10 + col("l_linenumber"))
+            .as("pos"),
+          col("l_orderkey").as("ok")).distinct())
+      // the DV sidecar: one sorted dead-position array per file —
+      // bounded per-file metadata, the unit a real reader broadcasts
+      val dv = rows
+        .withColumn("__h",
+          md5((col("file_id") * 10000000 + col("pos")).cast("string")))
+        .filter(expr(hexDigit("__h")) < 3)
+        .groupBy("file_id")
+        .agg(array_sort(collect_list(col("pos"))).as("dead"))
+      val read = rows.join(broadcast(dv), Seq("file_id"), "left")
+        .withColumn("is_dead",
+          coalesce(array_contains(col("dead"), col("pos")), lit(false)))
+      read.groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_dead"), 1L).otherwise(0L)).cast("long")
+            .as("n_deleted"),
+          sum(when(!col("is_dead"), 1L).otherwise(0L)).cast("long")
+            .as("n_surviving"),
+          sum(when(!col("is_dead"), col("ok"))).cast("long")
+            .as("survivor_checksum"))
+        .orderBy("file_id")
+    })
+
+  private def hexDigit(h: String): String =
+    graft.functions.TextFunctions.hexSpanValSql(h, 0, 1)
+
+  val all: Seq[Q] = Seq(q390_hilbert_layout, q401_deletion_vectors)
 }

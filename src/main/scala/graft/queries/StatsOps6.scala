@@ -772,7 +772,74 @@ object StatsOps6 {
         .orderBy("feature")
     })
 
+  private val MmdS = 5.0e7 // kernel scale: cents², ~E[x²] (value ≤ $490)
+
+  /** Maximum mean discrepancy between event-type value distributions
+    * under the CUBIC polynomial kernel k(x,y) = (1 + xy/s)³ — the
+    * kernel two-sample test in its closed-form regime: expanding the
+    * kernel, MMD² = 3Δ₁²/s + 3Δ₂²/s² + Δ₃²/s³ — weighted squared gaps
+    * of the first three raw moments — so the WHOLE test
+    * needs one exact-moment row per type and ZERO pairwise work — the
+    * kernel trick running in closed form. RBF is deliberately not
+    * used: exp() differs in the last ulp between libm and the JVM, and
+    * summing thousands of such kernel values breaks the repo's
+    * bit-determinism contract; the polynomial embedding is exact
+    * (moments as DECIMAL(38,0) cent sums — Σx³ ≈ 10²³ — doubles only
+    * in the final gap algebra).
+    *
+    * Scale shape: one corpus agg to a per-type moment row; the pair
+    * grid is |types|². */
+  val q400_mmd_poly = Q(
+    "q400_mmd_poly",
+    Some(s"""WITH v AS (
+            |  SELECT event_type AS t,
+            |    CAST(round(value * 100, 0) AS BIGINT) AS x
+            |  FROM events),
+            |m AS (
+            |  SELECT t, CAST(count(*) AS DOUBLE) AS n,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+            |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3
+            |  FROM v GROUP BY t)
+            |SELECT a.t AS type_a, b.t AS type_b,
+            |  round(3 * (a.s1 / a.n - b.s1 / b.n)
+            |          * (a.s1 / a.n - b.s1 / b.n) / $MmdS
+            |      + 3 * (a.s2 / a.n - b.s2 / b.n)
+            |          * (a.s2 / a.n - b.s2 / b.n) / ($MmdS * $MmdS)
+            |      + (a.s3 / a.n - b.s3 / b.n)
+            |          * (a.s3 / a.n - b.s3 / b.n)
+            |          / ($MmdS * $MmdS * $MmdS), 8) AS mmd2,
+            |  round((a.s1 / a.n - b.s1 / b.n) / 100, 6) AS mean_gap
+            |FROM m a JOIN m b ON a.t < b.t
+            |ORDER BY type_a, type_b""".stripMargin),
+    (s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = Tables.events(s, d)
+        .select(col("event_type").as("t"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .groupBy("t").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("x"))).cast("double").as("s1"),
+          sum(dec(col("x")) * col("x")).cast("double").as("s2"),
+          sum(dec(col("x")) * col("x") * col("x")).cast("double").as("s3"))
+      val a = m.toDF("type_a", "na", "a1", "a2", "a3")
+      val b = m.toDF("type_b", "nb", "b1", "b2", "b3")
+      def gap(x: org.apache.spark.sql.Column, nx: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column, ny: org.apache.spark.sql.Column) =
+        x / nx - y / ny
+      val g1 = gap(col("a1"), col("na"), col("b1"), col("nb"))
+      val g2 = gap(col("a2"), col("na"), col("b2"), col("nb"))
+      val g3 = gap(col("a3"), col("na"), col("b3"), col("nb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(lit(3) * g1 * g1 / MmdS
+            + lit(3) * g2 * g2 / (MmdS * MmdS)
+            + g3 * g3 / (MmdS * MmdS * MmdS), 8).as("mmd2"),
+          round(g1 / 100, 6).as("mean_gap"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
     q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
-    q392_cvm_test, q394_fm_sketch, q399_lmg_importance)
+    q392_cvm_test, q394_fm_sketch, q399_lmg_importance, q400_mmd_poly)
 }

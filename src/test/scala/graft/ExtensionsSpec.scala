@@ -130,4 +130,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.9611111111111111)
     assert(r.getLong(1) == 640L)
   }
+
+  test("hilbert_xy and zip_info are callable from SQL") {
+    // hilbert order-2: s=2 quadrant (rx=0,ry=1) adds 4, no rotation;
+    // s=1 cell (rx=1,ry=0) adds 3 -> (1,2) sits at curve position 7
+    // zip blob: one 46+2-byte central-dir record ("F0", comp=7) + EOCD
+    val cd = "504B0102" + "1400" + "1400" + "0000" + "0800" +
+      "0000" + "0000" + "00000000" +      // time, date, crc
+      "07000000" + "07000000" +           // comp, uncomp (LE)
+      "0200" + "0000" + "0000" +          // nlen=2, elen, clen
+      "0000" + "0000" + "00000000" +      // disk, iattr, eattr
+      "00000000" + "4630"                 // offset, name "F0"
+    val eocd = "504B0506" + "0000" + "0000" + "0100" + "0100" +
+      "30000000" + "00000000" + "0000"    // cdsize=0x30, cdoff=0, clen=0
+    val r = spark.sql(
+      s"SELECT hilbert_xy(1L, 2L, 2) AS h, " +
+        s"zip_info(unhex('$cd$eocd')).n_entries AS n, " +
+        s"zip_info(unhex('$cd$eocd')).comp_bytes AS c")
+      .collect()(0)
+    assert(r.getLong(0) == 7L, s"hilbert_xy(1,2,2) = ${r.getLong(0)}")
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 7L)
+  }
 }
