@@ -185,5 +185,102 @@ object EventOps4 {
         .orderBy("event_type")
     })
 
-  val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley)
+  private val FwDeltaUs = 7L * 86400000000L // 7-day step window
+
+  /** Time-window funnel with EXISTENTIAL semantics — signup → click →
+    * purchase where each step lands within 7 days of the previous —
+    * next to the naive greedy-earliest count, which is WRONG under
+    * windows: anchoring on the user's first signup misses users whose
+    * later signup starts the only valid chain (signup day 0 and 50,
+    * click day 56 → greedy pairs 0→56 and fails; the 50→56 chain
+    * converts). Correct semantics: any click with some signup in its
+    * trailing window is reachable; any purchase with some reachable
+    * click converts. The entry reports both counts so the gap is
+    * measured, not argued.
+    *
+    * Scale shape: per-(user, type) the corpus collapses to event lists
+    * only via user-keyed equi-joins; the step joins are user-local
+    * (per-user event counts bound the pair work). Greedy chain = three
+    * user-keyed min-aggs, q69's shape plus the window predicate. */
+  val q402_funnel_window = Q(
+    "q402_funnel_window",
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, event_type,
+            |    CAST(epoch_us(ts) AS BIGINT) AS tus
+            |  FROM events),
+            |sg AS (SELECT user_id, tus FROM ev WHERE event_type = 'signup'),
+            |ck AS (SELECT user_id, tus FROM ev WHERE event_type = 'click'),
+            |pu AS (SELECT user_id, tus FROM ev WHERE event_type = 'purchase'),
+            |valid_ck AS (
+            |  SELECT DISTINCT c.user_id, c.tus
+            |  FROM ck c JOIN sg s ON s.user_id = c.user_id
+            |   AND s.tus <= c.tus AND c.tus - s.tus <= $FwDeltaUs),
+            |conv AS (
+            |  SELECT DISTINCT p.user_id
+            |  FROM pu p JOIN valid_ck v ON v.user_id = p.user_id
+            |   AND v.tus <= p.tus AND p.tus - v.tus <= $FwDeltaUs),
+            |greedy AS (
+            |  SELECT g1.user_id,
+            |    min(CASE WHEN p.tus >= g1.c
+            |      AND p.tus - g1.c <= $FwDeltaUs THEN p.tus END) AS p
+            |  FROM (
+            |    SELECT c.user_id, min(c.tus) AS c
+            |    FROM ck c JOIN (SELECT user_id, min(tus) AS s FROM sg
+            |                    GROUP BY user_id) f
+            |      ON f.user_id = c.user_id AND c.tus >= f.s
+            |     AND c.tus - f.s <= $FwDeltaUs
+            |    GROUP BY c.user_id) g1
+            |  LEFT JOIN pu p ON p.user_id = g1.user_id
+            |  GROUP BY g1.user_id)
+            |SELECT
+            |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev)
+            |    AS n_users,
+            |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM sg)
+            |    AS n_signup,
+            |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM valid_ck)
+            |    AS n_sc_exists,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_scp_exists,
+            |  (SELECT CAST(count(p) AS BIGINT) FROM greedy)
+            |    AS n_scp_greedy""".stripMargin),
+    (s, d) => {
+      val ev = graft.operators.PlanCache.persist(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus")))
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select("user_id", "tus")
+      val sg = typed("signup")
+      val ck = typed("click")
+      val pu = typed("purchase")
+      val validCk = graft.operators.PlanCache.persist(
+        ck.toDF("user_id", "ctus")
+          .join(sg.toDF("user_id", "stus"), "user_id")
+          .filter(col("stus") <= col("ctus") &&
+            col("ctus") - col("stus") <= FwDeltaUs)
+          .select(col("user_id"), col("ctus")).distinct())
+      val conv = pu.toDF("user_id", "ptus")
+        .join(validCk, "user_id")
+        .filter(col("ctus") <= col("ptus") &&
+          col("ptus") - col("ctus") <= FwDeltaUs)
+        .select("user_id").distinct()
+      val firstSg = sg.groupBy("user_id").agg(min("tus").as("s"))
+      val greedyCk = ck.toDF("user_id", "ctus").join(firstSg, "user_id")
+        .filter(col("ctus") >= col("s") &&
+          col("ctus") - col("s") <= FwDeltaUs)
+        .groupBy("user_id").agg(min("ctus").as("c"))
+      val greedy = greedyCk
+        .join(pu.toDF("user_id", "ptus"), Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(min(when(col("ptus") >= col("c") &&
+          col("ptus") - col("c") <= FwDeltaUs, col("ptus"))).as("p"))
+      val c1 = ev.agg(countDistinct("user_id").as("n_users"))
+      val c2 = sg.agg(countDistinct("user_id").as("n_signup"))
+      val c3 = validCk.agg(countDistinct("user_id").as("n_sc_exists"))
+      val c4 = conv.agg(count(lit(1)).as("n_scp_exists"))
+      val c5 = greedy.agg(count(col("p")).as("n_scp_greedy"))
+      broadcast(c1).crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+        .crossJoin(broadcast(c4)).crossJoin(broadcast(c5))
+    })
+
+  val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley,
+    q402_funnel_window)
 }

@@ -175,5 +175,91 @@ object TextOps12 {
         .orderBy("r")
     })
 
-  val all: Seq[Q] = Seq(q383_textrank, q398_good_turing)
+  private val RakeTopK = 15
+
+  /** RAKE keyphrase extraction (Rapid Automatic Keyword Extraction):
+    * candidate phrases are the maximal stopword-free token runs inside
+    * each document; each word scores degree/frequency where degree
+    * sums the lengths of every phrase the word appears in; a phrase
+    * scores the sum of its words' scores. The non-graph classic next
+    * to q383's TextRank — RAKE rewards words that live in LONG
+    * phrases, TextRank rewards words with central co-occurrence.
+    * Top-15 phrases by round-6 score (ties → phrase text).
+    *
+    * Scale shape: phrase assembly is gaps-and-islands over (doc_id,
+    * token position) — windows partition by doc, bounded by document
+    * length, never corpus-wide; word stats and phrase scores are
+    * term-keyed aggs + one broadcast word-score join. */
+  val q403_rake_keywords = Q(
+    "q403_rake_keywords",
+    Some(s"""WITH tok0 AS (
+            |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            |        FROM documents) d),
+            |tok AS (
+            |  SELECT doc_id, pos, ts[pos] AS w,
+            |    ts[pos] IN ('the', 'and', 'of', 'to', 'a') AS stop
+            |  FROM tok0),
+            |isl AS (
+            |  SELECT doc_id, pos, w,
+            |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+            |      AS grp
+            |  FROM tok WHERE NOT stop),
+            |phr AS (
+            |  SELECT doc_id, grp,
+            |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+            |    CAST(count(*) AS BIGINT) AS plen
+            |  FROM isl GROUP BY doc_id, grp),
+            |wstat AS (
+            |  SELECT i.w,
+            |    CAST(count(*) AS BIGINT) AS freq,
+            |    CAST(sum(p.plen) AS BIGINT) AS deg
+            |  FROM isl i JOIN phr p
+            |    ON p.doc_id = i.doc_id AND p.grp = i.grp
+            |  GROUP BY i.w),
+            |pscore AS (
+            |  SELECT p.phrase, p.plen,
+            |    round(sum(CAST(ws.deg AS DOUBLE) / ws.freq), 6) AS score
+            |  FROM phr p JOIN isl i
+            |    ON i.doc_id = p.doc_id AND i.grp = p.grp
+            |  JOIN wstat ws ON ws.w = i.w
+            |  GROUP BY p.doc_id, p.grp, p.phrase, p.plen)
+            |SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+            |  max(score) AS score
+            |FROM pscore
+            |GROUP BY phrase
+            |ORDER BY score DESC, phrase
+            |LIMIT $RakeTopK""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"),
+          col("w").isin("the", "and", "of", "to", "a").as("stop"))
+      val isl = graft.operators.PlanCache.persist(
+        tok.filter(!col("stop"))
+          .withColumn("grp", col("pos") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos"))))
+      val phr = graft.operators.PlanCache.persist(
+        isl.groupBy("doc_id", "grp")
+          .agg(array_join(transform(array_sort(collect_list(
+              struct(col("pos"), col("w")))), p => p("w")), " ")
+              .as("phrase"),
+            count(lit(1)).as("plen")))
+      val wstat = isl.join(phr, Seq("doc_id", "grp"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+      val pscore = phr.join(isl, Seq("doc_id", "grp"))
+        .join(wstat, "w")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(round(sum(col("deg").cast("double") / col("freq")), 6)
+          .as("score"))
+      pscore.groupBy("phrase")
+        .agg(max("plen").cast("long").as("n_words"), max("score").as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(RakeTopK)
+    })
+
+  val all: Seq[Q] = Seq(q383_textrank, q398_good_turing, q403_rake_keywords)
 }
