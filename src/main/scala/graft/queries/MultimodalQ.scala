@@ -410,7 +410,70 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  private val FooterFixture =
+    "/root/reference/lndcdcadsrtcrd_ratecard_1630613001.008183_local_test.parquet"
+
+  /** Parquet physical-layout audit on a REAL file (the reference's own
+    * golden fixture, not synthesized bytes): the container contract a
+    * reader trusts before any thrift parsing — "PAR1" magic at both
+    * ends and the little-endian u32 footer length stored in the 8 tail
+    * bytes, which must leave the footer inside the file. Spark reads
+    * the raw bytes through the binaryFile source; the oracle reads the
+    * SAME file independently with read_blob and re-derives every field
+    * from the bytes (no construction inversion possible — neither
+    * engine knows the answer except by parsing). */
+  val q405_parquet_footer = Q(
+    "q405_parquet_footer", {
+      def leU32(hexExpr: String) =
+        (0 until 4).map { i =>
+          graft.functions.TextFunctions
+            .hexSpanValSql(hexExpr, 2 * i, 2) + s" * ${1L << (8 * i)}"
+        }.mkString("(", " + ", ")")
+      Some(s"""WITH f AS (
+              |  SELECT lower(hex(content)) AS h,
+              |    CAST(octet_length(content) AS BIGINT) AS sz
+              |  FROM read_blob('$FooterFixture')),
+              |p AS (
+              |  SELECT sz,
+              |    upper(substring(h, 1, 8)) AS head,
+              |    upper(substring(h, CAST(2 * sz - 7 AS INT), 8)) AS tail,
+              |    substring(h, CAST(2 * sz - 15 AS INT), 8) AS flen_hex
+              |  FROM f)
+              |SELECT sz AS file_size,
+              |  CAST(${leU32("flen_hex")} AS BIGINT) AS footer_len,
+              |  CAST(CASE WHEN head = '50415231' THEN 1 ELSE 0 END AS BIGINT)
+              |    AS head_ok,
+              |  CAST(CASE WHEN tail = '50415231' THEN 1 ELSE 0 END AS BIGINT)
+              |    AS tail_ok,
+              |  CAST(CASE WHEN ${leU32("flen_hex")} + 8 <= sz
+              |    THEN 1 ELSE 0 END AS BIGINT) AS footer_fits
+              |FROM p""".stripMargin)
+    },
+    (s, d) => {
+      // slice on the HEX string, not the binary: Spark's substring on
+      // a binary child routes through a string cast, mangling non-UTF-8
+      // bytes (measured: footer_len read 8082 instead of 10898), and
+      // DuckDB has no blob substring at all -- hex() first on both sides;
+      // lower() because hexSpanValSql's digit table is lowercase-only
+      // ('A' would silently read as -1)
+      val f = s.read.format("binaryFile").load(FooterFixture)
+        .select(lower(hex(col("content"))).as("h"), col("length").as("sz"))
+      val p = f.select(col("sz"),
+        expr("upper(substring(h, 1, 8))").as("head"),
+        expr("upper(substring(h, CAST(2 * sz - 7 AS INT), 8))").as("tail"),
+        expr("substring(h, CAST(2 * sz - 15 AS INT), 8)").as("flen_hex"))
+      val flen = (0 until 4).map { i =>
+        expr(graft.functions.TextFunctions.hexSpanValSql("flen_hex", 2 * i, 2))
+          .*(lit(1L << (8 * i)))
+      }.reduce(_ + _)
+      p.select(col("sz").as("file_size"),
+        flen.cast("long").as("footer_len"),
+        when(col("head") === "50415231", 1L).otherwise(0L).as("head_ok"),
+        when(col("tail") === "50415231", 1L).otherwise(0L).as("tail_ok"),
+        when(flen + 8 <= col("sz"), 1L).otherwise(0L).as("footer_fits"))
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
     q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims,
-    q371_png_dims, q395_zip_central_dir)
+    q371_png_dims, q395_zip_central_dir, q405_parquet_footer)
 }

@@ -839,7 +839,60 @@ object StatsOps6 {
         .orderBy("type_a", "type_b")
     })
 
+  /** Warner randomized response (1965) — the original local-DP
+    * mechanism, replayed deterministically: each user's sensitive bit
+    * ("total spend over $3500") is reported truthfully with p = 12/16 and
+    * flipped otherwise, the coin being an md5 digit so both engines
+    * flip the SAME users; the analyst never sees who lied but debiases
+    * the aggregate exactly: π̂ = (p̂_rep − (1−p)) / (2p−1). The entry
+    * reports true π (the auditor's ground truth), the raw reported
+    * rate, the debiased estimate, and its absolute error — the
+    * plausible-deniability ↔ utility trade made measurable.
+    * ε = ln(p/(1−p)) = ln 3. One user-keyed agg then one global row;
+    * all rates are exact-count divisions. */
+  val q404_randomized_response = Q(
+    "q404_randomized_response",
+    Some(s"""WITH u AS (
+            |  SELECT user_id,
+            |    CASE WHEN sum(CAST(round(value * 100, 0) AS BIGINT)) > 350000
+            |      THEN 1 ELSE 0 END AS truth,
+            |    ${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 1)} < 12
+            |      AS honest
+            |  FROM events GROUP BY user_id),
+            |rep AS (
+            |  SELECT user_id, truth,
+            |    CASE WHEN honest THEN truth ELSE 1 - truth END AS said
+            |  FROM u)
+            |SELECT CAST(count(*) AS BIGINT) AS n_users,
+            |  round(CAST(sum(truth) AS DOUBLE) / count(*), 6) AS true_pi,
+            |  round(CAST(sum(said) AS DOUBLE) / count(*), 6) AS reported_rate,
+            |  round((CAST(sum(said) AS DOUBLE) / count(*) - 0.25) / 0.5, 6)
+            |    AS debiased_pi,
+            |  round(abs((CAST(sum(said) AS DOUBLE) / count(*) - 0.25) / 0.5
+            |    - CAST(sum(truth) AS DOUBLE) / count(*)), 6) AS abs_err
+            |FROM rep""".stripMargin),
+    (s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(when(sum(round(col("value") * 100, 0).cast("long")) > 350000, 1)
+          .otherwise(0).as("truth"))
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .withColumn("honest", expr(hexSpanValSql("__h", 0, 1)) < 12)
+        .select(col("truth"),
+          when(col("honest"), col("truth")).otherwise(lit(1) - col("truth"))
+            .as("said"))
+      u.agg(count(lit(1)).as("n_users"),
+          round(sum("truth").cast("double") / count(lit(1)), 6).as("true_pi"),
+          round(sum("said").cast("double") / count(lit(1)), 6)
+            .as("reported_rate"),
+          round((sum("said").cast("double") / count(lit(1)) - 0.25) / 0.5, 6)
+            .as("debiased_pi"),
+          round(abs((sum("said").cast("double") / count(lit(1)) - 0.25) / 0.5
+            - sum("truth").cast("double") / count(lit(1))), 6).as("abs_err"))
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
     q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
-    q392_cvm_test, q394_fm_sketch, q399_lmg_importance, q400_mmd_poly)
+    q392_cvm_test, q394_fm_sketch, q399_lmg_importance, q400_mmd_poly,
+    q404_randomized_response)
 }
