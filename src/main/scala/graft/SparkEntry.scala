@@ -9,7 +9,7 @@ object SparkEntry {
   /** All catalog sections, in order. */
   def catalog: Seq[Q] =
     Relational.all ++ Relational2.all ++ Relational3.all ++
-      Relational4.all ++ Relational5.all ++ ModernSql.all ++
+      Relational4.all ++ Relational5.all ++ Relational6.all ++ ModernSql.all ++
       Ingest.all ++ TextOps.all ++
       TextOps2.all ++ TextOps3.all ++ TextOps4.all ++ TextOps5.all ++
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++ TextOps9.all ++
