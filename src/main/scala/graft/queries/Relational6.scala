@@ -127,5 +127,140 @@ object Relational6 {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(q406_tpch_q3, q407_tpch_q5, q408_tpch_q10)
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg —
+    * one table, three pushable predicates, one exact-decimal product
+    * sum. The baseline every pushdown/codegen audit wants: no join, no
+    * shuffle beyond the final 1-row reduce. */
+  val q409_tpch_q6 = Q(
+    "q409_tpch_q6",
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin),
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00")
+        .cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows")))
+
+  /** TPC-H Q14 (promotion effect): share of one month's revenue carried
+    * by PROMO-type parts — the lineitem⋈part join where the part side
+    * is the broadcast dim and the metric is a ratio of two exact
+    * decimal sums over the SAME rows (one conditional). */
+  val q410_tpch_q14 = Q(
+    "q410_tpch_q14",
+    Some(s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+            |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+            |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+            |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+            |  AS promo_revenue_pct,
+            |  CAST(count(*) AS BIGINT) AS n_rows
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00")
+          .cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      li.join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0)
+          * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(rev).cast("double"), 6).as("promo_revenue_pct"),
+          count(lit(1)).as("n_rows"))
+    })
+
+  /** TPC-H Q8 (national market share): NATION_2's share of ASIA-region
+    * customers' STANDARD-part revenue per order year — the deep
+    * snowflake (6 joins, two different nation roles) whose answer is a
+    * conditional-over-total ratio per group. Nation joins twice under
+    * two aliases: once for the customer's region gate, once for the
+    * supplier's nationality. */
+  val q411_tpch_q8 = Q(
+    "q411_tpch_q8",
+    Some("""WITH base AS (
+           |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |    CAST(l_extendedprice AS DECIMAL(18,2))
+           |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+           |    sn.n_name AS supp_nation
+           |  FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN region ON cn.n_regionkey = r_regionkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+           |SELECT o_year,
+           |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+           |      THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM base GROUP BY o_year
+           |ORDER BY o_year""".stripMargin),
+    (s, d) => {
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            / sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_year")
+    })
+
+  /** TPC-H Q13 (customer distribution): how many customers placed k
+    * orders, INCLUDING k = 0 — the left-outer-join + double-aggregation
+    * idiom (count per customer, then histogram the counts) that an
+    * inner join silently corrupts by dropping the zero bucket. */
+  val q412_tpch_q13 = Q(
+    "q412_tpch_q13",
+    Some("""WITH c_orders AS (
+           |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+           |FROM c_orders
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc))
+
+  val all: Seq[Q] = Seq(q406_tpch_q3, q407_tpch_q5, q408_tpch_q10,
+    q409_tpch_q6, q410_tpch_q14, q411_tpch_q8, q412_tpch_q13)
 }
