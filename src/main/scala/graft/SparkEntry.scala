@@ -20,7 +20,7 @@ object SparkEntry {
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++ EventOps4.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++
       StatsOps3.all ++ StatsOps4.all ++ StatsOps5.all ++ StatsOps6.all ++
-      GraphOps.all ++ MiningOps.all ++ MiningOps2.all ++ MiningOps3.all ++
+      GraphOps.all ++ GraphOps2.all ++ MiningOps.all ++ MiningOps2.all ++ MiningOps3.all ++
       LinkOps.all ++ SpatialOps.all ++
       VectorOps.all ++ VectorOps2.all ++ VectorOps3.all ++ VectorOps4.all ++
       VectorOps5.all ++ VectorOps6.all ++ VectorOps7.all ++
