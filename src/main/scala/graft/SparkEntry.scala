@@ -15,7 +15,7 @@ object SparkEntry {
       TextOps6.all ++ TextOps7.all ++ TextOps8.all ++ TextOps9.all ++
       TextOps10.all ++ TextOps11.all ++ TextOps12.all ++
       DataOps.all ++ DataOps2.all ++ DataOps3.all ++ DataOps4.all ++
-      DataOps5.all ++ AuditOps.all ++
+      DataOps5.all ++ DataOps6.all ++ AuditOps.all ++
       LakeOps.all ++ LakeOps2.all ++ GovOps.all ++ QualityOps.all ++ QualityOps2.all ++
       EventOps.all ++ EventOps2.all ++ EventOps3.all ++ EventOps4.all ++
       OpsDiag.all ++ OpsDiag2.all ++ StatsOps.all ++ StatsOps2.all ++

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 connector additions: limit / top-N pushdown on the DSv2
+  * generator source.
+  */
+object DataOps6 {
+
+  /** DSv2 LIMIT + TOP-N pushdown (SupportsPushDownLimit /
+    * SupportsPushDownTopN — the last two scan-time optimization hooks
+    * the GenDocs connector hadn't claimed): because the generator's
+    * rows are a contiguous ascending id interval, a bare LIMIT n or an
+    * ORDER BY id LIMIT n truncates the interval itself — the scan
+    * GENERATES ≤ n rows instead of 10⁶ and Spark's
+    * TakeOrderedAndProject merely re-sorts the survivors. Both
+    * directions exercised: ASC keeps the interval's head, DESC its
+    * tail. GenDocsSpec pins the narrowed `GenScan id=[…)` descriptions
+    * in the executed plan; this entry hash-checks the data outcome
+    * against closed forms.
+    *
+    * At 100 TB this is the difference between "LIMIT 100 reads one
+    * input split" and "LIMIT 100 launches the full scan and discards
+    * it" — the contract matters for any preview/sample path. */
+  val q415_topn_pushdown = Q(
+    "q415_topn_pushdown",
+    Some("""WITH asc_ AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS asc_n,
+           |    CAST(min(id) AS BIGINT) AS asc_min,
+           |    CAST(max(id) AS BIGINT) AS asc_max,
+           |    CAST(sum(id) AS BIGINT) AS asc_sum
+           |  FROM (SELECT unnest(generate_series(500000, 500099)) AS id)),
+           |desc_ AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS desc_n,
+           |    CAST(min(id) AS BIGINT) AS desc_min,
+           |    CAST(max(id) AS BIGINT) AS desc_max,
+           |    CAST(sum(id) AS BIGINT) AS desc_sum
+           |  FROM (SELECT unnest(generate_series(999950, 999999)) AS id))
+           |SELECT * FROM asc_ CROSS JOIN desc_""".stripMargin),
+    (s, d) => {
+      def gen = s.read.format("graft.sources.GenDocs")
+        .option("rows", "1000000").option("slices", "8").load()
+      val asc = gen.filter(col("id") >= 500000L)
+        .orderBy(col("id")).limit(100)
+        .agg(count(lit(1)).as("asc_n"), min("id").as("asc_min"),
+          max("id").as("asc_max"), sum("id").cast("long").as("asc_sum"))
+      val desc = gen.orderBy(col("id").desc).limit(50)
+        .agg(count(lit(1)).as("desc_n"), min("id").as("desc_min"),
+          max("id").as("desc_max"), sum("id").cast("long").as("desc_sum"))
+      broadcast(asc).crossJoin(broadcast(desc))
+    })
+
+  val all: Seq[Q] = Seq(q415_topn_pushdown)
+}

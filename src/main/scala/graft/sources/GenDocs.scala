@@ -77,13 +77,50 @@ private[sources] case object AggSumId extends GenAgg
 private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenDocs.schema
   private var pushedAgg: Option[(Seq[GenAgg], Boolean)] = None
+
+  /** LIMIT pushdown: the generator's rows are a contiguous id interval,
+    * so ANY n of them satisfy a bare LIMIT — truncate the interval to
+    * its first n ids and no partition ever materializes a row past it.
+    * Declared PARTIALLY pushed (Spark keeps its Limit operator as the
+    * cross-partition assembler; the scan just stops generating).
+    * Skipped in keyed mode (the per-tag slice list must keep the
+    * reported KeyGroupedPartitioning's partition count) and under a
+    * pushed aggregate (the agg rows, not the ids, are what's limited). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (keyed || pushedAgg.isDefined || limit < 0) return false
+    hi = math.min(hi, lo + limit)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
+
+  /** Top-N pushdown: ids are generated in ascending order, so
+    * ORDER BY id [ASC|DESC] LIMIT n is exactly the interval's first
+    * (or last) n ids — the scan truncates and Spark's TakeOrderedAnd-
+    * Project re-sorts only the ≤ n survivors. Only a single sort key
+    * on `id` qualifies; anything else stays un-pushed. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (keyed || pushedAgg.isDefined || limit < 0) return false
+    orders.toSeq match {
+      case Seq(o) if isCol(o.expression, "id") =>
+        if (o.direction == SortDirection.ASCENDING)
+          hi = math.min(hi, lo + limit)
+        else lo = math.max(lo, hi - limit)
+        true
+      case _ => false
+    }
+  }
 
   private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
       name: String): Boolean = e match {

@@ -121,4 +121,34 @@ class GenDocsSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan)
     assert(df.count() == 7L)
   }
+
+  test("limit and top-N push into the generated interval") {
+    def g = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "1000000").option("slices", "8").load()
+    val asc = g.filter(col("id") >= 500000L).orderBy(col("id")).limit(100)
+      .agg(count(lit(1)).as("n"), max("id").as("mx"))
+    val ra = asc.collect()(0)
+    assert(ra.getLong(0) == 100L && ra.getLong(1) == 500099L)
+    val pa = asc.queryExecution.executedPlan.toString
+    assert(pa.contains("GenScan id=[500000,500100)"), pa)
+    val desc = g.orderBy(col("id").desc).limit(50)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"))
+    val rd = desc.collect()(0)
+    assert(rd.getLong(0) == 50L && rd.getLong(1) == 999950L)
+    val pd = desc.queryExecution.executedPlan.toString
+    assert(pd.contains("GenScan id=[999950,1000000)"), pd)
+    // a bare limit (no sort) also narrows: any n rows satisfy it
+    val lim = g.limit(30).agg(count(lit(1)).as("n"))
+    assert(lim.collect()(0).getLong(0) == 30L)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("GenScan id=[0,30)"))
+    // keyed mode must NOT push (slice list preserves the reported
+    // KeyGroupedPartitioning) -- results stay correct via Spark's Limit
+    val keyed = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "1000").option("partitionBy", "tag").load()
+      .orderBy(col("id")).limit(10)
+    assert(keyed.count() == 10L)
+    assert(!keyed.queryExecution.executedPlan.toString
+      .contains("id=[0,10)"))
+  }
 }
