@@ -891,8 +891,182 @@ object StatsOps6 {
             - sum("truth").cast("double") / count(lit(1))), 6).as("abs_err"))
     })
 
+  /** Quantile treatment effects at the deciles — where q254's CUPED
+    * and q270's z-test report ONE average effect, QTE shows WHERE in
+    * the outcome distribution the arms differ (a treatment that only
+    * moves the right tail has zero median effect). Arms are the md5
+    * user split; outcome is per-user total spend; decile d's quantile
+    * is the exact type-1 order statistic (min value whose cumulative
+    * count reaches ⌈d·n/10⌉, all integer arithmetic).
+    *
+    * Scale shape: one user-keyed agg, then the CDF windows run on the
+    * (arm × distinct-cent-total) VALUE GRID — bounded by the money
+    * domain, not the user count (the q358 device). The decile probe is
+    * a 9-row grid join against the grid CDF. */
+  val q416_qte_deciles = Q(
+    "q416_qte_deciles",
+    Some(s"""WITH u AS (
+            |  SELECT ${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 1)}
+            |      % 2 AS arm,
+            |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            |      AS y
+            |  FROM events GROUP BY user_id),
+            |g AS (
+            |  SELECT arm, y, CAST(count(*) AS BIGINT) AS k
+            |  FROM u GROUP BY arm, y),
+            |cdf AS (
+            |  SELECT arm, y, k,
+            |    CAST(sum(k) OVER (PARTITION BY arm ORDER BY y
+            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            |    CAST(sum(k) OVER (PARTITION BY arm) AS BIGINT) AS n
+            |  FROM g),
+            |dec_ AS (SELECT unnest(generate_series(1, 9)) AS d),
+            |q AS (
+            |  SELECT d.d, c.arm, min(c.y) AS q
+            |  FROM dec_ d JOIN cdf c
+            |    ON c.cum * 10 >= d.d * c.n
+            |  GROUP BY d.d, c.arm)
+            |SELECT a.d AS decile,
+            |  round(a.q / 100.0, 2) AS q_control,
+            |  round(b.q / 100.0, 2) AS q_treat,
+            |  round((b.q - a.q) / 100.0, 2) AS qte
+            |FROM q a JOIN q b ON b.d = a.d AND a.arm = 0 AND b.arm = 1
+            |ORDER BY decile""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100, 0).cast("long")).cast("long")
+          .as("y"))
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .select((expr(hexSpanValSql("__h", 0, 1)) % 2).as("arm"), col("y"))
+      val g = u.groupBy("arm", "y").agg(count(lit(1)).as("k"))
+      val cdf = g
+        .withColumn("cum", sum("k").over(Window.partitionBy("arm")
+          .orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("n", sum("k").over(Window.partitionBy("arm"))
+          .cast("long"))
+      val dec_ = s.range(1, 10).select(col("id").as("d"))
+      val q = graft.operators.PlanCache.persist(
+        broadcast(dec_).join(cdf, col("cum") * 10 >= col("d") * col("n"))
+          .groupBy("d", "arm").agg(min("y").as("q")))
+      q.filter(col("arm") === 0).select(col("d"), col("q").as("q0"))
+        .join(q.filter(col("arm") === 1).select(col("d"), col("q").as("q1")),
+          "d")
+        .select(col("d").as("decile"),
+          round(col("q0") / 100.0, 2).as("q_control"),
+          round(col("q1") / 100.0, 2).as("q_treat"),
+          round((col("q1") - col("q0")) / 100.0, 2).as("qte"))
+        .orderBy("decile")
+    })
+
+  private val ThK = 24
+
+  /** Theta-sketch set operations: union AND intersection cardinality
+    * estimates per event-type pair from the bottom-k sketches alone —
+    * the reason theta sketches beat HLL in warehouses (HLL unions but
+    * cannot intersect; KMV/theta does both): merge the two hash sets,
+    * θ = k-th smallest of the merged set, est_union = (k−1)·2³²/θ,
+    * and est_inter counts sketch hashes present in BOTH sides below θ,
+    * scaled by 2³²/θ. Audited against exact distinct-user counts.
+    *
+    * Scale shape: per-type sketches come from the map-side-bounded
+    * TopKAggregator (q382); all set algebra runs on ≤2k-element arrays
+    * on the 10-row pair grid. The exact audit is one user-keyed
+    * pair join. */
+  val q417_theta_set_ops = Q(
+    "q417_theta_set_ops",
+    Some(s"""WITH pu AS (
+            |  SELECT DISTINCT event_type, user_id FROM events),
+            |h AS (
+            |  SELECT DISTINCT event_type,
+            |    ${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 8)} AS hv
+            |  FROM pu),
+            |rk AS (
+            |  SELECT event_type, hv,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            |  FROM h),
+            |sk AS (
+            |  SELECT event_type, list(hv ORDER BY hv) AS sketch
+            |  FROM rk WHERE rn <= $ThK GROUP BY event_type),
+            |pairs AS (
+            |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+            |    list_sort(list_distinct(list_concat(a.sketch, b.sketch)))
+            |      AS merged,
+            |    a.sketch AS sa, b.sketch AS sb
+            |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+            |est AS (
+            |  SELECT type_a, type_b,
+            |    merged[LEAST($ThK, len(merged))] AS theta,
+            |    LEAST($ThK, len(merged)) AS kk,
+            |    len(list_filter(list_intersect(sa, sb),
+            |      x -> x < merged[LEAST($ThK, len(merged))])) AS n_both
+            |  FROM pairs),
+            |ex AS (
+            |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+            |    CAST(count(*) AS BIGINT) AS exact_inter
+            |  FROM pu a JOIN pu b
+            |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+            |  GROUP BY 1, 2),
+            |nn AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            |  FROM pu GROUP BY event_type)
+            |SELECT e.type_a, e.type_b,
+            |  na.n + nb.n - coalesce(x.exact_inter, 0) AS exact_union,
+            |  round((e.kk - 1) * 4294967296.0 / e.theta, 2) AS est_union,
+            |  coalesce(x.exact_inter, 0) AS exact_inter,
+            |  round(e.n_both * 4294967296.0 / e.theta, 2) AS est_inter
+            |FROM est e
+            |JOIN nn na ON na.event_type = e.type_a
+            |JOIN nn nb ON nb.event_type = e.type_b
+            |LEFT JOIN ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+            |ORDER BY e.type_a, e.type_b""".stripMargin),
+    (s, d) => {
+      val pu = graft.operators.PlanCache.persist(
+        Tables.events(s, d).select("event_type", "user_id").distinct())
+      val h = pu.withColumn("__h", md5(col("user_id").cast("string")))
+        .select(col("event_type"), expr(hexSpanValSql("__h", 0, 8)).as("hv"))
+        .distinct()
+      val botk = udaf(new graft.functions.TopKAggregator(ThK))
+      val sk = h.select(col("event_type"),
+          (-col("hv")).cast("double").as("score"), col("hv").as("id"))
+        .groupBy("event_type")
+        .agg(botk(col("score"), col("id")).as("sketch"))
+      val pairs = sk.toDF("type_a", "sa")
+        .join(sk.toDF("type_b", "sb"), col("type_a") < col("type_b"))
+        .withColumn("merged",
+          array_sort(array_distinct(concat(col("sa"), col("sb")))))
+      val est = pairs.select(col("type_a"), col("type_b"),
+        element_at(col("merged"), least(lit(ThK), size(col("merged"))))
+          .as("theta"),
+        least(lit(ThK), size(col("merged"))).as("kk"),
+        col("sa"), col("sb"))
+        .withColumn("n_both", size(filter(array_intersect(col("sa"),
+          col("sb")), x => x < col("theta"))))
+      val ex = pu.toDF("type_a", "user_id")
+        .join(pu.toDF("type_b", "user_id"), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+      val nn = pu.groupBy("event_type").agg(count(lit(1)).as("n"))
+      est
+        .join(broadcast(nn.toDF("type_a", "na")), "type_a")
+        .join(broadcast(nn.toDF("type_b", "nb")), "type_b")
+        .join(ex, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+            .as("exact_union"),
+          round((col("kk") - 1) * lit(4294967296.0) / col("theta"), 2)
+            .as("est_union"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          round(col("n_both") * lit(4294967296.0) / col("theta"), 2)
+            .as("est_inter"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[Q] = Seq(q382_kmv_distinct, q384_loo_influence,
     q385_neyman_allocation, q386_ransac_line, q391_isotonic_pav,
     q392_cvm_test, q394_fm_sketch, q399_lmg_importance, q400_mmd_poly,
-    q404_randomized_response)
+    q404_randomized_response, q416_qte_deciles, q417_theta_set_ops)
 }
