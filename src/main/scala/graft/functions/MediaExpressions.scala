@@ -294,3 +294,82 @@ case class ZipInfo(child: Expression)
     copy(child = c)
   override def prettyName: String = "zip_info"
 }
+
+/** MP3 stream summary — a REAL frame walker with the two quirks every
+  * mp3 parser must get right: an optional leading ID3v2 tag whose size
+  * is SYNCSAFE-encoded (7 bits per byte — treating it as a plain u32
+  * lands mid-tag and desyncs), and per-frame lengths computed from the
+  * header's bitrate/samplerate table indices plus the padding bit —
+  * frames are NOT fixed-size, so the walk must recompute the stride at
+  * every header. Walks MPEG-1 Layer III frames from the first sync,
+  * returns struct(n_frames, bitrate_kbps, sample_rate, duration_ms)
+  * taken from the first frame's header (CBR contract), duration =
+  * n_frames·1152·1000/sample_rate in integer math. NULL when the sync
+  * is absent/corrupt, an index is reserved, or a frame runs past the
+  * buffer.
+  *
+  * CodegenFallback: one eval per blob over header bytes, same
+  * adjudication as the other container parsers. */
+case class Mp3Info(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("bitrate_kbps", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary payload, got $other")
+  }
+
+  private val Bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, -1)
+  private val Samplerates = Array(44100, 48000, 32000, -1)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var p = 0
+    // ID3v2: "ID3" ver(2) flags(1) size(4, syncsafe 7-bit bytes)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      p = 10 + size
+    }
+    var n = 0L
+    var kbps = -1L
+    var sr = -1L
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) {
+        if (n == 0) return null else return row(n, kbps, sr)
+      }
+      val version = (b(p + 1) >> 3) & 3
+      val layer = (b(p + 1) >> 1) & 3
+      if (version != 3 || layer != 1) return null // MPEG-1 Layer III only
+      val bidx = (b(p + 2) >> 4) & 0xF
+      val sidx = (b(p + 2) >> 2) & 3
+      val pad = (b(p + 2) >> 1) & 1
+      val rate = Bitrates(bidx)
+      val hz = Samplerates(sidx)
+      if (rate < 0 || hz < 0) return null
+      if (n == 0) { kbps = rate.toLong; sr = hz.toLong }
+      else if (kbps != rate || sr != hz) return null // CBR contract
+      val frameLen = 144 * rate * 1000 / hz + pad
+      if (frameLen <= 4 || p + frameLen > b.length) return null
+      p += frameLen
+      n += 1
+    }
+    if (n == 0) null else row(n, kbps, sr)
+  }
+
+  private def row(n: Long, kbps: Long, sr: Long): GenericInternalRow =
+    new GenericInternalRow(Array[Any](n, kbps, sr, n * 1152L * 1000L / sr))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "mp3_info"
+}

@@ -221,6 +221,11 @@ object Multimodal {
     b.column(graft.functions.ZipInfo(b.expression(content)))
   }
 
+  def mp3Info(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.Mp3Info(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

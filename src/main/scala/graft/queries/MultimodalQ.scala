@@ -473,7 +473,66 @@ object MultimodalQ {
         when(flen + 8 <= col("sz"), 1L).otherwise(0L).as("footer_fits"))
     })
 
+  /** MP3 frame mining, proven by construction-inversion: each document
+    * BUILDS a CBR MPEG-1 Layer III stream — every 5th doc behind an
+    * ID3v2 tag with a MULTI-BYTE syncsafe size (200 → 0x00 0x00 0x01
+    * 0x48; reading it as plain u32 desyncs the walk), 2–5 frames whose
+    * length the parser must recompute from the header's bitrate/
+    * samplerate indices and padding bit, every 17th doc sync-corrupted.
+    * Spark parses back with the native walker (functions/Mp3Info); the
+    * oracle states the construction formulas. Scan-side end to end. */
+  val q418_mp3_frames = Q(
+    "q418_mp3_frames",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(doc_id % 4 + 2 AS BIGINT) END AS n_frames,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(list_extract([32,40,48,56,64,80,96,112,128,
+           |         160,192,224,256,320], CAST(doc_id % 14 AS INT) + 1)
+           |         AS BIGINT) END AS bitrate_kbps,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(list_extract([44100, 48000, 32000],
+           |         CAST(doc_id % 3 AS INT) + 1) AS BIGINT)
+           |       END AS sample_rate,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE (doc_id % 4 + 2) * 1152 * 1000
+           |         // list_extract([44100, 48000, 32000],
+           |              CAST(doc_id % 3 AS INT) + 1)
+           |       END AS duration_ms
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val rates = array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320).map(v => lit(v.toLong)): _*)
+      val bidx = (col("doc_id") % 14).cast("int")
+      val sidx = (col("doc_id") % 3).cast("int")
+      val sync = when(col("doc_id") % 17 === 0, "FEFB").otherwise("FFFB")
+      val base = Tables.documents(s, d)
+        .withColumn("__rate", element_at(rates, bidx + 1))
+        .withColumn("__hz", element_at(
+          array(lit(44100L), lit(48000L), lit(32000L)), sidx + 1))
+        .withColumn("__pad", col("doc_id") % 2)
+        .withColumn("__k", (col("doc_id") % 4 + 2).cast("int"))
+        .withColumn("__flen",
+          expr("(144 * __rate * 1000) div __hz") + col("__pad"))
+        .withColumn("__b3", (bidx + 1) * 16 + sidx * 4 + col("doc_id") % 2 * 2)
+        .withColumn("__fh", concat(sync, lpad(hex(col("__b3")), 2, "0"),
+          lit("00"), expr("repeat('00', CAST(__flen - 4 AS INT))")))
+        // ID3v2 tag, syncsafe size 200 = [0,0,1,0x48], zero body
+        .withColumn("__id3", when(col("doc_id") % 5 === 0,
+          concat(lit("494433"), lit("030000"), lit("00000148"),
+            expr("repeat('00', 200)"))).otherwise(lit("")))
+      val m = Multimodal.mp3Info(
+        unhex(concat(col("__id3"), expr("repeat(__fh, __k)"))))
+      base.select(col("doc_id"), m("n_frames").as("n_frames"),
+          m("bitrate_kbps").as("bitrate_kbps"),
+          m("sample_rate").as("sample_rate"),
+          m("duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
     q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims,
-    q371_png_dims, q395_zip_central_dir, q405_parquet_footer)
+    q371_png_dims, q395_zip_central_dir, q405_parquet_footer,
+    q418_mp3_frames)
 }
