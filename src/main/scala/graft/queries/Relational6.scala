@@ -261,6 +261,85 @@ object Relational6 {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc))
 
+  /** TPC-H Q18 (large-volume customers): orders whose total lineitem
+    * quantity clears a threshold, enriched with their customer — the
+    * aggregate-filter-then-semi-join shape: the HAVING aggregation runs
+    * once over lineitem, and only qualifying orderkeys rejoin the fact
+    * table. Quantities are exact decimal sums. */
+  val q419_tpch_q18 = Q(
+    "q419_tpch_q18",
+    Some("""WITH big AS (
+           |  SELECT l_orderkey
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+           |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total_qty
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 20""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey").as("bk"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    })
+
+  /** TPC-H Q17 (small-quantity-order revenue): revenue lost to orders
+    * below 20% of their part's average quantity — the canonical
+    * correlated-average decorrelation: the per-part mean aggregates
+    * once and rejoins the fact table instead of re-running per row
+    * (p_container is absent from the reduced schema; the part gate is
+    * p_brand + p_size). The mean is an exact decimal ratio carried as
+    * (sum, count) and compared by CROSS-MULTIPLICATION — qty < 0.2·avg
+    * becomes qty·5·cnt < sum, all integers-in-decimal, so the filter
+    * cannot drift between engines. */
+  val q420_tpch_q17 = Q(
+    "q420_tpch_q17",
+    Some("""WITH pavg AS (
+           |  SELECT l_partkey AS pk,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           |      AS sq,
+           |    CAST(count(*) AS BIGINT) AS cq
+           |  FROM lineitem GROUP BY l_partkey)
+           |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    / 7.0 AS avg_yearly,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN pavg ON pk = l_partkey
+           |WHERE p_brand = 'Brand#1' AND p_size <= 15
+           |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq""".stripMargin),
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pavg = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sq"),
+          count(lit(1)).as("cq"))
+      li.join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#1" && col("p_size") <= 15)),
+          col("p_partkey") === col("l_partkey"))
+        .join(pavg, col("pk") === col("l_partkey"))
+        .filter(dec(col("l_quantity")) * 5 * col("cq") < col("sq"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    })
+
   val all: Seq[Q] = Seq(q406_tpch_q3, q407_tpch_q5, q408_tpch_q10,
-    q409_tpch_q6, q410_tpch_q14, q411_tpch_q8, q412_tpch_q13)
+    q409_tpch_q6, q410_tpch_q14, q411_tpch_q8, q412_tpch_q13,
+    q419_tpch_q18, q420_tpch_q17)
 }
