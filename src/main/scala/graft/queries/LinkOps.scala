@@ -23,8 +23,9 @@ object LinkOps {
     *
     * Scale shape: the comparison space is BLOCKED (nation key), never
     * all-pairs; m/u are one aggregate row broadcast back; the
-    * threshold sweep is a 9-row grid joined to the persisted scored
-    * pairs. Scores round to 6 before the ≥θ compare so a last-ulp ln()
+    * threshold sweep runs on the (score × is_match) HISTOGRAM — three
+    * binary fields admit at most 8 distinct scores, so the sweep grid
+    * is ≤16 rows regardless of pair volume. Scores round to 6 before the ≥θ compare so a last-ulp ln()
     * divergence between engines cannot flip a band. */
   val q388_fellegi_sunter = Q(
     "q388_fellegi_sunter",
@@ -74,15 +75,18 @@ object LinkOps {
             |      (CASE WHEN g3 = 1 THEN ln(m3 / u3)
             |            ELSE ln((1 - m3) / (1 - u3)) END), 6) AS score
             |  FROM pr CROSS JOIN mu),
+            |hist AS (
+            |  SELECT score, is_match, CAST(count(*) AS BIGINT) AS k
+            |  FROM sc GROUP BY score, is_match),
             |th AS (SELECT CAST(unnest(generate_series(-12, 12, 3)) AS BIGINT)
             |       AS theta),
             |cm AS (
             |  SELECT th.theta,
-            |    CAST(sum(CASE WHEN score >= theta THEN 1 ELSE 0 END) AS BIGINT)
+            |    CAST(sum(CASE WHEN score >= theta THEN k ELSE 0 END) AS BIGINT)
             |      AS n_flagged,
             |    CAST(sum(CASE WHEN score >= theta AND is_match
-            |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
-            |  FROM th CROSS JOIN sc GROUP BY th.theta)
+            |      THEN k ELSE 0 END) AS BIGINT) AS tp
+            |  FROM th CROSS JOIN hist GROUP BY th.theta)
             |SELECT theta, n_flagged, tp, n_flagged - tp AS fp,
             |  mu.nm_ - tp AS fn,
             |  CASE WHEN n_flagged > 0
@@ -135,14 +139,20 @@ object LinkOps {
         .select(col("is_match"), col("nm_"),
           round(term("g1", "m1", "u1") + term("g2", "m2", "u2")
             + term("g3", "m3", "u3"), 6).as("score"))
-      val cm = sc
-        .select(col("is_match"), col("nm_"), col("score"),
+      // 3 binary agreement fields => at most 8 distinct scores: collapse
+      // the 9M scored pairs to a (score, is_match) histogram BEFORE the
+      // threshold sweep, so the 9-way explode touches <=16 rows, not the
+      // pair set (was the entry's dominant cost: 81M exploded rows)
+      val hist = sc.groupBy("score", "is_match", "nm_")
+        .agg(count(lit(1)).as("k"))
+      val cm = hist
+        .select(col("is_match"), col("nm_"), col("score"), col("k"),
           explode(sequence(lit(-12), lit(12), lit(3))).as("theta"))
         .groupBy(col("theta").cast("long").as("theta"))
-        .agg(sum(flag(col("score") >= col("theta"))).cast("long")
-            .as("n_flagged"),
-          sum(flag(col("score") >= col("theta") && col("is_match")))
-            .cast("long").as("tp"),
+        .agg(sum(when(col("score") >= col("theta"), col("k")).otherwise(0L))
+            .cast("long").as("n_flagged"),
+          sum(when(col("score") >= col("theta") && col("is_match"), col("k"))
+            .otherwise(0L)).cast("long").as("tp"),
           first(col("nm_")).as("nm_"))
       cm.select(col("theta"), col("n_flagged"), col("tp"),
           (col("n_flagged") - col("tp")).as("fp"),
