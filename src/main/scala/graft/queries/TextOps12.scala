@@ -261,5 +261,180 @@ object TextOps12 {
         .limit(RakeTopK)
     })
 
-  val all: Seq[Q] = Seq(q383_textrank, q398_good_turing, q403_rake_keywords)
+  private val Chi2MinDf = 5
+  private val Chi2TopK = 20
+
+  /** χ² feature selection — the standard first pass of every text
+    * classifier pipeline: score each BIGRAM's association with the
+    * lang='en' label from its document-presence 2×2 contingency table,
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), and keep the most
+    * discriminative features (df ≥ 5 to kill hapax flukes). Where q205
+    * runs ONE χ² test, this sweeps the whole vocabulary — the
+    * feature-ranking use, not the hypothesis-testing one. All cell
+    * counts are exact integers; the statistic divides once per term.
+    *
+    * Scale shape: explode → distinct(doc, term) → term-keyed agg; the
+    * label totals ride in as one broadcast row. */
+  val q421_chi2_features = Q(
+    "q421_chi2_features",
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+            |    string_split(text, ' ') AS ts
+            |  FROM documents),
+            |tot AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(y) AS BIGINT) AS n_en
+            |  FROM d),
+            |pres AS (
+            |  SELECT DISTINCT doc_id, y, w
+            |  FROM (
+            |    SELECT doc_id, y, unnest(list_transform(range(1, len(ts)),
+            |      i -> ts[i] || ' ' || ts[i + 1])) AS w
+            |    FROM d) t),
+            |cell AS (
+            |  SELECT w, CAST(sum(y) AS BIGINT) AS a,
+            |    CAST(sum(1 - y) AS BIGINT) AS b
+            |  FROM pres GROUP BY w
+            |  HAVING count(*) >= $Chi2MinDf),
+            |x2 AS (
+            |  SELECT w, a, b,
+            |    round(CAST(t.n AS DOUBLE)
+            |      * (CAST(a AS DOUBLE) * (t.n - t.n_en - b)
+            |         - CAST(b AS DOUBLE) * (t.n_en - a))
+            |      * (CAST(a AS DOUBLE) * (t.n - t.n_en - b)
+            |         - CAST(b AS DOUBLE) * (t.n_en - a))
+            |      / (CAST(a + b AS DOUBLE)
+            |         * (t.n - a - b) * t.n_en * (t.n - t.n_en)), 6) AS chi2
+            |  FROM cell CROSS JOIN tot t)
+            |SELECT w AS bigram, a AS df_en, b AS df_other, chi2
+            |FROM x2
+            |ORDER BY chi2 DESC, bigram
+            |LIMIT $Chi2TopK""".stripMargin),
+    (s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"),
+        split(col("text"), " ").as("ts"))
+      val tot = dd.agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_en"))
+      val pres = dd
+        .select(col("doc_id"), col("y"), explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
+            " ELSE array() END")).as("w"))
+        .distinct()
+      val cell = pres.groupBy("w")
+        .agg(sum("y").cast("long").as("a"),
+          sum(lit(1) - col("y")).cast("long").as("b"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= Chi2MinDf)
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      cell.crossJoin(broadcast(tot))
+        .select(col("w").as("bigram"), col("a").as("df_en"),
+          col("b").as("df_other"),
+          round(dbl(col("n"))
+            * (dbl(col("a")) * (col("n") - col("n_en") - col("b"))
+              - dbl(col("b")) * (col("n_en") - col("a")))
+            * (dbl(col("a")) * (col("n") - col("n_en") - col("b"))
+              - dbl(col("b")) * (col("n_en") - col("a")))
+            / (dbl(col("a") + col("b"))
+              * (col("n") - col("a") - col("b")) * col("n_en")
+              * (col("n") - col("n_en"))), 6).as("chi2"))
+        .orderBy(col("chi2").desc, col("bigram"))
+        .limit(Chi2TopK)
+    })
+
+  /** Jelinek–Mercer interpolation sweep — the smoothing family q284's
+    * Kneser–Ney competes with: held-out (every 5th doc) average
+    * negative log-likelihood of λ·p(w|h) + (1−λ)·p_add1(w) for
+    * λ ∈ {0.2, 0.4, 0.6, 0.8}, trained on the rest. The add-one
+    * unigram floor absorbs OOV tokens so every held-out bigram has
+    * positive mass. Determinism: each token's ln rides
+    * round(·,12) → DECIMAL(28,12) before the sum (agg order differs
+    * per engine), and the output is avg NLL — no exp(), so no
+    * perplexity ulp to chase.
+    *
+    * Scale shape: two term-keyed count tables from the train split,
+    * one broadcast-joined pass over held-out bigrams, a 4-row λ grid. */
+  val q422_jm_smoothing = Q(
+    "q422_jm_smoothing",
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ts,
+           |    doc_id % 5 = 4 AS held
+           |  FROM documents),
+           |uni AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(ts) AS w FROM d WHERE NOT held) t
+           |  GROUP BY w),
+           |un AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |       CAST(count(*) AS BIGINT) AS v FROM uni),
+           |big AS (
+           |  SELECT p['h'] AS h, p['w'] AS w, CAST(count(*) AS BIGINT) AS c
+           |  FROM (
+           |    SELECT unnest(list_transform(range(1, len(ts)),
+           |      i -> {'h': ts[i], 'w': ts[i+1]})) AS p
+           |    FROM d WHERE NOT held) t
+           |  GROUP BY 1, 2),
+           |hctx AS (SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM big GROUP BY h),
+           |ho AS (
+           |  SELECT p['h'] AS h, p['w'] AS w
+           |  FROM (
+           |    SELECT unnest(list_transform(range(1, len(ts)),
+           |      i -> {'h': ts[i], 'w': ts[i+1]})) AS p
+           |    FROM d WHERE held) t),
+           |scored AS (
+           |  SELECT lam.l AS lambda_,
+           |    CAST(round(ln(
+           |      lam.l * coalesce(CAST(b.c AS DOUBLE) / hc.ch, 0)
+           |      + (1 - lam.l) * (coalesce(u.c, 0) + 1.0) / (un.n + un.v + 1))
+           |      , 12) AS DECIMAL(28,12)) AS nll
+           |  FROM ho
+           |  CROSS JOIN (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS l) lam
+           |  LEFT JOIN big b ON b.h = ho.h AND b.w = ho.w
+           |  LEFT JOIN hctx hc ON hc.h = ho.h
+           |  LEFT JOIN uni u ON u.w = ho.w
+           |  CROSS JOIN un)
+           |SELECT lambda_, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  round(-CAST(sum(nll) AS DOUBLE) / count(*), 8) AS avg_nll
+           |FROM scored GROUP BY lambda_
+           |ORDER BY lambda_""".stripMargin),
+    (s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"),
+        split(col("text"), " ").as("ts"),
+        (col("doc_id") % 5 === 4).as("held"))
+      def bigrams(f: org.apache.spark.sql.DataFrame) = f
+        .select(explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> struct(element_at(ts, i) AS h, element_at(ts, i + 1) AS w))" +
+            " ELSE array() END")).as("p"))
+        .select(col("p.h").as("h"), col("p.w").as("w"))
+      val train = dd.filter(!col("held"))
+      val uni = graft.operators.PlanCache.persist(
+        train.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c")))
+      val un = uni.agg(sum("c").cast("long").as("n"),
+        count(lit(1)).as("v"))
+      val big = graft.operators.PlanCache.persist(
+        bigrams(train).groupBy("h", "w").agg(count(lit(1)).as("c")))
+      val hctx = big.groupBy("h").agg(sum("c").cast("long").as("ch"))
+      val ho = bigrams(dd.filter(col("held")))
+      val lam = s.createDataFrame(Seq(Tuple1(0.2), Tuple1(0.4),
+        Tuple1(0.6), Tuple1(0.8))).toDF("l")
+      ho.crossJoin(broadcast(lam))
+        .join(big.toDF("h", "w", "bc"), Seq("h", "w"), "left")
+        .join(hctx, Seq("h"), "left")
+        .join(broadcast(uni.toDF("w", "uc")), Seq("w"), "left")
+        .crossJoin(broadcast(un))
+        .select(col("l").as("lambda_"),
+          round(log(
+            col("l") * coalesce(col("bc").cast("double") / col("ch"), lit(0.0))
+              + (lit(1) - col("l")) * (coalesce(col("uc"), lit(0L)) + 1.0)
+                / (col("n") + col("v") + 1)), 12)
+            .cast("decimal(28,12)").as("nll"))
+        .groupBy("lambda_")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-sum("nll").cast("double") / count(lit(1)), 8).as("avg_nll"))
+        .orderBy("lambda_")
+    })
+
+  val all: Seq[Q] = Seq(q383_textrank, q398_good_turing, q403_rake_keywords,
+    q421_chi2_features, q422_jm_smoothing)
 }
