@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{HilbertLayout, Layout}
+import graft.functions.TextFunctions.hexSpanValSql
 
 /** Round-10 lake-layout additions: Hilbert-curve clustering measured
   * against Z-order.
@@ -160,5 +161,80 @@ object LakeOps2 {
   private def hexDigit(h: String): String =
     graft.functions.TextFunctions.hexSpanValSql(h, 0, 1)
 
-  val all: Seq[Q] = Seq(q390_hilbert_layout, q401_deletion_vectors)
+  /** Partition-column advisor — the decision every lake schema faces
+    * once: for each candidate partition key of the events stream
+    * (type, day, user bucket, hash bucket), report the metrics that
+    * decide it: partition count, median partition rows (file-size
+    * proxy), EXPECTED SCAN FRACTION under a volume-weighted equality
+    * predicate — which is exactly Σp² (a query hits partition v with
+    * probability ∝ its volume, then reads p_v of the data; q317's HHI
+    * reused as an I/O forecast) — and the count of tiny partitions
+    * (< 10% of the mean, the small-file smell). Low scan_frac wants
+    * MANY partitions; healthy file sizes want FEW; the table makes the
+    * tension explicit instead of folklore.
+    *
+    * Scale shape: one grouped agg per candidate to its bounded
+    * partition grid; medians and HHI run on grid rows. */
+  val q423_partition_advisor = Q(
+    "q423_partition_advisor", {
+      def cand(name: String, key: String) =
+        s"""SELECT '$name' AS candidate,
+           |  CAST(count(*) AS BIGINT) AS n_parts,
+           |  CAST(quantile_disc(k, 0.5) AS BIGINT) AS p50_rows,
+           |  round(sum(CAST(k AS DOUBLE) * k)
+           |    / (sum(CAST(k AS DOUBLE)) * sum(CAST(k AS DOUBLE))), 6)
+           |    AS scan_frac,
+           |  CAST(sum(CASE WHEN k * np * 10 < tot THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS tiny_parts
+           |FROM (
+           |  SELECT k, count(*) OVER () AS np,
+           |    CAST(sum(k) OVER () AS BIGINT) AS tot
+           |  FROM (SELECT $key AS v, CAST(count(*) AS BIGINT) AS k
+           |        FROM events GROUP BY 1) g0) g""".stripMargin
+      Some(s"""${cand("event_type", "event_type")}
+              |UNION ALL
+              |${cand("day", "CAST(epoch_us(ts) // 86400000000 AS BIGINT)")}
+              |UNION ALL
+              |${cand("user_bucket", "user_id % 256")}
+              |UNION ALL
+              |${cand("hash_bucket",
+                hexSpanValSql("md5(CAST(event_id AS VARCHAR))", 0, 8)
+                  + " % 64")}
+              |ORDER BY candidate""".stripMargin)
+    },
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.operators.PlanCache.persist(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+          .withColumn("__h", md5(col("event_id").cast("string"))))
+      def cand(name: String, key: org.apache.spark.sql.Column) = {
+        val g = ev.groupBy(key.as("v")).agg(count(lit(1)).as("k"))
+        val w = Window.partitionBy()
+        val ranked = g
+          .withColumn("np", count(lit(1)).over(w))
+          .withColumn("tot", sum("k").over(w).cast("long"))
+          .withColumn("rn", row_number().over(Window.orderBy("k", "v")))
+        ranked
+          .agg(first(col("np")).as("n_parts0"),
+            min(when(col("rn") * 2 >= col("np"), col("k"))).as("p50_rows"),
+            round(sum(col("k").cast("double") * col("k"))
+              / (sum(col("k").cast("double"))
+                * sum(col("k").cast("double"))), 6).as("scan_frac"),
+            sum(when(col("k") * col("np") * 10 < col("tot"), 1L)
+              .otherwise(0L)).cast("long").as("tiny_parts"))
+          .select(lit(name).as("candidate"),
+            col("n_parts0").cast("long").as("n_parts"), col("p50_rows"),
+            col("scan_frac"), col("tiny_parts"))
+      }
+      cand("event_type", col("event_type"))
+        .unionByName(cand("day", col("day")))
+        .unionByName(cand("user_bucket", col("user_id") % 256))
+        .unionByName(cand("hash_bucket",
+          expr(hexSpanValSql("__h", 0, 8)) % 64))
+        .orderBy("candidate")
+    })
+
+  val all: Seq[Q] = Seq(q390_hilbert_layout, q401_deletion_vectors,
+    q423_partition_advisor)
 }
