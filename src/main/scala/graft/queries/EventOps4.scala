@@ -281,6 +281,78 @@ object EventOps4 {
         .crossJoin(broadcast(c4)).crossJoin(broadcast(c5))
     })
 
+  private val LbR = 3 // warping-envelope half-width, days
+
+  /** LB_Keogh lower bound between every event-type pair's daily series
+    * — the envelope pruning bound that makes DTW search tractable
+    * (Keogh 2002): candidate b's ±3-day sliding min/max envelope
+    * [L, U], and LB(a, b) = Σ_days (a−U)² above + (L−a)² below. A
+    * true lower bound on DTW(a, b) with warping window r, computable
+    * with plain sliding windows — no quadratic DP — which is exactly
+    * why real systems evaluate IT first and run DTW only on survivors.
+    * All arithmetic in exact cent BIGINTs (squares of daily-total gaps
+    * stay < 2⁶³ at any plausible day volume… displayed as dollars²).
+    *
+    * Scale shape: one corpus agg to the (type × day) grid; envelopes
+    * are rowsBetween(−r, r) windows per type on grid rows; the pair
+    * join is day-keyed on the grid. NOT symmetric (envelope on b) —
+    * both directions reported. */
+  val q424_lb_keogh = Q(
+    "q424_lb_keogh",
+    Some(s"""WITH day AS (
+            |  SELECT event_type,
+            |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+            |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            |      AS tot
+            |  FROM events GROUP BY 1, 2),
+            |env AS (
+            |  SELECT event_type, day, tot,
+            |    CAST(max(tot) OVER w AS BIGINT) AS u,
+            |    CAST(min(tot) OVER w AS BIGINT) AS l
+            |  FROM day
+            |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+            |    ROWS BETWEEN $LbR PRECEDING AND $LbR FOLLOWING)),
+            |pair AS (
+            |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+            |    CAST(sum(CASE WHEN a.tot > b.u
+            |        THEN (a.tot - b.u) * (a.tot - b.u)
+            |      WHEN a.tot < b.l THEN (b.l - a.tot) * (b.l - a.tot)
+            |      ELSE 0 END) AS BIGINT) AS lb_cents2,
+            |    CAST(count(*) AS BIGINT) AS n_days
+            |  FROM day a JOIN env b
+            |    ON b.day = a.day AND b.event_type <> a.event_type
+            |  GROUP BY 1, 2)
+            |SELECT type_a, type_b, n_days,
+            |  round(CAST(lb_cents2 AS DOUBLE) / 10000, 4) AS lb_keogh
+            |FROM pair ORDER BY type_a, type_b""".stripMargin),
+    (s, d) => {
+      val day = graft.operators.PlanCache.persist(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("event_type", "day")
+          .agg(sum("c").cast("long").as("tot")))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-LbR, LbR)
+      val env = day
+        .withColumn("u", max("tot").over(w).cast("long"))
+        .withColumn("l", min("tot").over(w).cast("long"))
+      day.toDF("type_a", "day", "ta")
+        .join(env.toDF("type_b", "day", "tb", "u", "l"), "day")
+        .filter(col("type_b") =!= col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(when(col("ta") > col("u"),
+            (col("ta") - col("u")) * (col("ta") - col("u")))
+          .when(col("ta") < col("l"),
+            (col("l") - col("ta")) * (col("l") - col("ta")))
+          .otherwise(0L)).cast("long").as("lb_cents2"),
+          count(lit(1)).as("n_days"))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          round(col("lb_cents2").cast("double") / 10000, 4).as("lb_keogh"))
+        .orderBy("type_a", "type_b")
+    })
+
   val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley,
-    q402_funnel_window)
+    q402_funnel_window, q424_lb_keogh)
 }

@@ -435,6 +435,130 @@ object TextOps12 {
         .orderBy("lambda_")
     })
 
+  /** Rocchio / nearest-centroid text classification — the sparse
+    * tf-idf pipeline next to q368's multinomial NB: per-language
+    * centroids of train-split bigram tf-idf vectors, held-out docs
+    * assigned to the cosine-nearest centroid, full confusion matrix.
+    * The whole computation is SPARSE and term-keyed: dot products are
+    * joins on the bigram, never dense vectors. Determinism: every
+    * pointwise value (tf·idf, w², x·w) rounds before entering a
+    * DECIMAL(28,12) sum, so no double aggregation order exists on
+    * either engine; scores round to 10 before the argmax (tie → lang
+    * ascending). */
+  val q425_rocchio_classifier = Q(
+    "q425_rocchio_classifier",
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, doc_id % 5 = 4 AS held,
+           |    string_split(text, ' ') AS ts
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, lang, held, w, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (
+           |    SELECT doc_id, lang, held,
+           |      unnest(list_transform(range(1, len(ts)),
+           |        i -> ts[i] || ' ' || ts[i + 1])) AS w
+           |    FROM d) t
+           |  GROUP BY 1, 2, 3, 4),
+           |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE NOT held),
+           |idf AS (
+           |  SELECT w, ln(CAST(ntr.n AS DOUBLE)
+           |    / count(DISTINCT doc_id)) AS idf
+           |  FROM tf CROSS JOIN ntr WHERE NOT held GROUP BY w, ntr.n),
+           |xt AS (
+           |  SELECT tf.doc_id, tf.lang, tf.held, tf.w,
+           |    round(tf.tf * i.idf, 8) AS x
+           |  FROM tf JOIN idf i ON i.w = tf.w),
+           |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+           |       FROM d WHERE NOT held GROUP BY lang),
+           |cent AS (
+           |  SELECT x.lang, x.w,
+           |    round(CAST(sum(CAST(x.x AS DECIMAL(28,12))) AS DOUBLE)
+           |      / nl.nd, 8) AS cw
+           |  FROM xt x JOIN nl ON nl.lang = x.lang
+           |  WHERE NOT x.held GROUP BY x.lang, x.w, nl.nd),
+           |cn AS (
+           |  SELECT lang, sqrt(CAST(sum(CAST(round(cw * cw, 12)
+           |    AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+           |  FROM cent GROUP BY lang),
+           |dn AS (
+           |  SELECT doc_id, sqrt(CAST(sum(CAST(round(x * x, 12)
+           |    AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+           |  FROM xt WHERE held GROUP BY doc_id),
+           |dots AS (
+           |  SELECT x.doc_id, x.lang AS lang_true, c.lang AS cand,
+           |    CAST(sum(CAST(round(x.x * c.cw, 12) AS DECIMAL(28,12)))
+           |      AS DOUBLE) AS dot
+           |  FROM xt x JOIN cent c ON c.w = x.w
+           |  WHERE x.held GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT s.doc_id, s.lang_true, s.cand,
+           |    round(s.dot / (dn.norm * cn.norm), 10) AS cos
+           |  FROM dots s JOIN dn ON dn.doc_id = s.doc_id
+           |  JOIN cn ON cn.lang = s.cand),
+           |pred AS (
+           |  SELECT doc_id, lang_true, cand AS lang_pred FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY cos DESC, cand) AS r
+           |    FROM scored) t WHERE r = 1)
+           |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+           |FROM pred GROUP BY 1, 2
+           |ORDER BY lang_true, lang_pred""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        (col("doc_id") % 5 === 4).as("held"),
+        split(col("text"), " ").as("ts"))
+      val tf = graft.operators.PlanCache.persist(dd
+        .select(col("doc_id"), col("lang"), col("held"), explode(expr(
+          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
+            " ELSE array() END")).as("w"))
+        .groupBy("doc_id", "lang", "held", "w")
+        .agg(count(lit(1)).as("tf")))
+      val ntr = dd.filter(!col("held")).agg(count(lit(1)).as("n"))
+      val idf = tf.filter(!col("held")).crossJoin(broadcast(ntr))
+        .groupBy("w", "n")
+        .agg(countDistinct("doc_id").as("df"))
+        .select(col("w"),
+          log(col("n").cast("double") / col("df")).as("idf"))
+      val xt = graft.operators.PlanCache.persist(
+        tf.join(idf, "w")
+          .select(col("doc_id"), col("lang"), col("held"), col("w"),
+            round(col("tf") * col("idf"), 8).as("x")))
+      val nl = dd.filter(!col("held")).groupBy("lang")
+        .agg(count(lit(1)).as("nd"))
+      val cent = graft.operators.PlanCache.persist(
+        xt.filter(!col("held")).join(broadcast(nl), "lang")
+          .groupBy("lang", "w", "nd")
+          .agg(sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"))
+          .select(col("lang"), col("w"),
+            round(col("sx") / col("nd"), 8).as("cw")))
+      val cn = cent.groupBy("lang")
+        .agg(sqrt(sum(round(col("cw") * col("cw"), 12)
+          .cast("decimal(28,12)")).cast("double")).as("cnorm"))
+      val ho = xt.filter(col("held"))
+      val dn = ho.groupBy("doc_id")
+        .agg(sqrt(sum(round(col("x") * col("x"), 12)
+          .cast("decimal(28,12)")).cast("double")).as("dnorm"))
+      val dots = ho.select(col("doc_id"), col("lang").as("lang_true"),
+          col("w"), col("x"))
+        .join(cent.toDF("cand", "w", "cw"), "w")
+        .groupBy("doc_id", "lang_true", "cand")
+        .agg(sum(round(col("x") * col("cw"), 12).cast("decimal(28,12)"))
+          .cast("double").as("dot"))
+      val scored = dots.join(dn, "doc_id")
+        .join(cn.toDF("cand", "cnorm"), "cand")
+        .select(col("doc_id"), col("lang_true"), col("cand"),
+          round(col("dot") / (col("dnorm") * col("cnorm")), 10).as("cos"))
+      scored
+        .withColumn("r", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("cos").desc, col("cand"))))
+        .filter(col("r") === 1)
+        .groupBy(col("lang_true"), col("cand").as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_true", "lang_pred")
+    })
+
   val all: Seq[Q] = Seq(q383_textrank, q398_good_turing, q403_rake_keywords,
-    q421_chi2_features, q422_jm_smoothing)
+    q421_chi2_features, q422_jm_smoothing, q425_rocchio_classifier)
 }
