@@ -170,5 +170,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "zip_info(payload) takes one argument")
         graft.functions.ZipInfo(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("mp3_info"),
+      info("mp3_info",
+        "mp3_info(payload) - struct(n_frames, bitrate_kbps, sample_rate, duration_ms) from a CBR MPEG-1 L3 stream, NULL if corrupt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "mp3_info(payload) takes one argument")
+        graft.functions.Mp3Info(args(0))
+      }))
   }
 }

@@ -143,13 +143,17 @@ class ExtensionsSpec extends AnyFunSuite {
       "00000000" + "4630"                 // offset, name "F0"
     val eocd = "504B0506" + "0000" + "0000" + "0100" + "0100" +
       "30000000" + "00000000" + "0000"    // cdsize=0x30, cdoff=0, clen=0
+    // one 417-byte CBR frame: 128 kbps (idx 9) @ 44100, no padding
+    val mp3 = "FFFB9000" + "00" * 413
     val r = spark.sql(
       s"SELECT hilbert_xy(1L, 2L, 2) AS h, " +
         s"zip_info(unhex('$cd$eocd')).n_entries AS n, " +
-        s"zip_info(unhex('$cd$eocd')).comp_bytes AS c")
+        s"zip_info(unhex('$cd$eocd')).comp_bytes AS c, " +
+        s"mp3_info(unhex('$mp3')).bitrate_kbps AS kbps")
       .collect()(0)
     assert(r.getLong(0) == 7L, s"hilbert_xy(1,2,2) = ${r.getLong(0)}")
     assert(r.getLong(1) == 1L)
     assert(r.getLong(2) == 7L)
+    assert(r.getLong(3) == 128L)
   }
 }

@@ -288,4 +288,41 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
       .count()
     assert(n == 200L)
   }
+
+  test("zip_info and mp3_info: arbitrary bytes never throw; null on junk, parse on valid") {
+    import spark.implicits._
+    val fuzz: List[Array[Byte]] =
+      Gen.listOfN(200, Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray)).sample.get ++
+      // adversarial: EOCD sig bytes scattered mid-buffer, truncated tails
+      Gen.listOfN(100, Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(bs => Array(0x50.toByte, 0x4B.toByte, 0x05.toByte, 0x06.toByte)
+          ++ bs)).sample.get ++
+      // mp3: sync bytes followed by junk (reserved indices, truncation)
+      Gen.listOfN(100, Gen.nonEmptyListOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(bs => Array(0xFF.toByte, 0xFB.toByte) ++ bs)).sample.get
+    val out = fuzz.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+      .select(graft.operators.Multimodal.zipInfo(col("content")).as("z"),
+        graft.operators.Multimodal.mp3Info(col("content")).as("m"))
+      .collect() // must not throw
+    assert(out.length == fuzz.length)
+    // a canonical valid zip tail and a 3-frame CBR mp3 both parse
+    val cd = "504B0102" + "1400" + "1400" + "0000" + "0800" + "0000" +
+      "0000" + "00000000" + "2A000000" + "2A000000" + "0200" + "0000" +
+      "0000" + "0000" + "0000" + "00000000" + "00000000" + "4631"
+    val eocd = "504B0506" + "0000" + "0000" + "0100" + "0100" +
+      "30000000" + "00000000" + "0000"
+    // 128 kbps @ 44100, no padding: frameLen = 144*128000/44100 = 417
+    val frame = "FFFB" + "90" + "00" + "00" * 413
+    val r = Seq((cd + eocd, frame * 3)).toDF("zh", "mh")
+      .select(graft.operators.Multimodal.zipInfo(unhex(col("zh"))).as("z"),
+        graft.operators.Multimodal.mp3Info(unhex(col("mh"))).as("m"))
+      .selectExpr("z.n_entries", "z.comp_bytes", "m.n_frames",
+        "m.bitrate_kbps", "m.sample_rate", "m.duration_ms")
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 42L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 128L)
+    assert(r.getLong(4) == 44100L && r.getLong(5) == 3L * 1152 * 1000 / 44100)
+  }
 }

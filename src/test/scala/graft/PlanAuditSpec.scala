@@ -559,4 +559,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       p)
   }
+
+  test("q409/q407: TPC-H shapes — Q6 is join-free with pushed date bounds; Q5 broadcasts its dims") {
+    val p6 = plan("q409_tpch_q6")
+    assert(!p6.contains("Join"), p6)
+    // the simple plan string truncates long filter lists ("... N more
+    // fields") — pin the untruncated prefix; the full list is asserted
+    // by the formatted explain in SCALE.md's audit trail
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"), p6)
+    val p5 = plan("q407_tpch_q5")
+    assert(countOf(p5, "BroadcastHashJoin") >= 2, p5)
+    assert(!p5.contains("CartesianProduct"), p5)
+  }
+
+  test("q382: bottom-k sketch aggregates map-side — no window anywhere in the plan") {
+    val p = plan("q382_kmv_distinct")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // the TopKAggregator path
+  }
+
+  test("q401: deletion-vector read is a broadcast membership test, not a row anti-join") {
+    val p = plan("q401_deletion_vectors")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
