@@ -206,7 +206,13 @@ object Bench {
     // and become unparseable (BENCH_r01/r02 both lost the metric this
     // way). Keep the stdout line < 200 chars and make it the LAST thing
     // printed.
-    for (path <- Seq("target/bench.json", "BENCH_QUERIES_latest.json")) {
+    // A filtered (SPARK_GRAFT_ONLY) run writes ONLY target/bench.json:
+    // the repo-root artifact is the committed FULL-catalog record, and a
+    // retime of three flagged entries must not replace it.
+    val outPaths =
+      if (only.isDefined) Seq("target/bench.json")
+      else Seq("target/bench.json", "BENCH_QUERIES_latest.json")
+    for (path <- outPaths) {
       try {
         val out = java.nio.file.Paths.get(path)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -177,5 +177,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "mp3_info(payload) takes one argument")
         graft.functions.Mp3Info(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("webp_dims"),
+      info("webp_dims",
+        "webp_dims(payload) - struct(format, width, height) from a RIFF/WEBP container (VP8 lossy or VP8L lossless), NULL if corrupt"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "webp_dims(payload) takes one argument")
+        graft.functions.WebpDims(args(0))
+      }))
   }
 }

@@ -226,6 +226,14 @@ object Multimodal {
     b.column(graft.functions.Mp3Info(b.expression(content)))
   }
 
+  /** WEBP dimensions via a real RIFF chunk walk — lossy (VP8 sync +
+    * 14-bit LE dims) and lossless (VP8L packed u32) bitstreams (see
+    * functions/WebpDims). Null struct for non-WEBP/corrupt payloads. */
+  def webpDims(content: Column): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(graft.functions.WebpDims(b.expression(content)))
+  }
+
   /** Per-partition feature extraction — one decoder init per partition
     * (the expensive-codec pattern), then streaming batch iteration. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Round-11 distributed-summary additions: the top-k merge audit and
+  * the fixed-grid quantile sketch audit — both "does the distributed
+  * shortcut stay inside its error bound" checks, each proved against
+  * the exact answer on the same data.
+  */
+object DataOps7 {
+
+  private val ShardN = 8
+  private val TopPerShard = 25
+  private val GlobalTop = 10
+
+  /** Distributed TOP-K MERGE audit: 8 arrival shards (doc_id mod 8)
+    * each keep only their local top-25 terms (count desc, term); the
+    * coordinator merges by summing the surviving counts — the standard
+    * two-level top-k every distributed engine runs. For each of the
+    * exact global top-10 terms: the merged (possibly under-counted)
+    * count, how many shards' summaries it survived in, and the
+    * THEOREM check — the undercount can never exceed the sum of the
+    * 25th-place counts of the shards that dropped it (a term absent
+    * from a shard's top-25 contributed less there than that shard's
+    * threshold). `bound_holds` = 1 on every row is the distributed
+    * correctness contract.
+    *
+    * Scale shape: one (shard, term) hash agg; the per-shard top-25 is
+    * a shard-PARTITIONED rank that compiles to WindowGroupLimit
+    * (partial top-25 ahead of the shuffle — the q149 pin); everything
+    * after runs on ≤ 8·25 summary rows + a 10-row exact top list. */
+  val q426_sharded_topk_error = Q(
+    "q426_sharded_topk_error",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id % $ShardN AS shard,
+            |    unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            |tc AS (
+            |  SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+            |  FROM tok GROUP BY 1, 2),
+            |surv AS (
+            |  SELECT shard, term, c FROM (
+            |    SELECT shard, term, c, ROW_NUMBER() OVER (
+            |      PARTITION BY shard ORDER BY c DESC, term) AS rn
+            |    FROM tc) r WHERE rn <= $TopPerShard),
+            |kth AS (
+            |  SELECT shard, CAST(min(c) AS BIGINT) AS kc FROM surv
+            |  GROUP BY shard),
+            |ktot AS (SELECT CAST(sum(kc) AS BIGINT) AS kt FROM kth),
+            |exact AS (
+            |  SELECT term, CAST(sum(c) AS BIGINT) AS exact_c
+            |  FROM tc GROUP BY term
+            |  ORDER BY exact_c DESC, term LIMIT $GlobalTop),
+            |m AS (
+            |  SELECT e.term, e.exact_c,
+            |    CAST(coalesce(sum(s.c), 0) AS BIGINT) AS merged_c,
+            |    CAST(count(s.shard) AS BIGINT) AS n_shards_present,
+            |    CAST(coalesce(sum(k.kc), 0) AS BIGINT) AS kth_present
+            |  FROM exact e
+            |  LEFT JOIN surv s ON s.term = e.term
+            |  LEFT JOIN kth k ON k.shard = s.shard
+            |  GROUP BY e.term, e.exact_c)
+            |SELECT term, exact_c, merged_c,
+            |  exact_c - merged_c AS undercount, n_shards_present,
+            |  kt - kth_present AS missed_bound,
+            |  CASE WHEN exact_c - merged_c <= kt - kth_present
+            |    THEN 1 ELSE 0 END AS bound_holds
+            |FROM m CROSS JOIN ktot
+            |ORDER BY exact_c DESC, term""".stripMargin),
+    (s, d) => {
+      val tc = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .select((col("doc_id") % ShardN).as("shard"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("shard", "term").agg(count(lit(1)).as("c")))
+      val wTop = Window.partitionBy("shard")
+        .orderBy(col("c").desc, col("term"))
+      val surv = tc.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= TopPerShard).drop("rn")
+      val kth = surv.groupBy("shard").agg(min("c").cast("long").as("kc"))
+      val ktot = kth.agg(sum("kc").cast("long").as("kt"))
+      val exact = tc.groupBy("term").agg(sum("c").cast("long").as("exact_c"))
+        .orderBy(col("exact_c").desc, col("term")).limit(GlobalTop)
+      val m = exact
+        .join(broadcast(surv.join(broadcast(kth), "shard")),
+          Seq("term"), "left")
+        .groupBy("term", "exact_c")
+        .agg(coalesce(sum("c"), lit(0L)).cast("long").as("merged_c"),
+          count(col("shard")).as("n_shards_present"),
+          coalesce(sum("kc"), lit(0L)).cast("long").as("kth_present"))
+      m.crossJoin(broadcast(ktot))
+        .select(col("term"), col("exact_c"), col("merged_c"),
+          (col("exact_c") - col("merged_c")).as("undercount"),
+          col("n_shards_present"),
+          (col("kt") - col("kth_present")).as("missed_bound"),
+          when(col("exact_c") - col("merged_c") <=
+            col("kt") - col("kth_present"), 1).otherwise(0)
+            .as("bound_holds"))
+        .orderBy(col("exact_c").desc, col("term"))
+    })
+
+  private val SketchBins = 256
+  private val SketchBinW = 2.5 // covers value ∈ [0, 640)
+
+  /** Fixed-grid quantile SKETCH audit: a 256-bin equi-width histogram
+    * (the poor man's t-digest — constant-size, mergeable, one pass) vs
+    * the exact 2-decimal order statistics, at p50/p90/p99/p999. The
+    * sketch answers with the covering bin's UPPER edge, so its error is
+    * bounded by the bin width; `within_bound` = 1 on every row is the
+    * sketch's correctness contract, and `abs_err` is the actual price
+    * paid at each tail — the number that decides whether 256 bins
+    * suffice before a pipeline swaps in a real t-digest.
+    *
+    * Scale shape: two independent hash aggs (256-cell sketch; exact
+    * 2-decimal value grid); order-statistic selection by cumulative
+    * windows over each bounded grid (q358 device), never rows. */
+  val q427_sketch_quantile_error = Q(
+    "q427_sketch_quantile_error",
+    Some(s"""WITH v AS (
+            |  SELECT CAST(value AS DECIMAL(18,2)) AS val,
+            |    CAST(count(*) AS BIGINT) AS c
+            |  FROM events GROUP BY 1),
+            |cv AS (
+            |  SELECT val,
+            |    CAST(sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+            |      AS BIGINT) AS cum,
+            |    CAST(sum(c) OVER () AS BIGINT) AS n
+            |  FROM v),
+            |sk AS (
+            |  SELECT LEAST(CAST(FLOOR(value / $SketchBinW) AS BIGINT),
+            |      ${SketchBins - 1}) AS bin,
+            |    CAST(count(*) AS BIGINT) AS c
+            |  FROM events GROUP BY 1),
+            |csk AS (
+            |  SELECT bin,
+            |    CAST(sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            |      AS BIGINT) AS cum,
+            |    CAST(sum(c) OVER () AS BIGINT) AS n
+            |  FROM sk),
+            |t AS (
+            |  SELECT CAST(unnest([500, 900, 990, 999]) AS BIGINT) AS pm),
+            |ex AS (
+            |  SELECT t.pm,
+            |    CAST(min(CASE WHEN 1000 * cv.cum >= t.pm * cv.n
+            |      THEN cv.val END) AS DOUBLE) AS exact_q
+            |  FROM t CROSS JOIN cv GROUP BY t.pm),
+            |es AS (
+            |  SELECT t.pm,
+            |    (min(CASE WHEN 1000 * csk.cum >= t.pm * csk.n
+            |      THEN csk.bin END) + 1) * $SketchBinW AS sketch_q
+            |  FROM t CROSS JOIN csk GROUP BY t.pm)
+            |SELECT ex.pm AS permille, ex.exact_q, es.sketch_q,
+            |  round(abs(es.sketch_q - ex.exact_q), 6) AS abs_err,
+            |  CAST($SketchBinW AS DOUBLE) AS err_bound,
+            |  CASE WHEN abs(es.sketch_q - ex.exact_q) <= $SketchBinW
+            |    THEN 1 ELSE 0 END AS within_bound
+            |FROM ex JOIN es ON es.pm = ex.pm
+            |ORDER BY permille""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.groupBy(Q.dec(col("value")).as("val"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wva = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cv = v.select(col("val"),
+        sum("c").over(wv).cast("long").as("cum"),
+        sum("c").over(wva).cast("long").as("n"))
+      val sk = ev.groupBy(least(floor(col("value") / SketchBinW)
+          .cast("long"), lit(SketchBins - 1L)).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wb = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wba = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val csk = sk.select(col("bin"),
+        sum("c").over(wb).cast("long").as("cum"),
+        sum("c").over(wba).cast("long").as("n"))
+      val t = { import s.implicits._; Seq(500L, 900L, 990L, 999L).toDF("pm") }
+      val ex = t.crossJoin(cv).groupBy("pm")
+        .agg(min(when(lit(1000) * col("cum") >= col("pm") * col("n"),
+          col("val"))).cast("double").as("exact_q"))
+      val es = t.crossJoin(csk).groupBy("pm")
+        .agg(((min(when(lit(1000) * col("cum") >= col("pm") * col("n"),
+          col("bin"))) + 1) * SketchBinW).as("sketch_q"))
+      ex.join(es, "pm")
+        .select(col("pm").as("permille"), col("exact_q"), col("sketch_q"),
+          round(abs(col("sketch_q") - col("exact_q")), 6).as("abs_err"),
+          lit(SketchBinW).as("err_bound"),
+          when(abs(col("sketch_q") - col("exact_q")) <= SketchBinW, 1)
+            .otherwise(0).as("within_bound"))
+        .orderBy("permille")
+    })
+
+  val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error)
+}

@@ -726,67 +726,105 @@ object EventOps3 {
   /** Conditional quantile curve: P50/P90 of per-user total spend WITHIN
     * each user-activity quintile — the heteroskedasticity readout a
     * mean-regression (q287) hides: does spend dispersion grow with
-    * activity? Quintile boundaries and within-quintile quantiles are
-    * both exact order statistics (rank windows) on the user grid;
-    * per-quintile windows partition by quintile so no global sort ever
-    * forms. */
+    * activity?
+    *
+    * Scale shape (VERDICT r10 #1 — this entry previously ranked every
+    * user through ONE unpartitioned row_number window): quintile cuts
+    * now come from the integer n_ev HISTOGRAM-of-counts (the q162/q293
+    * boundary device) — the cumulative window orders the distinct-
+    * activity-count grid (≤ max events/user rows, never users) and the
+    * 4 boundaries broadcast back as a 1-row frame, so quintile
+    * assignment is a scan-side comparison. Ties in n_ev land in the
+    * same quintile (bins deterministic if not exactly n/5). Within-
+    * quintile p50/p90 are exact order statistics selected from the
+    * (quintile, y) histogram — cumulative windows partition by quintile
+    * and order the post-agg 2-decimal spend grid (the q202/q204/q358
+    * device), so no raw-row sort exists anywhere in the plan. */
   val q350_conditional_quantiles = Q(
     "q350_conditional_quantiles",
     Some("""WITH u AS (
            |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
            |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
            |  FROM events GROUP BY user_id),
-           |rk AS (
-           |  SELECT user_id, n_ev, y,
-           |    ROW_NUMBER() OVER (ORDER BY n_ev, user_id) AS r,
-           |    count(*) OVER () AS n
-           |  FROM u),
+           |h AS (
+           |  SELECT n_ev, CAST(count(*) AS BIGINT) AS c
+           |  FROM u GROUP BY n_ev),
+           |ch AS (
+           |  SELECT n_ev,
+           |    CAST(sum(c) OVER (ORDER BY n_ev
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM h),
+           |b AS (
+           |  SELECT
+           |    min(CASE WHEN 5 * cum >= 1 * n THEN n_ev END) AS b1,
+           |    min(CASE WHEN 5 * cum >= 2 * n THEN n_ev END) AS b2,
+           |    min(CASE WHEN 5 * cum >= 3 * n THEN n_ev END) AS b3,
+           |    min(CASE WHEN 5 * cum >= 4 * n THEN n_ev END) AS b4
+           |  FROM ch),
            |q AS (
-           |  SELECT user_id, y,
-           |    LEAST(CAST(FLOOR(5.0 * (r - 1) / n) AS BIGINT), 4)
-           |      AS quintile
-           |  FROM rk),
-           |qr AS (
+           |  SELECT y,
+           |    CAST(n_ev > b1 AS INT) + CAST(n_ev > b2 AS INT) +
+           |    CAST(n_ev > b3 AS INT) + CAST(n_ev > b4 AS INT) AS quintile
+           |  FROM u CROSS JOIN b),
+           |g AS (
+           |  SELECT quintile, y, CAST(count(*) AS BIGINT) AS c
+           |  FROM q GROUP BY quintile, y),
+           |cg AS (
            |  SELECT quintile, y,
-           |    ROW_NUMBER() OVER (PARTITION BY quintile
-           |      ORDER BY y, user_id) AS r,
-           |    count(*) OVER (PARTITION BY quintile) AS n
-           |  FROM q)
-           |SELECT quintile, CAST(max(n) AS BIGINT) AS n_users,
-           |  round(max(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT)
+           |    CAST(sum(c) OVER (PARTITION BY quintile ORDER BY y
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER (PARTITION BY quintile) AS BIGINT) AS nq
+           |  FROM g)
+           |SELECT quintile, CAST(max(nq) AS BIGINT) AS n_users,
+           |  round(min(CASE WHEN cum >= CAST(ceil(0.5 * nq) AS BIGINT)
            |    THEN y END), 2) AS p50,
-           |  round(max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+           |  round(min(CASE WHEN cum >= CAST(ceil(0.9 * nq) AS BIGINT)
            |    THEN y END), 2) AS p90
-           |FROM qr GROUP BY quintile ORDER BY quintile""".stripMargin),
+           |FROM cg GROUP BY quintile ORDER BY quintile""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val u = Tables.events(s, d)
+      val u = graft.operators.PlanCache.persist(Tables.events(s, d)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_ev"),
-          sum(Q.dec(col("value"))).cast("double").as("y"))
-      val wr = Window.orderBy(col("n_ev"), col("user_id"))
-      val wall = wr.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val q = u
-        .select(col("user_id"), col("y"),
-          row_number().over(wr).as("r"),
-          count(lit(1)).over(wall).as("n"))
-        .select(col("user_id"), col("y"),
-          least(floor(lit(5.0) * (col("r") - 1) / col("n")).cast("long"),
-            lit(4L)).as("quintile"))
-      val wq = Window.partitionBy("quintile").orderBy(col("y"),
-        col("user_id"))
+          sum(Q.dec(col("value"))).cast("double").as("y")))
+      val h = u.groupBy("n_ev").agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("n_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("n_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ch = h.select(col("n_ev"),
+        sum("c").over(wcum).cast("long").as("cum"),
+        sum("c").over(wall).cast("long").as("n"))
+      val b = ch.agg(
+        min(when(lit(5) * col("cum") >= lit(1) * col("n"), col("n_ev")))
+          .as("b1"),
+        min(when(lit(5) * col("cum") >= lit(2) * col("n"), col("n_ev")))
+          .as("b2"),
+        min(when(lit(5) * col("cum") >= lit(3) * col("n"), col("n_ev")))
+          .as("b3"),
+        min(when(lit(5) * col("cum") >= lit(4) * col("n"), col("n_ev")))
+          .as("b4"))
+      val q = u.crossJoin(broadcast(b))
+        .select(col("y"),
+          ((col("n_ev") > col("b1")).cast("int") +
+            (col("n_ev") > col("b2")).cast("int") +
+            (col("n_ev") > col("b3")).cast("int") +
+            (col("n_ev") > col("b4")).cast("int")).as("quintile"))
+      val g = q.groupBy("quintile", "y").agg(count(lit(1)).as("c"))
+      val wq = Window.partitionBy("quintile").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wqa = Window.partitionBy("quintile")
-      val qr = q.select(col("quintile"), col("y"),
-        row_number().over(wq).as("r"),
-        count(lit(1)).over(wqa).as("n"))
-      qr.groupBy("quintile")
-        .agg(max("n").cast("long").as("n_users"),
-          round(max(when(col("r") ===
-            ceil(lit(0.5) * col("n")).cast("long"), col("y"))), 2)
+      val cg = g.select(col("quintile"), col("y"),
+        sum("c").over(wq).cast("long").as("cum"),
+        sum("c").over(wqa).cast("long").as("nq"))
+      cg.groupBy("quintile")
+        .agg(max("nq").cast("long").as("n_users"),
+          round(min(when(col("cum") >=
+            ceil(lit(0.5) * col("nq")).cast("long"), col("y"))), 2)
             .as("p50"),
-          round(max(when(col("r") ===
-            ceil(lit(0.9) * col("n")).cast("long"), col("y"))), 2)
+          round(min(when(col("cum") >=
+            ceil(lit(0.9) * col("nq")).cast("long"), col("y"))), 2)
             .as("p90"))
         .orderBy("quintile")
     })
@@ -923,8 +961,18 @@ object EventOps3 {
     * and the kneedle statistic — each decile's vertical gap above the
     * diagonal chord — whose argmax is the operating point where
     * marginal capture starts decaying (the "target this many users"
-    * decision). Decile bounds come from rank windows on the user grid;
-    * the curve and the knee live on the 10-row grid. */
+    * decision).
+    *
+    * Scale shape (caught by the r11 catalog-wide window sweep — the
+    * same defect class as q350's r10 finding): deciles previously came
+    * from ONE unpartitioned row_number over every user. They now come
+    * from the integer-cent spend HISTOGRAM: cumulative counts ordered
+    * over the distinct-y grid (the q202/q358 value-grid device), the 9
+    * decile cut values broadcast back as a 1-row frame, and each GRID
+    * cell — never a user row — binned by 9 comparisons. Ties at a cut
+    * share the upper decile (bins deterministic if not exactly n/10);
+    * per-decile spend sums also come straight off the histogram
+    * (Σ c·y), so no row-scale window or sort exists anywhere. */
   val q356_capture_knee = Q(
     "q356_capture_knee",
     Some("""WITH u AS (
@@ -932,23 +980,41 @@ object EventOps3 {
            |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
            |      AS y
            |  FROM events GROUP BY user_id),
-           |rk AS (
-           |  SELECT y, ROW_NUMBER() OVER (ORDER BY y DESC, user_id) AS r,
-           |    count(*) OVER () AS n,
-           |    sum(CAST(y AS DECIMAL(38,0))) OVER () AS tot
-           |  FROM u),
+           |h AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y),
+           |ch AS (
+           |  SELECT y, c,
+           |    CAST(sum(c) OVER (ORDER BY y DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM h),
+           |b AS (
+           |  SELECT
+           |    max(CASE WHEN 10 * cum >= 1 * n THEN y END) AS c1,
+           |    max(CASE WHEN 10 * cum >= 2 * n THEN y END) AS c2,
+           |    max(CASE WHEN 10 * cum >= 3 * n THEN y END) AS c3,
+           |    max(CASE WHEN 10 * cum >= 4 * n THEN y END) AS c4,
+           |    max(CASE WHEN 10 * cum >= 5 * n THEN y END) AS c5,
+           |    max(CASE WHEN 10 * cum >= 6 * n THEN y END) AS c6,
+           |    max(CASE WHEN 10 * cum >= 7 * n THEN y END) AS c7,
+           |    max(CASE WHEN 10 * cum >= 8 * n THEN y END) AS c8,
+           |    max(CASE WHEN 10 * cum >= 9 * n THEN y END) AS c9
+           |  FROM ch),
            |dd AS (
-           |  SELECT LEAST(CAST(FLOOR(10.0 * (r - 1) / n) AS BIGINT), 9)
-           |      AS decile,
-           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
-           |    CAST(max(tot) AS DECIMAL(38,0)) AS tot
-           |  FROM rk GROUP BY 1),
+           |  SELECT CAST(y < c1 AS INT) + CAST(y < c2 AS INT) +
+           |    CAST(y < c3 AS INT) + CAST(y < c4 AS INT) +
+           |    CAST(y < c5 AS INT) + CAST(y < c6 AS INT) +
+           |    CAST(y < c7 AS INT) + CAST(y < c8 AS INT) +
+           |    CAST(y < c9 AS INT) AS decile,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+           |      AS s
+           |  FROM h CROSS JOIN b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(s) AS DECIMAL(38,0)) AS tot FROM dd),
            |curve AS (
            |  SELECT decile,
            |    round(CAST(sum(s) OVER (ORDER BY decile
            |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(tot AS DOUBLE),
            |      6) AS cum_share
-           |  FROM dd),
+           |  FROM dd CROSS JOIN tot),
            |gaps AS (
            |  SELECT decile, cum_share,
            |    round(cum_share - (decile + 1) / 10.0, 6) AS chord_gap
@@ -961,19 +1027,28 @@ object EventOps3 {
       val u = Tables.events(s, d)
         .groupBy("user_id")
         .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("y"))
-      val wr = Window.orderBy(col("y").desc, col("user_id"))
-      val wall = wr.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val rk = u.select(col("y"), row_number().over(wr).as("r"),
-        count(lit(1)).over(wall).as("n"),
-        sum(col("y").cast("decimal(38,0)")).over(wall).as("tot"))
-      val dd = rk.groupBy(least(floor(lit(10.0) * (col("r") - 1) /
-          col("n")).cast("long"), lit(9L)).as("decile"))
-        .agg(sum(col("y").cast("decimal(38,0)")).as("s"),
-          max("tot").as("tot"))
+      val h = u.groupBy("y").agg(count(lit(1)).as("c"))
+      val wdesc = Window.orderBy(col("y").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy(col("y").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ch = h.select(col("y"), col("c"),
+        sum("c").over(wdesc).cast("long").as("cum"),
+        sum("c").over(wall).cast("long").as("n"))
+      val cuts = (1 to 9).map(k =>
+        max(when(lit(10) * col("cum") >= lit(k) * col("n"), col("y")))
+          .as(s"c$k"))
+      val b = ch.agg(cuts.head, cuts.tail: _*)
+      val decile = (1 to 9)
+        .map(k => (col("y") < col(s"c$k")).cast("int")).reduce(_ + _)
+      val dd = h.crossJoin(broadcast(b))
+        .groupBy(decile.as("decile"))
+        .agg(sum(col("y").cast("decimal(38,0)") * col("c"))
+          .cast("decimal(38,0)").as("s"))
+      val tot = dd.agg(sum("s").cast("decimal(38,0)").as("tot"))
       val wcum = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val curve = dd.select(col("decile"),
+      val curve = dd.crossJoin(broadcast(tot)).select(col("decile"),
         round(sum("s").over(wcum).cast("double") /
           col("tot").cast("double"), 6).as("cum_share"))
       val gaps = curve.select(col("decile"), col("cum_share"),

@@ -480,7 +480,65 @@ object GovOps {
           when(col("c") < 30, 1).otherwise(0).as("suppress"))
         .orderBy("lang", "source"))
 
+  /** Exponential-mechanism MEDIAN release plan (privacy family #5
+    * after q156/q257/q306/q324): the mechanism McSherry–Talwar defined
+    * for non-numeric/order-statistic queries, in q324's "the PLAN is
+    * the deterministic artifact" style — no noise is drawn. Utility of
+    * candidate v is u(v) = −|2·cum(v) − n| (rank distance to the
+    * median, sensitivity 1, kept in exact integers by doubling); under
+    * ε = 1.0 each candidate's selection weight is ∝ exp(ε·u/2), so the
+    * report carries the LOG-weight gap ε·(u−u*)/2 of the top-5
+    * candidates — exp-free, engine-exact — telling the release owner
+    * how concentrated the mechanism is around the true median (a wide
+    * near-tie set = a safe, uninformative release; one dominant
+    * candidate = the release basically publishes the median).
+    *
+    * Scale shape: one n_chars-grid hash agg; the cumulative window
+    * orders the bounded grid (q253/q264 device); top-5 by TakeOrdered. */
+  val q435_exp_mech_median = Q(
+    "q435_exp_mech_median",
+    Some("""WITH h AS (
+           |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1),
+           |ch AS (
+           |  SELECT v,
+           |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM h),
+           |u AS (SELECT v, -abs(2 * cum - n) AS util FROM ch),
+           |best AS (SELECT max(util) AS ustar FROM u)
+           |SELECT v AS candidate, CAST(util AS BIGINT) AS utility,
+           |  round(0.5 * (util - ustar), 6) AS log_weight_gap,
+           |  CASE WHEN util = ustar THEN 1 ELSE 0 END AS is_argmax
+           |FROM u CROSS JOIN best
+           |ORDER BY utility DESC, candidate
+           |LIMIT 5""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val u = h.select(col("v"),
+          sum("c").over(wcum).cast("long").as("cum"),
+          sum("c").over(wall).cast("long").as("n"))
+        .select(col("v"), (-abs(lit(2) * col("cum") - col("n"))).as("util"))
+      val best = u.agg(max("util").as("ustar"))
+      u.crossJoin(broadcast(best))
+        .select(col("v").as("candidate"),
+          col("util").cast("long").as("utility"),
+          round(lit(0.5) * (col("util") - col("ustar")), 6)
+            .as("log_weight_gap"),
+          when(col("util") === col("ustar"), 1).otherwise(0).as("is_argmax"))
+        .orderBy(col("utility").desc, col("candidate"))
+        .limit(5)
+    })
+
   val all: Seq[Q] = Seq(q274_pareto_frontier, q275_candidate_keys,
     q276_fk_orphans, q277_erasure_cascade, q278_merkle_diff,
-    q279_encoding_advisor, q280_id_minting, q324_dp_release_plan)
+    q279_encoding_advisor, q280_id_minting, q324_dp_release_plan,
+    q435_exp_mech_median)
 }

@@ -235,6 +235,82 @@ object LakeOps2 {
         .orderBy("candidate")
     })
 
+  /** Zone-map OVERLAP DEPTH — the clustering-health metric behind
+    * q138/q201's min-max skipping: model files as 50-doc ingest chunks
+    * per source and take each file's (min, max) n_chars zone map; the
+    * overlap depth at value x is how many files a point query x must
+    * open. max depth ≈ 1 means the layout is effectively clustered on
+    * n_chars; depth ≈ n_files means zone maps prune nothing (the
+    * signal that a re-cluster/OPTIMIZE pays). Computed by the classic
+    * boundary sweep: +1 at min, −1 at max+1, deltas grouped per
+    * boundary value, cumulative sum over the boundary grid.
+    *
+    * Scale shape: one (source, file) stats agg — file METADATA, the
+    * q245 class: rows = files, not data — then source-PARTITIONED
+    * cumulative windows over ≤2 boundaries per file. The data itself
+    * is scanned once for the stats agg. */
+  val q428_zone_overlap_depth = Q(
+    "q428_zone_overlap_depth",
+    Some("""WITH f AS (
+           |  SELECT source, doc_id // 50 AS file_id,
+           |    CAST(min(n_chars) AS BIGINT) AS lo,
+           |    CAST(max(n_chars) AS BIGINT) AS hi
+           |  FROM documents GROUP BY 1, 2),
+           |meta AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_files
+           |  FROM f GROUP BY source),
+           |ev AS (
+           |  SELECT source, lo AS x, 1 AS delta FROM f
+           |  UNION ALL SELECT source, hi + 1, -1 FROM f),
+           |gx AS (
+           |  SELECT source, x, CAST(sum(delta) AS BIGINT) AS dsum
+           |  FROM ev GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT source, x,
+           |    CAST(sum(dsum) OVER (PARTITION BY source ORDER BY x
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+           |  FROM gx),
+           |mx AS (
+           |  SELECT source, max(depth) AS max_depth FROM cum
+           |  GROUP BY source)
+           |SELECT m.source, meta.n_files, m.max_depth,
+           |  CAST(min(c.x) AS BIGINT) AS first_max_x,
+           |  round(CAST(m.max_depth AS DOUBLE) / meta.n_files, 6)
+           |    AS overlap_frac
+           |FROM mx m
+           |JOIN meta ON meta.source = m.source
+           |JOIN cum c ON c.source = m.source AND c.depth = m.max_depth
+           |GROUP BY m.source, meta.n_files, m.max_depth
+           |ORDER BY m.source""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .groupBy(col("source"), expr("doc_id div 50").as("file_id"))
+        .agg(min("n_chars").cast("long").as("lo"),
+          max("n_chars").cast("long").as("hi")))
+      val meta = f.groupBy("source").agg(count(lit(1)).as("n_files"))
+      val ev = f.select(col("source"), col("lo").as("x"), lit(1).as("delta"))
+        .unionAll(f.select(col("source"), (col("hi") + 1).as("x"),
+          lit(-1).as("delta")))
+      val gx = ev.groupBy("source", "x")
+        .agg(sum("delta").cast("long").as("dsum"))
+      val wcum = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = gx.select(col("source"), col("x"),
+        sum("dsum").over(wcum).cast("long").as("depth"))
+      val mx = cum.groupBy("source").agg(max("depth").as("max_depth"))
+      mx.join(broadcast(meta), "source")
+        .join(cum.withColumnRenamed("depth", "cdepth"), "source")
+        .filter(col("cdepth") === col("max_depth"))
+        .groupBy("source", "n_files", "max_depth")
+        .agg(min("x").cast("long").as("first_max_x"))
+        .select(col("source"), col("n_files"), col("max_depth"),
+          col("first_max_x"),
+          round(col("max_depth").cast("double") / col("n_files"), 6)
+            .as("overlap_frac"))
+        .orderBy("source")
+    })
+
   val all: Seq[Q] = Seq(q390_hilbert_layout, q401_deletion_vectors,
-    q423_partition_advisor)
+    q423_partition_advisor, q428_zone_overlap_depth)
 }

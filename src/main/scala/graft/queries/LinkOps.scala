@@ -13,7 +13,7 @@ object LinkOps {
   /** Fellegi–Sunter record linkage against a deterministically
     * corrupted replica: each replica record damages exactly one field
     * chosen by an md5 digit (name / balance-cents / segment, or none),
-    * candidate pairs come from nation blocking, per-field m
+    * candidate pairs come from compound blocking, per-field m
     * (P(agree|match)) and u (P(agree|non-match)) probabilities are
     * estimated from the block-join itself with add-one smoothing, and
     * each pair scores Σ ln(m/u) over agreeing fields + Σ ln((1−m)/(1−u))
@@ -21,12 +21,21 @@ object LinkOps {
     * curve over a score-threshold grid — the match/possible/non-match
     * banding decision FS formalizes.
     *
-    * Scale shape: the comparison space is BLOCKED (nation key), never
-    * all-pairs; m/u are one aggregate row broadcast back; the
+    * Scale shape: the comparison space is BLOCKED on a key whose
+    * cardinality GROWS with n (VERDICT r10 #4 — nation alone is a fixed
+    * 25-value key, Σ block² = Θ(n²/25)): block = (nation, 15-char name
+    * prefix). Names are `Customer#%09d`, so a prefix-15 bucket spans at
+    * most 1000 consecutive custkeys; split across 25 nations a block
+    * holds ~40 records regardless of n, giving #blocks = Θ(n) × bounded
+    * block size ⇒ Σ block² = Θ(n) candidate pairs, linear at any scale.
+    * Recall is preserved: the name corruption APPENDS '~' (length 18 →
+    * 19), so both halves of every true pair keep the same prefix-15 and
+    * the same nation. m/u are one aggregate row broadcast back; the
     * threshold sweep runs on the (score × is_match) HISTOGRAM — three
     * binary fields admit at most 8 distinct scores, so the sweep grid
-    * is ≤16 rows regardless of pair volume. Scores round to 6 before the ≥θ compare so a last-ulp ln()
-    * divergence between engines cannot flip a band. */
+    * is ≤16 rows regardless of pair volume. Scores round to 6 before
+    * the ≥θ compare so a last-ulp ln() divergence between engines
+    * cannot flip a band. */
   val q388_fellegi_sunter = Q(
     "q388_fellegi_sunter",
     Some(s"""WITH a AS (
@@ -47,7 +56,8 @@ object LinkOps {
             |    CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
             |    CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS g2,
             |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g3
-            |  FROM a JOIN b ON a.nk = b.nk),
+            |  FROM a JOIN b ON a.nk = b.nk
+            |    AND substring(a.nm, 1, 15) = substring(b.nm, 1, 15)),
             |mu AS (
             |  SELECT
             |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm_,
@@ -109,9 +119,13 @@ object LinkOps {
           (col("bal") + when(col("sel") === 1, 100L).otherwise(0L)).as("bal"),
           when(col("sel") === 2, lit("CORRUPTED")).otherwise(col("seg"))
             .as("seg"))
+      // compound equi block key: (nation, name prefix-15) — see docstring
+      val aB = a.toDF("ck_a", "nk", "nm_a", "bal_a", "seg_a")
+        .withColumn("blk", substring(col("nm_a"), 1, 15))
+      val bB = b.toDF("ck_b", "nk", "nm_b", "bal_b", "seg_b")
+        .withColumn("blk", substring(col("nm_b"), 1, 15))
       val pr = graft.operators.PlanCache.persist(
-        a.toDF("ck_a", "nk", "nm_a", "bal_a", "seg_a")
-          .join(b.toDF("ck_b", "nk", "nm_b", "bal_b", "seg_b"), "nk")
+        aB.join(bB, Seq("nk", "blk"))
           .select((col("ck_a") === col("ck_b")).as("is_match"),
             when(col("nm_a") === col("nm_b"), 1).otherwise(0).as("g1"),
             when(col("bal_a") === col("bal_b"), 1).otherwise(0).as("g2"),

@@ -531,8 +531,63 @@ object MultimodalQ {
         .orderBy("doc_id")
     })
 
+  /** WEBP dimension mining, proven by construction-inversion: each doc
+    * BUILDS a structurally-valid RIFF/WEBP container — every 3rd doc a
+    * VP8L lossless bitstream (signature byte + the packed 14-bit LE
+    * dims, payload 5 bytes so the chunk needs the RIFF even-offset PAD
+    * byte), the rest a VP8 lossy keyframe header (frame tag + 9D012A
+    * sync + 14-bit LE dims), every 11th doc with an odd-length EXIF
+    * chunk ahead of the bitstream (the walker must skip payload+pad),
+    * every 17th doc with a corrupt container fourcc. Spark parses the
+    * bytes back with the native walker (functions/WebpDims, also
+    * SQL-registered as webp_dims); the oracle states the construction
+    * formulas directly. Scan-side expression; no joins, no shuffle. */
+  val q437_webp_dims = Q(
+    "q437_webp_dims",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       WHEN doc_id % 3 = 0 THEN 'lossless'
+           |       ELSE 'lossy' END AS format,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST(doc_id % 3000 + 1 AS BIGINT) END AS width,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL
+           |       ELSE CAST((doc_id * 13) % 2200 + 1 AS BIGINT) END AS height
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      def leHex(v: org.apache.spark.sql.Column, n: Int) =
+        concat((0 until n).map(i =>
+          lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+      val w = col("doc_id") % 3000 + 1
+      val h = (col("doc_id") * 13) % 2200 + 1
+      // VP8 lossy: tag(3) + sync 9D012A + u16le w + u16le h = 10 bytes
+      val lossyChunk = concat(lit("56503820"), lit("0A000000"),
+        lit("000000"), lit("9D012A"), leHex(w, 2), leHex(h, 2))
+      // VP8L lossless: 0x2F + packed LE ((w-1) | (h-1)<<14) = 5 bytes,
+      // odd payload => one pad byte
+      val packed = (w - 1) + (h - 1) * 16384
+      val losslessChunk = concat(lit("5650384C"), lit("05000000"),
+        lit("2F"), leHex(packed, 4), lit("00"))
+      // odd-length EXIF chunk ahead of the bitstream (pad-skip path)
+      val junk = when(col("doc_id") % 11 === 0,
+        concat(lit("45584946"), lit("03000000"), lit("414141"), lit("00")))
+        .otherwise(lit(""))
+      val inner = concat(junk,
+        when(col("doc_id") % 3 === 0, losslessChunk).otherwise(lossyChunk))
+      val riffSize = (length(inner) / 2 + 4).cast("long")
+      val magic = when(col("doc_id") % 17 === 0, lit("57454251"))
+        .otherwise(lit("57454250"))
+      val payload = unhex(concat(lit("52494646"), leHex(riffSize, 4),
+        magic, inner))
+      val m = graft.operators.Multimodal.webpDims(payload)
+      Tables.documents(s, d)
+        .select(col("doc_id"), m("format").as("format"),
+          m("width").as("width"), m("height").as("height"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[Q] = Seq(q42_multimodal_blob, q43_multimodal_features,
     q111_jpeg_dims, q173_wav_info, q294_bmp_gif_dims, q321_tiff_dims,
     q371_png_dims, q395_zip_central_dir, q405_parquet_footer,
-    q418_mp3_frames)
+    q418_mp3_frames, q437_webp_dims)
 }

@@ -109,28 +109,37 @@ object Relational4 {
       .orderBy("l_orderkey", "l_linenumber", "measure"))
 
   /** ntile deciles — the remaining rank-family member (row_number/rank/
-    * lag/lead live in q08/q09/q27): decile assignment over order totals
-    * plus per-decile bounds. One global sort for the tiles (bounded data
-    * after the per-key agg), then a hash agg. */
+    * lag/lead live in q08/q09/q27): decile assignment over the
+    * (month × order-priority) revenue grid plus per-decile bounds.
+    * The ntile input is the post-agg GRID (≤ 5·months rows — grows
+    * with the calendar, never with order volume), so the unpartitioned
+    * tile window obeys the repo's grid-only window discipline; the r10
+    * sweep caught the previous per-CUSTOMER version ranking a row-scale
+    * frame through one partition (the q280 scale-killer). Customer-
+    * scale decile SUMMARIES live in q293/q356 via the boundary-binning
+    * device; this entry is the ntile FUNCTION's coverage. */
   val q95_ntile = Q(
     "q95_ntile",
     Some("""WITH t AS (
-            |  SELECT o_custkey,
+            |  SELECT date_trunc('month', o_orderdate) AS mon,
+            |    o_orderpriority AS pri,
             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-            |  FROM orders GROUP BY o_custkey),
+            |  FROM orders GROUP BY 1, 2),
             |d AS (
-            |  SELECT o_custkey, spend,
-            |    CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+            |  SELECT spend,
+            |    CAST(ntile(10) OVER (ORDER BY spend DESC, mon, pri) AS BIGINT) AS decile
             |  FROM t)
             |SELECT decile, CAST(count(*) AS BIGINT) AS n,
             |  min(spend) AS min_spend, max(spend) AS max_spend
             |FROM d GROUP BY decile
             |ORDER BY decile""".stripMargin),
     (s, d) => {
-      val t = Tables.orders(s, d).groupBy("o_custkey")
+      val t = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
+          col("o_orderpriority").as("pri"))
         .agg(asDouble(sum(dec(col("o_totalprice")))).as("spend"))
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("spend").desc, col("o_custkey"))
+        .orderBy(col("spend").desc, col("mon"), col("pri"))
       t.withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),

@@ -339,7 +339,54 @@ object Relational6 {
           count(lit(1)).as("n_rows"))
     })
 
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): three OR
+    * branches, each constraining BOTH sides of the part⋈lineitem join —
+    * the canonical test of disjunction handling. The scalable plan
+    * extracts each side's IMPLIED single-table predicate (part:
+    * brand ∈ {12,23,34} with its size cap; lineitem: quantity ∈
+    * [1,30]) so both scans prune before the join, the filtered part
+    * side broadcasts, and only the residual per-branch conjunction
+    * runs post-join — vs the naive plan that joins everything and
+    * filters after. Quantity bounds are exact decimal compares
+    * (l_quantity is integral-valued; no float boundary risk). */
+  val q431_tpch_q19 = Q(
+    "q431_tpch_q19",
+    Some("""SELECT
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           |    AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_lines
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)""".stripMargin),
+    (s, d) => {
+      // each side's scan prunes on the UNION of its branch predicates
+      // (implied-by-the-disjunction single-table filters), then the
+      // tiny surviving part side broadcasts and the exact per-branch
+      // conjunction runs as the join residual
+      val p = Tables.part(s, d).filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+      val q = dec(col("l_quantity"))
+      val li = Tables.lineitem(s, d).filter(q.between(1, 30))
+      val branch =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          q.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          q.between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          q.between(20, 30))
+      li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .filter(branch)
+        .agg(revCol.as("revenue"), count(lit(1)).as("n_lines"))
+    })
+
   val all: Seq[Q] = Seq(q406_tpch_q3, q407_tpch_q5, q408_tpch_q10,
     q409_tpch_q6, q410_tpch_q14, q411_tpch_q8, q412_tpch_q13,
-    q419_tpch_q18, q420_tpch_q17)
+    q419_tpch_q18, q420_tpch_q17, q431_tpch_q19)
 }

@@ -959,10 +959,19 @@ object StatsOps5 {
     * device in this engine (splits q60, arms q254/q270, samples
     * q131/q255/q347, bootstrap q344): one-sample KS of the per-user
     * md5-span draw against U(0,1). D = max(i/n − u₍ᵢ₎, u₍ᵢ₎ − (i−1)/n)
-    * over the sorted draws (rank window on the user grid), compared to
-    * the α = 0.05 asymptotic critical value 1.358/√n (shared literal).
-    * If this ever fails, every downstream randomized entry is suspect —
-    * which is exactly why it's IN the catalog. */
+    * over the sorted draws, compared to the α = 0.05 asymptotic
+    * critical value 1.358/√n (shared literal). If this ever fails,
+    * every downstream randomized entry is suspect — which is exactly
+    * why it's IN the catalog.
+    *
+    * Scale shape (VERDICT r10 #3 — previously an unpartitioned
+    * row_number over every user): the draw x = span16/65536 takes AT
+    * MOST 65536 distinct values, so the ranks collapse onto the x-GRID
+    * histogram: for a grid cell (x, c, cum) the i-indexed terms are
+    * monotone in i, so max over its ranks is GREATEST(cum/n − x,
+    * x − (cum−c)/n) — bit-identical to the oracle's per-rank formula
+    * (same double divisions at the group endpoints). The cumulative
+    * window orders ≤65536 grid rows, never users. */
   val q354_hash_uniformity = Q(
     "q354_hash_uniformity",
     Some(s"""WITH u AS (
@@ -988,14 +997,18 @@ object StatsOps5 {
       val u = Tables.events(s, d).select("user_id").distinct()
         .withColumn("__h", md5(col("user_id").cast("string")))
         .select((expr(hexSpanValSql("__h", 0, 4)) / 65536.0).as("x"))
-      val wr = Window.orderBy("x")
-      val wall = wr.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val rk = u.select(col("x"), row_number().over(wr).as("i"),
-        count(lit(1)).over(wall).as("n"))
-      val dd = rk.agg(max("n").cast("long").as("n"),
-        round(max(greatest(col("i").cast("double") / col("n") - col("x"),
-          col("x") - (col("i").cast("double") - 1) / col("n"))), 6)
+      val g = u.groupBy("x").agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cg = g.select(col("x"), col("c"),
+        sum("c").over(wcum).cast("long").as("cum"),
+        sum("c").over(wall).cast("long").as("n"))
+      val dd = cg.agg(max("n").cast("long").as("n"),
+        round(max(greatest(
+          col("cum").cast("double") / col("n") - col("x"),
+          col("x") - (col("cum") - col("c")).cast("double") / col("n"))), 6)
           .as("ks_d"))
       dd.select(col("n"), col("ks_d"),
         round(lit(1.358) / sqrt(col("n")), 6).as("d_crit_05"),

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.hexSpanValSql
+
+/** Round-11 statistics additions: equivalence testing (TOST), paired
+  * classifier comparison (McNemar), multi-rater agreement (Fleiss κ),
+  * and the parallel-variance merge law (Chan et al. 1979) — the second-
+  * moment counterpart of q358's quantile merge law.
+  */
+object StatsOps7 {
+
+  /** TOST equivalence test between the md5 experiment arms on mean
+    * event value — the readout a "did the refactor change anything"
+    * guardrail actually needs: q270's z can only FAIL to reject
+    * difference; TOST positively demonstrates equivalence within a
+    * margin. Two one-sided z statistics against ±δ (δ = 2.0, shared
+    * literal); equivalent iff BOTH exceed 1.645 (α = 0.05). Moments per
+    * arm are exact decimal sums (Σx at scale 2, Σx² at scale 4 — both
+    * closed under addition, partial-agg-order-proof); the Welch
+    * standard error and the two z's are one shared double expression
+    * tree over the exact sums.
+    *
+    * Scale shape: one row-scale hash agg to 2 arm rows, scalar
+    * arithmetic after — the same shape at any corpus size. */
+  val q432_tost_equivalence = Q(
+    "q432_tost_equivalence", {
+      val arm = s"${hexSpanValSql("md5(CAST(user_id AS VARCHAR))", 0, 2)} % 2"
+      Some(s"""WITH x AS (
+              |  SELECT $arm AS arm,
+              |    CAST(value AS DECIMAL(18,2)) AS v
+              |  FROM events),
+              |m AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n1,
+              |    CAST(sum(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS s0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS s1,
+              |    CAST(sum(CASE WHEN arm = 0 THEN CAST(v * v AS DECIMAL(38,4))
+              |      END) AS DOUBLE) AS q0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN CAST(v * v AS DECIMAL(38,4))
+              |      END) AS DOUBLE) AS q1
+              |  FROM x),
+              |t AS (
+              |  SELECT n0, n1,
+              |    s1 / n1 - s0 / n0 AS d,
+              |    sqrt(((q0 - s0 * s0 / n0) / (n0 - 1)) / n0
+              |       + ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) AS se
+              |  FROM m)
+              |SELECT n0, n1, round(d, 6) AS diff,
+              |  round(se, 6) AS se,
+              |  round((d + 2.0) / se, 6) AS z_lower,
+              |  round((2.0 - d) / se, 6) AS z_upper,
+              |  CASE WHEN (d + 2.0) / se > 1.645 AND (2.0 - d) / se > 1.645
+              |    THEN 1 ELSE 0 END AS equivalent
+              |FROM t""".stripMargin)
+    },
+    (s, d) => {
+      val x = Tables.events(s, d)
+        .withColumn("__h", md5(col("user_id").cast("string")))
+        .select((expr(hexSpanValSql("__h", 0, 2)) % 2).as("arm"),
+          Q.dec(col("value")).as("v"))
+      val m = x.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("v"))).cast("double").as("s0"),
+        sum(when(col("arm") === 1, col("v"))).cast("double").as("s1"),
+        sum(when(col("arm") === 0,
+          (col("v") * col("v")).cast("decimal(38,4)"))).cast("double")
+          .as("q0"),
+        sum(when(col("arm") === 1,
+          (col("v") * col("v")).cast("decimal(38,4)"))).cast("double")
+          .as("q1"))
+      val dMean = col("s1") / col("n1") - col("s0") / col("n0")
+      val se = sqrt(((col("q0") - col("s0") * col("s0") / col("n0"))
+          / (col("n0") - 1)) / col("n0")
+        + ((col("q1") - col("s1") * col("s1") / col("n1"))
+          / (col("n1") - 1)) / col("n1"))
+      m.select(col("n0"), col("n1"),
+        round(dMean, 6).as("diff"), round(se, 6).as("se"),
+        round((dMean + lit(2.0)) / se, 6).as("z_lower"),
+        round((lit(2.0) - dMean) / se, 6).as("z_upper"),
+        when((dMean + lit(2.0)) / se > 1.645 &&
+          (lit(2.0) - dMean) / se > 1.645, 1).otherwise(0).as("equivalent"))
+    })
+
+  /** McNemar's test on PAIRED classifier disagreements — the correct
+    * way to compare two rules evaluated on the SAME documents (a
+    * two-proportion z over the same rows double-counts the concordant
+    * mass): two deterministic language-ID heuristics (token "the"
+    * present vs ≥ 2 "a" tokens) against the gold lang = 'en' label.
+    * Only the discordant cells matter: χ² = (|b−c|−1)²/(b+c) with
+    * continuity correction, vs the 3.841 α=0.05 critical value; b+c = 0
+    * reports 0 by guard. Exact BIGINT cells; one double expression.
+    *
+    * Scale shape: per-row flags in the scan, one 4-cell roll-up. */
+  val q433_mcnemar = Q(
+    "q433_mcnemar",
+    Some("""WITH r AS (
+           |  SELECT
+           |    CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+           |      AS pred_a,
+           |    CASE WHEN len(list_filter(string_split(text, ' '),
+           |      t -> t = 'a')) >= 2 THEN 1 ELSE 0 END AS pred_b,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS gold
+           |  FROM documents),
+           |c AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN pred_a = gold AND pred_b = gold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+           |    CAST(sum(CASE WHEN pred_a = gold AND pred_b <> gold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN pred_a <> gold AND pred_b = gold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(sum(CASE WHEN pred_a <> gold AND pred_b <> gold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+           |  FROM r)
+           |SELECT both_right, b, c, both_wrong,
+           |  round(CASE WHEN b + c > 0
+           |    THEN (abs(CAST(b AS DOUBLE) - c) - 1)
+           |       * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c)
+           |    ELSE 0 END, 6) AS chi2,
+           |  CASE WHEN b + c > 0 AND
+           |    (abs(CAST(b AS DOUBLE) - c) - 1)
+           |      * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c) > 3.841
+           |    THEN 1 ELSE 0 END AS differ
+           |FROM c""".stripMargin),
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val r = Tables.documents(s, d).select(
+        when(concat(lit(" "), col("text"), lit(" ")).like("% the %"), 1)
+          .otherwise(0).as("pred_a"),
+        when(size(filter(toks, t => t === "a")) >= 2, 1).otherwise(0)
+          .as("pred_b"),
+        when(col("lang") === "en", 1).otherwise(0).as("gold"))
+      val c = r.agg(
+        sum(when(col("pred_a") === col("gold") &&
+          col("pred_b") === col("gold"), 1L).otherwise(0L)).as("both_right"),
+        sum(when(col("pred_a") === col("gold") &&
+          col("pred_b") =!= col("gold"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("pred_a") =!= col("gold") &&
+          col("pred_b") === col("gold"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("pred_a") =!= col("gold") &&
+          col("pred_b") =!= col("gold"), 1L).otherwise(0L)).as("both_wrong"))
+      val chi2 = (abs(col("b").cast("double") - col("c")) - 1) *
+        (abs(col("b").cast("double") - col("c")) - 1) / (col("b") + col("c"))
+      c.select(col("both_right"), col("b"), col("c"), col("both_wrong"),
+        round(when(col("b") + col("c") > 0, chi2).otherwise(0), 6)
+          .as("chi2"),
+        when(col("b") + col("c") > 0 && chi2 > 3.841, 1).otherwise(0)
+          .as("differ"))
+    })
+
+  /** Fleiss' κ over THREE deterministic quality raters (length ≥ 300
+    * chars; stopword ratio ≥ 0.05 over the/a/of; mean token length
+    * ≥ 4.0) rating every document high/low — the multi-rater
+    * generalization of q247's two-rater Cohen κ, the agreement number a
+    * labeling pipeline reads before trusting a rule ensemble. Per doc
+    * the 3 ratings collapse to k = #high ∈ {0..3}; P̄ = mean pairwise
+    * agreement Σ(k²+(3−k)²−3)/6 and P̄e from the pooled category shares,
+    * all from exact BIGINT counts (the k-histogram has 4 cells), one
+    * shared double κ expression.
+    *
+    * Scale shape: scan-side flags → one doc-keyed projection (no
+    * shuffle: k is computed per row) → a 4-cell histogram agg. */
+  val q434_fleiss_kappa = Q(
+    "q434_fleiss_kappa",
+    Some("""WITH r AS (
+           |  SELECT
+           |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN len(list_filter(string_split(text, ' '),
+           |       t -> t IN ('the', 'a', 'of')))
+           |       * 1.0 / len(string_split(text, ' ')) >= 0.05
+           |       THEN 1 ELSE 0 END) +
+           |    (CASE WHEN n_chars * 1.0
+           |       / (1 + len(string_split(text, ' '))) >= 4.0
+           |       THEN 1 ELSE 0 END) AS k
+           |  FROM documents),
+           |h AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(k) AS BIGINT) AS high,
+           |    CAST(sum(3 - k) AS BIGINT) AS low,
+           |    CAST(sum(k * k + (3 - k) * (3 - k) - 3) AS BIGINT) AS agr
+           |  FROM r),
+           |t AS (
+           |  SELECT n, high, low,
+           |    CAST(agr AS DOUBLE) / (n * 6) AS pbar,
+           |    (CAST(high AS DOUBLE) / (3 * n)) * (CAST(high AS DOUBLE) / (3 * n))
+           |    + (CAST(low AS DOUBLE) / (3 * n)) * (CAST(low AS DOUBLE) / (3 * n))
+           |      AS pe
+           |  FROM h)
+           |SELECT n, high, low, round(pbar, 6) AS p_bar,
+           |  round(pe, 6) AS p_e,
+           |  round((pbar - pe) / (1 - pe), 6) AS kappa
+           |FROM t""".stripMargin),
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val stopN = size(filter(toks,
+        t => t === "the" || t === "a" || t === "of"))
+      val k = (when(col("n_chars") >= 300, 1).otherwise(0)
+        + when(stopN * lit(1.0) / size(toks) >= 0.05, 1).otherwise(0)
+        + when(col("n_chars") * lit(1.0) / (size(toks) + 1) >= 4.0, 1)
+          .otherwise(0)).as("k")
+      val h = Tables.documents(s, d).select(k)
+        .agg(count(lit(1)).as("n"),
+          sum("k").cast("long").as("high"),
+          sum(lit(3) - col("k")).cast("long").as("low"),
+          sum(col("k") * col("k") + (lit(3) - col("k")) *
+            (lit(3) - col("k")) - 3).cast("long").as("agr"))
+      val pbar = col("agr").cast("double") / (col("n") * 6)
+      val pHigh = col("high").cast("double") / (col("n") * 3)
+      val pLow = col("low").cast("double") / (col("n") * 3)
+      val pe = pHigh * pHigh + pLow * pLow
+      h.select(col("n"), col("high"), col("low"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pbar - pe) / (lit(1) - pe), 6).as("kappa"))
+    })
+
+  /** Parallel-variance MERGE LAW (Chan/Golub/LeVeque): 8 md5 shards
+    * each compute (n, Σx, Σx²) in EXACT decimal independently; the
+    * merged moments (plain addition — closed under merge) must equal
+    * the directly computed ones bit-for-bit, and the variance derived
+    * from the merged moments is reported. This is q358's quantile-merge
+    * contract for SECOND moments — the law distributed mean/variance
+    * at 100 TB rests on: per-shard summaries travel (3 numbers, not
+    * rows) and merge without re-reading anything, and only EXACT
+    * decimal sums make the merge associative (double sums drift with
+    * partial-agg order, which is why the repo bans them).
+    *
+    * Scale shape: one shard-keyed hash agg (8 groups), one 8-row
+    * roll-up, one direct agg for the cross-check. */
+  val q436_variance_merge_law = Q(
+    "q436_variance_merge_law", {
+      val shard = s"${hexSpanValSql("md5(CAST(event_id AS VARCHAR))", 0, 2)} % 8"
+      Some(s"""WITH sh AS (
+              |  SELECT $shard AS shard,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              |      AS s,
+              |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+              |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              |      AS DECIMAL(38,4)) AS q
+              |  FROM events GROUP BY 1),
+              |merged AS (
+              |  SELECT CAST(sum(n) AS BIGINT) AS n,
+              |    CAST(sum(s) AS DECIMAL(38,2)) AS s,
+              |    CAST(sum(q) AS DECIMAL(38,4)) AS q,
+              |    CAST(count(*) AS BIGINT) AS n_shards
+              |  FROM sh),
+              |direct AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              |      AS s,
+              |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+              |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              |      AS DECIMAL(38,4)) AS q
+              |  FROM events)
+              |SELECT m.n_shards, m.n,
+              |  CASE WHEN m.n = d.n AND m.s = d.s AND m.q = d.q
+              |    THEN 1 ELSE 0 END AS merge_lossless,
+              |  round(CAST(m.s AS DOUBLE) / m.n, 6) AS mean,
+              |  round((CAST(m.q AS DOUBLE)
+              |    - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+              |    / (m.n - 1), 6) AS variance
+              |FROM merged m CROSS JOIN direct d""".stripMargin)
+    },
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("__h", md5(col("event_id").cast("string")))
+        .select((expr(hexSpanValSql("__h", 0, 2)) % 8).as("shard"),
+          Q.dec(col("value")).as("v"))
+      val sh = ev.groupBy("shard").agg(
+        count(lit(1)).as("n"),
+        sum("v").cast("decimal(38,2)").as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("q"))
+      val merged = sh.agg(sum("n").cast("long").as("n"),
+        sum("s").cast("decimal(38,2)").as("s"),
+        sum("q").cast("decimal(38,4)").as("q"),
+        count(lit(1)).as("n_shards"))
+      val direct = ev.agg(count(lit(1)).as("dn"),
+        sum("v").cast("decimal(38,2)").as("ds"),
+        sum((col("v") * col("v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("dq"))
+      merged.crossJoin(broadcast(direct))
+        .select(col("n_shards"), col("n"),
+          when(col("n") === col("dn") && col("s") === col("ds") &&
+            col("q") === col("dq"), 1).otherwise(0).as("merge_lossless"),
+          round(col("s").cast("double") / col("n"), 6).as("mean"),
+          round((col("q").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n"))
+            / (col("n") - 1), 6).as("variance"))
+    })
+
+  val all: Seq[Q] = Seq(q432_tost_equivalence, q433_mcnemar,
+    q434_fleiss_kappa, q436_variance_merge_law)
+}

@@ -432,8 +432,16 @@ object TextOps10 {
     * the overall drop rate plus the worst per-language drop rate and
     * the q333 four-fifths disparity flag — the "does this quality knob
     * silently delete a language" pre-flight. Two corpus passes (term LM
-    * + term-keyed logprob join); thresholds and per-lang rates are
-    * order-statistic / conditional-agg work on the doc grid. */
+    * + term-keyed logprob join).
+    *
+    * Scale shape (VERDICT r10 #2 — this entry previously ranked every
+    * doc through ONE unpartitioned row_number window): p50/p75/p90 are
+    * now exact order statistics selected from the h-GRID histogram
+    * (h is rounded to 6 decimals at construction, so groupBy(h) is a
+    * bounded post-agg grid — the q253/q264/q358 device): the cumulative
+    * window orders distinct h values, never docs, and the selected
+    * value min(h | cum ≥ ⌈p·n⌉) is identical to the h at global rank
+    * ⌈p·n⌉, so the oracle's rank formulation is unchanged. */
   val q345_ppl_filter_plan = Q(
     "q345_ppl_filter_plan",
     Some("""WITH t AS (
@@ -499,15 +507,18 @@ object TextOps10 {
             round(-log2(col("c").cast("double") / col("n")), 9)
               .cast("decimal(28,9)")).cast("double") / count(lit(1)), 6)
             .as("h")))
-      val wr = Window.orderBy(col("h"), col("doc_id"))
-      val wall = wr.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val rk = dh.select(col("h"), row_number().over(wr).as("r"),
-        count(lit(1)).over(wall).as("nn"))
+      val hg = dh.groupBy("h").agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cgrid = hg.select(col("h"),
+        sum("c").over(wcum).cast("long").as("cum"),
+        sum("c").over(wall).cast("long").as("nn"))
       def oStat(p: Double) =
-        max(when(col("r") === ceil(lit(p) * col("nn")).cast("long"),
+        min(when(col("cum") >= ceil(lit(p) * col("nn")).cast("long"),
           col("h")))
-      val qs = rk.agg(oStat(0.50).as("p50"), oStat(0.75).as("p75"),
+      val qs = cgrid.agg(oStat(0.50).as("p50"), oStat(0.75).as("p75"),
         oStat(0.90).as("p90"))
       val thr = qs.select(lit("p50").as("thr_label"), col("p50").as("thr"))
         .union(qs.select(lit("p75"), col("p75")))

@@ -314,9 +314,19 @@ object TextOps6 {
     * reads before sizing a vocab): each term's FIRST document (min
     * doc_id), then the running vocabulary size over the document order —
     * one row per document that introduces new vocabulary. Two hash aggs
-    * (term → first doc, first doc → new-term count) and one cumulative
-    * window over the (tiny) introducing-doc frame; the corpus token
-    * stream itself is touched once. */
+    * (term → first doc, first doc → new-term count); the corpus token
+    * stream itself is touched once.
+    *
+    * Scale shape (caught by the r11 catalog-wide window sweep): with
+    * real heavy-tailed text nearly EVERY doc introduces some rare
+    * token, so the introducing-doc frame is doc-scale and the previous
+    * single cumulative window over it was the q280 scale-killer. The
+    * running sum is now the q280 TWO-PHASE device: 256 doc_id RANGE
+    * buckets (width ⌈(max_id+1)/256⌉, so bucket order ≡ doc_id order),
+    * per-bucket totals prefix-summed on the 256-row grid and broadcast
+    * back as offsets, then a bucket-PARTITIONED cumulative window —
+    * bit-identical to the oracle's global cumsum, no single-partition
+    * row-scale sort anywhere. */
   val q159_vocab_growth = Q(
     "q159_vocab_growth",
     Some("""WITH tok AS (
@@ -330,15 +340,31 @@ object TextOps6 {
             |FROM intro
             |ORDER BY doc_id""".stripMargin),
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val first = tok.groupBy("term").agg(min(col("doc_id")).as("fd"))
-      val intro = first.groupBy(col("fd").as("doc_id"))
-        .agg(count(lit(1)).as("new_terms"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      intro.withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      val intro = graft.operators.PlanCache.persist(
+        first.groupBy(col("fd").as("doc_id"))
+          .agg(count(lit(1)).as("new_terms")))
+      // order-preserving 256-way range bucketing on doc_id
+      val wdt = intro.agg(
+        ceil((max("doc_id") + 1) / 256.0).cast("long").as("wdt"))
+      val bucketed = intro.crossJoin(broadcast(wdt))
+        .withColumn("bucket",
+          floor(col("doc_id").cast("double") / col("wdt")).cast("long"))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy("bucket")
+        .agg(sum("new_terms").as("bsum"))
+        .withColumn("off", coalesce(sum("bsum").over(wOff), lit(0L)))
+        .select("bucket", "off")
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bucketed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_vocab",
+          (col("off") + sum("new_terms").over(wIn)).cast("long"))
+        .select("doc_id", "new_terms", "cum_vocab")
         .orderBy("doc_id")
     })
 

@@ -325,4 +325,61 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     assert(r.getLong(2) == 3L && r.getLong(3) == 128L)
     assert(r.getLong(4) == 44100L && r.getLong(5) == 3L * 1152 * 1000 / 44100)
   }
+
+  test("webp_dims: construction-inversion fuzz over both bitstreams; junk never throws") {
+    import spark.implicits._
+    // adversarial: random bytes, and random bytes behind a real RIFF tag
+    val byteGen = Gen.chooseNum(-128, 127).map(_.toByte)
+    val fuzz: List[Array[Byte]] =
+      Gen.listOfN(200, Gen.nonEmptyListOf(byteGen).map(_.toArray)).sample.get ++
+      Gen.listOfN(100, Gen.nonEmptyListOf(byteGen)
+        .map(bs => "RIFF".getBytes("ASCII") ++ bs)).sample.get
+    val fuzzed = fuzz.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+      .select(graft.operators.Multimodal.webpDims(col("content")).as("d"))
+      .collect() // must not throw
+    assert(fuzzed.length == fuzz.length)
+    // valid-by-construction containers: random dims, both bitstreams,
+    // optional odd-payload junk chunk ahead (exercises the pad skip)
+    def le32(v: Long) = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val cases = Gen.listOfN(150, Gen.zip(
+      Gen.chooseNum(1, 16383), Gen.chooseNum(1, 16383),
+      Gen.oneOf(true, false), Gen.oneOf(true, false))).sample.get
+    val blobs = cases.map { case (w, h, lossless, withJunk) =>
+      val stream =
+        if (lossless) {
+          val packed = (w - 1).toLong | ((h - 1).toLong << 14)
+          "VP8L".getBytes("ASCII") ++ le32(5) ++
+            (Array(0x2F.toByte) ++ le32(packed)) ++ Array(0x00.toByte)
+        } else
+          "VP8 ".getBytes("ASCII") ++ le32(10) ++
+            Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++ le16(w) ++ le16(h)
+      val junk =
+        if (withJunk)
+          "EXIF".getBytes("ASCII") ++ le32(3) ++
+            "AAA".getBytes("ASCII") ++ Array(0x00.toByte)
+        else Array.empty[Byte]
+      val inner = junk ++ stream
+      (w, h, lossless,
+        "RIFF".getBytes("ASCII") ++ le32(4L + inner.length) ++
+          "WEBP".getBytes("ASCII") ++ inner)
+    }
+    val parsed = blobs.zipWithIndex
+      .map { case ((w, h, ll, b), i) => (i.toLong, w, h, ll, b) }
+      .toDF("id", "w", "h", "ll", "content")
+      .select(col("w"), col("h"), col("ll"),
+        graft.operators.Multimodal.webpDims(col("content")).as("d"))
+      .collect()
+    parsed.foreach { r =>
+      assert(!r.isNullAt(3), r.toString)
+      val d = r.getStruct(3)
+      assert(d.getString(0) == (if (r.getBoolean(2)) "lossless" else "lossy"),
+        r.toString)
+      assert(d.getLong(1) == r.getInt(0).toLong, r.toString)
+      assert(d.getLong(2) == r.getInt(1).toLong, r.toString)
+    }
+  }
 }

@@ -583,4 +583,160 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q350/q345/q354: VERDICT r10 fixes — no global rank window, no raw-row sort") {
+    // all three previously ranked ROW-SCALE frames through one
+    // unpartitioned row_number; they now select exact order statistics
+    // from histograms (n_ev grid / h grid / x≤65536 grid), so row_number
+    // must be gone entirely and no Sort may order a row-identity column
+    val p350 = plan("q350_conditional_quantiles")
+    assert(!p350.contains("row_number"), p350)
+    assert(!"Sort \\[[^\\]]*user_id".r.findFirstIn(p350).isDefined, p350)
+    val p345 = plan("q345_ppl_filter_plan")
+    assert(!p345.contains("row_number"), p345)
+    assert(!"Sort \\[[^\\]]*doc_id".r.findFirstIn(p345).isDefined, p345)
+    val p354 = plan("q354_hash_uniformity")
+    assert(!p354.contains("row_number"), p354)
+    assert(!"Sort \\[[^\\]]*user_id".r.findFirstIn(p354).isDefined, p354)
+  }
+
+  test("q388: pair join blocks on the compound (nation, name-prefix) key") {
+    // VERDICT r10 #4: nation alone is a FIXED 25-value key (Σ block² =
+    // Θ(n²/25)); the compound key's cardinality grows with n, so the
+    // join keys must include the prefix column — losing it silently
+    // reverts the quadratic block
+    val p = plan("q388_fellegi_sunter")
+    assert(p.contains("blk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  /** Catalog-wide window-discipline sweep (VERDICT r10 #6).
+    *
+    * An unpartitioned Window moves its ENTIRE input to one partition —
+    * the canonical scale-killer. The repo discipline: such windows are
+    * legal only above a bounded post-agg GRID (value histograms, bucket
+    * offset tables, day/threshold grids), never above row-scale frames.
+    * This sweep walks every catalog entry's OPTIMIZED plan and fails if
+    * an unpartitioned Window appears in an entry not on the explicit
+    * allowlist — so the q345/q350/q354 class of miss (three row-scale
+    * global sorts that survived two manual audits) becomes a test
+    * failure at introduction time, not a round-N verdict finding.
+    *
+    * Every allowlisted entry must ALSO satisfy the grid property
+    * structurally: below the unpartitioned Window an Aggregate (or
+    * bounded leaf) must sit on every path to a source relation — i.e.
+    * the window input is a post-aggregation grid, not raw rows. (Which
+    * grids are BOUNDED is a per-entry semantic argument made in each
+    * docstring; the structural check catches the gross regression of a
+    * window sliding below its aggregation.)
+    */
+  test("catalog sweep: unpartitioned windows only on allowlisted grid entries, always above an Aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+    // streaming entries execute checkpointed micro-batch streams inside
+    // run(); their returned frame is a bounded sink read-back and their
+    // semantics are covered by the replay-equivalence oracle entries
+    val streaming = queries.StreamQ.all.map(_.name).toSet
+
+    // entries whose unpartitioned windows run on bounded post-agg grids
+    // (each comment names the grid; the docstrings argue why it is
+    // bounded). The list is EXACT: an allowlisted entry with no
+    // unpartitioned window fails as stale, so the list cannot rot.
+    val allowlist = Set(
+      "q95_ntile", // (month × priority) revenue grid — calendar-bounded (r11 fix: was per-customer)
+      "q159_vocab_growth", // 256-row bucket-offset grid (r11 fix: two-phase cumsum, was doc-scale)
+      "q160_zipf_fit", // top-20 token frame (TakeOrdered before the rank)
+      "q167_cusum", // day grid
+      "q193_key_skew", // count-of-counts grid (distinct per-key counts)
+      "q202_auc", "q204_ks_test", // 2-decimal score-grid ECDF cumulations
+      "q205_chi2", // 24×5 (hour × type) contingency grid
+      "q207_gini_stump", // 50-unit value-bin grid
+      "q208_spearman", // 2-decimal distinct-value grids
+      "q210_source_shift", // n_chars distinct-value grid
+      "q213_theil_sen", // slope grid over the day-pair frame (≤66k pairs)
+      "q214_benford", // 9-digit leading-digit grid
+      "q215_gap_percentiles", // distinct gap-seconds grid (time-span-bounded)
+      "q225_kaplan_meier", // day grid after the dur_days agg
+      "q234_quantile_norm", // n_chars distinct-value grid
+      "q245_compaction_plan", // file-stats grid (source × lang)
+      "q246_psi_drift", // localCheckpoint'd 2×10 bin grid
+      "q252_kfold_balance", // fold × source grid
+      "q253_conformal_coverage", // n_chars score grid
+      "q268_cumulative_reach", // day grid after the user min-day agg
+      "q272_sprt", // day grid
+      "q280_id_minting", // 256-row bucket-offset grid
+      "q289_hill_tail", // n_chars distinct-value grid
+      "q293_decile_lift", // 10-row decile grid
+      "q307_log_rank", // day grid
+      "q309_kruskal_wallis", // 2-decimal distinct-value grid
+      "q310_cliffs_delta", // 2-decimal distinct-value grids
+      "q336_topk_churn", // 10-row top-k frames (limit(10) before the rank)
+      "q339_seasonal_backtest", // day-index grid
+      "q343_anomaly_consensus", // day grid
+      "q345_ppl_filter_plan", // 6-decimal h grid (r10 fix: was doc-scale)
+      "q350_conditional_quantiles", // integer n_ev grid + per-quintile y grid (r10 fix: was user-scale)
+      "q354_hash_uniformity", // ≤65536-cell md5-span grid (r10 fix: was user-scale)
+      "q356_capture_knee", // integer-cent spend histogram + 10-row curve (r11 fix: was user-scale)
+      "q358_shard_quantile_merge", // 2-decimal value grid
+      "q379_source_gini", // per-source grid (≤ source count)
+      "q385_neyman_allocation", // 5-row event-type strata grid
+      "q397_cart_split", // category grid (≤ distinct sources)
+      "q423_partition_advisor", // per-candidate partition-count grids (day/type/bucket)
+      "q427_sketch_quantile_error", // 2-decimal value grid + 256-bin sketch grid (r11)
+      "q435_exp_mech_median", // n_chars utility grid (r11)
+    )
+    val unknown = allowlist -- SparkEntry.catalog.map(_.name).toSet
+    assert(unknown.isEmpty, s"allowlist names not in the catalog: $unknown")
+
+    // does any path from `p` reach a source relation without crossing an
+    // aggregation or a bounded-by-construction node?
+    def rawLeafReachable(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: GlobalLimit => false
+      case _: LocalRelation => false
+      case _: OneRowRelation => false
+      case _: Range => false // literal grids only in this repo
+      // localCheckpoint = the repo's deliberate materialize-a-TINY-grid
+      // device (q182/q246 et al.); a row-scale checkpoint would blow
+      // driver/executor memory long before this test saw it
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case imr: InMemoryRelation =>
+        // persisted frame: grid iff the cached plan itself aggregates.
+        // String check: under AQE the cachedPlan is an
+        // AdaptiveSparkPlanExec leaf whose children don't expose the
+        // inner tree, but its treeString prints it.
+        !"(Hash|Sort|ObjectHash)Aggregate".r
+          .findFirstIn(imr.cachedPlan.toString).isDefined
+      case other if other.children.isEmpty => true
+      case other => other.children.exists(rawLeafReachable)
+    }
+
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- SparkEntry.catalog if !streaming(q.name)) {
+      val plan =
+        try q.run(spark, sfDir).queryExecution.optimizedPlan
+        catch { case e: Throwable =>
+          fail(s"${q.name}: plan construction failed: ${e.getMessage}")
+        }
+      val unpart = plan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty) {
+        if (!allowlist(q.name))
+          offenders += s"${q.name}: ${unpart.size} unpartitioned Window(s)"
+        else if (unpart.exists(w => rawLeafReachable(w.child)))
+          offenders += s"${q.name}: allowlisted, but an unpartitioned " +
+            "Window sits on a raw-row input (no Aggregate below)"
+      } else if (allowlist(q.name))
+        offenders += s"${q.name}: stale allowlist entry (no " +
+          "unpartitioned Window in the optimized plan)"
+      operators.PlanCache.releaseAll()
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      "window-discipline violations (add to the allowlist ONLY with a " +
+        "docstring argument that the window input is a bounded grid):\n" +
+        offenders.mkString("\n"))
+  }
 }
