@@ -104,6 +104,12 @@ object Bench {
       // lets v2 sources' reported KeyGroupedPartitioning drive planning
       // (shuffle-free agg/join over graft.sources.GenDocs keyed scans)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // storage-partitioned joins whose join keys are a SUPERSET of the
+      // partition keys (q438: join on (tag,id), scans keyed on tag) are
+      // gated by this co-partition check; relaxing it lets the reported
+      // KeyGroupedPartitioning + SupportsReportOrdering plan the join
+      // with zero Exchange and zero Sort. Plan-choice only, never results.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // keep stdout clean for the metric line
     // Bench times the incremental entries (q170/q177) in their production
@@ -131,6 +137,12 @@ object Bench {
       }
     }
     val entries = SparkEntry.catalog.filter(q => only.forall(_.contains(q.name)))
+    // A filtered run IS the isolated measurement (bench_delta --retime
+    // consumes it), and the committed isolated map is WARM (it re-times
+    // after the catalog pass). Match that: pre-run the filtered entries
+    // once untimed so the timed pass reads steady state, not first-JVM
+    // JIT/codegen cost (the verify guide's "run 3x, read runs 2-3").
+    if (only.isDefined) entries.foreach(q => timeEntry(spark, sfDir, q))
     val timed = entries.map { q =>
       val (sec, err) = timeEntry(spark, sfDir, q)
       err.foreach(m => System.err.println(s"[bench] ${q.name} failed: $m"))

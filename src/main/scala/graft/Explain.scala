@@ -18,6 +18,12 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // storage-partitioned joins whose join keys are a SUPERSET of the
+      // partition keys (q438: join on (tag,id), scans keyed on tag) are
+      // gated by this co-partition check; relaxing it lets the reported
+      // KeyGroupedPartitioning + SupportsReportOrdering plan the join
+      // with zero Exchange and zero Sort. Plan-choice only, never results.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.catalog

@@ -23,6 +23,12 @@ object Verify {
       // lets v2 sources' reported KeyGroupedPartitioning drive planning
       // (shuffle-free agg/join over graft.sources.GenDocs keyed scans)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // storage-partitioned joins whose join keys are a SUPERSET of the
+      // partition keys (q438: join on (tag,id), scans keyed on tag) are
+      // gated by this co-partition check; relaxing it lets the reported
+      // KeyGroupedPartitioning + SupportsReportOrdering plan the join
+      // with zero Exchange and zero Sort. Plan-choice only, never results.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

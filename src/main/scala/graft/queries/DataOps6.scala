@@ -50,5 +50,46 @@ object DataOps6 {
       broadcast(asc).crossJoin(broadcast(desc))
     })
 
-  val all: Seq[Q] = Seq(q415_topn_pushdown)
+  /** PRESORTED storage-partitioned join (SupportsReportOrdering, the
+    * scan-time contract added in r11 beside statistics/partitioning/
+    * pushdown): two keyed generator scans join ON (tag, id). The
+    * partitioning report (KeyGroupedPartitioning on tag, q362) already
+    * removes every Exchange; the ORDERING report ((tag, id) ascending
+    * within each slice) now also removes every Sort — EnsureRequirements
+    * sees the sort-merge join's required child ordering already
+    * satisfied by the scan itself. This is the fully-clustered read
+    * path a sorted+bucketed lake table earns at 100 TB: a join that
+    * moves nothing and sorts nothing, pinned in PlanAuditSpec (zero
+    * Exchange hashpartitioning, zero Sort operators). Sides are sized
+    * past the broadcast threshold so the merge path is the one planned.
+    * The oracle replays the closed forms; layout can only change the
+    * plan, never the result. */
+  val q438_presorted_join = Q(
+    "q438_presorted_join",
+    Some("""WITH j AS (
+           |  SELECT id,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v
+           |  FROM (SELECT unnest(generate_series(0, 449999)) AS id))
+           |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id,
+           |  CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS sum_vv
+           |FROM j""".stripMargin),
+    (s, d) => {
+      def keyedGen(rows: Long) = s.read.format("graft.sources.GenDocs")
+        .option("rows", rows.toString).option("partitionBy", "tag").load()
+      val a = keyedGen(500000).select(col("tag"), col("id"),
+        Q.dec(col("v")).as("va"))
+      val b = keyedGen(450000).select(col("tag"), col("id"),
+        Q.dec(col("v")).as("vb"))
+      a.join(b, Seq("tag", "id"))
+        .agg(count(lit(1)).as("n_matched"),
+          min("id").cast("long").as("min_id"),
+          max("id").cast("long").as("max_id"),
+          sum((col("va") * col("vb")).cast("decimal(38,4)"))
+            .cast("double").as("sum_vv"))
+    })
+
+  val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join)
 }

@@ -353,6 +353,176 @@ object EventOps4 {
         .orderBy("type_a", "type_b")
     })
 
+  private val MkChannels = Seq("click", "error", "signup", "view")
+
+  /** Markov REMOVAL-EFFECT attribution — the data-driven counterpart
+    * of q197's first/last-touch rules: model the user journey as the
+    * event-type Markov chain (q325's transition matrix + its
+    * within-K=3 absorption recursion), take the baseline conversion
+    * mass B = Σ_s π(s)·r₃(s) from the first-event start distribution
+    * π, then for each channel c recompute B with c REMOVED (its
+    * from-states dropped, carries through it lost) — the fraction of
+    * conversion that disappears is c's removal effect, normalized into
+    * attribution shares. Every chain quantity lives on the ≤5×5 type
+    * grid: 5 variants × 3 recursion steps are 1-row/25-row broadcast
+    * algebra, identical at any event volume; the only row-scale work
+    * is the one user-keyed lead() pass that counts transitions (and
+    * the rn=1 first-event pass), both user-PARTITIONED.
+    *
+    * Determinism: transition probs and π round at 9; every carry and
+    * mass term rounds at 9 then decimal-sums (q325's discipline);
+    * shares derive from the ROUNDED removal effects. */
+  val q442_markov_attribution = Q(
+    "q442_markov_attribution", {
+      def variant(tag: String, rm: Option[String]) = {
+        val stFilter = rm.map(c => s" WHERE state <> '$c'").getOrElse("")
+        val rmTo = rm.map(c => s" AND p.to_type <> '$c'").getOrElse("")
+        s"""r1_$tag AS (
+           |  SELECT st.state, coalesce(pp.p, 0) AS r
+           |  FROM (SELECT state FROM states$stFilter) st
+           |  LEFT JOIN (SELECT from_type AS state, p FROM p
+           |             WHERE to_type = 'purchase') pp USING (state)),
+           |r2_$tag AS (
+           |  SELECT r1.state, round(r1.r + coalesce(c.carry, 0), 9) AS r
+           |  FROM r1_$tag r1 LEFT JOIN (
+           |    SELECT p.from_type AS state,
+           |      CAST(sum(CAST(round(p.p * r.r, 9) AS DECIMAL(28,9)))
+           |        AS DOUBLE) AS carry
+           |    FROM p JOIN r1_$tag r ON r.state = p.to_type
+           |    WHERE p.to_type <> 'purchase'$rmTo
+           |    GROUP BY p.from_type) c ON c.state = r1.state),
+           |r3_$tag AS (
+           |  SELECT r1.state, round(r1.r + coalesce(c.carry, 0), 9) AS r
+           |  FROM r1_$tag r1 LEFT JOIN (
+           |    SELECT p.from_type AS state,
+           |      CAST(sum(CAST(round(p.p * r.r, 9) AS DECIMAL(28,9)))
+           |        AS DOUBLE) AS carry
+           |    FROM p JOIN r2_$tag r ON r.state = p.to_type
+           |    WHERE p.to_type <> 'purchase'$rmTo
+           |    GROUP BY p.from_type) c ON c.state = r1.state),
+           |b_$tag AS (
+           |  SELECT round(CAST(sum(CAST(round(pi.pi * r.r, 9)
+           |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS b
+           |  FROM pi JOIN r3_$tag r USING (state))""".stripMargin
+      }
+      val variants = variant("base", None) +: MkChannels.map(c =>
+        variant(c, Some(c)))
+      val reCols = MkChannels.map(c =>
+        s"round(CASE WHEN b_base.b > 0 THEN (b_base.b - b_$c.b) / b_base.b " +
+          s"ELSE 0 END, 9) AS re_$c").mkString(",\n    ")
+      val sumRe = MkChannels.map(c => s"re_$c").mkString(" + ")
+      val rows = MkChannels.map(c =>
+        s"""SELECT '$c' AS channel, round(b_base, 9) AS base_conv,
+           |  round(b_rm_$c, 9) AS b_removed, re_$c AS removal_effect,
+           |  round(CASE WHEN $sumRe <> 0 THEN re_$c / ($sumRe)
+           |    ELSE 0 END, 6) AS attribution_share
+           |FROM w""".stripMargin).mkString("\nUNION ALL\n")
+      Some((s"""WITH s AS (
+           |  SELECT user_id, event_type,
+           |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+           |  FROM events),
+           |nx AS (
+           |  SELECT event_type, LEAD(event_type) OVER (
+           |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
+           |  FROM s),
+           |t AS (
+           |  SELECT event_type AS from_type, next_type AS to_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           |p AS (
+           |  SELECT from_type, to_type,
+           |    round(CAST(n AS DOUBLE) / sum(n) OVER (
+           |      PARTITION BY from_type), 9) AS p
+           |  FROM t),
+           |fe AS (
+           |  SELECT event_type AS state FROM (
+           |    SELECT event_type, ROW_NUMBER() OVER (
+           |      PARTITION BY user_id ORDER BY us, event_id) AS rn
+           |    FROM s) f WHERE rn = 1),
+           |pi AS (
+           |  SELECT state,
+           |    round(CAST(count(*) AS DOUBLE)
+           |      / (SELECT count(*) FROM fe), 9) AS pi
+           |  FROM fe GROUP BY state),
+           |states AS (SELECT DISTINCT from_type AS state FROM p),
+           |""" + variants.mkString(",\n") + s""",
+           |w AS (
+           |  SELECT b_base.b AS b_base,
+           |    ${MkChannels.map(c => s"b_$c.b AS b_rm_$c").mkString(", ")},
+           |    $reCols
+           |  FROM b_base${MkChannels.map(c => s" CROSS JOIN b_$c").mkString})
+           |$rows
+           |ORDER BY channel""").stripMargin)
+    },
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sdf = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val t = sdf
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val p = graft.operators.PlanCache.persist(t.select(
+        col("from_type"), col("to_type"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 9).as("p")))
+      val fe = sdf.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("event_type").as("state"))
+      val nUsers = fe.agg(count(lit(1)).as("nu"))
+      val pi = graft.operators.PlanCache.persist(
+        fe.groupBy("state").agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(nUsers))
+          .select(col("state"),
+            round(col("c").cast("double") / col("nu"), 9).as("pi")))
+      val states = p.select(col("from_type").as("state")).distinct()
+      val pp = p.filter(col("to_type") === "purchase")
+        .select(col("from_type").as("state"), col("p").as("ppp"))
+      def dsum9(c: org.apache.spark.sql.Column) =
+        sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+      def bOf(rm: Option[String]): org.apache.spark.sql.DataFrame = {
+        val st = rm.map(c => states.filter(col("state") =!= c))
+          .getOrElse(states)
+        val base = graft.operators.PlanCache.persist(
+          st.join(pp, Seq("state"), "left")
+            .select(col("state"), coalesce(col("ppp"), lit(0.0)).as("r1")))
+        def step(prev: org.apache.spark.sql.DataFrame) = {
+          val pc = rm.map(c => p.filter(col("to_type") =!= c)).getOrElse(p)
+          val carry = pc.filter(col("to_type") =!= "purchase")
+            .join(prev.select(col("state").as("to_type"), col("r")),
+              "to_type")
+            .groupBy(col("from_type").as("state"))
+            .agg(dsum9(col("p") * col("r")).as("carry"))
+          base.join(carry, Seq("state"), "left")
+            .select(col("state"),
+              round(col("r1") + coalesce(col("carry"), lit(0.0)), 9).as("r"))
+        }
+        val r3 = step(step(base.select(col("state"), col("r1").as("r"))))
+        pi.join(r3, "state")
+          .agg(round(dsum9(col("pi") * col("r")), 9).as("b"))
+      }
+      val bBase = bOf(None).withColumnRenamed("b", "b_base")
+      val withRm = MkChannels.foldLeft(bBase) { (acc, c) =>
+        acc.crossJoin(broadcast(bOf(Some(c)).withColumnRenamed("b", s"b_rm_$c")))
+      }
+      val wRe = withRm.select(col("*") +: MkChannels.map(c =>
+        round(when(col("b_base") > 0,
+          (col("b_base") - col(s"b_rm_$c")) / col("b_base")).otherwise(0), 9)
+          .as(s"re_$c")): _*)
+      val sumRe = MkChannels.map(c => col(s"re_$c")).reduce(_ + _)
+      val rows = MkChannels.map { c =>
+        wRe.select(lit(c).as("channel"),
+          round(col("b_base"), 9).as("base_conv"),
+          round(col(s"b_rm_$c"), 9).as("b_removed"),
+          col(s"re_$c").as("removal_effect"),
+          round(when(sumRe =!= 0, col(s"re_$c") / sumRe).otherwise(0), 6)
+            .as("attribution_share"))
+      }
+      rows.reduce(_.unionAll(_)).orderBy("channel")
+    })
+
   val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley,
-    q402_funnel_window, q424_lb_keogh)
+    q402_funnel_window, q424_lb_keogh, q442_markov_attribution)
 }

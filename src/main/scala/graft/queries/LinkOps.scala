@@ -178,5 +178,212 @@ object LinkOps {
         .orderBy("theta")
     })
 
-  val all: Seq[Q] = Seq(q388_fellegi_sunter)
+  /** Fellegi–Sunter with UNSUPERVISED EM (Winkler's method) — q388
+    * estimates m/u from ground truth the real world never has; this
+    * entry estimates them from the agreement-pattern data alone. The
+    * EM runs entirely on the SUFFICIENT STATISTIC: three binary
+    * comparison fields admit at most 8 agreement patterns, so the
+    * blocked pair space collapses to an 8-row (g1,g2,g3,N) histogram
+    * and every E/M step is arithmetic on that grid — the reason EM
+    * record linkage scales: iterations touch 8 rows whether the pair
+    * space holds 10⁴ or 10¹² candidates. Three unrolled iterations
+    * from (p=0.1, m=0.9, u=0.1); every posterior w rounds to 12
+    * decimals and every weighted count is rounded-then-decimal-summed,
+    * so both engines walk the identical parameter trajectory.
+    *
+    * Scale shape: one blocked pair pass (the q388 compound key) → the
+    * 8-cell histogram; 3 iterations of 1-row broadcast algebra. */
+  val q439_fs_em = Q(
+    "q439_fs_em",
+    Some(s"""WITH a AS (
+            |  SELECT c_custkey AS ck, c_nationkey AS nk, c_name AS nm,
+            |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal,
+            |    c_mktsegment AS seg
+            |  FROM customer),
+            |b AS (
+            |  SELECT ck, nk,
+            |    CASE WHEN sel = 0 THEN nm || '~' ELSE nm END AS nm,
+            |    bal + CASE WHEN sel = 1 THEN 100 ELSE 0 END AS bal,
+            |    CASE WHEN sel = 2 THEN 'CORRUPTED' ELSE seg END AS seg
+            |  FROM (SELECT a.*,
+            |    ${hexSpanValSql("md5(CAST(ck AS VARCHAR))", 0, 1)} % 4 AS sel
+            |    FROM a) t),
+            |hist AS (
+            |  SELECT CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
+            |    CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS g2,
+            |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g3,
+            |    CAST(count(*) AS BIGINT) AS cnt
+            |  FROM a JOIN b ON a.nk = b.nk
+            |    AND substring(a.nm, 1, 15) = substring(b.nm, 1, 15)
+            |  GROUP BY 1, 2, 3),
+            |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+            |e1 AS (
+            |  SELECT g1, g2, g3, cnt, round(
+            |    (0.1 * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+            |         * (CASE WHEN g2 = 1 THEN 0.9 ELSE 0.1 END)
+            |         * (CASE WHEN g3 = 1 THEN 0.9 ELSE 0.1 END)) /
+            |    (0.1 * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+            |         * (CASE WHEN g2 = 1 THEN 0.9 ELSE 0.1 END)
+            |         * (CASE WHEN g3 = 1 THEN 0.9 ELSE 0.1 END)
+            |     + 0.9 * (CASE WHEN g1 = 1 THEN 0.1 ELSE 0.9 END)
+            |         * (CASE WHEN g2 = 1 THEN 0.1 ELSE 0.9 END)
+            |         * (CASE WHEN g3 = 1 THEN 0.1 ELSE 0.9 END)), 12)
+            |    AS w
+            |  FROM hist),
+            |m1 AS (
+            |  SELECT
+            |    round(CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6)))
+            |      AS DOUBLE) / max(n.n), 12) AS p,
+            |    round(CAST(sum(CAST(round(cnt * w * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m1,
+            |    round(CAST(sum(CAST(round(cnt * w * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m2,
+            |    round(CAST(sum(CAST(round(cnt * w * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m3,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u1,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u2,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u3
+            |  FROM e1 CROSS JOIN n),
+            |e2 AS (
+            |  SELECT g1, g2, g3, cnt, round(
+            |    (p * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+            |       * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+            |       * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END)) /
+            |    (p * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+            |       * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+            |       * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END)
+            |     + (1 - p) * (CASE WHEN g1 = 1 THEN u1 ELSE 1 - u1 END)
+            |       * (CASE WHEN g2 = 1 THEN u2 ELSE 1 - u2 END)
+            |       * (CASE WHEN g3 = 1 THEN u3 ELSE 1 - u3 END)), 12) AS w
+            |  FROM hist CROSS JOIN m1),
+            |m2_ AS (
+            |  SELECT
+            |    round(CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6)))
+            |      AS DOUBLE) / max(n.n), 12) AS p,
+            |    round(CAST(sum(CAST(round(cnt * w * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m1,
+            |    round(CAST(sum(CAST(round(cnt * w * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m2,
+            |    round(CAST(sum(CAST(round(cnt * w * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m3,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u1,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u2,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u3
+            |  FROM e2 CROSS JOIN n),
+            |e3 AS (
+            |  SELECT g1, g2, g3, cnt, round(
+            |    (p * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+            |       * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+            |       * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END)) /
+            |    (p * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END)
+            |       * (CASE WHEN g2 = 1 THEN m2 ELSE 1 - m2 END)
+            |       * (CASE WHEN g3 = 1 THEN m3 ELSE 1 - m3 END)
+            |     + (1 - p) * (CASE WHEN g1 = 1 THEN u1 ELSE 1 - u1 END)
+            |       * (CASE WHEN g2 = 1 THEN u2 ELSE 1 - u2 END)
+            |       * (CASE WHEN g3 = 1 THEN u3 ELSE 1 - u3 END)), 12) AS w
+            |  FROM hist CROSS JOIN m2_),
+            |m3_ AS (
+            |  SELECT
+            |    round(CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6)))
+            |      AS DOUBLE) / max(n.n), 12) AS p,
+            |    round(CAST(sum(CAST(round(cnt * w * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m1,
+            |    round(CAST(sum(CAST(round(cnt * w * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m2,
+            |    round(CAST(sum(CAST(round(cnt * w * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * w, 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS m3,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g1, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u1,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u2,
+            |    round(CAST(sum(CAST(round(cnt * (1 - w) * g3, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            |      / CAST(sum(CAST(round(cnt * (1 - w), 6) AS DECIMAL(28,6))) AS DOUBLE), 12) AS u3
+            |  FROM e3 CROSS JOIN n)
+            |SELECT 1 AS field, round(m1, 6) AS m, round(u1, 6) AS u,
+            |  round(p, 6) AS p, (SELECT n FROM n) AS n_pairs FROM m3_
+            |UNION ALL
+            |SELECT 2, round(m2, 6), round(u2, 6), round(p, 6),
+            |  (SELECT n FROM n) FROM m3_
+            |UNION ALL
+            |SELECT 3, round(m3, 6), round(u3, 6), round(p, 6),
+            |  (SELECT n FROM n) FROM m3_
+            |ORDER BY field""".stripMargin),
+    (s, d) => {
+      val a = Tables.customer(s, d).select(
+        col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+        col("c_name").as("nm"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val b = a
+        .withColumn("__h", md5(col("ck").cast("string")))
+        .withColumn("sel", expr(hexSpanValSql("__h", 0, 1)) % 4)
+        .select(col("ck"), col("nk"),
+          when(col("sel") === 0, concat(col("nm"), lit("~")))
+            .otherwise(col("nm")).as("nm"),
+          (col("bal") + when(col("sel") === 1, 100L).otherwise(0L)).as("bal"),
+          when(col("sel") === 2, lit("CORRUPTED")).otherwise(col("seg"))
+            .as("seg"))
+      val aB = a.toDF("ck_a", "nk", "nm_a", "bal_a", "seg_a")
+        .withColumn("blk", substring(col("nm_a"), 1, 15))
+      val bB = b.toDF("ck_b", "nk", "nm_b", "bal_b", "seg_b")
+        .withColumn("blk", substring(col("nm_b"), 1, 15))
+      val hist = graft.operators.PlanCache.persist(
+        aB.join(bB, Seq("nk", "blk"))
+          .groupBy(
+            when(col("nm_a") === col("nm_b"), 1).otherwise(0).as("g1"),
+            when(col("bal_a") === col("bal_b"), 1).otherwise(0).as("g2"),
+            when(col("seg_a") === col("seg_b"), 1).otherwise(0).as("g3"))
+          .agg(count(lit(1)).as("cnt")))
+      val n = hist.agg(sum("cnt").cast("long").as("n"))
+      def lik(g: String, hi: org.apache.spark.sql.Column,
+          lo: org.apache.spark.sql.Column) =
+        when(col(g) === 1, hi).otherwise(lo)
+      // one EM iteration: histogram × 1-row params -> new 1-row params
+      def step(params: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val pm = col("p") * lik("g1", col("m1"), lit(1) - col("m1")) *
+          lik("g2", col("m2"), lit(1) - col("m2")) *
+          lik("g3", col("m3"), lit(1) - col("m3"))
+        val pu = (lit(1) - col("p")) *
+          lik("g1", col("u1"), lit(1) - col("u1")) *
+          lik("g2", col("u2"), lit(1) - col("u2")) *
+          lik("g3", col("u3"), lit(1) - col("u3"))
+        val e = hist.crossJoin(broadcast(params))
+          .select(col("g1"), col("g2"), col("g3"), col("cnt"),
+            round(pm / (pm + pu), 12).as("w"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(round(c, 6).cast("decimal(28,6)")).cast("double")
+        e.crossJoin(broadcast(n)).agg(
+          round(dsum(col("cnt") * col("w")) / max("n"), 12).as("p"),
+          round(dsum(col("cnt") * col("w") * col("g1")) /
+            dsum(col("cnt") * col("w")), 12).as("m1"),
+          round(dsum(col("cnt") * col("w") * col("g2")) /
+            dsum(col("cnt") * col("w")), 12).as("m2"),
+          round(dsum(col("cnt") * col("w") * col("g3")) /
+            dsum(col("cnt") * col("w")), 12).as("m3"),
+          round(dsum(col("cnt") * (lit(1) - col("w")) * col("g1")) /
+            dsum(col("cnt") * (lit(1) - col("w"))), 12).as("u1"),
+          round(dsum(col("cnt") * (lit(1) - col("w")) * col("g2")) /
+            dsum(col("cnt") * (lit(1) - col("w"))), 12).as("u2"),
+          round(dsum(col("cnt") * (lit(1) - col("w")) * col("g3")) /
+            dsum(col("cnt") * (lit(1) - col("w"))), 12).as("u3"))
+      }
+      val p0 = n.select(lit(0.1).as("p"),
+        lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+        lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"))
+      val p3 = step(step(step(p0))).crossJoin(broadcast(n))
+      def fieldRow(i: Int) = p3.select(lit(i).as("field"),
+        round(col(s"m$i"), 6).as("m"), round(col(s"u$i"), 6).as("u"),
+        round(col("p"), 6).as("p"), col("n").as("n_pairs"))
+      fieldRow(1).unionAll(fieldRow(2)).unionAll(fieldRow(3))
+        .orderBy("field")
+    })
+
+  val all: Seq[Q] = Seq(q388_fellegi_sunter, q439_fs_em)
 }

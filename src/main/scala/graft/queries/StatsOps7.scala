@@ -295,6 +295,105 @@ object StatsOps7 {
             / (col("n") - 1), 6).as("variance"))
     })
 
+  /** Pinball-loss quantile LAW: for τ ∈ {0.5, 0.9}, sweep the pinball
+    * (quantile) loss L_τ(q) = τ·Σ(x−q)⁺ + (1−τ)·Σ(q−x)⁺ over every
+    * candidate q on the value grid and verify its argmin IS the exact
+    * τ-quantile — the identity quantile regression rests on, checked
+    * in EXACT arithmetic: with grid prefix sums (cumN, cumS) the loss
+    * is 10·L = 10τ·(S−cumS−q·(N−cumN)) + 10(1−τ)·(q·cumN−cumS), all
+    * DECIMAL products of cent values and counts (10τ ∈ {5,9} keeps τ
+    * integral), so the argmin is a deterministic min-by-(loss, q) —
+    * no float comparison anywhere near the decision.
+    *
+    * Scale shape: one 2-decimal value-grid agg; cumulative windows
+    * over the grid (q358 device); per-τ argmin via a 1-row broadcast
+    * of the min loss. The loss sweep is O(grid), never O(rows²). */
+  val q441_pinball_quantile = Q(
+    "q441_pinball_quantile",
+    Some("""WITH v AS (
+           |  SELECT CAST(value AS DECIMAL(18,2)) AS q,
+           |    CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+           |  FROM events GROUP BY 1),
+           |cv AS (
+           |  SELECT q,
+           |    CAST(sum(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cumn,
+           |    CAST(sum(s) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |      AS DECIMAL(38,2)) AS cums,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n,
+           |    CAST(sum(s) OVER () AS DECIMAL(38,2)) AS stot
+           |  FROM v),
+           |t AS (SELECT unnest([5, 9]) AS tau10),
+           |loss AS (
+           |  SELECT t.tau10, cv.q,
+           |    CAST(t.tau10 * (stot - cums - q * (n - cumn))
+           |       + (10 - t.tau10) * (q * cumn - cums) AS DECIMAL(38,2))
+           |      AS l10
+           |  FROM cv CROSS JOIN t),
+           |best AS (
+           |  SELECT tau10, min(l10) AS ml FROM loss GROUP BY tau10),
+           |am AS (
+           |  SELECT l.tau10, min(l.q) AS argmin_q, min(l.l10) AS l10
+           |  FROM loss l JOIN best b ON b.tau10 = l.tau10 AND l.l10 = b.ml
+           |  GROUP BY l.tau10),
+           |ex AS (
+           |  SELECT t.tau10,
+           |    min(CASE WHEN 10 * cumn >= t.tau10 * n THEN q END) AS exact_q
+           |  FROM cv CROSS JOIN t GROUP BY t.tau10)
+           |SELECT round(am.tau10 / 10.0, 1) AS tau,
+           |  CAST(am.argmin_q AS DOUBLE) AS argmin_q,
+           |  round(CAST(am.l10 AS DOUBLE) / 10, 2) AS min_loss,
+           |  CAST(ex.exact_q AS DOUBLE) AS exact_q,
+           |  CASE WHEN am.argmin_q = ex.exact_q THEN 1 ELSE 0 END
+           |    AS law_holds
+           |FROM am JOIN ex ON ex.tau10 = am.tau10
+           |ORDER BY tau""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, d)
+        .groupBy(Q.dec(col("value")).as("q"))
+        .agg(count(lit(1)).as("c"),
+          sum(Q.dec(col("value"))).cast("decimal(38,2)").as("s"))
+      val wc = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cv = v.select(col("q"),
+        sum("c").over(wc).cast("long").as("cumn"),
+        sum("s").over(wc).cast("decimal(38,2)").as("cums"),
+        sum("c").over(wa).cast("long").as("n"),
+        sum("s").over(wa).cast("decimal(38,2)").as("stot"))
+      val t = { import s.implicits._; Seq(5, 9).toDF("tau10") }
+      // counts fit decimal(12,0): narrowing the integer factors keeps
+      // every product inside precision 38 at scale 2 (the r10
+      // allowPrecisionLoss scale-drop trap)
+      val above = col("stot") - col("cums") -
+        col("q") * (col("n") - col("cumn")).cast("decimal(12,0)")
+      val below = col("q") * col("cumn").cast("decimal(12,0)") - col("cums")
+      val loss = cv.crossJoin(broadcast(t))
+        .select(col("tau10"), col("q"),
+          (col("tau10").cast("decimal(3,0)") * above
+            + (lit(10) - col("tau10")).cast("decimal(3,0)") * below)
+            .cast("decimal(38,2)").as("l10"))
+      val best = loss.groupBy("tau10").agg(min("l10").as("ml"))
+      val am = loss.join(broadcast(best), "tau10")
+        .filter(col("l10") === col("ml"))
+        .groupBy("tau10")
+        .agg(min("q").as("argmin_q"), min("l10").as("l10"))
+      val ex = cv.crossJoin(broadcast(t)).groupBy("tau10")
+        .agg(min(when(lit(10) * col("cumn") >= col("tau10") * col("n"),
+          col("q"))).as("exact_q"))
+      am.join(ex, "tau10")
+        .select(round(col("tau10") / 10.0, 1).as("tau"),
+          col("argmin_q").cast("double").as("argmin_q"),
+          round(col("l10").cast("double") / 10, 2).as("min_loss"),
+          col("exact_q").cast("double").as("exact_q"),
+          when(col("argmin_q") === col("exact_q"), 1).otherwise(0)
+            .as("law_holds"))
+        .orderBy("tau")
+    })
+
   val all: Seq[Q] = Seq(q432_tost_equivalence, q433_mcnemar,
-    q434_fleiss_kappa, q436_variance_merge_law)
+    q434_fleiss_kappa, q436_variance_merge_law, q441_pinball_quantile)
 }

@@ -53,5 +53,105 @@ object TextOps13 {
         .limit(20)
     })
 
-  val all: Seq[Q] = Seq(q430_term_burstiness)
+  /** Vocabulary-size COVERAGE curve: for candidate vocab sizes
+    * K ∈ {500, 1000, 2000, 4000}, the held-out OOV token rate when the
+    * vocabulary is the train half's top-K terms — the "how big must
+    * the tokenizer vocab be" curve read next to q159's Heaps' law and
+    * q135's fixed-vocab coverage. The top-K cut is computed WITHOUT
+    * ranking the vocabulary: the K-th largest train count t_K comes
+    * from the count-of-counts histogram (max c with cumDesc(c) ≥ K —
+    * the q193 device), the vocab is {count > t_K} (boundary
+    * semantics: ties at t_K excluded, deterministic), and the OOV
+    * mass is one term-keyed join of eval counts against train counts
+    * plus four broadcast threshold comparisons.
+    *
+    * Scale shape: two term aggs (train/eval halves), a bounded
+    * count-of-counts grid window, a term-keyed LEFT join, 4-row
+    * threshold broadcasts. No vocab-scale rank anywhere. */
+  val q440_vocab_coverage = Q(
+    "q440_vocab_coverage",
+    Some("""WITH tok AS (
+           |  SELECT doc_id % 2 AS half,
+           |    unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tc AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tok WHERE half = 0 GROUP BY term),
+           |coc AS (
+           |  SELECT cnt, CAST(count(*) AS BIGINT) AS k FROM tc
+           |  GROUP BY cnt),
+           |cd AS (
+           |  SELECT cnt, k,
+           |    CAST(sum(k) OVER (ORDER BY cnt DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumdesc
+           |  FROM coc),
+           |ks AS (SELECT CAST(unnest([500, 1000, 2000, 4000]) AS BIGINT)
+           |       AS kk),
+           |tks AS (
+           |  SELECT ks.kk,
+           |    coalesce(max(CASE WHEN cumdesc >= ks.kk THEN cnt END), 0)
+           |      AS tk
+           |  FROM ks CROSS JOIN cd GROUP BY ks.kk),
+           |vs AS (
+           |  SELECT t.kk, t.tk,
+           |    CAST(coalesce(sum(CASE WHEN coc.cnt > t.tk THEN coc.k END),
+           |      0) AS BIGINT) AS vocab_size
+           |  FROM tks t CROSS JOIN coc GROUP BY t.kk, t.tk),
+           |et AS (
+           |  SELECT e.term, CAST(count(*) AS BIGINT) AS ecnt
+           |  FROM (SELECT term FROM tok WHERE half = 1) e GROUP BY e.term),
+           |ej AS (
+           |  SELECT et.ecnt, coalesce(tc.cnt, 0) AS traincnt
+           |  FROM et LEFT JOIN tc ON tc.term = et.term),
+           |oov AS (
+           |  SELECT t.kk, t.tk,
+           |    CAST(sum(CASE WHEN traincnt <= t.tk THEN ecnt ELSE 0 END)
+           |      AS BIGINT) AS oov_tokens,
+           |    CAST(sum(ecnt) AS BIGINT) AS eval_tokens
+           |  FROM tks t CROSS JOIN ej GROUP BY t.kk, t.tk)
+           |SELECT o.kk AS vocab_k, o.tk AS count_cut, vs.vocab_size,
+           |  o.oov_tokens, o.eval_tokens,
+           |  round(CAST(o.oov_tokens AS DOUBLE) / o.eval_tokens, 6)
+           |    AS oov_rate
+           |FROM oov o JOIN vs ON vs.kk = o.kk
+           |ORDER BY vocab_k""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("half"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tc = graft.operators.PlanCache.persist(
+        tok.filter(col("half") === 0).groupBy("term")
+          .agg(count(lit(1)).as("cnt")))
+      val coc = graft.operators.PlanCache.persist(
+        tc.groupBy("cnt").agg(count(lit(1)).as("k")))
+      val wd = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cd = coc.select(col("cnt"), col("k"),
+        sum("k").over(wd).cast("long").as("cumdesc"))
+      val ks = { import s.implicits._
+        Seq(500L, 1000L, 2000L, 4000L).toDF("kk") }
+      val tks = ks.crossJoin(cd).groupBy("kk")
+        .agg(coalesce(max(when(col("cumdesc") >= col("kk"), col("cnt"))),
+          lit(0L)).as("tk"))
+      val vs = broadcast(tks).crossJoin(coc).groupBy("kk", "tk")
+        .agg(coalesce(sum(when(col("cnt") > col("tk"), col("k"))), lit(0L))
+          .cast("long").as("vocab_size"))
+      val et = tok.filter(col("half") === 1).groupBy("term")
+        .agg(count(lit(1)).as("ecnt"))
+      val ej = et.join(tc, Seq("term"), "left")
+        .select(col("ecnt"), coalesce(col("cnt"), lit(0L)).as("traincnt"))
+      val oov = ej.crossJoin(broadcast(tks)).groupBy("kk", "tk")
+        .agg(sum(when(col("traincnt") <= col("tk"), col("ecnt"))
+            .otherwise(0L)).cast("long").as("oov_tokens"),
+          sum("ecnt").cast("long").as("eval_tokens"))
+      oov.join(broadcast(vs), Seq("kk", "tk"))
+        .select(col("kk").as("vocab_k"), col("tk").as("count_cut"),
+          col("vocab_size"), col("oov_tokens"), col("eval_tokens"),
+          round(col("oov_tokens").cast("double") / col("eval_tokens"), 6)
+            .as("oov_rate"))
+        .orderBy("vocab_k")
+    })
+
+  val all: Seq[Q] = Seq(q430_term_burstiness, q440_vocab_coverage)
 }

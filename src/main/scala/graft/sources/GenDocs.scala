@@ -216,7 +216,32 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     aggSpec: Option[(Seq[GenAgg], Boolean)]) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** REPORTED ordering (SupportsReportOrdering — the scan-time contract
+    * beside statistics and partitioning): every slice generates ids
+    * ASCENDING (GenSlice steps by 1, TagSlice by 7), and a keyed slice
+    * holds exactly one tag, so within every input partition the rows
+    * are ordered by (tag, id) — declared here so EnsureRequirements can
+    * DROP the SortExec under sort-merge joins whose distribution is
+    * already satisfied (the storage-partitioned q362/q438 join: with
+    * partitioning AND ordering both reported, the SMJ runs with zero
+    * Exchange and zero Sort — the fully-clustered read path a sorted
+    * lake table gives at 100 TB). Not reported for pushed-aggregate
+    * scans (their rows are synthesized summaries, not the generated
+    * sequence). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    if (aggSpec.isDefined) return Array.empty
+    val cols = readSchema().fieldNames
+    val keys = (if (keyed && cols.contains("tag")) Seq("tag") else Nil) ++
+      (if (cols.contains("id")) Seq("id") else Nil)
+    keys.map(c => E.sort(E.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+  }
 
   /** EXACT statistics (SupportsReportStatistics) — a generator knows its
     * cardinality in closed form, and reporting it is what lets Catalyst

@@ -584,6 +584,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q438: presorted SPJ — merge join with ZERO exchange and ZERO sort") {
+    // SupportsReportPartitioning removes the Exchanges;
+    // SupportsReportOrdering removes the Sorts: the SMJ runs directly
+    // over the two keyed generator scans. Any Exchange hashpartitioning
+    // or Sort operator here means one of the two scan-time reports
+    // stopped being honored.
+    val p = plan("q438_presorted_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(countOf(p, "- Sort \\[") == 0, p)
+  }
+
   test("q350/q345/q354: VERDICT r10 fixes — no global rank window, no raw-row sort") {
     // all three previously ranked ROW-SCALE frames through one
     // unpartitioned row_number; they now select exact order statistics
@@ -685,6 +697,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q423_partition_advisor", // per-candidate partition-count grids (day/type/bucket)
       "q427_sketch_quantile_error", // 2-decimal value grid + 256-bin sketch grid (r11)
       "q435_exp_mech_median", // n_chars utility grid (r11)
+      "q440_vocab_coverage", // count-of-counts grid (r11)
+      "q441_pinball_quantile", // 2-decimal value-grid loss sweep (r11)
     )
     val unknown = allowlist -- SparkEntry.catalog.map(_.name).toSet
     assert(unknown.isEmpty, s"allowlist names not in the catalog: $unknown")
