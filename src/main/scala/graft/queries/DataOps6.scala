@@ -91,5 +91,45 @@ object DataOps6 {
             .cast("double").as("sum_vv"))
     })
 
-  val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join)
+  /** TABLESAMPLE pushdown (SupportsPushDownTableSample — the r11 rung
+    * after limit/top-N): `df.sample(0.25, seed=42)` reaches the
+    * GenDocs source, which owns the sampling decision and uses the
+    * repo's replayable md5-span rule (keep id iff
+    * span₅(md5("id:42"))/2²⁰ < 0.25) — so the Sample operator VANISHES
+    * from the plan (rows that fail the rule never exist) AND the SQL
+    * oracle replays the sampled scan row-for-row, something no
+    * private-RNG connector sample can offer. At 100 TB this is the
+    * difference between "sample 1% = read 1%" and "sample 1% = read
+    * everything, keep 1%". Plan pinned: scan description carries
+    * sample=[0.0,0.25,seed=42], no Sample operator survives. */
+  val q447_sample_pushdown = Q(
+    "q447_sample_pushdown", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      Some(s"""WITH g AS (
+              |  SELECT id,
+              |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+              |      AS DECIMAL(18,2)) AS v
+              |  FROM (SELECT unnest(generate_series(0, 199999)) AS id)
+              |  WHERE ${hexSpanValSql("md5(CAST(id AS VARCHAR) || ':42')", 0, 5)}
+              |    / 1048576.0 < 0.25)
+              |SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(min(id) AS BIGINT) AS min_id,
+              |  CAST(max(id) AS BIGINT) AS max_id,
+              |  CAST(sum(id) AS BIGINT) AS sum_id,
+              |  CAST(sum(v) AS DOUBLE) AS sum_v
+              |FROM g""".stripMargin)
+    },
+    (s, d) => {
+      val gen = s.read.format("graft.sources.GenDocs")
+        .option("rows", "200000").option("slices", "8").load()
+      gen.sample(withReplacement = false, 0.25, 42L)
+        .agg(count(lit(1)).as("n"),
+          min("id").cast("long").as("min_id"),
+          max("id").cast("long").as("max_id"),
+          sum("id").cast("long").as("sum_id"),
+          sum(graft.queries.Q.dec(col("v"))).cast("double").as("sum_v"))
+    })
+
+  val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
+    q447_sample_pushdown)
 }

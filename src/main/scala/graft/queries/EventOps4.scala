@@ -523,6 +523,278 @@ object EventOps4 {
       rows.reduce(_.unionAll(_)).orderBy("channel")
     })
 
+  /** Markov ENTROPY RATE of user behavior — how predictable is the
+    * next event given the current one: H(s) = −Σ_t p(s→t)·log2 p(s→t)
+    * per state, and the chain rate Σ_s π̂(s)·H(s) with π̂ the empirical
+    * from-state share. Low rate = templated/bot-like traffic; ~log2(5)
+    * = uniform churn. Complements q113 (the matrix itself) and q109
+    * (token-level entropy) with the SEQUENCE-level number.
+    *
+    * Determinism: each p rounds at 9; each p·log2 p term rounds at 9
+    * and decimal-sums (the q345 log discipline); π̂ rounds at 9; the
+    * rate is a decimal sum of rounded per-state contributions.
+    *
+    * Scale shape: one user-partitioned lead() pass → the ≤5×5
+    * transition grid; everything after is 5-row algebra. */
+  val q445_entropy_rate = Q(
+    "q445_entropy_rate",
+    Some("""WITH s AS (
+           |  SELECT user_id, event_type,
+           |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+           |  FROM events),
+           |nx AS (
+           |  SELECT event_type, LEAD(event_type) OVER (
+           |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
+           |  FROM s),
+           |t AS (
+           |  SELECT event_type AS from_type, next_type AS to_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           |ft AS (
+           |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t
+           |  GROUP BY from_type),
+           |alln AS (SELECT CAST(sum(n) AS BIGINT) AS alln FROM t),
+           |p AS (
+           |  SELECT t.from_type, round(CAST(t.n AS DOUBLE) / ft.tot, 9)
+           |    AS p
+           |  FROM t JOIN ft ON ft.from_type = t.from_type),
+           |h AS (
+           |  SELECT from_type AS state,
+           |    round(CAST(sum(CAST(round(-p * log2(p), 9)
+           |      AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_bits
+           |  FROM p WHERE p > 0 GROUP BY from_type),
+           |pih AS (
+           |  SELECT h.state,
+           |    round(CAST(ft.tot AS DOUBLE) / alln.alln, 9) AS pi,
+           |    h.h_bits
+           |  FROM h JOIN ft ON ft.from_type = h.state CROSS JOIN alln),
+           |rate AS (
+           |  SELECT round(CAST(sum(CAST(round(pi * h_bits, 9)
+           |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy_rate
+           |  FROM pih)
+           |SELECT state, round(pi, 6) AS pi, h_bits,
+           |  round(pi * h_bits, 6) AS contribution, entropy_rate
+           |FROM pih CROSS JOIN rate
+           |ORDER BY state""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sdf = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("event_id"))
+      val t = graft.operators.PlanCache.persist(sdf
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n")))
+      val ft = t.groupBy("from_type").agg(sum("n").cast("long").as("tot"))
+      val alln = t.agg(sum("n").cast("long").as("alln"))
+      val p = t.join(broadcast(ft), "from_type")
+        .select(col("from_type"),
+          round(col("n").cast("double") / col("tot"), 9).as("p"))
+      val h = p.filter(col("p") > 0).groupBy(col("from_type").as("state"))
+        .agg(round(sum(round(-col("p") * log2(col("p")), 9)
+          .cast("decimal(28,9)")).cast("double"), 6).as("h_bits"))
+      val pih = h.join(broadcast(ft.withColumnRenamed("from_type", "state")),
+          "state")
+        .crossJoin(broadcast(alln))
+        .select(col("state"),
+          round(col("tot").cast("double") / col("alln"), 9).as("pi"),
+          col("h_bits"))
+      val rate = pih.agg(round(sum(round(col("pi") * col("h_bits"), 9)
+        .cast("decimal(28,9)")).cast("double"), 6).as("entropy_rate"))
+      pih.crossJoin(broadcast(rate))
+        .select(col("state"), round(col("pi"), 6).as("pi"), col("h_bits"),
+          round(col("pi") * col("h_bits"), 6).as("contribution"),
+          col("entropy_rate"))
+        .orderBy("state")
+    })
+
+  /** BINARY SEGMENTATION change-point detection on the daily-spend
+    * series — the top-down counterpart of q273's Pettitt (single shift
+    * test) and q167's CUSUM (fixed-mean chart): split 1 minimizes
+    * total within-segment SSE over all cut points; split 2 re-runs the
+    * search inside both resulting segments and keeps the better cut —
+    * the first two nodes of the CART-on-time tree. Every SSE comes
+    * from day-grid PREFIX sums ((n, Σy, Σy²) per prefix, the q436
+    * moments), so each candidate evaluates O(1) and the whole search
+    * is two sweeps of the bounded day grid. SSEs are reported in
+    * millions (round 6) so the rounding sits far above the double ulp
+    * (the r10 magnitude discipline).
+    *
+    * Scale shape: one corpus agg to the day grid; prefix windows on
+    * the grid; argmins as TakeOrdered(1); two 1-row broadcasts. */
+  val q443_binary_segmentation = Q(
+    "q443_binary_segmentation",
+    Some("""WITH daily AS (
+           |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           |      AS y
+           |  FROM events GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS dd,
+           |    CAST(CAST(sum(y) AS DECIMAL(38,2)) AS DOUBLE) AS sd,
+           |    CAST(CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4))
+           |      AS DOUBLE) AS qd
+           |  FROM daily),
+           |g AS (
+           |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS r,
+           |    CAST(CAST(sum(y) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS cs,
+           |    CAST(CAST(sum(CAST(y * y AS DECIMAL(38,4))) OVER w
+           |      AS DECIMAL(38,4)) AS DOUBLE) AS cq
+           |  FROM daily
+           |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+           |s0 AS (
+           |  SELECT round((qd - sd * sd / dd) / 1000000.0, 6) AS sse0_m
+           |  FROM tot),
+           |c1 AS (
+           |  SELECT g.r AS t, g.day, g.cs AS cs1, g.cq AS cq1,
+           |    round(((cq - cs * cs / r)
+           |      + ((qd - cq) - (sd - cs) * (sd - cs) / (dd - r)))
+           |      / 1000000.0, 6) AS sse_m
+           |  FROM g CROSS JOIN tot WHERE g.r < dd),
+           |b1 AS (SELECT * FROM c1 ORDER BY sse_m, t LIMIT 1),
+           |c2 AS (
+           |  SELECT g.r, g.day,
+           |    round((CASE WHEN g.r < b1.t THEN
+           |      ((qd - b1.cq1) - (sd - b1.cs1) * (sd - b1.cs1) / (dd - b1.t))
+           |      + (g.cq - g.cs * g.cs / g.r)
+           |      + ((b1.cq1 - g.cq)
+           |         - (b1.cs1 - g.cs) * (b1.cs1 - g.cs) / (b1.t - g.r))
+           |    ELSE
+           |      (b1.cq1 - b1.cs1 * b1.cs1 / b1.t)
+           |      + ((g.cq - b1.cq1)
+           |         - (g.cs - b1.cs1) * (g.cs - b1.cs1) / (g.r - b1.t))
+           |      + ((qd - g.cq) - (sd - g.cs) * (sd - g.cs) / (dd - g.r))
+           |    END) / 1000000.0, 6) AS after_m
+           |  FROM g CROSS JOIN b1 CROSS JOIN tot
+           |  WHERE g.r < dd AND g.r <> b1.t),
+           |b2 AS (SELECT * FROM c2 ORDER BY after_m, r LIMIT 1)
+           |SELECT 1 AS split_no, b1.day AS boundary_day,
+           |  s0.sse0_m AS sse_before_m, b1.sse_m AS sse_after_m,
+           |  round(s0.sse0_m - b1.sse_m, 6) AS gain_m
+           |FROM b1 CROSS JOIN s0
+           |UNION ALL
+           |SELECT 2, b2.day, b1.sse_m, b2.after_m,
+           |  round(b1.sse_m - b2.after_m, 6)
+           |FROM b2 CROSS JOIN b1
+           |ORDER BY split_no""".stripMargin),
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(Q.dec(col("value"))).cast("decimal(18,2)").as("y"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = graft.operators.PlanCache.persist(daily.select(col("day"),
+        row_number().over(Window.orderBy("day")).as("r"),
+        sum("y").over(wc).cast("decimal(38,2)").cast("double").as("cs"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).over(wc)
+          .cast("decimal(38,4)").cast("double").as("cq")))
+      val tot = daily.agg(count(lit(1)).as("dd"),
+        sum("y").cast("decimal(38,2)").cast("double").as("sd"),
+        sum((col("y") * col("y")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").cast("double").as("qd"))
+      val s0 = tot.select(
+        round((col("qd") - col("sd") * col("sd") / col("dd")) / 1000000.0,
+          6).as("sse0_m"))
+      val c1 = g.crossJoin(broadcast(tot)).filter(col("r") < col("dd"))
+        .select(col("r").as("t"), col("day"),
+          col("cs").as("cs1"), col("cq").as("cq1"),
+          round(((col("cq") - col("cs") * col("cs") / col("r"))
+            + ((col("qd") - col("cq")) - (col("sd") - col("cs"))
+              * (col("sd") - col("cs")) / (col("dd") - col("r"))))
+            / 1000000.0, 6).as("sse_m"))
+      val b1 = c1.orderBy(col("sse_m"), col("t")).limit(1)
+      val afterLeft =
+        ((col("qd") - col("cq1")) - (col("sd") - col("cs1"))
+          * (col("sd") - col("cs1")) / (col("dd") - col("t"))) +
+        (col("cq") - col("cs") * col("cs") / col("r")) +
+        ((col("cq1") - col("cq")) - (col("cs1") - col("cs"))
+          * (col("cs1") - col("cs")) / (col("t") - col("r")))
+      val afterRight =
+        (col("cq1") - col("cs1") * col("cs1") / col("t")) +
+        ((col("cq") - col("cq1")) - (col("cs") - col("cs1"))
+          * (col("cs") - col("cs1")) / (col("r") - col("t"))) +
+        ((col("qd") - col("cq")) - (col("sd") - col("cs"))
+          * (col("sd") - col("cs")) / (col("dd") - col("r")))
+      val c2 = g.crossJoin(broadcast(b1.select(col("t"), col("cs1"),
+          col("cq1"), col("sse_m").as("sse1_m"))))
+        .crossJoin(broadcast(tot))
+        .filter(col("r") < col("dd") && col("r") =!= col("t"))
+        .select(col("r"), col("day"), col("sse1_m"),
+          round(when(col("r") < col("t"), afterLeft)
+            .otherwise(afterRight) / 1000000.0, 6).as("after_m"))
+      val b2 = c2.orderBy(col("after_m"), col("r")).limit(1)
+      val row1 = b1.crossJoin(broadcast(s0))
+        .select(lit(1).as("split_no"), col("day").as("boundary_day"),
+          col("sse0_m").as("sse_before_m"), col("sse_m").as("sse_after_m"),
+          round(col("sse0_m") - col("sse_m"), 6).as("gain_m"))
+      val row2 = b2
+        .select(lit(2).as("split_no"), col("day").as("boundary_day"),
+          col("sse1_m").as("sse_before_m"), col("after_m").as("sse_after_m"),
+          round(col("sse1_m") - col("after_m"), 6).as("gain_m"))
+      row1.unionAll(row2).orderBy("split_no")
+    })
+
+  /** Half-life DECAYED engagement score — the recency weighting every
+    * ranking/retention feature store applies, computed EXACTLY: weight
+    * = 2^(−age_weeks) with a 1-week half-life, and because the
+    * exponent is an INTEGER bucket the weight is an exact power of two
+    * (1.0 / (1<<k)) — no pow()/exp() ulp divergence (the repo's libm
+    * ban). Per (user, week-age) exact decimal sums divide by the exact
+    * weight, round at 9, and decimal-sum per user; top-15 by decayed
+    * score against the raw total shows whose activity is FRESH vs
+    * merely large.
+    *
+    * Scale shape: one (user, age-bucket) hash agg (≤ ~14 buckets per
+    * user), a 1-row max-day broadcast, TakeOrdered top-15. */
+  val q446_decayed_engagement = Q(
+    "q446_decayed_engagement",
+    Some("""WITH ev AS (
+           |  SELECT user_id,
+           |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           |    CAST(value AS DECIMAL(18,2)) AS v
+           |  FROM events),
+           |mx AS (SELECT CAST(max(day) AS BIGINT) AS mxd FROM ev),
+           |uk AS (
+           |  SELECT user_id, CAST((mxd - day) // 7 AS BIGINT) AS k,
+           |    CAST(sum(v) AS DECIMAL(38,2)) AS sk
+           |  FROM ev CROSS JOIN mx GROUP BY 1, 2),
+           |u AS (
+           |  SELECT user_id,
+           |    CAST(CAST(sum(sk) AS DECIMAL(38,2)) AS DOUBLE) AS raw_total,
+           |    round(CAST(sum(CAST(round(CAST(sk AS DOUBLE)
+           |      / (CAST(1 AS BIGINT) << k), 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE), 6) AS decayed
+           |  FROM uk GROUP BY user_id)
+           |SELECT user_id, round(raw_total, 2) AS raw_total, decayed,
+           |  round(decayed / raw_total, 6) AS freshness
+           |FROM u
+           |ORDER BY decayed DESC, user_id
+           |LIMIT 15""".stripMargin),
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          Q.dec(col("value")).as("v"))
+      val mx = ev.agg(max("day").cast("long").as("mxd"))
+      val uk = ev.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"),
+          expr("(mxd - day) div 7").cast("long").as("k"))
+        .agg(sum("v").cast("decimal(38,2)").as("sk"))
+      val u = uk.groupBy("user_id")
+        .agg(sum("sk").cast("decimal(38,2)").cast("double").as("raw_total"),
+          round(sum(round(col("sk").cast("double") /
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"), 9)
+            .cast("decimal(28,9)")).cast("double"), 6).as("decayed"))
+      u.select(col("user_id"), round(col("raw_total"), 2).as("raw_total"),
+          col("decayed"),
+          round(col("decayed") / col("raw_total"), 6).as("freshness"))
+        .orderBy(col("decayed").desc, col("user_id"))
+        .limit(15)
+    })
+
   val all: Seq[Q] = Seq(q387_vshape_pattern, q396_page_hinkley,
-    q402_funnel_window, q424_lb_keogh, q442_markov_attribution)
+    q402_funnel_window, q424_lb_keogh, q442_markov_attribution,
+    q443_binary_segmentation, q445_entropy_rate, q446_decayed_engagement)
 }

@@ -153,5 +153,63 @@ object TextOps13 {
         .orderBy("vocab_k")
     })
 
-  val all: Seq[Q] = Seq(q430_term_burstiness, q440_vocab_coverage)
+  /** Weighted-Jaccard source similarity: J_w(A,B) = Σ_t min(c_At, c_Bt)
+    * / Σ_t max(c_At, c_Bt) over raw term counts — the multiset overlap
+    * that tells a curation pipeline which sources are near-duplicates
+    * of each other AT THE DISTRIBUTION level (q360's shingle
+    * containment catches copied text; this catches same-template
+    * sources with different text). Σmax = totA + totB − Σmin keeps the
+    * whole computation in exact BIGINTs with one final divide.
+    *
+    * Scale shape: the pair space is TERM-KEYED (fanout per term ≤
+    * #sources, a constant), never source×source over rows; totals are
+    * a 20-row broadcast; top-10 by TakeOrdered. */
+  val q444_weighted_jaccard = Q(
+    "q444_weighted_jaccard",
+    Some("""WITH st AS (
+           |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+           |        FROM documents) t
+           |  GROUP BY source, term),
+           |tot AS (
+           |  SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM st
+           |  GROUP BY source),
+           |mins AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(sum(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+           |  FROM st a JOIN st b
+           |    ON a.term = b.term AND a.source < b.source
+           |  GROUP BY a.source, b.source)
+           |SELECT m.src_a, m.src_b, m.sum_min,
+           |  round(CAST(m.sum_min AS DOUBLE)
+           |    / (ta.tot + tb.tot - m.sum_min), 6) AS j_weighted
+           |FROM mins m
+           |JOIN tot ta ON ta.source = m.src_a
+           |JOIN tot tb ON tb.source = m.src_b
+           |ORDER BY j_weighted DESC, src_a, src_b
+           |LIMIT 10""".stripMargin),
+    (s, d) => {
+      val st = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c")))
+      val tot = st.groupBy("source").agg(sum("c").cast("long").as("tot"))
+      val mins = st.toDF("src_a", "term", "ca")
+        .join(st.toDF("src_b", "term", "cb"), "term")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(least(col("ca"), col("cb"))).cast("long").as("sum_min"))
+      mins
+        .join(broadcast(tot.toDF("src_a", "tot_a")), "src_a")
+        .join(broadcast(tot.toDF("src_b", "tot_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("sum_min"),
+          round(col("sum_min").cast("double") /
+            (col("tot_a") + col("tot_b") - col("sum_min")), 6)
+            .as("j_weighted"))
+        .orderBy(col("j_weighted").desc, col("src_a"), col("src_b"))
+        .limit(10)
+    })
+
+  val all: Seq[Q] = Seq(q430_term_burstiness, q440_vocab_coverage,
+    q444_weighted_jaccard)
 }

@@ -79,13 +79,33 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenDocs.schema
   private var pushedAgg: Option[(Seq[GenAgg], Boolean)] = None
+  private var sample: Option[(Double, Double, Long)] = None
+
+  /** TABLESAMPLE pushdown (SupportsPushDownTableSample): the source
+    * owns the sampling decision, so it uses a REPLAYABLE rule — keep
+    * id iff hexSpanVal(md5("id:seed"), 0, 5)/2²⁰ ∈ [lower, upper) —
+    * the same md5-span device every deterministic split/sample in
+    * this repo uses, which is what lets the SQL oracle replay the
+    * sampled scan EXACTLY (a connector that samples with a private
+    * RNG can never be audited row-for-row; q447 turns that into a
+    * test). Declined with replacement (the rule is a Bernoulli
+    * thinning), in keyed mode (per-tag slice cardinalities must keep
+    * the reported KeyGroupedPartitioning honest), and under a pushed
+    * aggregate (closed forms answer for the FULL progression). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || keyed || pushedAgg.isDefined) return false
+    sample = Some((lowerBound, upperBound, seed))
+    true
+  }
 
   /** LIMIT pushdown: the generator's rows are a contiguous id interval,
     * so ANY n of them satisfy a bare LIMIT — truncate the interval to
@@ -96,7 +116,10 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     * reported KeyGroupedPartitioning's partition count) and under a
     * pushed aggregate (the agg rows, not the ids, are what's limited). */
   override def pushLimit(limit: Int): Boolean = {
-    if (keyed || pushedAgg.isDefined || limit < 0) return false
+    // a pushed sample thins the interval, so "first n ids" is no longer
+    // "first n rows" — decline and let Spark's Limit do the counting
+    if (keyed || pushedAgg.isDefined || sample.isDefined || limit < 0)
+      return false
     hi = math.min(hi, lo + limit)
     true
   }
@@ -111,7 +134,8 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.SortDirection
-    if (keyed || pushedAgg.isDefined || limit < 0) return false
+    if (keyed || pushedAgg.isDefined || sample.isDefined || limit < 0)
+      return false
     orders.toSeq match {
       case Seq(o) if isCol(o.expression, "id") =>
         if (o.direction == SortDirection.ASCENDING)
@@ -194,7 +218,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     required = requiredSchema
 
   override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
-    required, keyed, pushedAgg)
+    required, keyed, pushedAgg, sample)
 }
 
 /** Contiguous id slice (the default layout): [lo, hi), step 1. */
@@ -213,7 +237,8 @@ private[sources] case class TagSlice(start: Long, hi: Long, tag: Int)
 
 private[sources] class GenScan(private var lo: Long, private var hi: Long,
     slices: Int, required: StructType, keyed: Boolean,
-    aggSpec: Option[(Seq[GenAgg], Boolean)]) extends Scan with Batch
+    aggSpec: Option[(Seq[GenAgg], Boolean)],
+    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -256,7 +281,11 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
       private val rowsOut: Long = aggSpec match {
         case Some((_, true)) => math.min(TagMod.toLong, math.max(0L, hi - lo))
         case Some((_, false)) => TagMod.toLong
-        case None => math.max(0L, hi - lo)
+        case None =>
+          val base = math.max(0L, hi - lo)
+          // a pushed sample thins the scan; stats report the expectation
+          sample.map { case (l, u, _) =>
+            math.max(1L, (base * (u - l)).toLong) }.getOrElse(base)
       }
       private val width: Long = readSchema().fields.map(f =>
         if (f.dataType == StringType) 10L else 8L).sum
@@ -311,6 +340,8 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
   override def description(): String =
     s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
       (if (keyed) " keyed=tag" else "") +
+      sample.map { case (l, u, sd) => s" sample=[$l,$u,seed=$sd]" }
+        .getOrElse("") +
       aggSpec.map { case (fs, g) =>
         s" pushedAggs=[${fs.mkString(",")}] grouped=$g"
       }.getOrElse("")
@@ -359,6 +390,7 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
     val agg = aggSpec
+    val sampleSpec = sample
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val (first, bound, step) = p match {
@@ -398,7 +430,27 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
             }
           case None => new PartitionReader[InternalRow] {
             private var id = first - step
-            override def next(): Boolean = { id += step; id < bound }
+            // pushed-sample keep rule: md5("id:seed") span-5 / 2^20 in
+            // [lower, upper) -- the exact rule the SQL oracle replays
+            private val keep: Long => Boolean = sampleSpec match {
+              case None => _ => true
+              case Some((l, u, sd)) =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                (i: Long) => {
+                  md.reset()
+                  val h = md.digest(s"$i:$sd".getBytes("UTF-8"))
+                  // first 5 hex digits = 2.5 bytes, big-endian nibbles
+                  val x = ((h(0) & 0xFFL) << 12) | ((h(1) & 0xFFL) << 4) |
+                    ((h(2) & 0xF0L) >> 4)
+                  val uu = x / 1048576.0
+                  uu >= l && uu < u
+                }
+            }
+            override def next(): Boolean = {
+              id += step
+              while (id < bound && !keep(id)) id += step
+              id < bound
+            }
             override def get(): InternalRow = {
               // only the PRUNED fields are ever computed/boxed
               val vals = fields.map {
