@@ -672,8 +672,68 @@ object StreamQ {
         .orderBy("batch")
     })
 
+  /** Streaming BOTTOM-K sampling (replay-equivalence member #12): the
+    * deterministic uniform sample maintained ACROSS micro-batches —
+    * each batch persists only its local 32 smallest md5-priorities
+    * (the q255/q382 priority device), and because bottom-k is a
+    * MERGEABLE summary (the global bottom-k is always contained in the
+    * union of per-batch bottom-k's), the merged candidates re-ranked
+    * give EXACTLY the sample a batch job would draw from the full
+    * table — the oracle IS that batch draw, row for row. This is how a
+    * streaming pipeline keeps a live uniform sample with k rows of
+    * state per batch, and the equivalence holds for ANY partitioning
+    * of the input into batches (the repartition(4) arrival split is
+    * deliberately nondeterministic — the result cannot depend on it).
+    *
+    * Scale shape: per batch a TakeOrdered(32); merge space ≤ 4·32
+    * rows; no row-scale state anywhere. */
+  val q448_stream_bottomk = Q(
+    "q448_stream_bottomk", {
+      import graft.functions.TextFunctions.hexSpanValSql
+      Some(s"""SELECT event_id,
+              |  CAST(${hexSpanValSql("md5(CAST(event_id AS VARCHAR))", 0, 13)}
+              |    AS BIGINT) AS priority
+              |FROM events
+              |ORDER BY priority, event_id
+              |LIMIT 32""".stripMargin)
+    },
+    (s, d) => {
+      import graft.functions.TextFunctions.hexSpanValSql
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bottomk_").toString
+      val inDir = s"$root/in"
+      val candDir = s"$root/cand"
+      val ev = graft.Tables.events(s, d).select(col("event_id"))
+      ev.repartition(4).write.parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // k rows of per-batch state: the local bottom-32 priorities
+            b.withColumn("__h", md5(col("event_id").cast("string")))
+              .select(col("event_id"),
+                expr(hexSpanValSql("__h", 0, 13)).cast("long")
+                  .as("priority"))
+              .orderBy(col("priority"), col("event_id")).limit(32)
+              .write.mode("append").parquet(candDir)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(candDir)
+        .orderBy(col("priority"), col("event_id")).limit(32)
+        .select(col("event_id"), col("priority"))
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
-    q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data)
+    q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
+    q448_stream_bottomk)
 }
