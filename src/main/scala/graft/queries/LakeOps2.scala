@@ -311,6 +311,77 @@ object LakeOps2 {
         .orderBy("source")
     })
 
+  /** AQE partition-COALESCING simulation: model the post-shuffle state
+    * of a 200-way hash repartition (pid = user_id mod 200, 32 B/row)
+    * and apply the deterministic coalescing rule `group =
+    * cum_bytes_exclusive div target` (target 256 KiB — a stated
+    * simplification of AQE's greedy adjacent-merge, same asymptotics)
+    * — the readout that justifies `spark.sql.adaptive.coalesce-
+    * Partitions`: how many of the 200 reducers survive, how balanced
+    * the merged groups are vs the raw ones. At sf0.001 everything
+    * collapses to one group; at sf0.1 ~¼ survive — the knob's whole
+    * point made measurable.
+    *
+    * Scale shape: one 200-group agg; cumulative window on the 200-row
+    * partition grid; two 1-row roll-ups. */
+  val q452_aqe_coalesce_sim = Q(
+    "q452_aqe_coalesce_sim",
+    Some("""WITH p AS (
+           |  SELECT user_id % 200 AS pid,
+           |    CAST(count(*) * 32 AS BIGINT) AS bytes
+           |  FROM events GROUP BY 1),
+           |c AS (
+           |  SELECT pid, bytes,
+           |    CAST(coalesce(sum(bytes) OVER (ORDER BY pid
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) // 262144 AS grp
+           |  FROM p),
+           |g AS (
+           |  SELECT grp, CAST(sum(bytes) AS BIGINT) AS gbytes FROM c
+           |  GROUP BY grp),
+           |before AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+           |    CAST(max(bytes) AS BIGINT) AS max_before,
+           |    CAST(sum(bytes) AS BIGINT) AS total FROM p),
+           |after AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_after,
+           |    CAST(max(gbytes) AS BIGINT) AS max_after,
+           |    CAST(min(gbytes) AS BIGINT) AS min_after FROM g)
+           |SELECT n_before, n_after, total AS total_bytes,
+           |  max_before, max_after,
+           |  round(CAST(max_before AS DOUBLE) * n_before / total, 6)
+           |    AS skew_before,
+           |  round(CAST(max_after AS DOUBLE) * n_after / total, 6)
+           |    AS skew_after
+           |FROM before CROSS JOIN after""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .groupBy((col("user_id") % 200).as("pid"))
+        .agg((count(lit(1)) * 32).cast("long").as("bytes")))
+      val wx = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // double division + long cast == floor-div for non-negative bytes
+      val cumx = coalesce(sum("bytes").over(wx), lit(0L)).cast("long")
+      val c = p.select(col("pid"), col("bytes"),
+        (cumx / 262144).cast("long").as("grp"))
+      val g = c.groupBy("grp").agg(sum("bytes").cast("long").as("gbytes"))
+      val before = p.agg(count(lit(1)).as("n_before"),
+        max("bytes").cast("long").as("max_before"),
+        sum("bytes").cast("long").as("total"))
+      val after = g.agg(count(lit(1)).as("n_after"),
+        max("gbytes").cast("long").as("max_after"),
+        min("gbytes").cast("long").as("min_after"))
+      before.crossJoin(broadcast(after))
+        .select(col("n_before"), col("n_after"),
+          col("total").as("total_bytes"),
+          col("max_before"), col("max_after"),
+          round(col("max_before").cast("double") * col("n_before")
+            / col("total"), 6).as("skew_before"),
+          round(col("max_after").cast("double") * col("n_after")
+            / col("total"), 6).as("skew_after"))
+    })
+
   val all: Seq[Q] = Seq(q390_hilbert_layout, q401_deletion_vectors,
-    q423_partition_advisor, q428_zone_overlap_depth)
+    q423_partition_advisor, q428_zone_overlap_depth, q452_aqe_coalesce_sim)
 }

@@ -219,6 +219,88 @@ object OpsDiag2 {
         .orderBy("key")
     })
 
+  /** HOT-KEY broadcast-cache sizing: if a lookup service caches the
+    * top-k hottest keys driver-side, what fraction of row lookups hit
+    * the cache? coverage(k) for k ∈ {10, 100, 1000} computed EXACTLY
+    * from the count-of-counts histogram — the k-th hottest count t_k
+    * is the q193/q440 threshold device, full-count keys above t_k
+    * contribute everything, and the tie tier at t_k contributes only
+    * the (k − #above) keys that fit, all in BIGINT arithmetic. This is
+    * the "is a broadcast cache worth it" curve (q298's salt planner
+    * decides how to SPREAD a hot key; this decides whether to SHORT-
+    * CIRCUIT it).
+    *
+    * Scale shape: one key agg, a count-of-counts grid window, three
+    * broadcast threshold rows — survives billion-key tables. */
+  val q450_hot_key_cache_plan = Q(
+    "q450_hot_key_cache_plan",
+    Some("""WITH kc AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY user_id),
+           |coc AS (
+           |  SELECT c, CAST(count(*) AS BIGINT) AS k FROM kc GROUP BY c),
+           |cd AS (
+           |  SELECT c, k,
+           |    CAST(sum(k) OVER (ORDER BY c DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumdesc,
+           |    CAST(sum(c * k) OVER (ORDER BY c DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrows,
+           |    CAST(sum(c * k) OVER () AS BIGINT) AS total
+           |  FROM coc),
+           |ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS kk),
+           |t AS (
+           |  SELECT ks.kk,
+           |    coalesce(max(CASE WHEN cumdesc >= ks.kk THEN c END), 0)
+           |      AS tk,
+           |    max(total) AS total
+           |  FROM ks CROSS JOIN cd GROUP BY ks.kk),
+           |cov AS (
+           |  SELECT t.kk, t.tk, t.total,
+           |    CAST(coalesce(sum(CASE WHEN cd.c > t.tk
+           |      THEN cd.c * cd.k END), 0) AS BIGINT) AS full_rows,
+           |    CAST(coalesce(sum(CASE WHEN cd.c > t.tk THEN cd.k END), 0)
+           |      AS BIGINT) AS full_keys
+           |  FROM t CROSS JOIN coc cd GROUP BY t.kk, t.tk, t.total)
+           |SELECT kk AS cache_k, tk AS count_cut,
+           |  full_rows + (kk - full_keys) * tk AS covered_rows,
+           |  total,
+           |  round(CAST(full_rows + (kk - full_keys) * tk AS DOUBLE)
+           |    / total, 6) AS hit_rate
+           |FROM cov ORDER BY cache_k""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val kc = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("c"))
+      val coc = graft.operators.PlanCache.persist(
+        kc.groupBy("c").agg(count(lit(1)).as("k")))
+      val wd = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cd = coc.select(col("c"), col("k"),
+        sum("k").over(wd).cast("long").as("cumdesc"),
+        sum(col("c") * col("k")).over(wd).cast("long").as("cumrows"),
+        sum(col("c") * col("k")).over(wa).cast("long").as("total"))
+      val ks = { import s.implicits._; Seq(10L, 100L, 1000L).toDF("kk") }
+      val t = ks.crossJoin(cd).groupBy("kk")
+        .agg(coalesce(max(when(col("cumdesc") >= col("kk"), col("c"))),
+          lit(0L)).as("tk"), max("total").as("total"))
+      val cov = broadcast(t).crossJoin(coc).groupBy("kk", "tk", "total")
+        .agg(coalesce(sum(when(col("c") > col("tk"),
+            col("c") * col("k"))), lit(0L)).cast("long").as("full_rows"),
+          coalesce(sum(when(col("c") > col("tk"), col("k"))), lit(0L))
+            .cast("long").as("full_keys"))
+      // tie-tier take: t_k's minimality guarantees full_keys < kk and
+      // cumdesc(t_k) >= kk guarantees enough tied keys exist; tk = 0
+      // (fewer than kk keys in total) zeroes the term
+      val covered = col("full_rows") +
+        (col("kk") - col("full_keys")) * col("tk")
+      cov.select(col("kk").as("cache_k"), col("tk").as("count_cut"),
+          covered.as("covered_rows"), col("total"),
+          round(covered.cast("double") / col("total"), 6).as("hit_rate"))
+        .orderBy("cache_k")
+    })
+
   val all: Seq[Q] = Seq(q288_freshness_sla, q289_hill_tail, q290_bh_fdr,
-    q298_salt_planner)
+    q298_salt_planner, q450_hot_key_cache_plan)
 }

@@ -394,6 +394,185 @@ object StatsOps7 {
         .orderBy("tau")
     })
 
+  /** Per-source KS DRIFT PANEL: two-sample Kolmogorov–Smirnov of each
+    * source's n_chars distribution against the REST of the corpus —
+    * the sup-gap counterpart of q210's Mann–Whitney panel (rank-sum
+    * sees location shifts; KS sees ANY distributional difference), and
+    * the per-source decomposition of q204's single two-sample test.
+    * Every ECDF evaluates on the shared n_chars grid: D_s =
+    * max_v |cum_s(v)/n_s − (cum_all(v) − cum_s(v))/(n − n_s)|, against
+    * the α = 0.05 critical value 1.358·√((n_s + n_r)/(n_s·n_r))
+    * (shared literal coefficient — no erf, no libm).
+    *
+    * Scale shape: one (source, v) hash agg; a source×grid frame
+    * (#sources × grid cells, both bounded); source-partitioned
+    * cumulative windows plus ONE unpartitioned window on the shared
+    * grid. No row-scale window anywhere. */
+  val q449_source_ks_panel = Q(
+    "q449_source_ks_panel",
+    Some("""WITH h AS (
+           |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           |grid AS (SELECT DISTINCT v FROM h),
+           |ga AS (
+           |  SELECT v,
+           |    CAST(sum(sum(c)) OVER (ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma
+           |  FROM h GROUP BY v),
+           |sn AS (
+           |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM h
+           |  GROUP BY source),
+           |na AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+           |sg AS (
+           |  SELECT sn.source, sn.ns, grid.v,
+           |    CAST(sum(coalesce(h.c, 0)) OVER (PARTITION BY sn.source
+           |      ORDER BY grid.v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      AS cums
+           |  FROM sn CROSS JOIN grid
+           |  LEFT JOIN h ON h.source = sn.source AND h.v = grid.v),
+           |d AS (
+           |  SELECT sg.source, sg.ns, na.n,
+           |    round(max(round(abs(CAST(sg.cums AS DOUBLE) / sg.ns
+           |      - CAST(ga.cuma - sg.cums AS DOUBLE) / (na.n - sg.ns)),
+           |      9)), 6) AS ks_d
+           |  FROM sg JOIN ga ON ga.v = sg.v CROSS JOIN na
+           |  GROUP BY sg.source, sg.ns, na.n)
+           |SELECT source, ns AS n_source,
+           |  ks_d,
+           |  round(1.358 * sqrt(CAST(n AS DOUBLE) / (ns * (n - ns))), 6)
+           |    AS d_crit_05,
+           |  CASE WHEN ks_d > 1.358 * sqrt(CAST(n AS DOUBLE)
+           |    / (ns * (n - ns))) THEN 1 ELSE 0 END AS drifted,
+           |  round(ks_d / (1.358 * sqrt(CAST(n AS DOUBLE)
+           |    / (ns * (n - ns)))), 6) AS severity
+           |FROM d ORDER BY source""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = graft.operators.PlanCache.persist(Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c")))
+      val grid = h.select("v").distinct()
+      val wg = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ga = h.groupBy("v").agg(sum("c").as("ca"))
+        .select(col("v"), sum("ca").over(wg).cast("long").as("cuma"))
+      val sn = h.groupBy("source").agg(sum("c").cast("long").as("ns"))
+      val na = h.agg(sum("c").cast("long").as("n"))
+      val ws = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sg = sn.crossJoin(grid)
+        .join(h, Seq("source", "v"), "left")
+        .select(col("source"), col("ns"), col("v"),
+          sum(coalesce(col("c"), lit(0L))).over(ws).cast("long").as("cums"))
+      val dd = sg.join(ga, "v").crossJoin(broadcast(na))
+        .groupBy("source", "ns", "n")
+        .agg(round(max(round(abs(col("cums").cast("double") / col("ns")
+          - (col("cuma") - col("cums")).cast("double")
+            / (col("n") - col("ns"))), 9)), 6).as("ks_d"))
+      val crit = lit(1.358) * sqrt(col("n").cast("double") /
+        (col("ns") * (col("n") - col("ns"))))
+      dd.select(col("source"), col("ns").as("n_source"), col("ks_d"),
+          round(crit, 6).as("d_crit_05"),
+          when(col("ks_d") > crit, 1).otherwise(0).as("drifted"),
+          round(col("ks_d") / crit, 6).as("severity"))
+        .orderBy("source")
+    })
+
+  /** Winsorized-OLS robustness delta: the slope of per-user spend on
+    * activity, raw vs 1%/99%-winsorized — "how much of my regression
+    * is three whales" made one number. Clip bounds are exact order
+    * statistics from the integer-cent spend histogram (q356's grid);
+    * both slopes come from exact BIGINT-in-decimal moment sums
+    * (Σx, Σy, Σxy, Σx²) through one shared closed form, so the delta
+    * is arithmetic, not sampling noise. Complements q139 (winsorized
+    * MEAN) and q287 (the raw OLS family).
+    *
+    * Scale shape: one user agg; one y-grid histogram window for the
+    * two bounds (broadcast back); two moment roll-ups. */
+  val q451_winsorized_ols = Q(
+    "q451_winsorized_ols",
+    Some("""WITH u AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+           |      AS y
+           |  FROM events GROUP BY user_id),
+           |h AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y),
+           |ch AS (
+           |  SELECT y,
+           |    CAST(sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM h),
+           |b AS (
+           |  SELECT min(CASE WHEN 100 * cum >= 1 * n THEN y END) AS ylo,
+           |    min(CASE WHEN 100 * cum >= 99 * n THEN y END) AS yhi
+           |  FROM ch),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+           |      AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           |      AS DOUBLE) AS sxy,
+           |    CAST(sum(CAST(GREATEST(ylo, LEAST(yhi, y)) AS DECIMAL(38,0)))
+           |      AS DOUBLE) AS syw,
+           |    CAST(sum(CAST(x AS DECIMAL(19,0))
+           |      * CAST(GREATEST(ylo, LEAST(yhi, y)) AS DECIMAL(19,0)))
+           |      AS DOUBLE) AS sxyw
+           |  FROM u CROSS JOIN b)
+           |SELECT n, (SELECT ylo FROM b) AS y_lo_cents,
+           |  (SELECT yhi FROM b) AS y_hi_cents,
+           |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           |    AS slope_raw,
+           |  round((n * sxyw - sx * syw) / (n * sxx - sx * sx), 6)
+           |    AS slope_wins,
+           |  round((n * sxyw - sx * syw) / (n * sxx - sx * sx)
+           |    - (n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           |    AS slope_shift
+           |FROM m""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = graft.operators.PlanCache.persist(Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"),
+          (sum(Q.dec(col("value"))) * 100).cast("long").as("y")))
+      val h = u.groupBy("y").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ch = h.select(col("y"),
+        sum("c").over(wc).cast("long").as("cum"),
+        sum("c").over(wa).cast("long").as("n"))
+      val b = ch.agg(
+        min(when(lit(100) * col("cum") >= lit(1) * col("n"), col("y")))
+          .as("ylo"),
+        min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("y")))
+          .as("yhi"))
+      val yw = greatest(col("ylo"), least(col("yhi"), col("y")))
+      val m = u.crossJoin(broadcast(b)).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .cast("double").as("sxx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("double").as("sxy"),
+        sum(yw.cast("decimal(38,0)")).cast("double").as("syw"),
+        sum(col("x").cast("decimal(19,0)") * yw.cast("decimal(19,0)"))
+          .cast("double").as("sxyw"),
+        max("ylo").as("y_lo_cents"), max("yhi").as("y_hi_cents"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+      val slopeW = (col("n") * col("sxyw") - col("sx") * col("syw")) / den
+      m.select(col("n"), col("y_lo_cents"), col("y_hi_cents"),
+        round(slopeRaw, 6).as("slope_raw"),
+        round(slopeW, 6).as("slope_wins"),
+        round(slopeW - slopeRaw, 6).as("slope_shift"))
+    })
+
   val all: Seq[Q] = Seq(q432_tost_equivalence, q433_mcnemar,
-    q434_fleiss_kappa, q436_variance_merge_law, q441_pinball_quantile)
+    q434_fleiss_kappa, q436_variance_merge_law, q441_pinball_quantile,
+    q449_source_ks_panel, q451_winsorized_ols)
 }

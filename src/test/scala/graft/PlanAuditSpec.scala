@@ -705,6 +705,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q435_exp_mech_median", // n_chars utility grid (r11)
       "q440_vocab_coverage", // count-of-counts grid (r11)
       "q441_pinball_quantile", // 2-decimal value-grid loss sweep (r11)
+      "q449_source_ks_panel", // shared n_chars grid ECDF (r11)
+      "q450_hot_key_cache_plan", // count-of-counts grid (r11)
+      "q451_winsorized_ols", // integer-cent spend histogram bounds (r11)
+      "q452_aqe_coalesce_sim", // 200-row partition grid (r11)
       // (q443's day-grid windows sit inside a PlanCache.persist'd
       // subplan — InMemoryRelation leaves are opaque to this sweep;
       // its grid discipline is argued in the entry docstring)
