@@ -482,31 +482,48 @@ object EventOps4 {
         .select(col("from_type").as("state"), col("p").as("ppp"))
       def dsum9(c: org.apache.spark.sql.Column) =
         sum(round(c, 9).cast("decimal(28,9)")).cast("double")
-      def bOf(rm: Option[String]): org.apache.spark.sql.DataFrame = {
-        val st = rm.map(c => states.filter(col("state") =!= c))
-          .getOrElse(states)
-        val base = graft.operators.PlanCache.persist(
-          st.join(pp, Seq("state"), "left")
-            .select(col("state"), coalesce(col("ppp"), lit(0.0)).as("r1")))
-        def step(prev: org.apache.spark.sql.DataFrame) = {
-          val pc = rm.map(c => p.filter(col("to_type") =!= c)).getOrElse(p)
-          val carry = pc.filter(col("to_type") =!= "purchase")
-            .join(prev.select(col("state").as("to_type"), col("r")),
-              "to_type")
-            .groupBy(col("from_type").as("state"))
-            .agg(dsum9(col("p") * col("r")).as("carry"))
-          base.join(carry, Seq("state"), "left")
-            .select(col("state"),
-              round(col("r1") + coalesce(col("carry"), lit(0.0)), 9).as("r"))
-        }
-        val r3 = step(step(base.select(col("state"), col("r1").as("r"))))
-        pi.join(r3, "state")
-          .agg(round(dsum9(col("pi") * col("r")), 9).as("b"))
+      // VARIANT DIMENSION (the q174/q384 one-pass device): instead of
+      // five separate job cascades (base + 4 removals), every chain
+      // frame carries a `variant` column — the state set, the carry
+      // edges, and the recursion all live on a (variant × ≤5-state)
+      // grid, so the whole attribution costs ONE cascade of tiny jobs
+      // regardless of how many channels are removed. Arithmetic per
+      // variant is unchanged (same rounding points), so results are
+      // bit-identical to the per-variant runs the oracle replays.
+      val variants = { import s.implicits._
+        (("base", null: String) +: MkChannels.map(c => (c, c)))
+          .toDF("variant", "rm") }
+      val stV = states.crossJoin(broadcast(variants))
+        .filter(col("rm").isNull || col("state") =!= col("rm"))
+      val baseV = graft.operators.PlanCache.persist(
+        stV.join(pp, Seq("state"), "left")
+          .select(col("variant"), col("rm"), col("state"),
+            coalesce(col("ppp"), lit(0.0)).as("r1")))
+      def step(prev: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val carry = p.filter(col("to_type") =!= "purchase")
+          .crossJoin(broadcast(variants.select(col("variant"),
+            col("rm").as("rmv"))))
+          .filter(col("rmv").isNull || col("to_type") =!= col("rmv"))
+          .join(prev.select(col("variant"), col("state").as("to_type"),
+            col("r")), Seq("variant", "to_type"))
+          .groupBy(col("variant"), col("from_type").as("state"))
+          .agg(dsum9(col("p") * col("r")).as("carry"))
+        baseV.join(carry, Seq("variant", "state"), "left")
+          .select(col("variant"), col("state"),
+            round(col("r1") + coalesce(col("carry"), lit(0.0)), 9).as("r"))
       }
-      val bBase = bOf(None).withColumnRenamed("b", "b_base")
-      val withRm = MkChannels.foldLeft(bBase) { (acc, c) =>
-        acc.crossJoin(broadcast(bOf(Some(c)).withColumnRenamed("b", s"b_rm_$c")))
-      }
+      val r3 = step(step(baseV.select(col("variant"), col("state"),
+        col("r1").as("r"))))
+      val bV = pi.join(r3, "state")
+        .groupBy("variant")
+        .agg(round(dsum9(col("pi") * col("r")), 9).as("b"))
+      // pivot the ≤5-row (variant, b) frame into one row of b-columns
+      val bCols = max(when(col("variant") === "base", col("b")))
+        .as("b_base") +:
+        MkChannels.map(c => max(when(col("variant") === c, col("b")))
+          .as(s"b_rm_$c"))
+      val withRm = bV.agg(bCols.head, bCols.tail: _*)
       val wRe = withRm.select(col("*") +: MkChannels.map(c =>
         round(when(col("b_base") > 0,
           (col("b_base") - col(s"b_rm_$c")) / col("b_base")).otherwise(0), 9)
