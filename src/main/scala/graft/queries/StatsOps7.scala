@@ -572,7 +572,80 @@ object StatsOps7 {
         round(slopeW - slopeRaw, 6).as("slope_shift"))
     })
 
+  /** DKW distribution-free QUANTILE BANDS: the Dvoretzky–Kiefer–
+    * Wolfowitz inequality puts a uniform ±ε band around the whole
+    * ECDF with ε = √(ln(2/α)/2n) — no distributional assumption, the
+    * guarantee every "p50 ± what?" dashboard actually needs (q195/
+    * q264 bootstrap/order-statistic CIs are per-quantile; DKW is
+    * SIMULTANEOUS across all of them). For each decile p: the exact
+    * quantile and the conservative [q_lo, q_hi] bracket — the values
+    * where ECDF ± ε crosses p. ln(2/0.05) is the hardcoded 6-decimal
+    * literal 3.688879 (the q214 constant discipline — no libm call
+    * whose last ulp could differ).
+    *
+    * Scale shape: one 2-decimal value-grid agg + cumulative windows
+    * (q358 device); the nine targets are a broadcast row set. */
+  val q453_dkw_band = Q(
+    "q453_dkw_band",
+    Some("""WITH v AS (
+           |  SELECT CAST(value AS DECIMAL(18,2)) AS val,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1),
+           |cv AS (
+           |  SELECT val,
+           |    CAST(sum(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM v),
+           |t AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+           |b AS (
+           |  SELECT t.d, max(cv.n) AS n,
+           |    sqrt(3.688879 / (2 * max(cv.n))) AS eps,
+           |    min(CASE WHEN 10 * cv.cum >= t.d * cv.n THEN cv.val END)
+           |      AS q_point,
+           |    min(CASE WHEN CAST(cv.cum AS DOUBLE) / cv.n
+           |      >= t.d / 10.0 - sqrt(3.688879 / (2 * cv.n))
+           |      THEN cv.val END) AS q_lo,
+           |    min(CASE WHEN CAST(cv.cum AS DOUBLE) / cv.n
+           |      >= t.d / 10.0 + sqrt(3.688879 / (2 * cv.n))
+           |      THEN cv.val END) AS q_hi
+           |  FROM t CROSS JOIN cv GROUP BY t.d)
+           |SELECT d AS decile, round(eps, 6) AS epsilon,
+           |  CAST(q_lo AS DOUBLE) AS q_lo,
+           |  CAST(q_point AS DOUBLE) AS q_point,
+           |  CAST(q_hi AS DOUBLE) AS q_hi
+           |FROM b ORDER BY decile""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, d)
+        .groupBy(Q.dec(col("value")).as("val"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cv = v.select(col("val"),
+        sum("c").over(wc).cast("long").as("cum"),
+        sum("c").over(wa).cast("long").as("n"))
+      val t = { import s.implicits._; (1 to 9).toDF("d") }
+      val eps = sqrt(lit(3.688879) / (lit(2) * col("cum_n")))
+      val epsRow = sqrt(lit(3.688879) / (lit(2) * col("n")))
+      val b = t.crossJoin(cv).groupBy("d")
+        .agg(max("n").as("cum_n"),
+          min(when(lit(10) * col("cum") >= col("d") * col("n"),
+            col("val"))).as("q_point"),
+          min(when(col("cum").cast("double") / col("n") >=
+            col("d") / lit(10.0) - epsRow, col("val"))).as("q_lo"),
+          min(when(col("cum").cast("double") / col("n") >=
+            col("d") / lit(10.0) + epsRow, col("val"))).as("q_hi"))
+      b.select(col("d").as("decile"), round(eps, 6).as("epsilon"),
+          col("q_lo").cast("double").as("q_lo"),
+          col("q_point").cast("double").as("q_point"),
+          col("q_hi").cast("double").as("q_hi"))
+        .orderBy("decile")
+    })
+
   val all: Seq[Q] = Seq(q432_tost_equivalence, q433_mcnemar,
     q434_fleiss_kappa, q436_variance_merge_law, q441_pinball_quantile,
-    q449_source_ks_panel, q451_winsorized_ols)
+    q449_source_ks_panel, q451_winsorized_ols, q453_dkw_band)
 }

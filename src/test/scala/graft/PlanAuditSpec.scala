@@ -709,6 +709,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q450_hot_key_cache_plan", // count-of-counts grid (r11)
       "q451_winsorized_ols", // integer-cent spend histogram bounds (r11)
       "q452_aqe_coalesce_sim", // 200-row partition grid (r11)
+      "q453_dkw_band", // 2-decimal value-grid ECDF (r11)
       // (q443's day-grid windows sit inside a PlanCache.persist'd
       // subplan — InMemoryRelation leaves are opaque to this sweep;
       // its grid discipline is argued in the entry docstring)
