@@ -422,7 +422,11 @@ case class WebpDims(child: Expression)
     var p = 12
     while (p + 8 <= b.length) {
       val size = u32le(p + 4)
-      if (size > b.length.toLong) return null
+      // Bound against REMAINING bytes (not total length): guarantees
+      // p + 8 + size + pad <= b.length + 1, so the Int advance below can
+      // never overflow even for blobs near 2 GB — the expression's
+      // contract is NULL on any junk, never a throw.
+      if (size > (b.length - p - 8).toLong) return null
       if (fourcc(p, "VP8 ")) {
         val d = p + 8
         if (size < 10 || d + 10 > b.length) return null
@@ -441,8 +445,11 @@ case class WebpDims(child: Expression)
           org.apache.spark.unsafe.types.UTF8String.fromString("lossless"),
           (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1))
       }
-      // unknown chunk: skip payload plus the even-offset pad byte
-      p += 8 + size.toInt + (size & 1L).toInt
+      // unknown chunk: skip payload plus the even-offset pad byte; advance
+      // in Long (the pad byte can push past length at the 2 GB boundary)
+      val next = p.toLong + 8L + size + (size & 1L)
+      if (next > b.length.toLong) return null
+      p = next.toInt
     }
     null
   }

@@ -109,7 +109,13 @@ object DataOps7 {
     * the exact 2-decimal order statistics, at p50/p90/p99/p999. The
     * sketch answers with the covering bin's UPPER edge, so its error is
     * bounded by the bin width; `within_bound` = 1 on every row is the
-    * sketch's correctness contract, and `abs_err` is the actual price
+    * sketch's correctness contract PROVIDED the data fits the grid:
+    * values ≥ ${SketchBins} × ${SketchBinW} = 640 clamp into the
+    * overflow bin 255 and the bound claim does not cover them (both
+    * engines clamp identically, so the oracle never diverges — only the
+    * bound interpretation weakens). The generated events.value lies in
+    * [0, 100], far inside the grid; a production deployment re-derives
+    * bin width from a first-pass min/max, and `abs_err` is the actual price
     * paid at each tail — the number that decides whether 256 bins
     * suffice before a pipeline swaps in a real t-digest.
     *

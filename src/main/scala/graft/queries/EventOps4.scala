@@ -781,7 +781,7 @@ object EventOps4 {
            |  SELECT user_id,
            |    CAST(CAST(sum(sk) AS DECIMAL(38,2)) AS DOUBLE) AS raw_total,
            |    round(CAST(sum(CAST(round(CAST(sk AS DOUBLE)
-           |      / (CAST(1 AS BIGINT) << k), 9) AS DECIMAL(28,9)))
+           |      / (CAST(1 AS BIGINT) << LEAST(k, 62)), 9) AS DECIMAL(28,9)))
            |      AS DOUBLE), 6) AS decayed
            |  FROM uk GROUP BY user_id)
            |SELECT user_id, round(raw_total, 2) AS raw_total, decayed,
@@ -801,8 +801,14 @@ object EventOps4 {
         .agg(sum("v").cast("decimal(38,2)").as("sk"))
       val u = uk.groupBy("user_id")
         .agg(sum("sk").cast("decimal(38,2)").cast("double").as("raw_total"),
+          // Clamp the age bucket at 62: Java's shiftleft masks the count to
+          // k & 63 (k=63 → negative weight) while DuckDB's << does not, so
+          // an unclamped k ≥ 63 would silently diverge from the oracle on a
+          // corpus spanning ≥ 63 weeks. At k = 62 the weight term is already
+          // < 1e-9 of sk and rounds to 0 at 9 decimals — the clamp is
+          // value-neutral, it only pins the two engines to the same formula.
           round(sum(round(col("sk").cast("double") /
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"), 9)
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(LEAST(k, 62) AS INT))"), 9)
             .cast("decimal(28,9)")).cast("double"), 6).as("decayed"))
       u.select(col("user_id"), round(col("raw_total"), 2).as("raw_total"),
           col("decayed"),
