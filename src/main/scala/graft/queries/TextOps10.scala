@@ -438,9 +438,12 @@ object TextOps10 {
     * doc through ONE unpartitioned row_number window): p50/p75/p90 are
     * now exact order statistics selected from the h-GRID histogram
     * (h is rounded to 6 decimals at construction, so groupBy(h) is a
-    * bounded post-agg grid — the q253/q264/q358 device): the cumulative
-    * window orders distinct h values, never docs, and the selected
-    * value min(h | cum ≥ ⌈p·n⌉) is identical to the h at global rank
+    * bounded post-agg grid — the q253/q264/q358 device), and since r12
+    * the grid cumsum itself runs the q280/q159 two-phase 256-bucket
+    * prefix sum: the only unpartitioned window orders the 256-row
+    * bucket-offset grid, never the h grid (whose value-range × 1e6
+    * bound can saturate at ~1e7 cells). The selected value
+    * min(h | cum ≥ ⌈p·n⌉) is identical to the h at global rank
     * ⌈p·n⌉, so the oracle's rank formulation is unchanged. */
   val q345_ppl_filter_plan = Q(
     "q345_ppl_filter_plan",
@@ -508,33 +511,58 @@ object TextOps10 {
               .cast("decimal(28,9)")).cast("double") / count(lit(1)), 6)
             .as("h")))
       val hg = dh.groupBy("h").agg(count(lit(1)).as("c"))
-      val wcum = Window.orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wall = Window.orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val cgrid = hg.select(col("h"),
-        sum("c").over(wcum).cast("long").as("cum"),
-        sum("c").over(wall).cast("long").as("nn"))
+      // Two-phase 256-bucket prefix sum (the q280/q159 device; VERDICT
+      // r11 #1): the 6-decimal h grid is bounded by value-range × 1e6
+      // cells — real, but up to ~1e7 rows through ONE partition in the
+      // saturated limit, the weakest bound in the window allowlist. So:
+      // range-bucket the grid into 256 monotone value bands, cumulate
+      // the 256-row bucket-sum grid through the one remaining
+      // unpartitioned window (FixedK ≤ 256), and finish the cumsum
+      // per-bucket in parallel. Bucket index is monotone in h, so
+      // off + in-bucket cumsum = the global cumsum, bit-identical.
+      val tot = hg.agg(sum("c").cast("long").as("nn"))
+      val rng = hg.agg(min("h").as("mn"), max("h").as("mx"))
+      val bucketed = hg.crossJoin(broadcast(rng))
+        .withColumn("bucket",
+          when(col("mx") > col("mn"),
+            least(floor((col("h") - col("mn")) * 256.0 /
+              (col("mx") - col("mn"))).cast("long"), lit(255L)))
+            .otherwise(lit(0L)))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy("bucket").agg(sum("c").as("bsum"))
+        .withColumn("off", coalesce(sum("bsum").over(wOff), lit(0L)))
+        .select("bucket", "off")
+      val wIn = Window.partitionBy("bucket").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cgrid = bucketed.join(broadcast(offsets), Seq("bucket"))
+        .crossJoin(broadcast(tot))
+        .select(col("h"),
+          (col("off") + sum("c").over(wIn)).cast("long").as("cum"),
+          col("nn"))
       def oStat(p: Double) =
         min(when(col("cum") >= ceil(lit(p) * col("nn")).cast("long"),
           col("h")))
       val qs = cgrid.agg(oStat(0.50).as("p50"), oStat(0.75).as("p75"),
         oStat(0.90).as("p90"))
-      val thr = qs.select(lit("p50").as("thr_label"), col("p50").as("thr"))
-        .union(qs.select(lit("p75"), col("p75")))
-        .union(qs.select(lit("p90"), col("p90")))
+      // stack() evaluates qs ONCE in the plan (the 3-way union replayed
+      // the whole grid lineage per threshold), and the per-lang pass
+      // carries (drops, cnt) so overall_drop = Σdrops/Σcnt folds into
+      // the SAME aggregation — one corpus×thr pass instead of two
+      val thr = qs.select(expr(
+        "stack(3, 'p50', p50, 'p75', p75, 'p90', p90) AS (thr_label, thr)"))
       val base = dh.crossJoin(broadcast(thr))
       val lr = base.groupBy("thr_label", "thr", "lang")
-        .agg(round(sum(when(col("h") > col("thr"), 1).otherwise(0))
-          .cast("double") / count(lit(1)), 6).as("drop_rate"))
+        .agg(sum(when(col("h") > col("thr"), 1).otherwise(0))
+          .cast("long").as("drops"), count(lit(1)).as("cnt"))
+        .withColumn("drop_rate",
+          round(col("drops").cast("double") / col("cnt"), 6))
       val agg = lr.groupBy("thr_label", "thr")
         .agg(max("drop_rate").as("max_lang_drop"),
-          min("drop_rate").as("min_lang_drop"))
-      val ov = base.groupBy("thr_label", "thr")
-        .agg(round(sum(when(col("h") > col("thr"), 1).otherwise(0))
-          .cast("double") / count(lit(1)), 6).as("overall_drop"))
-        .select("thr_label", "overall_drop")
-      agg.join(ov, "thr_label")
+          min("drop_rate").as("min_lang_drop"),
+          round(sum("drops").cast("double") / sum("cnt"), 6)
+            .as("overall_drop"))
+      agg
         .select(col("thr_label"), round(col("thr"), 6).as("threshold"),
           col("overall_drop"), col("max_lang_drop"), col("min_lang_drop"),
           when(col("max_lang_drop") > 0 &&

@@ -628,6 +628,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q345: two-phase bucketed prefix-sum; q350 windows frame-fused; q356 scans events once") {
+    // VERDICT r11 #1: q345's h-grid cumsum now runs the q280/q159
+    // 256-bucket device — the in-bucket cumsum is PARTITIONED by bucket,
+    // and the only unpartitioned window is the 256-row offset grid
+    val p345 = plan("q345_ppl_filter_plan")
+    assert(p345.contains("windowspecdefinition(bucket#"), p345)
+    // VERDICT r11 #7: wcum + wall over the same ordering must plan as ONE
+    // Window exec per grid (CollapseWindow fuses same partition+order
+    // specs) — q350 = n_ev grid node + quintile grid node, exactly 2
+    val p350 = plan("q350_conditional_quantiles")
+    assert(countOf(p350, "(?m)^\\s*[+:]- Window") +
+      countOf(p350, "(?m)^\\s*Window") <= 2, p350)
+    // r12: q356's branch fan-out (b × dd × curve/tot × gaps/best) used to
+    // replay the events SCAN 8×; with the histogram persisted every
+    // branch must read the cache — zero raw parquet relations outside
+    // the one InMemoryRelation (whose printed innerChildren would fool a
+    // string count, so collect typed nodes on the optimized plan)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val op356 = SparkEntry.queries("q356_capture_knee")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val raw = op356.collect { case l: LogicalRelation => l }.size
+    val mem = op356.collect { case r: InMemoryRelation => r }
+      .map(_.canonicalized).distinct.size
+    assert(raw == 0 && mem == 1, s"raw=$raw cached=$mem\n$op356")
+    spark.catalog.clearCache()
+    operators.PlanCache.releaseAll()
+  }
+
   /** Catalog-wide window-discipline sweep (VERDICT r10 #6).
     *
     * An unpartitioned Window moves its ENTIRE input to one partition —
@@ -643,11 +672,30 @@ class PlanAuditSpec extends AnyFunSuite {
     * Every allowlisted entry must ALSO satisfy the grid property
     * structurally: below the unpartitioned Window an Aggregate (or
     * bounded leaf) must sit on every path to a source relation — i.e.
-    * the window input is a post-aggregation grid, not raw rows. (Which
-    * grids are BOUNDED is a per-entry semantic argument made in each
-    * docstring; the structural check catches the gross regression of a
-    * window sliding below its aggregation.)
+    * the window input is a post-aggregation grid, not raw rows.
+    *
+    * Since r12 (VERDICT r11 #1) each allowlist entry also carries its
+    * CARDINALITY BOUND CLASS, and the sweep EXECUTES every allowlisted
+    * unpartitioned window's input and asserts its row count against the
+    * class cap — so a "grid" that is secretly corpus-cardinality (e.g.
+    * a window over distinct raw doubles) fails here, not in a verdict:
+    *  - FixedK(k): ≤ a hard compile-time constant (bucket-offset grids,
+    *    deciles, contingency tables) — asserted at exactly k;
+    *  - CalendarGrid: grows with the corpus TIME SPAN only (day/week
+    *    grids) — asserted at the test-scale cap below;
+    *  - ValueGrid: value-range × fixed precision (2-decimal grids,
+    *    integer-cent histograms, count-of-counts) — saturates at a
+    *    scale-independent constant; asserted at the test-scale cap;
+    *  - GroupDomain: a categorical domain (source × lang, folds, event
+    *    types) — asserted at the test-scale cap.
+    * An entry without a class cannot be allowlisted (the Map forces it).
     */
+  sealed trait GridBound
+  final case class FixedK(maxRows: Long) extends GridBound
+  case object CalendarGrid extends GridBound
+  case object ValueGrid extends GridBound
+  case object GroupDomain extends GridBound
+
   test("catalog sweep: unpartitioned windows only on allowlisted grid entries, always above an Aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
@@ -661,60 +709,69 @@ class PlanAuditSpec extends AnyFunSuite {
     // (each comment names the grid; the docstrings argue why it is
     // bounded). The list is EXACT: an allowlisted entry with no
     // unpartitioned window fails as stale, so the list cannot rot.
-    val allowlist = Set(
-      "q95_ntile", // (month × priority) revenue grid — calendar-bounded (r11 fix: was per-customer)
-      "q159_vocab_growth", // 256-row bucket-offset grid (r11 fix: two-phase cumsum, was doc-scale)
-      "q160_zipf_fit", // top-20 token frame (TakeOrdered before the rank)
-      "q167_cusum", // day grid
-      "q193_key_skew", // count-of-counts grid (distinct per-key counts)
-      "q202_auc", "q204_ks_test", // 2-decimal score-grid ECDF cumulations
-      "q205_chi2", // 24×5 (hour × type) contingency grid
-      "q207_gini_stump", // 50-unit value-bin grid
-      "q208_spearman", // 2-decimal distinct-value grids
-      "q210_source_shift", // n_chars distinct-value grid
-      "q213_theil_sen", // slope grid over the day-pair frame (≤66k pairs)
-      "q214_benford", // 9-digit leading-digit grid
-      "q215_gap_percentiles", // distinct gap-seconds grid (time-span-bounded)
-      "q225_kaplan_meier", // day grid after the dur_days agg
-      "q234_quantile_norm", // n_chars distinct-value grid
-      "q245_compaction_plan", // file-stats grid (source × lang)
-      "q246_psi_drift", // localCheckpoint'd 2×10 bin grid
-      "q252_kfold_balance", // fold × source grid
-      "q253_conformal_coverage", // n_chars score grid
-      "q268_cumulative_reach", // day grid after the user min-day agg
-      "q272_sprt", // day grid
-      "q280_id_minting", // 256-row bucket-offset grid
-      "q289_hill_tail", // n_chars distinct-value grid
-      "q293_decile_lift", // 10-row decile grid
-      "q307_log_rank", // day grid
-      "q309_kruskal_wallis", // 2-decimal distinct-value grid
-      "q310_cliffs_delta", // 2-decimal distinct-value grids
-      "q336_topk_churn", // 10-row top-k frames (limit(10) before the rank)
-      "q339_seasonal_backtest", // day-index grid
-      "q343_anomaly_consensus", // day grid
-      "q345_ppl_filter_plan", // 6-decimal h grid (r10 fix: was doc-scale)
-      "q350_conditional_quantiles", // integer n_ev grid + per-quintile y grid (r10 fix: was user-scale)
-      "q354_hash_uniformity", // ≤65536-cell md5-span grid (r10 fix: was user-scale)
-      "q356_capture_knee", // integer-cent spend histogram + 10-row curve (r11 fix: was user-scale)
-      "q358_shard_quantile_merge", // 2-decimal value grid
-      "q379_source_gini", // per-source grid (≤ source count)
-      "q385_neyman_allocation", // 5-row event-type strata grid
-      "q397_cart_split", // category grid (≤ distinct sources)
-      "q423_partition_advisor", // per-candidate partition-count grids (day/type/bucket)
-      "q427_sketch_quantile_error", // 2-decimal value grid + 256-bin sketch grid (r11)
-      "q435_exp_mech_median", // n_chars utility grid (r11)
-      "q440_vocab_coverage", // count-of-counts grid (r11)
-      "q441_pinball_quantile", // 2-decimal value-grid loss sweep (r11)
-      "q449_source_ks_panel", // shared n_chars grid ECDF (r11)
-      "q450_hot_key_cache_plan", // count-of-counts grid (r11)
-      "q451_winsorized_ols", // integer-cent spend histogram bounds (r11)
-      "q452_aqe_coalesce_sim", // 200-row partition grid (r11)
-      "q453_dkw_band", // 2-decimal value-grid ECDF (r11)
+    val allowlist = Map[String, GridBound](
+      "q95_ntile" -> CalendarGrid, // (month × priority) revenue grid (r11 fix: was per-customer)
+      "q159_vocab_growth" -> FixedK(256), // 256-row bucket-offset grid (r11 fix: two-phase cumsum, was doc-scale)
+      "q160_zipf_fit" -> FixedK(20), // top-20 token frame (TakeOrdered before the rank)
+      "q167_cusum" -> CalendarGrid, // day grid
+      "q193_key_skew" -> ValueGrid, // count-of-counts grid (distinct per-key counts)
+      "q202_auc" -> ValueGrid, "q204_ks_test" -> ValueGrid, // 2-decimal score-grid ECDF cumulations
+      "q205_chi2" -> FixedK(120), // 24×5 (hour × type) contingency grid
+      "q207_gini_stump" -> ValueGrid, // 50-unit value-bin grid
+      "q208_spearman" -> ValueGrid, // 2-decimal distinct-value grids
+      "q210_source_shift" -> ValueGrid, // n_chars distinct-value grid
+      "q213_theil_sen" -> CalendarGrid, // slope grid over the day-pair frame (span², ≤66k at a year)
+      "q214_benford" -> FixedK(9), // 9-digit leading-digit grid
+      "q215_gap_percentiles" -> ValueGrid, // distinct gap-seconds grid (time-span-bounded)
+      "q225_kaplan_meier" -> CalendarGrid, // day grid after the dur_days agg
+      "q234_quantile_norm" -> ValueGrid, // n_chars distinct-value grid
+      "q245_compaction_plan" -> GroupDomain, // file-stats grid (source × lang)
+      "q246_psi_drift" -> FixedK(20), // localCheckpoint'd 2×10 bin grid
+      "q252_kfold_balance" -> GroupDomain, // fold × source grid
+      "q253_conformal_coverage" -> ValueGrid, // n_chars score grid
+      "q268_cumulative_reach" -> CalendarGrid, // day grid after the user min-day agg
+      "q272_sprt" -> CalendarGrid, // day grid
+      "q280_id_minting" -> FixedK(256), // 256-row bucket-offset grid
+      "q289_hill_tail" -> ValueGrid, // n_chars distinct-value grid
+      "q293_decile_lift" -> FixedK(10), // 10-row decile grid
+      "q307_log_rank" -> CalendarGrid, // day grid
+      "q309_kruskal_wallis" -> ValueGrid, // 2-decimal distinct-value grid
+      "q310_cliffs_delta" -> ValueGrid, // 2-decimal distinct-value grids
+      "q336_topk_churn" -> FixedK(20), // two 10-row top-k frames (limit(10) before the rank)
+      "q339_seasonal_backtest" -> CalendarGrid, // day-index grid
+      "q343_anomaly_consensus" -> CalendarGrid, // day grid
+      "q345_ppl_filter_plan" -> FixedK(256), // 256-row bucket-offset grid (r12 fix: was the 6-decimal h grid)
+      "q350_conditional_quantiles" -> ValueGrid, // integer n_ev count-of-counts grid (r10 fix: was user-scale)
+      "q354_hash_uniformity" -> FixedK(65536), // ≤65536-cell md5-span grid (r10 fix: was user-scale)
+      "q356_capture_knee" -> ValueGrid, // integer-cent spend histogram + 10-row curve (r11 fix: was user-scale)
+      "q358_shard_quantile_merge" -> ValueGrid, // 2-decimal value grid
+      "q379_source_gini" -> GroupDomain, // per-source grid (≤ source count)
+      "q385_neyman_allocation" -> FixedK(5), // 5-row event-type strata grid
+      "q397_cart_split" -> GroupDomain, // category grid (≤ distinct sources)
+      "q423_partition_advisor" -> GroupDomain, // per-candidate partition-count grids (day/type/bucket)
+      "q427_sketch_quantile_error" -> ValueGrid, // 2-decimal value grid + 256-bin sketch grid (r11)
+      "q435_exp_mech_median" -> ValueGrid, // n_chars utility grid (r11)
+      "q440_vocab_coverage" -> ValueGrid, // count-of-counts grid (r11)
+      "q441_pinball_quantile" -> ValueGrid, // 2-decimal value-grid loss sweep (r11)
+      "q449_source_ks_panel" -> ValueGrid, // shared n_chars grid ECDF (r11)
+      "q450_hot_key_cache_plan" -> ValueGrid, // count-of-counts grid (r11)
+      "q451_winsorized_ols" -> ValueGrid, // integer-cent spend histogram bounds (r11)
+      "q452_aqe_coalesce_sim" -> FixedK(200), // 200-row partition grid (r11)
+      "q453_dkw_band" -> ValueGrid, // 2-decimal value-grid ECDF (r11)
       // (q443's day-grid windows sit inside a PlanCache.persist'd
       // subplan — InMemoryRelation leaves are opaque to this sweep;
       // its grid discipline is argued in the entry docstring)
     )
-    val unknown = allowlist -- SparkEntry.catalog.map(_.name).toSet
+    // test-scale row caps per class (sf0.001; generous — the point is to
+    // catch corpus-cardinality grids masquerading as bounded ones, which
+    // land orders of magnitude above these)
+    def cap(b: GridBound): Long = b match {
+      case FixedK(k) => k
+      case CalendarGrid => 100000L // ≤ span-days² for the day-pair grid
+      case ValueGrid => 1000000L // range × precision saturation
+      case GroupDomain => 10000L
+    }
+    val unknown = allowlist.keySet -- SparkEntry.catalog.map(_.name).toSet
     assert(unknown.isEmpty, s"allowlist names not in the catalog: $unknown")
 
     // does any path from `p` reach a source relation without crossing an
@@ -751,12 +808,30 @@ class PlanAuditSpec extends AnyFunSuite {
         case w: Window if w.partitionSpec.isEmpty => w
       }
       if (unpart.nonEmpty) {
-        if (!allowlist(q.name))
-          offenders += s"${q.name}: ${unpart.size} unpartitioned Window(s)"
-        else if (unpart.exists(w => rawLeafReachable(w.child)))
-          offenders += s"${q.name}: allowlisted, but an unpartitioned " +
-            "Window sits on a raw-row input (no Aggregate below)"
-      } else if (allowlist(q.name))
+        allowlist.get(q.name) match {
+          case None =>
+            offenders += s"${q.name}: ${unpart.size} unpartitioned Window(s)"
+          case Some(bound) =>
+            if (unpart.exists(w => rawLeafReachable(w.child)))
+              offenders += s"${q.name}: allowlisted, but an unpartitioned " +
+                "Window sits on a raw-row input (no Aggregate below)"
+            else {
+              // execute each window INPUT and assert the class cap — the
+              // machine check that the "grid" really is grid-sized.
+              // Distinct window children only (duplicated plan branches
+              // replay the same grid); canonicalized dedup.
+              val mx = cap(bound)
+              unpart.map(_.child)
+                .groupBy(_.canonicalized).values.map(_.head)
+                .foreach { child =>
+                  val n = spark.sessionState.executePlan(child).toRdd.count()
+                  if (n > mx)
+                    offenders += s"${q.name}: $bound window input has " +
+                      s"$n rows at test scale (cap $mx)"
+                }
+            }
+        }
+      } else if (allowlist.contains(q.name))
         offenders += s"${q.name}: stale allowlist entry (no " +
           "unpartitioned Window in the optimized plan)"
       operators.PlanCache.releaseAll()
