@@ -81,6 +81,76 @@ object Bench {
     Some((math.round(total / sec * 10) / 10.0, total))
   }
 
+  /** Multi-topic CONCURRENT ingest (VERDICT r11 #5): the reference's
+    * actual deployment shape is 11 event-source mappings feeding one
+    * Lambda concurrently (configure_lambda_triggeres.sh:13-23); the
+    * single-topic replay above measures one mapping. Here `nTopics`
+    * independent checkpointed streams — each its own MemoryStream,
+    * subject (`{topic}-value` fixture), output dir, and checkpoint —
+    * run the full decode+counts+write pipeline in parallel threads, and
+    * the figure is TOTAL records over the concurrent wall. Returns
+    * (records/s, total records, nTopics); None without the reference
+    * fixture. */
+  def multiTopicThroughput(spark: SparkSession, nTopics: Int = 4,
+      perBatch: Int = 10000, nBatches: Int = 3): Option[(Double, Long, Int)] = {
+    val samplePath = "/root/reference/sample_kafka_event.json"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(samplePath)))
+      return None
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = ingest.Envelope.readEventJson(spark, samplePath).collect()
+      .map(r => (r.getInt(1), r.getTimestamp(3),
+        r.getString(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
+    val topics = (0 until nTopics)
+      .map(i => s"${ingest.RatecardSchema.topic}_mt$i")
+    val provider = new ingest.CachingSchemaProvider(
+      new ingest.FixtureSchemaProvider(
+        topics.map(_ -> ingest.RatecardSchema.schemaJson).toMap))
+    val streamsAndQueries = topics.map { t =>
+      val stream = MemoryStream[BenchKRec]
+      val out = java.nio.file.Files.createTempDirectory(s"graft_mt_$t")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_mt_ckpt_$t")
+      val q = pipeline.KafkaToParquet.runStream(
+        stream.toDF(), t, provider, out.toString, ckpt.toString,
+        "SRC_KEY_VAL",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      (t, stream, q)
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t0 = System.nanoTime()
+    val threads = streamsAndQueries.map { case (t, stream, q) =>
+      val th = new Thread(() => {
+        try {
+          var off = 0L
+          for (_ <- 0 until nBatches) {
+            val recs = (0 until perBatch).map { i =>
+              val (p, ts, tt, k, v) = base(i % base.length)
+              BenchKRec(t, p, off + i, ts, tt, k, v)
+            }
+            off += perBatch
+            stream.addData(recs)
+            q.processAllAvailable()
+          }
+        } catch { case e: Throwable =>
+          failures.add(s"$t: ${e.getMessage}")
+        }
+      }, s"graft-mt-$t")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    streamsAndQueries.foreach { case (_, _, q) =>
+      try q.stop() catch { case _: Throwable => } }
+    if (!failures.isEmpty) {
+      System.err.println(s"[bench] multi-topic ingest failed: " +
+        failures.toArray.mkString("; "))
+      return None
+    }
+    val total = perBatch.toLong * nBatches * nTopics
+    Some((math.round(total / sec * 10) / 10.0, total, nTopics))
+  }
+
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -184,6 +254,16 @@ object Bench {
         System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
         None
       }
+    // N-topic concurrent replay (the reference's 11-mapping deployment
+    // shape, scaled to the local core budget) — after the single-topic
+    // figure, same JVM, untimed regions never overlap the catalog pass
+    val multiTp: Option[(Double, Long, Int)] =
+      if (only.isDefined) None
+      else try multiTopicThroughput(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] multi-topic ingest failed: ${e.getMessage}")
+        None
+      }
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map(jsonStr).mkString("[", ",", "]")}"""
@@ -193,9 +273,11 @@ object Bench {
     // records/s through the full decode+count+write pipeline; the
     // reference's derived floor is 11.1 rec/s (10k records / 900 s
     // Lambda timeout, lambda-kafka-to-s3-10k-SAM_template.yaml:13,29)
-    val ingestJson = ingestTp.map { case (rps, n) =>
+    val ingestJson = (ingestTp.map { case (rps, n) =>
       s""","ingest_throughput":$rps,"ingest_records":$n,"ingest_floor_recs_per_s":11.1"""
-    }.getOrElse("")
+    }.getOrElse("")) + (multiTp.map { case (rps, n, k) =>
+      s""","multi_topic_throughput":$rps,"multi_topic_records":$n,"multi_topic_n":$k"""
+    }.getOrElse(""))
     // Entries timed in single-wave (production per-batch) shape under
     // spark.graft.bench.singleWave — a DIFFERENT computation than the
     // 3-wave replay the correctness harness verifies under the same

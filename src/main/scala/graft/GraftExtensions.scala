@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{CharGramsMd5, ConfluentAvroDecode, CosineSim, NfcNormalize,
   DotProduct, JpegSofDims, Md5Shingles, PosCharGrams, SimhashBits, SlidingMins,
-  SortedIntersectCount}
+  SortedIntersectCount, WordShingleSet}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so a pure-SQL user (spark.sql, JDBC,
@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "md5_shingles(tokens, n) takes two arguments")
         Md5Shingles(args(0), intArg("md5_shingles", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("word_shingle_set"),
+      info("word_shingle_set",
+        "word_shingle_set(tokens, n) - distinct word n-gram shingles (unhashed)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "word_shingle_set(tokens, n) takes two arguments")
+        WordShingleSet(args(0), intArg("word_shingle_set", args(1)))
       }))
     ext.injectFunction((FunctionIdentifier("char_grams_md5"),
       info("char_grams_md5",

@@ -103,6 +103,63 @@ case class Md5Shingles(child: Expression, n: Int)
   override def prettyName: String = "md5_shingles"
 }
 
+/** Fused shingle-SET builder: tokens → word n-gram shingles → distinct
+  * (first-occurrence order), one pass, no intermediate arrays.
+  *
+  * Semantically identical to `array_distinct(shingles(tokens, n))` —
+  * the composed form stays the definition (and the DuckDB oracle's
+  * formulation); this expression exists because the composed pipeline
+  * walks sequence→transform→slice→array_join→array_distinct in
+  * interpreted eval per row, the dominant stage of the Jaccard-scored
+  * dedup entries (r12: the q374 build was ~100% of its wall). Parity
+  * with the composed form is property-asserted in TextExpressionsSpec.
+  *
+  * CodegenFallback: per-row cost is the string assembly itself. */
+case class WordShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> tokens, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var first = true
+      var k = 0
+      while (k < n) {
+        // null tokens skipped like concat_ws/array_join (never produced
+        // by split(); guarded so a caller-built array can't NPE the task)
+        if (!toks.isNullAt(i + k)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          first = false
+        }
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "word_shingle_set"
+}
+
 /** Fused char k-gram hasher for winnowing fingerprints: text → md5 hex of
   * every k-char substring (position order, duplicates kept — winnowing
   * needs the positional sequence), one pass, one digest.

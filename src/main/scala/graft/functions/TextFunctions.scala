@@ -32,11 +32,17 @@ object TextFunctions {
   /** Whitespace tokenization (documents.text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: n consecutive tokens joined by a space. */
+  /** Word n-gram shingles: n consecutive tokens joined by a space.
+    * slice+array_join builds each shingle in one array op — measured ~3×
+    * faster than the per-position element_at/concat_ws form it replaces
+    * (r12; the shingle build dominated q374's wall time). Same strings:
+    * array_join skips nothing here (split() never yields null elements).
+    * The when() guard stays: sequence(0, negative) would generate a
+    * DESCENDING index list, not an empty one. */
   def shingles(toks: Column, n: Int = 3): Column = {
     val idxs = sequence(lit(0), size(toks) - n)
-    val joined = transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    val joined =
+      transform(idxs, i => array_join(slice(toks, i + 1, lit(n)), " "))
     when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
@@ -67,6 +73,13 @@ object TextFunctions {
   def md5Shingles(toks: Column, n: Int): Column = {
     val b = org.apache.spark.sql.GraftBridge
     b.column(Md5Shingles(b.expression(toks), n))
+  }
+
+  /** Distinct word n-gram shingle SET (native single-pass expression;
+    * ≡ array_distinct(shingles(toks, n)), see WordShingleSet). */
+  def shingleSet(toks: Column, n: Int = 3): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(WordShingleSet(b.expression(toks), n))
   }
 
   /** Unicode NFC canonicalization (native expression, codegen'd; see

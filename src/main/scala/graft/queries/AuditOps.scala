@@ -265,7 +265,7 @@ object AuditOps {
         subset, "doc_id", "text", k = 8, shingleN = 3, threshold = 0.0)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
       val sh = subset.select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")))).as("sset"))
+        graft.functions.TextFunctions.shingleSet(tokens(col("text"))).as("sset"))
       val inter = size(array_intersect(col("sa"), col("sb")))
       val jac = inter.cast("double") /
         (size(col("sa")) + size(col("sb")) - inter)

@@ -130,6 +130,42 @@ object DataOps6 {
           sum(graft.queries.Q.dec(col("v"))).cast("double").as("sum_v"))
     })
 
+  /** OFFSET pushdown (SupportsPushDownOffset — closing the limit family
+    * after LIMIT/top-N/TABLESAMPLE): `df.offset(20000).limit(12000)`
+    * reaches the GenDocs source as pushLimit(32000) + pushOffset(20000),
+    * which compose to the generated interval [20000, 32000) — the
+    * skipped rows NEVER EXIST (a connector without this reads and
+    * discards the prefix; a paginating 100 TB export pays that per
+    * page). OFFSET without ORDER BY is row-order-defined; the generator's
+    * row order IS ascending id, which the oracle replays. Plan pinned:
+    * scan description carries id=[20000,32000), no Offset operator
+    * survives. */
+  val q457_offset_pushdown = Q(
+    "q457_offset_pushdown",
+    Some("""WITH g AS (
+           |  SELECT id,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v,
+           |    't' || CAST(id % 7 AS VARCHAR) AS tag
+           |  FROM (SELECT unnest(generate_series(20000, 31999)) AS id))
+           |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id,
+           |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+           |FROM g GROUP BY tag ORDER BY tag""".stripMargin),
+    (s, d) => {
+      val gen = s.read.format("graft.sources.GenDocs")
+        .option("rows", "50000").option("slices", "8").load()
+      gen.offset(20000).limit(12000)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          min("id").cast("long").as("min_id"),
+          max("id").cast("long").as("max_id"),
+          sum(Q.dec(col("v"))).cast("decimal(18,2)").cast("double")
+            .as("sum_v"))
+        .orderBy("tag")
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
-    q447_sample_pushdown)
+    q447_sample_pushdown, q457_offset_pushdown)
 }

@@ -731,9 +731,175 @@ object StreamQ {
         .select(col("event_id"), col("priority"))
     })
 
+  /** DSv2 MicroBatchStream replay (the connector ladder's STREAMING
+    * rung — VERDICT r11 #3): the stream reads `format("graft.sources
+    * .GenDocs")` through the v2 micro-batch contract — offsets are id
+    * positions in the checkpoint's offset log, admission control
+    * (`batchRows=8000` over `rows=35000`) paces EXACTLY five
+    * micro-batches ([0,8000) … [32000,35000)), and each batch persists
+    * only its per-bucket partial grid. The final per-bucket totals must
+    * equal the closed-form generate_series replay, and `n_batches`
+    * pins the offset pacing itself — a mis-advancing latestOffset
+    * (skipped or re-read range) breaks the row sums, a broken
+    * admission cap breaks the batch count.
+    *
+    * Scale shape: per-batch state is the 97-row bucket grid; the sink
+    * accumulates grids, never rows — the checkpointed foreachBatch
+    * shape a 100 TB lake-source ingest runs. */
+  val q454_stream_gendocs_replay = Q(
+    "q454_stream_gendocs_replay",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 34999)) AS id),
+           |b AS (
+           |  SELECT id % 97 AS bucket,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v
+           |  FROM g)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+           |  CAST(5 AS BIGINT) AS n_batches
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_genstream_").toString
+      val gridDir = s"$root/grids"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "35000").option("batchRows", "8000")
+          .option("slices", "4").load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.groupBy("bucket")
+              .agg(count(lit(1)).as("n"), sum(Q.dec(col("v"))).as("sv"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(gridDir)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val grids = graft.operators.PlanCache.persist(s.read.parquet(gridDir))
+      val meta = grids.agg(countDistinct("batch_id").as("n_batches"))
+      grids.groupBy("bucket")
+        .agg(sum("n").cast("long").as("n"),
+          sum("sv").cast("decimal(18,2)").cast("double").as("sum_v"))
+        .crossJoin(broadcast(meta))
+        .select(col("bucket"), col("n"), col("sum_v"), col("n_batches"))
+        .orderBy("bucket")
+    })
+
+  /** Crash-recovery REPLAY under the oracle (VERDICT r11 #4): a
+    * checkpointed gendocs stream writes raw rows to a parquet FILE SINK,
+    * terminates after two of four micro-batches (run 1 sees only
+    * rows=20000 — the planned stop at a batch boundary), then RESTARTS
+    * from the same checkpoint against the grown source (rows=40000, the
+    * topic-kept-receiving case) and completes the remaining two batches.
+    * Exactly-once across the restart is what the oracle hashes: if the
+    * restart ignored the committed offset (re-reading [0,20000)) the
+    * sink would hold duplicate ids and `n` would exceed `n_ids`; if it
+    * failed to resume, rows would be missing — either way the
+    * generate_series replay mismatches. This is the reference's
+    * at-least-once resume contract (lambda_function.py:248-252 retry →
+    * idempotent restart) as a driver-checked row. */
+  val q455_stream_resume_growth = Q(
+    "q455_stream_resume_growth",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 39999)) AS id),
+           |b AS (
+           |  SELECT id, id % 97 AS bucket,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v
+           |  FROM g)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+           |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_genresume_").toString
+      val outDir = s"$root/sink"
+      val ckpt = s"$root/ckpt"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      def run(rows: Long): Unit = {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", rows.toString).option("batchRows", "10000")
+          .option("slices", "4").load()
+          .select(col("id"), col("bucket"), col("v"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      try { run(20000L); run(40000L) }
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // the read respects the file sink's _spark_metadata commit log —
+      // only files from COMMITTED batches are visible
+      s.read.parquet(outDir)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("id").as("n_ids"),
+          sum(Q.dec(col("v"))).cast("decimal(18,2)").cast("double")
+            .as("sum_v"))
+        .orderBy("bucket")
+    })
+
+  /** EVENT-TIME watermarked tumbling windows over the DSv2 stream —
+    * composing the connector's micro-batch read (q454) with the
+    * watermark/append-mode state machinery (q92's semantics, but the
+    * source is the v2 connector, not a file listing): event time derives
+    * from the generated id (one row per second from the epoch), the
+    * 500 s tumbling windows aggregate per batch, and append mode emits
+    * exactly the windows the FINAL watermark (max event time − 10 s)
+    * closes — the last window stays open forever and must never reach
+    * the sink. The oracle replays the closed-window set arithmetically:
+    * ws ≤ 9000 for ids 0..9999, i.e. window end ≤ 9989. */
+  val q456_stream_v2_watermark = Q(
+    "q456_stream_v2_watermark",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 9999)) AS id),
+           |b AS (
+           |  SELECT (id // 500) * 500 AS ws,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v
+           |  FROM g)
+           |SELECT CAST(ws AS BIGINT) AS ws, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+           |FROM b WHERE ws + 500 <= 9999 - 10
+           |GROUP BY ws ORDER BY ws""".stripMargin),
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_genwm_").toString
+      s.catalog.dropTempView("q456_sink")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "10000").option("batchRows", "2500")
+          .option("slices", "4").load()
+          .select(col("id"), col("v"),
+            expr("timestamp_micros(id * 1000000)").as("ets"))
+          .withWatermark("ets", "10 seconds")
+          .groupBy(window(col("ets"), "500 seconds"))
+          .agg(count(lit(1)).as("n"), sum(Q.dec(col("v"))).as("sv"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q456_sink")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table("q456_sink")
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("n"),
+          col("sv").cast("decimal(18,2)").cast("double").as("sum_v"))
+        .orderBy("ws")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
     q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
-    q448_stream_bottomk)
+    q448_stream_bottomk, q454_stream_gendocs_replay,
+    q455_stream_resume_growth, q456_stream_v2_watermark)
 }

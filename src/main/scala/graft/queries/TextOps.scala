@@ -152,7 +152,7 @@ object TextOps {
     (s, d) => {
       val sh = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sset"))
+        .select(col("doc_id"), graft.functions.TextFunctions.shingleSet(tokens(col("text"))).as("sset"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
       val inter = size(array_intersect(col("sa"), col("sb")))

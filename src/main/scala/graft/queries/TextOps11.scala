@@ -387,7 +387,7 @@ object TextOps11 {
       import graft.functions.TextFunctions.{shingles, tokens}
       val sh = Tables.documents(s, d).select(col("doc_id"),
         expr("substr(replace(lower(text), ' ', ''), 1, 16)").as("k"),
-        array_distinct(shingles(tokens(col("text")))).as("sset"))
+        graft.functions.TextFunctions.shingleSet(tokens(col("text"))).as("sset"))
       val win = Window.partitionBy(substring(col("k"), 1, 2))
         .orderBy("k", "doc_id")
       val w = sh.select(col("doc_id"), col("sset"),

@@ -180,7 +180,7 @@ object TextOps5 {
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
       val g = docs.select(col("doc_id"),
         greatest(size(col("ts")) - (RepN - 1), lit(0)).cast("long").as("n_grams"),
-        size(array_distinct(TextFunctions.shingles(col("ts"), RepN)))
+        size(TextFunctions.shingleSet(col("ts"), RepN))
           .cast("long").as("n_distinct"),
         size(col("ts")).cast("long").as("n_toks"))
       val tc = docs.select(col("doc_id"), explode(col("ts")).as("tok"))

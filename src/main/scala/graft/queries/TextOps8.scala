@@ -384,7 +384,7 @@ object TextOps8 {
       val cand = graft.operators.Dedup.minhashNearDupPairs(
         subset, "doc_id", "text", k = 8, shingleN = 3, threshold = 0.0)
       val sh = subset.select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")))).as("sset"))
+        graft.functions.TextFunctions.shingleSet(tokens(col("text"))).as("sset"))
       val x = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
       val y = sh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
       val inter = size(array_intersect(col("sa"), col("sb")))

@@ -138,7 +138,7 @@ object TextOps9 {
       val sh = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          array_sort(array_distinct(shingles(tokens(col("text")))))
+          array_sort(graft.functions.TextFunctions.shingleSet(tokens(col("text"))))
             .as("sset"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sset").as("sb"))

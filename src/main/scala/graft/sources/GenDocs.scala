@@ -42,7 +42,8 @@ class GenDocs extends TableProvider {
     new GenTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       Option(properties.get("slices")).map(_.toInt).getOrElse(4),
-      Option(properties.get("partitionBy")).contains("tag"))
+      Option(properties.get("partitionBy")).contains("tag"),
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(1000L))
 }
 
 object GenDocs {
@@ -53,14 +54,16 @@ object GenDocs {
     .add("tag", StringType, nullable = false)
 }
 
-private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean)
+private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean,
+    batchRows: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"gen_docs($rows)"
   override def schema(): StructType = GenDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, keyed)
+    new GenScanBuilder(rows, slices, keyed, batchRows)
 }
 
 /** Closed-form aggregate kinds the generator can answer WITHOUT
@@ -74,12 +77,14 @@ private[sources] case object AggMinId extends GenAgg
 private[sources] case object AggMaxId extends GenAgg
 private[sources] case object AggSumId extends GenAgg
 
-private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
+private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean,
+    batchRows: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
 
   private var lo = 0L
@@ -124,6 +129,23 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     true
   }
   override def isPartiallyPushed: Boolean = true
+
+  /** OFFSET pushdown (SupportsPushDownOffset — the last member of the
+    * limit family): rows are generated in ascending id order, so
+    * skipping the first n rows is advancing the interval start by n.
+    * Spark pushes `LIMIT l OFFSET o` as pushLimit(l+o) THEN
+    * pushOffset(o) (V2ScanRelationPushDown's combined path), which
+    * composes here as hi = lo+l+o then lo += o — exactly rows
+    * [lo+o, lo+o+l). Declined in keyed mode (slice list must keep the
+    * reported partition count), under a pushed aggregate, and under a
+    * pushed sample (the thinned stream's "first n" is no longer an id
+    * arithmetic). */
+  override def pushOffset(offset: Int): Boolean = {
+    if (keyed || pushedAgg.isDefined || sample.isDefined || offset < 0)
+      return false
+    lo = math.min(hi, lo + offset)
+    true
+  }
 
   /** Top-N pushdown: ids are generated in ascending order, so
     * ORDER BY id [ASC|DESC] LIMIT n is exactly the interval's first
@@ -218,7 +240,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean)
     required = requiredSchema
 
   override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
-    required, keyed, pushedAgg, sample)
+    required, keyed, pushedAgg, sample, batchRows)
 }
 
 /** Contiguous id slice (the default layout): [lo, hi), step 1. */
@@ -238,7 +260,8 @@ private[sources] case class TagSlice(start: Long, hi: Long, tag: Int)
 private[sources] class GenScan(private var lo: Long, private var hi: Long,
     slices: Int, required: StructType, keyed: Boolean,
     aggSpec: Option[(Seq[GenAgg], Boolean)],
-    sample: Option[(Double, Double, Long)] = None) extends Scan with Batch
+    sample: Option[(Double, Double, Long)] = None,
+    batchRows: Long = 1000L) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -337,6 +360,21 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     case None => required
   }
   override def toBatch: Batch = this
+
+  /** DSv2 STREAMING read (MicroBatchStream) — the last rung of the
+    * connector ladder: offsets are id POSITIONS, each micro-batch is the
+    * id range (start, end], and admission control (`batchRows`) caps a
+    * batch the way maxOffsetsPerTrigger caps a Kafka topic read. Column
+    * pruning and id-range filter pushdown compose (the ScanBuilder ran
+    * before this call), so a filtered/pruned stream generates only the
+    * surviving interval — what checkpointed offset bookkeeping over a
+    * 100 TB lake source actually exercises. Keyed/agg/sample pushdowns
+    * are batch-only contracts and never reach here (Spark plans
+    * streaming aggregates above the scan). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenMicroBatchStream(lo, math.max(lo, hi), batchRows, slices, required)
+
   override def description(): String =
     s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
       (if (keyed) " keyed=tag" else "") +
@@ -467,6 +505,87 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
       }
     }
   }
+}
+
+/** Micro-batch offset: the next id to generate, serialized as its decimal
+  * string (human-readable in the checkpoint's offset log). */
+private[sources] case class GenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** The GenDocs micro-batch stream. Deterministic end-to-end:
+  *
+  *   - `initialOffset` = the (possibly filter-narrowed) interval start;
+  *   - `latestOffset(start, limit)` advances by the admission-control
+  *     cap (default `batchRows`) toward the interval end — so a
+  *     `rows=40000, batchRows=10000` read is EXACTLY four micro-batches
+  *     with offset ranges [0,10000), [10000,20000), …;
+  *   - Trigger.AvailableNow pins the end at query start
+  *     (`prepareForTriggerAvailableNow`), giving bounded replay runs;
+  *   - a restart from a checkpoint resumes at the committed offset —
+  *     and a LARGER `rows` option on restart models a source that grew
+  *     between runs (the topic-kept-receiving case), which q455 turns
+  *     into an oracle-checked exactly-once test.
+  *
+  * `commit()` is a no-op: generated ranges need no cleanup, the
+  * checkpoint's offset log is the source of truth. */
+private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
+    batchRows: Long, slices: Int, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // end pinned by Trigger.AvailableNow at query start; a processing-time
+  // trigger reads the live bound instead
+  @volatile private var pinnedEnd: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit = pinnedEnd = hi
+  private def endBound: Long = if (pinnedEnd >= 0) pinnedEnd else hi
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(batchRows)
+
+  override def initialOffset(): Offset = GenOffset(lo)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val s = start.asInstanceOf[GenOffset].pos
+    val cap = limit match {
+      case r: ReadMaxRows => math.min(endBound, s + r.maxRows())
+      case _: ReadAllAvailable => endBound
+      case _ => math.min(endBound, s + batchRows)
+    }
+    GenOffset(math.max(s, cap))
+  }
+
+  override def reportLatestOffset(): Offset = GenOffset(endBound)
+
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].pos
+    val e = end.asInstanceOf[GenOffset].pos
+    if (e <= s) return Array.empty
+    val per = math.max(1L, (e - s + slices - 1) / slices)
+    Iterator.iterate(s)(_ + per).takeWhile(_ < e)
+      .map(p => GenSlice(p, math.min(e, p + per)): InputPartition)
+      .toArray
+  }
+
+  // the batch reader factory already knows how to materialize a GenSlice
+  // with the pruned fields; reuse it verbatim
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenScan(0L, 0L, slices, required, false, None, None)
+      .createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // ---------------------------------------------------------------------------

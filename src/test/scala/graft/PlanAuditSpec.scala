@@ -602,6 +602,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("+- Sample"), p)
   }
 
+  test("q457: OFFSET and LIMIT both vanish into the generated interval") {
+    val p = plan("q457_offset_pushdown")
+    assert(p.contains("id=[20000,32000)"), p)
+    assert(!p.contains("Offset"), p)
+  }
+
   test("q350/q345/q354: VERDICT r10 fixes — no global rank window, no raw-row sort") {
     // all three previously ranked ROW-SCALE frames through one
     // unpartitioned row_number; they now select exact order statistics

@@ -138,4 +138,30 @@ class StreamingSpec extends AnyFunSuite {
     val pruned = back.filter(col("year") === "2021" && col("month") === "07")
     assert(pruned.count() == 16)
   }
+
+  /** DSv2 MicroBatchStream progress pin (VERDICT r11 #3): the gendocs
+    * streaming read must pace micro-batches by the admission-control cap
+    * — exact batch count, exact per-batch numInputRows, offsets in the
+    * checkpoint's offset log as plain id positions. */
+  test("gendocs MicroBatchStream paces batches by batchRows with id-position offsets") {
+    val root = Files.createTempDirectory("graft_gen_mbs").toString
+    val q = spark.readStream.format("graft.sources.GenDocs")
+      .option("rows", "10000").option("batchRows", "3000")
+      .option("slices", "4").load()
+      .writeStream.format("memory").queryName("gen_mbs_pin")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table("gen_mbs_pin").count() == 10000L)
+    // offset log: one file per batch, each holding the END id position
+    val offDir = new java.io.File(s"$root/ckpt/offsets")
+    val ends = offDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt)
+      .map(f => {
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        lines.get(lines.size - 1).trim.toLong
+      }).toSeq
+    assert(ends == Seq(3000L, 6000L, 9000L, 10000L), ends.toString)
+  }
 }

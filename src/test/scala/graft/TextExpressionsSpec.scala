@@ -31,6 +31,27 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty))
   }
 
+  test("WordShingleSet matches array_distinct(shingles(tokens)) on documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 5)) {
+      val bad = docs.select(
+        shingleSet(tokens(col("text")), n).as("fused"),
+        array_distinct(shingles(tokens(col("text")), n)).as("composed"))
+        .filter(col("fused") =!= col("composed"))
+        .count()
+      assert(bad == 0, s"n=$n")
+    }
+    // short-input + duplicate-token edges, values AND order
+    import spark.implicits._
+    val edge = Seq("a b a b a", "x x x", "one two", "").toDF("text")
+    val rows = edge.select(
+      shingleSet(tokens(col("text")), 2).as("fused"),
+      array_distinct(shingles(tokens(col("text")), 2)).as("composed"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("char-gram hasher matches the composed transform/substr pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (k <- Seq(1, 5, 9)) {
