@@ -166,6 +166,77 @@ object DataOps6 {
         .orderBy("tag")
     })
 
+  /** METADATA COLUMNS (SupportsMetadataColumns — the DSv2 provenance
+    * contract: Kafka's partition/offset, the file source's `_metadata`):
+    * `_slice` is the generated input-partition ordinal, HIDDEN from
+    * `SELECT *` (pinned in GenDocsSpec) and materialized only when
+    * named. The audit query below groups rows by their provenance
+    * partition with zero joins — at 100 TB this is how a consumer
+    * attributes bad rows to the file/partition that produced them.
+    * Oracle: slice layout is closed-form (8 slices over 40000 rows =
+    * 5000-id stripes), so `id // 5000` replays the metadata column
+    * exactly. */
+  val q458_metadata_slice = Q(
+    "q458_metadata_slice",
+    Some("""WITH g AS (
+           |  SELECT id, id // 5000 AS sl,
+           |    CAST(CAST((id * 7919) % 10000 AS DECIMAL(18,2)) / 100
+           |      AS DECIMAL(18,2)) AS v
+           |  FROM (SELECT unnest(generate_series(0, 39999)) AS id))
+           |SELECT CAST(sl AS BIGINT) AS slice_ord,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id,
+           |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+           |FROM g GROUP BY sl ORDER BY slice_ord""".stripMargin),
+    (s, d) => {
+      val gen = s.read.format("graft.sources.GenDocs")
+        .option("rows", "40000").option("slices", "8").load()
+      gen.select(col("_slice"), col("id"), col("v"))
+        .groupBy(col("_slice").as("slice_ord"))
+        .agg(count(lit(1)).as("n"),
+          min("id").cast("long").as("min_id"),
+          max("id").cast("long").as("max_id"),
+          sum(Q.dec(col("v"))).cast("decimal(18,2)").cast("double")
+            .as("sum_v"))
+        .orderBy("slice_ord")
+    })
+
+  /** V2 FUNCTION CATALOG (FunctionCatalog + ScalarFunction — the
+    * extension surface beside the TableProvider; GraftExtensions covers
+    * session-extension registration, this covers CATALOG-resolved,
+    * namespaced functions): `graftfns.fns.bits_jaccard(a, b)` resolves
+    * through `graft.functions.GraftFunctionCatalog` and compiles via the
+    * MAGIC `invoke(long, long)` method to a direct codegen'd call (the
+    * plan shows `invoke(...)` inside WholeStageCodegen — no per-row
+    * InternalRow boxing; ExtensionsSpec pins it). The oracle replays the
+    * popcount arithmetic with DuckDB's bit_count. */
+  val q459_v2_function_catalog = Q(
+    "q459_v2_function_catalog",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 19999)) AS id),
+           |j AS (
+           |  SELECT id % 7 AS grp,
+           |    CASE WHEN bit_count(id | (id * 3)) = 0 THEN 0.0
+           |         ELSE CAST(bit_count(id & (id * 3)) AS DOUBLE)
+           |           / bit_count(id | (id * 3)) END AS jac
+           |  FROM g)
+           |SELECT CAST(grp AS BIGINT) AS grp,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(round(jac, 6) AS DECIMAL(12,6)))
+           |    AS DOUBLE) / count(*), 6) AS mean_jac
+           |FROM j GROUP BY grp ORDER BY grp""".stripMargin),
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        "graft.functions.GraftFunctionCatalog")
+      s.sql("""SELECT CAST(id % 7 AS BIGINT) AS grp,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  round(CAST(sum(CAST(round(
+              |      graftfns.fns.bits_jaccard(id, id * 3), 6)
+              |    AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_jac
+              |FROM range(20000) GROUP BY 1 ORDER BY grp""".stripMargin)
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
-    q447_sample_pushdown, q457_offset_pushdown)
+    q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
+    q459_v2_function_catalog)
 }

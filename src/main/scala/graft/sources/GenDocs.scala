@@ -56,7 +56,8 @@ object GenDocs {
 
 private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean,
     batchRows: Long = 1000L)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"gen_docs($rows)"
   override def schema(): StructType = GenDocs.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -64,6 +65,23 @@ private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GenScanBuilder(rows, slices, keyed, batchRows)
+
+  /** METADATA COLUMNS (SupportsMetadataColumns — the provenance contract
+    * a real connector owes its consumers: Kafka exposes partition/offset,
+    * the file source `_metadata.file_path`): `_slice` is the input
+    * partition ordinal a row was generated in. Hidden from `SELECT *`
+    * (the DSv2 rule), materialized only when named — the reader computes
+    * it per-slice for free, and an audit query can GROUP BY provenance
+    * without any join against planner state. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "ordinal of the generated input partition the row came from"
+    })
 }
 
 /** Closed-form aggregate kinds the generator can answer WITHOUT
@@ -243,8 +261,11 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean,
     required, keyed, pushedAgg, sample, batchRows)
 }
 
-/** Contiguous id slice (the default layout): [lo, hi), step 1. */
-private[sources] case class GenSlice(lo: Long, hi: Long, step: Long = 1L)
+/** Contiguous id slice (the default layout): [lo, hi), step 1.
+  * `ord` = the slice's ordinal, surfaced as the `_slice` metadata
+  * column when a query asks for provenance. */
+private[sources] case class GenSlice(lo: Long, hi: Long, step: Long = 1L,
+    ord: Int = -1)
     extends InputPartition
 
 /** One slice per tag value (`partitionBy=tag`): ids ≡ tag (mod 7) inside
@@ -421,7 +442,9 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
       val n = hi - lo
       val per = math.max(1L, (n + slices - 1) / slices)
       Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
-        .map(s => GenSlice(s, math.min(hi, s + per)): InputPartition)
+        .zipWithIndex
+        .map { case (s, i) =>
+          GenSlice(s, math.min(hi, s + per), 1L, i): InputPartition }
         .toArray
     }
 
@@ -431,9 +454,10 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     val sampleSpec = sample
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val (first, bound, step) = p match {
-          case GenSlice(l, h, st) => (l, h, st)
-          case TagSlice(st, h, _) => (st, h, 7L)
+        val (first, bound, step, ord) = p match {
+          case GenSlice(l, h, st, o) => (l, h, st, o.toLong)
+          // keyed layout: the tag IS the slice ordinal (one slice per tag)
+          case TagSlice(st, h, t) => (st, h, 7L, t.toLong)
         }
         agg match {
           case Some((funcs, groupTag)) =>
@@ -496,6 +520,7 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
                 case "bucket" => (id % 97): java.lang.Long
                 case "v"      => ((id * 7919) % 10000) / 100.0: java.lang.Double
                 case "tag"    => UTF8String.fromString("t" + (id % 7))
+                case "_slice" => ord: java.lang.Long
               }
               new GenericInternalRow(vals.asInstanceOf[Array[Any]])
             }
@@ -574,7 +599,9 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
     if (e <= s) return Array.empty
     val per = math.max(1L, (e - s + slices - 1) / slices)
     Iterator.iterate(s)(_ + per).takeWhile(_ < e)
-      .map(p => GenSlice(p, math.min(e, p + per)): InputPartition)
+      .zipWithIndex
+      .map { case (p, i) =>
+        GenSlice(p, math.min(e, p + per), 1L, i): InputPartition }
       .toArray
   }
 

@@ -156,4 +156,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 7L)
     assert(r.getLong(3) == 128L)
   }
+
+  test("FunctionCatalog: bits_jaccard resolves, magic invoke is codegen'd") {
+    spark.conf.set("spark.sql.catalog.graftfns",
+      "graft.functions.GraftFunctionCatalog")
+    // 12=1100b, 10=1010b: and=1000b (1 bit), or=1110b (3 bits) → 1/3
+    val v = spark.sql("SELECT graftfns.fns.bits_jaccard(12L, 10L) AS j")
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - 1.0 / 3.0) < 1e-15, v.toString)
+    // the MAGIC method path: the plan must call invoke() directly inside
+    // WholeStageCodegen, never the produceResult row-boxing fallback
+    val p = spark.sql(
+      "SELECT graftfns.fns.bits_jaccard(id, id * 3) AS j FROM range(10)")
+      .queryExecution.executedPlan.toString
+    assert(p.contains(".invoke("), p)
+    assert(p.contains("*(1) Project"), p)
+    // discoverable in its namespace
+    val fns = spark.sql("SHOW FUNCTIONS IN graftfns.fns")
+      .collect().map(_.getString(0))
+    assert(fns.contains("graftfns.fns.bits_jaccard"),
+      fns.filterNot(_.length <= 3).mkString(","))
+  }
 }

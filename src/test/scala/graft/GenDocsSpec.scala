@@ -151,4 +151,28 @@ class GenDocsSpec extends AnyFunSuite {
     assert(!keyed.queryExecution.executedPlan.toString
       .contains("id=[0,10)"))
   }
+
+  test("_slice metadata column: hidden from star, exact slice ordinals when named") {
+    val g = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "40000").option("slices", "8").load()
+    // the DSv2 metadata-column rule: absent unless named
+    assert(!g.columns.contains("_slice"), g.columns.mkString(","))
+    val per = g.select(col("_slice"), col("id"))
+      .groupBy("_slice")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("_slice").collect()
+    assert(per.length == 8)
+    per.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong && r.getLong(1) == 5000L &&
+        r.getLong(2) == 5000L * i && r.getLong(3) == 5000L * i + 4999L,
+        r.toString)
+    }
+    // keyed mode: the slice ordinal IS the tag index
+    val k = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "700").option("partitionBy", "tag").load()
+      .select(col("_slice"), col("tag")).distinct().orderBy("_slice")
+      .collect()
+    assert(k.length == 7)
+    k.foreach(r => assert(r.getString(1) == "t" + r.getLong(0), r.toString))
+  }
 }
