@@ -55,13 +55,16 @@ case class JpegSofDims(child: Expression)
         case 0xDA => return null                      // SOS: SOF must precede
         case m if m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
           // SOFn: len(2) precision(1) height(2) width(2) ...
-          if (pos + 8 >= b.length) return null
+          // Long compare: pos + 8 can wrap Int near a 2 GB blob tail
+          if (pos.toLong + 8 >= b.length) return null
           val h = ((b(pos + 5) & 0xFF) << 8) | (b(pos + 6) & 0xFF)
           val w = ((b(pos + 7) & 0xFF) << 8) | (b(pos + 8) & 0xFF)
           return new GenericInternalRow(Array[Any](w, h))
         case _ =>
           val len = ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)
-          if (len < 2 || pos + 2 + len > b.length) return null // truncated
+          // Long compare: pos + 2 + len can wrap Int near a 2 GB blob,
+          // turning a truncation into an ArrayIndexOutOfBounds throw
+          if (len < 2 || pos.toLong + 2 + len > b.length) return null
           pos += 2 + len
       }
     }
@@ -123,7 +126,9 @@ case class TiffDims(child: Expression)
     if (ifd < 8 || ifd + 2 > b.length) return null
     val p0 = ifd.toInt
     val n = u16(p0)
-    if (p0 + 2 + 12 * n > b.length) return null
+    // Long compare: p0 + 12n can wrap Int when the IFD sits at the tail
+    // of a ~2 GB blob (the WebP r11 ADVICE class, fixed family-wide)
+    if (p0.toLong + 2 + 12L * n > b.length) return null
     var width = -1L
     var height = -1L
     var i = 0
@@ -212,9 +217,11 @@ case class PngDims(child: Expression)
           (b(d + 9) & 0xFF).toLong, (b(d + 12) & 0xFF).toLong))
       }
       if (isIend) return null
-      // skip payload + CRC; a length past the buffer is a truncation
-      if (len > b.length.toLong) return null
-      p += 8 + len.toInt + 4
+      // skip payload + CRC in Long: a length that fits the buffer can
+      // still wrap the Int advance at the 2 GB boundary (WebP r11 class)
+      val next = p.toLong + 8L + len + 4L
+      if (next > b.length.toLong) return null
+      p = next.toInt
     }
     null
   }
@@ -274,17 +281,21 @@ case class ZipInfo(child: Expression)
     var firstName: org.apache.spark.unsafe.types.UTF8String = null
     var e = 0
     while (e < total) {
-      if (q + 46 > b.length) return null
+      // Long compares throughout: q + 46(+lens) can wrap Int near a
+      // ~2 GB blob tail (WebP r11 ADVICE class, fixed family-wide)
+      if (q.toLong + 46 > b.length) return null
       if (!(b(q) == 0x50 && b(q + 1) == 0x4B &&
           b(q + 2) == 0x01 && b(q + 3) == 0x02)) return null
       val nameLen = u16(q + 28)
       val extraLen = u16(q + 30)
       val cmtLen = u16(q + 32)
-      if (q + 46 + nameLen > b.length) return null
+      if (q.toLong + 46 + nameLen > b.length) return null
       if (e == 0) firstName = org.apache.spark.unsafe.types.UTF8String
         .fromBytes(b, q + 46, nameLen)
       comp += u32(q + 20)
-      q += 46 + nameLen + extraLen + cmtLen
+      val nq = q.toLong + 46 + nameLen + extraLen + cmtLen
+      if (nq > b.length.toLong) return null
+      q = nq.toInt
       e += 1
     }
     new GenericInternalRow(Array[Any](total.toLong, comp, firstName))
@@ -359,7 +370,8 @@ case class Mp3Info(child: Expression)
       if (n == 0) { kbps = rate.toLong; sr = hz.toLong }
       else if (kbps != rate || sr != hz) return null // CBR contract
       val frameLen = 144 * rate * 1000 / hz + pad
-      if (frameLen <= 4 || p + frameLen > b.length) return null
+      // Long compare: p + frameLen can wrap Int at the 2 GB boundary
+      if (frameLen <= 4 || p.toLong + frameLen > b.length) return null
       p += frameLen
       n += 1
     }
