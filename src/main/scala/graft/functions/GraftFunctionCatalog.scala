@@ -36,12 +36,15 @@ class GraftFunctionCatalog extends CatalogPlugin
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Ns))
-      Array(Identifier.of(Ns, "bits_jaccard"))
+      Array(Identifier.of(Ns, "bits_jaccard"),
+        Identifier.of(Ns, "sumsq_cents"))
     else Array.empty
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace.sameElements(Ns) && ident.name == "bits_jaccard")
       BitsJaccardUnbound
+    else if (ident.namespace.sameElements(Ns) && ident.name == "sumsq_cents")
+      SumSqCentsUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident.asInstanceOf[Identifier])
 }
@@ -76,4 +79,49 @@ private[functions] class BitsJaccard extends ScalarFunction[java.lang.Double] {
 
   override def produceResult(input: InternalRow): java.lang.Double =
     invoke(input.getLong(0), input.getLong(1))
+}
+
+private[functions] object SumSqCentsUnbound extends UnboundFunction {
+  override def name(): String = "sumsq_cents"
+  override def description(): String =
+    "sumsq_cents(v DOUBLE) -> BIGINT: exact sum of squared integer cents"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == org.apache.spark.sql.types.DoubleType,
+      s"sumsq_cents takes (DOUBLE), got $inputType")
+    new SumSqCents
+  }
+}
+
+/** V2 AGGREGATE function (AggregateFunction — the FunctionCatalog's
+  * other half beside ScalarFunction): the exact second-moment
+  * accumulator behind the q436 variance-merge law, as a catalog
+  * citizen. Spark plans it as a real distributed aggregate —
+  * `update` runs map-side per partition, `merge` folds the partial
+  * states at the exchange — so the contract this entry proves is the
+  * PARTIAL-AGGREGATION path of a user-supplied function, not just its
+  * scalar math. State is one Long (squared integer cents summed
+  * exactly), so any partial-order arrangement produces the identical
+  * bits and the DuckDB oracle replays it as plain integer arithmetic. */
+private[functions] class SumSqCents
+    extends org.apache.spark.sql.connector.catalog.functions
+      .AggregateFunction[java.lang.Long, java.lang.Long] {
+  override def inputTypes(): Array[DataType] =
+    Array(org.apache.spark.sql.types.DoubleType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "sumsq_cents"
+  override def canonicalName(): String = "graft.fns.sumsq_cents"
+  override def isDeterministic: Boolean = true
+
+  override def newAggregationState(): java.lang.Long = 0L
+  override def update(state: java.lang.Long,
+      input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state
+    else {
+      val cents = math.round(input.getDouble(0) * 100.0)
+      state + cents * cents
+    }
+  override def merge(s1: java.lang.Long, s2: java.lang.Long): java.lang.Long =
+    s1 + s2
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
 }

@@ -236,7 +236,38 @@ object DataOps6 {
               |FROM range(20000) GROUP BY 1 ORDER BY grp""".stripMargin)
     })
 
+  /** V2 AGGREGATE function (AggregateFunction — the FunctionCatalog's
+    * other half): `graftfns.fns.sumsq_cents` is planned by Spark as a
+    * REAL distributed aggregate — the plan carries
+    * `partial_v2aggregator` map-side and the final `v2aggregator`
+    * above the exchange (PlanAuditSpec pins both), so what this entry
+    * proves is the user-supplied partial-aggregation contract, not
+    * scalar math. State = one Long of exactly-summed squared integer
+    * cents, so partial order can never change a bit and the oracle
+    * replays it as plain integer arithmetic over the generator's
+    * closed form (cents = (id·7919) mod 10⁴ exactly). */
+  val q460_v2_aggregate_function = Q(
+    "q460_v2_aggregate_function",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 19999)) AS id),
+           |c AS (
+           |  SELECT 't' || CAST(id % 7 AS VARCHAR) AS tag,
+           |    (id * 7919) % 10000 AS cents
+           |  FROM g)
+           |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents * cents) AS BIGINT) AS ssq
+           |FROM c GROUP BY tag ORDER BY tag""".stripMargin),
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graftfns",
+        "graft.functions.GraftFunctionCatalog")
+      s.read.format("graft.sources.GenDocs")
+        .option("rows", "20000").option("slices", "8").load()
+        .createOrReplaceTempView("q460_gen")
+      s.sql("""SELECT tag, CAST(count(*) AS BIGINT) AS n,
+              |  graftfns.fns.sumsq_cents(v) AS ssq
+              |FROM q460_gen GROUP BY tag ORDER BY tag""".stripMargin)
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
-    q459_v2_function_catalog)
+    q459_v2_function_catalog, q460_v2_aggregate_function)
 }

@@ -608,6 +608,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Offset"), p)
   }
 
+  test("q460: V2 AggregateFunction plans with a map-side partial") {
+    // the user-supplied aggregate must distribute: partial_v2aggregator
+    // below the exchange, the final v2aggregator above it — a plan that
+    // funnels raw rows to one final aggregate would be the regression
+    val p = plan("q460_v2_aggregate_function")
+    val partials = countOf(p, "partial_v2aggregator\\(")
+    val finals = countOf(p, "(?<!partial_)v2aggregator\\(")
+    assert(partials >= 1 && finals >= 1, s"partials=$partials finals=$finals\n$p")
+  }
+
   test("q350/q345/q354: VERDICT r10 fixes — no global rank window, no raw-row sort") {
     // all three previously ranked ROW-SCALE frames through one
     // unpartitioned row_number; they now select exact order statistics
