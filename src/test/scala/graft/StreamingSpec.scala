@@ -164,4 +164,34 @@ class StreamingSpec extends AnyFunSuite {
       }).toSeq
     assert(ends == Seq(3000L, 6000L, 9000L, 10000L), ends.toString)
   }
+
+  /** Offset-resumption edge cases: a cap larger than the source (one
+    * batch), and a restart against a SHRUNK source (committed offset
+    * beyond the new end) — the stream must emit nothing new and
+    * terminate, never regress the offset or crash. */
+  test("gendocs stream: batchRows > rows is one batch; shrunk-source restart is a no-op") {
+    val root = Files.createTempDirectory("graft_gen_edge").toString
+    // memory sinks refuse checkpoint recovery; the file sink (its commit
+    // log dedups batches) is the restartable shape — same as q455
+    def run(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.GenDocs")
+        .option("rows", rows.toString).option("batchRows", "50000")
+        .load().select(org.apache.spark.sql.functions.col("id"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run(8000L) // cap 50000 > rows: exactly one batch
+    assert(spark.read.parquet(s"$root/sink").count() == 8000L)
+    val offDir = new java.io.File(s"$root/ckpt/offsets")
+    assert(offDir.listFiles().count(_.getName.forall(_.isDigit)) == 1)
+    // restart with rows SHRUNK below the committed offset (8000 -> 5000):
+    // latestOffset must clamp at the committed position, not rewind
+    run(5000L)
+    assert(spark.read.parquet(s"$root/sink").count() == 8000L,
+      "shrunk-source restart must not re-emit or rewind")
+  }
 }
