@@ -115,11 +115,11 @@ object Bench {
         stream.toDF(), t, provider, out.toString, ckpt.toString,
         "SRC_KEY_VAL",
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      (t, stream, q)
+      (t, stream, q, out)
     }
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val t0 = System.nanoTime()
-    val threads = streamsAndQueries.map { case (t, stream, q) =>
+    val threads = streamsAndQueries.map { case (t, stream, q, _) =>
       val th = new Thread(() => {
         try {
           var off = 0L
@@ -140,14 +140,27 @@ object Bench {
     }
     threads.foreach(_.join())
     val sec = (System.nanoTime() - t0) / 1e9
-    streamsAndQueries.foreach { case (_, _, q) =>
+    streamsAndQueries.foreach { case (_, _, q, _) =>
       try q.stop() catch { case _: Throwable => } }
     if (!failures.isEmpty) {
       System.err.println(s"[bench] multi-topic ingest failed: " +
         failures.toArray.mkString("; "))
       return None
     }
-    val total = perBatch.toLong * nBatches * nTopics
+    // delivery audit (untimed): every topic's lake must hold EXACTLY its
+    // own records — a lost batch or cross-topic bleed must fail the
+    // figure, not publish a throughput for work that didn't happen
+    val expected = perBatch.toLong * nBatches
+    for ((t, _, _, out) <- streamsAndQueries) {
+      val landed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$out/$t").count()
+      if (landed != expected) {
+        System.err.println(s"[bench] multi-topic delivery mismatch: " +
+          s"$t landed $landed of $expected")
+        return None
+      }
+    }
+    val total = expected * nTopics
     Some((math.round(total / sec * 10) / 10.0, total, nTopics))
   }
 

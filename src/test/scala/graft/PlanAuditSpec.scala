@@ -813,13 +813,24 @@ class PlanAuditSpec extends AnyFunSuite {
       case other => other.children.exists(rawLeafReachable)
     }
 
+    // Second mechanized rule riding the same pass (r12): NO entry may
+    // plan a CartesianProduct. Every cross join in the repo is a
+    // broadcast of tiny metadata (1-row aggregates, threshold grids) —
+    // BroadcastNestedLoopJoin. A CartesianProduct means a non-broadcast
+    // cross of two distributed sides: the canonical scale-killer, and a
+    // silent one when a crossJoin's broadcast() hint is dropped in a
+    // refactor. Checked on the physical plan (the logical plan cannot
+    // distinguish the two).
     val offenders = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.catalog if !streaming(q.name)) {
-      val plan =
-        try q.run(spark, sfDir).queryExecution.optimizedPlan
+      val qe =
+        try q.run(spark, sfDir).queryExecution
         catch { case e: Throwable =>
           fail(s"${q.name}: plan construction failed: ${e.getMessage}")
         }
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct in the physical plan"
+      val plan = qe.optimizedPlan
       val unpart = plan.collect {
         case w: Window if w.partitionSpec.isEmpty => w
       }

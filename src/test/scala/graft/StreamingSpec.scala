@@ -194,4 +194,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/sink").count() == 8000L,
       "shrunk-source restart must not re-emit or rewind")
   }
+
+  /** Multi-topic concurrency (the reference's 11-event-source-mapping
+    * deployment shape; Bench measures it, this locks correctness):
+    * N independent checkpointed streams through the full
+    * decode+counts+write pipeline, driven from parallel threads, must
+    * each land exactly their own records — no cross-topic bleed, no
+    * lost batch under concurrent foreachBatch execution. */
+  test("concurrent per-topic streams deliver exactly their own records") {
+    assume(Files.exists(java.nio.file.Paths.get(
+      "/root/reference/sample_kafka_event.json")))
+    val r = graft.Bench.multiTopicThroughput(spark,
+      nTopics = 3, perBatch = 500, nBatches = 2)
+    assert(r.isDefined, "multi-topic replay reported a failure")
+    val (_, total, n) = r.get
+    assert(n == 3 && total == 3000L, r.toString)
+  }
 }
