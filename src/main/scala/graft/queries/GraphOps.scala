@@ -775,7 +775,134 @@ object GraphOps {
           col("colors_r2"), col("max_class_r2"))
     })
 
+  private val HubK = 10
+  private val PercRounds = 8
+
+  /** HUB-REMOVAL PERCOLATION — targeted-attack robustness of the
+    * co-occurrence graph (Albert–Barabási: scale-free graphs shatter
+    * under hub removal, survive random removal): the top-[[HubK]]
+    * degree hubs are deleted (nodes AND their edges), then
+    * [[PercRounds]] rounds of min-label gossip run over BOTH variants
+    * in one pass (the q442 variant-dimension device) and the island
+    * structure is compared — intact vs hub-cut node/edge counts,
+    * island count, and largest island. For a dedup/community pipeline
+    * this is the "does my graph's connectivity hang on a few hub
+    * buckets" health check.
+    *
+    * Honesty: R-round gossip is a BOUNDED connectivity proxy, not full
+    * CC — both engines run the identical R rounds, so the comparison is
+    * exact; labels are monotone toward the true components (extra
+    * rounds only merge further). Scale shape: the edge set is the
+    * hub-capped cooccur graph (bounded blocks); each round is one
+    * node-keyed join over (variant, node) labels — R fixed rounds,
+    * every frame persisted so lineage never re-executes (the q315
+    * iteration trap). */
+  val q461_hub_percolation = Q(
+    "q461_hub_percolation", {
+      val rounds = (1 to PercRounds).map { r =>
+        s"""lab$r AS MATERIALIZED (
+           |  SELECT n.variant, n.node,
+           |    least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+           |  FROM lab${r - 1} n
+           |  LEFT JOIN ee e ON e.variant = n.variant AND e.u = n.node
+           |  LEFT JOIN lab${r - 1} p
+           |    ON p.variant = n.variant AND p.node = e.v
+           |  GROUP BY n.variant, n.node, n.lab)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH $cooccurSqlPrefix,
+              |nb AS (SELECT a AS u, b AS v FROM e
+              |       UNION ALL SELECT b, a FROM e),
+              |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS dg
+              |        FROM nb GROUP BY u),
+              |hubs AS (SELECT node FROM deg ORDER BY dg DESC, node
+              |         LIMIT $HubK),
+              |nodes2 AS MATERIALIZED (
+              |  SELECT 'intact' AS variant, node FROM deg
+              |  UNION ALL
+              |  SELECT 'hubcut', node FROM deg
+              |  WHERE node NOT IN (SELECT node FROM hubs)),
+              |ee AS MATERIALIZED (
+              |  SELECT 'intact' AS variant, u, v FROM nb
+              |  UNION ALL
+              |  SELECT 'hubcut', u, v FROM nb
+              |  WHERE u NOT IN (SELECT node FROM hubs)
+              |    AND v NOT IN (SELECT node FROM hubs)),
+              |lab0 AS (SELECT variant, node, node AS lab FROM nodes2),
+              |$rounds,
+              |isl AS (SELECT variant, lab, CAST(count(*) AS BIGINT) AS sz
+              |        FROM lab$PercRounds GROUP BY variant, lab),
+              |meta AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_nodes
+              |         FROM nodes2 GROUP BY variant),
+              |em AS (SELECT variant, CAST(count(*) // 2 AS BIGINT) AS n_edges
+              |       FROM ee GROUP BY variant)
+              |SELECT m.variant, m.n_nodes, em.n_edges,
+              |  CAST(count(*) AS BIGINT) AS n_islands,
+              |  CAST(max(sz) AS BIGINT) AS max_island
+              |FROM isl JOIN meta m ON m.variant = isl.variant
+              |  JOIN em ON em.variant = isl.variant
+              |GROUP BY m.variant, m.n_nodes, em.n_edges
+              |ORDER BY m.variant""".stripMargin)
+    },
+    (s, d) => {
+      val P = graft.operators.PlanCache
+      val e = cooccurEdges(s, d)
+      val nb = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = P.persist(nb.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("dg")))
+      val hubs = deg.orderBy(col("dg").desc, col("node")).limit(HubK)
+        .select("node")
+      val nodes2 = P.persist(
+        deg.select(lit("intact").as("variant"), col("node"))
+          .unionAll(deg.join(broadcast(hubs), Seq("node"), "left_anti")
+            .select(lit("hubcut").as("variant"), col("node"))))
+      val ee = P.persist(
+        nb.select(lit("intact").as("variant"), col("u"), col("v"))
+          .unionAll(nb
+            .join(broadcast(hubs.toDF("u")), Seq("u"), "left_anti")
+            .join(broadcast(hubs.toDF("v")), Seq("v"), "left_anti")
+            .select(lit("hubcut").as("variant"), col("u"), col("v"))))
+      // localCheckpoint(true) per round, NOT lazy persist: the round
+      // references lab TWICE (self + neighbor side), and iterated
+      // self-joins explode the optimizer's plan tree (runtime-filter
+      // subqueries copy the opposite lineage per round — the q380/q172
+      // trap); eager checkpointing cuts each round to a LogicalRDD leaf
+      var lab = nodes2.select(col("variant"), col("node"),
+        col("node").as("lab")).localCheckpoint(true)
+      val eeR = ee.toDF("ev", "eu", "enb").localCheckpoint(true)
+      for (_ <- 1 to PercRounds) {
+        // rename-before-join: lab appears on both sides of the gossip
+        // round (self + neighbor label), so each side gets fresh names
+        val p = lab.toDF("pv", "pn", "plab")
+        lab = lab
+          .join(eeR, col("variant") === col("ev") &&
+            col("node") === col("eu"), "left")
+          .join(p, col("pv") === col("variant") && col("pn") === col("enb"),
+            "left")
+          .groupBy("variant", "node", "lab")
+          .agg(least(col("lab"), coalesce(min(col("plab")), col("lab")))
+            .as("lab2"))
+          .select(col("variant"), col("node"), col("lab2").as("lab"))
+          .localCheckpoint(true)
+      }
+      val isl = lab.groupBy("variant", "lab")
+        .agg(count(lit(1)).as("sz"))
+      val meta = nodes2.groupBy("variant")
+        .agg(count(lit(1)).as("n_nodes"))
+      val em = ee.groupBy("variant")
+        .agg((count(lit(1)) / 2).cast("long").as("n_edges"))
+      isl.groupBy("variant")
+        .agg(count(lit(1)).as("n_islands"),
+          max("sz").cast("long").as("max_island"))
+        .join(broadcast(meta), "variant")
+        .join(broadcast(em), "variant")
+        .select(col("variant"), col("n_nodes"), col("n_edges"),
+          col("n_islands"), col("max_island"))
+        .orderBy("variant")
+    })
+
   val all: Seq[Q] = Seq(q117_pagerank, q133_triangles, q172_kcore,
     q199_link_prediction, q216_assortativity, q223_modularity, q228_hits,
-    q232_bfs_hops, q236_label_prop, q237_ppr, q313_wl_colors)
+    q232_bfs_hops, q236_label_prop, q237_ppr, q313_wl_colors,
+    q461_hub_percolation)
 }
