@@ -816,17 +816,28 @@ object GraphOps {
               |        FROM nb GROUP BY u),
               |hubs AS (SELECT node FROM deg ORDER BY dg DESC, node
               |         LIMIT $HubK),
+              |rnd AS (SELECT node FROM deg
+              |        WHERE node NOT IN (SELECT node FROM hubs)
+              |        ORDER BY md5(CAST(node AS VARCHAR)), node
+              |        LIMIT $HubK),
               |nodes2 AS MATERIALIZED (
               |  SELECT 'intact' AS variant, node FROM deg
               |  UNION ALL
               |  SELECT 'hubcut', node FROM deg
-              |  WHERE node NOT IN (SELECT node FROM hubs)),
+              |  WHERE node NOT IN (SELECT node FROM hubs)
+              |  UNION ALL
+              |  SELECT 'randcut', node FROM deg
+              |  WHERE node NOT IN (SELECT node FROM rnd)),
               |ee AS MATERIALIZED (
               |  SELECT 'intact' AS variant, u, v FROM nb
               |  UNION ALL
               |  SELECT 'hubcut', u, v FROM nb
               |  WHERE u NOT IN (SELECT node FROM hubs)
-              |    AND v NOT IN (SELECT node FROM hubs)),
+              |    AND v NOT IN (SELECT node FROM hubs)
+              |  UNION ALL
+              |  SELECT 'randcut', u, v FROM nb
+              |  WHERE u NOT IN (SELECT node FROM rnd)
+              |    AND v NOT IN (SELECT node FROM rnd)),
               |lab0 AS (SELECT variant, node, node AS lab FROM nodes2),
               |$rounds,
               |isl AS (SELECT variant, lab, CAST(count(*) AS BIGINT) AS sz
@@ -852,16 +863,26 @@ object GraphOps {
         .agg(count(lit(1)).as("dg")))
       val hubs = deg.orderBy(col("dg").desc, col("node")).limit(HubK)
         .select("node")
+      // matched control: the SAME number of md5-drawn NON-hub nodes —
+      // "fragile to targeted, robust to random" needs both arms measured
+      val rnd = deg.join(broadcast(hubs), Seq("node"), "left_anti")
+        .orderBy(md5(col("node").cast("string")), col("node")).limit(HubK)
+        .select("node")
+      def cutN(name: String, drop: org.apache.spark.sql.DataFrame) =
+        deg.join(broadcast(drop), Seq("node"), "left_anti")
+          .select(lit(name).as("variant"), col("node"))
+      def cutE(name: String, drop: org.apache.spark.sql.DataFrame) =
+        nb.join(broadcast(drop.toDF("u")), Seq("u"), "left_anti")
+          .join(broadcast(drop.toDF("v")), Seq("v"), "left_anti")
+          .select(lit(name).as("variant"), col("u"), col("v"))
       val nodes2 = P.persist(
         deg.select(lit("intact").as("variant"), col("node"))
-          .unionAll(deg.join(broadcast(hubs), Seq("node"), "left_anti")
-            .select(lit("hubcut").as("variant"), col("node"))))
+          .unionAll(cutN("hubcut", hubs))
+          .unionAll(cutN("randcut", rnd)))
       val ee = P.persist(
         nb.select(lit("intact").as("variant"), col("u"), col("v"))
-          .unionAll(nb
-            .join(broadcast(hubs.toDF("u")), Seq("u"), "left_anti")
-            .join(broadcast(hubs.toDF("v")), Seq("v"), "left_anti")
-            .select(lit("hubcut").as("variant"), col("u"), col("v"))))
+          .unionAll(cutE("hubcut", hubs))
+          .unionAll(cutE("randcut", rnd)))
       // localCheckpoint(true) per round, NOT lazy persist: the round
       // references lab TWICE (self + neighbor side), and iterated
       // self-joins explode the optimizer's plan tree (runtime-filter
