@@ -855,11 +855,10 @@ object GraphOps {
               |ORDER BY m.variant""".stripMargin)
     },
     (s, d) => {
-      val P = graft.operators.PlanCache
       val e = cooccurEdges(s, d)
       val nb = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
-      val deg = P.persist(nb.groupBy(col("u").as("node"))
+      val deg = graft.operators.PlanCache.persist(nb.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("dg")))
       val hubs = deg.orderBy(col("dg").desc, col("node")).limit(HubK)
         .select("node")
@@ -875,11 +874,11 @@ object GraphOps {
         nb.join(broadcast(drop.toDF("u")), Seq("u"), "left_anti")
           .join(broadcast(drop.toDF("v")), Seq("v"), "left_anti")
           .select(lit(name).as("variant"), col("u"), col("v"))
-      val nodes2 = P.persist(
+      val nodes2 = graft.operators.PlanCache.persist(
         deg.select(lit("intact").as("variant"), col("node"))
           .unionAll(cutN("hubcut", hubs))
           .unionAll(cutN("randcut", rnd)))
-      val ee = P.persist(
+      val ee = graft.operators.PlanCache.persist(
         nb.select(lit("intact").as("variant"), col("u"), col("v"))
           .unionAll(cutE("hubcut", hubs))
           .unionAll(cutE("randcut", rnd)))
