@@ -176,5 +176,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(fns.contains("graftfns.fns.bits_jaccard"),
       fns.filterNot(_.length <= 3).mkString(","))
+    // the aggregate twin distributes AND its sum matches the exact form
+    val r = spark.sql(
+      """SELECT graftfns.fns.sumsq_cents(CAST(id AS DOUBLE) / 100) AS ssq
+        |FROM range(1000)""".stripMargin).collect()(0).getLong(0)
+    assert(r == (0L until 1000L).map(i => i * i).sum, r.toString)
+    // bad bindings fail at ANALYSIS with the bind message, not at runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT graftfns.fns.bits_jaccard('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("bits_jaccard takes (BIGINT, BIGINT)"),
+      err.getMessage.take(200))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graftfns.fns.no_such_fn(1)").collect()
+    }
+    assert(err2.getMessage.toLowerCase.contains("no_such_fn"),
+      err2.getMessage.take(200))
   }
 }

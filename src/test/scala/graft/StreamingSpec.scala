@@ -195,6 +195,22 @@ class StreamingSpec extends AnyFunSuite {
       "shrunk-source restart must not re-emit or rewind")
   }
 
+  test("gendocs stream: a zero batchRows cap terminates empty, never spins") {
+    // latestOffset must clamp at max(start, start+0) = start → no new
+    // batch → AvailableNow ends; an implementation that emitted empty
+    // batches forever would hang this test
+    val root = Files.createTempDirectory("graft_gen_zero").toString
+    spark.catalog.dropTempView("gen_zero")
+    val q = spark.readStream.format("graft.sources.GenDocs")
+      .option("rows", "5000").option("batchRows", "0").load()
+      .writeStream.format("memory").queryName("gen_zero")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table("gen_zero").count() == 0L)
+  }
+
   /** Multi-topic concurrency (the reference's 11-event-source-mapping
     * deployment shape; Bench measures it, this locks correctness):
     * N independent checkpointed streams through the full
