@@ -10,6 +10,19 @@ final case class BenchKRec(topic: String, partition: Int, offset: Long,
 
 object Bench {
 
+  /** The reference's own sample Kafka event — the ingest replays' one
+    * fixture (ADVICE r12: was inlined at two call sites). */
+  private val SampleEventPath = "/root/reference/sample_kafka_event.json"
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
   /** Time one catalog entry (materialize via count). Returns
     * (seconds, error): a throwing entry reports its error instead of
     * silently contributing a near-zero "time" — main carries every error
@@ -44,18 +57,26 @@ object Bench {
     * absent (the metric is skipped, never faked). */
   def ingestThroughput(spark: SparkSession,
       perBatch: Int = 10000, nBatches: Int = 10): Option[(Double, Long)] = {
-    val samplePath = "/root/reference/sample_kafka_event.json"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(samplePath)))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(SampleEventPath)))
       return None
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val base = ingest.Envelope.readEventJson(spark, samplePath).collect()
+    val base = ingest.Envelope.readEventJson(spark, SampleEventPath).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(3),
         r.getString(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
     val stream = MemoryStream[BenchKRec]
     val out = java.nio.file.Files.createTempDirectory("graft_bench_ingest")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ingest_ckpt")
+    // record batches are PRE-BUILT — driver-side Seq construction is
+    // setup, not pipeline throughput (ADVICE r12)
+    val batches = (0 until nBatches).map { b =>
+      val off = b.toLong * perBatch
+      (0 until perBatch).map { i =>
+        val (t, p, ts, tt, k, v) = base((i % base.length).toInt)
+        BenchKRec(t, p, off + i, ts, tt, k, v)
+      }
+    }
     val q = pipeline.KafkaToParquet.runStream(
       stream.toDF(), ingest.RatecardSchema.topic,
       ingest.RatecardSchema.provider, out.toString, ckpt.toString,
@@ -63,13 +84,7 @@ object Bench {
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     val t0 = System.nanoTime()
     try {
-      var off = 0L
-      for (_ <- 0 until nBatches) {
-        val recs = (0 until perBatch).map { i =>
-          val (t, p, ts, tt, k, v) = base((i % base.length).toInt)
-          BenchKRec(t, p, off + i, ts, tt, k, v)
-        }
-        off += perBatch
+      for (recs <- batches) {
         stream.addData(recs)
         // one addData + drain per round = one micro-batch = one Lambda
         // invocation equivalent (decode + counts + single-file write)
@@ -77,6 +92,7 @@ object Bench {
       }
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    deleteRecursively(out); deleteRecursively(ckpt)
     val total = perBatch.toLong * nBatches
     Some((math.round(total / sec * 10) / 10.0, total))
   }
@@ -93,13 +109,12 @@ object Bench {
     * fixture. */
   def multiTopicThroughput(spark: SparkSession, nTopics: Int = 4,
       perBatch: Int = 10000, nBatches: Int = 3): Option[(Double, Long, Int)] = {
-    val samplePath = "/root/reference/sample_kafka_event.json"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(samplePath)))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(SampleEventPath)))
       return None
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val base = ingest.Envelope.readEventJson(spark, samplePath).collect()
+    val base = ingest.Envelope.readEventJson(spark, SampleEventPath).collect()
       .map(r => (r.getInt(1), r.getTimestamp(3),
         r.getString(4), r.getAs[Array[Byte]](5), r.getAs[Array[Byte]](6)))
     val topics = (0 until nTopics)
@@ -107,61 +122,72 @@ object Bench {
     val provider = new ingest.CachingSchemaProvider(
       new ingest.FixtureSchemaProvider(
         topics.map(_ -> ingest.RatecardSchema.schemaJson).toMap))
-    val streamsAndQueries = topics.map { t =>
-      val stream = MemoryStream[BenchKRec]
-      val out = java.nio.file.Files.createTempDirectory(s"graft_mt_$t")
-      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_mt_ckpt_$t")
-      val q = pipeline.KafkaToParquet.runStream(
-        stream.toDF(), t, provider, out.toString, ckpt.toString,
-        "SRC_KEY_VAL",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      (t, stream, q, out)
-    }
-    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val t0 = System.nanoTime()
-    val threads = streamsAndQueries.map { case (t, stream, q, _) =>
-      val th = new Thread(() => {
-        try {
-          var off = 0L
-          for (_ <- 0 until nBatches) {
-            val recs = (0 until perBatch).map { i =>
-              val (p, ts, tt, k, v) = base(i % base.length)
-              BenchKRec(t, p, off + i, ts, tt, k, v)
-            }
-            off += perBatch
-            stream.addData(recs)
-            q.processAllAvailable()
+    // per-topic record batches are PRE-BUILT before the clock starts —
+    // driver-side Seq construction is setup, not pipeline throughput
+    // (ADVICE r12: it used to be built inside each timed thread)
+    val prebuilt: Map[String, IndexedSeq[IndexedSeq[BenchKRec]]] =
+      topics.map { t =>
+        t -> (0 until nBatches).map { b =>
+          val off = b.toLong * perBatch
+          (0 until perBatch).map { i =>
+            val (p, ts, tt, k, v) = base(i % base.length)
+            BenchKRec(t, p, off + i, ts, tt, k, v)
           }
-        } catch { case e: Throwable =>
-          failures.add(s"$t: ${e.getMessage}")
         }
-      }, s"graft-mt-$t")
-      th.start(); th
-    }
-    threads.foreach(_.join())
-    val sec = (System.nanoTime() - t0) / 1e9
-    streamsAndQueries.foreach { case (_, _, q, _) =>
-      try q.stop() catch { case _: Throwable => } }
-    if (!failures.isEmpty) {
-      System.err.println(s"[bench] multi-topic ingest failed: " +
-        failures.toArray.mkString("; "))
-      return None
-    }
-    // delivery audit (untimed): every topic's lake must hold EXACTLY its
-    // own records — a lost batch or cross-topic bleed must fail the
-    // figure, not publish a throughput for work that didn't happen
-    val expected = perBatch.toLong * nBatches
-    for ((t, _, _, out) <- streamsAndQueries) {
-      val landed = spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$out/$t").count()
-      if (landed != expected) {
-        System.err.println(s"[bench] multi-topic delivery mismatch: " +
-          s"$t landed $landed of $expected")
+      }.toMap
+    val tempDirs = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+    try {
+      val streamsAndQueries = topics.map { t =>
+        val stream = MemoryStream[BenchKRec]
+        val out = java.nio.file.Files.createTempDirectory(s"graft_mt_$t")
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_mt_ckpt_$t")
+        tempDirs += out; tempDirs += ckpt
+        val q = pipeline.KafkaToParquet.runStream(
+          stream.toDF(), t, provider, out.toString, ckpt.toString,
+          "SRC_KEY_VAL",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        (t, stream, q, out)
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val t0 = System.nanoTime()
+      val threads = streamsAndQueries.map { case (t, stream, q, _) =>
+        val th = new Thread(() => {
+          try {
+            for (recs <- prebuilt(t)) {
+              stream.addData(recs)
+              q.processAllAvailable()
+            }
+          } catch { case e: Throwable =>
+            failures.add(s"$t: ${e.getMessage}")
+          }
+        }, s"graft-mt-$t")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      streamsAndQueries.foreach { case (_, _, q, _) =>
+        try q.stop() catch { case _: Throwable => } }
+      if (!failures.isEmpty) {
+        System.err.println(s"[bench] multi-topic ingest failed: " +
+          failures.toArray.mkString("; "))
         return None
       }
-    }
-    val total = expected * nTopics
-    Some((math.round(total / sec * 10) / 10.0, total, nTopics))
+      // delivery audit (untimed): every topic's lake must hold EXACTLY its
+      // own records — a lost batch or cross-topic bleed must fail the
+      // figure, not publish a throughput for work that didn't happen
+      val expected = perBatch.toLong * nBatches
+      for ((t, _, _, out) <- streamsAndQueries) {
+        val landed = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$out/$t").count()
+        if (landed != expected) {
+          System.err.println(s"[bench] multi-topic delivery mismatch: " +
+            s"$t landed $landed of $expected")
+          return None
+        }
+      }
+      val total = expected * nTopics
+      Some((math.round(total / sec * 10) / 10.0, total, nTopics))
+    } finally tempDirs.foreach(deleteRecursively)
   }
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {
@@ -193,6 +219,15 @@ object Bench {
       // KeyGroupedPartitioning + SupportsReportOrdering plan the join
       // with zero Exchange and zero Sort. Plan-choice only, never results.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // V2 catalog plugins bound at SESSION BUILD (ADVICE r12: q459/q460
+      // used to set graftfns inside their query builders and never
+      // restore it — an order-dependent side effect; harness-wide binding
+      // makes every entry see the same catalog state). Plugins are
+      // instantiated lazily on first reference, so unused runs pay nothing.
+      .config("spark.sql.catalog.graftfns",
+        "graft.functions.GraftFunctionCatalog")
+      .config("spark.sql.catalog.graftlake",
+        "graft.sources.GraftRowCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // keep stdout clean for the metric line
     // Bench times the incremental entries (q170/q177) in their production
@@ -239,21 +274,45 @@ object Bench {
     // time (caches cleared between, everything already warm) and record
     // that second map alongside: "queries" = catalog order in one process,
     // "isolated" = clean steady-state per entry — full coverage from
-    // round 9 on (VERDICT r8 #1/#6: top-20 left plan-pinned entries like
-    // q238/q242 invisible to cross-round comparison). The SUM of the
-    // isolated map, "isolated_total", is the variance-robust headline
-    // that gates regressions (VERDICT r8 #2; SCALE.md names it).
+    // round 9 on (VERDICT r8 #1/#6). The SUM of the isolated map,
+    // "isolated_total", is the variance-robust headline that gates
+    // regressions (VERDICT r8 #2; SCALE.md names it).
+    //
+    // Since r13 (VERDICT r12 #1) the isolated number is an IN-PROCESS
+    // MEDIAN: each entry is re-timed `reps` times back-to-back (caches
+    // cleared between runs — the tools/bench_delta.py --retime protocol,
+    // moved inside the bench so the DRIVER's one-shot artifact is
+    // noise-robust too; the r12 driver isolated_total read 465.8 s where
+    // the committed median-of-3 read 258.2 s with zero per-entry data to
+    // adjudicate the 1.8× gap). "isolated" carries the per-entry MEDIANS,
+    // "isolated_raw" the raw readings, and "isolated_pass_totals" the
+    // per-pass sums — a contended host window shows up INSIDE one
+    // artifact as pass-total spread instead of poisoning the headline.
     // Skipped under SPARK_GRAFT_ONLY — a filtered run IS the isolated
     // measurement. A re-run that THROWS must surface like any other
     // failure, not masquerade as a near-zero isolated "time".
-    val isolatedRaw =
-      if (only.isDefined) Seq.empty[(String, (Double, Option[String]))]
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
+    val isolatedRaw: Seq[(String, Seq[(Double, Option[String])])] =
+      if (only.isDefined) Seq.empty
       else timed.filter(_._3.isEmpty).map { case (q, _, _) =>
-        q.name -> timeEntry(spark, sfDir, q)
+        q.name -> (1 to reps).map(_ => timeEntry(spark, sfDir, q))
       }
-    val isolated = isolatedRaw.collect { case (n, (sec, None)) => n -> sec }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val isolatedTriples = isolatedRaw.collect {
+      case (n, runs) if runs.forall(_._2.isEmpty) => n -> runs.map(_._1)
+    }
+    val isolated = isolatedTriples.map { case (n, xs) => n -> median(xs) }
+    val passTotals = (0 until reps).map { k =>
+      math.round(isolatedTriples.map(_._2(k)).sum * 1000) / 1000.0
+    }
     val errors = timed.collect { case (q, _, Some(m)) => s"${q.name}: $m" } ++
-      isolatedRaw.collect { case (n, (_, Some(m))) => s"$n (isolated): $m" }
+      isolatedRaw.collect { case (n, runs) if runs.exists(_._2.isDefined) =>
+        s"$n (isolated): ${runs.flatMap(_._2).head}" }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalR = math.round(total * 1000) / 1000.0
     val isoTotalR = math.round(isolated.map(_._2).sum * 1000) / 1000.0
@@ -267,22 +326,39 @@ object Bench {
         System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
         None
       }
-    // N-topic concurrent replay (the reference's 11-mapping deployment
-    // shape, scaled to the local core budget) — after the single-topic
-    // figure, same JVM, untimed regions never overlap the catalog pass
-    val multiTp: Option[(Double, Long, Int)] =
-      if (only.isDefined) None
-      else try multiTopicThroughput(spark)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] multi-topic ingest failed: ${e.getMessage}")
-        None
+    // N-topic concurrent replay at the reference's ACTUAL deployment
+    // widths (VERDICT r12 #5: configure_lambda_triggeres.sh registers 11
+    // event-source mappings; 4 alone understates the amortization claim)
+    // — the 4 → 8 → 11 scaling curve, each point delivery-audited. After
+    // the single-topic figure, same JVM, never overlapping the catalog
+    // pass. The headline multi_topic_throughput is the n=11 point.
+    val multiCurve: Seq[(Int, (Double, Long))] =
+      if (only.isDefined) Seq.empty
+      else Seq(4, 8, 11).flatMap { n =>
+        try multiTopicThroughput(spark, nTopics = n)
+          .map { case (rps, tot, _) => n -> (rps, tot) }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] multi-topic ingest (n=$n) failed: ${e.getMessage}")
+          None
+        }
       }
+    val multiTp: Option[(Double, Long, Int)] =
+      multiCurve.lastOption.map { case (n, (rps, tot)) => (rps, tot, n) }
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map(jsonStr).mkString("[", ",", "]")}"""
     val isoJson =
       if (isolated.isEmpty) ""
-      else s""","isolated":${jsonMap(isolated)},"isolated_total":$isoTotalR"""
+      else {
+        def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+        val raw = isolatedTriples.map { case (n, xs) =>
+          jsonStr(n) + ":" + xs.map(r3).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        s""","isolated":${jsonMap(isolated)},"isolated_total":$isoTotalR""" +
+          s""","isolated_reps":$reps,"isolated_raw":$raw""" +
+          s""","isolated_pass_totals":${passTotals.mkString("[", ",", "]")}"""
+      }
     // records/s through the full decode+count+write pipeline; the
     // reference's derived floor is 11.1 rec/s (10k records / 900 s
     // Lambda timeout, lambda-kafka-to-s3-10k-SAM_template.yaml:13,29)
@@ -290,7 +366,12 @@ object Bench {
       s""","ingest_throughput":$rps,"ingest_records":$n,"ingest_floor_recs_per_s":11.1"""
     }.getOrElse("")) + (multiTp.map { case (rps, n, k) =>
       s""","multi_topic_throughput":$rps,"multi_topic_records":$n,"multi_topic_n":$k"""
-    }.getOrElse(""))
+    }.getOrElse("")) + (if (multiCurve.isEmpty) "" else {
+      val curve = multiCurve.map { case (n, (rps, _)) =>
+        jsonStr(n.toString) + ":" + rps
+      }.mkString("{", ",", "}")
+      s""","multi_topic_curve":$curve"""
+    })
     // Entries timed in single-wave (production per-batch) shape under
     // spark.graft.bench.singleWave — a DIFFERENT computation than the
     // 3-wave replay the correctness harness verifies under the same
@@ -329,7 +410,15 @@ object Bench {
       }
     }
     val shortErr = if (errors.isEmpty) "" else s""","errors":${errors.size}"""
-    val shortIso = if (isolated.isEmpty) "" else s""","isolated_total":$isoTotalR"""
+    // the short driver-captured line now carries the per-pass isolated
+    // sums too: the three readings adjudicate a noisy window from the
+    // driver artifact ALONE (VERDICT r12 #1's "three readings in the
+    // JSON tail"); per-entry detail stays in BENCH_QUERIES_latest.json,
+    // which the round-close commit picks up
+    val shortIso =
+      if (isolated.isEmpty) ""
+      else s""","isolated_total":$isoTotalR,"isolated_reps":$reps""" +
+        s""","isolated_pass_totals":${passTotals.mkString("[", ",", "]")}"""
     val shortIngest = ingestTp.map { case (rps, _) =>
       s""","ingest_throughput":$rps""" }.getOrElse("")
     val shortJson =

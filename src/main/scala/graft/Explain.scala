@@ -24,6 +24,15 @@ object Explain {
       // KeyGroupedPartitioning + SupportsReportOrdering plan the join
       // with zero Exchange and zero Sort. Plan-choice only, never results.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // V2 catalog plugins bound at SESSION BUILD (ADVICE r12: q459/q460
+      // used to set graftfns inside their query builders and never
+      // restore it — an order-dependent side effect; harness-wide binding
+      // makes every entry see the same catalog state). Plugins are
+      // instantiated lazily on first reference, so unused runs pay nothing.
+      .config("spark.sql.catalog.graftfns",
+        "graft.functions.GraftFunctionCatalog")
+      .config("spark.sql.catalog.graftlake",
+        "graft.sources.GraftRowCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.catalog

@@ -76,10 +76,22 @@ object TextFunctions {
   }
 
   /** Distinct word n-gram shingle SET (native single-pass expression;
-    * ≡ array_distinct(shingles(toks, n)), see WordShingleSet). */
+    * ≡ array_distinct(shingles(toks, n)), see WordShingleSet).
+    *
+    * NULL contract (ADVICE r12): the composed form this wrapper replaced
+    * — `when(size(toks) >= n, ...).otherwise(array())` — returned an
+    * EMPTY array for NULL tokens (size(null) is null, falling to the
+    * otherwise branch), whereas the raw UnaryExpression is null-safe and
+    * returns NULL. The coalesce preserves the original call-site
+    * contract, so a null text row keeps sset = [] and Jaccard
+    * denominators are unchanged. The bare SQL-registered
+    * `word_shingle_set` keeps standard expression NULL-in-NULL-out
+    * semantics; this Column wrapper is the dedup call sites' API. */
   def shingleSet(toks: Column, n: Int = 3): Column = {
     val b = org.apache.spark.sql.GraftBridge
-    b.column(WordShingleSet(b.expression(toks), n))
+    org.apache.spark.sql.functions.coalesce(
+      b.column(WordShingleSet(b.expression(toks), n)),
+      org.apache.spark.sql.functions.typedLit(Array.empty[String]))
   }
 
   /** Unicode NFC canonicalization (native expression, codegen'd; see

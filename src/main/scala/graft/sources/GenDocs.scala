@@ -265,7 +265,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean,
   * `ord` = the slice's ordinal, surfaced as the `_slice` metadata
   * column when a query asks for provenance. */
 private[sources] case class GenSlice(lo: Long, hi: Long, step: Long = 1L,
-    ord: Int = -1)
+    ord: Long = -1L)
     extends InputPartition
 
 /** One slice per tag value (`partitionBy=tag`): ids ≡ tag (mod 7) inside
@@ -598,10 +598,17 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
     val e = end.asInstanceOf[GenOffset].pos
     if (e <= s) return Array.empty
     val per = math.max(1L, (e - s + slices - 1) / slices)
+    // `_slice` provenance under MICRO_BATCH_READ (ADVICE r12): a
+    // per-batch zipWithIndex would restart the ordinal at 0 every
+    // micro-batch — the same ordinal naming different id ranges across
+    // batches, unlike the batch read's global ordinals. The streaming
+    // ordinal is therefore the slice's START ID: batch-stable (a replay
+    // of the same offset range reproduces identical ordinals, and the
+    // checkpoint's offset log alone decodes an ordinal back to its id
+    // range), globally unique across batches, and free to compute.
     Iterator.iterate(s)(_ + per).takeWhile(_ < e)
-      .zipWithIndex
-      .map { case (p, i) =>
-        GenSlice(p, math.min(e, p + per), 1L, i): InputPartition }
+      .map { p =>
+        GenSlice(p, math.min(e, p + per), 1L, ord = p): InputPartition }
       .toArray
   }
 
@@ -632,7 +639,31 @@ object CountingSink {
   def result(runId: String): Option[Long] = Option(committed.get(runId))
   private[sources] def publish(runId: String, n: Long): Unit =
     committed.put(runId, n)
-  def clear(): Unit = committed.clear()
+
+  /** STREAMING epoch ledger: (runId, epochId) → (rows, sum of the first
+    * long column). Written only at `StreamingWrite.commit(epoch, msgs)` —
+    * the driver-side atomic publish of that epoch. `put` (replace), never
+    * accumulate: a replayed epoch (failure → Spark re-runs the SAME
+    * epochId from the checkpoint) overwrites with identical content, so
+    * a failed-then-retried epoch CANNOT double-count; an aborted epoch
+    * writes nothing at all. */
+  private val epochs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Long)]()
+  private[graft] def publishEpoch(runId: String, epochId: Long,
+      n: Long, sum: Long): Unit = epochs.put((runId, epochId), (n, sum))
+  def epochResults(runId: String): Map[Long, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    epochs.asScala.collect {
+      case ((r, e), v) if r == runId => e -> v
+    }.toMap
+  }
+  def clearRun(runId: String): Unit = {
+    committed.remove(runId)
+    import scala.jdk.CollectionConverters._
+    epochs.keySet.asScala.filter(_._1 == runId)
+      .foreach(epochs.remove)
+  }
+  def clear(): Unit = { committed.clear(); epochs.clear() }
 }
 
 class CountingSinkProvider extends TableProvider {
@@ -645,17 +676,23 @@ class CountingSinkProvider extends TableProvider {
       Option(properties.get("runid")).getOrElse("default"))
 }
 
-private[sources] class CountingTable(writeSchema: StructType, runId: String)
+private[graft] class CountingTable(writeSchema: StructType, runId: String)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"counting_sink($runId)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // epoch ledger detail: besides the row count, the writer sums the
+    // FIRST long column of the written schema (if any) — the cheap
+    // content digest that lets an oracle prove WHICH rows landed in
+    // which epoch, not merely how many
+    val sumIdx = info.schema().fields.indexWhere(_.dataType == LongType)
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
@@ -663,12 +700,73 @@ private[sources] class CountingTable(writeSchema: StructType, runId: String)
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new CountingBatchWrite(runId)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new CountingStreamingWrite(runId, sumIdx)
         }
     }
+  }
 }
 
 private[sources] case class CountMsg(n: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[graft] case class EpochMsg(n: Long, sum: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[graft] case class EpochWriterFactory(sumIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var n = 0L
+      private var sum = 0L
+      override def write(record: InternalRow): Unit = {
+        n += 1
+        if (sumIdx >= 0 && !record.isNullAt(sumIdx))
+          sum += record.getLong(sumIdx)
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage =
+        EpochMsg(n, sum)
+      override def abort(): Unit = () // uncommitted counts vanish
+      override def close(): Unit = ()
+    }
+}
+
+/** STREAMING half of the counting sink — the DSv2 epoch-commit write
+  * protocol (`StreamingWrite`), the last rung of the connector ladder
+  * (VERDICT r12 #2; the batch rung is q351's `CountingBatchWrite`):
+  * per-task `DataWriter`s count/sum an epoch's rows and emit
+  * `EpochMsg`s; `commit(epochId, messages)` is the driver-side ATOMIC
+  * publish of that epoch, and `abort(epochId, ...)` publishes nothing.
+  * Exactly-once accounting across failures falls out of the ledger
+  * being keyed by epochId with replace-semantics: Spark re-runs a
+  * failed epoch under the SAME id from the checkpoint, so a retried
+  * epoch overwrites its own slot and can never double-count — the
+  * streaming twin of the batch proof, and the contract the reference's
+  * at-least-once retry loop (lambda_function.py:248-252) relies on its
+  * sink to provide. */
+private[graft] class CountingStreamingWrite(runId: String, sumIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    // top-level case class, NOT an anonymous inner class: the factory
+    // ships to executors and must not capture this (non-serializable)
+    // driver-side StreamingWrite
+    EpochWriterFactory(sumIdx)
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val ms = messages.map(_.asInstanceOf[EpochMsg])
+    CountingSink.publishEpoch(runId, epochId, ms.map(_.n).sum,
+      ms.map(_.sum).sum)
+  }
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = () // an aborted epoch must leave NO trace in the ledger
+}
 
 private[sources] class CountingBatchWrite(runId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** In-memory V2 `TableCatalog` whose tables support Spark's NATIVE
+  * row-level operation path (`SupportsRowLevelOperations` — VERDICT r12
+  * #4, the analogue for DML of what q457–q460 proved for the read and
+  * function surfaces): `DELETE FROM graftlake.ns.t WHERE ...` is planned
+  * by Spark's own `RewriteDeleteFromTable` rule into a group-based
+  * copy-on-write `ReplaceData` — the operation's scan reads the affected
+  * groups, Catalyst keeps the surviving rows (`NOT coalesce(cond,
+  * false)`), and the operation's write REPLACES the group atomically at
+  * driver-side commit. This table models the whole table as ONE group
+  * (the minimal correct copy-on-write target); a real lakehouse table
+  * partitions groups by file/partition and prunes them with runtime
+  * filtering, but the plan shape and the commit protocol are identical.
+  *
+  * Storage is driver-side metadata (rows ride `WriterCommitMessage`s,
+  * exactly like Spark's own in-memory test catalog) — the device that
+  * lets the protocol run end-to-end in one JVM; volumes stay test-scale
+  * by construction. Reference behavior modeled: the CDC/merge family
+  * (q63/q85) applies row-level mutations via foreachBatch; this catalog
+  * exercises the ENGINE-NATIVE path for the same semantics.
+  */
+class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = "graftlake"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    import scala.jdk.CollectionConverters._
+    RowStore.tables.keySet().asScala.toArray.map { k =>
+      val parts = k.split('.')
+      Identifier.of(parts.dropRight(1), parts.last)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    if (!RowStore.tables.containsKey(k)) throw new NoSuchTableException(ident)
+    new RowStoreTable(k)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val k = key(ident)
+    if (RowStore.tables.containsKey(k))
+      throw new TableAlreadyExistsException(ident)
+    RowStore.tables.put(k, RowStore.TableState(schema, Array.empty))
+    new RowStoreTable(k)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    RowStore.tables.remove(key(ident)) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // -- minimal namespace support so `graftlake.ns.t` resolves in SQL --
+  override def listNamespaces(): Array[Array[String]] = Array(Array("ns"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespace.sameElements(Array("ns"))) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = ()
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = false
+}
+
+/** Driver-side row store: table key → (schema, rows as catalyst values).
+  * Mutated ONLY at driver-side write commits — the v2 atomicity point. */
+object RowStore {
+  final case class TableState(schema: StructType, rows: Array[Array[Any]])
+  private[sources] val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, TableState]()
+  def rowCount(key: String): Long =
+    Option(tables.get(key)).map(_.rows.length.toLong).getOrElse(-1L)
+  def clear(): Unit = tables.clear()
+}
+
+private[sources] class RowStoreTable(key: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  private def state: RowStore.TableState = {
+    val s = RowStore.tables.get(key)
+    require(s != null, s"row-store table $key vanished")
+    s
+  }
+  override def name(): String = s"graft_row_store($key)"
+  override def schema(): StructType = state.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new RowStoreScan(state.schema, state.rows)
+
+  /** Plain table writes APPEND (the seeding path); TRUNCATE overwrites. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new RowStoreBatchWrite(key, state.schema, replace)
+      }
+    }
+
+  /** The row-level operation: group-based (no `SupportsDelta`), so
+    * Spark's rewrite plans `ReplaceData` — scan everything (one group),
+    * write back the survivors, commit replaces. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder =
+        () => new RowStoreScan(state.schema, state.rows)
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = {
+              if (sys.env.contains("GRAFT_RL_DEBUG"))
+                println(s"[rowlevel] write schema = ${winfo.schema()} " +
+                  s"table schema = ${state.schema}")
+              new RowStoreBatchWrite(key, state.schema, replaceAll = true)
+            }
+          }
+        }
+      override def description(): String = s"row_level_${info.command()}"
+    }
+}
+
+/** One input partition carrying a slice of the stored rows (catalyst
+  * values; UTF8String/Decimal are Externalizable, so the slice ships). */
+private[sources] case class RowSlice(rows: Array[Array[Any]])
+    extends InputPartition
+
+private[sources] class RowStoreScan(schema: StructType,
+    rows: Array[Array[Any]], slices: Int = 4) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1, (rows.length + slices - 1) / slices)
+    rows.grouped(per).map(RowSlice(_): InputPartition).toArray match {
+      case Array() => Array(RowSlice(Array.empty))
+      case a => a
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val data = p.asInstanceOf[RowSlice].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): InternalRow = new GenericInternalRow(data(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** Rows ride the commit message (the in-memory-table device): only
+  * COMMITTED tasks contribute, and the driver's `commit` applies the
+  * whole write ATOMICALLY — append for seeding, replace for
+  * truncate/ReplaceData. */
+private[sources] case class RowsMsg(rows: Array[Array[Any]])
+    extends WriterCommitMessage
+
+private[sources] class RowStoreBatchWrite(key: String, schema: StructType,
+    replaceAll: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = RowStoreWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.iterator
+      .flatMap(_.asInstanceOf[RowsMsg].rows).toArray
+    RowStore.tables.compute(key, (_, st) => {
+      require(st != null, s"row-store table $key dropped mid-write")
+      if (replaceAll) st.copy(rows = incoming)
+      else st.copy(rows = st.rows ++ incoming)
+    })
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class RowStoreWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val buf = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    private val types = schema.fields.map(_.dataType)
+    override def write(record: InternalRow): Unit = {
+      // Row-level (ReplaceData) writes may carry ONE extra leading
+      // column: the rewrite projects `<op> AS __row_operation` ahead of
+      // the data columns, and ReplaceDataExec.writingTask only strips it
+      // (via ReplaceDataProjections.rowProjection) when a METADATA
+      // projection is also present — with requiredMetadataAttributes
+      // empty it falls back to the plain DataWritingSparkTask and hands
+      // the writer the raw query row (verified against the 4.1.2
+      // bytecode). The data columns always sit at the TAIL in table
+      // order, so align by offset; anything else is a real bug.
+      val off = record.numFields - types.length
+      require(off == 0 || off == 1,
+        s"row-store writer got ${record.numFields} fields for " +
+          s"${types.length}-column schema")
+      // copy out of the (reused) UnsafeRow buffer field by field
+      val r = record.copy()
+      buf += types.indices.map(i => r.get(i + off, types(i))).toArray
+    }
+    override def commit(): WriterCommitMessage = RowsMsg(buf.toArray)
+    override def abort(): Unit = () // uncommitted rows vanish
+    override def close(): Unit = ()
+  }
+}

@@ -226,4 +226,39 @@ class StreamingSpec extends AnyFunSuite {
     val (_, total, n) = r.get
     assert(n == 3 && total == 3000L, r.toString)
   }
+
+  test("StreamingWrite epoch commits: retry is idempotent, abort leaves no trace") {
+    // the q462 contract, pinned at the protocol level (VERDICT r12 #2):
+    // Spark re-runs a failed micro-batch under the SAME epochId from the
+    // checkpoint, so a sink whose ledger ACCUMULATED on commit would
+    // double-count every retried epoch — replace-semantics is what makes
+    // the at-least-once retry loop exactly-once in the ledger.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val runId = "spec_epoch_protocol"
+    graft.sources.CountingSink.clearRun(runId)
+    val sw = new graft.sources.CountingStreamingWrite(runId, 0)
+    val factory = sw.createStreamingWriterFactory(null)
+    def epochMsgs(epoch: Long, ids: Seq[Long]) = {
+      val w = factory.createWriter(0, 0L, epoch)
+      ids.foreach(i => w.write(new GenericInternalRow(Array[Any](i))))
+      Array(w.commit())
+    }
+    // epoch 0 commits, then the SAME epoch is re-committed (the retry
+    // path — a task failure after a partial sink write)
+    val m0 = epochMsgs(0L, Seq(1L, 2L, 3L))
+    sw.commit(0L, m0)
+    sw.commit(0L, epochMsgs(0L, Seq(1L, 2L, 3L))) // replayed epoch
+    // epoch 1 ABORTS — uncommitted work must vanish entirely
+    sw.abort(1L, epochMsgs(1L, Seq(100L)))
+    // epoch 2 commits from two task writers — driver aggregates messages
+    val w2a = factory.createWriter(0, 0L, 2L)
+    w2a.write(new GenericInternalRow(Array[Any](10L)))
+    val w2b = factory.createWriter(1, 1L, 2L)
+    w2b.write(new GenericInternalRow(Array[Any](20L)))
+    w2b.write(new GenericInternalRow(Array[Any](30L)))
+    sw.commit(2L, Array(w2a.commit(), w2b.commit()))
+    val ledger = graft.sources.CountingSink.epochResults(runId)
+    assert(ledger == Map(0L -> ((3L, 6L)), 2L -> ((3L, 60L))),
+      s"epoch ledger: $ledger")
+  }
 }

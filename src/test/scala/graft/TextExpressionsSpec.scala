@@ -50,6 +50,17 @@ class TextExpressionsSpec extends AnyFunSuite {
       .collect()
     rows.foreach(r =>
       assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // NULL text (ADVICE r12): the wrapper must preserve the composed
+    // form's contract — when(size(toks) >= n, ...).otherwise(array())
+    // yields an EMPTY array for a null text row, never NULL, so Jaccard
+    // denominators at the 7 dedup call sites are unchanged by the fused
+    // expression swap.
+    val nullRow = Seq(Option.empty[String], Some("a b c")).toDF("text")
+      .select(shingleSet(tokens(col("text")), 2).as("fused"))
+      .collect()
+    assert(nullRow.forall(!_.isNullAt(0)),
+      "shingleSet(NULL tokens) must be [] (the composed-form contract)")
+    assert(nullRow.exists(_.getSeq[String](0).isEmpty))
   }
 
   test("char-gram hasher matches the composed transform/substr pipeline") {
