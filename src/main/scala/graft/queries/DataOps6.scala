@@ -321,8 +321,112 @@ object DataOps6 {
         .orderBy("o_orderstatus")
     })
 
+  /** NATIVE ROW-LEVEL UPDATE (the second DML rung): `UPDATE ... SET
+    * cents = cents + 100 WHERE segment = 'BUILDING'` rewrites to the
+    * same group-based `ReplaceData` as q463 — Catalyst turns the SET
+    * into per-column `if(cond, new, old)` projections over the
+    * operation's scan and the write replaces the group. The oracle
+    * replays the conditional arithmetic. Exact integer cents (acctbal
+    * can be negative; decimal-cast → long is engine-identical). */
+  val q464_rowlevel_update = Q(
+    "q464_rowlevel_update",
+    Some("""WITH t AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM customer),
+           |u AS (
+           |  SELECT c_mktsegment,
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN cents + 100
+           |         ELSE cents END AS cents
+           |  FROM t)
+           |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q464_customer"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment STRING, " +
+        "cents BIGINT)")
+      graft.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()
+      s.sql(s"UPDATE $tbl SET cents = cents + 100 " +
+        "WHERE c_mktsegment = 'BUILDING'")
+      s.table(tbl)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    })
+
+  /** NATIVE MERGE INTO (the CDC workhorse, engine-native): target =
+    * even-keyed customers, source = per-customer order-cents totals for
+    * div-3 keys (grouped, so MERGE's cardinality contract holds);
+    * `WHEN MATCHED UPDATE` adds the total, `WHEN NOT MATCHED INSERT`
+    * lands the unmatched source keys as 'NEW' rows. Spark's
+    * `RewriteMergeIntoTable` plans the group-based form: a FULL OUTER
+    * join target×source feeding `MergeRows`, whose output replaces the
+    * group through the SAME ReplaceData write as q463/q464 (RowLevelSpec
+    * pins MergeRows + ReplaceData; the runtime group-filter subquery
+    * prunes unmatched groups on sources that support it). Oracle =
+    * LEFT JOIN + anti-union replay. This is q63/q85's foreachBatch CDC
+    * upsert moved onto the engine-native DML path. */
+  val q465_rowlevel_merge = Q(
+    "q465_rowlevel_merge",
+    Some("""WITH tgt AS (
+           |  SELECT c_custkey AS k, c_mktsegment AS seg,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM customer WHERE c_custkey % 2 = 0),
+           |src AS (
+           |  SELECT o_custkey AS k,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS total
+           |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey),
+           |merged AS (
+           |  SELECT t.seg, t.cents + COALESCE(s.total, 0) AS cents
+           |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+           |  UNION ALL
+           |  SELECT 'NEW', s.total FROM src s
+           |  WHERE s.k NOT IN (SELECT k FROM tgt))
+           |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM merged GROUP BY seg ORDER BY seg""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q465_target"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT)")
+      graft.Tables.customer(s, d)
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()
+      graft.Tables.orders(s, d)
+        .filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey").cast("long").as("k"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).cast("long").as("total"))
+        .createOrReplaceTempView("q465_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING q465_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.total
+           |WHEN NOT MATCHED THEN INSERT (k, seg, cents)
+           |  VALUES (s.k, 'NEW', s.total)""".stripMargin)
+      s.table(tbl)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .orderBy("seg")
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
     q459_v2_function_catalog, q460_v2_aggregate_function,
-    q463_rowlevel_delete)
+    q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge)
 }

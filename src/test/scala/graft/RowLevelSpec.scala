@@ -36,6 +36,38 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("UPDATE and MERGE plan through ReplaceData (group-based rewrites)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_rl_dml"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT)")
+    Seq((1L, "A", 100L), (2L, "B", 200L), (3L, "A", 300L))
+      .toDF("k", "seg", "cents").writeTo(tbl).append()
+
+    val up = spark.sql(s"UPDATE $tbl SET cents = cents + 1 WHERE seg = 'A'")
+    assert(up.queryExecution.optimizedPlan.toString.contains("ReplaceData"),
+      "UPDATE did not rewrite to ReplaceData")
+    assert(spark.table(tbl).agg(sum("cents")).head.getLong(0) == 602L)
+
+    Seq((2L, 50L), (9L, 900L)).toDF("k", "delta")
+      .createOrReplaceTempView("spec_rl_dml_src")
+    val mg = spark.sql(
+      s"""MERGE INTO $tbl t USING spec_rl_dml_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta
+         |WHEN NOT MATCHED THEN INSERT (k, seg, cents)
+         |  VALUES (s.k, 'N', s.delta)""".stripMargin)
+    val mplan = mg.queryExecution.optimizedPlan.toString
+    // the group-based MERGE shape: MergeRows over the full-outer join,
+    // replaced through the same ReplaceData write as DELETE/UPDATE
+    assert(mplan.contains("ReplaceData") && mplan.contains("MergeRows"),
+      s"MERGE did not plan MergeRows+ReplaceData:\n$mplan")
+    val rows = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "A", 101L), (2L, "B", 250L),
+      (3L, "A", 301L), (9L, "N", 900L)), rows.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
     val tbl = "graftlake.ns.spec_rl_null"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
