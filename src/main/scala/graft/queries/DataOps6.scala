@@ -425,8 +425,60 @@ object DataOps6 {
         .orderBy("seg")
     })
 
+  /** DELTA-BASED (merge-on-read) row-level DML — `SupportsDelta`, the
+    * OTHER row-level mode beside q463–q465's group-based copy-on-write:
+    * the same SQL DELETE/UPDATE now plans `WriteDelta`, whose scan reads
+    * ONLY the matching rows (the plan carries the POSITIVE condition —
+    * copy-on-write scans everything and keeps NOT(cond)) and emits
+    * per-row deltas (op, rowId[, row]) into the writer's typed
+    * delete/update/insert hooks; the driver applies all deltas in one
+    * atomic commit. Cheap writes + read-side merge vs cheap reads +
+    * group rewrites — exposing both modes is the lakehouse trade-off a
+    * 100 TB mutation workload actually tunes. RowLevelSpec pins the
+    * WriteDelta plan and the positive-filter shape. Oracle replays
+    * delete-then-update arithmetic over part. */
+  val q466_rowlevel_delta = Q(
+    "q466_rowlevel_delta",
+    Some("""WITH t AS (
+           |  SELECT p_partkey, p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part),
+           |afterdel AS (
+           |  SELECT * FROM t
+           |  WHERE NOT (p_brand = 'Brand#33' AND p_partkey % 2 = 1)),
+           |afterup AS (
+           |  SELECT p_brand,
+           |    CASE WHEN p_brand = 'Brand#13' THEN cents + 7
+           |         ELSE cents END AS cents
+           |  FROM afterdel)
+           |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM afterup GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q466_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.mode'='delta')")
+      graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()
+      s.sql(s"DELETE FROM $tbl " +
+        "WHERE p_brand = 'Brand#33' AND p_partkey % 2 = 1")
+      s.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE p_brand = 'Brand#13'")
+      s.table(tbl)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .orderBy("p_brand")
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
     q459_v2_function_catalog, q460_v2_aggregate_function,
-    q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge)
+    q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge,
+    q466_rowlevel_delta)
 }

@@ -51,8 +51,9 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
-    if (!RowStore.tables.containsKey(k)) throw new NoSuchTableException(ident)
-    new RowStoreTable(k)
+    val st = RowStore.tables.get(k)
+    if (st == null) throw new NoSuchTableException(ident)
+    if (st.delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -61,8 +62,21 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
     val k = key(ident)
     if (RowStore.tables.containsKey(k))
       throw new TableAlreadyExistsException(ident)
-    RowStore.tables.put(k, RowStore.TableState(schema, Array.empty))
-    new RowStoreTable(k)
+    // TBLPROPERTIES('graft.mode'='delta') selects the MERGE-ON-READ
+    // row-level mode (SupportsDelta/WriteDelta); default is group-based
+    // copy-on-write (ReplaceData). A delta table's row id is its FIRST
+    // column, and Spark's delta rewrite rejects nullable row ids — so
+    // the key column is declared non-null here (ANSI store assignment
+    // inserts the runtime null check on writes).
+    val delta = "delta".equalsIgnoreCase(properties.get("graft.mode"))
+    val st =
+      if (!delta) schema
+      else StructType(schema.fields.zipWithIndex.map {
+        case (f, 0) => f.copy(nullable = false)
+        case (f, _) => f
+      })
+    RowStore.tables.put(k, RowStore.TableState(st, Array.empty, delta))
+    if (delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
   }
 
   override def alterTable(ident: Identifier,
@@ -95,7 +109,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
 /** Driver-side row store: table key → (schema, rows as catalyst values).
   * Mutated ONLY at driver-side write commits — the v2 atomicity point. */
 object RowStore {
-  final case class TableState(schema: StructType, rows: Array[Array[Any]])
+  final case class TableState(schema: StructType, rows: Array[Array[Any]],
+      delta: Boolean = false)
   private[sources] val tables =
     new java.util.concurrent.ConcurrentHashMap[String, TableState]()
   def rowCount(key: String): Long =
@@ -153,6 +168,122 @@ private[sources] class RowStoreTable(key: String) extends Table
         }
       override def description(): String = s"row_level_${info.command()}"
     }
+}
+
+/** MERGE-ON-READ variant (`SupportsDelta` — the OTHER row-level mode;
+  * the default `RowStoreTable` is group-based copy-on-write): instead of
+  * rewriting whole groups, the operation emits per-row DELTAS — Spark's
+  * delta rewrite plans `WriteDelta`, projects each row into (operation,
+  * rowId [, metadata] [, data]) and calls the writer's typed
+  * `delete(meta, id)` / `update(meta, id, row)` / `insert(row)` hooks.
+  * The row id here is the table's FIRST column (the key); a lake format
+  * uses (_file, _pos) metadata instead, but the protocol — deltas ride
+  * commit messages, the driver applies them atomically — is identical.
+  * Copy-on-write rewrites groups (cheap reads, expensive writes);
+  * merge-on-read logs deltas (cheap writes, read-side merge) — exposing
+  * BOTH modes from one catalog is exactly the lakehouse trade-off. */
+private[sources] class DeltaRowStoreTable(key: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  private def state: RowStore.TableState = {
+    val s = RowStore.tables.get(key)
+    require(s != null, s"row-store table $key vanished")
+    s
+  }
+  override def name(): String = s"graft_row_store_delta($key)"
+  override def schema(): StructType = state.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new RowStoreScan(state.schema, state.rows)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new RowStoreBatchWrite(key, state.schema, replace)
+      }
+    }
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation with SupportsDelta {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder =
+        () => new RowStoreScan(state.schema, state.rows)
+      // the row id is the key column — resolved against the relation
+      // output by Spark's delta rewrite
+      override def rowId()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(state.schema.fields.head.name))
+      override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
+        new DeltaWriteBuilder {
+          override def build(): DeltaWrite = new DeltaWrite {
+            override def toBatch: DeltaBatchWrite =
+              new DeltaRowStoreBatchWrite(key, state.schema)
+          }
+        }
+      override def description(): String = s"row_level_delta_${info.command()}"
+    }
+}
+
+/** Per-task delta ledger: deleted keys, key → replacement row, inserts.
+  * Only COMMITTED tasks contribute; the driver applies all three delta
+  * kinds in one atomic `commit` — delete/update by key, then append. */
+private[sources] case class DeltaMsg(deletes: Array[Any],
+    updates: Array[(Any, Array[Any])], inserts: Array[Array[Any]])
+    extends WriterCommitMessage
+
+private[sources] class DeltaRowStoreBatchWrite(key: String,
+    schema: StructType) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = DeltaRowStoreWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.map(_.asInstanceOf[DeltaMsg])
+    val dels = ms.iterator.flatMap(_.deletes).toSet
+    val ups = ms.iterator.flatMap(_.updates).toMap
+    val ins = ms.iterator.flatMap(_.inserts).toArray
+    RowStore.tables.compute(key, (_, st) => {
+      require(st != null, s"row-store table $key dropped mid-write")
+      val kept = st.rows.flatMap { r =>
+        val k0 = r(0)
+        if (dels.contains(k0)) None
+        else ups.get(k0).orElse(Some(r))
+      }
+      st.copy(rows = kept ++ ins)
+    })
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class DeltaRowStoreWriterFactory(schema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+    private val types = schema.fields.map(_.dataType)
+    private val keyType = types.head
+    private val dels = scala.collection.mutable.ArrayBuffer[Any]()
+    private val ups = scala.collection.mutable.ArrayBuffer[(Any, Array[Any])]()
+    private val ins = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    // projected rows wrap a REUSED buffer — copy before extracting
+    private def vals(row: InternalRow): Array[Any] = {
+      val r = row.copy()
+      types.indices.map(i => r.get(i, types(i))).toArray
+    }
+    override def delete(meta: InternalRow, id: InternalRow): Unit =
+      dels += id.copy().get(0, keyType)
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit =
+      ups += ((id.copy().get(0, keyType), vals(row)))
+    override def insert(row: InternalRow): Unit = ins += vals(row)
+    override def commit(): WriterCommitMessage =
+      DeltaMsg(dels.toArray, ups.toArray, ins.toArray)
+    override def abort(): Unit = () // uncommitted deltas vanish
+    override def close(): Unit = ()
+  }
 }
 
 /** One input partition carrying a slice of the stored rows (catalyst

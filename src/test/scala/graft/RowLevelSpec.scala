@@ -68,6 +68,36 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("delta mode: DELETE/UPDATE plan WriteDelta with a positive-condition scan") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_rl_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT) " +
+      "TBLPROPERTIES('graft.mode'='delta')")
+    Seq((1L, "A", 100L), (2L, "B", 200L), (3L, "A", 300L), (4L, "B", 400L))
+      .toDF("k", "seg", "cents").writeTo(tbl).append()
+
+    val de = spark.sql(s"DELETE FROM $tbl WHERE seg = 'A' AND k > 1")
+    val dplan = de.queryExecution.optimizedPlan.toString
+    // merge-on-read signature: WriteDelta (not ReplaceData), and the
+    // scan keeps the POSITIVE condition — only matching rows are read
+    // and only (op, rowId) is emitted. Copy-on-write reads everything
+    // and keeps NOT(cond); this is the whole point of the mode.
+    assert(dplan.contains("WriteDelta") && !dplan.contains("ReplaceData"),
+      s"delta DELETE did not plan WriteDelta:\n$dplan")
+    assert(dplan.contains("Filter ((seg") && !dplan.contains("Filter NOT"),
+      s"delta DELETE scan is not positively filtered:\n$dplan")
+
+    val up = spark.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE seg = 'B'")
+    assert(up.queryExecution.optimizedPlan.toString.contains("WriteDelta"))
+
+    val rows = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "A", 100L), (2L, "B", 209L),
+      (4L, "B", 409L)), rows.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
     val tbl = "graftlake.ns.spec_rl_null"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
