@@ -22,6 +22,68 @@ private[functions] trait Md5Holder {
   protected def md5Instance: MessageDigest = local.get()
 }
 
+/** Native twin of `TextFunctions.hexSpanValSql` — the unsigned value of
+  * hex digits [from, from+len) of a (md5) hex string as a place-value
+  * sum. The SQL macro expands to `len` separate `instr∘substr` string
+  * expressions PER ROW (13 for the standard 13-digit span — the repo's
+  * deterministic bucketing/split primitive), which is the per-row tax on
+  * every hash-heavy entry; this expression walks the span once, fully
+  * inside whole-stage codegen (a static call, no CodegenFallback).
+  *
+  * Bit-exact contract (property-asserted in TextExpressionsSpec against
+  * the macro on md5 output AND edge strings): per digit,
+  * `instr('0123456789abcdef', substr(h, pos, 1)) - 1` — a hex char maps
+  * to its value, a NON-hex char to -1 (indexOf miss → 0 − 1), and an
+  * out-of-range position to 0 (substr yields '' and indexOf('') = 0 →
+  * instr = 1). The oracle keeps the SQL macro; only Spark-side call
+  * sites swap in the native form. */
+case class HexSpanVal(child: Expression, from: Int, len: Int)
+    extends UnaryExpression {
+  require(from >= 0 && len >= 1 && len <= 15,
+    s"hex span must be 0-based start >= 0 and 1..15 digits, got ($from, $len)")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HexSpanVal.compute(input.asInstanceOf[UTF8String], from, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HexSpanVal$$.MODULE$$.compute($c, $from, $len)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hex_span_val"
+}
+
+object HexSpanVal {
+  def compute(s: UTF8String, from: Int, len: Int): Long = {
+    val nChars = s.numChars()
+    // md5 hex is ASCII (byte index == char index); fall back to the
+    // string path for exotic inputs so char positions stay substr-exact
+    val ascii = s.numBytes() == nChars
+    val str = if (ascii) null else s.toString
+    var acc = 0L
+    var j = 0
+    while (j < len) {
+      val pos = from + j
+      val d =
+        if (pos >= nChars) 0L // substr past the end: '' → instr = 1 → 0
+        else {
+          val c = if (ascii) s.getByte(pos).toChar else str.charAt(pos)
+          if (c >= '0' && c <= '9') (c - '0').toLong
+          else if (c >= 'a' && c <= 'f') (c - 'a' + 10).toLong
+          else -1L // non-hex digit: indexOf miss → instr = 0 → -1
+        }
+      acc += d << (4 * (len - 1 - j))
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Fused shingle hasher for the MinHash/LSH pipeline: tokens → word
   * n-gram shingles → distinct (first-occurrence order) → lowercase-hex
   * md5 per shingle, in ONE pass with one reused digest and no

@@ -176,6 +176,14 @@ object TextFunctions {
   def simhashContribSql(hashExpr: String, j: Int): String =
     s"(2 * ${simhashBitSql(hashExpr, j)} - 1)"
 
+  /** Native Column form of [[hexSpanValSql]] (see HexSpanVal): one
+    * codegen'd span walk instead of `len` instr∘substr expressions.
+    * Spark-side only — oracles keep the portable SQL macro. */
+  def hexSpanVal(hash: Column, from: Int, len: Int): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(HexSpanVal(b.expression(hash), from, len))
+  }
+
   /** Value (0–15) of md5 hex digit `pos` (1-based) — shared SQL. */
   def hexDigitValSql(hashExpr: String, pos: Int): String =
     s"(instr('0123456789abcdef', substr($hashExpr, $pos, 1)) - 1)"

@@ -72,7 +72,11 @@ object DataOps3 {
       val v = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("h", md5(col("tok")))
-        .withColumn("bucket", expr(s"${hexSpanValSql("h", 0, 8)} % $HashDim"))
+        // native span walk (HexSpanVal) — this runs PER TOKEN, the
+        // hottest span site in the repo after q278
+        .withColumn("bucket",
+          graft.functions.TextFunctions.hexSpanVal(col("h"), 0, 8)
+            % HashDim)
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       val nrm = v.groupBy("doc_id")
         .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))

@@ -332,8 +332,13 @@ object GovOps {
           dig(qa).as("__dga"),
           when(col("l_orderkey") % 1000 === 7, dig(qb)).as("__dgbC"))
         .select(col("l_orderkey"), col("l_linenumber"), col("bucket"),
-          expr(hexSpanValSql("__dga", 0, 13)).as("v_a"),
-          expr(hexSpanValSql("coalesce(__dgbC, __dga)", 0, 13)).as("v_b")))
+          // native span walk (HexSpanVal, macro-parity-tested): the SQL
+          // macro costs 13 instr∘substr exprs per span per row — 26/row
+          // here, the entry's second-largest term after the md5 itself
+          graft.functions.TextFunctions.hexSpanVal(col("__dga"), 0, 13)
+            .as("v_a"),
+          graft.functions.TextFunctions.hexSpanVal(
+            coalesce(col("__dgbC"), col("__dga")), 0, 13).as("v_b")))
       // one bucket agg carries BOTH checksums; disagreement is a filter,
       // not a join
       val cks = both.groupBy("bucket")

@@ -112,7 +112,8 @@ object LinkOps {
         col("c_mktsegment").as("seg"))
       val b = a
         .withColumn("__h", md5(col("ck").cast("string")))
-        .withColumn("sel", expr(hexSpanValSql("__h", 0, 1)) % 4)
+        .withColumn("sel",
+          graft.functions.TextFunctions.hexSpanVal(col("__h"), 0, 1) % 4)
         .select(col("ck"), col("nk"),
           when(col("sel") === 0, concat(col("nm"), lit("~")))
             .otherwise(col("nm")).as("nm"),
@@ -322,7 +323,8 @@ object LinkOps {
         col("c_mktsegment").as("seg"))
       val b = a
         .withColumn("__h", md5(col("ck").cast("string")))
-        .withColumn("sel", expr(hexSpanValSql("__h", 0, 1)) % 4)
+        .withColumn("sel",
+          graft.functions.TextFunctions.hexSpanVal(col("__h"), 0, 1) % 4)
         .select(col("ck"), col("nk"),
           when(col("sel") === 0, concat(col("nm"), lit("~")))
             .otherwise(col("nm")).as("nm"),

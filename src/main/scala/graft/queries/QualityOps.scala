@@ -445,7 +445,8 @@ object QualityOps {
     * token and model frames (each feeds two+ aggregations). */
   private def nbScores(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.hexSpanValSql
-      val fold = expr(s"${hexSpanValSql("__h", 0, 2)} % 5")
+      val fold = graft.functions.TextFunctions.hexSpanVal(
+        org.apache.spark.sql.functions.col("__h"), 0, 2) % 5
       val docs = Tables.documents(s, d)
         .withColumn("__h", md5(col("doc_id").cast("string")))
       val tok = graft.operators.PlanCache.persist(docs

@@ -716,8 +716,8 @@ object StreamQ {
             // k rows of per-batch state: the local bottom-32 priorities
             b.withColumn("__h", md5(col("event_id").cast("string")))
               .select(col("event_id"),
-                expr(hexSpanValSql("__h", 0, 13)).cast("long")
-                  .as("priority"))
+                graft.functions.TextFunctions.hexSpanVal(col("__h"), 0, 13)
+                  .cast("long").as("priority"))
               .orderBy(col("priority"), col("event_id")).limit(32)
               .write.mode("append").parquet(candDir)
             ()

@@ -635,7 +635,8 @@ object TextOps10 {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           coalesce(col("csize"), lit(1L)).as("csize"))
         .withColumn("__uh", md5(col("doc_id").cast("string")))
-      val u = expr(s"(${hexSpanValSql("__uh", 0, 13)} + 1) / CAST(4503599627370497 AS DOUBLE)")
+      val u = (graft.functions.TextFunctions.hexSpanVal(col("__uh"), 0, 13)
+        + 1) / 4503599627370497.0
       base.select(col("doc_id"), col("cluster_id"), col("csize"),
           round(-log(u) * col("csize"), 9).as("draw_key"))
         .orderBy(col("draw_key"), col("doc_id"))

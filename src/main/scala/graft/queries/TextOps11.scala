@@ -128,8 +128,8 @@ object TextOps11 {
               |ORDER BY split_a, split_b""".stripMargin)
     },
     (s, d) => {
-      import TextFunctions.{hexSpanValSql, md5Shingles, tokens}
-      val f = expr(s"${hexSpanValSql("__h", 0, 2)} % 10")
+      import TextFunctions.{md5Shingles, tokens}
+      val f = TextFunctions.hexSpanVal(col("__h"), 0, 2) % 10
       val sp = when(f < 8, "train").when(f === 8, "val").otherwise("test")
       // persisted: the distinct (split, shingle) table feeds the size
       // agg and both sides of the containment self-join

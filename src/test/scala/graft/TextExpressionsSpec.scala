@@ -63,6 +63,28 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(nullRow.exists(_.getSeq[String](0).isEmpty))
   }
 
+  test("HexSpanVal matches the hexSpanValSql macro bit-for-bit") {
+    import graft.functions.TextFunctions.{hexSpanVal, hexSpanValSql}
+    // real md5 strings over documents, several spans incl. the standard
+    // 13-digit bucketing span
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(col("text")).as("h"))
+    for ((f, l) <- Seq((0, 13), (0, 5), (7, 8), (17, 15), (31, 1))) {
+      val bad = docs.select(hexSpanVal(col("h"), f, l).as("nat"),
+        expr(hexSpanValSql("h", f, l)).as("mac"))
+        .filter(col("nat") =!= col("mac")).count()
+      assert(bad == 0, s"span ($f,$l)")
+    }
+    // edge strings: short, empty, non-hex, uppercase, multibyte — the
+    // native form must reproduce the macro's instr/substr semantics
+    import spark.implicits._
+    val edge = Seq("", "a", "0f", "XYZ!", "ABCDEF0123456789",
+      "é0aé", "deadbeef").toDF("h")
+    val rows = edge.select(col("h"), hexSpanVal(col("h"), 1, 4).as("nat"),
+      expr(hexSpanValSql("h", 1, 4)).as("mac")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
   test("char-gram hasher matches the composed transform/substr pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (k <- Seq(1, 5, 9)) {
