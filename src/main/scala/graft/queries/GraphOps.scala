@@ -241,9 +241,23 @@ object GraphOps {
       }
       var cur = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node"))).distinct()
-      (1 to CoreRounds).foreach { _ =>
+      // fixpoint EARLY-EXIT (the q461 device): peeling is monotone
+      // decreasing, so a round that removes no node is a fixpoint and
+      // every later round is the identity — the oracle's fixed R rounds
+      // produce the same survivor set (at sf0.01 K=2 converges in 3 of
+      // 8). The size check is a near-free count on the just-checkpointed
+      // frame; round 1's input size is unknown (un-materialized
+      // distinct), so comparison starts at round 2.
+      var prevN = -1L
+      var round = 0
+      var converged = false
+      while (round < CoreRounds && !converged) {
         cur = degreesWithin(cur).filter(col("deg") >= CoreK)
           .select("node").localCheckpoint(true)
+        val n = cur.count()
+        converged = n == prevN || n == 0
+        prevN = n
+        round += 1
       }
       degreesWithin(cur)
         .select(col("node").as("user_id"), col("deg").as("core_deg"))
