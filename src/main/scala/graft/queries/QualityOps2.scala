@@ -145,9 +145,8 @@ object QualityOps2 {
       val vocab = tok.agg(count_distinct(col("term")).as("v"))
       // scan-side bigram formation: zip the token array with its tail
       val bg = withTs.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 1), " +
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .select(col("doc_id"), explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2))
           .as("big"))
       val bgc = bg.groupBy("big").agg(count(lit(1)).as("fb"))
       val ctx = bgc.groupBy(split(col("big"), " ")(0).as("w1"))

@@ -154,10 +154,8 @@ object TextOps12 {
     (s, d) => {
       val tc = Tables.documents(s, d)
         .select(split(col("text"), " ").as("ts"))
-        .select(explode(expr(
-          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
-            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
-            " ELSE array() END")).as("w"))
+        .select(explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("r"))
       val ff = graft.operators.PlanCache.persist(
         tc.groupBy("r").agg(count(lit(1)).as("s")))
@@ -316,10 +314,8 @@ object TextOps12 {
         split(col("text"), " ").as("ts"))
       val tot = dd.agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_en"))
       val pres = dd
-        .select(col("doc_id"), col("y"), explode(expr(
-          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
-            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
-            " ELSE array() END")).as("w"))
+        .select(col("doc_id"), col("y"), explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2)).as("w"))
         .distinct()
       val cell = pres.groupBy("w")
         .agg(sum("y").cast("long").as("a"),
@@ -509,10 +505,8 @@ object TextOps12 {
         (col("doc_id") % 5 === 4).as("held"),
         split(col("text"), " ").as("ts"))
       val tf = graft.operators.PlanCache.persist(dd
-        .select(col("doc_id"), col("lang"), col("held"), explode(expr(
-          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
-            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
-            " ELSE array() END")).as("w"))
+        .select(col("doc_id"), col("lang"), col("held"), explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2)).as("w"))
         .groupBy("doc_id", "lang", "held", "w")
         .agg(count(lit(1)).as("tf")))
       val ntr = dd.filter(!col("held")).agg(count(lit(1)).as("n"))

@@ -296,10 +296,8 @@ object TextOps8 {
         .agg(count(lit(1)).as("uni_total"),
           countDistinct(col("w")).as("uni_distinct"))
       val big = toks
-        .select(col("source"), explode(expr(
-          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1)," +
-            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))" +
-            " ELSE array() END")).as("g"))
+        .select(col("source"), explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2)).as("g"))
         .groupBy("source")
         .agg(count(lit(1)).as("bi_total"),
           countDistinct(col("g")).as("bi_distinct"))

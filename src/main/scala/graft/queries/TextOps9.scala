@@ -70,9 +70,8 @@ object TextOps9 {
       val withTs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
       val bg = withTs.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(1, size(ts) - 1), " +
-            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .select(col("doc_id"), col("source"), explode(
+          graft.functions.TextFunctions.shingles(col("ts"), 2))
           .as("big"))
       val bgc = graft.operators.PlanCache.persist(
         bg.groupBy("big").agg(count(lit(1)).as("fb")))
