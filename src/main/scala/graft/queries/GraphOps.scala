@@ -161,20 +161,35 @@ object GraphOps {
 
   /** Spark twin of [[cooccurSqlPrefix]]: the deduped, hub-capped edge
     * set, localCheckpointed because every caller reuses it across
-    * several joins. */
+    * several joins.
+    *
+    * r13 shape: the bucket self-join became a capped collect_list +
+    * scan-side pair expansion — ONE (w,t) shuffle builds each bucket's
+    * sorted user list and the i<j pairs unfold in the projection, where
+    * the self-join shuffled bk twice and probed a join. SAFETY ORDER
+    * MATTERS: the ≤[[CoreBucketCap]] count filter runs BEFORE any list
+    * is collected (count-grid semi join, broadcastable), so a hot bucket
+    * can never materialize an unbounded array — the same reason the old
+    * form filtered before self-joining. Same pair set: users are unique
+    * within a bucket (b is distinct) and the list is sorted, so j>i ⟺
+    * a<b. */
   private def cooccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val b = Tables.events(s, d)
       .select(col("user_id").as("u"),
         expr("ts div 60000000000").as("w"), col("event_type").as("t"))
       .distinct()
-    val bk = b.join(
-      b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= CoreBucketCap).select("w", "t"),
-      Seq("w", "t"), "left_semi")
-    bk.toDF("w", "t", "a").join(bk.toDF("w", "t", "b"), Seq("w", "t"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val keep = b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= CoreBucketCap).select("w", "t")
+    val bk = b.join(broadcast(keep), Seq("w", "t"), "left_semi")
+    bk.groupBy("w", "t")
+      .agg(sort_array(collect_list(col("u"))).as("us"))
+      .select(explode(expr(
+        """flatten(transform(us, (x, i) ->
+          |  transform(slice(us, i + 2, size(us)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
       .localCheckpoint(true)
   }
 

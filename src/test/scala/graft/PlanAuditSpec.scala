@@ -27,6 +27,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), p)
   }
 
+  test("q278/q110: hex spans ride the native HexSpanVal, not instr-per-digit") {
+    // the r13 swap: the SQL macro costs `len` instr(substr(...)) string
+    // expressions per span per row (26/row on q278, one per exploded
+    // token on q110) — the native form must survive refactors
+    for (name <- Seq("q278_merkle_diff", "q110_sparse_cosine")) {
+      val p = plan(name)
+      assert(p.contains("hex_span_val"), s"$name lost the native span:\n$p")
+      assert(!p.contains("instr("),
+        s"$name re-grew instr-per-digit span extraction:\n$p")
+    }
+  }
+
   test("q04/q05: dimension joins broadcast; the fact side never shuffles for them") {
     assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
     assert(plan("q05_join_multi").contains("BroadcastHashJoin"))
