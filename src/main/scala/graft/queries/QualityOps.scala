@@ -550,22 +550,30 @@ object QualityOps {
               |FROM bins CROSS JOIN gl CROSS JOIN es
               |ORDER BY bin""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val sc = graft.operators.PlanCache.persist(nbScores(s, d))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("lang"))
-      val pred = sc.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // per-doc candidate set is BOUNDED (≤ |langs|), so the whole
+      // argmax + softmax tail folds into ONE doc-keyed agg + scan-side
+      // array math — the previous window + max-agg + join + sum-agg
+      // chain cost four jobs over the same 13-per-doc rows (r13 fuse;
+      // sums stay exact decimal, identical values in any order, and the
+      // comparator mirrors the window's (score DESC, lang ASC) exactly)
+      val per = sc.groupBy("doc_id")
+        .agg(collect_list(struct(col("score"), col("lang"),
+          col("true_lang"))).as("cs"))
+        .select(col("doc_id"), expr(
+          """array_sort(cs, (l, r) ->
+            |  CASE WHEN l.score > r.score THEN -1
+            |       WHEN l.score < r.score THEN 1
+            |       WHEN l.lang < r.lang THEN -1
+            |       WHEN l.lang > r.lang THEN 1 ELSE 0 END)"""
+            .stripMargin).as("cs"))
         .select(col("doc_id"),
-          when(col("lang") === col("true_lang"), 1).otherwise(0)
-            .as("correct"))
-      val mx = sc.groupBy("doc_id").agg(max("score").as("smax"))
-      val rel = sc.join(mx, "doc_id")
-        .select(col("doc_id"),
-          round(exp((col("score") - col("smax")).cast("double")), 8)
-            .cast("decimal(20,8)").as("r"))
-      val rs = rel.groupBy("doc_id").agg(sum("r").as("rsum"))
-      val per = pred.join(rs, "doc_id")
+          when(expr("cs[0].lang") === expr("cs[0].true_lang"), 1)
+            .otherwise(0).as("correct"),
+          expr("""aggregate(cs, CAST(0 AS DECIMAL(20,8)), (acc, x) ->
+                 |  CAST(acc + CAST(round(exp(CAST(x.score - cs[0].score
+                 |    AS DOUBLE)), 8) AS DECIMAL(20,8)) AS DECIMAL(20,8)))"""
+            .stripMargin).as("rsum"))
         .select(col("doc_id"), col("correct"),
           round(lit(1.0) / col("rsum").cast("double"), 6)
             .cast("decimal(10,6)").as("conf"))
