@@ -948,11 +948,58 @@ object StreamQ {
         .toDF("epoch_id", "n", "sum_id")
     })
 
+  /** UPDATE-MODE streaming aggregation → KEYED UPSERT StreamingWrite
+    * (the engine-native streaming-CDC-apply): the v2 gendocs stream
+    * aggregates per bucket, `outputMode("update")` emits each epoch's
+    * CHANGED per-key rows, and `.toTable("graftlake...")` lands them in
+    * the catalog row store through the upsert `StreamingWrite` — one
+    * atomic keyed upsert per epoch, idempotent across epoch replays via
+    * the applied-epoch ledger (RowLevelSpec pins the guard). The final
+    * table state must equal the full batch aggregation in closed form —
+    * intermediate epochs' partial totals were OVERWRITTEN by later
+    * upserts, so a stale/dropped/duplicated epoch breaks the sums.
+    * q63/q85 apply CDC via foreachBatch; this is the same contract on
+    * the native connector path (update mode accepted because the sink's
+    * WriteBuilder declares SupportsStreamingUpdateAsAppend — the Kafka
+    * sink's device).
+    *
+    * Scale shape: epoch payloads are one row per CHANGED key (the
+    * 97-bucket grid), never raw rows; store mutation is driver-side
+    * metadata, exactly the manifest-swap a lake upsert sink commits. */
+  val q467_stream_upsert = Q(
+    "q467_stream_upsert",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 29999)) AS id)
+           |SELECT id % 97 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(id) AS BIGINT) AS sum_id
+           |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q467_totals"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (bucket BIGINT, n BIGINT, sum_id BIGINT)")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_upsert_").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "30000").option("batchRows", "7500")
+          .option("slices", "4").load()
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum("id").cast("long").as("sum_id"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .toTable(tbl)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(tbl).orderBy("bucket")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
     q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
     q448_stream_bottomk, q454_stream_gendocs_replay,
     q455_stream_resume_growth, q456_stream_v2_watermark,
-    q462_stream_v2_sink)
+    q462_stream_v2_sink, q467_stream_upsert)
 }

@@ -83,8 +83,10 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    RowStore.clearEpochs(key(ident)) // a re-created table starts fresh
     RowStore.tables.remove(key(ident)) != null
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
@@ -115,7 +117,19 @@ object RowStore {
     new java.util.concurrent.ConcurrentHashMap[String, TableState]()
   def rowCount(key: String): Long =
     Option(tables.get(key)).map(_.rows.length.toLong).getOrElse(-1L)
-  def clear(): Unit = tables.clear()
+
+  /** Applied-epoch ledger for the streaming upsert (idempotence guard):
+    * returns true iff (table, epoch) was NOT yet applied and marks it. */
+  private val appliedEpochs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+  private[sources] def markEpochApplied(key: String, epochId: Long): Boolean =
+    appliedEpochs.add((key, epochId))
+  def clearEpochs(key: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    appliedEpochs.asScala.filter(_._1 == key)
+      .foreach(appliedEpochs.remove)
+  }
+  def clear(): Unit = { tables.clear(); appliedEpochs.clear() }
 }
 
 private[sources] class RowStoreTable(key: String) extends Table
@@ -129,19 +143,30 @@ private[sources] class RowStoreTable(key: String) extends Table
   override def schema(): StructType = state.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new RowStoreScan(state.schema, state.rows)
 
-  /** Plain table writes APPEND (the seeding path); TRUNCATE overwrites. */
+  /** Plain table writes APPEND (the seeding path); TRUNCATE overwrites.
+    * The STREAMING write is a KEYED UPSERT (first column = key) with an
+    * idempotent epoch guard — `writeStream.outputMode("update")
+    * .toTable(...)` lands an update-mode streaming aggregation here as
+    * one upsert batch per epoch (the streaming-CDC-apply pattern;
+    * `SupportsStreamingUpdateAsAppend` is how a keyed sink declares
+    * update-mode rows are safe to hand to its writer — Kafka's sink
+    * does the same). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new RowStoreBatchWrite(key, state.schema, replace)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new RowStoreStreamingUpsert(key, state.schema)
       }
     }
 
@@ -284,6 +309,50 @@ private[sources] case class DeltaRowStoreWriterFactory(schema: StructType)
     override def abort(): Unit = () // uncommitted deltas vanish
     override def close(): Unit = ()
   }
+}
+
+/** STREAMING keyed upsert into the row store — the engine-native form
+  * of the foreachBatch CDC apply (q63/q85): per-task writers buffer an
+  * epoch's rows (the update-mode streaming agg emits ≤ one row per
+  * changed key per epoch), and the driver-side `commit(epochId, msgs)`
+  * applies the batch as ONE atomic upsert keyed on the first column.
+  * Exactly-once across retries: a per-table applied-epoch ledger skips
+  * an epochId that already committed (Spark replays a failed epoch
+  * under the SAME id from the checkpoint — the idempotent-sink guard
+  * every at-least-once streaming sink needs); an abort applies
+  * nothing. */
+private[graft] class RowStoreStreamingUpsert(key: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    RowStoreEpochWriterFactory(schema)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.iterator
+      .flatMap(_.asInstanceOf[RowsMsg].rows).toArray
+    RowStore.tables.compute(key, (_, st) => {
+      require(st != null, s"row-store table $key dropped mid-write")
+      if (!RowStore.markEpochApplied(key, epochId)) st // replayed epoch
+      else {
+        val ups = incoming.map(r => r(0) -> r).toMap
+        val kept = st.rows.map(r => ups.getOrElse(r(0), r))
+        val have = st.rows.map(_(0)).toSet
+        st.copy(rows = kept ++ incoming.filter(r => !have.contains(r(0))))
+      }
+    })
+    ()
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[graft] case class RowStoreEpochWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    RowStoreWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 /** One input partition carrying a slice of the stored rows (catalyst

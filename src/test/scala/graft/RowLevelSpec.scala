@@ -98,6 +98,37 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("streaming upsert: epoch replay is skipped, later epochs overwrite by key") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val tbl = "graftlake.ns.spec_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING)")
+    val schema = spark.table(tbl).schema
+    val sw = new graft.sources.RowStoreStreamingUpsert(s"ns.spec_upsert", schema)
+    val factory = sw.createStreamingWriterFactory(null)
+    def msg(epoch: Long, rows: (Long, String)*) = {
+      val w = factory.createWriter(0, 0L, epoch)
+      rows.foreach { case (k, v) => w.write(new GenericInternalRow(
+        Array[Any](k, UTF8String.fromString(v)))) }
+      Array(w.commit())
+    }
+    sw.commit(0L, msg(0L, 1L -> "a", 2L -> "b"))
+    // REPLAYED epoch 0 with divergent content: the applied-epoch ledger
+    // must skip it entirely (Spark re-runs a failed epoch under the
+    // same id; an at-least-once sink that re-applied would corrupt)
+    sw.commit(0L, msg(0L, 1L -> "STALE", 9L -> "STALE"))
+    // epoch 1: upsert k=1, insert k=3
+    sw.commit(1L, msg(1L, 1L -> "a2", 3L -> "c"))
+    // aborted epoch leaves no trace
+    sw.abort(2L, msg(2L, 4L -> "never"))
+    val rows = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq(1L -> "a2", 2L -> "b", 3L -> "c"),
+      rows.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
     val tbl = "graftlake.ns.spec_rl_null"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
