@@ -647,13 +647,20 @@ object StreamQ {
                   .agg(max("bmx")).head().get(0)).map(_.toString.toLong)
               catch { case _: Throwable => None }
             val wm = priorMax.map(_ - delayUs)
-            val b = batch.persist()
-            val late = wm.map(w => b.filter(col("us") < w).count())
-              .getOrElse(0L)
-            val total = b.count()
-            val bmx = Option(b.agg(max("us")).head().get(0))
+            // ONE action computes all three per-batch stats (r13: was a
+            // persist + three separate jobs — the fixed per-job cost
+            // dominated this entry's wall)
+            val statsRow = batch.agg(
+              count(lit(1)).as("total"),
+              sum(when(col("us") < wm.map(lit(_)).getOrElse(lit(Long.MinValue)),
+                1L).otherwise(0L)).as("late"),
+              max("us").as("bmx")).head()
+            val total = statsRow.getLong(0)
+            val late =
+              if (wm.isEmpty || statsRow.isNullAt(1)) 0L
+              else statsRow.getLong(1)
+            val bmx = Option(statsRow.get(2))
               .map(_.toString.toLong).getOrElse(Long.MinValue)
-            b.unpersist()
             val one = sp.range(1)
             one.select(lit(id).as("batch"), lit(total).as("n_arrived"),
                 lit(late).as("n_late"),
