@@ -393,8 +393,11 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     * are batch-only contracts and never reach here (Spark plans
     * streaming aggregates above the scan). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (sys.env.contains("GRAFT_GEN_DEBUG"))
+      println(s"[gendocs] toMicroBatchStream required=$required")
     new GenMicroBatchStream(lo, math.max(lo, hi), batchRows, slices, required)
+  }
 
   override def description(): String =
     s"GenScan id=[$lo,$hi) cols=${required.fieldNames.mkString(",")}" +
@@ -612,11 +615,24 @@ private[sources] class GenMicroBatchStream(lo: Long, hi: Long,
       .toArray
   }
 
-  // the batch reader factory already knows how to materialize a GenSlice
-  // with the pruned fields; reuse it verbatim
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GenScan(0L, 0L, slices, required, false, None, None)
+  // The batch reader factory already knows how to materialize a GenSlice
+  // with the pruned fields; reuse it — with `_slice` APPENDED. Streaming
+  // plans never re-run column pruning, so the scan only ever sees the
+  // table schema; but the analyzer resolves `_slice` onto the streaming
+  // relation's output when a query names it, and the exec then binds
+  // ordinal |schema| — a reader that emits only the base fields crashes
+  // with ArrayIndexOutOfBounds (found r13). Emitting the provenance
+  // field unconditionally serves both shapes: a query that names
+  // `_slice` reads ordinal |schema|, one that doesn't never touches the
+  // trailing field (attribute binding is ordinal-based).
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val withSlice =
+      if (required.fieldNames.contains("_slice")) required
+      else required.add("_slice", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    new GenScan(0L, 0L, slices, withSlice, false, None, None)
       .createReaderFactory()
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -175,4 +175,46 @@ class GenDocsSpec extends AnyFunSuite {
     assert(k.length == 7)
     k.foreach(r => assert(r.getString(1) == "t" + r.getLong(0), r.toString))
   }
+
+  test("_slice under MICRO_BATCH_READ: batch-stable slice-start ordinals, both query shapes") {
+    import org.apache.spark.sql.streaming.Trigger
+    // Streaming plans never re-prune, so the scan only sees the table
+    // schema while the analyzer binds `_slice` at ordinal |schema| when
+    // named — the reader appends the provenance field unconditionally
+    // (r13 fix: a base-width row crashed the executor with
+    // ArrayIndexOutOfBounds). Ordinals are the slice START IDS (ADVICE
+    // r12): batch-relative zipWithIndex would alias ranges across
+    // batches; start ids replay identically from the offset log.
+    spark.catalog.dropTempView("gds_s1")
+    val q1 = spark.readStream.format("graft.sources.GenDocs")
+      .option("rows", "2000").option("batchRows", "500")
+      .option("slices", "2").load()
+      .select(col("_slice"), col("id"))
+      .groupBy("_slice")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gds_s1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val per = spark.table("gds_s1").orderBy("_slice").collect()
+    // 4 batches × 2 slices of 250 ids; ordinal = slice start id
+    assert(per.length == 8, per.mkString(", "))
+    per.foreach { r =>
+      val ord = r.getLong(0)
+      assert(ord % 250 == 0 && r.getLong(1) == 250L &&
+        r.getLong(2) == ord && r.getLong(3) == ord + 249L, r.toString)
+    }
+    // shape 2: `_slice` NOT named — the appended trailing field must be
+    // invisible (ordinal binding never reaches it)
+    spark.catalog.dropTempView("gds_s2")
+    val q2 = spark.readStream.format("graft.sources.GenDocs")
+      .option("rows", "2000").option("batchRows", "500")
+      .option("slices", "2").load()
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gds_s2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("gds_s2").count() == 97L)
+  }
 }
