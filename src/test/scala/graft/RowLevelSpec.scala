@@ -129,6 +129,33 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("mode equivalence: identical DML on cow and delta tables yields identical contents") {
+    import spark.implicits._
+    // the lakehouse invariant the two modes trade PERFORMANCE on, never
+    // results: group-rewrite (ReplaceData) and delta-log (WriteDelta)
+    // must agree row-for-row under the same DELETE + UPDATE sequence
+    val seed = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L),
+      (4L, "C", 40L), (5L, "B", 50L), (6L, "A", 60L))
+    def runDml(tbl: String, props: String): Seq[(Long, String, Long)] = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT)$props")
+      seed.toDF("k", "seg", "cents").writeTo(tbl).append()
+      spark.sql(s"DELETE FROM $tbl WHERE seg = 'A' AND k % 3 = 0")
+      spark.sql(s"UPDATE $tbl SET cents = cents * 2 WHERE seg = 'B'")
+      val out = spark.table(tbl).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      out
+    }
+    val cow = runDml("graftlake.ns.spec_eq_cow", "")
+    val mor = runDml("graftlake.ns.spec_eq_mor",
+      " TBLPROPERTIES('graft.mode'='delta')")
+    assert(cow == mor, s"cow=$cow mor=$mor")
+    // k=3 and k=6 are both seg A with k%3=0 — deleted on both paths
+    assert(cow == Seq((1L, "A", 10L), (2L, "B", 40L), (4L, "C", 40L),
+      (5L, "B", 100L)), cow.mkString(", "))
+  }
+
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
     val tbl = "graftlake.ns.spec_rl_null"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
