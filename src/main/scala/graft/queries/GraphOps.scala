@@ -168,20 +168,27 @@ object GraphOps {
     * sorted user list and the i<j pairs unfold in the projection, where
     * the self-join shuffled bk twice and probed a join. SAFETY ORDER
     * MATTERS: the ≤[[CoreBucketCap]] count filter runs BEFORE any list
-    * is collected (count-grid semi join, broadcastable), so a hot bucket
-    * can never materialize an unbounded array — the same reason the old
-    * form filtered before self-joining. Same pair set: users are unique
-    * within a bucket (b is distinct) and the list is sorted, so j>i ⟺
-    * a<b. */
+    * is collected, so a hot bucket can never materialize an unbounded
+    * array — the same reason the old form filtered before self-joining.
+    * Late-r13 fusion: the cap count is a WINDOW count over the same
+    * (w,t) exchange the collect_list needs — WindowExec buffers rows
+    * with disk spill (never an in-memory array), the filter drops hot
+    * buckets before aggregation, and the downstream groupBy(w,t) reuses
+    * the window's HashPartitioning so the whole guard+collect runs on
+    * ONE shuffle of b (the old form shuffled b a second time for the
+    * count grid and probed a broadcast semi join). Same pair set: users
+    * are unique within a bucket (b is distinct) and the list is sorted,
+    * so j>i ⟺ a<b. */
   private def cooccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val b = Tables.events(s, d)
       .select(col("user_id").as("u"),
         expr("ts div 60000000000").as("w"), col("event_type").as("t"))
       .distinct()
-    val keep = b.groupBy("w", "t").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= CoreBucketCap).select("w", "t")
-    val bk = b.join(broadcast(keep), Seq("w", "t"), "left_semi")
+    val bk = b
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w", "t")))
+      .filter(col("__n") <= CoreBucketCap)
     bk.groupBy("w", "t")
       .agg(sort_array(collect_list(col("u"))).as("us"))
       .select(explode(expr(
@@ -980,18 +987,18 @@ object GraphOps {
         lab = next.select(col("variant"), col("node"), col("lab"))
         round += 1
       }
+      // ONE pass over the final label frame: island sizes, then a
+      // variant rollup where n_nodes = SUM of island sizes (the gossip
+      // rounds preserve the (variant, node) set exactly, so no separate
+      // lab scan / broadcast join for the node count)
       val isl = lab.groupBy("variant", "lab")
         .agg(count(lit(1)).as("sz"))
-      // n_nodes from the final (checkpointed) label frame — the gossip
-      // rounds preserve the (variant, node) set exactly
-      val meta = lab.groupBy("variant")
-        .agg(count(lit(1)).as("n_nodes"))
       val em = ee.groupBy("variant")
         .agg((count(lit(1)) / 2).cast("long").as("n_edges"))
       isl.groupBy("variant")
-        .agg(count(lit(1)).as("n_islands"),
+        .agg(sum("sz").cast("long").as("n_nodes"),
+          count(lit(1)).as("n_islands"),
           max("sz").cast("long").as("max_island"))
-        .join(broadcast(meta), "variant")
         .join(broadcast(em), "variant")
         .select(col("variant"), col("n_nodes"), col("n_edges"),
           col("n_islands"), col("max_island"))
