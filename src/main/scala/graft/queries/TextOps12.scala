@@ -510,9 +510,12 @@ object TextOps12 {
         .groupBy("doc_id", "lang", "held", "w")
         .agg(count(lit(1)).as("tf")))
       val ntr = dd.filter(!col("held")).agg(count(lit(1)).as("n"))
+      // tf is (doc_id, w)-unique by construction (grouped on both), so
+      // document frequency is a plain count — count(DISTINCT) here would
+      // plan a second full shuffle of the term table through Expand
       val idf = tf.filter(!col("held")).crossJoin(broadcast(ntr))
         .groupBy("w", "n")
-        .agg(countDistinct("doc_id").as("df"))
+        .agg(count(lit(1)).as("df"))
         .select(col("w"),
           log(col("n").cast("double") / col("df")).as("idf"))
       val xt = graft.operators.PlanCache.persist(
