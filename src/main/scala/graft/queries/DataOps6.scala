@@ -476,9 +476,48 @@ object DataOps6 {
         .orderBy("p_brand")
     })
 
+  /** DSv2 COLUMNAR read path (`supportColumnarReads` /
+    * `createColumnarReader` — the vectorized rung of the connector
+    * ladder, the mechanism behind Spark's own vectorized parquet/ORC
+    * readers): with `columnar=true` the generator writes its closed
+    * forms column-at-a-time into OnHeapColumnVectors, 4096 ids per
+    * ColumnarBatch, and the scan feeds WholeStageCodegen through one
+    * ColumnarToRow boundary instead of allocating a boxed
+    * GenericInternalRow per id. Composes with every scan-time pushdown
+    * the source already owns: the id-range predicate still tightens the
+    * generated interval, pruning still reaches the vector builder (only
+    * the projected fields get a vector), and pushed aggregates/samples
+    * fall back to the scalar reader (GenDocsSpec pins all three plus
+    * exact row-path parity). At 100 TB the columnar batch shape is
+    * what keeps a scan-heavy plan inside the CPU's vector units —
+    * per-row materialization is the first thing profilers flag on
+    * wide-scan workloads. Oracle replays the closed forms over
+    * generate_series, same construction-inversion as q346. */
+  val q468_columnar_scan = Q(
+    "q468_columnar_scan",
+    Some("""SELECT tag,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(CAST((g.id * 7919) % 10000 AS DECIMAL(18,2))
+           |    / 100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           |  CAST(sum(g.id % 97) AS BIGINT) AS sum_bucket
+           |FROM (SELECT unnest(generate_series(2000, 801999)) AS id) g,
+           |  LATERAL (SELECT 't' || CAST(g.id % 7 AS VARCHAR) AS tag) t
+           |GROUP BY tag ORDER BY tag""".stripMargin),
+    (s, d) => {
+      val gen = s.read.format("graft.sources.GenDocs")
+        .option("rows", "1000000").option("slices", "8")
+        .option("columnar", "true").load()
+      gen.filter(col("id") >= 2000L && col("id") < 802000L)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          sum(Q.dec(col("v"))).cast("double").as("sum_v"),
+          sum("bucket").cast("long").as("sum_bucket"))
+        .orderBy("tag")
+    })
+
   val all: Seq[Q] = Seq(q415_topn_pushdown, q438_presorted_join,
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
     q459_v2_function_catalog, q460_v2_aggregate_function,
     q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge,
-    q466_rowlevel_delta)
+    q466_rowlevel_delta, q468_columnar_scan)
 }

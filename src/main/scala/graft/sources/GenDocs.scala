@@ -64,7 +64,8 @@ private[sources] class GenTable(rows: Long, slices: Int, keyed: Boolean,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices, keyed, batchRows)
+    new GenScanBuilder(rows, slices, keyed, batchRows,
+      options.getBoolean("columnar", false))
 
   /** METADATA COLUMNS (SupportsMetadataColumns — the provenance contract
     * a real connector owes its consumers: Kafka exposes partition/offset,
@@ -96,7 +97,7 @@ private[sources] case object AggMaxId extends GenAgg
 private[sources] case object AggSumId extends GenAgg
 
 private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean,
-    batchRows: Long = 1000L)
+    batchRows: Long = 1000L, columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -258,7 +259,7 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int, keyed: Boolean,
     required = requiredSchema
 
   override def build(): Scan = new GenScan(lo, math.max(lo, hi), slices,
-    required, keyed, pushedAgg, sample, batchRows)
+    required, keyed, pushedAgg, sample, batchRows, columnar)
 }
 
 /** Contiguous id slice (the default layout): [lo, hi), step 1.
@@ -282,7 +283,8 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     slices: Int, required: StructType, keyed: Boolean,
     aggSpec: Option[(Seq[GenAgg], Boolean)],
     sample: Option[(Double, Double, Long)] = None,
-    batchRows: Long = 1000L) extends Scan with Batch
+    batchRows: Long = 1000L,
+    columnar: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -455,13 +457,89 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
     val fields = required.fieldNames
     val agg = aggSpec
     val sampleSpec = sample
+    // COLUMNAR READS (`columnar=true`): eligible whenever actual rows
+    // are generated (pushed aggregates synthesize one summary row —
+    // nothing to vectorize; pushed samples keep the scalar md5 path).
+    // The answer is scan-constant, which is the DSv2 contract — Spark
+    // requires every partition of one scan to agree on the mode.
+    val vectorize = columnar && agg.isEmpty && sampleSpec.isEmpty
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val (first, bound, step, ord) = p match {
+      private def sliceOf(p: InputPartition): (Long, Long, Long, Long) =
+        p match {
           case GenSlice(l, h, st, o) => (l, h, st, o.toLong)
           // keyed layout: the tag IS the slice ordinal (one slice per tag)
           case TagSlice(st, h, t) => (st, h, 7L, t.toLong)
         }
+
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        vectorize
+
+      /** Vectorized generation: closed forms written column-at-a-time
+        * into OnHeapColumnVectors, 4096 ids per ColumnarBatch — the
+        * scan feeds WholeStageCodegen through ColumnarToRow exactly
+        * like Spark's vectorized parquet reader, and the per-row boxing
+        * of the row path (one GenericInternalRow + boxed primitives per
+        * id) disappears. Only the PRUNED fields are materialized. */
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+        import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+        val (first, bound, step, ord) = sliceOf(p)
+        val outSchema = StructType(fields.map {
+          case "v" => org.apache.spark.sql.types.StructField(
+            "v", DoubleType, nullable = false)
+          case "tag" => org.apache.spark.sql.types.StructField(
+            "tag", StringType, nullable = false)
+          case n => org.apache.spark.sql.types.StructField(
+            n, LongType, nullable = false) // id / bucket / _slice
+        })
+        new PartitionReader[ColumnarBatch] {
+          private var id = first
+          private var batch: ColumnarBatch = null
+          override def next(): Boolean = {
+            if (batch != null) { batch.close(); batch = null }
+            if (id >= bound) return false
+            val n = math.min(4096L, (bound - 1 - id) / step + 1).toInt
+            val vecs = org.apache.spark.sql.execution.vectorized
+              .OnHeapColumnVector.allocateColumns(n, outSchema)
+            var f = 0
+            while (f < fields.length) {
+              val vec = vecs(f)
+              var i = 0
+              var cur = id
+              fields(f) match {
+                case "id" =>
+                  while (i < n) { vec.putLong(i, cur); cur += step; i += 1 }
+                case "bucket" =>
+                  while (i < n) { vec.putLong(i, cur % 97); cur += step; i += 1 }
+                case "v" =>
+                  while (i < n) {
+                    vec.putDouble(i, ((cur * 7919) % 10000) / 100.0)
+                    cur += step; i += 1
+                  }
+                case "tag" =>
+                  while (i < n) {
+                    val b = ("t" + (cur % 7)).getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    vec.putByteArray(i, b)
+                    cur += step; i += 1
+                  }
+                case "_slice" => vec.putLongs(0, n, ord)
+              }
+              f += 1
+            }
+            id += step * n
+            batch = new ColumnarBatch(
+              vecs.asInstanceOf[Array[ColumnVector]], n)
+            true
+          }
+          override def get(): ColumnarBatch = batch
+          override def close(): Unit =
+            if (batch != null) { batch.close(); batch = null }
+        }
+      }
+
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val (first, bound, step, ord) = sliceOf(p)
         agg match {
           case Some((funcs, groupTag)) =>
             // closed forms over the slice's arithmetic progression — the

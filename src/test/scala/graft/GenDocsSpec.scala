@@ -217,4 +217,56 @@ class GenDocsSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.table("gds_s2").count() == 97L)
   }
+
+  private def genC(columnar: Boolean, extra: (String, String)*) = {
+    val base = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "20000").option("slices", "4")
+      .option("columnar", columnar.toString)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("columnar=true: vectorized batches behind ColumnarToRow, exact row-path parity") {
+    val c = genC(columnar = true)
+      .filter(col("id") >= 123L && col("id") < 17456L)
+      .select("id", "bucket", "v", "tag")
+    assert(c.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      c.queryExecution.executedPlan.toString)
+    val r = genC(columnar = false)
+      .filter(col("id") >= 123L && col("id") < 17456L)
+      .select("id", "bucket", "v", "tag")
+    assert(!r.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val got = c.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getDouble(2), x.getString(3)))
+      .sortBy(_._1)
+    val want = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getDouble(2), x.getString(3)))
+      .sortBy(_._1)
+    assert(got.length == 17456 - 123)
+    assert(got.sameElements(want))
+  }
+
+  test("columnar composes with the keyed layout and the _slice metadata column") {
+    val k = genC(columnar = true, "partitionBy" -> "tag")
+      .select(col("_slice"), col("id"), col("tag"))
+    assert(k.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = k.collect()
+    assert(rows.length == 20000)
+    rows.foreach { x =>
+      assert(x.getLong(0) == x.getLong(1) % 7, x.toString) // ordinal = tag
+      assert(x.getString(2) == "t" + (x.getLong(1) % 7))
+    }
+  }
+
+  test("columnar falls back to row reads for pushed aggregates and pushed samples") {
+    val agg = genC(columnar = true, "partitionBy" -> "tag")
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val ap = agg.queryExecution.executedPlan.toString
+    assert(ap.contains("pushedAggs="), ap) // the pushdown still happens
+    assert(!ap.contains("ColumnarToRow"), ap) // summary rows stay scalar
+    assert(agg.count() == 7L)
+    val smp = genC(columnar = true).sample(0.2, 7L)
+      .agg(count(lit(1)).as("n"))
+    assert(!smp.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(smp.collect()(0).getLong(0) > 0L)
+  }
 }
