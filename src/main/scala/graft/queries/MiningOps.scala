@@ -7,9 +7,9 @@ import graft.Tables
   * family (support / confidence / lift) the event- and text-mining
   * entries don't cover.
   *
-  * Scale shape: the pair space is generated by a SELF-JOIN KEYED ON THE
-  * BASKET ID (order), so the blow-up is Σ c(b,2) over basket sizes — a
-  * per-basket constant (≤ C(13,2) here; real carts are small), never a
+  * Scale shape: the pair space unfolds PER BASKET from a bounded
+  * per-order item array, so the blow-up is Σ c(b,2) over basket sizes —
+  * a per-basket constant (≤ C(7,2) here; real carts are small), never a
   * corpus-pairwise product. Everything after is (item, item)-keyed hash
   * aggs joined to item counts. All scores derive from exact BIGINT
   * counts through one final double expression written identically in
@@ -42,17 +42,24 @@ object MiningOps {
             |SELECT pa, pb, nab, support, confidence, lift FROM r
             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin),
     (s, d) => {
-      // persisted via PlanCache: the basket frame feeds FOUR plan
-      // branches (both self-join sides, item counts, the basket total) —
-      // without the cut the scan+distinct shuffle re-executes per branch
-      val op = graft.operators.PlanCache.persist(Tables.lineitem(s, d)
+      // BASKET-ARRAY form (late-r13, the q292 device): a cart is ≤ 7
+      // lineitems, so ONE (o)-keyed collect_set (map-side partial sets —
+      // the distinct pass disappears into the agg) builds bounded basket
+      // arrays, and the i<j pairs explode SCAN-SIDE from the sorted
+      // array instead of re-shuffling both sides of a basket self-join.
+      // Persisted: the basket frame feeds three branches (pair stream,
+      // item counts, basket total).
+      val baskets = graft.operators.PlanCache.persist(Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct())
-      val n = op.agg(countDistinct(col("o")).as("n_orders"))
-      val ic = op.groupBy("p").agg(count(lit(1)).as("np"))
-      val pc = op.toDF("o", "pa")
-        .join(op.toDF("o", "pb"), "o")
-        .filter(col("pa") < col("pb"))
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps")))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val ic = baskets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("np"))
+      val pc = baskets.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |    y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
+        .select(col("q.pa").as("pa"), col("q.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= MinPairCount)
       pc.crossJoin(broadcast(n))
