@@ -476,6 +476,56 @@ object DataOps6 {
         .orderBy("p_brand")
     })
 
+  /** METADATA-ONLY DELETE (SupportsDeleteV2 — the THIRD row-level mode
+    * after q463's copy-on-write and q466's merge-on-read): the table
+    * declares `graft.partitioncol`, and a DELETE whose every predicate
+    * is a plain `=`/`IN` on that column is executed by Spark's
+    * OptimizeMetadataOnlyDeleteFromTable as ONE `deleteWhere` catalog
+    * call — no scan, no shuffle, no write-back (the executed plan is a
+    * bare DeleteFromTable, RowLevelSpec pin). This is the partition-drop
+    * every lake format serves from its manifest: at 100 TB, dropping a
+    * source/date partition must cost O(metadata), not a full rewrite of
+    * the partition's data. The third DELETE here is deliberately NOT
+    * partition-aligned (arithmetic on another column) and takes the
+    * full ReplaceData rewrite — both paths mixed on one table, final
+    * contents oracle-checked. */
+  val q469_metadata_delete = Q(
+    "q469_metadata_delete",
+    Some("""WITH t AS (
+           |  SELECT p_partkey, p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part),
+           |afterm AS (
+           |  SELECT * FROM t
+           |  WHERE p_brand NOT IN ('Brand#33', 'Brand#13', 'Brand#55')),
+           |afterrw AS (SELECT * FROM afterm WHERE NOT (cents % 10 = 1))
+           |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM afterrw GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q469_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.partitioncol'='p_brand')")
+      graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()
+      // metadata path: equality, then IN — each is one deleteWhere call
+      s.sql(s"DELETE FROM $tbl WHERE p_brand = 'Brand#33'")
+      s.sql(s"DELETE FROM $tbl WHERE p_brand IN ('Brand#13', 'Brand#55')")
+      // rewrite path: not partition-aligned — ReplaceData on survivors
+      s.sql(s"DELETE FROM $tbl WHERE cents % 10 = 1")
+      s.table(tbl)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .orderBy("p_brand")
+    })
+
   /** DSv2 COLUMNAR read path (`supportColumnarReads` /
     * `createColumnarReader` — the vectorized rung of the connector
     * ladder, the mechanism behind Spark's own vectorized parquet/ORC
@@ -519,5 +569,5 @@ object DataOps6 {
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
     q459_v2_function_catalog, q460_v2_aggregate_function,
     q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge,
-    q466_rowlevel_delta, q468_columnar_scan)
+    q466_rowlevel_delta, q468_columnar_scan, q469_metadata_delete)
 }

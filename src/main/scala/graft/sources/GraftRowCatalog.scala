@@ -75,7 +75,16 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
         case (f, 0) => f.copy(nullable = false)
         case (f, _) => f
       })
-    RowStore.tables.put(k, RowStore.TableState(st, Array.empty, delta))
+    // TBLPROPERTIES('graft.partitioncol'='c') opts the table into
+    // METADATA-ONLY deletes (SupportsDeleteV2) for predicates aligned
+    // with that column — the Iceberg partition-drop contract; every
+    // other predicate still takes the row-level rewrite.
+    val pcol = Option(properties.get("graft.partitioncol")).map { c =>
+      require(st.fieldNames.contains(c),
+        s"graft.partitioncol '$c' is not a column of $k")
+      c
+    }
+    RowStore.tables.put(k, RowStore.TableState(st, Array.empty, delta, pcol))
     if (delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
   }
 
@@ -112,7 +121,7 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
   * Mutated ONLY at driver-side write commits — the v2 atomicity point. */
 object RowStore {
   final case class TableState(schema: StructType, rows: Array[Array[Any]],
-      delta: Boolean = false)
+      delta: Boolean = false, partitionCol: Option[String] = None)
   private[sources] val tables =
     new java.util.concurrent.ConcurrentHashMap[String, TableState]()
   def rowCount(key: String): Long =
@@ -133,11 +142,91 @@ object RowStore {
 }
 
 private[sources] class RowStoreTable(key: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   private def state: RowStore.TableState = {
     val s = RowStore.tables.get(key)
     require(s != null, s"row-store table $key vanished")
     s
+  }
+
+  /** METADATA-ONLY delete (SupportsDeleteV2 — the third row-level mode
+    * beside q463's copy-on-write and q466's merge-on-read): when every
+    * delete predicate is a plain `=` / `IN` / ALWAYS_TRUE on the
+    * table's declared `graft.partitioncol`, Spark's
+    * OptimizeMetadataOnlyDeleteFromTable replaces the whole ReplaceData
+    * rewrite with one `deleteWhere` call — no scan, no shuffle, no
+    * write-back, the partition-drop a lake format does by rewriting its
+    * manifest. `canDeleteWhere` is the honesty gate: any predicate that
+    * is not partition-aligned (wrong column, arithmetic, inequality)
+    * returns false and the DELETE takes the full rewrite, so metadata
+    * deletes can never drop a row the predicate didn't name. Opt-in per
+    * table — without the property the table behaves exactly as before
+    * (RowLevelSpec pins both paths and the opt-in rule). */
+  private def partMatcher(
+      pred: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      pcol: String): Option[Any => Boolean] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def ref(e: VExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: VExpr): Option[Any] = e match {
+      case l: VLit[_] => Some(l.value())
+      case _ => None
+    }
+    pred.name() match {
+      case "ALWAYS_TRUE" => Some(_ => true)
+      case "=" =>
+        val cs = pred.children()
+        if (cs.length != 2) None
+        else (ref(cs(0)), lit(cs(1)), ref(cs(1)), lit(cs(0))) match {
+          case (Some(c), Some(v), _, _) if c.equalsIgnoreCase(pcol) =>
+            Some(x => x == v)
+          case (_, _, Some(c), Some(v)) if c.equalsIgnoreCase(pcol) =>
+            Some(x => x == v)
+          case _ => None
+        }
+      case "IN" =>
+        val cs = pred.children()
+        if (cs.length < 2) None
+        else ref(cs(0)) match {
+          case Some(c) if c.equalsIgnoreCase(pcol) =>
+            val vs = cs.tail.map(lit)
+            if (vs.exists(_.isEmpty)) None
+            else { val set = vs.flatten.toSet; Some(set.contains) }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    state.partitionCol.exists(pc =>
+      predicates.forall(p => partMatcher(p, pc).isDefined))
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val st = state
+    val pc = st.partitionCol.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$key has no graft.partitioncol — metadata delete unavailable"))
+    val idx = st.schema.fieldIndex(pc)
+    val ms = predicates.map(p => partMatcher(p, pc).getOrElse(
+      throw new UnsupportedOperationException(
+        s"non-partition-aligned predicate reached deleteWhere: $p")))
+    // one atomic state swap — same commit point as the write paths
+    val kept = st.rows.filterNot(r => ms.forall(m => m(r(idx))))
+    RowStore.tables.put(key, st.copy(rows = kept))
+  }
+
+  override def truncateTable(): Boolean = {
+    RowStore.tables.put(key, state.copy(rows = Array.empty))
+    true
   }
   override def name(): String = s"graft_row_store($key)"
   override def schema(): StructType = state.schema

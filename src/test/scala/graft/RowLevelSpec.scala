@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** SupportsRowLevelOperations pins (VERDICT r12 #4): DELETE FROM on the
   * graftlake catalog must plan through Spark's native group-based
-  * copy-on-write rewrite (ReplaceData), not a metadata delete or a
-  * foreachBatch emulation; seeding goes through the v2 append path. */
+  * copy-on-write rewrite (ReplaceData), not a foreachBatch emulation;
+  * seeding goes through the v2 append path. Metadata-only deletes
+  * (SupportsDeleteV2) exist but are OPT-IN via `graft.partitioncol`
+  * and only for partition-aligned predicates — pinned below. */
 class RowLevelSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -167,6 +169,69 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $tbl WHERE v > 15")
     val left = spark.table(tbl).orderBy("k").collect().map(_.getLong(0))
     assert(left.toSeq == Seq(1L, 2L), left.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("metadata-only delete: partition-aligned predicates skip the rewrite, others don't") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_md_del"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT) " +
+      "TBLPROPERTIES('graft.partitioncol'='seg')")
+    Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L), (4L, "C", 40L),
+      (5L, "B", 50L), (6L, "D", 60L))
+      .toDF("k", "seg", "cents").writeTo(tbl).append()
+
+    // partition-aligned equality → OptimizeMetadataOnlyDeleteFromTable
+    // replaces the whole ReplaceData rewrite with one deleteWhere call
+    // the EXECUTED plan is the pin: the optimized DeleteFromTable node
+    // keeps the rewrite as its nested fallback child, but what actually
+    // ran must be the bare metadata command, no ReplaceData exec
+    val md = spark.sql(s"DELETE FROM $tbl WHERE seg = 'A'")
+    val mdPlan = md.queryExecution.executedPlan.toString
+    assert(!mdPlan.contains("ReplaceData"),
+      s"partition-aligned DELETE still executed a rewrite:\n$mdPlan")
+    assert(mdPlan.contains("DeleteFromTable"), mdPlan)
+    assert(spark.table(tbl).count() == 4)
+
+    // partition-aligned IN — still metadata
+    val mi = spark.sql(s"DELETE FROM $tbl WHERE seg IN ('C', 'Z')")
+    assert(!mi.queryExecution.executedPlan.toString.contains("ReplaceData"))
+    assert(spark.table(tbl).count() == 3)
+
+    // NOT aligned (arithmetic on another column) → full rewrite, and the
+    // three-valued/exact semantics of the rewrite still hold
+    val rw = spark.sql(s"DELETE FROM $tbl WHERE cents % 20 = 0")
+    assert(rw.queryExecution.executedPlan.toString.contains("ReplaceData"),
+      "non-aligned DELETE must take the row-level rewrite")
+    val left = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(left.toSeq == Seq((5L, "B")), left.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("metadata delete is OPT-IN: without graft.partitioncol even seg='A' rewrites") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_md_optin"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING)")
+    Seq((1L, "A"), (2L, "B")).toDF("k", "seg").writeTo(tbl).append()
+    val del = spark.sql(s"DELETE FROM $tbl WHERE seg = 'A'")
+    assert(del.queryExecution.executedPlan.toString.contains("ReplaceData"),
+      "un-opted table must keep the copy-on-write path")
+    assert(spark.table(tbl).count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("TRUNCATE TABLE empties via the metadata path") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_md_trunc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING) " +
+      "TBLPROPERTIES('graft.partitioncol'='seg')")
+    Seq((1L, "A"), (2L, "B")).toDF("k", "seg").writeTo(tbl).append()
+    spark.sql(s"TRUNCATE TABLE $tbl")
+    assert(spark.table(tbl).count() == 0)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
