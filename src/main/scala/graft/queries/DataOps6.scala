@@ -526,6 +526,55 @@ object DataOps6 {
         .orderBy("p_brand")
     })
 
+  /** ATOMIC CTAS / RTAS (StagingTableCatalog — the catalog's
+    * transactional DDL surface beside q463–q466's DML): `CREATE TABLE
+    * ... AS SELECT` and `REPLACE TABLE ... AS SELECT` write the
+    * SELECT's rows into a STAGED table invisible to readers and publish
+    * them in one commit (AtomicCreate/ReplaceTableAsSelectExec,
+    * RowLevelSpec pin) — without the interface Spark's fallback drops
+    * the old table BEFORE writing, so a mid-write failure destroys it.
+    * The entry proves the contract the hard way: after a successful
+    * RTAS it runs a SECOND RTAS that fails mid-write (assert_true blows
+    * up on the 4th row) and the readable contents must be byte-for-byte
+    * the first RTAS's — which is what the oracle checks. At 100 TB this
+    * is the atomic-snapshot-swap every daily-rebuild pipeline
+    * (dimension refresh, mart rebuild) relies on. */
+  val q470_atomic_rtas = Q(
+    "q470_atomic_rtas",
+    Some("""WITH t AS (
+           |  SELECT p_brand,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS cents
+           |  FROM part WHERE p_size <= 25 GROUP BY p_brand)
+           |SELECT p_brand, n, cents FROM t ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q470_brands"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Tables.part(s, d).createOrReplaceTempView("q470_part")
+      // atomic CTAS: the seed snapshot (all sizes)
+      s.sql(s"""CREATE TABLE $tbl AS
+               |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               |  CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+               |    AS BIGINT)) AS BIGINT) AS cents
+               |FROM q470_part GROUP BY p_brand""".stripMargin)
+      // atomic RTAS: the refreshed snapshot (sizes <= 25) — one swap
+      s.sql(s"""REPLACE TABLE $tbl AS
+               |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               |  CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+               |    AS BIGINT)) AS BIGINT) AS cents
+               |FROM q470_part WHERE p_size <= 25 GROUP BY p_brand""".stripMargin)
+      // a FAILING RTAS mid-write: the staged protocol must leave the
+      // refreshed snapshot untouched (this is the oracle's assertion —
+      // if the old contents were dropped, the result would be the
+      // poisoned SELECT's surviving prefix, not the size<=25 snapshot)
+      try s.sql(s"REPLACE TABLE $tbl AS SELECT p_brand, " +
+        "assert_true(p_size < 4, 'mid-write failure') AS n, " +
+        "CAST(0 AS BIGINT) AS cents FROM q470_part")
+      catch { case _: Exception => () }
+      s.table(tbl).orderBy("p_brand")
+    })
+
   /** DSv2 COLUMNAR read path (`supportColumnarReads` /
     * `createColumnarReader` — the vectorized rung of the connector
     * ladder, the mechanism behind Spark's own vectorized parquet/ORC
@@ -569,5 +618,6 @@ object DataOps6 {
     q447_sample_pushdown, q457_offset_pushdown, q458_metadata_slice,
     q459_v2_function_catalog, q460_v2_aggregate_function,
     q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge,
-    q466_rowlevel_delta, q468_columnar_scan, q469_metadata_delete)
+    q466_rowlevel_delta, q468_columnar_scan, q469_metadata_delete,
+    q470_atomic_rtas)
 }

@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (q63/q85) applies row-level mutations via foreachBatch; this catalog
   * exercises the ENGINE-NATIVE path for the same semantics.
   */
-class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
+class GraftRowCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
   private var catalogName: String = "graftlake"
 
   override def initialize(name: String,
@@ -92,6 +93,60 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE not supported")
 
+  // --- ATOMIC CTAS / RTAS (StagingTableCatalog): Spark writes the
+  // SELECT's rows into a STAGED table that is invisible to readers; only
+  // commitStagedChanges() publishes (one map put — the same driver-side
+  // atomicity point as every other write commit), and a failed write
+  // calls abortStagedChanges(), leaving a replaced table's OLD contents
+  // untouched. Without this interface Spark falls back to
+  // drop-then-create-then-write, which a mid-write failure leaves
+  // half-done — the non-atomic window REPLACE TABLE AS SELECT exists to
+  // close. Shared table-property parsing with createTable. ---
+  private def stagedProps(schema: StructType,
+      properties: util.Map[String, String], k: String)
+      : (StructType, Boolean, Option[String]) = {
+    val delta = "delta".equalsIgnoreCase(properties.get("graft.mode"))
+    val st =
+      if (!delta) schema
+      else StructType(schema.fields.zipWithIndex.map {
+        case (f, 0) => f.copy(nullable = false)
+        case (f, _) => f
+      })
+    val pcol = Option(properties.get("graft.partitioncol")).map { c =>
+      require(st.fieldNames.contains(c),
+        s"graft.partitioncol '$c' is not a column of $k")
+      c
+    }
+    (st, delta, pcol)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val k = key(ident)
+    if (RowStore.tables.containsKey(k))
+      throw new TableAlreadyExistsException(ident)
+    val (st, delta, pcol) = stagedProps(schema, properties, k)
+    new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val k = key(ident)
+    if (!RowStore.tables.containsKey(k)) throw new NoSuchTableException(ident)
+    val (st, delta, pcol) = stagedProps(schema, properties, k)
+    new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val k = key(ident)
+    val (st, delta, pcol) = stagedProps(schema, properties, k)
+    new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = false)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     RowStore.clearEpochs(key(ident)) // a re-created table starts fresh
     RowStore.tables.remove(key(ident)) != null
@@ -115,6 +170,46 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit = ()
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = false
+}
+
+/** The staged side of an atomic CTAS/RTAS: a write-only table whose
+  * rows land in a PRIVATE buffer — readers of the existing table never
+  * see them — until `commitStagedChanges()` publishes the whole state
+  * in one map put. `abortStagedChanges()` drops the buffer; a replaced
+  * table's old contents survive any write failure. */
+private[sources] class StagedRowStoreTable(k: String, ident: Identifier,
+    tblSchema: StructType, delta: Boolean, pcol: Option[String],
+    requireAbsent: Boolean)
+    extends StagedTable with SupportsWrite {
+  @volatile private var staged: Array[Array[Any]] = Array.empty
+  override def name(): String = s"graft_row_store_staged($k)"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged buffer starts empty, so truncate-for-replace is a no-op
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(i: PhysicalWriteInfo)
+              : DataWriterFactory = RowStoreWriterFactory(tblSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged = messages.iterator
+              .flatMap(_.asInstanceOf[RowsMsg].rows).toArray
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  override def commitStagedChanges(): Unit = {
+    val st = RowStore.TableState(tblSchema, staged, delta, pcol)
+    if (requireAbsent) {
+      // put-if-absent IS the create: a concurrent create loses cleanly
+      if (RowStore.tables.putIfAbsent(k, st) != null)
+        throw new TableAlreadyExistsException(ident)
+    } else RowStore.tables.put(k, st) // replace: one atomic swap
+  }
+  override def abortStagedChanges(): Unit = staged = Array.empty
 }
 
 /** Driver-side row store: table key → (schema, rows as catalyst values).

@@ -223,6 +223,53 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("atomic CTAS/RTAS: staged writes publish at commit, a failed RTAS keeps the old table") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // CTAS goes through the ATOMIC exec (StagingTableCatalog pin)
+    val ct = spark.sql(
+      s"CREATE TABLE $tbl AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    assert(ct.queryExecution.executedPlan.toString
+      .contains("AtomicCreateTableAsSelect"),
+      ct.queryExecution.executedPlan.toString)
+    assert(spark.table(tbl).count() == 5)
+
+    // RTAS replaces contents atomically
+    val rt = spark.sql(
+      s"REPLACE TABLE $tbl AS SELECT id AS k, id * 100 AS v FROM range(3)")
+    assert(rt.queryExecution.executedPlan.toString
+      .contains("AtomicReplaceTableAsSelect"))
+    val afterRtas = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterRtas.toSeq == Seq((0L, 0L), (1L, 100L), (2L, 200L)))
+
+    // a FAILING RTAS must leave the old contents untouched — the whole
+    // point of the staged protocol (non-atomic fallback drops first)
+    val thrown = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $tbl AS " +
+        "SELECT id AS k, assert_true(id < 2, 'boom') AS v FROM range(10)")
+    }
+    assert(thrown.getMessage != null)
+    val afterFail = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterFail.toSeq == afterRtas.toSeq,
+      s"failed RTAS mutated the table: ${afterFail.mkString(", ")}")
+
+    // CTAS on an existing table fails staged, table unchanged
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $tbl AS SELECT id AS k FROM range(1)")
+    }
+    assert(spark.table(tbl).count() == 3)
+    // RTAS on a missing table fails at stage time
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graftlake.ns.spec_ctas_missing AS " +
+        "SELECT id FROM range(1)")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("TRUNCATE TABLE empties via the metadata path") {
     import spark.implicits._
     val tbl = "graftlake.ns.spec_md_trunc"
