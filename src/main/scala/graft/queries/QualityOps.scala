@@ -460,8 +460,10 @@ object QualityOps {
           .groupBy("term", "lang").agg(sum("tf").cast("long").as("c")))
       val lt = model.groupBy("lang").agg(sum("c").cast("long").as("tot"))
       val vv = model.agg(countDistinct("term").as("v"))
+      // documents are one row per doc_id, so the per-lang doc count is a
+      // plain count — count(DISTINCT) would plan an Expand double-shuffle
       val nd = docs.filter(fold < 4)
-        .groupBy("lang").agg(countDistinct("doc_id").as("ndl"))
+        .groupBy("lang").agg(count(lit(1)).as("ndl"))
       val ndt = nd.agg(sum("ndl").cast("long").as("ndall"))
       val lstat = lt.join(nd, "lang")
         .crossJoin(broadcast(vv)).crossJoin(broadcast(ndt))
