@@ -42,13 +42,20 @@ object Graph {
     val n = nodes.count() // also materializes the nodes cache
     var pr = nodes.withColumn("pr", lit(1.0) / n)
     for (_ <- 0 until iters) {
+      // broadcast(pr)/broadcast(sums): both are node-domain-sized score
+      // tables, tiny beside the edge list — with the hint each
+      // iteration's ONLY shuffle is the contribution agg, instead of
+      // re-exchanging the cached edge table per iteration (the q461
+      // round device). Plan-choice hint only: past driver-broadcast
+      // node scale the same plan runs as a shuffle join, values
+      // unchanged (the round-12 decimal sum is order-independent).
       val sums = withDeg
-        .join(pr, withDeg("src") === pr("node"))
+        .join(broadcast(pr), withDeg("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("s"))
-      pr = nodes.join(sums, nodes("node") === sums("dst"), "left")
+      pr = nodes.join(broadcast(sums), nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -92,13 +99,16 @@ object Graph {
       .localCheckpoint(true)
     var pr = teleport.select(col("node"), col("t").as("pr"))
     for (_ <- 0 until iters) {
+      // same broadcast-the-scores device as [[pageRank]]: the edge
+      // cache is never re-exchanged, the agg is the iteration's shuffle
       val sums = withDeg
-        .join(pr, withDeg("src") === pr("node"))
+        .join(broadcast(pr), withDeg("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("s"))
-      pr = teleport.join(sums, teleport("node") === sums("dst"), "left")
+      pr = teleport.join(broadcast(sums), teleport("node") === sums("dst"),
+          "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("t") +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -139,13 +149,17 @@ object Graph {
       // lineage, and every re-evaluation (rows + max, both sides, per
       // iteration) re-runs the whole prefix — measured 64 s vs 3 s at
       // sf0.1. Same per-round discipline as the CC/BFS fixpoints.
-      val ar = e.join(hub, "src")
+      // broadcast(hub)/broadcast(auth): node-domain-sized score tables —
+      // the edge cache streams un-exchanged through a broadcast hash
+      // join and each half-iteration's only shuffle is its sum agg
+      // (plan-choice hint; see pageRank)
+      val ar = e.join(broadcast(hub), "src")
         .select(col("dst"), round(col("h"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("a"))
         .localCheckpoint(true)
       auth = ar.crossJoin(broadcast(ar.agg(max(col("a")).as("am"))))
         .select(col("dst"), round(col("a") / col("am"), 12).as("a"))
-      val hr = e.join(auth, "dst")
+      val hr = e.join(broadcast(auth), "dst")
         .select(col("src"), round(col("a"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("src").agg(sum(col("c")).cast("double").as("h"))
         .localCheckpoint(true)
