@@ -412,8 +412,14 @@ object DataOps3 {
     (s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val post = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // post feeds THREE branches (df counts, probe terms, the postings
+      // stream) — persist so the scan+explode+agg runs once; dl = Σ tf
+      // per doc comes from the cached postings, not a second full
+      // shuffle of the raw token stream
+      val post = graft.operators.PlanCache.persist(
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val dl = post.groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("dl"))
       val ad = dl.agg((sum(col("dl").cast("decimal(28,8)")).cast("double") /
         count(lit(1))).as("avgdl"))
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
