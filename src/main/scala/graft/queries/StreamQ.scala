@@ -629,7 +629,6 @@ object StreamQ {
       }
       val inSchema = s.read.parquet(s"$root/in/slice0").schema
       val audit = s"$root/audit"
-      val wmStore = s"$root/wm"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 4)
       try {
@@ -643,7 +642,7 @@ object StreamQ {
             // the drop made visible): one tiny row per batch crosses
             // the boundary, never data
             val priorMax: Option[Long] =
-              try Option(sp.read.parquet(wmStore)
+              try Option(sp.read.parquet(audit)
                   .agg(max("bmx")).head().get(0)).map(_.toString.toLong)
               catch { case _: Throwable => None }
             val wm = priorMax.map(_ - delayUs)
@@ -661,13 +660,14 @@ object StreamQ {
               else statsRow.getLong(1)
             val bmx = Option(statsRow.get(2))
               .map(_.toString.toLong).getOrElse(Long.MinValue)
-            val one = sp.range(1)
-            one.select(lit(id).as("batch"), lit(total).as("n_arrived"),
+            // ONE audit row carries the batch stats AND the watermark
+            // carrier (bmx) — one write job per batch, not two
+            sp.range(1)
+              .select(lit(id).as("batch"), lit(total).as("n_arrived"),
                 lit(late).as("n_late"),
-                wm.map(lit(_)).getOrElse(lit(null)).cast("long").as("wm_us"))
+                wm.map(lit(_)).getOrElse(lit(null)).cast("long").as("wm_us"),
+                lit(bmx).as("bmx"))
               .write.mode("append").parquet(audit)
-            one.select(lit(id).as("b"), lit(bmx).as("bmx"))
-              .write.mode("append").parquet(wmStore)
             ()
           }
           .option("checkpointLocation", s"$root/ckpt")
