@@ -575,6 +575,52 @@ object DataOps6 {
       s.table(tbl).orderBy("p_brand")
     })
 
+  /** SCHEMA-EVOLUTION DDL (ALTER TABLE on the v2 catalog — the DDL
+    * face of q118's unionByName read-side evolution): a first
+    * generation of rows lands under the narrow schema, `ALTER TABLE
+    * ... ADD COLUMN` evolves the table WITHOUT rewriting them (old rows
+    * read back null — the lake-format contract: old files stay, readers
+    * null-fill), a second generation lands with the new column, and
+    * `RENAME COLUMN` is metadata-only. The final aggregate reads both
+    * generations through one schema; count(col) vs count(*) makes the
+    * null-filled generation visible to the oracle. RowLevelSpec pins
+    * add/rename/drop and the protected anchor column. */
+  val q471_schema_evolution = Q(
+    "q471_schema_evolution",
+    Some("""WITH t AS (
+           |  SELECT p_partkey, p_brand,
+           |    CASE WHEN p_partkey % 2 = 1 THEN
+           |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    END AS price_cents
+           |  FROM part)
+           |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(price_cents) AS BIGINT) AS n_priced,
+           |  CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS sum_cents
+           |FROM t GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q471_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING)")
+      val part = graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      // generation 1: narrow schema
+      part.filter(col("p_partkey") % 2 === 0)
+        .select("p_partkey", "p_brand").writeTo(tbl).append()
+      // evolve, then generation 2 with the new column
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN cents BIGINT")
+      part.filter(col("p_partkey") % 2 === 1).writeTo(tbl).append()
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN cents TO price_cents")
+      s.table(tbl)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          count(col("price_cents")).as("n_priced"),
+          coalesce(sum("price_cents"), lit(0L)).cast("long").as("sum_cents"))
+        .orderBy("p_brand")
+    })
+
   /** DSv2 COLUMNAR read path (`supportColumnarReads` /
     * `createColumnarReader` — the vectorized rung of the connector
     * ladder, the mechanism behind Spark's own vectorized parquet/ORC
@@ -619,5 +665,5 @@ object DataOps6 {
     q459_v2_function_catalog, q460_v2_aggregate_function,
     q463_rowlevel_delete, q464_rowlevel_update, q465_rowlevel_merge,
     q466_rowlevel_delta, q468_columnar_scan, q469_metadata_delete,
-    q470_atomic_rtas)
+    q470_atomic_rtas, q471_schema_evolution)
 }

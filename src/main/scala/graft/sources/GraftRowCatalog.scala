@@ -89,9 +89,63 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     if (delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
   }
 
+  /** ALTER TABLE — schema evolution DDL (add / drop / rename column,
+    * top-level only). Rows evolve WITH the schema in one atomic state
+    * swap: ADD null-fills every existing row (the lake-format
+    * back-fill-free evolution — old files stay, readers see null),
+    * DROP removes the value slot, RENAME touches metadata only. The
+    * first column is the row-id/partition anchor (delta row id,
+    * graft.partitioncol) and is protected. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+      changes: TableChange*): Table = {
+    val k = key(ident)
+    val updated = RowStore.tables.computeIfPresent(k, (_, st0) => {
+      changes.foldLeft(st0) { (st, ch) =>
+        def top(names: Array[String], what: String): String = {
+          require(names.length == 1,
+            s"$what: only top-level columns are supported, got " +
+              names.mkString("."))
+          names(0)
+        }
+        ch match {
+          case a: TableChange.AddColumn =>
+            val name = top(a.fieldNames(), "ADD COLUMN")
+            require(!st.schema.fieldNames.contains(name),
+              s"column $name already exists in $k")
+            require(a.isNullable,
+              "ADD COLUMN must be nullable — existing rows null-fill")
+            st.copy(
+              schema = st.schema.add(name, a.dataType(), nullable = true),
+              rows = st.rows.map(r => r :+ (null: Any)))
+          case dl: TableChange.DeleteColumn =>
+            val name = top(dl.fieldNames(), "DROP COLUMN")
+            val idx = st.schema.fieldIndex(name)
+            require(idx != 0,
+              s"cannot drop the key/anchor column $name of $k")
+            require(!st.partitionCol.contains(name),
+              s"cannot drop the partition column $name of $k")
+            st.copy(
+              schema = StructType(
+                st.schema.fields.patch(idx, Nil, 1)),
+              rows = st.rows.map(r =>
+                (r.take(idx) ++ r.drop(idx + 1)).toArray))
+          case rn: TableChange.RenameColumn =>
+            val name = top(rn.fieldNames(), "RENAME COLUMN")
+            val idx = st.schema.fieldIndex(name)
+            st.copy(
+              schema = StructType(st.schema.fields.updated(idx,
+                st.schema.fields(idx).copy(name = rn.newName()))),
+              partitionCol = st.partitionCol
+                .map(c => if (c == name) rn.newName() else c))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE change not supported: $other")
+        }
+      }
+    })
+    if (updated == null) throw new NoSuchTableException(ident)
+    loadTable(ident)
+  }
 
   // --- ATOMIC CTAS / RTAS (StagingTableCatalog): Spark writes the
   // SELECT's rows into a STAGED table that is invisible to readers; only

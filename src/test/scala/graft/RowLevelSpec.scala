@@ -270,6 +270,37 @@ class RowLevelSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("ALTER TABLE: add null-fills old rows, rename is metadata-only, drop removes the slot") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT)")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").writeTo(tbl).append()
+
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN note STRING")
+    // old rows read back null-filled, new writes carry the column
+    Seq((3L, 30L, "new")).toDF("k", "v", "note").writeTo(tbl).append()
+    val rows = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2))))
+    assert(rows.toSeq == Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("new"))), rows.mkString(", "))
+
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO cents")
+    assert(spark.table(tbl).columns.toSeq == Seq("k", "cents", "note"))
+    assert(spark.table(tbl).agg(sum("cents")).head().getLong(0) == 60L)
+
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN note")
+    assert(spark.table(tbl).columns.toSeq == Seq("k", "cents"))
+    assert(spark.table(tbl).count() == 3)
+
+    // the key/anchor column is protected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN k")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("TRUNCATE TABLE empties via the metadata path") {
     import spark.implicits._
     val tbl = "graftlake.ns.spec_md_trunc"
