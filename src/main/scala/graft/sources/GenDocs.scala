@@ -453,6 +453,13 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
         .toArray
     }
 
+  /** The scan declares its custom metrics (see [[RowsGeneratedMetric]]);
+    * Spark registers them as SQLMetrics on the BatchScanExec and folds
+    * in each reader's `currentMetricsValues` as tasks complete. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new RowsGeneratedMetric, new RowsSampleSkippedMetric)
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
     val agg = aggSpec
@@ -494,11 +501,16 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
         })
         new PartitionReader[ColumnarBatch] {
           private var id = first
+          private var generated = 0L
           private var batch: ColumnarBatch = null
+          override def currentMetricsValues()
+              : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            GenScan.taskMetrics(generated, 0L)
           override def next(): Boolean = {
             if (batch != null) { batch.close(); batch = null }
             if (id >= bound) return false
             val n = math.min(4096L, (bound - 1 - id) / step + 1).toInt
+            generated += n
             val vecs = org.apache.spark.sql.execution.vectorized
               .OnHeapColumnVector.allocateColumns(n, outSchema)
             var f = 0
@@ -573,6 +585,8 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
             }
           case None => new PartitionReader[InternalRow] {
             private var id = first - step
+            private var generated = 0L
+            private var sampleSkipped = 0L
             // pushed-sample keep rule: md5("id:seed") span-5 / 2^20 in
             // [lower, upper) -- the exact rule the SQL oracle replays
             private val keep: Long => Boolean = sampleSpec match {
@@ -591,9 +605,14 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
             }
             override def next(): Boolean = {
               id += step
-              while (id < bound && !keep(id)) id += step
-              id < bound
+              while (id < bound && !keep(id)) { id += step; sampleSkipped += 1 }
+              val has = id < bound
+              if (has) generated += 1
+              has
             }
+            override def currentMetricsValues()
+                : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+              GenScan.taskMetrics(generated, sampleSkipped)
             override def get(): InternalRow = {
               // only the PRUNED fields are ever computed/boxed
               val vals = fields.map {
@@ -611,6 +630,44 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
       }
     }
   }
+}
+
+private[sources] object GenScan {
+  /** Current task-metric snapshot for a reader — Spark polls this while
+    * the task runs and folds the final values at completion. */
+  def taskMetrics(generated: Long, sampleSkipped: Long)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "rowsGenerated"
+        override def value(): Long = generated
+      },
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "rowsSkippedBySample"
+        override def value(): Long = sampleSkipped
+      })
+}
+
+/** Connector-defined SQL metrics (CustomMetric — the DSv2 observability
+  * surface: Kafka reports offsets-behind, the file source files-read;
+  * these surface in the Spark UI's SQL tab next to the built-in ones):
+  * `rowsGenerated` = rows actually materialized post-pushdown,
+  * `rowsSkippedBySample` = ids the pushed TABLESAMPLE rule rejected
+  * before a row existed. Together they make the pushdown's work visible
+  * — a scan whose rowsGenerated ≈ its output proves the source, not
+  * Spark, did the filtering. */
+private[sources] class RowsGeneratedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsGenerated"
+  override def description(): String =
+    "rows materialized by the generator (post-pushdown)"
+}
+
+private[sources] class RowsSampleSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsSkippedBySample"
+  override def description(): String =
+    "ids rejected by the pushed TABLESAMPLE rule before materializing"
 }
 
 /** Micro-batch offset: the next id to generate, serialized as its decimal

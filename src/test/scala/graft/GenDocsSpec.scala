@@ -257,6 +257,51 @@ class GenDocsSpec extends AnyFunSuite {
     }
   }
 
+  test("custom scan metrics: rowsGenerated and rowsSkippedBySample fold into the SQL metrics") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        // AQE wraps materialized stages as LEAVES — children is Nil,
+        // the actual subtree hangs off .plan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          unwrap(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(unwrap) ++
+          other.subqueries.flatMap(unwrap)
+      }
+      unwrap(df.queryExecution.executedPlan).head
+    }
+    // sum(bucket) is NOT agg-pushable, so rows really materialize —
+    // count(*) would push down as a closed form and generate NOTHING
+    // (which is itself the pushdown working; see the q365 family)
+    val dfr = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "100000").option("slices", "4").load()
+      .filter(col("id") >= 1000L && col("id") < 4000L)
+      .agg(count(lit(1)), sum("bucket"))
+    assert(dfr.collect()(0).getLong(0) == 3000L) // collect() runs THIS queryExecution; head() would plan a separate limited one
+    val m1 = scanOf(dfr).metrics
+    assert(m1("rowsGenerated").value == 3000L, m1("rowsGenerated").value)
+    assert(m1("rowsSkippedBySample").value == 0L)
+    // pushed-sample scan: generated + skipped == the scanned interval
+    val dfs = spark.read.format("graft.sources.GenDocs")
+      .option("rows", "1000").option("slices", "4").load()
+      .sample(withReplacement = false, 0.25, 42L)
+      .agg(count(lit(1)), sum("bucket"))
+    val kept = dfs.collect()(0).getLong(0)
+    val m2 = scanOf(dfs).metrics
+    assert(m2("rowsGenerated").value == kept)
+    assert(m2("rowsGenerated").value + m2("rowsSkippedBySample").value
+      == 1000L, m2.toString)
+    // columnar scan reports generated too
+    val dfc = genC(columnar = true)
+      .filter(col("id") < 5000L).agg(count(lit(1)), sum("bucket"))
+    assert(dfc.collect()(0).getLong(0) == 5000L)
+    assert(scanOf(dfc).metrics("rowsGenerated").value == 5000L)
+  }
+
   test("columnar falls back to row reads for pushed aggregates and pushed samples") {
     val agg = genC(columnar = true, "partitionBy" -> "tag")
       .groupBy("tag").agg(count(lit(1)).as("n"), sum("id").as("s"))
