@@ -165,6 +165,84 @@ case class Md5Shingles(child: Expression, n: Int)
   override def prettyName: String = "md5_shingles"
 }
 
+/** Fused block-difference hash (the q137 dHash fingerprint): text is
+  * cut into `blocks` equal code-point windows (width = max(1,
+  * ⌈numChars/blocks⌉), exactly Spark's `substr` semantics — a window
+  * past the end is the empty string, whose md5 still participates),
+  * each window's md5's FIRST 8 HEX DIGITS become a 32-bit value, and
+  * bit i of the result is v_i < v_{i+1} for i < `bits`.
+  *
+  * ≡ the composed pipeline
+  * `aggregate(zip_with(slice(vs,1,bits), slice(vs,2,bits), (a,b) ->
+  * a<b), …)` over `vs = transform(sequence(0, blocks-1), i ->
+  * hexSpanVal(md5(substr(text, 1+i*w, w)), 0, 8))` — which stays the
+  * definition and the DuckDB oracle's formulation (parity
+  * property-asserted in TextExpressionsSpec, incl. multibyte and
+  * astral text). This native form exists because the composed chain is
+  * `blocks` interpreted lambda evaluations per row (higher-order
+  * functions are CodegenFallback), the dominant stage of q137's wall.
+  * One digest instance, one code-point walk, zero intermediate arrays.
+  *
+  * CodegenFallback: per-row cost is the md5 work itself. */
+case class BlockDHash(child: Expression, blocks: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback with Md5Holder {
+
+  require(blocks >= 2 && bits >= 1 && bits < blocks && bits <= 63,
+    s"need 2 <= bits+1 <= blocks and bits <= 63, got blocks=$blocks bits=$bits")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val cps = text.codePointCount(0, text.length)
+    val w = math.max(1, math.ceil(cps / blocks.toDouble).toInt)
+    val md = md5Instance
+    val vs = new Array[Long](blocks)
+    var i = 0
+    var startChar = 0 // char (UTF-16) offset of code point i*w, tracked
+    var consumedCps = 0L // code points consumed so far
+    val empty = Array.empty[Byte]
+    while (i < blocks) {
+      val s = i.toLong * w
+      val bytes =
+        if (s >= cps) empty
+        else {
+          val take = math.min(w.toLong, cps - s).toInt
+          val endChar = text.offsetByCodePoints(startChar, take)
+          val b = text.substring(startChar, endChar)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          startChar = endChar
+          consumedCps += take
+          b
+        }
+      val d = md.digest(bytes)
+      md.reset()
+      // first 8 hex digits of the md5 = the first 4 digest bytes,
+      // big-endian nibbles — hexSpanVal(md5hex, 0, 8) exactly
+      vs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < bits) {
+      if (vs(b) < vs(b + 1)) acc |= 1L << b
+      b += 1
+    }
+    acc: java.lang.Long
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "block_dhash"
+}
+
 /** Fused shingle-SET builder: tokens → word n-gram shingles → distinct
   * (first-occurrence order), one pass, no intermediate arrays.
   *

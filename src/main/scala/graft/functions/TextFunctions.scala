@@ -109,6 +109,13 @@ object TextFunctions {
     b.column(CharGramsMd5(b.expression(text), k))
   }
 
+  /** Fused block-difference hash (native expression; ≡ the q137
+    * 49-digest transform + comparison fold, see BlockDHash). */
+  def blockDHash(text: Column, blocks: Int, bits: Int): Column = {
+    val b = org.apache.spark.sql.GraftBridge
+    b.column(BlockDHash(b.expression(text), blocks, bits))
+  }
+
   /** Whole-document simhash, scan-side (native expression; ≡ the
     * explode → per-bit majority pipeline, see SimhashBits). */
   def simhashOf(toks: Column, bits: Int): Column = {

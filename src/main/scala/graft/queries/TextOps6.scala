@@ -159,28 +159,17 @@ object TextOps6 {
     * reference on both join sides (the q36 signature-stage rule).
     * Released by releaseAll()/clearCache(). */
   private[graft] def dhashFingerprints(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // native BlockDHash (late r13): the composed 49-digest transform +
+    // comparison fold ran as interpreted higher-order lambdas per row
+    // (the q374 class); the native expression does one code-point walk
+    // + one digest instance. The composed form stays the definition and
+    // the oracle's formulation — parity property-asserted in
+    // TextExpressionsSpec incl. multibyte/astral text.
     graft.operators.PlanCache.persist(docs
-      .select(col("doc_id"), expr(
-        s"""transform(
-           |  transform(sequence(0, ${DhBlocks - 1}), i -> md5(substr(text,
-           |    1 + i * greatest(1, CAST(ceil(length(text) / $DhBlocks.0)
-           |      AS INT)),
-           |    greatest(1, CAST(ceil(length(text) / $DhBlocks.0) AS INT))))),
-           |  m -> $vExpr)""".stripMargin).as("vs"))
-      .select(col("doc_id"), expr(
-        s"""aggregate(
-           |  zip_with(
-           |    slice(vs, 1, $DhBits), slice(vs, 2, $DhBits),
-           |    (a, b) -> CAST(a < b AS INT)),
-           |  named_struct('i', 0, 'acc', CAST(0 AS BIGINT)),
-           |  (st, bit) -> named_struct(
-           |    'i', st.i + 1,
-           |    'acc', st.acc + CASE WHEN bit = 1
-           |      THEN shiftleft(CAST(1 AS BIGINT), st.i) ELSE CAST(0 AS BIGINT) END),
-           |  st -> st.acc)""".stripMargin).as("hash")))
-  }
+      .select(col("doc_id"),
+        graft.functions.TextFunctions
+          .blockDHash(col("text"), DhBlocks, DhBits).as("hash")))
 
   val q137_block_dhash = Q(
     "q137_block_dhash", {

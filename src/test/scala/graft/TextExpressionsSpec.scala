@@ -422,4 +422,51 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(sym == 0)
   }
 
+  test("block dhash matches the composed digest-transform + comparison fold") {
+    import spark.implicits._
+    val blocks = 49
+    val bits = blocks - 1
+    val rnd = new scala.util.Random(137)
+    val alphabet = "abc XYZ 0189_é中文😀" // incl. 2/3/4-byte UTF-8
+    val texts = Seq("", "x", "short text", alphabet,
+      alphabet * 11, "😀" * 100) ++
+      (1 to 40).map(_ => (0 until rnd.nextInt(300))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val vExpr = graft.functions.TextFunctions.hexSpanValSql("m", 0, 8)
+    val composed = expr(
+      s"""aggregate(
+         |  zip_with(
+         |    slice(vs, 1, $bits), slice(vs, 2, $bits),
+         |    (a, b) -> CAST(a < b AS INT)),
+         |  named_struct('i', 0, 'acc', CAST(0 AS BIGINT)),
+         |  (st, bit) -> named_struct(
+         |    'i', st.i + 1,
+         |    'acc', st.acc + CASE WHEN bit = 1
+         |      THEN shiftleft(CAST(1 AS BIGINT), st.i)
+         |      ELSE CAST(0 AS BIGINT) END),
+         |  st -> st.acc)""".stripMargin)
+    val bad = texts.toDF("text")
+      .withColumn("vs", expr(
+        s"""transform(
+           |  transform(sequence(0, ${blocks - 1}), i -> md5(substr(text,
+           |    1 + i * greatest(1, CAST(ceil(length(text) / $blocks.0)
+           |      AS INT)),
+           |    greatest(1, CAST(ceil(length(text) / $blocks.0) AS INT))))),
+           |  m -> $vExpr)""".stripMargin))
+      .select(col("text"), composed.as("want"),
+        graft.functions.TextFunctions
+          .blockDHash(col("text"), blocks, bits).as("got"))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty,
+      bad.take(3).map(r => s"'${r.getString(0).take(30)}' want=${r.get(1)} got=${r.get(2)}")
+        .mkString("; "))
+    // NULL text follows expression null semantics on both forms
+    val n = Seq((1, null: String)).toDF("i", "text")
+      .select(graft.functions.TextFunctions
+        .blockDHash(col("text"), blocks, bits).as("h"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
 }
