@@ -121,3 +121,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec_cosine"
 }
+
+/** Squared L2 distance Σ (a(i)−b(i))², accumulated in index order —
+  * the assignment metric under every Lloyd's training / IVF / PQ / RQ
+  * entry. Same numeric contract as [[DotProduct]]: the identical
+  * left-to-right (x−y)·(x−y) additions as the
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +)` lambda
+  * form and the oracle's list fold, so swapping forms is bit-exact. */
+case class L2Sq(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_l2sq"
+}

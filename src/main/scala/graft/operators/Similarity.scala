@@ -272,9 +272,14 @@ object Similarity {
     df.sparkSession.createDataFrame(rows.asJava, df.schema)
   }
 
-  /** Squared L2 distance in one zipped pass. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  /** Squared L2 distance — native codegen'd kernel (functions.L2Sq),
+    * bit-identical to the zipped lambda fold it replaced (same
+    * left-to-right index-order additions; the lambda form stays the
+    * oracle's formulation, parity-spec'd in VectorExpressionsSpec). */
+  private def l2sq(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.GraftBridge
+    br.column(graft.functions.L2Sq(br.expression(a), br.expression(b)))
+  }
 
   /** Scan-side nearest-CODE assignment for one PQ subspace: argmin of
     * round(L2², 6) over the packed sub-codebook, ties to the LOWEST code —

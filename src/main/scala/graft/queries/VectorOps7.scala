@@ -113,9 +113,12 @@ object VectorOps7 {
             |ORDER BY x.qid""".stripMargin),
     (s, d) => {
       val sim = graft.operators.Similarity
-      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)
+      // native L2Sq kernel — bit-identical to the zipped lambda fold
+      // (same index-order additions; see functions.L2Sq)
+      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val br = org.apache.spark.sql.GraftBridge
+        br.column(graft.functions.L2Sq(br.expression(a), br.expression(b)))
+      }
       val e = Tables.embeddings(s, d)
         .withColumn("v", col("embedding").cast("array<double>"))
       val corpus = graft.operators.PlanCache.persist(

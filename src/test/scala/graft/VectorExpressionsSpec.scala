@@ -57,4 +57,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .filter(col("nd") =!= col("ld")).count()
     assert(bad == 0)
   }
+
+  test("L2Sq is bit-identical to the zipped (x-y)^2 fold, both execution paths") {
+    val br = org.apache.spark.sql.GraftBridge
+    def nativeL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      br.column(graft.functions.L2Sq(br.expression(a), br.expression(b)))
+    def lambdaL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, x) => acc + x)
+    // codegen'd projection path
+    val q = vecs.orderBy("vec_id").limit(1)
+      .select(col("e").as("q")).crossJoin(vecs)
+    val bad = q.select(nativeL2(col("e"), col("q")).as("n"),
+        lambdaL2(col("e"), col("q")).as("l"))
+      .filter(col("n") =!= col("l")).count()
+    assert(bad == 0)
+    // interpreted-inside-lambda path (the packed-centroid assignment shape)
+    val packed = vecs.limit(4)
+      .agg(collect_list(struct(col("vec_id"), col("e"))).as("cents"))
+    val bad2 = vecs.crossJoin(packed)
+      .select(
+        transform(col("cents"), c => nativeL2(col("e"), c("e"))).as("nd"),
+        transform(col("cents"), c => lambdaL2(col("e"), c("e"))).as("ld"))
+      .filter(col("nd") =!= col("ld")).count()
+    assert(bad2 == 0)
+  }
 }
