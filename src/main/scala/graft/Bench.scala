@@ -296,6 +296,14 @@ object Bench {
     val isolatedRaw: Seq[(String, Seq[(Double, Option[String])])] =
       if (only.isDefined) Seq.empty
       else timed.filter(_._3.isEmpty).map { case (q, _, _) =>
+        // One UNTIMED warm run per entry before the timed reps (VERDICT
+        // r13 #2): on a cold driver host the catalog pass alone leaves
+        // residual first-touch cost (page cache, codegen, shuffle-file
+        // reuse) that made rep-1 dominate medians (q170 driver triple
+        // [22.1, 14.1, 6.2] — a warmup tail, not a plan property). The
+        // warm run absorbs it so the reps read steady state and the
+        // pass-total spread stays tight in one artifact.
+        timeEntry(spark, sfDir, q)
         q.name -> (1 to reps).map(_ => timeEntry(spark, sfDir, q))
       }
     def median(xs: Seq[Double]): Double = {
@@ -316,6 +324,11 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalR = math.round(total * 1000) / 1000.0
     val isoTotalR = math.round(isolated.map(_._2).sum * 1000) / 1000.0
+    // best-of-reps total: the pass-1-insensitive headline companion the
+    // verdict asked for — with the per-entry warm run the median and the
+    // best should track closely; a large gap flags a contended window
+    val isoBestR = math.round(
+      isolatedTriples.map(_._2.min).sum * 1000) / 1000.0
     // Ingest replay AFTER the catalog passes (it shares the JVM; its
     // cost must not contaminate per-entry numbers). Skipped under
     // SPARK_GRAFT_ONLY (an entry-scoped run wants entry numbers only).
@@ -356,6 +369,7 @@ object Bench {
           jsonStr(n) + ":" + xs.map(r3).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
         s""","isolated":${jsonMap(isolated)},"isolated_total":$isoTotalR""" +
+          s""","isolated_best_total":$isoBestR""" +
           s""","isolated_reps":$reps,"isolated_raw":$raw""" +
           s""","isolated_pass_totals":${passTotals.mkString("[", ",", "]")}"""
       }
@@ -417,7 +431,8 @@ object Bench {
     // which the round-close commit picks up
     val shortIso =
       if (isolated.isEmpty) ""
-      else s""","isolated_total":$isoTotalR,"isolated_reps":$reps""" +
+      else s""","isolated_total":$isoTotalR,"isolated_best_total":$isoBestR""" +
+        s""","isolated_reps":$reps""" +
         s""","isolated_pass_totals":${passTotals.mkString("[", ",", "]")}"""
     val shortIngest = ingestTp.map { case (rps, _) =>
       s""","ingest_throughput":$rps""" }.getOrElse("")

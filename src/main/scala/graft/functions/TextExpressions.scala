@@ -206,7 +206,6 @@ case class BlockDHash(child: Expression, blocks: Int, bits: Int)
     val vs = new Array[Long](blocks)
     var i = 0
     var startChar = 0 // char (UTF-16) offset of code point i*w, tracked
-    var consumedCps = 0L // code points consumed so far
     val empty = Array.empty[Byte]
     while (i < blocks) {
       val s = i.toLong * w
@@ -218,7 +217,6 @@ case class BlockDHash(child: Expression, blocks: Int, bits: Int)
           val b = text.substring(startChar, endChar)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           startChar = endChar
-          consumedCps += take
           b
         }
       val d = md.digest(bytes)

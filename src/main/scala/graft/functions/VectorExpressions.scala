@@ -127,7 +127,14 @@ case class CosineSim(left: Expression, right: Expression)
   * entry. Same numeric contract as [[DotProduct]]: the identical
   * left-to-right (x−y)·(x−y) additions as the
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +)` lambda
-  * form and the oracle's list fold, so swapping forms is bit-exact. */
+  * form and the oracle's list fold, so swapping forms is bit-exact ON
+  * THE SHAPES THE OPERATORS FEED: equal-length arrays of non-null
+  * doubles. Off that contract the forms diverge (ADVICE r13) — the
+  * lambda returns NULL for mismatched lengths (zip_with null-pads and
+  * the pad poisons the fold) and for null elements, while this
+  * expression truncates to min(|a|,|b|) and reads a null slot as 0.0.
+  * Callers needing lambda-equivalent NULL semantics must pre-validate
+  * lengths/elements; none of the repo's call sites do, by contract. */
 case class L2Sq(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Node-count ceiling under which the per-iteration score table is
+    * broadcast (≈ 24 bytes/row → ~120 MB at the ceiling, comfortably
+    * inside Spark's 8 GB / 512 M-row broadcast hard limits and a sane
+    * driver heap). An explicit `broadcast()` hint is honored
+    * UNCONDITIONALLY by Spark — past driver scale it fails (driver OOM
+    * or the broadcast hard limit), it does not degrade — so the hint
+    * must be gated, not merely commented (ADVICE r13). Above the
+    * ceiling the same plan runs as a shuffle join; values are unchanged
+    * either way (the round-12 decimal sum is order-independent). */
+  private[graft] val BroadcastNodeLimit = 5L * 1000 * 1000
+
+  private def maybeBroadcast(df: DataFrame, estRows: Long): DataFrame =
+    if (estRows <= BroadcastNodeLimit) broadcast(df) else df
+
   /** Fixed-iteration PageRank over an edge list (src, dst), uniform
     * teleport, dangling mass dropped (the common simplification — the
     * oracle replays the same rule).
@@ -42,20 +56,21 @@ object Graph {
     val n = nodes.count() // also materializes the nodes cache
     var pr = nodes.withColumn("pr", lit(1.0) / n)
     for (_ <- 0 until iters) {
-      // broadcast(pr)/broadcast(sums): both are node-domain-sized score
-      // tables, tiny beside the edge list — with the hint each
-      // iteration's ONLY shuffle is the contribution agg, instead of
-      // re-exchanging the cached edge table per iteration (the q461
-      // round device). Plan-choice hint only: past driver-broadcast
-      // node scale the same plan runs as a shuffle join, values
-      // unchanged (the round-12 decimal sum is order-independent).
+      // the score tables (pr/sums) are node-domain-sized — below
+      // [[BroadcastNodeLimit]] broadcasting them makes each iteration's
+      // ONLY shuffle the contribution agg, instead of re-exchanging the
+      // cached edge table per iteration (the q461 round device); above
+      // it the hint is withheld and the join shuffles, because an
+      // explicit broadcast hint would be honored unconditionally and
+      // fail at driver scale rather than degrade (ADVICE r13)
       val sums = withDeg
-        .join(broadcast(pr), withDeg("src") === pr("node"))
+        .join(maybeBroadcast(pr, n), withDeg("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("s"))
-      pr = nodes.join(broadcast(sums), nodes("node") === sums("dst"), "left")
+      pr = nodes.join(maybeBroadcast(sums, n), nodes("node") === sums("dst"),
+          "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -86,7 +101,7 @@ object Graph {
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
+    val n = nodes.count()
     // teleport(node) = 1/|probes| on the probe set, 0 elsewhere — built
     // once, re-read by every iteration as a materialized frame
     val p = probes.select(col("node")).distinct()
@@ -99,16 +114,16 @@ object Graph {
       .localCheckpoint(true)
     var pr = teleport.select(col("node"), col("t").as("pr"))
     for (_ <- 0 until iters) {
-      // same broadcast-the-scores device as [[pageRank]]: the edge
+      // same gated broadcast-the-scores device as [[pageRank]]: the edge
       // cache is never re-exchanged, the agg is the iteration's shuffle
       val sums = withDeg
-        .join(broadcast(pr), withDeg("src") === pr("node"))
+        .join(maybeBroadcast(pr, n), withDeg("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).cast("double").as("s"))
-      pr = teleport.join(broadcast(sums), teleport("node") === sums("dst"),
-          "left")
+      pr = teleport.join(maybeBroadcast(sums, n),
+          teleport("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("t") +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
@@ -140,7 +155,10 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize once; every iteration's lineage reads it
+    // materialize once; every iteration's lineage reads it. The edge
+    // count also bounds the node domain (nodes ≤ 2·edges) for the
+    // broadcast gate below.
+    val nodeBound = 2L * e.count()
     var hub = e.select(col("src")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 0 until iters) {
@@ -149,17 +167,18 @@ object Graph {
       // lineage, and every re-evaluation (rows + max, both sides, per
       // iteration) re-runs the whole prefix — measured 64 s vs 3 s at
       // sf0.1. Same per-round discipline as the CC/BFS fixpoints.
-      // broadcast(hub)/broadcast(auth): node-domain-sized score tables —
+      // hub/auth are node-domain-sized score tables — below the gate
       // the edge cache streams un-exchanged through a broadcast hash
-      // join and each half-iteration's only shuffle is its sum agg
-      // (plan-choice hint; see pageRank)
-      val ar = e.join(broadcast(hub), "src")
+      // join and each half-iteration's only shuffle is its sum agg;
+      // above it the join shuffles (see [[BroadcastNodeLimit]]). The
+      // 1-row max aggs stay unconditionally broadcast.
+      val ar = e.join(maybeBroadcast(hub, nodeBound), "src")
         .select(col("dst"), round(col("h"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("a"))
         .localCheckpoint(true)
       auth = ar.crossJoin(broadcast(ar.agg(max(col("a")).as("am"))))
         .select(col("dst"), round(col("a") / col("am"), 12).as("a"))
-      val hr = e.join(broadcast(auth), "dst")
+      val hr = e.join(maybeBroadcast(auth, nodeBound), "dst")
         .select(col("src"), round(col("a"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("src").agg(sum(col("c")).cast("double").as("h"))
         .localCheckpoint(true)

@@ -567,11 +567,17 @@ object DataOps6 {
       // a FAILING RTAS mid-write: the staged protocol must leave the
       // refreshed snapshot untouched (this is the oracle's assertion —
       // if the old contents were dropped, the result would be the
-      // poisoned SELECT's surviving prefix, not the size<=25 snapshot)
-      try s.sql(s"REPLACE TABLE $tbl AS SELECT p_brand, " +
-        "assert_true(p_size < 4, 'mid-write failure') AS n, " +
-        "CAST(0 AS BIGINT) AS cents FROM q470_part")
-      catch { case _: Exception => () }
+      // poisoned SELECT's surviving prefix, not the size<=25 snapshot).
+      // The task failure is EXPECTED — Spark logs it with a full stack
+      // at ERROR, which used to end the bench tail in a trace (VERDICT
+      // r13 #4); scope the scheduler/executor loggers OFF around just
+      // this statement and print a marker instead.
+      Q.withExpectedTaskFailureSilenced("q470 mid-write failure") {
+        try s.sql(s"REPLACE TABLE $tbl AS SELECT p_brand, " +
+          "assert_true(p_size < 4, 'mid-write failure') AS n, " +
+          "CAST(0 AS BIGINT) AS cents FROM q470_part")
+        catch { case _: Exception => () }
+      }
       s.table(tbl).orderBy("p_brand")
     })
 

@@ -501,7 +501,11 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
         })
         new PartitionReader[ColumnarBatch] {
           private var id = first
-          private var generated = 0L
+          // @volatile: currentMetricsValues() is polled by Spark's
+          // heartbeat from another thread mid-task; volatile keeps the
+          // live snapshots fresh (final fold was already correct —
+          // ADVICE r13)
+          @volatile private var generated = 0L
           private var batch: ColumnarBatch = null
           override def currentMetricsValues()
               : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -585,8 +589,9 @@ private[sources] class GenScan(private var lo: Long, private var hi: Long,
             }
           case None => new PartitionReader[InternalRow] {
             private var id = first - step
-            private var generated = 0L
-            private var sampleSkipped = 0L
+            // @volatile: heartbeat-polled mid-task (see columnar reader)
+            @volatile private var generated = 0L
+            @volatile private var sampleSkipped = 0L
             // pushed-sample keep rule: md5("id:seed") span-5 / 2^20 in
             // [lower, upper) -- the exact rule the SQL oracle replays
             private val keep: Long => Boolean = sampleSpec match {

@@ -360,21 +360,28 @@ private[sources] class RowStoreTable(key: String) extends Table
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val st = state
-    val pc = st.partitionCol.getOrElse(
-      throw new UnsupportedOperationException(
-        s"$key has no graft.partitioncol — metadata delete unavailable"))
-    val idx = st.schema.fieldIndex(pc)
-    val ms = predicates.map(p => partMatcher(p, pc).getOrElse(
-      throw new UnsupportedOperationException(
-        s"non-partition-aligned predicate reached deleteWhere: $p")))
-    // one atomic state swap — same commit point as the write paths
-    val kept = st.rows.filterNot(r => ms.forall(m => m(r(idx))))
-    RowStore.tables.put(key, st.copy(rows = kept))
+    // genuinely atomic read-filter-swap via compute — a read-then-put
+    // would silently drop a concurrent append commit between the state
+    // read and the put (ADVICE r13; same discipline as alterTable)
+    val updated = RowStore.tables.compute(key, (_, st) => {
+      require(st != null, s"row-store table $key vanished")
+      val pc = st.partitionCol.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$key has no graft.partitioncol — metadata delete unavailable"))
+      val idx = st.schema.fieldIndex(pc)
+      val ms = predicates.map(p => partMatcher(p, pc).getOrElse(
+        throw new UnsupportedOperationException(
+          s"non-partition-aligned predicate reached deleteWhere: $p")))
+      st.copy(rows = st.rows.filterNot(r => ms.forall(m => m(r(idx)))))
+    })
+    require(updated != null, s"row-store table $key vanished")
   }
 
   override def truncateTable(): Boolean = {
-    RowStore.tables.put(key, state.copy(rows = Array.empty))
+    RowStore.tables.compute(key, (_, st) => {
+      require(st != null, s"row-store table $key vanished")
+      st.copy(rows = Array.empty)
+    })
     true
   }
   override def name(): String = s"graft_row_store($key)"
