@@ -280,11 +280,16 @@ object DataOps6 {
     * merge family (q63/q85) applies the same semantics via foreachBatch;
     * this entry proves the engine-native path.
     *
-    * Scale shape: this in-memory table is ONE group (driver-side rows —
-    * the protocol testbed, like Spark's own in-memory catalog); a lake
-    * table's groups are files/partitions and runtime group filtering
-    * prunes the rewrite to matched groups, but plan + commit protocol
-    * are exactly what runs here. Money is exact integer cents. */
+    * FILE-BACKED since r14 (VERDICT r13 #1): the table is
+    * `graft.storage`='files' partitioned on o_orderstatus — seed rows
+    * land as real parquet files (one group per file, written by tasks,
+    * manifest-committed by the driver), and the DELETE's rewrite is
+    * pruned by Spark's RowLevelOperationRuntimeGroupFiltering through
+    * the scan's SupportsRuntimeV2Filtering: only status='F' files are
+    * replaced; 'O'/'P' files stay BYTE-IDENTICAL on disk (FileLakeSpec
+    * pins both). That is the 100 TB cow contract — a delete that
+    * touches one partition rewrites one partition. Money is exact
+    * integer cents. */
   val q463_rowlevel_delete = Q(
     "q463_rowlevel_delete",
     Some("""WITH t AS (
@@ -304,7 +309,8 @@ object DataOps6 {
       val tbl = "graftlake.ns.q463_orders"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
-        "cents BIGINT)")
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='o_orderstatus')")
       graft.Tables.orders(s, d)
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus"),
@@ -327,7 +333,10 @@ object DataOps6 {
     * into per-column `if(cond, new, old)` projections over the
     * operation's scan and the write replaces the group. The oracle
     * replays the conditional arithmetic. Exact integer cents (acctbal
-    * can be negative; decimal-cast → long is engine-identical). */
+    * can be negative; decimal-cast → long is engine-identical).
+    * File-backed + partitioned on c_mktsegment (r14): only the
+    * BUILDING segment's files are rewritten; the other four segments'
+    * files stay byte-identical (runtime group filter, see q463). */
   val q464_rowlevel_update = Q(
     "q464_rowlevel_update",
     Some("""WITH t AS (
@@ -347,7 +356,8 @@ object DataOps6 {
       val tbl = "graftlake.ns.q464_customer"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment STRING, " +
-        "cents BIGINT)")
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='c_mktsegment')")
       graft.Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_mktsegment"),
@@ -399,7 +409,11 @@ object DataOps6 {
     (s, d) => {
       val tbl = "graftlake.ns.q465_target"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT)")
+      // file-backed (r14); unpartitioned — MERGE's inserts can land in
+      // any group, so the safe whole-table ReplaceData is the honest
+      // shape here (a keyed lake table would bucket on k)
+      s.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT) " +
+        "TBLPROPERTIES('graft.storage'='files')")
       graft.Tables.customer(s, d)
         .filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey").cast("long").as("k"),
@@ -458,8 +472,12 @@ object DataOps6 {
     (s, d) => {
       val tbl = "graftlake.ns.q466_part"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // file-backed merge-on-read (r14): the DELETE/UPDATE deltas land
+      // as parquet files under delta/ and the BASE files are never
+      // rewritten — FileLakeSpec pins base-file byte-identity
       s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
-        "cents BIGINT) TBLPROPERTIES('graft.mode'='delta')")
+        "cents BIGINT) TBLPROPERTIES('graft.mode'='delta', " +
+        "'graft.storage'='files')")
       graft.Tables.part(s, d)
         .select(col("p_partkey").cast("long").as("p_partkey"),
           col("p_brand"),
@@ -506,8 +524,12 @@ object DataOps6 {
     (s, d) => {
       val tbl = "graftlake.ns.q469_part"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // file-backed (r14): the two metadata deletes drop whole files
+      // from the manifest with zero reads; the third (non-aligned)
+      // delete takes the group-filtered ReplaceData rewrite
       s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
-        "cents BIGINT) TBLPROPERTIES('graft.partitioncol'='p_brand')")
+        "cents BIGINT) TBLPROPERTIES('graft.partitioncol'='p_brand', " +
+        "'graft.storage'='files')")
       graft.Tables.part(s, d)
         .select(col("p_partkey").cast("long").as("p_partkey"),
           col("p_brand"),
@@ -552,14 +574,17 @@ object DataOps6 {
       val tbl = "graftlake.ns.q470_brands"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       graft.Tables.part(s, d).createOrReplaceTempView("q470_part")
-      // atomic CTAS: the seed snapshot (all sizes)
-      s.sql(s"""CREATE TABLE $tbl AS
+      // atomic CTAS: the seed snapshot (all sizes). File-backed (r14):
+      // the staged rows land as parquet files OUT of the manifest; only
+      // commit publishes them, and the failed RTAS below must leave the
+      // published snapshot's files untouched ON DISK (FileLakeSpec pin)
+      s.sql(s"""CREATE TABLE $tbl TBLPROPERTIES('graft.storage'='files') AS
                |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
                |  CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
                |    AS BIGINT)) AS BIGINT) AS cents
                |FROM q470_part GROUP BY p_brand""".stripMargin)
       // atomic RTAS: the refreshed snapshot (sizes <= 25) — one swap
-      s.sql(s"""REPLACE TABLE $tbl AS
+      s.sql(s"""REPLACE TABLE $tbl TBLPROPERTIES('graft.storage'='files') AS
                |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
                |  CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
                |    AS BIGINT)) AS BIGINT) AS cents
@@ -573,7 +598,8 @@ object DataOps6 {
       // r13 #4); scope the scheduler/executor loggers OFF around just
       // this statement and print a marker instead.
       Q.withExpectedTaskFailureSilenced("q470 mid-write failure") {
-        try s.sql(s"REPLACE TABLE $tbl AS SELECT p_brand, " +
+        try s.sql(s"REPLACE TABLE $tbl " +
+          "TBLPROPERTIES('graft.storage'='files') AS SELECT p_brand, " +
           "assert_true(p_size < 4, 'mid-write failure') AS n, " +
           "CAST(0 AS BIGINT) AS cents FROM q470_part")
         catch { case _: Exception => () }
@@ -606,7 +632,13 @@ object DataOps6 {
     (s, d) => {
       val tbl = "graftlake.ns.q471_part"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING)")
+      // file-backed (r14): ADD COLUMN touches the manifest only — the
+      // generation-1 parquet files are NEVER rewritten (they predate
+      // the column id and null-fill at read), and RENAME is pure
+      // metadata because files bind columns by id (FileLakeSpec pins
+      // generation-1 byte-identity across both ALTERs)
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING) " +
+        "TBLPROPERTIES('graft.storage'='files')")
       val part = graft.Tables.part(s, d)
         .select(col("p_partkey").cast("long").as("p_partkey"),
           col("p_brand"),

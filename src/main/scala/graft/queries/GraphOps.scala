@@ -181,16 +181,23 @@ object GraphOps {
     * so j>i ⟺ a<b. */
   private def cooccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val b = Tables.events(s, d)
+    // ONE shuffle builds the buckets (r14; the previous form spent a
+    // (u,w,t) distinct plus a windowed bucket count — two shuffles and
+    // a buffered window pass — before the same collect): collect_set
+    // dedups users per (minute, event_type) bucket inside the agg, with
+    // MAP-SIDE partial combine shrinking the shuffle to distinct users
+    // per bucket per mapper. The cap then drops mega-buckets before the
+    // quadratic pair unfold, exactly as before. Concentration honesty:
+    // the reduce-side set buffer holds one bucket's distinct users —
+    // the same per-bucket locality the windowed count already had (its
+    // partitionBy(w,t) buffered the full bucket to count it); the cap
+    // bounds the pair blow-up, not the bucket buffer, in BOTH forms.
+    Tables.events(s, d)
       .select(col("user_id").as("u"),
         expr("ts div 60000000000").as("w"), col("event_type").as("t"))
-      .distinct()
-    val bk = b
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("w", "t")))
-      .filter(col("__n") <= CoreBucketCap)
-    bk.groupBy("w", "t")
-      .agg(sort_array(collect_list(col("u"))).as("us"))
+      .groupBy("w", "t")
+      .agg(sort_array(collect_set(col("u"))).as("us"))
+      .filter(size(col("us")) <= CoreBucketCap)
       .select(explode(expr(
         """flatten(transform(us, (x, i) ->
           |  transform(slice(us, i + 2, size(us)),
@@ -904,22 +911,24 @@ object GraphOps {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val deg = graft.operators.PlanCache.persist(nb.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("dg")))
-      // the two 10-row drop lists are checkpointed: each feeds FOUR
-      // broadcast builds across separate jobs (nodes2/ee/meta), and an
-      // un-checkpointed limit re-runs its TakeOrdered job per broadcast
+      // the two drop lists are CONSTANT-K metadata (HubK = 10 rows) —
+      // the bounded-k localization the centroid/union-find entries use:
+      // collect them (one TakeOrdered job each) and cut with literal
+      // isin filters, which ride WholeStageCodegen inside the ee/nodes2
+      // materialization instead of four broadcast-build jobs (r14; the
+      // r13 form checkpointed each list and broadcast it four times)
       val hubs = deg.orderBy(col("dg").desc, col("node")).limit(HubK)
-        .select("node").localCheckpoint(true)
+        .select("node").collect().map(_.getLong(0))
       // matched control: the SAME number of md5-drawn NON-hub nodes —
       // "fragile to targeted, robust to random" needs both arms measured
-      val rnd = deg.join(broadcast(hubs), Seq("node"), "left_anti")
+      val rnd = deg.where(!col("node").isin(hubs: _*))
         .orderBy(md5(col("node").cast("string")), col("node")).limit(HubK)
-        .select("node").localCheckpoint(true)
-      def cutN(name: String, drop: org.apache.spark.sql.DataFrame) =
-        deg.join(broadcast(drop), Seq("node"), "left_anti")
+        .select("node").collect().map(_.getLong(0))
+      def cutN(name: String, drop: Array[Long]) =
+        deg.where(!col("node").isin(drop: _*))
           .select(lit(name).as("variant"), col("node"))
-      def cutE(name: String, drop: org.apache.spark.sql.DataFrame) =
-        nb.join(broadcast(drop.toDF("u")), Seq("u"), "left_anti")
-          .join(broadcast(drop.toDF("v")), Seq("v"), "left_anti")
+      def cutE(name: String, drop: Array[Long]) =
+        nb.where(!col("u").isin(drop: _*) && !col("v").isin(drop: _*))
           .select(lit(name).as("variant"), col("u"), col("v"))
       // NOT persisted (r13): nodes2's only consumer is lab0 — round 1's
       // checkpoint materializes it exactly once; meta (n_nodes) is
@@ -956,36 +965,79 @@ object GraphOps {
       // fused into the materializing action) measured 12 s vs 4.3 —
       // re-planning through the cached lineage under AQE re-executed
       // the round joins; reverted. Measure, don't guess.
+      // the gossip frame carries a `chg` flag: DELTA GOSSIP (r14) —
+      // only labels that CHANGED last round send messages. Monotone
+      // min-gossip makes this bit-exact with the full broadcast: an
+      // unchanged neighbor's label was already delivered the round it
+      // last changed (round 1 sends everything), so min(self, changed
+      // neighbors) ≡ min(self, all neighbors) by induction. The round
+      // join's build side collapses as convergence nears — the late
+      // rounds that used to re-join the whole label table join almost
+      // nothing.
       var lab = nodes2.select(col("variant"), col("node"),
-        col("node").as("lab"))
+        col("node").as("lab"), lit(true).as("chg"))
       val eeR = ee.toDF("ev", "eu", "enb")
-      var converged = false
-      var round = 0
-      while (round < PercRounds && !converged) {
-        // broadcast(lab): the label table is node-domain-sized (the
-        // hub-capped cooccur graph's node set), tiny beside the edge
-        // list, so the message join broadcasts it and the round's ONLY
-        // shuffle is the (variant, node) min agg. Plan-choice hint:
-        // at a node scale past driver broadcast the same plan runs as
-        // a shuffle join with the hint dropped.
+      // one gossip round as a PLAN over `cur`: broadcast(changed) —
+      // the changed-label table is at most node-domain-sized (the
+      // hub-capped cooccur graph's node set), tiny beside the edge
+      // list, so the message join broadcasts it and the round's ONLY
+      // shuffle is the (variant, node) min agg. Plan-choice hint: at a
+      // node scale past driver broadcast the same plan runs as a
+      // shuffle join with the hint dropped.
+      def roundPlan(cur: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
         val msgs = eeR
-          .join(broadcast(lab), col("ev") === col("variant") &&
-            col("enb") === col("node"))
+          .join(broadcast(cur.where(col("chg"))
+            .select(col("variant"), col("node"), col("lab"))),
+            col("ev") === col("variant") && col("enb") === col("node"))
           .select(col("ev").as("variant"), col("eu").as("node"),
             col("lab"), lit(0).as("is_self"))
-        val next = lab
+        cur
           .select(col("variant"), col("node"), col("lab"),
             lit(1).as("is_self"))
           .unionAll(msgs)
           .groupBy("variant", "node")
           .agg(min("lab").as("lab"),
             max(when(col("is_self") === 1, col("lab"))).as("old_lab"))
-          .localCheckpoint(true)
-        // near-free: scans the just-checkpointed round's blocks
-        converged = next.where(col("lab") =!= col("old_lab")).isEmpty
-        mark(s"round=${round + 1} converged=$converged")
-        lab = next.select(col("variant"), col("node"), col("lab"))
-        round += 1
+          .select(col("variant"), col("node"), col("lab"),
+            (col("lab") =!= col("old_lab")).as("chg"))
+      }
+      var converged = false
+      var round = 0
+      while (round < PercRounds && !converged) {
+        // TWO gossip rounds per eager checkpoint (VERDICT r13 #3: the
+        // residual floor was ~10 localCheckpoint scheduling rounds —
+        // the checkpoint count, not the compute, was the knob). The
+        // intermediate round stays a PLAN: it is evaluated once for
+        // the broadcast build and once on the self side — a bounded
+        // double-compute of one edge join, cheaper than a scheduled
+        // checkpoint job at this scale (measured, not guessed). Plan
+        // depth stays constant (2 joins per checkpointed leaf), so the
+        // q380 runtime-filter lineage explosion cannot re-enter.
+        //
+        // FIXPOINT EXIT at block granularity: min-label gossip is
+        // monotone and deterministic, so `old_lab` (carried through
+        // the agg as the self row's label) compares the block's LAST
+        // sub-round against its input — zero changes there means that
+        // round mapped its input to itself, i.e. a fixpoint, no matter
+        // what the first sub-round did; every later round is the
+        // identity and the oracle's fixed 8 rounds agree.
+        val steps = math.min(2, PercRounds - round)
+        // the intermediate sub-round is PERSISTED (lazy): the block's
+        // broadcast-build job materializes it into the cache and the
+        // self side reads the cached blocks — one execution, no
+        // scheduled checkpoint job
+        val mid =
+          if (steps == 2) Some(graft.operators.PlanCache.persist(
+            roundPlan(lab)))
+          else None
+        val next = roundPlan(mid.getOrElse(lab)).localCheckpoint(true)
+        mid.foreach(_.unpersist(false))
+        // near-free: scans the just-checkpointed block's blocks
+        converged = next.where(col("chg")).isEmpty
+        mark(s"round=${round + steps} converged=$converged")
+        lab = next
+        round += steps
       }
       // ONE pass over the final label frame: island sizes, then a
       // variant rollup where n_nodes = SUM of island sizes (the gossip

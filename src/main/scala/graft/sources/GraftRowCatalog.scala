@@ -34,9 +34,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog {
   private var catalogName: String = "graftlake"
+  // root for file-backed tables (`graft.storage`='files'); the catalog
+  // option `basedir` overrides the per-JVM temp default
+  private var baseDir: String = null
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    baseDir = Option(options.get("basedir")).getOrElse(null)
+  }
+  private def base: String =
+    if (baseDir != null) baseDir else FileStore.defaultBase
   override def name(): String = catalogName
 
   private def key(ident: Identifier): String =
@@ -44,7 +52,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     import scala.jdk.CollectionConverters._
-    RowStore.tables.keySet().asScala.toArray.map { k =>
+    (RowStore.tables.keySet().asScala.toArray ++
+      FileStore.tables.keySet().asScala.toArray).distinct.map { k =>
       val parts = k.split('.')
       Identifier.of(parts.dropRight(1), parts.last)
     }
@@ -52,16 +61,49 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
+    if (FileStore.tables.containsKey(k)) return new FileBackedTable(k)
     val st = RowStore.tables.get(k)
     if (st == null) throw new NoSuchTableException(ident)
     if (st.delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
   }
 
+  private def isFileMode(properties: util.Map[String, String]): Boolean =
+    "files".equalsIgnoreCase(properties.get("graft.storage"))
+
+  /** Create a PARQUET-FILE-BACKED table (`graft.storage`='files' —
+    * VERDICT r13 #1): same property surface as the memory store
+    * (`graft.mode`='delta' for merge-on-read, `graft.partitioncol` for
+    * file grouping + metadata deletes), but rows land in real parquet
+    * files under `<base>/<key>/data/` and commits publish an atomic
+    * manifest. See [[FileStore]]. */
+  private def createFileTable(ident: Identifier, schema: StructType,
+      properties: util.Map[String, String]): Table = {
+    val k = key(ident)
+    if (FileStore.tables.containsKey(k) || RowStore.tables.containsKey(k))
+      throw new TableAlreadyExistsException(ident)
+    val delta = "delta".equalsIgnoreCase(properties.get("graft.mode"))
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      FileStore.FCol(i, f.name, f.dataType) }
+    val pcolId = Option(properties.get("graft.partitioncol")).map { c =>
+      val i = cols.indexWhere(_.name == c)
+      require(i >= 0, s"graft.partitioncol '$c' is not a column of $k")
+      cols(i).id
+    }
+    val st = FileStore.FState(s"$base/$k", cols, cols.length, delta,
+      pcolId, Array.empty, Array.empty, version = 1)
+    if (FileStore.tables.putIfAbsent(k, st) != null)
+      throw new TableAlreadyExistsException(ident)
+    FileStore.writeManifest(st)
+    new FileBackedTable(k)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    if (isFileMode(properties))
+      return createFileTable(ident, schema, properties)
     val k = key(ident)
-    if (RowStore.tables.containsKey(k))
+    if (RowStore.tables.containsKey(k) || FileStore.tables.containsKey(k))
       throw new TableAlreadyExistsException(ident)
     // TBLPROPERTIES('graft.mode'='delta') selects the MERGE-ON-READ
     // row-level mode (SupportsDelta/WriteDelta); default is group-based
@@ -96,9 +138,65 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     * DROP removes the value slot, RENAME touches metadata only. The
     * first column is the row-id/partition anchor (delta row id,
     * graft.partitioncol) and is protected. */
+  /** File-mode ALTER TABLE: the same add/drop/rename surface, but NO
+    * row movement at all — data files are never rewritten. ADD appends
+    * a fresh column id (old files predate the id and null-fill at
+    * read), DROP removes the id (readers stop binding it; bytes stay in
+    * old files, exactly like a lake format), RENAME touches only the
+    * manifest (files bind columns by id, not name). */
+  private def alterFileTable(ident: Identifier,
+      changes: Seq[TableChange]): Table = {
+    val k = key(ident)
+    val updated = FileStore.tables.computeIfPresent(k, (_, st0) => {
+      val next = changes.foldLeft(st0) { (st, ch) =>
+        def top(names: Array[String], what: String): String = {
+          require(names.length == 1,
+            s"$what: only top-level columns are supported, got " +
+              names.mkString("."))
+          names(0)
+        }
+        ch match {
+          case a: TableChange.AddColumn =>
+            val name = top(a.fieldNames(), "ADD COLUMN")
+            require(!st.cols.exists(_.name == name),
+              s"column $name already exists in $k")
+            require(a.isNullable,
+              "ADD COLUMN must be nullable — existing files null-fill")
+            st.copy(cols = st.cols :+
+              FileStore.FCol(st.nextCol, name, a.dataType()),
+              nextCol = st.nextCol + 1)
+          case dl: TableChange.DeleteColumn =>
+            val name = top(dl.fieldNames(), "DROP COLUMN")
+            val idx = st.cols.indexWhere(_.name == name)
+            require(idx >= 0, s"no column $name in $k")
+            require(idx != 0,
+              s"cannot drop the key/anchor column $name of $k")
+            require(!st.partitionColId.contains(st.cols(idx).id),
+              s"cannot drop the partition column $name of $k")
+            st.copy(cols = st.cols.patch(idx, Nil, 1))
+          case rn: TableChange.RenameColumn =>
+            val name = top(rn.fieldNames(), "RENAME COLUMN")
+            val idx = st.cols.indexWhere(_.name == name)
+            require(idx >= 0, s"no column $name in $k")
+            st.copy(cols = st.cols.updated(idx,
+              st.cols(idx).copy(name = rn.newName())))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"ALTER TABLE change not supported: $other")
+        }
+      }
+      val bumped = next.copy(version = st0.version + 1)
+      FileStore.writeManifest(bumped)
+      bumped
+    })
+    if (updated == null) throw new NoSuchTableException(ident)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val k = key(ident)
+    if (FileStore.tables.containsKey(k)) return alterFileTable(ident, changes)
     val updated = RowStore.tables.computeIfPresent(k, (_, st0) => {
       changes.foldLeft(st0) { (st, ch) =>
         def top(names: Array[String], what: String): String = {
@@ -174,12 +272,28 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     (st, delta, pcol)
   }
 
+  private def exists(k: String): Boolean =
+    RowStore.tables.containsKey(k) || FileStore.tables.containsKey(k)
+
+  /** File-mode staged table: same atomic-publish contract, but the
+    * staged rows are real parquet files on disk that stay OUT of the
+    * manifest until commit (see [[StagedFileTable]]). */
+  private def stageFile(ident: Identifier, schema: StructType,
+      properties: util.Map[String, String],
+      requireAbsent: Boolean): StagedTable = {
+    val k = key(ident)
+    val (st, delta, _) = stagedProps(schema, properties, k)
+    new StagedFileTable(k, ident, s"$base/$k", st, delta,
+      Option(properties.get("graft.partitioncol")), requireAbsent)
+  }
+
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val k = key(ident)
-    if (RowStore.tables.containsKey(k))
-      throw new TableAlreadyExistsException(ident)
+    if (exists(k)) throw new TableAlreadyExistsException(ident)
+    if (isFileMode(properties))
+      return stageFile(ident, schema, properties, requireAbsent = true)
     val (st, delta, pcol) = stagedProps(schema, properties, k)
     new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = true)
   }
@@ -188,7 +302,9 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val k = key(ident)
-    if (!RowStore.tables.containsKey(k)) throw new NoSuchTableException(ident)
+    if (!exists(k)) throw new NoSuchTableException(ident)
+    if (isFileMode(properties))
+      return stageFile(ident, schema, properties, requireAbsent = false)
     val (st, delta, pcol) = stagedProps(schema, properties, k)
     new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = false)
   }
@@ -197,13 +313,16 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val k = key(ident)
+    if (isFileMode(properties))
+      return stageFile(ident, schema, properties, requireAbsent = false)
     val (st, delta, pcol) = stagedProps(schema, properties, k)
     new StagedRowStoreTable(k, ident, st, delta, pcol, requireAbsent = false)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     RowStore.clearEpochs(key(ident)) // a re-created table starts fresh
-    RowStore.tables.remove(key(ident)) != null
+    val fileDropped = FileStore.dropTable(key(ident))
+    RowStore.tables.remove(key(ident)) != null || fileDropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -261,9 +380,62 @@ private[sources] class StagedRowStoreTable(k: String, ident: Identifier,
       // put-if-absent IS the create: a concurrent create loses cleanly
       if (RowStore.tables.putIfAbsent(k, st) != null)
         throw new TableAlreadyExistsException(ident)
-    } else RowStore.tables.put(k, st) // replace: one atomic swap
+    } else {
+      RowStore.tables.put(k, st) // replace: one atomic swap
+      // a memory-mode REPLACE over a file-backed table of the same name
+      // retires the file snapshot (mirror of StagedFileTable's cleanup)
+      FileStore.dropTable(k)
+    }
   }
   override def abortStagedChanges(): Unit = staged = Array.empty
+}
+
+/** Shared interpreter for PARTITION-ALIGNED v2 predicates — the
+  * honesty gate of both metadata-delete paths (memory + file) and the
+  * file store's runtime group filter: only a plain `=` / `IN` /
+  * ALWAYS_TRUE on the named column is interpreted; anything else
+  * (wrong column, arithmetic, inequality) returns None, and the caller
+  * falls back to a full rewrite / keeps the file — so a fast path can
+  * never drop a row the predicate didn't name. */
+private[sources] object PartPredicates {
+  def matcher(
+      pred: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      pcol: String): Option[Any => Boolean] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def ref(e: VExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: VExpr): Option[Any] = e match {
+      case l: VLit[_] => Some(l.value())
+      case _ => None
+    }
+    pred.name() match {
+      case "ALWAYS_TRUE" => Some(_ => true)
+      case "=" =>
+        val cs = pred.children()
+        if (cs.length != 2) None
+        else (ref(cs(0)), lit(cs(1)), ref(cs(1)), lit(cs(0))) match {
+          case (Some(c), Some(v), _, _) if c.equalsIgnoreCase(pcol) =>
+            Some(x => x == v)
+          case (_, _, Some(c), Some(v)) if c.equalsIgnoreCase(pcol) =>
+            Some(x => x == v)
+          case _ => None
+        }
+      case "IN" =>
+        val cs = pred.children()
+        if (cs.length < 2) None
+        else ref(cs(0)) match {
+          case Some(c) if c.equalsIgnoreCase(pcol) =>
+            val vs = cs.tail.map(lit)
+            if (vs.exists(_.isEmpty)) None
+            else { val set = vs.flatten.toSet; Some(set.contains) }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 /** Driver-side row store: table key → (schema, rows as catalyst values).
@@ -314,42 +486,8 @@ private[sources] class RowStoreTable(key: String) extends Table
     * (RowLevelSpec pins both paths and the opt-in rule). */
   private def partMatcher(
       pred: org.apache.spark.sql.connector.expressions.filter.Predicate,
-      pcol: String): Option[Any => Boolean] = {
-    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
-    def ref(e: VExpr): Option[String] = e match {
-      case r: NamedReference if r.fieldNames().length == 1 =>
-        Some(r.fieldNames()(0))
-      case _ => None
-    }
-    def lit(e: VExpr): Option[Any] = e match {
-      case l: VLit[_] => Some(l.value())
-      case _ => None
-    }
-    pred.name() match {
-      case "ALWAYS_TRUE" => Some(_ => true)
-      case "=" =>
-        val cs = pred.children()
-        if (cs.length != 2) None
-        else (ref(cs(0)), lit(cs(1)), ref(cs(1)), lit(cs(0))) match {
-          case (Some(c), Some(v), _, _) if c.equalsIgnoreCase(pcol) =>
-            Some(x => x == v)
-          case (_, _, Some(c), Some(v)) if c.equalsIgnoreCase(pcol) =>
-            Some(x => x == v)
-          case _ => None
-        }
-      case "IN" =>
-        val cs = pred.children()
-        if (cs.length < 2) None
-        else ref(cs(0)) match {
-          case Some(c) if c.equalsIgnoreCase(pcol) =>
-            val vs = cs.tail.map(lit)
-            if (vs.exists(_.isEmpty)) None
-            else { val set = vs.flatten.toSet; Some(set.contains) }
-          case _ => None
-        }
-      case _ => None
-    }
-  }
+      pcol: String): Option[Any => Boolean] =
+    PartPredicates.matcher(pred, pcol)
 
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FILE-LEVEL pins for the parquet-backed row store (VERDICT r13 #1):
+  * the DML protocol rungs were already oracle-green on the memory
+  * store; what these tests add is the part only a lake exercises —
+  * WHICH FILES move on disk:
+  *   - copy-on-write rewrites ONLY the touched groups' files (runtime
+  *     group filtering), untouched groups stay byte-identical;
+  *   - merge-on-read writes delta files and leaves base files
+  *     byte-identical;
+  *   - a metadata delete drops whole files without a rewrite;
+  *   - a failed RTAS leaves the published snapshot's files on disk;
+  *   - schema evolution (ADD/RENAME) never rewrites a data file;
+  *   - the data files are ordinary parquet (spark.read.parquet reads
+  *     them back).
+  */
+class FileLakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** name → md5 of every parquet file under the table dir. */
+  private def snap(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) Map.empty
+    else java.nio.file.Files.walk(base).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        base.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  private def tableDir(tbl: String): String =
+    sources.FileStore.tableDir(tbl.stripPrefix("graftlake.")).getOrElse(
+      fail(s"no file-store dir for $tbl"))
+
+  private def groupFiles(tbl: String, g: String): Set[String] =
+    sources.FileStore.stateOf(tbl.stripPrefix("graftlake.")).get
+      .files.filter(_.group.exists(_.toString == g)).map(_.name).toSet
+
+  test("cow DELETE rewrites only the matching group's files; " +
+      "other groups byte-identical (runtime group filter)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_cow"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, status STRING, cents BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='status')")
+    (1L to 60L).map(k => (k, Seq("F", "O", "P")((k % 3).toInt), k * 10L))
+      .toDF("k", "status", "cents").repartition(3)
+      .writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val before = snap(dir)
+    val fBefore = groupFiles(tbl, "F")
+    val oBefore = groupFiles(tbl, "O")
+    val pBefore = groupFiles(tbl, "P")
+    assert(fBefore.nonEmpty && oBefore.nonEmpty && pBefore.nonEmpty)
+
+    val del = spark.sql(s"DELETE FROM $tbl WHERE status = 'F' AND k % 2 = 0")
+    assert(del.queryExecution.optimizedPlan.toString.contains("ReplaceData"),
+      "DELETE did not plan through ReplaceData")
+
+    val after = snap(dir)
+    // untouched groups: same file names, same bytes
+    for (n <- oBefore ++ pBefore)
+      assert(after.get(n) == before.get(n),
+        s"untouched-group file $n changed or vanished")
+    // touched group: every old file replaced
+    for (n <- fBefore)
+      assert(!after.contains(n), s"matched-group file $n was not replaced")
+    assert(groupFiles(tbl, "F").nonEmpty, "F survivors missing")
+    // and the data is right
+    val left = spark.table(tbl).agg(count(lit(1)), sum("cents")).head
+    val expect = (1L to 60L)
+      .filterNot(k => (k % 3) == 0 && k % 2 == 0) // status F = k%3==0
+    assert(left.getLong(0) == expect.size)
+    assert(left.getLong(1) == expect.map(_ * 10L).sum)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("merge-on-read: deltas land under delta/, base files " +
+      "byte-identical across DELETE, UPDATE and MERGE generations") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT) " +
+      "TBLPROPERTIES('graft.mode'='delta', 'graft.storage'='files')")
+    (1L to 20L).map(k => (k, if (k % 2 == 0) "E" else "O", k * 100L))
+      .toDF("k", "seg", "cents").repartition(2).writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val baseFiles = snap(dir).filter(_._1.startsWith("data/"))
+    assert(baseFiles.nonEmpty)
+
+    val del = spark.sql(s"DELETE FROM $tbl WHERE k % 5 = 0")
+    assert(del.queryExecution.optimizedPlan.toString.contains("WriteDelta"),
+      "delta-mode DELETE did not plan through WriteDelta")
+    spark.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE seg = 'E'")
+    Seq((2L, 1L), (99L, 9900L)).toDF("k", "delta")
+      .createOrReplaceTempView("spec_fl_mor_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING spec_fl_mor_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta
+         |WHEN NOT MATCHED THEN INSERT (k, seg, cents)
+         |  VALUES (s.k, 'N', s.delta)""".stripMargin)
+
+    val after = snap(dir)
+    for ((n, h) <- baseFiles)
+      assert(after.get(n).contains(h), s"base file $n was rewritten")
+    assert(after.keys.exists(_.startsWith("delta/")),
+      "no delta files were written")
+
+    // replay the three generations over the seed, in order
+    var rows = (1L to 20L)
+      .map(k => (k, if (k % 2 == 0) "E" else "O", k * 100L))
+    rows = rows.filterNot(_._1 % 5 == 0)
+    rows = rows.map { case (k, s, c) => (k, s, if (s == "E") c + 7 else c) }
+    rows = rows.map { case (k, s, c) => (k, s, if (k == 2L) c + 1 else c) } :+
+      ((99L, "N", 9900L))
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == rows.sortBy(_._1), s"merged read mismatch:\n$got")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("metadata delete drops whole files; no rewrite, others untouched") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, status STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='status')")
+    (1L to 30L).map(k => (k, Seq("A", "B", "C")((k % 3).toInt)))
+      .toDF("k", "status").repartition(2).writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val before = snap(dir)
+    val aFiles = groupFiles(tbl, "A")
+    assert(aFiles.nonEmpty)
+
+    // the EXECUTED plan is the pin — the optimized DeleteFromTable node
+    // keeps the rewrite as its nested fallback child (see RowLevelSpec)
+    val del = spark.sql(s"DELETE FROM $tbl WHERE status = 'A'")
+    val plan = del.queryExecution.executedPlan.toString
+    assert(!plan.contains("ReplaceData"),
+      s"partition-aligned DELETE took the rewrite path:\n$plan")
+
+    val after = snap(dir)
+    for (n <- aFiles)
+      assert(!after.contains(n), s"dropped-partition file $n still on disk")
+    for ((n, h) <- before if !aFiles.contains(n) && n.startsWith("data/"))
+      assert(after.get(n).contains(h), s"surviving file $n changed")
+    // zero NEW data files: a metadata delete writes nothing
+    assert(after.keySet.filter(_.startsWith("data/")) ==
+      before.keySet.filter(_.startsWith("data/")) -- aFiles)
+    assert(spark.table(tbl).filter(col("status") === "A").count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("failed RTAS leaves the published snapshot's files on disk; " +
+      "successful RTAS swaps them atomically") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_rtas"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    (1L to 10L).map(k => (k, k * 2L)).toDF("k", "v")
+      .createOrReplaceTempView("spec_fl_rtas_src")
+    spark.sql(s"CREATE TABLE $tbl TBLPROPERTIES('graft.storage'='files') " +
+      "AS SELECT k, v FROM spec_fl_rtas_src")
+    val dir = tableDir(tbl)
+    val published = snap(dir)
+    assert(published.nonEmpty)
+
+    // poisoned RTAS: fails mid-write; snapshot must be untouched
+    queries.Q.withExpectedTaskFailureSilenced("spec_fl_rtas poison") {
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE $tbl " +
+          "TBLPROPERTIES('graft.storage'='files') AS " +
+          "SELECT k, assert_true(k < 3, 'poison') AS v " +
+          "FROM spec_fl_rtas_src")
+      }
+    }
+    assert(snap(dir) == published,
+      "failed RTAS disturbed the published snapshot's files")
+    assert(spark.table(tbl).count() == 10)
+
+    // successful RTAS: old files leave disk, new snapshot readable
+    spark.sql(s"REPLACE TABLE $tbl " +
+      "TBLPROPERTIES('graft.storage'='files') AS " +
+      "SELECT k, v * 10 AS v FROM spec_fl_rtas_src WHERE k <= 4")
+    val replaced = snap(dir)
+    for (n <- published.keys)
+      assert(!replaced.contains(n), s"replaced file $n survived the swap")
+    assert(spark.table(tbl).count() == 4)
+    assert(spark.table(tbl).agg(sum("v")).head.getLong(0) == 200L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("ALTER ADD/RENAME never rewrites data files; old files " +
+      "null-fill; files are plain parquet") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_evo"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    (1L to 5L).map(k => (k, s"t$k")).toDF("k", "tag")
+      .coalesce(1).writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val gen1 = snap(dir)
+    assert(gen1.size == 1)
+
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score BIGINT")
+    (6L to 8L).map(k => (k, s"t$k", k * 11L)).toDF("k", "tag", "score")
+      .coalesce(1).writeTo(tbl).append()
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN score TO points")
+
+    val after = snap(dir)
+    for ((n, h) <- gen1)
+      assert(after.get(n).contains(h),
+        s"generation-1 file $n was rewritten by ALTER")
+
+    val got = spark.table(tbl).orderBy("k")
+      .select("k", "points").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, -1L),
+      (5L, -1L), (6L, 66L), (7L, 77L), (8L, 88L)), got.mkString(", "))
+
+    // the files are ordinary parquet: Spark's own reader reads them
+    // (columns are id-named c0, c1, …)
+    val raw = spark.read.parquet(s"$dir/data")
+    assert(raw.columns.toSet.contains("c0"))
+    assert(raw.count() == 8)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("cow over an outstanding merge-on-read overlay is refused " +
+      "group pruning and folds the overlay in") {
+    // delta-mode tables keep WriteDelta for DML — the cow-over-overlay
+    // path only arises on a cow table that ALSO has deltas, which the
+    // catalog never produces today; pin the guard that keeps it safe:
+    // the scan built for a cow table with an empty overlay IS the
+    // filtered variant, so this test asserts the mode wiring.
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_mode"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.partitioncol'='g')")
+    (1L to 6L).map(k => (k, s"g${k % 2}")).toDF("k", "g")
+      .writeTo(tbl).append()
+    val st = sources.FileStore.stateOf("ns.spec_fl_mode").get
+    assert(!st.delta && st.partitionColId.isDefined)
+    // metadata delete refuses while deltas are outstanding — no deltas
+    // here, so the aligned predicate takes the fast path (plan pin)
+    val del = spark.sql(s"DELETE FROM $tbl WHERE g = 'g0'")
+    assert(!del.queryExecution.executedPlan.toString.contains("ReplaceData"))
+    assert(spark.table(tbl).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}
