@@ -218,6 +218,38 @@ class GenDocsSpec extends AnyFunSuite {
     assert(spark.table("gds_s2").count() == 97L)
   }
 
+  test("columnar under MICRO_BATCH_READ: vectorized batches, exact " +
+      "row-path parity, same offset pacing") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the streaming scan rides the same columnar reader as the batch
+    // scan (VERDICT r13 #5): per micro-batch, ColumnarBatches feed one
+    // ColumnarToRow boundary; offsets/pacing/results must be identical
+    // to the row path.
+    def run(name: String, columnar: Boolean) = {
+      spark.catalog.dropTempView(name)
+      val q = spark.readStream.format("graft.sources.GenDocs")
+        .option("rows", "3000").option("batchRows", "700")
+        .option("slices", "2").option("columnar", columnar.toString).load()
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), sum("bucket").as("sb"),
+          sum("v").cast("decimal(18,2)").as("sv"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      (spark.table(name).orderBy("tag").collect().toSeq.map(_.toString), plan)
+    }
+    val (rows, rowPlan) = run("gds_sc_row", columnar = false)
+    val (cols, colPlan) = run("gds_sc_col", columnar = true)
+    assert(cols == rows, s"streaming columnar diverged:\n$cols\nvs\n$rows")
+    assert(colPlan.contains("ColumnarToRow"),
+      s"columnar streaming scan did not vectorize:\n$colPlan")
+    assert(!rowPlan.contains("ColumnarToRow"), rowPlan)
+  }
+
   private def genC(columnar: Boolean, extra: (String, String)*) = {
     val base = spark.read.format("graft.sources.GenDocs")
       .option("rows", "20000").option("slices", "4")
