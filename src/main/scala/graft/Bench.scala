@@ -235,6 +235,26 @@ object Bench {
     // equivalence replay Verify compares against the oracle (VERDICT r6
     // #6: the replay is a demo loop and was the bench tail every round).
     spark.conf.set("spark.graft.bench.singleWave", "true")
+    // SPARK_GRAFT_MT_ONLY=1,4,8,11 runs JUST the multi-topic concurrent
+    // ingest curve at the named widths and exits — the profiling knob
+    // behind the n=4→11 sublinearity analysis (VERDICT r13 #6): sweep
+    // widths × SPARK_GRAFT_CPUS without paying the 475-entry catalog.
+    sys.env.get("SPARK_GRAFT_MT_ONLY").foreach { spec =>
+      val widths = spec.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      val curve = widths.flatMap { n =>
+        try multiTopicThroughput(spark, nTopics = n)
+          .map { case (rps, tot, _) => n -> (rps, tot) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] mt n=$n failed: ${e.getMessage}")
+          None
+        }
+      }
+      val json = curve.map { case (n, (rps, _)) =>
+        jsonStr(n.toString) + ":" + rps }.mkString("{", ",", "}")
+      println(s"""{"metric":"multi_topic_curve","cpus":"$cpus","curve":$json}""")
+      spark.stop()
+      sys.exit(0)
+    }
     // Untimed warmup: absorb JIT/codegen/first-scan costs so per-query
     // numbers reflect steady-state execution, then run in catalog order.
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()
