@@ -201,5 +201,179 @@ object DataOps7 {
         .orderBy("permille")
     })
 
-  val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error)
+  /** TIME TRAVEL (`VERSION AS OF` — TableCatalog.loadTable(ident,
+    * version), the DSv2 contract behind every lake format's snapshot
+    * reads): the file-backed store retains each mutating commit's
+    * predecessor (files leave the manifest, not the disk), so one query
+    * reads the SAME table at three versions — post-seed (v2),
+    * post-DELETE (v3), and current post-UPDATE (v4) — and the deltas
+    * between snapshots are exactly the DML statements between them.
+    * The oracle replays all three states from `part`. At 100 TB this
+    * is reproducibility infrastructure: training-data audits pin a
+    * snapshot version, not "whatever the table says today".
+    * FileLakeSpec pins the retention mechanics (files on disk until
+    * VACUUM, snapshot schema binding by column id). */
+  val q472_time_travel = Q(
+    "q472_time_travel",
+    Some("""WITH t AS (
+           |  SELECT p_partkey, p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part),
+           |v3 AS (SELECT * FROM t WHERE NOT (cents % 3 = 0)),
+           |v4 AS (
+           |  SELECT p_partkey, p_brand,
+           |    CASE WHEN p_brand = 'Brand#11' THEN cents + 5 ELSE cents END
+           |      AS cents
+           |  FROM v3),
+           |states AS (
+           |  SELECT 'v2_seed' AS snap, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM t
+           |  UNION ALL
+           |  SELECT 'v3_deleted', CAST(count(*) AS BIGINT),
+           |    CAST(sum(cents) AS BIGINT) FROM v3
+           |  UNION ALL
+           |  SELECT 'v4_current', CAST(count(*) AS BIGINT),
+           |    CAST(sum(cents) AS BIGINT) FROM v4)
+           |SELECT snap, n, sum_cents FROM states ORDER BY snap""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q472_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='p_brand')")
+      graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()                                       // v2
+      s.sql(s"DELETE FROM $tbl WHERE cents % 3 = 0")                 // v3
+      s.sql(s"UPDATE $tbl SET cents = cents + 5 " +
+        "WHERE p_brand = 'Brand#11'")                                // v4
+      def state(v: Int, label: String) =
+        s.sql(s"SELECT '$label' AS snap, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(sum(cents) AS BIGINT) AS sum_cents " +
+          s"FROM $tbl VERSION AS OF $v")
+      state(2, "v2_seed")
+        .unionAll(state(3, "v3_deleted"))
+        .unionAll(state(4, "v4_current"))
+        .orderBy("snap")
+    })
+
+  /** LAKE COMPACTION through a V2 PROCEDURE (`CALL graftlake.system
+    * .compact(...)` — ProcedureCatalog, the maintenance surface Iceberg
+    * ships rewrite_data_files on): three appends leave every market
+    * segment with multiple small files; the procedure bin-packs each
+    * multi-file group with ONE DISTRIBUTED TASK PER GROUP (executor-side
+    * parquet read+write, driver commits one manifest swap retaining the
+    * pre-compaction snapshot), and afterwards the invariant
+    * `files_after == distinct groups` holds by construction. Contents
+    * are proven row-identical by the oracle aggregate; `compact_ok`
+    * pins the file-count invariant inside the result. Small-file
+    * compaction is THE standing maintenance job of a streaming lake —
+    * a 100 TB table ingesting micro-batches decays into millions of
+    * small files without it. */
+  val q473_lake_compaction = Q(
+    "q473_lake_compaction",
+    Some("""WITH t AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM customer)
+           |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  TRUE AS compact_ok
+           |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q473_customer"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='c_mktsegment')")
+      val cust = graft.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      // three appends — each lands its own files per segment
+      for (i <- 0 until 3)
+        cust.filter(col("c_custkey") % 3 === i).writeTo(tbl).append()
+      val res = s.sql(s"CALL graftlake.system.compact('ns.q473_customer')")
+        .select(col("files_after"))
+      // the invariant: after bin-packing, exactly one file per group
+      val ok = res.crossJoin(
+        s.table(tbl).agg(countDistinct("c_mktsegment").as("gs")))
+        .select((col("files_after") === col("gs")).as("compact_ok"))
+      s.table(tbl)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+        .crossJoin(broadcast(ok))
+        .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+          col("compact_ok"))
+        .orderBy("c_mktsegment")
+    })
+
+  /** VACUUM + SNAPSHOT LEDGER through V2 procedures (`CALL graftlake
+    * .system.{snapshots,vacuum}` — expire_snapshots/remove_orphan_files
+    * in one metadata-bounded sweep): the table accrues a version per
+    * commit (create, seed, metadata delete, cow delete = 4), the
+    * snapshots procedure lists that ledger, and vacuum drops history
+    * and physically deletes every file the current manifest doesn't
+    * reference — zero row reads, O(files) metadata work. The entry
+    * pins the ledger depth before/after and that vacuum freed at least
+    * the dropped partition's files, alongside the surviving contents.
+    * At 100 TB vacuum IS the storage-cost control: retained snapshots
+    * hold deleted data on disk until an explicit, auditable forget. */
+  val q474_lake_vacuum = Q(
+    "q474_lake_vacuum",
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM orders),
+           |kept AS (
+           |  SELECT * FROM t
+           |  WHERE o_orderstatus <> 'P' AND NOT (cents % 7 = 0))
+           |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(4 AS BIGINT) AS versions_before,
+           |  CAST(1 AS BIGINT) AS versions_after,
+           |  TRUE AS vacuumed_some
+           |FROM kept GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q474_orders"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='o_orderstatus')")
+      graft.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()                                       // v2
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")           // v3 meta
+      s.sql(s"DELETE FROM $tbl WHERE cents % 7 = 0")                 // v4 cow
+      val before = s.sql(s"CALL graftlake.system.snapshots('ns.q474_orders')")
+        .agg(count(lit(1)).as("versions_before"))
+      val vac = s.sql(s"CALL graftlake.system.vacuum('ns.q474_orders')")
+        .select((col("files_deleted") > 0).as("vacuumed_some"))
+      val after = s.sql(s"CALL graftlake.system.snapshots('ns.q474_orders')")
+        .agg(count(lit(1)).as("versions_after"))
+      s.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+        .crossJoin(broadcast(before))
+        .crossJoin(broadcast(after))
+        .crossJoin(broadcast(vac))
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("versions_before"), col("versions_after"),
+          col("vacuumed_some"))
+        .orderBy("o_orderstatus")
+    })
+
+  val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error,
+    q472_time_travel, q473_lake_compaction, q474_lake_vacuum)
 }

@@ -86,7 +86,8 @@ private[graft] object FileStore {
   final case class FDelta(gen: Int, name: String, colIds: Array[Int])
   final case class FState(dir: String, cols: Array[FCol], nextCol: Int,
       delta: Boolean, partitionColId: Option[Int],
-      files: Array[FFile], deltas: Array[FDelta], version: Int) {
+      files: Array[FFile], deltas: Array[FDelta], version: Int,
+      snaps: List[FState] = Nil) {
     // a delta (merge-on-read) table's row id is its first column, and
     // Spark's delta rewrite rejects nullable row ids — same rule as the
     // memory store's createTable
@@ -94,6 +95,16 @@ private[graft] object FileStore {
       StructType(cols.zipWithIndex.map { case (c, i) =>
         StructField(c.name, c.dt, nullable = !(delta && i == 0)) })
     def colById(id: Int): FCol = cols.find(_.id == id).get
+    /** The state as a retained SNAPSHOT entry (own history dropped so
+      * the list stays flat) — every mutating commit pushes its
+      * predecessor through this, which is what `VERSION AS OF` reads
+      * and what keeps replaced files on disk until VACUUM. */
+    def asSnapshot: FState = copy(snaps = Nil)
+    /** `next` with this state retained as its newest snapshot. */
+    def retainInto(next: FState): FState =
+      next.copy(snaps = asSnapshot :: snaps)
+    def snapshotAt(v: Int): Option[FState] =
+      if (v == version) Some(this) else snaps.find(_.version == v)
   }
 
   private[sources] val tables =
@@ -153,6 +164,83 @@ private[graft] object FileStore {
   def deleteFileQuiet(p: String): Unit =
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
     catch { case _: Throwable => () }
+
+  /** VACUUM: drop the snapshot history and physically delete every
+    * data/delta file the CURRENT manifest does not reference — the
+    * expire-snapshots + orphan-file sweep a lake format separates, in
+    * one metadata-bounded pass. Returns the number of files deleted.
+    * O(files on disk): one directory walk + one hash probe per file;
+    * never reads a row. */
+  def vacuum(key: String): Long = {
+    var deleted = 0L
+    tables.compute(key, (_, st) => {
+      require(st != null, s"file-store table $key vanished")
+      val next = st.copy(snaps = Nil)
+      val referenced =
+        (st.files.map(_.name) ++ st.deltas.map(_.name)).toSet
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(st.dir)
+      for (sub <- Seq("data", "delta")) {
+        val d = dir.resolve(sub)
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.list(d).iterator().asScala.toSeq.foreach { p =>
+            val rel = s"$sub/${p.getFileName}"
+            if (p.toString.endsWith(".parquet") && !referenced(rel)) {
+              deleteFileQuiet(p.toString)
+              deleted += 1
+            }
+          }
+      }
+      writeManifest(next)
+      next
+    })
+    deleted
+  }
+
+  /** COMPACTION: bin-pack every group that holds more than one base
+    * file into ONE file per group. Distributed in the lake shape — one
+    * task per victim group reads that group's files and writes the
+    * merged replacement (executor-side parquet I/O, same as every
+    * write path); the driver then commits one manifest swap retaining
+    * the pre-compaction snapshot. Contents are bit-identical by
+    * construction (a pure file-level rewrite; the merge-on-read
+    * overlay keys by row, not by file, so outstanding deltas compose
+    * unchanged). Returns (groupsCompacted, filesBefore, filesAfter).
+    * Skew note: a task's work is one group's rows — the same per-group
+    * concentration every partitioned write already has. */
+  def compact(spark: org.apache.spark.sql.SparkSession, key: String)
+      : (Long, Long, Long) = {
+    val st0 = Option(tables.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no file-store table $key"))
+    val victims = st0.files.groupBy(_.group).filter(_._2.length > 1)
+    if (victims.isEmpty) return (0L, st0.files.length.toLong,
+      st0.files.length.toLong)
+    val dir = st0.dir
+    val cols = st0.cols
+    val work = victims.toSeq.map { case (g, fs) => (g, fs) }
+    val merged: Array[FFile] = spark.sparkContext
+      .parallelize(work, math.min(work.length, 32))
+      .map { case (g, fs) =>
+        val name = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+        val rows = fs.iterator.flatMap(f =>
+          ParquetRowIO.readFile(s"$dir/${f.name}", f.colIds, cols))
+        val n = ParquetRowIO.writeFile(s"$dir/$name", cols, rows)
+        FFile(name, g, cols.map(_.id), n)
+      }.collect()
+    val victimNames = victims.values.flatten.map(_.name).toSet
+    val next = tables.compute(key, (_, st) => {
+      require(st != null, s"file-store table $key dropped mid-compaction")
+      // optimistic concurrency: a commit that raced the rewrite would
+      // make the victim set stale — refuse rather than lose its files
+      require(st.version == st0.version,
+        s"$key changed during compaction (v${st0.version} -> v${st.version})")
+      st.retainInto(st.copy(
+        files = st.files.filterNot(f => victimNames(f.name)) ++ merged,
+        version = st.version + 1))
+    })
+    writeManifest(next)
+    (victims.size.toLong, st0.files.length.toLong, next.files.length.toLong)
+  }
 
   def dropTable(key: String): Boolean = {
     val st = tables.remove(key)
@@ -504,11 +592,13 @@ private[sources] class FileBackedTable(key: String) extends Table
       val ms = predicates.map(p => PartPredicates.matcher(p, pc).getOrElse(
         throw new UnsupportedOperationException(
           s"non-partition-aligned predicate reached deleteWhere: $p")))
-      val (dropped, kept) = st.files.partition(f =>
+      val (_, kept) = st.files.partition(f =>
         f.group.exists(g => ms.forall(m => m(g))))
-      val next = st.copy(files = kept, version = st.version + 1)
+      // dropped files leave the MANIFEST only — they stay on disk as
+      // part of the retained snapshot until VACUUM (r14 time travel)
+      val next = st.retainInto(st.copy(files = kept,
+        version = st.version + 1))
       writeManifest(next)
-      dropped.foreach(f => deleteFileQuiet(s"${st.dir}/${f.name}"))
       next
     })
     require(updated != null, s"file-store table $key vanished")
@@ -517,11 +607,9 @@ private[sources] class FileBackedTable(key: String) extends Table
   override def truncateTable(): Boolean = {
     tables.compute(key, (_, st) => {
       require(st != null, s"file-store table $key vanished")
-      val next = st.copy(files = Array.empty, deltas = Array.empty,
-        version = st.version + 1)
+      val next = st.retainInto(st.copy(files = Array.empty,
+        deltas = Array.empty, version = st.version + 1))
       writeManifest(next)
-      (st.files.map(_.name) ++ st.deltas.map(_.name))
-        .foreach(n => deleteFileQuiet(s"${st.dir}/$n"))
       next
     })
     true
@@ -628,6 +716,23 @@ private[sources] class CowFileScan(st: FileStore.FState,
     FileReaderFactory()
 }
 
+/** A RETAINED SNAPSHOT of a file-backed table, served for `VERSION AS
+  * OF v` (TableCatalog.loadTable(ident, version) — the DSv2 time-travel
+  * contract): read-only, scanning exactly the snapshot's files + delta
+  * overlay with the snapshot's OWN schema (columns bind by id, so a
+  * later RENAME/ADD/DROP never disturbs an old version's read). The
+  * files exist because mutating commits retire them from the manifest,
+  * not the disk — VACUUM is the explicit forget. */
+private[sources] class FileSnapshotTable(key: String,
+    snap: FileStore.FState) extends Table with SupportsRead {
+  override def name(): String = s"graft_file_store($key@v${snap.version})"
+  override def schema(): StructType = snap.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => FileTableOps.currentScan(snap)
+}
+
 /** The group-prunable variant (partition column present, no overlay):
   * only this one declares `SupportsRuntimeV2Filtering`, so the
   * optimizer rule matches exactly when pruning is sound. A runtime
@@ -678,23 +783,21 @@ private[sources] class FileBatchWrite(key: String,
       .flatMap(_.asInstanceOf[FileMsg].files).toArray
     tables.compute(key, (_, st) => {
       require(st != null, s"file-store table $key dropped mid-write")
-      val (kept, removed, clearDeltas) = replaceFiles match {
+      val (kept, clearDeltas) = replaceFiles match {
         case Some(fs) =>
           val replaced = fs().map(_.name).toSet
           // a cow rewrite folds any outstanding overlay into the files
           // it writes, so the delta log is consumed by the commit
-          (st.files.filterNot(f => replaced.contains(f.name)),
-            st.files.filter(f => replaced.contains(f.name)), true)
-        case None if replaceAll => (Array.empty[FFile], st.files, true)
-        case None => (st.files, Array.empty[FFile], false)
+          (st.files.filterNot(f => replaced.contains(f.name)), true)
+        case None if replaceAll => (Array.empty[FFile], true)
+        case None => (st.files, false)
       }
-      val next = st.copy(files = kept ++ incoming,
+      // replaced files leave the MANIFEST, not the disk: the previous
+      // state is retained as a snapshot (VERSION AS OF) until VACUUM
+      val next = st.retainInto(st.copy(files = kept ++ incoming,
         deltas = if (clearDeltas) Array.empty else st.deltas,
-        version = st.version + 1)
+        version = st.version + 1))
       writeManifest(next)
-      removed.foreach(f => deleteFileQuiet(s"${st.dir}/${f.name}"))
-      if (clearDeltas)
-        st.deltas.foreach(d => deleteFileQuiet(s"${st.dir}/${d.name}"))
       next
     })
     ()
@@ -727,10 +830,10 @@ private[sources] class FileDeltaBatchWrite(key: String)
     tables.compute(key, (_, st) => {
       require(st != null, s"file-store table $key dropped mid-write")
       val gen = st.deltas.map(_.gen).maxOption.getOrElse(-1) + 1
-      val next = st.copy(
+      val next = st.retainInto(st.copy(
         deltas = st.deltas ++ incoming.map(f =>
           FDelta(gen, f.name, f.colIds)),
-        version = st.version + 1)
+        version = st.version + 1))
       writeManifest(next)
       next
     })
@@ -786,6 +889,85 @@ private[sources] case class FileDeltaWriterFactory(dir: String,
   }
 }
 
+/** The lake-maintenance procedures behind `CALL graftlake.system.*`
+  * (see the catalog's ProcedureCatalog block). Each takes the table
+  * key as its one IN parameter and answers with a one-result Scan —
+  * [[RowStoreScan]] doubles as the result-set carrier. */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+
+  val names: Array[String] = Array("compact", "vacuum", "snapshots")
+
+  private def tableParam = Array[ProcedureParameter](
+    ProcedureParameter.in("table", StringType).build())
+
+  private abstract class OneTableProc(procName: String,
+      out: StructType) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft lake maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = tableParam
+    override def isDeterministic: Boolean = false // mutates table state
+    def run(key: String): Array[Array[Any]]
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val key = input.getUTF8String(0).toString
+      // Spark executes procedure output as a LOCAL scan (driver-side
+      // result set — the right shape for maintenance summaries)
+      val scan = new org.apache.spark.sql.connector.read.LocalScan {
+        private val data = run(key)
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] =
+          data.map(r => new GenericInternalRow(r): InternalRow)
+      }
+      java.util.List.of(
+        scan: org.apache.spark.sql.connector.read.Scan).iterator()
+    }
+  }
+
+  private val compactProc = new OneTableProc("compact", StructType(Seq(
+    StructField("groups_compacted", LongType, nullable = false),
+    StructField("files_before", LongType, nullable = false),
+    StructField("files_after", LongType, nullable = false)))) {
+    override def run(key: String): Array[Array[Any]] = {
+      val (g, b, a) = FileStore.compact(
+        org.apache.spark.sql.SparkSession.active, key)
+      Array(Array[Any](g, b, a))
+    }
+  }
+
+  private val vacuumProc = new OneTableProc("vacuum", StructType(Seq(
+    StructField("files_deleted", LongType, nullable = false)))) {
+    override def run(key: String): Array[Array[Any]] =
+      Array(Array[Any](FileStore.vacuum(key)))
+  }
+
+  private val snapshotsProc = new OneTableProc("snapshots", StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_deltas", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))) {
+    override def isDeterministic: Boolean = false
+    override def run(key: String): Array[Array[Any]] = {
+      val st = FileStore.stateOf(key).getOrElse(
+        throw new IllegalArgumentException(s"no file-store table $key"))
+      (st :: st.snaps).map { s =>
+        Array[Any](s.version.toLong, s.version == st.version,
+          s.files.length.toLong, s.deltas.length.toLong,
+          s.files.map(_.rows).sum)
+      }.toArray
+    }
+  }
+
+  def load(name: String): Option[UnboundProcedure] = name match {
+    case "compact" => Some(compactProc)
+    case "vacuum" => Some(vacuumProc)
+    case "snapshots" => Some(snapshotsProc)
+    case _ => None
+  }
+}
+
 /** The staged side of a file-backed atomic CTAS/RTAS: tasks write
   * real parquet files under the table dir, but they are INVISIBLE —
   * not in any manifest — until `commitStagedChanges()` swaps the whole
@@ -829,23 +1011,23 @@ private[sources] class StagedFileTable(k: String, ident: Identifier,
       }
     }
   override def commitStagedChanges(): Unit = {
-    val next = FState(dir, cols, cols.length, delta, pcolId.map(cols(_).id),
+    val fresh = FState(dir, cols, cols.length, delta, pcolId.map(cols(_).id),
       staged, Array.empty, version = 1)
-    val prev =
-      if (requireAbsent) {
-        val p = tables.putIfAbsent(k, next)
-        if (p != null) {
-          // a concurrent create won: this staged snapshot loses cleanly
-          staged.foreach(f => deleteFileQuiet(s"$dir/${f.name}"))
-          throw new TableAlreadyExistsException(ident)
-        }
-        None
-      } else Option(tables.put(k, next))
-    writeManifest(next)
-    // the replaced snapshot's files leave disk only AFTER the publish
-    prev.foreach { p =>
-      (p.files.map(_.name) ++ p.deltas.map(_.name))
-        .foreach(n => deleteFileQuiet(s"${p.dir}/$n"))
+    if (requireAbsent) {
+      if (tables.putIfAbsent(k, fresh) != null) {
+        // a concurrent create won: this staged snapshot loses cleanly
+        staged.foreach(f => deleteFileQuiet(s"$dir/${f.name}"))
+        throw new TableAlreadyExistsException(ident)
+      }
+      writeManifest(fresh)
+    } else {
+      // replace: the previous snapshot is RETAINED (files stay on disk,
+      // VERSION AS OF still reads them) and the new state continues the
+      // version line — one atomic map swap, then the manifest publish
+      val next = tables.compute(k, (_, prev) =>
+        if (prev == null) fresh
+        else prev.retainInto(fresh.copy(version = prev.version + 1)))
+      writeManifest(next)
     }
     // a REPLACE over a memory-mode table of the same name swaps it out
     RowStore.tables.remove(k)

@@ -32,7 +32,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exercises the ENGINE-NATIVE path for the same semantics.
   */
 class GraftRowCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
   private var catalogName: String = "graftlake"
   // root for file-backed tables (`graft.storage`='files'); the catalog
   // option `basedir` overrides the per-JVM temp default
@@ -65,6 +65,29 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     val st = RowStore.tables.get(k)
     if (st == null) throw new NoSuchTableException(ident)
     if (st.delta) new DeltaRowStoreTable(k) else new RowStoreTable(k)
+  }
+
+  /** TIME TRAVEL (`SELECT ... FROM t VERSION AS OF v`): Spark routes
+    * the version literal here; file-backed tables serve any RETAINED
+    * snapshot (every mutating commit keeps its predecessor until
+    * VACUUM), with the snapshot's own schema and files. Memory-mode
+    * tables keep no history — versioned reads are a file-store
+    * contract, like the lake formats'. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    val st = FileStore.tables.get(k)
+    if (st == null) throw new NoSuchTableException(ident)
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName versions are integers, got '$version'")
+    }
+    st.snapshotAt(v) match {
+      case Some(snap) if snap.version == st.version => new FileBackedTable(k)
+      case Some(snap) => new FileSnapshotTable(k, snap)
+      case None => throw new IllegalArgumentException(
+        s"no retained version $v of $k (current v${st.version}; " +
+          "VACUUM drops history)")
+    }
   }
 
   private def isFileMode(properties: util.Map[String, String]): Boolean =
@@ -185,7 +208,10 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
               s"ALTER TABLE change not supported: $other")
         }
       }
-      val bumped = next.copy(version = st0.version + 1)
+      // schema evolution is a VERSION: the pre-ALTER state is retained
+      // as a snapshot, so VERSION AS OF reads the old schema over the
+      // same files (columns bind by id)
+      val bumped = st0.retainInto(next.copy(version = st0.version + 1))
       FileStore.writeManifest(bumped)
       bumped
     })
@@ -327,6 +353,28 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // --- V2 PROCEDURES (ProcedureCatalog — the CALL surface every lake
+  // format ships its table maintenance through: Iceberg's
+  // rewrite_data_files / expire_snapshots are exactly this contract):
+  //   CALL graftlake.system.compact('ns.t')   → bin-pack multi-file
+  //     groups, one DISTRIBUTED task per group, manifest swap
+  //   CALL graftlake.system.vacuum('ns.t')    → drop snapshot history,
+  //     delete unreferenced files (metadata-only, zero row reads)
+  //   CALL graftlake.system.snapshots('ns.t') → the retained version
+  //     history as a result set (version, files, deltas, rows)
+  // Each returns its result through a Scan, so `spark.sql("CALL ...")`
+  // yields an ordinary DataFrame the oracle can check. ---
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace, got $ident")
+    GraftProcedures.load(ident.name()).getOrElse(
+      throw new UnsupportedOperationException(s"no procedure $ident"))
+  }
 
   // -- minimal namespace support so `graftlake.ns.t` resolves in SQL --
   override def listNamespaces(): Array[Array[String]] = Array(Array("ns"))

@@ -70,10 +70,25 @@ class FileLakeSpec extends AnyFunSuite {
     for (n <- oBefore ++ pBefore)
       assert(after.get(n) == before.get(n),
         s"untouched-group file $n changed or vanished")
-    // touched group: every old file replaced
+    // touched group: every old file left the MANIFEST (replaced by the
+    // rewrite) but stays on disk as the retained snapshot until VACUUM
+    val fAfter = groupFiles(tbl, "F")
+    for (n <- fBefore) {
+      assert(!fAfter.contains(n), s"matched-group file $n was not replaced")
+      assert(after.get(n) == before.get(n),
+        s"retired file $n should stay byte-identical until VACUUM")
+    }
+    assert(fAfter.nonEmpty, "F survivors missing")
+    // VACUUM is the explicit forget: history dropped, retired files gone
+    val vac = spark.sql(s"CALL graftlake.system.vacuum('ns.spec_fl_cow')")
+      .head.getLong(0)
+    assert(vac >= fBefore.size, s"vacuum deleted $vac files")
+    val cleaned = snap(dir)
     for (n <- fBefore)
-      assert(!after.contains(n), s"matched-group file $n was not replaced")
-    assert(groupFiles(tbl, "F").nonEmpty, "F survivors missing")
+      assert(!cleaned.contains(n), s"vacuum left retired file $n")
+    for (n <- oBefore ++ pBefore)
+      assert(cleaned.get(n) == before.get(n),
+        s"vacuum touched live file $n")
     // and the data is right
     val left = spark.table(tbl).agg(count(lit(1)), sum("cents")).head
     val expect = (1L to 60L)
@@ -148,15 +163,18 @@ class FileLakeSpec extends AnyFunSuite {
     assert(!plan.contains("ReplaceData"),
       s"partition-aligned DELETE took the rewrite path:\n$plan")
 
-    val after = snap(dir)
-    for (n <- aFiles)
-      assert(!after.contains(n), s"dropped-partition file $n still on disk")
-    for ((n, h) <- before if !aFiles.contains(n) && n.startsWith("data/"))
-      assert(after.get(n).contains(h), s"surviving file $n changed")
-    // zero NEW data files: a metadata delete writes nothing
-    assert(after.keySet.filter(_.startsWith("data/")) ==
-      before.keySet.filter(_.startsWith("data/")) -- aFiles)
+    // a metadata delete is a pure MANIFEST operation: the disk is
+    // UNTOUCHED — dropped files stay (retained snapshot), nothing new
+    // is written, nothing is read
+    assert(snap(dir) == before, "metadata delete disturbed the disk")
+    assert(groupFiles(tbl, "A").isEmpty, "dropped partition still listed")
     assert(spark.table(tbl).filter(col("status") === "A").count() == 0)
+    // vacuum deletes exactly the dropped partition's files
+    val vac = spark.sql(s"CALL graftlake.system.vacuum('ns.spec_fl_meta')")
+      .head.getLong(0)
+    assert(vac == aFiles.size, s"vacuum deleted $vac, expected ${aFiles.size}")
+    assert(snap(dir).keySet.filter(_.startsWith("data/")) ==
+      before.keySet.filter(_.startsWith("data/")) -- aFiles)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -186,15 +204,26 @@ class FileLakeSpec extends AnyFunSuite {
       "failed RTAS disturbed the published snapshot's files")
     assert(spark.table(tbl).count() == 10)
 
-    // successful RTAS: old files leave disk, new snapshot readable
+    // successful RTAS: old files leave the MANIFEST (stay on disk as a
+    // snapshot), new snapshot readable; VERSION AS OF reads the old one
     spark.sql(s"REPLACE TABLE $tbl " +
       "TBLPROPERTIES('graft.storage'='files') AS " +
       "SELECT k, v * 10 AS v FROM spec_fl_rtas_src WHERE k <= 4")
-    val replaced = snap(dir)
-    for (n <- published.keys)
-      assert(!replaced.contains(n), s"replaced file $n survived the swap")
     assert(spark.table(tbl).count() == 4)
     assert(spark.table(tbl).agg(sum("v")).head.getLong(0) == 200L)
+    for ((n, h) <- published)
+      assert(snap(dir).get(n).contains(h),
+        s"pre-RTAS file $n should survive until VACUUM")
+    val old = spark.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 1")
+      .head.getLong(0)
+    assert(old == (1L to 10L).map(_ * 2).sum, s"time travel read $old")
+    // vacuum forgets the old snapshot; the versioned read then fails
+    spark.sql(s"CALL graftlake.system.vacuum('ns.spec_fl_rtas')")
+    for (n <- published.keys)
+      assert(!snap(dir).contains(n), s"vacuum left pre-RTAS file $n")
+    intercept[Exception] {
+      spark.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 1").collect()
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -232,6 +261,51 @@ class FileLakeSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$dir/data")
     assert(raw.columns.toSet.contains("c0"))
     assert(raw.count() == 8)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("CALL compact bin-packs multi-file groups, leaves single-file " +
+      "groups byte-identical; snapshots procedure lists the history") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_cmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING, v BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.partitioncol'='g')")
+    // three appends → three files per group for g0/g1; g2 seeded once
+    for (i <- 0 until 3)
+      (1L to 10L).map(k => (k + i * 10, s"g${k % 2}", k))
+        .toDF("k", "g", "v").coalesce(1).writeTo(tbl).append()
+    (1L to 5L).map(k => (k + 100, "g2", k)).toDF("k", "g", "v")
+      .coalesce(1).writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val g2Files = groupFiles(tbl, "g2")
+    assert(g2Files.size == 1)
+    assert(groupFiles(tbl, "g0").size == 3 && groupFiles(tbl, "g1").size == 3)
+    val before = snap(dir)
+    val contents = spark.table(tbl).orderBy("k").collect().map(_.toString)
+
+    val res = spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_cmp')")
+      .head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == ((2L, 7L, 3L)),
+      res.toString) // 2 multi-file groups, 7 files -> 3
+
+    assert(groupFiles(tbl, "g0").size == 1 && groupFiles(tbl, "g1").size == 1)
+    // the single-file group's file is untouched on disk
+    for (n <- g2Files)
+      assert(snap(dir).get(n) == before.get(n), s"compact touched $n")
+    // contents are row-identical
+    assert(spark.table(tbl).orderBy("k").collect().map(_.toString)
+      .sameElements(contents), "compaction changed table contents")
+    // history lists every commit: create=1, 4 appends, compact -> v6
+    val snaps = spark.sql(
+      s"CALL graftlake.system.snapshots('ns.spec_fl_cmp')")
+      .orderBy(col("version")).collect()
+    assert(snaps.length == 6, snaps.mkString(", "))
+    assert(snaps.last.getLong(0) == 6L && snaps.last.getBoolean(1))
+    assert(snaps.last.getLong(4) == 35L) // 30 + 5 rows
+    // pre-compaction version still readable (files retained)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 5")
+      .head.getLong(0) == 35L)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
