@@ -40,7 +40,9 @@ object Q {
       "org.apache.spark.scheduler.TaskSetManager",
       "org.apache.spark.scheduler.TaskSchedulerImpl",
       "org.apache.spark.scheduler.DAGScheduler",
-      "org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec",
+      // whole v2-exec package: DataWritingSparkTask's abort logging and
+      // the write execs' "is aborting / failed to abort" all live here
+      "org.apache.spark.sql.execution.datasources.v2",
       "org.apache.spark.util.Utils")
     println(s"[expected] $what: task failure below is by design; " +
       "scheduler logs scoped OFF for this statement")

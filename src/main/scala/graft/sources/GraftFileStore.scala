@@ -805,7 +805,8 @@ private[sources] class FileBatchWrite(key: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // committed tasks' files never entered the manifest — remove them
     val st = stateOf(key)
-    for (s <- st; m <- messages; f <- m.asInstanceOf[FileMsg].files)
+    for (s <- st; m <- messages if m != null;
+        f <- m.asInstanceOf[FileMsg].files)
       deleteFileQuiet(s"${s.dir}/${f.name}")
   }
 }
@@ -841,7 +842,8 @@ private[sources] class FileDeltaBatchWrite(key: String)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val st = stateOf(key)
-    for (s <- st; m <- messages; f <- m.asInstanceOf[FileMsg].files)
+    for (s <- st; m <- messages if m != null;
+        f <- m.asInstanceOf[FileMsg].files)
       deleteFileQuiet(s"${s.dir}/${f.name}")
   }
 }
@@ -1005,7 +1007,8 @@ private[sources] class StagedFileTable(k: String, ident: Identifier,
             staged = messages.iterator
               .flatMap(_.asInstanceOf[FileMsg].files).toArray
           override def abort(messages: Array[WriterCommitMessage]): Unit =
-            for (m <- messages; f <- m.asInstanceOf[FileMsg].files)
+            for (m <- messages if m != null;
+                f <- m.asInstanceOf[FileMsg].files)
               deleteFileQuiet(s"$dir/${f.name}")
         }
       }
