@@ -1007,11 +1007,54 @@ object StreamQ {
       s.table(tbl).orderBy("bucket")
     })
 
+  /** STREAMING UPSERT INTO THE FILE-BACKED LAKE (q467's semantics on
+    * q463's storage — the composition a 100 TB checkpointed ingest
+    * actually runs): the update-mode streaming aggregation lands each
+    * epoch's changed keys in a `graft.storage`='files' table as ONE
+    * merge-on-read DELTA GENERATION (an upsert is delete(key) +
+    * insert(row) in the delta algebra, so base files are NEVER
+    * rewritten — an epoch costs one delta file per task plus a
+    * manifest swap). Exactly-once across epoch retries rides the
+    * applied-epoch ledger; a replayed epoch's files never enter the
+    * manifest (FileLakeSpec pins replay-skip, abort-tracelessness, and
+    * base-file byte-identity). The oracle is the same closed-form
+    * bucket grid as the memory upsert — storage can change the files,
+    * never the answer. */
+  val q475_stream_file_upsert = Q(
+    "q475_stream_file_upsert",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 23999)) AS id)
+           |SELECT id % 97 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(id) AS BIGINT) AS sum_id
+           |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q475_totals"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (bucket BIGINT, n BIGINT, sum_id BIGINT) " +
+        "TBLPROPERTIES('graft.storage'='files')")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fupsert_").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "24000").option("batchRows", "6000")
+          .option("slices", "4").load()
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum("id").cast("long").as("sum_id"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .toTable(tbl)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(tbl).orderBy("bucket")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
     q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
     q448_stream_bottomk, q454_stream_gendocs_replay,
     q455_stream_resume_growth, q456_stream_v2_watermark,
-    q462_stream_v2_sink, q467_stream_upsert)
+    q462_stream_v2_sink, q467_stream_upsert, q475_stream_file_upsert)
 }

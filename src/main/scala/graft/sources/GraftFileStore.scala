@@ -119,6 +119,19 @@ private[graft] object FileStore {
 
   def stateOf(key: String): Option[FState] = Option(tables.get(key))
 
+  /** Applied-epoch ledger for the file-backed streaming upsert — the
+    * same idempotence guard as the memory store's: a replayed epoch
+    * (Spark re-runs a failed epoch under the SAME id from the
+    * checkpoint) must not append its delta generation twice. */
+  private val appliedEpochs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+  private[sources] def markEpochApplied(key: String, epochId: Long): Boolean =
+    appliedEpochs.add((key, epochId))
+  def clearEpochs(key: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    appliedEpochs.asScala.filter(_._1 == key).foreach(appliedEpochs.remove)
+  }
+
   /** Atomic manifest publish: serialize the state, write to a temp
     * sibling, rename over manifest.json (POSIX rename atomicity — the
     * same single-FS-op commit point as the K1 staging rename). */
@@ -243,6 +256,7 @@ private[graft] object FileStore {
   }
 
   def dropTable(key: String): Boolean = {
+    clearEpochs(key) // a re-created table starts a fresh epoch line
     val st = tables.remove(key)
     if (st == null) false
     else {
@@ -559,7 +573,7 @@ private[sources] class FileBackedTable(key: String) extends Table
   override def schema(): StructType = state.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => FileTableOps.currentScan(state)
@@ -616,13 +630,17 @@ private[sources] class FileBackedTable(key: String) extends Table
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new FileBatchWrite(key, replaceFiles = None,
             replaceAll = replace)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new FileStreamingUpsert(key)
       }
     }
 
@@ -880,6 +898,102 @@ private[sources] case class FileDeltaWriterFactory(dir: String,
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(dir, "delta"))
         val name = s"delta/d-p$partitionId-t$taskId-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+        val n = ParquetRowIO.writeFile(s"$dir/$name", deltaCols, buf.iterator)
+        written = Some(name)
+        FileMsg(Array(FileStore.FFile(name, None, cols.map(_.id), n)))
+      }
+    override def abort(): Unit =
+      written.foreach(n => FileStore.deleteFileQuiet(s"$dir/$n"))
+    override def close(): Unit = ()
+  }
+}
+
+/** STREAMING keyed upsert into the FILE store — the lake form of the
+  * memory store's `RowStoreStreamingUpsert` (q467) and the composition
+  * a 100 TB checkpointed ingest actually runs: `writeStream
+  * .outputMode("update").toTable(...)` lands each epoch's changed keys
+  * as ONE merge-on-read delta generation. An upsert is delete(key) +
+  * insert(row) in the existing delta algebra (a base/earlier row with
+  * the key dies, the new row rides the insert side, later generations
+  * stack), so the read path needs NOTHING new and base files are never
+  * rewritten — an epoch costs one delta file per task plus one manifest
+  * swap, never a base rewrite. Exactly-once across epoch retries: the
+  * per-table applied-epoch ledger skips a replayed epochId and deletes
+  * the replay's freshly written files (they never entered the
+  * manifest); an abort applies nothing. */
+private[graft] class FileStreamingUpsert(key: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import FileStore._
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val st = stateOf(key).getOrElse(
+      throw new IllegalStateException(s"file-store table $key vanished"))
+    FileUpsertWriterFactory(st.dir, st.cols)
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.iterator.filter(_ != null)
+      .flatMap(_.asInstanceOf[FileMsg].files).toArray
+    tables.compute(key, (_, st) => {
+      require(st != null, s"file-store table $key dropped mid-write")
+      if (!markEpochApplied(key, epochId)) {
+        // replayed epoch: the retry's files never enter the manifest
+        incoming.foreach(f => deleteFileQuiet(s"${st.dir}/${f.name}"))
+        st
+      } else {
+        val gen = st.deltas.map(_.gen).maxOption.getOrElse(-1) + 1
+        val next = st.retainInto(st.copy(
+          deltas = st.deltas ++ incoming.map(f =>
+            FDelta(gen, f.name, f.colIds)),
+          version = st.version + 1))
+        writeManifest(next)
+        next
+      }
+    })
+    ()
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val st = stateOf(key)
+    for (s <- st; m <- messages if m != null;
+        f <- m.asInstanceOf[FileMsg].files)
+      deleteFileQuiet(s"${s.dir}/${f.name}")
+  }
+}
+
+/** Per-task epoch writer: buffers the epoch's update-mode rows and, at
+  * task commit, writes ONE delta parquet encoding each row as
+  * delete(key) + insert(row) — see [[FileStreamingUpsert]]. */
+private[sources] case class FileUpsertWriterFactory(dir: String,
+    cols: Array[FileStore.FCol])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val types = cols.map(_.dt)
+    private val deltaCols =
+      FileStore.FCol(-1, "__op", IntegerType) +: cols
+    private val buf = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    override def write(record: InternalRow): Unit = {
+      val r = record.copy()
+      val vals = types.indices.map(i => r.get(i, types(i))).toArray
+      val del = new Array[Any](cols.length + 1)
+      del(0) = 0: java.lang.Integer
+      del(1) = vals(0)
+      buf += del
+      val ins = new Array[Any](cols.length + 1)
+      ins(0) = 2: java.lang.Integer
+      System.arraycopy(vals, 0, ins, 1, vals.length)
+      buf += ins
+    }
+    private var written: Option[String] = None
+    override def commit(): WriterCommitMessage =
+      if (buf.isEmpty) FileMsg(Array.empty)
+      else {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir, "delta"))
+        val name = s"delta/u-e$epochId-p$partitionId-" +
           s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
         val n = ParquetRowIO.writeFile(s"$dir/$name", deltaCols, buf.iterator)
         written = Some(name)

@@ -309,6 +309,50 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("file-backed streaming upsert: epochs land as delta files, " +
+      "base files untouched, replay skipped, abort traceless") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_up"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((1L, "base1"), (2L, "base2"), (5L, "base5")).toDF("k", "v")
+      .coalesce(1).writeTo(tbl).append()
+    val dir = tableDir(tbl)
+    val baseFiles = snap(dir).filter(_._1.startsWith("data/"))
+    assert(baseFiles.nonEmpty)
+
+    val sw = new graft.sources.FileStreamingUpsert("ns.spec_fl_up")
+    val factory = sw.createStreamingWriterFactory(null)
+    def msg(epoch: Long, rows: (Long, String)*) = {
+      val w = factory.createWriter(0, 0L, epoch)
+      rows.foreach { case (k, v) => w.write(new GenericInternalRow(
+        Array[Any](k, UTF8String.fromString(v)))) }
+      Array(w.commit())
+    }
+    sw.commit(0L, msg(0L, 1L -> "a", 3L -> "c"))
+    val deltasAfter0 = snap(dir).keySet.count(_.startsWith("delta/"))
+    // replayed epoch 0 with divergent content: skipped, AND the
+    // replay's freshly written file leaves the disk (never manifested)
+    sw.commit(0L, msg(0L, 1L -> "STALE", 9L -> "STALE"))
+    assert(snap(dir).keySet.count(_.startsWith("delta/")) == deltasAfter0,
+      "replayed epoch left a delta file behind")
+    sw.commit(1L, msg(1L, 1L -> "a2", 4L -> "d"))
+    sw.abort(2L, msg(2L, 8L -> "never"))
+
+    // base files byte-identical through all of it
+    val after = snap(dir)
+    for ((n, h) <- baseFiles)
+      assert(after.get(n).contains(h), s"base file $n was rewritten")
+    val rows = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq(1L -> "a2", 2L -> "base2", 3L -> "c",
+      4L -> "d", 5L -> "base5"), rows.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("cow over an outstanding merge-on-read overlay is refused " +
       "group pruning and folds the overlay in") {
     // delta-mode tables keep WriteDelta for DML — the cow-over-overlay
