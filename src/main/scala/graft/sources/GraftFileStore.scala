@@ -225,20 +225,46 @@ private[graft] object FileStore {
       : (Long, Long, Long) = {
     val st0 = Option(tables.get(key)).getOrElse(
       throw new IllegalArgumentException(s"no file-store table $key"))
-    val victims = st0.files.groupBy(_.group).filter(_._2.length > 1)
-    if (victims.isEmpty) return (0L, st0.files.length.toLong,
-      st0.files.length.toLong)
+    val major = st0.deltas.nonEmpty
+    // MINOR compaction (no overlay): only groups with >1 file rewrite.
+    // MAJOR compaction (outstanding merge-on-read deltas): every group
+    // rewrites with the overlay FOLDED IN and the delta log clears —
+    // the read-side merge cost returns to zero, Iceberg's
+    // rewrite_data_files over a position/equality-delete backlog.
+    val byGroup = st0.files.groupBy(_.group)
+    val victims =
+      if (major) byGroup else byGroup.filter(_._2.length > 1)
+    // overlay (plan-time metadata, one driver read of the small delta
+    // files): gens apply to base rows inside each group task; inserts
+    // are routed to their group by the partition column and appended
+    // to that group's merged file (or seed brand-new groups)
+    val (gens, inserts) =
+      if (major) FileTableOps.loadOverlay(st0)
+      else (Array.empty[DeltaGen], Array.empty[Array[Any]])
+    val pIdx = st0.partitionColId.map(id => st0.cols.indexWhere(_.id == id))
+    val insByGroup: Map[Option[Any], Array[Array[Any]]] =
+      inserts.groupBy(r => pIdx.map(r(_)))
+    if (victims.isEmpty && insByGroup.isEmpty)
+      return (0L, st0.files.length.toLong, st0.files.length.toLong)
     val dir = st0.dir
     val cols = st0.cols
-    val work = victims.toSeq.map { case (g, fs) => (g, fs) }
+    val work: Seq[(Option[Any], Array[FFile], Array[Array[Any]])] =
+      (victims.keySet ++ insByGroup.keySet).toSeq.map { g =>
+        (g, victims.getOrElse(g, Array.empty),
+          insByGroup.getOrElse(g, Array.empty))
+      }
     val merged: Array[FFile] = spark.sparkContext
       .parallelize(work, math.min(work.length, 32))
-      .map { case (g, fs) =>
+      .flatMap { case (g, fs, ins) =>
         val name = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
         val rows = fs.iterator.flatMap(f =>
-          ParquetRowIO.readFile(s"$dir/${f.name}", f.colIds, cols))
+          ParquetRowIO.readFile(s"$dir/${f.name}", f.colIds, cols)
+            .flatMap(r => FileTableOps.applyGens(r, gens, 0))) ++
+          ins.iterator
         val n = ParquetRowIO.writeFile(s"$dir/$name", cols, rows)
-        FFile(name, g, cols.map(_.id), n)
+        // a group whose rows ALL died to the overlay leaves no file
+        if (n == 0) { deleteFileQuiet(s"$dir/$name"); None }
+        else Some(FFile(name, g, cols.map(_.id), n))
       }.collect()
     val victimNames = victims.values.flatten.map(_.name).toSet
     val next = tables.compute(key, (_, st) => {
@@ -249,6 +275,7 @@ private[graft] object FileStore {
         s"$key changed during compaction (v${st0.version} -> v${st.version})")
       st.retainInto(st.copy(
         files = st.files.filterNot(f => victimNames(f.name)) ++ merged,
+        deltas = if (major) Array.empty else st.deltas,
         version = st.version + 1))
     })
     writeManifest(next)

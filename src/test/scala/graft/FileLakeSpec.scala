@@ -350,6 +350,18 @@ class FileLakeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq(1L -> "a2", 2L -> "base2", 3L -> "c",
       4L -> "d", 5L -> "base5"), rows.mkString(", "))
+
+    // MAJOR compaction: the outstanding overlay folds into rewritten
+    // base files and the delta log clears — contents identical, read
+    // path back to zero merge cost
+    val res = spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_up')")
+      .head
+    assert(res.getLong(2) == 1L, s"major compact left ${res.getLong(2)} files")
+    val st = sources.FileStore.stateOf("ns.spec_fl_up").get
+    assert(st.deltas.isEmpty, "major compaction must clear the delta log")
+    val rows2 = spark.table(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows2.toSeq == rows.toSeq, "major compaction changed contents")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
