@@ -374,6 +374,58 @@ object DataOps7 {
         .orderBy("o_orderstatus")
     })
 
+  /** DEDUP-IN-PLACE ON THE LAKE — the capstone composition: the
+    * LLM-pipeline's near-dup detection (q36's banded MinHash+LSH pairs,
+    * verified Jaccard ≥ 0.15) produces a DROP LIST, and `MERGE INTO ...
+    * WHEN MATCHED THEN DELETE` applies it to a FILE-BACKED documents
+    * table through the engine-native row-level path (group-based
+    * ReplaceData over real parquet files). This is what a curation
+    * pipeline actually does at 100 TB: dedup findings don't produce a
+    * report, they MUTATE THE LAKE, atomically, through the same DML
+    * protocol every other writer uses — and the pre-dedup snapshot
+    * stays readable via VERSION AS OF until vacuum. Drop rule here is
+    * the non-transitive pair rule (the LARGER doc of each qualifying
+    * pair drops — deterministic and closed-form; q88 carries the
+    * cluster-transitive variant). Oracle replays pairs + drops +
+    * survivors from the same documents table. */
+  val q476_lake_dedup_merge = Q(
+    "q476_lake_dedup_merge", {
+      val pairsPrefix = TextOps.lshPairsSqlPrefix
+      Some(s"""$pairsPrefix,
+              |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+              |survivors AS (
+              |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+              |  FROM documents d
+              |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops))
+              |SELECT CAST(doc_id % 7 AS BIGINT) AS grp,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM survivors GROUP BY 1 ORDER BY grp""".stripMargin)
+    },
+    (s, d) => {
+      val tbl = "graftlake.ns.q476_docs"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (doc_id BIGINT, n_chars BIGINT) " +
+        "TBLPROPERTIES('graft.storage'='files')")
+      graft.Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .writeTo(tbl).append()
+      graft.operators.Dedup.minhashNearDupPairs(
+          graft.Tables.documents(s, d), "doc_id", "text",
+          k = TextOps.MinhashK, shingleN = 3, threshold = 0.15)
+        .select(col("doc_b").cast("long").as("doc_id")).distinct()
+        .createOrReplaceTempView("q476_drops")
+      s.sql(s"""MERGE INTO $tbl t USING q476_drops s ON t.doc_id = s.doc_id
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+      s.table(tbl)
+        .groupBy((col("doc_id") % 7).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("grp")
+    })
+
   val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error,
-    q472_time_travel, q473_lake_compaction, q474_lake_vacuum)
+    q472_time_travel, q473_lake_compaction, q474_lake_vacuum,
+    q476_lake_dedup_merge)
 }
