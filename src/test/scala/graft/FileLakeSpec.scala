@@ -261,6 +261,19 @@ class FileLakeSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$dir/data")
     assert(raw.columns.toSet.contains("c0"))
     assert(raw.count() == 8)
+
+    // time travel ACROSS schema evolution: version 2 (post gen-1
+    // append) reads with ITS OWN schema — no score/points column, only
+    // the 5 gen-1 rows — over the very same files the current version
+    // reads through the evolved schema
+    val v2 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("k", "tag"), v2.columns.mkString(","))
+    assert(v2.count() == 5)
+    // and version 4 (post gen-2, pre-RENAME) still calls it `score`
+    val v4 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 4")
+    assert(v4.columns.toSeq == Seq("k", "tag", "score"),
+      v4.columns.mkString(","))
+    assert(v4.where(col("score").isNotNull).count() == 3)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
