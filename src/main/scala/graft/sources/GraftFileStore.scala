@@ -1090,7 +1090,10 @@ private[sources] object GraftProcedures {
     StructField("is_current", BooleanType, nullable = false),
     StructField("n_files", LongType, nullable = false),
     StructField("n_deltas", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = false)))) {
+    // base-file rows only: outstanding delta generations change the
+    // LOGICAL row count at read time (merge), which a metadata listing
+    // deliberately does not compute
+    StructField("n_base_rows", LongType, nullable = false)))) {
     override def isDeterministic: Boolean = false
     override def run(key: String): Array[Array[Any]] = {
       val st = FileStore.stateOf(key).getOrElse(
