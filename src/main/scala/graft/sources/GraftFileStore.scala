@@ -87,7 +87,10 @@ private[graft] object FileStore {
   final case class FState(dir: String, cols: Array[FCol], nextCol: Int,
       delta: Boolean, partitionColId: Option[Int],
       files: Array[FFile], deltas: Array[FDelta], version: Int,
-      snaps: List[FState] = Nil) {
+      snaps: List[FState] = Nil,
+      // wall-clock commit instant (ms) — what `TIMESTAMP AS OF` binds
+      // to; versions stay the deterministic/oracle-facing handle
+      commitMs: Long = System.currentTimeMillis()) {
     // a delta (merge-on-read) table's row id is its first column, and
     // Spark's delta rewrite rejects nullable row ids — same rule as the
     // memory store's createTable
@@ -100,11 +103,18 @@ private[graft] object FileStore {
       * predecessor through this, which is what `VERSION AS OF` reads
       * and what keeps replaced files on disk until VACUUM. */
     def asSnapshot: FState = copy(snaps = Nil)
-    /** `next` with this state retained as its newest snapshot. */
+    /** `next` with this state retained as its newest snapshot, stamped
+      * with a fresh commit instant (case-class copy would otherwise
+      * carry the predecessor's). */
     def retainInto(next: FState): FState =
-      next.copy(snaps = asSnapshot :: snaps)
+      next.copy(snaps = asSnapshot :: snaps,
+        commitMs = System.currentTimeMillis())
     def snapshotAt(v: Int): Option[FState] =
       if (v == version) Some(this) else snaps.find(_.version == v)
+    /** Latest retained state whose commit instant is ≤ `ms` — the
+      * `TIMESTAMP AS OF` binding (Spark hands micros; catalog converts). */
+    def snapshotAsOfMs(ms: Long): Option[FState] =
+      (this :: snaps).filter(_.commitMs <= ms).sortBy(_.version).lastOption
   }
 
   private[sources] val tables =

@@ -90,6 +90,25 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** `TIMESTAMP AS OF` (Spark hands MICROSECONDS since epoch): bind to
+    * the latest retained commit at or before the instant. Versions are
+    * the deterministic handle (q472's oracle); timestamps serve the
+    * "what did the table say at 14:05" audit — spec-pinned, since wall
+    * clocks have no closed form an oracle could replay. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val k = key(ident)
+    val st = FileStore.tables.get(k)
+    if (st == null) throw new NoSuchTableException(ident)
+    st.snapshotAsOfMs(Math.floorDiv(timestampMicros, 1000L)) match {
+      case Some(snap) if snap.version == st.version => new FileBackedTable(k)
+      case Some(snap) => new FileSnapshotTable(k, snap)
+      case None => throw new IllegalArgumentException(
+        s"no retained snapshot of $k at or before " +
+          s"${timestampMicros / 1000L} ms (earliest retained commit: " +
+          s"${(st.snaps.lastOption.getOrElse(st)).commitMs} ms)")
+    }
+  }
+
   private def isFileMode(properties: util.Map[String, String]): Boolean =
     "files".equalsIgnoreCase(properties.get("graft.storage"))
 

@@ -274,6 +274,18 @@ class FileLakeSpec extends AnyFunSuite {
     assert(v4.columns.toSeq == Seq("k", "tag", "score"),
       v4.columns.mkString(","))
     assert(v4.where(col("score").isNotNull).count() == 3)
+
+    // TIMESTAMP AS OF binds to the latest commit at or before the
+    // instant: "now" resolves to the current version, and an instant
+    // before the table existed is a loud error (never an empty read)
+    val now = spark.sql(
+      s"SELECT count(*) FROM $tbl TIMESTAMP AS OF current_timestamp()")
+      .head.getLong(0)
+    assert(now == 8L, s"TIMESTAMP AS OF now read $now rows")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl " +
+        "TIMESTAMP AS OF TIMESTAMP'1999-01-01 00:00:00'").collect()
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
