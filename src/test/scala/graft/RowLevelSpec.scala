@@ -156,6 +156,16 @@ class RowLevelSpec extends AnyFunSuite {
     // k=3 and k=6 are both seg A with k%3=0 — deleted on both paths
     assert(cow == Seq((1L, "A", 10L), (2L, "B", 40L), (4L, "C", 40L),
       (5L, "B", 100L)), cow.mkString(", "))
+    // STORAGE equivalence (r14): the same four-way law across the
+    // parquet-file-backed store — cow-on-files (group-pruned rewrite of
+    // real files) and mor-on-files (delta files) must agree with the
+    // memory modes row-for-row; storage and mode trade I/O shape only
+    val fcow = runDml("graftlake.ns.spec_eq_fcow",
+      " TBLPROPERTIES('graft.storage'='files', 'graft.partitioncol'='seg')")
+    val fmor = runDml("graftlake.ns.spec_eq_fmor",
+      " TBLPROPERTIES('graft.storage'='files', 'graft.mode'='delta')")
+    assert(fcow == cow, s"file-cow=$fcow memory=$cow")
+    assert(fmor == cow, s"file-mor=$fmor memory=$cow")
   }
 
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
