@@ -383,13 +383,26 @@ private[sources] object ParquetRowIO {
     * current manifest columns): for each wanted id, its position in
     * the file's recorded `fileColIds` binds the parquet field; an id
     * the file predates (schema evolution ADD) null-fills — old files
-    * stay, readers see null, the lake evolution contract. */
+    * stay, readers see null, the lake evolution contract.
+    *
+    * Projection is PHYSICAL: only the wanted ids present in the file
+    * are requested from parquet (`parquet.read.schema`), so a pruned
+    * scan decodes pruned column chunks only — the same I/O contract as
+    * Spark's own parquet reader. A wanted set with no presence in the
+    * file (e.g. only a post-ADD column) falls back to an unprojected
+    * read purely to count rows for the null-fill. */
   def readFile(path: String, fileColIds: Array[Int],
       wanted: Array[FCol]): Iterator[Array[Any]] = {
-    val binding: Array[Int] = wanted.map(c => fileColIds.indexOf(c.id))
+    val present = wanted.filter(c => fileColIds.contains(c.id))
+    val conf = new Configuration()
+    if (present.nonEmpty)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        messageType(present).toString)
+    // binding: wanted index → field index within the REQUESTED schema
+    val binding: Array[Int] = wanted.map(c => present.indexWhere(_.id == c.id))
     val reader = ParquetReader
       .builder(new GroupReadSupport(), new HPath(path))
-      .withConf(new Configuration())
+      .withConf(conf)
       .build()
     new Iterator[Array[Any]] {
       private var nextGroup: Group = reader.read()
@@ -487,8 +500,14 @@ private[sources] case class DeltaGen(deletes: Array[Any],
   @transient lazy val upMap: Map[Any, Array[Any]] = updates.toMap
 }
 
+/** `allCols` = full manifest columns (the overlay's width — delta
+  * updates key on col 0 and carry full rows); `wanted` = the PRUNED
+  * projection the query asked for. With no overlay the reader reads
+  * `wanted` straight from parquet (physical projection); with an
+  * overlay it reads full width, merges, then projects. */
 private[sources] case class FileSlice(dir: String, file: FileStore.FFile,
-    wanted: Array[FileStore.FCol], gens: Array[DeltaGen])
+    allCols: Array[FileStore.FCol], wanted: Array[FileStore.FCol],
+    gens: Array[DeltaGen])
     extends InputPartition
 private[sources] case class InsertSlice(rows: Array[Array[Any]])
     extends InputPartition
@@ -497,17 +516,29 @@ private[sources] case class InsertSlice(rows: Array[Array[Any]])
   * One InputPartition per base file (+ one for surviving overlay
   * inserts); each reader merges its file against the generation chain:
   * delete kills the row, update replaces it, later generations apply
-  * to replacements and inserts alike. */
+  * to replacements and inserts alike. `files` may be a
+  * partition-pruned subset and `wanted` a pruned projection (see
+  * [[FileScanBuilder]]); inserts arrive FULL-width and are projected
+  * here. */
 private[sources] class FileScan(dir: String, cols: Array[FileStore.FCol],
-    files: Array[FileStore.FFile], gens: Array[DeltaGen],
-    inserts: Array[Array[Any]]) extends Scan with Batch {
+    wanted: Array[FileStore.FCol], files: Array[FileStore.FFile],
+    gens: Array[DeltaGen], inserts: Array[Array[Any]])
+    extends Scan with Batch {
+  private def projectIdx: Array[Int] =
+    wanted.map(w => cols.indexWhere(_.id == w.id))
   override def readSchema(): StructType =
-    StructType(cols.map(c => StructField(c.name, c.dt)))
+    StructType(wanted.map(c => StructField(c.name, c.dt)))
   override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftFileScan files=${files.length} " +
+      s"cols=${wanted.map(_.name).mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val base = files.map(f =>
-      FileSlice(dir, f, cols, gens): InputPartition)
-    if (inserts.nonEmpty) base :+ (InsertSlice(inserts): InputPartition)
+      FileSlice(dir, f, cols, wanted, gens): InputPartition)
+    val ins =
+      if (inserts.isEmpty) inserts
+      else { val idx = projectIdx; inserts.map(r => idx.map(r)) }
+    if (ins.nonEmpty) base :+ (InsertSlice(ins): InputPartition)
     else if (base.isEmpty) Array(InsertSlice(Array.empty))
     else base
   }
@@ -524,11 +555,25 @@ private[sources] case class FileReaderFactory() extends PartitionReaderFactory {
         override def get(): InternalRow = new GenericInternalRow(rows(i))
         override def close(): Unit = ()
       }
-      case FileSlice(dir, file, wanted, gens) =>
+      case FileSlice(dir, file, allCols, wanted, gens) =>
         new PartitionReader[InternalRow] {
-          private val it = ParquetRowIO
-            .readFile(s"$dir/${file.name}", file.colIds, wanted)
-            .flatMap(r => FileTableOps.applyGens(r, gens, 0))
+          private val it: Iterator[Array[Any]] =
+            if (gens.isEmpty && wanted.isEmpty)
+              // count-only projection with no overlay: the manifest's
+              // row count IS the answer — zero bytes read
+              Iterator.fill(file.rows.toInt)(Array.empty[Any])
+            else if (gens.isEmpty)
+              // pruned physical read, no merge
+              ParquetRowIO.readFile(s"$dir/${file.name}", file.colIds, wanted)
+            else {
+              // overlay outstanding: read full width (the merge keys on
+              // col 0 and update rows are full rows), then project
+              val idx = wanted.map(w => allCols.indexWhere(_.id == w.id))
+              ParquetRowIO
+                .readFile(s"$dir/${file.name}", file.colIds, allCols)
+                .flatMap(r => FileTableOps.applyGens(r, gens, 0))
+                .map(r => idx.map(r))
+            }
           private var cur: Array[Any] = _
           override def next(): Boolean = {
             val h = it.hasNext
@@ -539,6 +584,64 @@ private[sources] case class FileReaderFactory() extends PartitionReaderFactory {
           override def close(): Unit = ()
         }
     }
+}
+
+/** ScanBuilder for file-backed reads, wiring the two scan-time
+  * pushdowns a lake table earns (previously the read path scanned all
+  * files, all columns):
+  *   - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the parquet
+  *     readers request only the projected ids — physical I/O pruning,
+  *     and a no-overlay `count(*)` never opens a file at all (the
+  *     manifest's row counts answer it).
+  *   - PARTITION-ALIGNED FILE PRUNING (`SupportsPushDownV2Filters`):
+  *     plain `=` / `IN` predicates on `graft.partitioncol` drop whole
+  *     files from the plan. EVERY predicate is also returned as a
+  *     residual (Spark re-applies above the scan), so interpreting a
+  *     subset is always sound — over-reading is possible, under-reading
+  *     is not. Disabled while a merge-on-read overlay is outstanding:
+  *     a delta UPDATE can change a row's partition value without moving
+  *     the row's file, so file groups are not authoritative until the
+  *     overlay folds (major compaction). */
+private[sources] class FileScanBuilder(st: FileStore.FState)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+  private var wantedNames: Array[String] = st.cols.map(_.name)
+  private var interpreted
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  private var matchers: Array[Any => Boolean] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    wantedNames = requiredSchema.fieldNames
+
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    st.partitionColId.map(id => st.colById(id).name) match {
+      case Some(pc) if st.deltas.isEmpty =>
+        val both = predicates.flatMap(p =>
+          PartPredicates.matcher(p, pc).map(m => (p, m)))
+        interpreted = both.map(_._1)
+        matchers = both.map(_._2)
+      case _ => ()
+    }
+    predicates // ALL residual — pruning only ever skips whole files
+  }
+
+  override def pushedPredicates
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    interpreted
+
+  override def build(): Scan = {
+    val (gens, inserts) = FileTableOps.loadOverlay(st)
+    val files =
+      if (matchers.isEmpty) st.files
+      else st.files.filter(f =>
+        f.group.forall(g => matchers.forall(m => m(g))))
+    val wanted = wantedNames.flatMap(n => st.cols.find(_.name == n))
+    new FileScan(st.dir, st.cols, wanted, files, gens, inserts)
+  }
 }
 
 private[graft] object FileTableOps {
@@ -585,7 +688,7 @@ private[graft] object FileTableOps {
 
   def currentScan(st: FileStore.FState): FileScan = {
     val (gens, inserts) = loadOverlay(st)
-    new FileScan(st.dir, st.cols, st.files, gens, inserts)
+    new FileScan(st.dir, st.cols, st.cols, st.files, gens, inserts)
   }
 }
 
@@ -613,7 +716,7 @@ private[sources] class FileBackedTable(key: String) extends Table
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => FileTableOps.currentScan(state)
+    new FileScanBuilder(state)
 
   private def pcolName(st: FState): Option[String] =
     st.partitionColId.map(id => st.colById(id).name)
@@ -762,7 +865,7 @@ private[sources] class CowFileScan(st: FileStore.FState,
   override def planInputPartitions(): Array[InputPartition] = {
     report(candidates)
     val base = candidates.map(f =>
-      FileSlice(st.dir, f, st.cols, gens): InputPartition)
+      FileSlice(st.dir, f, st.cols, st.cols, gens): InputPartition)
     if (inserts.nonEmpty) base :+ (InsertSlice(inserts): InputPartition)
     else if (base.isEmpty) Array(InsertSlice(Array.empty))
     else base
@@ -785,7 +888,7 @@ private[sources] class FileSnapshotTable(key: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => FileTableOps.currentScan(snap)
+    new FileScanBuilder(snap)
 }
 
 /** The group-prunable variant (partition column present, no overlay):

@@ -390,6 +390,59 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("read-path pruning: projection reaches parquet, partition-" +
+      "aligned filters drop whole files, count(*) is metadata-only") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_prune"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING, v BIGINT, " +
+      "w STRING) TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='g')")
+    (1L to 30L).map(k => (k, s"g${k % 3}", k * 10L, s"w$k"))
+      .toDF("k", "g", "v", "w").coalesce(1).writeTo(tbl).append()
+    // 3 files (one per group), 4 columns
+
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // partition-aligned equality: one file planned, result exact
+    val pruned = spark.table(tbl).filter(col("g") === "g1")
+      .select(col("k"), col("v"))
+    val d1 = scanDesc(pruned)
+    assert(d1.contains("files=1"), s"expected files=1 in:\n$d1")
+    assert(d1.contains("cols=k,v") || d1.contains("cols=k,g,v") ||
+      d1.contains("cols=g,k,v"), s"projection did not prune:\n$d1")
+    assert(pruned.count() == 10)
+    assert(pruned.agg(sum("v")).head.getLong(0) ==
+      (1L to 30L).filter(_ % 3 == 1).map(_ * 10).sum)
+
+    // non-aligned predicate: all files, every row still correct
+    val full = spark.table(tbl).filter(col("v") % 20 === 0)
+    assert(scanDesc(full).contains("files=3"))
+
+    // count(*): empty projection, no overlay → manifest counts answer
+    val cnt = spark.table(tbl)
+    assert(scanDesc(cnt.groupBy().count()).contains("cols=") )
+    assert(cnt.count() == 30)
+
+    // SAFETY: with an outstanding overlay, file pruning is OFF — a
+    // delta UPDATE moving a row's partition value must stay findable
+    val dtbl = "graftlake.ns.spec_fl_prune_d"
+    spark.sql(s"DROP TABLE IF EXISTS $dtbl")
+    spark.sql(s"CREATE TABLE $dtbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.mode'='delta', " +
+      "'graft.partitioncol'='g')")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g").coalesce(1)
+      .writeTo(dtbl).append()
+    spark.sql(s"UPDATE $dtbl SET g = 'c' WHERE k = 1")
+    val moved = spark.table(dtbl).filter(col("g") === "c")
+    assert(scanDesc(moved).contains("files=2"),
+      "overlay outstanding: pruning must be disabled")
+    assert(moved.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $dtbl")
+  }
+
   test("cow over an outstanding merge-on-read overlay is refused " +
       "group pruning and folds the overlay in") {
     // delta-mode tables keep WriteDelta for DML — the cow-over-overlay
