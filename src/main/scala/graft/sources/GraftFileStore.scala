@@ -523,7 +523,8 @@ private[sources] case class InsertSlice(rows: Array[Array[Any]])
 private[sources] class FileScan(dir: String, cols: Array[FileStore.FCol],
     wanted: Array[FileStore.FCol], files: Array[FileStore.FFile],
     gens: Array[DeltaGen], inserts: Array[Array[Any]])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private def projectIdx: Array[Int] =
     wanted.map(w => cols.indexWhere(_.id == w.id))
   override def readSchema(): StructType =
@@ -532,6 +533,28 @@ private[sources] class FileScan(dir: String, cols: Array[FileStore.FCol],
   override def description(): String =
     s"GraftFileScan files=${files.length} " +
       s"cols=${wanted.map(_.name).mkString(",")}"
+
+  /** Manifest statistics — POST file-pruning, so a partition-restricted
+    * lake scan reports its true (small) size and earns a broadcast in
+    * join planning; the free-and-exact row counts are the reason a lake
+    * manifest carries them. Overlay deltas shift the logical count
+    * (deletes/updates), so the base+insert figure is an upper-bound
+    * estimate in that state — the safe direction for join planning. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = files.map(_.rows).sum + inserts.length
+    val width = wanted.map(_.dt match {
+      case StringType => 24L
+      case _ => 8L
+    }).sum.max(8L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width)
+      override def numRows(): java.util.OptionalLong =
+        if (gens.isEmpty) java.util.OptionalLong.of(rows)
+        else java.util.OptionalLong.empty() // merge changes the count
+    }
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val base = files.map(f =>
       FileSlice(dir, f, cols, wanted, gens): InputPartition)

@@ -425,6 +425,18 @@ class FileLakeSpec extends AnyFunSuite {
     assert(scanDesc(cnt.groupBy().count()).contains("cols=") )
     assert(cnt.count() == 30)
 
+    // reported statistics follow the pruning: the one-partition scan's
+    // manifest row count makes it a broadcast build against a larger
+    // frame (the join plan pin a small lake dimension earns)
+    val dim = spark.table(tbl).filter(col("g") === "g1")
+      .select(col("k"), col("v"))
+    val fact = spark.range(0, 100000).toDF("k")
+    val joined = fact.join(dim, "k")
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert(jplan.contains("BroadcastHashJoin"),
+      s"pruned lake scan did not broadcast:\n$jplan")
+    assert(joined.count() == 10)
+
     // SAFETY: with an outstanding overlay, file pruning is OFF — a
     // delta UPDATE moving a row's partition value must stay findable
     val dtbl = "graftlake.ns.spec_fl_prune_d"
