@@ -320,7 +320,7 @@ private[graft] object FileStore {
   * them — FileLakeSpec proves that). Columns are written as `c<id>`
   * in manifest order, so files survive RENAME untouched and readers
   * bind by id, never by name. */
-private[sources] object ParquetRowIO {
+private[graft] object ParquetRowIO {
   import FileStore.FCol
 
   def messageType(cols: Array[FCol]): MessageType = {
