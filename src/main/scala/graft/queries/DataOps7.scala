@@ -425,7 +425,74 @@ object DataOps7 {
         .orderBy("grp")
     })
 
+  /** SNAPSHOT DIFF VIA TIME TRAVEL — q85's snapshot-diff semantics
+    * without a second table: ONE query reads the SAME lake table at two
+    * retained versions (`VERSION AS OF` twice) and anti-joins them into
+    * the change set — removed keys, plus changed keys with old and new
+    * values side by side. This is the audit query a 100 TB lake answers
+    * from its manifest history ("what did yesterday's DELETE+UPDATE
+    * actually touch?") with zero extra storage beyond the retained
+    * snapshots — the two scans share every untouched partition's files.
+    * Oracle replays both states and the diff from `part`. */
+  val q477_snapshot_diff = Q(
+    "q477_snapshot_diff",
+    Some("""WITH t AS (
+           |  SELECT p_partkey, p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part),
+           |v3 AS (SELECT * FROM t WHERE NOT (p_brand = 'Brand#23')),
+           |v4 AS (
+           |  SELECT p_partkey, p_brand,
+           |    CASE WHEN cents % 5 = 0 THEN cents + 1 ELSE cents END AS cents
+           |  FROM v3),
+           |removed AS (
+           |  SELECT 'removed' AS change, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS old_cents,
+           |    CAST(0 AS BIGINT) AS new_cents
+           |  FROM t WHERE p_partkey NOT IN (SELECT p_partkey FROM v4)),
+           |changed AS (
+           |  SELECT 'changed' AS change, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS old_cents,
+           |    CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS new_cents
+           |  FROM t o JOIN v4 c ON o.p_partkey = c.p_partkey
+           |  WHERE o.cents <> c.cents)
+           |SELECT * FROM removed UNION ALL SELECT * FROM changed
+           |ORDER BY change""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q477_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='p_brand')")
+      graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()                                       // v2
+      s.sql(s"DELETE FROM $tbl WHERE p_brand = 'Brand#23'")          // v3
+      s.sql(s"UPDATE $tbl SET cents = cents + 1 WHERE cents % 5 = 0") // v4
+      val old = s.sql(s"SELECT p_partkey, cents FROM $tbl VERSION AS OF 2")
+        .toDF("k", "old_cents")
+      val cur = s.sql(s"SELECT p_partkey, cents FROM $tbl VERSION AS OF 4")
+        .toDF("k", "new_cents")
+      val removed = old.join(cur, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("old_cents"))
+        .select(lit("removed").as("change"), col("n"), col("old_cents"),
+          lit(0L).as("new_cents"))
+      val changed = old.join(cur, "k")
+        .filter(col("old_cents") =!= col("new_cents"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("old_cents"),
+          coalesce(sum("new_cents"), lit(0L)).cast("long").as("new_cents"))
+        .select(lit("changed").as("change"), col("n"), col("old_cents"),
+          col("new_cents"))
+      removed.unionAll(changed).orderBy("change")
+    })
+
   val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error,
     q472_time_travel, q473_lake_compaction, q474_lake_vacuum,
-    q476_lake_dedup_merge)
+    q476_lake_dedup_merge, q477_snapshot_diff)
 }
