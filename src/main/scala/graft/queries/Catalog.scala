@@ -30,10 +30,11 @@ object Q {
     * failure-atomicity probe like q470's poisoned RTAS) with the
     * scheduler/executor loggers scoped to OFF, so the EXPECTED stack
     * trace does not land in the bench/verify artifact tail (VERDICT r13
-    * #4). A `[expected]` marker line replaces it. Loggers are restored
-    * to ERROR afterwards — the harness root level both mains set. */
+    * #4). A `[expected]` marker line replaces it. Each logger's PRIOR
+    * effective level is captured and restored afterwards (ADVICE r14:
+    * hard-coding ERROR clobbered a debug session's WARN/INFO config). */
   def withExpectedTaskFailureSilenced[T](what: String)(body: => T): T = {
-    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.{Level, LogManager}
     import org.apache.logging.log4j.core.config.Configurator
     val noisy = Seq(
       "org.apache.spark.executor.Executor",
@@ -46,8 +47,9 @@ object Q {
       "org.apache.spark.util.Utils")
     println(s"[expected] $what: task failure below is by design; " +
       "scheduler logs scoped OFF for this statement")
+    val prior = noisy.map(n => n -> LogManager.getLogger(n).getLevel)
     noisy.foreach(n => Configurator.setLevel(n, Level.OFF))
     try body
-    finally noisy.foreach(n => Configurator.setLevel(n, Level.ERROR))
+    finally prior.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
   }
 }

@@ -50,6 +50,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
+  private val ChangesRange = "(\\d+)\\.\\.(\\d+)".r
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     import scala.jdk.CollectionConverters._
     (RowStore.tables.keySet().asScala.toArray ++
@@ -77,12 +79,31 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     val st = FileStore.tables.get(k)
     if (st == null) throw new NoSuchTableException(ident)
+    // `VERSION AS OF 'v1..v2'` — the INCREMENTAL CHANGED-FILE read:
+    // a change-feed table over the manifest diff between two retained
+    // versions (see [[FileChangesTable]]); untouched files never open.
+    version.trim match {
+      case ChangesRange(a, b) =>
+        val (v1, v2) = (a.toInt, b.toInt)
+        require(v1 <= v2, s"change range $v1..$v2 runs backwards")
+        def snap(v: Int) = st.snapshotAt(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"no retained version $v of $k (current v${st.version}; " +
+              "VACUUM drops history)"))
+        return new FileChangesTable(k, snap(v1), snap(v2))
+      case _ => ()
+    }
     val v = try version.trim.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName versions are integers, got '$version'")
+        s"$catalogName versions are integers or 'v1..v2' change ranges, " +
+          s"got '$version'")
     }
     st.snapshotAt(v) match {
-      case Some(snap) if snap.version == st.version => new FileBackedTable(k)
+      // ALWAYS a pinned snapshot table — even for the current version:
+      // serving the live FileBackedTable would let a commit landing
+      // between resolution and scan silently shift the read to a newer
+      // snapshot (ADVICE r14). The FState is immutable, so the resolved
+      // snapshot holds for the query's whole lifetime.
       case Some(snap) => new FileSnapshotTable(k, snap)
       case None => throw new IllegalArgumentException(
         s"no retained version $v of $k (current v${st.version}; " +
@@ -100,7 +121,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     val st = FileStore.tables.get(k)
     if (st == null) throw new NoSuchTableException(ident)
     st.snapshotAsOfMs(Math.floorDiv(timestampMicros, 1000L)) match {
-      case Some(snap) if snap.version == st.version => new FileBackedTable(k)
+      // pinned even when the instant resolves to the current version —
+      // same race as the versioned read above (ADVICE r14)
       case Some(snap) => new FileSnapshotTable(k, snap)
       case None => throw new IllegalArgumentException(
         s"no retained snapshot of $k at or before " +
@@ -111,6 +133,19 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
 
   private def isFileMode(properties: util.Map[String, String]): Boolean =
     "files".equalsIgnoreCase(properties.get("graft.storage"))
+
+  /** TBLPROPERTIES('graft.overlaybudget'='N') — merge-on-read overlay
+    * budget in delta rows (see [[FileStore.FState.overlayBudget]]). */
+  private def overlayBudgetOf(
+      properties: util.Map[String, String]): Long =
+    Option(properties.get("graft.overlaybudget")).map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.overlaybudget must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"graft.overlaybudget must be positive, got $n")
+      n
+    }.getOrElse(FileStore.DefaultOverlayBudget)
 
   /** Create a PARQUET-FILE-BACKED table (`graft.storage`='files' —
     * VERDICT r13 #1): same property surface as the memory store
@@ -132,7 +167,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
       cols(i).id
     }
     val st = FileStore.FState(s"$base/$k", cols, cols.length, delta,
-      pcolId, Array.empty, Array.empty, version = 1)
+      pcolId, Array.empty, Array.empty, version = 1,
+      overlayBudget = overlayBudgetOf(properties))
     if (FileStore.tables.putIfAbsent(k, st) != null)
       throw new TableAlreadyExistsException(ident)
     FileStore.writeManifest(st)
@@ -329,7 +365,8 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     val (st, delta, _) = stagedProps(schema, properties, k)
     new StagedFileTable(k, ident, s"$base/$k", st, delta,
-      Option(properties.get("graft.partitioncol")), requireAbsent)
+      Option(properties.get("graft.partitioncol")), requireAbsent,
+      overlayBudgetOf(properties))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,

@@ -482,8 +482,22 @@ class FileLakeSpec extends AnyFunSuite {
         cols.map(c => if (rnd.nextInt(4) == 0) null else value(c.dt))
           .toArray[Any]).toArray
       val path = s"$dir/t$trial.parquet"
-      val n = ParquetRowIO.writeFile(path, cols, rows.iterator)
-      assert(n == rows.length)
+      val written = ParquetRowIO.writeFile(path, cols, rows.iterator)
+      assert(written.rows == rows.length)
+      // write-time stats are the TRUE min/max of the non-null values
+      // (null when a column saw none) — the contract file skipping and
+      // overlay scoping rely on
+      for (i <- cols.indices) {
+        val vs = rows.map(_(i)).filter(_ != null)
+        if (vs.isEmpty) {
+          assert(written.mins(i) == null && written.maxs(i) == null)
+        } else {
+          implicit val ord: Ordering[Any] =
+            (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+          assert(written.mins(i) == vs.min, s"trial $trial col $i min")
+          assert(written.maxs(i) == vs.max, s"trial $trial col $i max")
+        }
+      }
       // identity read
       val back = ParquetRowIO.readFile(path, cols.map(_.id), cols).toArray
       assert(back.length == rows.length)
@@ -505,6 +519,330 @@ class FileLakeSpec extends AnyFunSuite {
         assert(b(proj.length) == null, "post-ADD column must null-fill")
       }
     }
+  }
+
+  test("mor UPDATE keys the overlay on the OLD row id: a key-changing " +
+      "update retires the old row and lands the new one (ADVICE r14)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_keymove"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.mode'='delta', 'graft.storage'='files')")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).writeTo(tbl).append()
+    // UPDATE that changes the row-id column itself: the base row k=2
+    // must die (keyed by its OLD id) and (20, b2) must appear — the
+    // old bug keyed the retirement on the NEW id, so (2, b) survived
+    // and the update silently vanished
+    spark.sql(s"UPDATE $tbl SET k = 20, v = 'b2' WHERE k = 2")
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 3L -> "c", 20L -> "b2"), got.toString)
+    // and the same read after folding the overlay (major compact)
+    spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_keymove')")
+    val folded = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(folded == got, s"compaction changed the merged view: $folded")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("major compaction re-buckets rows whose partition value a delta " +
+      "update moved; pruning and metadata delete stay truthful after " +
+      "the fold (ADVICE r14)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_rebucket"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.mode'='delta', " +
+      "'graft.partitioncol'='g')")
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "g").coalesce(1)
+      .writeTo(tbl).append()
+    spark.sql(s"UPDATE $tbl SET g = 'c' WHERE k = 1") // moves partition
+    spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_rebucket')")
+    val st = sources.FileStore.stateOf("ns.spec_fl_rebucket").get
+    assert(st.deltas.isEmpty, "major compaction must clear the delta log")
+    // every post-fold file's group tag matches its rows' actual value
+    for (f <- st.files) {
+      val gs = sources.ParquetRowIO
+        .readFile(s"${st.dir}/${f.name}", f.colIds, st.cols)
+        .map(_(1)).toSet
+      assert(gs == Set(f.group.get),
+        s"file ${f.name} tagged ${f.group} holds groups $gs")
+    }
+    // the re-enabled fast paths answer truthfully
+    val moved = spark.table(tbl).filter(col("g") === "c")
+      .collect().map(_.getLong(0)).toSeq
+    assert(moved == Seq(1L), s"pruned read lost the moved row: $moved")
+    spark.sql(s"DELETE FROM $tbl WHERE g = 'a'") // metadata delete
+    val left = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(left == Seq(1L -> "c", 3L -> "b"), left.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("overlay budget: a streaming-upsert feed auto-folds via MAJOR " +
+      "compaction, so the plan-time overlay stays bounded (VERDICT " +
+      "r14 #1) and slices carry only their own keys' deltas") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_budget"
+    val key = "ns.spec_fl_budget"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.overlaybudget'='16')")
+    (0L until 40L).map(k => (k, 0L)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    val sw = new graft.sources.FileStreamingUpsert(key)
+    val factory = sw.createStreamingWriterFactory(null)
+    var maxOutstanding = 0L
+    for (epoch <- 0 until 12) {
+      val w = factory.createWriter(0, 0L, epoch.toLong)
+      // 4 keys per epoch → 8 delta rows (del+ins); budget 16 trips
+      // every other epoch — outstanding overlay can NEVER reach the
+      // 96-row total the feed lands
+      for (i <- 0 until 4) {
+        val k = (epoch * 4 + i) % 40L
+        w.write(new GenericInternalRow(Array[Any](k, epoch.toLong + 1)))
+      }
+      sw.commit(epoch.toLong, Array(w.commit()))
+      val st = sources.FileStore.stateOf(key).get
+      maxOutstanding = math.max(maxOutstanding,
+        sources.FileStore.overlayRows(st))
+    }
+    assert(maxOutstanding <= 16L,
+      s"outstanding overlay reached $maxOutstanding rows (budget 16) — " +
+        "auto-compaction did not bound it")
+    // final contents = last write per key (seed value 0 if never hit)
+    val expect = scala.collection.mutable.Map(
+      (0L until 40L).map(_ -> 0L): _*)
+    for (e <- 0 until 12; i <- 0 until 4)
+      expect(((e * 4 + i) % 40).toLong) = e + 1L
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 40)
+    for (k <- 0L until 40L)
+      assert(got(k) == expect(k), s"key $k: got ${got(k)}, want ${expect(k)}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("overlay scoping: a slice whose key range the outstanding " +
+      "deletes cannot touch carries an EMPTY overlay (closure stays " +
+      "file-local)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_scope"
+    val key = "ns.spec_fl_scope"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.mode'='delta', 'graft.storage'='files')")
+    (1L to 10L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    (100L to 110L).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k >= 100 AND k <= 105")
+    val st = sources.FileStore.stateOf(key).get
+    val slices = graft.sources.FileTableOps.currentScan(st)
+      .planInputPartitions().collect {
+        case s: graft.sources.FileSlice => s
+      }
+    assert(slices.length == 2)
+    val lowSlice = slices.find(_.file.rows == 10L).get
+    val highSlice = slices.find(_.file.rows == 11L).get
+    assert(lowSlice.gens.isEmpty,
+      "the 1-10 file's slice must carry no overlay (deletes are 100-105)")
+    assert(highSlice.gens.map(_.deletes.length).sum == 6,
+      s"the 100-110 file's slice must carry its 6 deletes, " +
+        s"got ${highSlice.gens.map(_.deletes.length).sum}")
+    assert(spark.table(tbl).count() == 15)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("stats skipping: a range predicate on a non-partition column " +
+      "drops files whose min/max exclude it; residual keeps results " +
+      "exact") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, s STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    // four appends with disjoint k ranges → four files with tight stats
+    for (chunk <- 0 until 4)
+      (0L until 25L).map(i => (chunk * 100L + i, i * 2L, s"c$chunk"))
+        .toDF("k", "v", "s").coalesce(1).writeTo(tbl).append()
+    def planned(df: org.apache.spark.sql.DataFrame): Int = {
+      val d = df.queryExecution.executedPlan.toString
+      "files=(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toInt)
+        .getOrElse(fail(s"no files= marker in:\n$d"))
+    }
+    // k BETWEEN 110 AND 120 → only chunk-1's file may match
+    val range = spark.table(tbl)
+      .filter(col("k") >= 110L && col("k") <= 120L)
+    assert(planned(range) == 1, "range predicate did not skip files")
+    assert(range.count() == 11)
+    // equality on a string column: only one file's [min,max] covers it
+    val eq = spark.table(tbl).filter(col("s") === "c2")
+    assert(planned(eq) == 1, "string equality did not skip files")
+    assert(eq.count() == 25)
+    // a predicate matching nothing plans zero files
+    val none = spark.table(tbl).filter(col("k") > 1000L)
+    assert(planned(none) == 0, "impossible range still planned files")
+    assert(none.count() == 0)
+    // unpruned full scan still sees everything
+    assert(spark.table(tbl).count() == 100)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("CAS commit seam: a version already published by another writer " +
+      "loses the race loudly, the table is undisturbed, and the retry " +
+      "succeeds (VERDICT r14 #3)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_cas"
+    val key = "ns.spec_fl_cas"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    val st = sources.FileStore.stateOf(key).get
+    // simulate a FOREIGN driver having published the next version: the
+    // CAS file for version+1 already exists on shared storage
+    val foreign = java.nio.file.Paths.get(st.dir,
+      s"manifest-v${st.version + 1}.json")
+    java.nio.file.Files.writeString(foreign, "{\"foreign\":true}\n",
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val before = snap(st.dir).filter(_._1.startsWith("data/"))
+    val ex = intercept[Exception] {
+      queries.Q.withExpectedTaskFailureSilenced("spec_fl_cas race") {
+        Seq((3L, 30L)).toDF("k", "v").coalesce(1).writeTo(tbl).append()
+      }
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a commit-conflict error, got $ex")
+    // no lost update: the winner's (simulated) CAS file is untouched,
+    // the local snapshot still reads, its files are intact
+    assert(java.nio.file.Files.readString(foreign).contains("foreign"))
+    assert(sources.FileStore.stateOf(key).get.version == st.version)
+    assert(spark.table(tbl).count() == 2)
+    for ((n, h) <- before)
+      assert(snap(st.dir).get(n).contains(h), s"race disturbed $n")
+    // the retry (after rebasing — here: the foreign claim withdrawn)
+    // lands cleanly
+    java.nio.file.Files.delete(foreign)
+    Seq((3L, 30L)).toDF("k", "v").coalesce(1).writeTo(tbl).append()
+    assert(spark.table(tbl).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("vacuum deletes ONLY retired-manifest files: in-flight/unknown " +
+      "files survive, files shared with the live version survive, and " +
+      "a vacuumed version fails its read with a clear error") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_vacsafe"
+    val key = "ns.spec_fl_vacsafe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='g')")
+    Seq((1L, "a"), (2L, "a")).toDF("k", "g").coalesce(1)
+      .writeTo(tbl).append()                       // file A (shared)
+    Seq((3L, "b")).toDF("k", "g").coalesce(1)
+      .writeTo(tbl).append()                       // file B (will retire)
+    val st = sources.FileStore.stateOf(key).get
+    val fileA = st.files.find(_.group.exists(_.toString == "a")).get.name
+    val fileB = st.files.find(_.group.exists(_.toString == "b")).get.name
+    spark.sql(s"DELETE FROM $tbl WHERE g = 'b'")   // retires file B only
+    // plant look-alikes of IN-FLIGHT work: a staged RTAS file and a
+    // writer-task temp — out of every manifest, exactly what a racing
+    // uncommitted write leaves on disk mid-flight
+    val dir = st.dir
+    val staged = s"$dir/data/staged-p0-t9-inflight.parquet"
+    val inflight = s"$dir/data/w-p0-t9-inflight.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(staged),
+      "fake".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(inflight),
+      "fake".getBytes)
+    val deleted = spark.sql(
+      s"CALL graftlake.system.vacuum('ns.spec_fl_vacsafe')")
+      .head.getLong(0)
+    assert(deleted == 1L, s"vacuum deleted $deleted files, expected 1 (B)")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/$fileB")), "retired file B survived")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/$fileA")),
+      "file A is in the LIVE manifest and a retired snapshot — vacuum " +
+        "must keep it")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(staged)),
+      "vacuum ate a staged (out-of-manifest) file")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(inflight)),
+      "vacuum ate an in-flight writer file")
+    assert(spark.table(tbl).count() == 2)
+    // time travel to a vacuumed version: a CLEAR catalog-level error at
+    // resolution, not a missing-file crash mid-scan
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("no retained version") &&
+      m.contains("VACUUM")), s"unclear vacuumed-read error: $ex")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(staged))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(inflight))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("change feed ('v1..v2'): plans ONLY the manifest diff's files, " +
+      "tags rows added/removed, binds by column id across evolution, " +
+      "and refuses unfolded overlays") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_changes"
+    val key = "ns.spec_fl_changes"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='g')")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g").coalesce(1)
+      .writeTo(tbl).append()                        // v2: files a1, b1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT") // v3
+    Seq((3L, "b", 30L)).toDF("k", "g", "w").coalesce(1)
+      .writeTo(tbl).append()                        // v4: file b2
+    spark.sql(s"DELETE FROM $tbl WHERE g = 'a'")    // v5: drops a1 (meta)
+    val feed = spark.sql(s"SELECT * FROM $tbl VERSION AS OF '2..5'")
+    // schema = TO version's (has w) + _change_type
+    assert(feed.columns.toSeq == Seq("k", "g", "w", "_change_type"),
+      feed.columns.mkString(","))
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSet
+    // a1 removed; b2 added; b1 SHARED by both versions — never read.
+    // a1 predates column w → null-fills through the id binding
+    assert(rows == Set((1L, "a", -1L, "removed"), (3L, "b", 30L, "added")),
+      rows.toString)
+    // the plan really is diff-only: 2 slices for a 3-file history
+    val st = sources.FileStore.stateOf(key).get
+    val scan = new graft.sources.FileChangesScan(key,
+      st.snapshotAt(2).get, st.snapshotAt(5).get)
+    assert(scan.planInputPartitions().length == 2)
+    assert(scan.description().contains("unread=1"), scan.description())
+    // an endpoint with outstanding merge-on-read deltas is refused
+    // loudly — a delta generation is row-scale change the file diff
+    // cannot see
+    val dtbl = "graftlake.ns.spec_fl_changes_d"
+    spark.sql(s"DROP TABLE IF EXISTS $dtbl")
+    spark.sql(s"CREATE TABLE $dtbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.mode'='delta')")
+    Seq((1L, "x")).toDF("k", "v").coalesce(1).writeTo(dtbl).append()
+    spark.sql(s"DELETE FROM $dtbl WHERE k = 1")     // delta gen out
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $dtbl VERSION AS OF '2..3'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("compact")),
+      s"unclear unfolded-overlay error: $ex")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $dtbl")
   }
 
   test("cow over an outstanding merge-on-read overlay is refused " +
