@@ -492,7 +492,271 @@ object DataOps7 {
       removed.unionAll(changed).orderBy("change")
     })
 
+  /** INCREMENTAL CHANGED-FILE READ (VERDICT r14 #4 — q477's snapshot
+    * diff WITHOUT re-scanning unchanged partitions): `VERSION AS OF
+    * '2..4'` serves the manifest diff between two retained versions as
+    * a change feed — rows of files v4 added tagged 'added', rows of
+    * files v4 removed tagged 'removed'; untouched groups' files are
+    * NEVER OPENED (the manifest knows which files each commit
+    * added/removed, so the diff costs O(change), not O(table) — the
+    * property that makes "what changed since yesterday" answerable on
+    * a 100 TB lake). Rows a rewrite carried over unchanged appear on
+    * both sides and cancel in the value-compare join. The DML here
+    * touches only BUILDING (metadata delete) and MACHINERY (cow
+    * rewrite); `diff_only_ok` pins — from the planned partitions —
+    * that the three other segments' shared files stayed unread.
+    * Oracle replays both states and the diff from `customer`. */
+  val q478_lake_changes = Q(
+    "q478_lake_changes",
+    Some("""WITH t AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM customer),
+           |v3 AS (SELECT * FROM t WHERE c_mktsegment <> 'BUILDING'),
+           |v4 AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |    CASE WHEN c_mktsegment = 'MACHINERY' AND cents % 5 = 0
+           |         THEN cents + 1 ELSE cents END AS cents
+           |  FROM v3),
+           |removed AS (
+           |  SELECT 'removed' AS change, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS old_cents,
+           |    CAST(0 AS BIGINT) AS new_cents
+           |  FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM v4)),
+           |changed AS (
+           |  SELECT 'changed' AS change, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS old_cents,
+           |    CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS new_cents
+           |  FROM t o JOIN v4 c ON o.c_custkey = c.c_custkey
+           |  WHERE o.cents <> c.cents)
+           |SELECT change, n, old_cents, new_cents, TRUE AS diff_only_ok
+           |FROM (SELECT * FROM removed UNION ALL SELECT * FROM changed)
+           |ORDER BY change""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q478_customer"
+      val key = "ns.q478_customer"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.partitioncol'='c_mktsegment')")
+      graft.Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .writeTo(tbl).append()                                       // v2
+      s.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")     // v3
+      s.sql(s"UPDATE $tbl SET cents = cents + 1 " +
+        "WHERE c_mktsegment = 'MACHINERY' AND cents % 5 = 0")        // v4
+      // the change feed: ONLY the diff's files are planned
+      val feed = s.sql(
+        s"SELECT c_custkey, cents, _change_type FROM $tbl " +
+          "VERSION AS OF '2..4'")
+      val old = feed.filter(col("_change_type") === "removed")
+        .select(col("c_custkey").as("k"), col("cents").as("old_cents"))
+      val cur = feed.filter(col("_change_type") === "added")
+        .select(col("c_custkey").as("k"), col("cents").as("new_cents"))
+      val removed = old.join(cur, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("old_cents"))
+        .select(lit("removed").as("change"), col("n"), col("old_cents"),
+          lit(0L).as("new_cents"))
+      val changed = old.join(cur, "k")
+        .filter(col("old_cents") =!= col("new_cents"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("old_cents"),
+          coalesce(sum("new_cents"), lit(0L)).cast("long").as("new_cents"))
+        .select(lit("changed").as("change"), col("n"), col("old_cents"),
+          col("new_cents"))
+      // plan pin: the diff scan plans exactly |added|+|removed| file
+      // partitions, and the versions genuinely SHARE files it skipped
+      val st = graft.sources.FileStore.stateOf(key).get
+      val (from, to) = (st.snapshotAt(2).get, st.snapshotAt(4).get)
+      val scan = new graft.sources.FileChangesScan(key, from, to)
+      val shared = from.files.map(_.name).toSet
+        .intersect(to.files.map(_.name).toSet)
+      val ok = shared.nonEmpty &&
+        scan.planInputPartitions().length ==
+          (from.files.length - shared.size) +
+            (to.files.length - shared.size)
+      removed.unionAll(changed)
+        .withColumn("diff_only_ok", lit(ok))
+        .orderBy("change")
+    })
+
+  /** MANIFEST MIN/MAX FILE SKIPPING (VERDICT r14 #2 — the connector
+    * form of q138's bucket-stats device): every base-file write records
+    * per-column min/max in the manifest, and the scan builder turns
+    * range predicates over ANY stats-bearing column into interval tests
+    * that drop whole files before any I/O — here four ordered appends
+    * give four p_partkey-disjoint files and the range query plans
+    * exactly ONE (`pruned_ok`, read off the executed plan). Residual
+    * re-application above the scan keeps results exact whatever the
+    * stats say. At 100 TB this is the difference between a range query
+    * reading a partition's worth of files and reading the table: sort
+    * the layout once, skip forever. FileLakeSpec pins the skipping
+    * mechanics (string equality, impossible ranges, no-stats files). */
+  val q479_lake_stats_skipping = Q(
+    "q479_lake_stats_skipping",
+    Some("""WITH b AS (SELECT CAST(max(p_partkey) AS BIGINT) // 8 AS hi
+           |          FROM part),
+           |t AS (
+           |  SELECT p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part, b WHERE p_partkey <= b.hi)
+           |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  TRUE AS pruned_ok
+           |FROM t GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q479_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files')")
+      val src = graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val maxK = src.agg(max("p_partkey")).head.getLong(0) // metadata probe
+      // four appends over disjoint key ranges — a sorted layout's files
+      // (half-open [lo, hi) buckets; the last takes the tail — keys may
+      // start at 0, so the lower bound is inclusive)
+      for (q <- 0L until 4L)
+        src.filter(col("p_partkey") >= q * (maxK / 4) &&
+            (col("p_partkey") < (q + 1) * (maxK / 4) || lit(q == 3L)))
+          .coalesce(1).writeTo(tbl).append()
+      val hi = maxK / 8 // inside chunk 0 only
+      val range = s.table(tbl).filter(col("p_partkey") <= hi)
+      val plan = range.queryExecution.executedPlan.toString
+      val planned = "files=(\\d+)".r.findFirstMatchIn(plan)
+        .map(_.group(1).toInt).getOrElse(-1)
+      range.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .withColumn("pruned_ok", lit(planned == 1))
+        .orderBy("p_brand")
+    })
+
+  /** THE REFERENCE PIPELINE INTO THE LAKE TIER (VERDICT r14 #5 — ties
+    * §2.10 parity to the r14 DML protocol end-to-end): the golden
+    * envelope batch (S1→F1-F4→P1-P3, the reference's 16-record CDC
+    * window, reference `lambda_function.py` decode → pivot) is applied
+    * to a file-backed table as ACTUAL DML — `MERGE` dispatching on
+    * `SRC_CDC_OPER_NM` (DELETE drops, anything else upserts), the
+    * reference's INSERT/UPDATE/DELETE feed semantics executed through
+    * the engine-native row-level path instead of append-only files.
+    * A deterministic second window (DELETE every 5th key, UPDATE the
+    * rest) exercises all three verbs, and the PRE-APPLY snapshot stays
+    * time-travel readable (`pre_apply_rows` reads `VERSION AS OF 2`).
+    * Oracle replays seed + both windows from the golden parquet. */
+  val q480_cdc_lake_apply = Q(
+    "q480_cdc_lake_apply",
+    Some(s"""WITH w1 AS (
+            |  SELECT CAST(RATE_CARD_ID AS BIGINT) AS rate_card_id,
+            |    RATE_CARD_NM AS rate_card_nm,
+            |    CAST(CRNCY_ID AS BIGINT) AS crncy_id,
+            |    CAST(BASE_UNIT_LENGTH AS BIGINT) AS base_unit_length
+            |  FROM read_parquet('${Ingest.goldenParquet}')),
+            |seed AS (
+            |  SELECT rate_card_id, 'stale' AS rate_card_nm,
+            |    CAST(-1 AS BIGINT) AS crncy_id,
+            |    CAST(-1 AS BIGINT) AS base_unit_length
+            |  FROM w1 WHERE rate_card_id <= 6
+            |  UNION ALL
+            |  SELECT * FROM (VALUES
+            |    (CAST(900 AS BIGINT), 'keep', CAST(7 AS BIGINT),
+            |     CAST(7 AS BIGINT)),
+            |    (CAST(901 AS BIGINT), 'keep', CAST(8 AS BIGINT),
+            |     CAST(8 AS BIGINT)))
+            |    v(rate_card_id, rate_card_nm, crncy_id,
+            |      base_unit_length)),
+            |after1 AS (
+            |  SELECT * FROM seed WHERE rate_card_id NOT IN
+            |    (SELECT rate_card_id FROM w1)
+            |  UNION ALL SELECT * FROM w1),
+            |w2 AS (
+            |  SELECT rate_card_id, rate_card_nm, crncy_id,
+            |    base_unit_length + 1 AS base_unit_length,
+            |    CASE WHEN rate_card_id % 5 = 0 THEN 'DELETE'
+            |         ELSE 'UPDATE' END AS op
+            |  FROM w1),
+            |final AS (
+            |  SELECT a.* FROM after1 a WHERE a.rate_card_id NOT IN
+            |    (SELECT rate_card_id FROM w2)
+            |  UNION ALL
+            |  SELECT rate_card_id, rate_card_nm, crncy_id,
+            |    base_unit_length
+            |  FROM w2 WHERE op <> 'DELETE')
+            |SELECT rate_card_id, rate_card_nm, crncy_id,
+            |  base_unit_length, CAST(8 AS BIGINT) AS pre_apply_rows
+            |FROM final ORDER BY rate_card_id""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Ingest.sampleEvent)),
+        s"fixture missing: ${Ingest.sampleEvent}")
+      val tbl = "graftlake.ns.q480_ratecard"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (rate_card_id BIGINT, " +
+        "rate_card_nm STRING, crncy_id BIGINT, base_unit_length BIGINT) " +
+        "TBLPROPERTIES('graft.storage'='files')")
+      // the golden envelope path: S3-event JSON → base64 → Confluent-
+      // Avro decode → pivoted typed frame (the reference's window 1)
+      val w1 = graft.pipeline.KafkaToParquet.decodeRecords(
+          graft.ingest.Envelope.readEventJson(s, Ingest.sampleEvent),
+          graft.ingest.RatecardSchema.topic,
+          graft.ingest.RatecardSchema.provider)
+        .select(col("RATE_CARD_ID").cast("long").as("rate_card_id"),
+          col("RATE_CARD_NM").as("rate_card_nm"),
+          col("CRNCY_ID").cast("long").as("crncy_id"),
+          col("BASE_UNIT_LENGTH").cast("long").as("base_unit_length"),
+          col("SRC_CDC_OPER_NM").as("op"))
+      // seed: stale rows for 6 feed keys + 2 keys the feed never touches
+      w1.filter(col("rate_card_id") <= 6)
+        .select(col("rate_card_id"), lit("stale").as("rate_card_nm"),
+          lit(-1L).as("crncy_id"), lit(-1L).as("base_unit_length"))
+        .unionAll(Seq((900L, "keep", 7L, 7L), (901L, "keep", 8L, 8L))
+          .toDF("rate_card_id", "rate_card_nm", "crncy_id",
+            "base_unit_length"))
+        .writeTo(tbl).append()                                      // v2
+      def applyWindow(view: String): Unit = s.sql(
+        s"""MERGE INTO $tbl t USING $view s
+           |ON t.rate_card_id = s.rate_card_id
+           |WHEN MATCHED AND s.op = 'DELETE' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  rate_card_nm = s.rate_card_nm, crncy_id = s.crncy_id,
+           |  base_unit_length = s.base_unit_length
+           |WHEN NOT MATCHED AND s.op <> 'DELETE' THEN
+           |  INSERT (rate_card_id, rate_card_nm, crncy_id,
+           |    base_unit_length)
+           |  VALUES (s.rate_card_id, s.rate_card_nm, s.crncy_id,
+           |    s.base_unit_length)""".stripMargin)
+      w1.createOrReplaceTempView("q480_w1")
+      applyWindow("q480_w1")                                        // v3
+      // window 2: the next CDC batch — DELETE every 5th key, UPDATE
+      // the rest (deterministic; the fixture's one window is INSERTs)
+      w1.select(col("rate_card_id"), col("rate_card_nm"),
+          col("crncy_id"),
+          (col("base_unit_length") + 1).as("base_unit_length"),
+          when(col("rate_card_id") % 5 === 0, "DELETE")
+            .otherwise("UPDATE").as("op"))
+        .createOrReplaceTempView("q480_w2")
+      applyWindow("q480_w2")                                        // v4
+      val preApply = s.sql(
+        s"SELECT count(*) AS pre_apply_rows FROM $tbl VERSION AS OF 2")
+      s.table(tbl)
+        .crossJoin(broadcast(preApply))
+        .select(col("rate_card_id"), col("rate_card_nm"),
+          col("crncy_id"), col("base_unit_length"),
+          col("pre_apply_rows"))
+        .orderBy("rate_card_id")
+    })
+
   val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error,
     q472_time_travel, q473_lake_compaction, q474_lake_vacuum,
-    q476_lake_dedup_merge, q477_snapshot_diff)
+    q476_lake_dedup_merge, q477_snapshot_diff, q478_lake_changes,
+    q479_lake_stats_skipping, q480_cdc_lake_apply)
 }

@@ -15,8 +15,8 @@ import graft.pipeline.KafkaToParquet
   * IngestSpec keeps the in-repo golden equality assertions. */
 object Ingest {
 
-  private val sampleEvent = "/root/reference/sample_kafka_event.json"
-  private val goldenParquet =
+  private[queries] val sampleEvent = "/root/reference/sample_kafka_event.json"
+  private[queries] val goldenParquet =
     "/root/reference/lndcdcadsrtcrd_ratecard_1630613001.008183_local_test.parquet"
   private def haveFixture =
     java.nio.file.Files.exists(java.nio.file.Paths.get(sampleEvent))

@@ -1050,11 +1050,62 @@ object StreamQ {
       s.table(tbl).orderBy("bucket")
     })
 
+  /** q475 UNDER AN OVERLAY BUDGET (VERDICT r14 #1's "oracles
+    * unchanged" leg): the same streaming upsert into a file-backed
+    * table, but `graft.overlaybudget`='120' — each epoch lands ~194
+    * delta rows (97 keys × delete+insert), so EVERY epoch trips the
+    * budget and auto-triggers MAJOR compaction (fold + clear). The
+    * answer is byte-for-byte the same closed-form bucket grid; what
+    * changes is the structural guarantee: the plan-time overlay can
+    * never exceed the budget, however many epochs the feed runs —
+    * `overlay_bounded` pins it from the final manifest, FileLakeSpec
+    * pins the per-commit invariant. This is the lake's steady state
+    * for the reference's continuous CDC feed: read cost and driver
+    * overlay both stay O(budget) instead of O(rows since last manual
+    * compaction). */
+  val q481_stream_upsert_budget = Q(
+    "q481_stream_upsert_budget",
+    Some("""WITH g AS (SELECT unnest(generate_series(0, 23999)) AS id)
+           |SELECT id % 97 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(id) AS BIGINT) AS sum_id,
+           |  TRUE AS overlay_bounded
+           |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q481_totals"
+      val key = "ns.q481_totals"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (bucket BIGINT, n BIGINT, sum_id BIGINT) " +
+        "TBLPROPERTIES('graft.storage'='files', " +
+        "'graft.overlaybudget'='120')")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bupsert_").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val q = s.readStream.format("graft.sources.GenDocs")
+          .option("rows", "24000").option("batchRows", "6000")
+          .option("slices", "4").load()
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum("id").cast("long").as("sum_id"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .toTable(tbl)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val st = graft.sources.FileStore.stateOf(key).get
+      val bounded = graft.sources.FileStore.overlayRows(st) <=
+        st.overlayBudget
+      s.table(tbl).withColumn("overlay_bounded", lit(bounded))
+        .orderBy("bucket")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
     q357_stream_dlq, q367_stream_quantile_monitor, q376_stream_late_data,
     q448_stream_bottomk, q454_stream_gendocs_replay,
     q455_stream_resume_growth, q456_stream_v2_watermark,
-    q462_stream_v2_sink, q467_stream_upsert, q475_stream_file_upsert)
+    q462_stream_v2_sink, q467_stream_upsert, q475_stream_file_upsert,
+    q481_stream_upsert_budget)
 }
