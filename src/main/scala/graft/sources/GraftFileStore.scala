@@ -1227,12 +1227,28 @@ private[graft] class FileChangesTable(key: String, from: FileStore.FState,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new FileChangesScan(key, from, to)
+    new FileChangesScanBuilder(key, from, to)
+}
+
+/** The change feed honors the same COLUMN PRUNING as the main scan: a
+  * consumer keying the diff on (id, value) decodes only those chunks,
+  * and `_change_type` is synthesized per slice, never read. */
+private[graft] class FileChangesScanBuilder(key: String,
+    from: FileStore.FState, to: FileStore.FState) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var wantedNames: Array[String] =
+    to.schema.fieldNames :+ "_change_type"
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    wantedNames = requiredSchema.fieldNames
+  override def build(): Scan =
+    new FileChangesScan(key, from, to, wantedNames)
 }
 
 private[graft] class FileChangesScan(key: String, from: FileStore.FState,
-    to: FileStore.FState) extends Scan with Batch
+    to: FileStore.FState, wantedNames: Array[String]) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  def this(key: String, from: FileStore.FState, to: FileStore.FState) =
+    this(key, from, to, to.schema.fieldNames :+ "_change_type")
   private val fromNames = from.files.map(_.name).toSet
   private val toNames = to.files.map(_.name).toSet
   /** The manifest diff — exactly the files the scan opens. */
@@ -1240,14 +1256,22 @@ private[graft] class FileChangesScan(key: String, from: FileStore.FState,
     to.files.filterNot(f => fromNames(f.name))
   private[graft] val removed: Array[FileStore.FFile] =
     from.files.filterNot(f => toNames(f.name))
-  override def readSchema(): StructType = StructType(
-    to.schema.fields :+ StructField("_change_type", StringType,
-      nullable = false))
+  private val tagIdx = wantedNames.indexOf("_change_type")
+  private val wantedCols: Array[FileStore.FCol] =
+    wantedNames.filterNot(_ == "_change_type")
+      .flatMap(n => to.cols.find(_.name == n))
+  override def readSchema(): StructType = StructType(wantedNames.map {
+    case "_change_type" =>
+      StructField("_change_type", StringType, nullable = false)
+    case n => val c = to.cols.find(_.name == n).get
+      StructField(c.name, c.dt)
+  })
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftFileChangesScan v${from.version}..v${to.version} " +
       s"added=${added.length} removed=${removed.length} " +
-      s"unread=${(fromNames & toNames).size}"
+      s"unread=${(fromNames & toNames).size} " +
+      s"cols=${wantedNames.mkString(",")}"
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val rows = added.map(_.rows).sum + removed.map(_.rows).sum
@@ -1259,23 +1283,27 @@ private[graft] class FileChangesScan(key: String, from: FileStore.FState,
     }
   }
   override def planInputPartitions(): Array[InputPartition] =
-    (added.map(f => ChangeSlice(to.dir, f, to.cols, "added")
+    (added.map(f => ChangeSlice(to.dir, f, wantedCols, "added", tagIdx)
         : InputPartition) ++
-      removed.map(f => ChangeSlice(from.dir, f, to.cols, "removed")
+      removed.map(f =>
+        ChangeSlice(from.dir, f, wantedCols, "removed", tagIdx)
         : InputPartition))
   override def createReaderFactory(): PartitionReaderFactory =
     ChangeReaderFactory()
 }
 
-/** One diff file: read with the TO version's columns (id binding) and
-  * a constant change tag appended. */
+/** One diff file: the pruned columns read through the id binding (a
+  * column the file predates null-fills), with the constant change tag
+  * spliced in at its projected position (`tagIdx`; -1 = pruned away).
+  * `cols` is already in output order with the tag slot removed. */
 private[graft] case class ChangeSlice(dir: String, file: FileStore.FFile,
-    cols: Array[FileStore.FCol], tag: String) extends InputPartition
+    cols: Array[FileStore.FCol], tag: String, tagIdx: Int)
+    extends InputPartition
 
 private[sources] case class ChangeReaderFactory()
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val ChangeSlice(dir, file, cols, tag) = p
+    val ChangeSlice(dir, file, cols, tag, tagIdx) = p
     new PartitionReader[InternalRow] {
       private val tagVal = UTF8String.fromString(tag)
       private val it =
@@ -1287,7 +1315,15 @@ private[sources] case class ChangeReaderFactory()
         h
       }
       override def get(): InternalRow =
-        new GenericInternalRow(cur :+ (tagVal: Any))
+        if (tagIdx < 0) new GenericInternalRow(cur)
+        else {
+          val out = new Array[Any](cur.length + 1)
+          System.arraycopy(cur, 0, out, 0, tagIdx)
+          out(tagIdx) = tagVal
+          System.arraycopy(cur, tagIdx, out, tagIdx + 1,
+            cur.length - tagIdx)
+          new GenericInternalRow(out)
+        }
       override def close(): Unit = ()
     }
   }

@@ -825,6 +825,16 @@ class FileLakeSpec extends AnyFunSuite {
       st.snapshotAt(2).get, st.snapshotAt(5).get)
     assert(scan.planInputPartitions().length == 2)
     assert(scan.description().contains("unread=1"), scan.description())
+    // the feed obeys column pruning like any scan: a (k, tag)
+    // projection decodes only k, and the tag is synthesized mid-row
+    val pruned = spark.sql(
+      s"SELECT k, _change_type, k + 1 AS k2 FROM $tbl " +
+        "VERSION AS OF '2..5'")
+    val pd = pruned.queryExecution.executedPlan.toString
+    assert(pd.contains("cols=k,_change_type"), s"no pruning in:\n$pd")
+    assert(pruned.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1L, "removed", 2L), (3L, "added", 4L)))
     // an endpoint with outstanding merge-on-read deltas is refused
     // loudly — a delta generation is row-scale change the file diff
     // cannot see
