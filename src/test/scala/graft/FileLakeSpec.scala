@@ -626,6 +626,30 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("overlay budget also governs batch delta DML: an over-budget " +
+      "DELETE folds immediately, answer unchanged") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_budget_b"
+    val key = "ns.spec_fl_budget_b"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.mode'='delta', 'graft.storage'='files', " +
+      "'graft.overlaybudget'='4')")
+    (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k % 3 = 0") // 6 delta rows > 4
+    val st = sources.FileStore.stateOf(key).get
+    assert(st.deltas.isEmpty,
+      "over-budget batch delta commit must auto-fold")
+    assert(spark.table(tbl).count() == 14)
+    // an under-budget mutation keeps the cheap delta path
+    spark.sql(s"UPDATE $tbl SET v = 'x' WHERE k = 1") // 2 rows <= 4
+    assert(sources.FileStore.stateOf(key).get.deltas.nonEmpty,
+      "under-budget delta commit must stay merge-on-read")
+    assert(spark.table(tbl).where(col("v") === "x").count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("overlay scoping: a slice whose key range the outstanding " +
       "deletes cannot touch carries an EMPTY overlay (closure stays " +
       "file-local)") {
