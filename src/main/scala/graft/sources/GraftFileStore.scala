@@ -1603,7 +1603,8 @@ private[sources] case class FileUpsertWriterFactory(dir: String,
 private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 
-  val names: Array[String] = Array("compact", "vacuum", "snapshots")
+  val names: Array[String] =
+    Array("compact", "vacuum", "snapshots", "changes")
 
   private def tableParam = Array[ProcedureParameter](
     ProcedureParameter.in("table", StringType).build())
@@ -1670,10 +1671,58 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftlake.system.changes('t', v1, v2)` — the SUMMARY form
+    * of the `VERSION AS OF 'v1..v2'` change feed: the manifest diff's
+    * file and row counts, zero data reads (row counts come from the
+    * manifest). `files_unread` is the point: the files the incremental
+    * read would skip. */
+  private val changesProc = new UnboundProcedure with BoundProcedure {
+    private val out = StructType(Seq(
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("files_unread", LongType, nullable = false),
+      StructField("rows_added", LongType, nullable = false),
+      StructField("rows_removed", LongType, nullable = false)))
+    override def name(): String = "changes"
+    override def description(): String =
+      "graft lake maintenance: manifest diff between two retained versions"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("from_version", IntegerType).build(),
+      ProcedureParameter.in("to_version", IntegerType).build())
+    override def isDeterministic: Boolean = false // reads mutable state
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val key = input.getUTF8String(0).toString
+      val (v1, v2) = (input.getInt(1), input.getInt(2))
+      val st = FileStore.stateOf(key).getOrElse(
+        throw new IllegalArgumentException(s"no file-store table $key"))
+      def snap(v: Int) = st.snapshotAt(v).getOrElse(
+        throw new IllegalArgumentException(
+          s"no retained version $v of $key (current v${st.version}; " +
+            "VACUUM drops history)"))
+      val scan = new FileChangesScan(key, snap(v1), snap(v2))
+      val row: Array[Any] = Array(
+        scan.added.length.toLong, scan.removed.length.toLong,
+        (snap(v1).files.map(_.name).toSet &
+          snap(v2).files.map(_.name).toSet).size.toLong,
+        scan.added.map(_.rows).sum, scan.removed.map(_.rows).sum)
+      val result = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(row))
+      }
+      java.util.List.of(
+        result: org.apache.spark.sql.connector.read.Scan).iterator()
+    }
+  }
+
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(compactProc)
     case "vacuum" => Some(vacuumProc)
     case "snapshots" => Some(snapshotsProc)
+    case "changes" => Some(changesProc)
     case _ => None
   }
 }

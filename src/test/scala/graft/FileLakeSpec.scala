@@ -859,6 +859,11 @@ class FileLakeSpec extends AnyFunSuite {
     assert(pruned.collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
       Set((1L, "removed", 2L), (3L, "added", 4L)))
+    // the summary procedure answers the same diff from pure metadata
+    val sm = spark.sql(
+      s"CALL graftlake.system.changes('ns.spec_fl_changes', 2, 5)").head
+    assert((sm.getLong(0), sm.getLong(1), sm.getLong(2),
+      sm.getLong(3), sm.getLong(4)) == ((1L, 1L, 1L, 1L, 1L)), sm.toString)
     // an endpoint with outstanding merge-on-read deltas is refused
     // loudly — a delta generation is row-scale change the file diff
     // cannot see
