@@ -260,32 +260,43 @@ private[graft] object FileStore {
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
     catch { case _: Throwable => () }
 
-  /** VACUUM: drop the snapshot history and physically delete the files
-    * the RETIRED snapshots reference and the current manifest does not
-    * — the expire-snapshots sweep, metadata-bounded (never reads a
-    * row). Deletion is MANIFEST-DRIVEN, not a directory walk: a file
-    * vacuum has never heard of (an in-flight write task's output, a
-    * staged CTAS/RTAS's files — deliberately on disk but out of every
+  /** VACUUM: expire all but the newest `retainLast` retained snapshots
+    * and physically delete the files ONLY they referenced — the
+    * expire-snapshots sweep, metadata-bounded (never reads a row).
+    * Deletion is MANIFEST-DRIVEN, not a directory walk: a file vacuum
+    * has never heard of (an in-flight write task's output, a staged
+    * CTAS/RTAS's files — deliberately on disk but out of every
     * manifest until their commit) is left alone, so vacuum can never
     * race a concurrent writer into a manifest that references missing
-    * files (ADVICE r14). Retired versions' CAS manifests go with their
+    * files (ADVICE r14). A file any SURVIVING version (live or
+    * retained) references is never deleted — the retainInto invariant
+    * at the file level. Expired versions' CAS manifests go with their
     * history. Returns the number of data/delta files deleted. */
-  def vacuum(key: String): Long = {
+  def vacuum(key: String, retainLast: Int = 0): Long = {
+    require(retainLast >= 0, s"retain_last must be >= 0, got $retainLast")
     var deleted = 0L
     tables.compute(key, (_, st) => {
       require(st != null, s"file-store table $key vanished")
-      val live = (st.files.map(_.name) ++ st.deltas.map(_.name)).toSet
-      val retired = st.snaps.iterator
+      // "keep the newest retainLast VERSIONS time-travelable", counting
+      // the pre-vacuum current (whose content the vacuum commit carries
+      // forward under the next number). snaps is newest-first
+      // (retainInto conses the predecessor on).
+      val (kept, dropped) = (st.asSnapshot :: st.snaps).splitAt(retainLast)
+      val surviving =
+        (st.files.map(_.name) ++ st.deltas.map(_.name)).toSet ++
+          kept.iterator.flatMap(s =>
+            s.files.iterator.map(_.name) ++ s.deltas.iterator.map(_.name))
+      val retired = dropped.iterator
         .flatMap(s => s.files.iterator.map(_.name) ++
           s.deltas.iterator.map(_.name))
-        .filterNot(live).toSet
+        .filterNot(surviving).toSet
       retired.foreach { n => deleteFileQuiet(s"${st.dir}/$n"); deleted += 1 }
-      st.snaps.foreach(s =>
+      dropped.foreach(s =>
         deleteFileQuiet(s"${st.dir}/manifest-v${s.version}.json"))
       // the forget is itself a commit (new version): the CAS seam keys
       // publishes by version, and an auditable history needs the vacuum
       // instant on the ledger anyway
-      val next = st.copy(snaps = Nil, version = st.version + 1,
+      val next = st.copy(snaps = kept, version = st.version + 1,
         commitMs = System.currentTimeMillis())
       writeManifest(next)
       next
@@ -1644,10 +1655,34 @@ private[sources] object GraftProcedures {
     }
   }
 
-  private val vacuumProc = new OneTableProc("vacuum", StructType(Seq(
-    StructField("files_deleted", LongType, nullable = false)))) {
-    override def run(key: String): Array[Array[Any]] =
-      Array(Array[Any](FileStore.vacuum(key)))
+  /** `CALL graftlake.system.vacuum('t' [, retain_last])` — expire all
+    * but the newest `retain_last` versions (default 0: drop all
+    * history) and delete the files only they referenced. */
+  private val vacuumProc = new UnboundProcedure with BoundProcedure {
+    private val out = StructType(Seq(
+      StructField("files_deleted", LongType, nullable = false)))
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "graft lake maintenance: expire snapshots + delete their files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain_last", IntegerType)
+        .defaultValue("0").build())
+    override def isDeterministic: Boolean = false // mutates table state
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val key = input.getUTF8String(0).toString
+      val retain = if (input.isNullAt(1)) 0 else input.getInt(1)
+      val n = FileStore.vacuum(key, retain)
+      val scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](n)))
+      }
+      java.util.List.of(
+        scan: org.apache.spark.sql.connector.read.Scan).iterator()
+    }
   }
 
   private val snapshotsProc = new OneTableProc("snapshots", StructType(Seq(

@@ -817,6 +817,39 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("vacuum retain_last: the newest K versions stay time-travelable, " +
+      "their files survive, older history and its files expire") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_retain"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) " +
+      "TBLPROPERTIES('graft.storage'='files', " +
+      "'graft.partitioncol'='g')")
+    Seq((1L, "a")).toDF("k", "g").coalesce(1).writeTo(tbl).append() // v2
+    Seq((2L, "b")).toDF("k", "g").coalesce(1).writeTo(tbl).append() // v3
+    spark.sql(s"DELETE FROM $tbl WHERE g = 'a'")                    // v4
+    spark.sql(s"DELETE FROM $tbl WHERE g = 'b'")                    // v5
+    // keep the newest 2 versions (v5 pre-vacuum current + v4):
+    // the a-file is referenced only by v2/v3 → expires; the b-file is
+    // referenced by v4 (retained) → must survive on disk
+    val n = spark.sql(
+      s"CALL graftlake.system.vacuum('ns.spec_fl_retain', 2)")
+      .head.getLong(0)
+    assert(n == 1L, s"vacuum(retain 2) deleted $n files, expected 1 (a)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 4")
+      .head.getLong(0) == 1L, "retained v4 must still read (file intact)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 5")
+      .head.getLong(0) == 0L, "retained pre-vacuum current must read")
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("no retained version")), ex.toString)
+    assert(spark.table(tbl).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("change feed ('v1..v2'): plans ONLY the manifest diff's files, " +
       "tags rows added/removed, binds by column id across evolution, " +
       "and refuses unfolded overlays") {
