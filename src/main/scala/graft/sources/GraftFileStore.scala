@@ -411,6 +411,7 @@ private[graft] object FileStore {
     val st = tables.remove(key)
     if (st == null) false
     else {
+      FileTableOps.invalidateOverlays(st.dir)
       try {
         import scala.jdk.CollectionConverters._
         val d = java.nio.file.Paths.get(st.dir)
@@ -975,13 +976,37 @@ private[graft] object FileTableOps {
     Some(r)
   }
 
-  /** Load the table's delta overlay from disk (driver-side, plan
-    * time): per generation, the net (deletes, updates) for base rows
+  /** Plan-time overlay cache keyed by (table dir, version): a version's
+    * delta set is immutable (every commit is a new version; a re-created
+    * table starts at v1 in a fresh dir only after [[FileStore.dropTable]]
+    * invalidates), so repeated scan builds of the same snapshot — a
+    * self-join's two scans, a loop's iterations — read the delta files
+    * once. Memory stays bounded: each value is ≤ the overlay budget by
+    * construction, and the map is cleared past a small entry cap. */
+  private val overlayCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Array[DeltaGen], Array[Array[Any]])]()
+  private val OverlayCacheCap = 8
+
+  private[sources] def invalidateOverlays(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    overlayCache.keySet.asScala.filter(_._1 == dir)
+      .foreach(overlayCache.remove)
+  }
+
+  /** Load the table's delta overlay (driver-side, plan time; cached per
+    * version): per generation, the net (deletes, updates) for base rows
     * plus the generation's inserts folded through LATER generations.
-    * Delta files are metadata-scale (one per mutating commit). */
+    * Bounded by the overlay budget (enforceOverlayBudget). */
   def loadOverlay(st: FileStore.FState)
       : (Array[DeltaGen], Array[Array[Any]]) = {
     if (st.deltas.isEmpty) return (Array.empty, Array.empty)
+    if (overlayCache.size > OverlayCacheCap) overlayCache.clear()
+    overlayCache.computeIfAbsent((st.dir, st.version),
+      _ => readOverlay(st))
+  }
+
+  private def readOverlay(st: FileStore.FState)
+      : (Array[DeltaGen], Array[Array[Any]]) = {
     val deltaCols = FileStore.FCol(-1, "__op", IntegerType) +: st.cols
     val byGen = st.deltas.groupBy(_.gen).toSeq.sortBy(_._1)
     val raw = byGen.map { case (_, dfs) =>
