@@ -155,14 +155,25 @@ private[graft] object FileStore {
     * distributed rewrite as `CALL compact`. */
   def enforceOverlayBudget(key: String): Unit = {
     var attempts = 0
-    while ({
+    var go = true
+    while (go) {
       val st = tables.get(key)
-      st != null && st.deltas.nonEmpty && overlayRows(st) > st.overlayBudget
-    }) {
-      attempts += 1
-      require(attempts <= 3,
-        s"overlay budget enforcement for $key lost 3 compaction races")
-      compact(org.apache.spark.sql.SparkSession.active, key)
+      if (st == null || st.deltas.isEmpty ||
+          overlayRows(st) <= st.overlayBudget) go = false
+      else {
+        attempts += 1
+        // the triggering WRITE is already durably committed; the fold
+        // is maintenance and must never surface a committed DML/epoch
+        // as failed (a caller retrying the "failure" would double-apply
+        // it). A compaction that keeps losing commit races gives up —
+        // the next delta commit re-trips the budget and tries again.
+        if (attempts > 3) go = false
+        else try compact(org.apache.spark.sql.SparkSession.active, key)
+        catch {
+          case _: java.util.ConcurrentModificationException |
+               _: IllegalArgumentException => () // raced; re-check state
+        }
+      }
     }
   }
 
@@ -274,7 +285,7 @@ private[graft] object FileStore {
     * history. Returns the number of data/delta files deleted. */
   def vacuum(key: String, retainLast: Int = 0): Long = {
     require(retainLast >= 0, s"retain_last must be >= 0, got $retainLast")
-    var deleted = 0L
+    val toDelete = scala.collection.mutable.ListBuffer[String]()
     tables.compute(key, (_, st) => {
       require(st != null, s"file-store table $key vanished")
       // "keep the newest retainLast VERSIONS time-travelable", counting
@@ -290,18 +301,22 @@ private[graft] object FileStore {
         .flatMap(s => s.files.iterator.map(_.name) ++
           s.deltas.iterator.map(_.name))
         .filterNot(surviving).toSet
-      retired.foreach { n => deleteFileQuiet(s"${st.dir}/$n"); deleted += 1 }
-      dropped.foreach(s =>
-        deleteFileQuiet(s"${st.dir}/manifest-v${s.version}.json"))
       // the forget is itself a commit (new version): the CAS seam keys
       // publishes by version, and an auditable history needs the vacuum
-      // instant on the ledger anyway
+      // instant on the ledger anyway. Publish FIRST — physical deletes
+      // happen only after the commit wins, so a lost CAS race leaves
+      // every still-referenced file on disk (r15 review finding).
       val next = st.copy(snaps = kept, version = st.version + 1,
         commitMs = System.currentTimeMillis())
       writeManifest(next)
+      toDelete ++= retired.iterator.map(n => s"${st.dir}/$n")
+      toDelete ++= dropped.iterator.map(s =>
+        s"${st.dir}/manifest-v${s.version}.json")
       next
     })
-    deleted
+    val dataFiles = toDelete.count(_.endsWith(".parquet"))
+    toDelete.foreach(deleteFileQuiet)
+    dataFiles.toLong
   }
 
   /** COMPACTION: bin-pack every group that holds more than one base
@@ -350,8 +365,27 @@ private[graft] object FileStore {
             FileTableOps.fileMayContainKey(st0, f, overlayKeys))
         if (vs.isEmpty) None else Some(g -> vs)
       }
-    if (victims.isEmpty && insByGroup.isEmpty)
+    if (victims.isEmpty && insByGroup.isEmpty) {
+      // MAJOR with nothing to touch is still a FOLD: the overlay's keys
+      // miss every base file and its inserts all died to later
+      // generations, so its net effect is nothing — clear the delta
+      // log metadata-only, or the budget enforcer (and the change
+      // feed's "compact first" guard) would chase a compaction that
+      // never clears (r15 review finding).
+      if (major) {
+        val next = tables.compute(key, (_, st) => {
+          require(st != null, s"file-store table $key dropped mid-compaction")
+          require(st.version == st0.version,
+            s"$key changed during compaction (v${st0.version} -> v${st.version})")
+          val nx = st.retainInto(st.copy(deltas = Array.empty,
+            version = st.version + 1))
+          writeManifest(nx)
+          nx
+        })
+        return (0L, st0.files.length.toLong, next.files.length.toLong)
+      }
       return (0L, st0.files.length.toLong, st0.files.length.toLong)
+    }
     val dir = st0.dir
     val cols = st0.cols
     val work: Seq[(Option[Any], Array[FFile], Array[Array[Any]])] =
@@ -390,19 +424,27 @@ private[graft] object FileStore {
         }.toSeq
       }.collect()
     val victimNames = victims.values.flatten.map(_.name).toSet
-    val next = tables.compute(key, (_, st) => {
-      require(st != null, s"file-store table $key dropped mid-compaction")
-      // optimistic concurrency: a commit that raced the rewrite would
-      // make the victim set stale — refuse rather than lose its files
-      require(st.version == st0.version,
-        s"$key changed during compaction (v${st0.version} -> v${st.version})")
-      val nx = st.retainInto(st.copy(
-        files = st.files.filterNot(f => victimNames(f.name)) ++ merged,
-        deltas = if (major) Array.empty else st.deltas,
-        version = st.version + 1))
-      writeManifest(nx)
-      nx
-    })
+    val next =
+      try tables.compute(key, (_, st) => {
+        require(st != null, s"file-store table $key dropped mid-compaction")
+        // optimistic concurrency: a commit that raced the rewrite would
+        // make the victim set stale — refuse rather than lose its files
+        require(st.version == st0.version,
+          s"$key changed during compaction (v${st0.version} -> v${st.version})")
+        val nx = st.retainInto(st.copy(
+          files = st.files.filterNot(f => victimNames(f.name)) ++ merged,
+          deltas = if (major) Array.empty else st.deltas,
+          version = st.version + 1))
+        writeManifest(nx)
+        nx
+      })
+      catch { case e: Throwable =>
+        // a lost race (version moved, CAS publish failed) aborts the
+        // compaction: the merged files entered no manifest — remove
+        // them so the rewrite leaves no orphans (r15 review finding)
+        merged.foreach(f => deleteFileQuiet(s"$dir/${f.name}"))
+        throw e
+      }
     (victims.size.toLong, st0.files.length.toLong, next.files.length.toLong)
   }
 
@@ -976,21 +1018,21 @@ private[graft] object FileTableOps {
     Some(r)
   }
 
-  /** Plan-time overlay cache keyed by (table dir, version): a version's
-    * delta set is immutable (every commit is a new version; a re-created
-    * table starts at v1 in a fresh dir only after [[FileStore.dropTable]]
-    * invalidates), so repeated scan builds of the same snapshot — a
-    * self-join's two scans, a loop's iterations — read the delta files
-    * once. Memory stays bounded: each value is ≤ the overlay budget by
-    * construction, and the map is cleared past a small entry cap. */
+  /** Plan-time overlay cache, ONE entry per table dir holding the last
+    * (version, overlay) requested: a version's delta set is immutable,
+    * so repeated scan builds of the same snapshot — a self-join's two
+    * scans, a loop's iterations — read the delta files once, while a
+    * newer version's load immediately EVICTS the superseded overlay
+    * (never a pile of stale near-budget overlays on the driver — r15
+    * review finding). Memory = live mor tables × ≤ overlay budget;
+    * [[FileStore.dropTable]] removes the table's entry. */
   private val overlayCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (Array[DeltaGen], Array[Array[Any]])]()
-  private val OverlayCacheCap = 8
+    String, (Int, (Array[DeltaGen], Array[Array[Any]]))]()
+  private val OverlayCacheCap = 16
 
   private[sources] def invalidateOverlays(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    overlayCache.keySet.asScala.filter(_._1 == dir)
-      .foreach(overlayCache.remove)
+    overlayCache.remove(dir)
+    ()
   }
 
   /** Load the table's delta overlay (driver-side, plan time; cached per
@@ -1000,9 +1042,12 @@ private[graft] object FileTableOps {
   def loadOverlay(st: FileStore.FState)
       : (Array[DeltaGen], Array[Array[Any]]) = {
     if (st.deltas.isEmpty) return (Array.empty, Array.empty)
+    val cached = overlayCache.get(st.dir)
+    if (cached != null && cached._1 == st.version) return cached._2
+    val fresh = readOverlay(st)
     if (overlayCache.size > OverlayCacheCap) overlayCache.clear()
-    overlayCache.computeIfAbsent((st.dir, st.version),
-      _ => readOverlay(st))
+    overlayCache.put(st.dir, (st.version, fresh))
+    fresh
   }
 
   private def readOverlay(st: FileStore.FState)
@@ -1285,6 +1330,14 @@ private[graft] class FileChangesScan(key: String, from: FileStore.FState,
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   def this(key: String, from: FileStore.FState, to: FileStore.FState) =
     this(key, from, to, to.schema.fieldNames :+ "_change_type")
+  // every construction path (table resolution, the changes procedure)
+  // hits the folded-overlay guard — a delta generation is row-scale
+  // change the file diff cannot see
+  require(from.deltas.isEmpty && to.deltas.isEmpty,
+    s"changed-file read of $key requires both endpoint versions' " +
+      s"merge-on-read overlays folded (CALL compact first): " +
+      s"v${from.version} has ${from.deltas.length} delta files, " +
+      s"v${to.version} has ${to.deltas.length}")
   private val fromNames = from.files.map(_.name).toSet
   private val toNames = to.files.map(_.name).toSet
   /** The manifest diff — exactly the files the scan opens. */
@@ -1292,6 +1345,8 @@ private[graft] class FileChangesScan(key: String, from: FileStore.FState,
     to.files.filterNot(f => fromNames(f.name))
   private[graft] val removed: Array[FileStore.FFile] =
     from.files.filterNot(f => toNames(f.name))
+  /** Files both versions share — exactly what the scan never opens. */
+  private[graft] def unread: Int = (fromNames & toNames).size
   private val tagIdx = wantedNames.indexOf("_change_type")
   private val wantedCols: Array[FileStore.FCol] =
     wantedNames.filterNot(_ == "_change_type")
@@ -1762,11 +1817,13 @@ private[sources] object GraftProcedures {
         throw new IllegalArgumentException(
           s"no retained version $v of $key (current v${st.version}; " +
             "VACUUM drops history)"))
+      // the scan's constructor carries the folded-overlay guard — a
+      // summary that silently ignored outstanding deltas would report
+      // "nothing changed" for a delta-mode DELETE (r15 review finding)
       val scan = new FileChangesScan(key, snap(v1), snap(v2))
       val row: Array[Any] = Array(
         scan.added.length.toLong, scan.removed.length.toLong,
-        (snap(v1).files.map(_.name).toSet &
-          snap(v2).files.map(_.name).toSet).size.toLong,
+        scan.unread.toLong,
         scan.added.map(_.rows).sum, scan.removed.map(_.rows).sum)
       val result = new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = out

@@ -850,6 +850,64 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MAJOR compaction with a net-nothing overlay still clears the " +
+      "delta log; a losing vacuum deletes nothing") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_netzero"
+    val key = "ns.spec_fl_netzero"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.mode'='delta', 'graft.storage'='files')")
+    (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).append()
+    // inserts 100..105 (gen), then delete them all (gen): the overlay's
+    // keys miss the base file's [1,10] range and its inserts all die —
+    // net effect nothing, but the LOG must still clear on compact
+    Seq((100L, "x"), (101L, "x"), (102L, "x")).toDF("k", "v")
+      .createOrReplaceTempView("spec_fl_netzero_src")
+    spark.sql(s"""MERGE INTO $tbl t USING spec_fl_netzero_src s
+                 |ON t.k = s.k
+                 |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                 |""".stripMargin)
+    spark.sql(s"DELETE FROM $tbl WHERE k >= 100")
+    val before = snap(tableDir(tbl)).filter(_._1.startsWith("data/"))
+    spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_netzero')")
+    val st = sources.FileStore.stateOf(key).get
+    assert(st.deltas.isEmpty,
+      "net-nothing MAJOR compaction must still clear the delta log")
+    // and it was metadata-only: base files untouched
+    for ((n, h) <- before)
+      assert(snap(tableDir(tbl)).get(n).contains(h),
+        s"net-nothing fold rewrote $n")
+    assert(spark.table(tbl).count() == 10)
+    // vacuum that LOSES its CAS publish deletes nothing: the retired
+    // snapshot files must survive a lost race (publish-first contract)
+    spark.sql(s"UPDATE $tbl SET v = 'u' WHERE k = 2") // delta gen
+    spark.sql(s"CALL graftlake.system.compact('ns.spec_fl_netzero')")
+    val st2 = sources.FileStore.stateOf(key).get
+    assert(st2.snaps.nonEmpty)
+    val allBefore = snap(st2.dir)
+    val foreign = java.nio.file.Paths.get(st2.dir,
+      s"manifest-v${st2.version + 1}.json")
+    java.nio.file.Files.writeString(foreign, "{\"foreign\":true}\n",
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.vacuum('ns.spec_fl_netzero')")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]), ex.toString)
+    assert(snap(st2.dir) == allBefore,
+      "a losing vacuum must not delete ANY file")
+    java.nio.file.Files.delete(foreign)
+    val n = spark.sql(s"CALL graftlake.system.vacuum('ns.spec_fl_netzero')")
+      .head.getLong(0)
+    assert(n > 0, "the retried vacuum reclaims the retired files")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("change feed ('v1..v2'): plans ONLY the manifest diff's files, " +
       "tags rows added/removed, binds by column id across evolution, " +
       "and refuses unfolded overlays") {
@@ -913,6 +971,14 @@ class FileLakeSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("compact")),
       s"unclear unfolded-overlay error: $ex")
+    // the summary procedure refuses identically — it must never report
+    // "nothing changed" over a delta generation it cannot see
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        s"CALL graftlake.system.changes('ns.spec_fl_changes_d', 2, 3)")
+        .collect()
+    }
+    assert(msgs(ex2).exists(_.contains("compact")), ex2.toString)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS $dtbl")
   }
