@@ -755,8 +755,67 @@ object DataOps7 {
         .orderBy("rate_card_id")
     })
 
+  /** DISTRIBUTED SORT-LAYOUT REWRITE (`CALL graftlake.system.sort` —
+    * Iceberg's rewrite_data_files(sort), the write-once investment that
+    * makes q479's stats maximally selective from ANY starting layout):
+    * four INTERLEAVED appends (p_partkey mod 4) give four files that
+    * each span the whole key range — stats skipping can prune nothing —
+    * then one range-partitioned shuffle rewrites them into four
+    * disjoint sorted runs, and the same range predicate plans ≤ 2 of 4
+    * files (`pruned_ok`; boundaries come from RangePartitioner's
+    * sampling, so the pin allows one boundary file). At 100 TB: a
+    * standing maintenance job pays ONE shuffle so that every
+    * subsequent range query reads O(selectivity) instead of O(table) —
+    * the sort-once/skip-forever trade. Pre-sort snapshot retained for
+    * time travel; oracle is the layout-independent query. */
+  val q482_lake_sort_layout = Q(
+    "q482_lake_sort_layout",
+    Some("""WITH b AS (SELECT CAST(max(p_partkey) AS BIGINT) // 8 AS hi
+           |          FROM part),
+           |t AS (
+           |  SELECT p_brand,
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM part, b WHERE p_partkey <= b.hi)
+           |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  TRUE AS pruned_ok
+           |FROM t GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    (s, d) => {
+      val tbl = "graftlake.ns.q482_part"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl (p_partkey BIGINT, p_brand STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files')")
+      val src = graft.Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      // interleaved appends: every file spans the whole key range
+      for (m <- 0L until 4L)
+        src.filter(col("p_partkey") % 4 === m)
+          .coalesce(1).writeTo(tbl).append()
+      val maxK = src.agg(max("p_partkey")).head.getLong(0)
+      val hi = maxK / 8
+      val unsorted = s.table(tbl).filter(col("p_partkey") <= hi)
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        "files=(\\d+)".r.findFirstMatchIn(
+          df.queryExecution.executedPlan.toString)
+          .map(_.group(1).toInt).getOrElse(-1)
+      val beforeFiles = planned(unsorted) // 4: nothing prunable
+      s.sql(s"CALL graftlake.system.sort('ns.q482_part', 'p_partkey', 4)")
+      val range = s.table(tbl).filter(col("p_partkey") <= hi)
+      val afterFiles = planned(range)
+      range.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("sum_cents"))
+        .withColumn("pruned_ok",
+          lit(beforeFiles == 4 && afterFiles <= 2))
+        .orderBy("p_brand")
+    })
+
   val all: Seq[Q] = Seq(q426_sharded_topk_error, q427_sketch_quantile_error,
     q472_time_travel, q473_lake_compaction, q474_lake_vacuum,
     q476_lake_dedup_merge, q477_snapshot_diff, q478_lake_changes,
-    q479_lake_stats_skipping, q480_cdc_lake_apply)
+    q479_lake_stats_skipping, q480_cdc_lake_apply, q482_lake_sort_layout)
 }

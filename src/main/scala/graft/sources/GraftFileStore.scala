@@ -448,6 +448,80 @@ private[graft] object FileStore {
     (victims.size.toLong, st0.files.length.toLong, next.files.length.toLong)
   }
 
+  /** SORT LAYOUT: rewrite an ungrouped table's base files globally
+    * range-sorted by `colName` into `nFiles` files — Iceberg's
+    * rewrite_data_files(sort), the write-once investment that makes the
+    * per-file min/max stats maximally selective (one disjoint key range
+    * per file → a range predicate plans O(1) files forever after; q479
+    * constructs this layout by hand, this procedure builds it from any
+    * layout). Fully distributed: a scan RDD over the current files is
+    * RANGE-PARTITIONED on the sort column (one shuffle — the price of
+    * a global sort), each reducer streams its sorted run into one
+    * parquet file, and the driver swaps the whole file set in one
+    * manifest commit (predecessor retained; lost races delete the
+    * written files, same contract as compact). Requires a folded
+    * overlay and no partition column (grouped tables keep their
+    * group-per-file layout). Returns (filesBefore, filesAfter). */
+  def sortLayout(spark: org.apache.spark.sql.SparkSession, key: String,
+      colName: String, nFiles: Int): (Long, Long) = {
+    require(nFiles > 0, s"n_files must be positive, got $nFiles")
+    val st0 = Option(tables.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no file-store table $key"))
+    require(st0.deltas.isEmpty,
+      s"sort layout of $key requires a folded merge-on-read overlay " +
+        "(CALL compact first)")
+    require(st0.partitionColId.isEmpty,
+      s"$key is partition-grouped (graft.partitioncol) — sort layout " +
+        "applies to ungrouped tables")
+    val ci = st0.cols.indexWhere(_.name == colName)
+    require(ci >= 0, s"no column $colName in $key")
+    if (st0.files.isEmpty) return (0L, 0L)
+    val dir = st0.dir
+    val cols = st0.cols
+    // nulls-first total order via the same Comparable contract the
+    // stats writer uses
+    implicit val ord: Ordering[Any] = (a: Any, b: Any) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val keyed = spark.sparkContext
+      .parallelize(st0.files.toSeq, math.min(st0.files.length, 32))
+      .flatMap(f => ParquetRowIO.readFile(s"$dir/${f.name}", f.colIds, cols))
+      .map(r => (r(ci), r))
+    val totalRows = st0.files.map(_.rows).sum
+    val parts =
+      if (totalRows < nFiles) totalRows.toInt.max(1) else nFiles
+    val partitioner =
+      new org.apache.spark.RangePartitioner(parts, keyed, ascending = true)
+    val merged: Array[FFile] = keyed
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val name = "data/s-" +
+            s"${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+          val res = ParquetRowIO.writeFile(s"$dir/$name", cols, it.map(_._2))
+          Iterator.single(FFile(name, None, cols.map(_.id), res.rows,
+            res.mins, res.maxs))
+        }
+      }.collect()
+    try tables.compute(key, (_, st) => {
+      require(st != null, s"file-store table $key dropped mid-sort")
+      require(st.version == st0.version,
+        s"$key changed during sort layout (v${st0.version} -> v${st.version})")
+      val nx = st.retainInto(st.copy(files = merged,
+        version = st.version + 1))
+      writeManifest(nx)
+      nx
+    })
+    catch { case e: Throwable =>
+      merged.foreach(f => deleteFileQuiet(s"$dir/${f.name}"))
+      throw e
+    }
+    (st0.files.length.toLong, merged.length.toLong)
+  }
+
   def dropTable(key: String): Boolean = {
     clearEpochs(key) // a re-created table starts a fresh epoch line
     val st = tables.remove(key)
@@ -750,7 +824,11 @@ private[graft] class FileScan(dir: String, cols: Array[FileStore.FCol],
     val ins =
       if (inserts.isEmpty) inserts
       else { val idx = projectIdx; inserts.map(r => idx.map(r)) }
-    if (ins.nonEmpty) base :+ (InsertSlice(ins): InputPartition)
+    if (ins.nonEmpty)
+      // surviving overlay inserts are CHUNKED into parallel slices —
+      // a near-budget overlay must not funnel through one task
+      base ++ ins.grouped(FileTableOps.InsertSliceRows)
+        .map(c => InsertSlice(c): InputPartition)
     else if (base.isEmpty) Array(InsertSlice(Array.empty))
     else base
   }
@@ -964,6 +1042,11 @@ private[sources] object StatsPredicates {
 }
 
 private[graft] object FileTableOps {
+  /** Max rows per overlay-insert input partition (see the scans'
+    * planInputPartitions): keeps a near-budget overlay's surviving
+    * inserts spread across tasks instead of one. */
+  val InsertSliceRows: Int = 65536
+
   /** May `f` contain any of `keys` in the table's KEY column (col 0 —
     * the merge-on-read row id), judged by the file's write-time min/max
     * stats? Missing stats → yes (conservative). This is what lets a
@@ -1251,7 +1334,9 @@ private[sources] class CowFileScan(st: FileStore.FState,
     val base = candidates.map(f =>
       FileSlice(st.dir, f, st.cols, st.cols,
         FileTableOps.scopeGens(st.cols, f, gens)): InputPartition)
-    if (inserts.nonEmpty) base :+ (InsertSlice(inserts): InputPartition)
+    if (inserts.nonEmpty)
+      base ++ inserts.grouped(FileTableOps.InsertSliceRows)
+        .map(c => InsertSlice(c): InputPartition)
     else if (base.isEmpty) Array(InsertSlice(Array.empty))
     else base
   }
@@ -1695,7 +1780,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 
   val names: Array[String] =
-    Array("compact", "vacuum", "snapshots", "changes")
+    Array("compact", "vacuum", "snapshots", "changes", "sort")
 
   private def tableParam = Array[ProcedureParameter](
     ProcedureParameter.in("table", StringType).build())
@@ -1835,11 +1920,46 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftlake.system.sort('t', 'col' [, n_files])` — the
+    * distributed range-sorted layout rewrite (see
+    * [[FileStore.sortLayout]]). */
+  private val sortProc = new UnboundProcedure with BoundProcedure {
+    private val out = StructType(Seq(
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false)))
+    override def name(): String = "sort"
+    override def description(): String =
+      "graft lake maintenance: rewrite base files range-sorted by a column"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("sort_col", StringType).build(),
+      ProcedureParameter.in("n_files", IntegerType)
+        .defaultValue("4").build())
+    override def isDeterministic: Boolean = false // mutates table state
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val key = input.getUTF8String(0).toString
+      val col = input.getUTF8String(1).toString
+      val n = if (input.isNullAt(2)) 4 else input.getInt(2)
+      val (before, after) = FileStore.sortLayout(
+        org.apache.spark.sql.SparkSession.active, key, col, n)
+      val scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = out
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](before, after)))
+      }
+      java.util.List.of(
+        scan: org.apache.spark.sql.connector.read.Scan).iterator()
+    }
+  }
+
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(compactProc)
     case "vacuum" => Some(vacuumProc)
     case "snapshots" => Some(snapshotsProc)
     case "changes" => Some(changesProc)
+    case "sort" => Some(sortProc)
     case _ => None
   }
 }

@@ -716,6 +716,50 @@ class FileLakeSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("CALL sort: rewrites base files into disjoint sorted key ranges; " +
+      "range scans then plan a fraction of the files; pre-sort version " +
+      "retained") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_fl_sort"
+    val key = "ns.spec_fl_sort"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    // interleaved appends: every file spans the whole key range, so
+    // stats skipping is useless until the layout is sorted
+    for (m <- 0L until 4L)
+      (1L to 100L).filter(_ % 4 == m).map(k => (k, s"v$k"))
+        .toDF("k", "v").coalesce(1).writeTo(tbl).append()
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      "files=(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString).map(_.group(1).toInt).get
+    val rangeQ = spark.table(tbl).filter(col("k") <= 20L)
+    assert(planned(rangeQ) == 4, "interleaved layout should prune nothing")
+    val preSortVersion = sources.FileStore.stateOf(key).get.version
+
+    val res = spark.sql(
+      s"CALL graftlake.system.sort('ns.spec_fl_sort', 'k', 4)").head
+    assert((res.getLong(0), res.getLong(1)) == ((4L, 4L)), res.toString)
+    val st = sources.FileStore.stateOf(key).get
+    // files now carry pairwise-DISJOINT sorted key ranges
+    val ranges = st.files.map { f =>
+      val ki = f.colIds.indexOf(st.cols.head.id)
+      (f.mins(ki).asInstanceOf[Long], f.maxs(ki).asInstanceOf[Long])
+    }.sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- ranges.toSeq.sliding(2))
+      assert(hi < lo2, s"overlapping sorted ranges: ${ranges.mkString(",")}")
+    // the same range query now skips most files
+    val sortedQ = spark.table(tbl).filter(col("k") <= 20L)
+    assert(planned(sortedQ) <= 2, "sorted layout did not prune")
+    assert(sortedQ.count() == 20)
+    // contents identical; pre-sort version still readable
+    assert(spark.table(tbl).count() == 100)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF $preSortVersion")
+      .head.getLong(0) == 100)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("CAS commit seam: a version already published by another writer " +
       "loses the race loudly, the table is undisturbed, and the retry " +
       "succeeds (VERDICT r14 #3)") {
