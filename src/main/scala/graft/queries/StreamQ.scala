@@ -1100,6 +1100,68 @@ object StreamQ {
         .orderBy("bucket")
     })
 
+  /** STREAMING READ FROM THE LAKE TABLE (the r15 closing composition:
+    * the table IS the topic). `spark.readStream.table(...)` on a
+    * file-backed table streams MANIFEST VERSIONS — each micro-batch
+    * plans exactly the files the commits since the last checkpointed
+    * version ADDED (the same manifest diff as `VERSION AS OF 'a..b'`,
+    * consumed incrementally; append-only by contract, non-append
+    * commits refuse loudly — FileLakeSpec pins delivery, restart, and
+    * refusal). Here two append waves land between two AvailableNow
+    * runs of a checkpointed streaming aggregation: run 2 reads ONLY
+    * wave 2's files, resumes the agg state, and the upserted totals
+    * equal the one-shot GROUP BY — exactly-once across the restart
+    * with the offset log as the only cursor. At 100 TB this replaces a
+    * Kafka hop for table-to-table pipelines: downstream jobs tail the
+    * lake's own commit log, reading O(new files) per trigger. */
+  val q483_stream_lake_source = Q(
+    "q483_stream_lake_source",
+    Some("""WITH t AS (
+           |  SELECT o_orderstatus,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM orders)
+           |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    (s, d) => {
+      val src = "graftlake.ns.q483_sales"
+      val sink = "graftlake.ns.q483_totals"
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $sink")
+      s.sql(s"CREATE TABLE $src (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "cents BIGINT) TBLPROPERTIES('graft.storage'='files')")
+      s.sql(s"CREATE TABLE $sink (o_orderstatus STRING, n BIGINT, " +
+        "sum_cents BIGINT)")
+      val rows = graft.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lakesrc_").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      def drain(): Unit = {
+        val q = s.readStream.table(src)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum("cents").cast("long").as("sum_cents"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .toTable(sink)
+        q.awaitTermination()
+      }
+      try {
+        rows.filter(col("o_orderkey") % 3 =!= 0).writeTo(src).append()
+        drain() // run 1: the initial snapshot
+        rows.filter(col("o_orderkey") % 3 === 0).writeTo(src).append()
+        drain() // run 2: ONLY wave 2's files; agg state resumes
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sink).orderBy("o_orderstatus")
+    })
+
   val all: Seq[Q] = Seq(q71_stream_interval_join, q72_stream_sessions,
     q92_stream_windows, q112_stream_static_enrich, q120_stream_dedup,
     q142_stream_tws_totals, q230_stream_left_outer, q291_stream_reach,
@@ -1107,5 +1169,5 @@ object StreamQ {
     q448_stream_bottomk, q454_stream_gendocs_replay,
     q455_stream_resume_growth, q456_stream_v2_watermark,
     q462_stream_v2_sink, q467_stream_upsert, q475_stream_file_upsert,
-    q481_stream_upsert_budget)
+    q481_stream_upsert_budget, q483_stream_lake_source)
 }

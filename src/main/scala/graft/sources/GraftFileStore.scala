@@ -784,9 +784,22 @@ private[graft] case class InsertSlice(rows: Array[Array[Any]])
   * here. */
 private[graft] class FileScan(dir: String, cols: Array[FileStore.FCol],
     wanted: Array[FileStore.FCol], files: Array[FileStore.FFile],
-    gens: Array[DeltaGen], inserts: Array[Array[Any]])
+    gens: Array[DeltaGen], inserts: Array[Array[Any]],
+    streamKey: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  /** Streaming form (MICRO_BATCH_READ on the live table only): offsets
+    * are manifest versions; see [[FileMicroBatchStream]]. Streaming
+    * plans skip column pruning, so the stream emits the full
+    * resolution-time schema. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamKey match {
+      case Some(k) => new FileMicroBatchStream(k, cols)
+      case None => throw new UnsupportedOperationException(
+        "streaming read is only available on the live table (not " +
+          "snapshots or change feeds)")
+    }
   private def projectIdx: Array[Int] =
     wanted.map(w => cols.indexWhere(_.id == w.id))
   override def readSchema(): StructType =
@@ -892,7 +905,8 @@ private[sources] case class FileReaderFactory() extends PartitionReaderFactory {
   *     a delta UPDATE can change a row's partition value without moving
   *     the row's file, so file groups are not authoritative until the
   *     overlay folds (major compaction). */
-private[graft] class FileScanBuilder(st: FileStore.FState)
+private[graft] class FileScanBuilder(st: FileStore.FState,
+    streamKey: Option[String] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
@@ -945,7 +959,7 @@ private[graft] class FileScanBuilder(st: FileStore.FState)
       else st.files.filter(f =>
         f.group.forall(g => matchers.forall(m => m(g))) && statsOk(f))
     val wanted = wantedNames.flatMap(n => st.cols.find(_.name == n))
-    new FileScan(st.dir, st.cols, wanted, files, gens, inserts)
+    new FileScan(st.dir, st.cols, wanted, files, gens, inserts, streamKey)
   }
 }
 
@@ -1180,10 +1194,11 @@ private[sources] class FileBackedTable(key: String) extends Table
   override def schema(): StructType = state.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FileScanBuilder(state)
+    new FileScanBuilder(state, streamKey = Some(key))
 
   private def pcolName(st: FState): Option[String] =
     st.partitionColId.map(id => st.colById(id).name)
@@ -1359,6 +1374,100 @@ private[sources] class FileSnapshotTable(key: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FileScanBuilder(snap)
+}
+
+/** Stream offset for the lake table's streaming read: a manifest
+  * VERSION — the natural exactly-once cursor of a table whose every
+  * commit is a numbered snapshot. */
+private[sources] case class FileVersionOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** STREAMING READ FROM THE LAKE TABLE (`spark.readStream.table(...)` —
+  * the standard lakehouse surface: the table IS the topic). Offsets are
+  * manifest versions; a micro-batch covering (v_a, v_b] plans exactly
+  * the files the manifests between them ADDED — the same manifest diff
+  * as the batch change feed, consumed incrementally with the
+  * checkpoint's offset log as the cursor, so a restart resumes at the
+  * committed version and each appended file is delivered exactly once.
+  * offset 0 = "before the table existed": the first batch is the
+  * table's current snapshot (initial load), increments follow.
+  *
+  * APPEND-ONLY contract (Delta/Iceberg's streaming-read default): a
+  * range whose manifests REMOVED files (cow rewrite, metadata delete,
+  * compaction, RTAS) or grew merge-on-read deltas is refused with a
+  * clear error — those are row-scale changes a file-level feed cannot
+  * represent; the batch `VERSION AS OF 'v1..v2'` diff is the surface
+  * for them. A vacuumed start version fails at plan time, never
+  * mid-scan. Rows are projected onto the RESOLUTION-time columns by
+  * stable id, so schema evolution mid-stream never shifts the plan's
+  * width. */
+private[graft] class FileMicroBatchStream(key: String,
+    cols: Array[FileStore.FCol])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def current: FileStore.FState =
+    FileStore.stateOf(key).getOrElse(throw new IllegalStateException(
+      s"file-store table $key vanished under a streaming read"))
+
+  // Trigger.AvailableNow pins the end version at query start
+  @volatile private var pinnedEnd: Int = -1
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = current.version
+  private def endBound: Int =
+    if (pinnedEnd >= 0) pinnedEnd else current.version
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def initialOffset(): Offset = FileVersionOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    FileVersionOffset(
+      math.max(start.asInstanceOf[FileVersionOffset].v, endBound))
+  override def reportLatestOffset(): Offset = FileVersionOffset(endBound)
+  override def deserializeOffset(json: String): Offset =
+    FileVersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[FileVersionOffset].v
+    val e = end.asInstanceOf[FileVersionOffset].v
+    if (e <= s) return Array.empty
+    val st = current
+    def snap(v: Int) = st.snapshotAt(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming read of $key needs version $v, which is not " +
+          s"retained (current v${st.version}; VACUUM dropped it — " +
+          "restart the stream from a fresh checkpoint)"))
+    val to = snap(e)
+    val (fromNames, fromDeltas) =
+      if (s == 0) (Set.empty[String], Set.empty[String])
+      else {
+        val f = snap(s)
+        (f.files.map(_.name).toSet, f.deltas.map(_.name).toSet)
+      }
+    val removed = fromNames -- to.files.map(_.name).toSet
+    val newDeltas = to.deltas.map(_.name).toSet -- fromDeltas
+    if (removed.nonEmpty || newDeltas.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"streaming read of $key: versions ($s, $e] contain " +
+          s"non-append changes (${removed.size} files removed, " +
+          s"${newDeltas.size} delta files added) — the streaming feed " +
+          "is append-only; use VERSION AS OF '" + s + ".." + e +
+          "' for the row-level diff")
+    to.files.filterNot(f => fromNames(f.name))
+      .map(f => FileSlice(to.dir, f, cols, cols,
+        Array.empty): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FileReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** INCREMENTAL CHANGED-FILE READ between two retained versions
