@@ -168,6 +168,93 @@ class RowLevelSpec extends AnyFunSuite {
     assert(fmor == cow, s"file-mor=$fmor memory=$cow")
   }
 
+  test("DML walker fuzz: a seeded random op sequence keeps all four " +
+      "storage×mode configurations and a Scala model in lockstep") {
+    import spark.implicits._
+    // the equivalence law above, fuzzed: appends, partial deletes,
+    // value updates, PARTITION-MOVING updates (the ADVICE r14 class),
+    // MERGE upserts, and mid-walk compactions — after every step all
+    // four tables must equal the model row-for-row. The files-mor
+    // table runs under a tiny overlay budget so auto-MAJOR-compaction
+    // fires repeatedly DURING the walk.
+    val rnd = new scala.util.Random(151515L) // seeded: replayable
+    val configs = Seq(
+      ("graftlake.ns.fz_mcow", ""),
+      ("graftlake.ns.fz_mmor", " TBLPROPERTIES('graft.mode'='delta')"),
+      ("graftlake.ns.fz_fcow", " TBLPROPERTIES('graft.storage'='files'," +
+        " 'graft.partitioncol'='seg')"),
+      ("graftlake.ns.fz_fmor", " TBLPROPERTIES('graft.storage'='files'," +
+        " 'graft.mode'='delta', 'graft.overlaybudget'='24')"))
+    configs.foreach { case (t, p) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, seg STRING, cents BIGINT)$p")
+    }
+    val model = scala.collection.mutable.LinkedHashMap[Long, (String, Long)]()
+    var nextKey = 1L
+    val segs = Vector("A", "B", "C", "D")
+    def sqlAll(stmt: String => String): Unit =
+      configs.foreach { case (t, _) => spark.sql(stmt(t)) }
+    def appendBatch(n: Int): Unit = {
+      val rows = (0 until n).map { _ =>
+        val k = nextKey; nextKey += 1
+        val s0 = segs(rnd.nextInt(4)); val c = rnd.nextInt(1000).toLong
+        model(k) = (s0, c); (k, s0, c)
+      }
+      val df = rows.toDF("k", "seg", "cents").coalesce(1)
+      configs.foreach { case (t, _) => df.writeTo(t).append() }
+    }
+    appendBatch(8)
+    for (step <- 0 until 12) {
+      rnd.nextInt(6) match {
+        case 0 => appendBatch(1 + rnd.nextInt(5))
+        case 1 =>
+          val s0 = segs(rnd.nextInt(4))
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          sqlAll(t => s"DELETE FROM $t WHERE seg = '$s0' AND k % $m = $r")
+          model.filterInPlace((k, v) => !(v._1 == s0 && k % m == r))
+        case 2 =>
+          val s0 = segs(rnd.nextInt(4)); val d = 1 + rnd.nextInt(9)
+          sqlAll(t => s"UPDATE $t SET cents = cents + $d WHERE seg = '$s0'")
+          model.mapValuesInPlace((_, v) =>
+            if (v._1 == s0) (v._1, v._2 + d) else v)
+        case 3 => // partition-moving update
+          val from = segs(rnd.nextInt(4)); val to = segs(rnd.nextInt(4))
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          sqlAll(t =>
+            s"UPDATE $t SET seg = '$to' WHERE seg = '$from' AND k % $m = $r")
+          model.mapValuesInPlace((k, v) =>
+            if (v._1 == from && k % m == r) (to, v._2) else v)
+        case 4 => // MERGE upsert over a mix of live and fresh keys
+          val keys = (0 until 3).map { _ =>
+            if (model.nonEmpty && rnd.nextBoolean()) {
+              val ks = model.keys.toVector; ks(rnd.nextInt(ks.size))
+            } else { val k = nextKey; nextKey += 1; k }
+          }.distinct
+          val ups = keys.map(k =>
+            (k, segs(rnd.nextInt(4)), rnd.nextInt(1000).toLong))
+          ups.toDF("k", "seg", "cents").createOrReplaceTempView("fz_src")
+          sqlAll(t =>
+            s"""MERGE INTO $t x USING fz_src s ON x.k = s.k
+               |WHEN MATCHED THEN UPDATE SET seg = s.seg, cents = s.cents
+               |WHEN NOT MATCHED THEN INSERT (k, seg, cents)
+               |  VALUES (s.k, s.seg, s.cents)""".stripMargin)
+          ups.foreach { case (k, s0, c) => model(k) = (s0, c) }
+        case _ => // mid-walk maintenance on the file-backed pair
+          spark.sql("CALL graftlake.system.compact('ns.fz_fcow')")
+          spark.sql("CALL graftlake.system.compact('ns.fz_fmor')")
+      }
+      val want = model.toSeq.map { case (k, (s0, c)) => (k, s0, c) }
+        .sortBy(_._1)
+      for ((t, _) <- configs) {
+        val got = spark.table(t).orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        assert(got == want,
+          s"step $step: $t diverged\n got=$got\nwant=$want")
+      }
+    }
+    configs.foreach { case (t, _) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+  }
+
   test("delete with a NULL-valued condition keeps null rows (three-valued logic)") {
     val tbl = "graftlake.ns.spec_rl_null"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
