@@ -785,7 +785,7 @@ private[graft] case class InsertSlice(rows: Array[Array[Any]])
 private[graft] class FileScan(dir: String, cols: Array[FileStore.FCol],
     wanted: Array[FileStore.FCol], files: Array[FileStore.FFile],
     gens: Array[DeltaGen], inserts: Array[Array[Any]],
-    streamKey: Option[String] = None)
+    streamKey: Option[String] = None, maxVersions: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   /** Streaming form (MICRO_BATCH_READ on the live table only): offsets
@@ -795,7 +795,7 @@ private[graft] class FileScan(dir: String, cols: Array[FileStore.FCol],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     streamKey match {
-      case Some(k) => new FileMicroBatchStream(k, cols)
+      case Some(k) => new FileMicroBatchStream(k, cols, maxVersions)
       case None => throw new UnsupportedOperationException(
         "streaming read is only available on the live table (not " +
           "snapshots or change feeds)")
@@ -906,7 +906,7 @@ private[sources] case class FileReaderFactory() extends PartitionReaderFactory {
   *     the row's file, so file groups are not authoritative until the
   *     overlay folds (major compaction). */
 private[graft] class FileScanBuilder(st: FileStore.FState,
-    streamKey: Option[String] = None)
+    streamKey: Option[String] = None, maxVersions: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
@@ -959,7 +959,8 @@ private[graft] class FileScanBuilder(st: FileStore.FState,
       else st.files.filter(f =>
         f.group.forall(g => matchers.forall(m => m(g))) && statsOk(f))
     val wanted = wantedNames.flatMap(n => st.cols.find(_.name == n))
-    new FileScan(st.dir, st.cols, wanted, files, gens, inserts, streamKey)
+    new FileScan(st.dir, st.cols, wanted, files, gens, inserts,
+      streamKey, maxVersions)
   }
 }
 
@@ -1198,7 +1199,9 @@ private[sources] class FileBackedTable(key: String) extends Table
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FileScanBuilder(state, streamKey = Some(key))
+    new FileScanBuilder(state, streamKey = Some(key),
+      maxVersions = Option(options.get("maxVersionsPerTrigger"))
+        .map(_.trim.toInt))
 
   private def pcolName(st: FState): Option[String] =
     st.partitionColId.map(id => st.colById(id).name)
@@ -1404,10 +1407,12 @@ private[sources] case class FileVersionOffset(v: Int)
   * stable id, so schema evolution mid-stream never shifts the plan's
   * width. */
 private[graft] class FileMicroBatchStream(key: String,
-    cols: Array[FileStore.FCol])
+    cols: Array[FileStore.FCol], maxVersionsPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  maxVersionsPerTrigger.foreach(m => require(m > 0,
+    s"maxVersionsPerTrigger must be positive, got $m"))
 
   private def current: FileStore.FState =
     FileStore.stateOf(key).getOrElse(throw new IllegalStateException(
@@ -1425,9 +1430,19 @@ private[graft] class FileMicroBatchStream(key: String,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    FileVersionOffset(
-      math.max(start.asInstanceOf[FileVersionOffset].v, endBound))
+  // ADMISSION CONTROL (`.option("maxVersionsPerTrigger", k)`): a batch
+  // advances at most k manifest versions, so a backfill over a long
+  // commit history drains as bounded micro-batches instead of one
+  // giant initial load — Trigger.AvailableNow then loops batches until
+  // the pinned end version is reached. Unset = all available.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FileVersionOffset].v
+    val cap = maxVersionsPerTrigger match {
+      case Some(m) => math.min(endBound, s + m)
+      case None => endBound
+    }
+    FileVersionOffset(math.max(s, cap))
+  }
   override def reportLatestOffset(): Offset = FileVersionOffset(endBound)
   override def deserializeOffset(json: String): Offset =
     FileVersionOffset(json.trim.toInt)

@@ -813,6 +813,34 @@ class FileLakeSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("non-append")),
       s"unclear non-append refusal: $ex")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+
+    // ADMISSION CONTROL: maxVersionsPerTrigger=1 drains a 3-append
+    // backfill as THREE version-aligned micro-batches, not one load
+    val t2 = "graftlake.ns.spec_fl_streamrate"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 0L until 3L)
+      (w * 10 + 1 to w * 10 + 3).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).writeTo(t2).append()
+    val perBatch = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q2 = spark.readStream.option("maxVersionsPerTrigger", "1")
+      .table(t2)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.collect().map(_.getLong(0)).sorted.toSeq
+        perBatch.synchronized { if (ks.nonEmpty) perBatch += ks }
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_sfl_rate").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(perBatch.toSeq == Seq(Seq(1L, 2L, 3L), Seq(11L, 12L, 13L),
+      Seq(21L, 22L, 23L)),
+      s"expected three version-aligned batches, got $perBatch")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
   test("CAS commit seam: a version already published by another writer " +
