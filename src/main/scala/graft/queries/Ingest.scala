@@ -18,7 +18,7 @@ object Ingest {
   private[queries] val sampleEvent = "/root/reference/sample_kafka_event.json"
   private[queries] val goldenParquet =
     "/root/reference/lndcdcadsrtcrd_ratecard_1630613001.008183_local_test.parquet"
-  private def haveFixture =
+  private[queries] def haveFixture =
     java.nio.file.Files.exists(java.nio.file.Paths.get(sampleEvent))
 
   /** S1+F1-F4+P1-P3: envelope → binary records → key cascade + Confluent-

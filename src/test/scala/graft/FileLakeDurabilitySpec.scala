@@ -1,0 +1,336 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DURABILITY pins for the file-backed lake (VERDICT r15 #1-#4): the
+  * manifest chain on disk must be the AUTHORITATIVE metastore, not a
+  * write-only mirror of the in-JVM map. Every test here exercises the
+  * "second driver" path: mutate a table, FORGET it from the in-JVM
+  * cache (the driver-restart simulation — disk untouched), and prove
+  * the reopened state serves reads, time travel, history listing, and
+  * further CAS-appends exactly as the original did. Plus: the
+  * concurrent-writer CAS race (loser rebases from disk and retries,
+  * both rows land, no orphaned files), the vacuum ↔ active-stream
+  * retention guard, the admission-control clamp onto retained
+  * versions, startingVersion semantics, non-finite double stats in
+  * manifest JSON, and mor-overlay-aware file pruning.
+  */
+class FileLakeDurabilitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import sources.{FileStore, FileVersionOffset, FileMicroBatchStream}
+
+  private def history(key: String): Seq[(Long, Boolean, Long, Long, Long)] =
+    spark.sql(s"CALL graftlake.system.snapshots('$key')").collect().toSeq
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  test("a forgotten table reopens from its manifest chain: read, " +
+      "VERSION/TIMESTAMP AS OF, history, and a continuing CAS append") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_reopen"
+    val key = "ns.spec_dur_reopen"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, seg STRING, cents BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.partitioncol'='seg', " +
+      "'graft.overlaybudget'='777')")
+    (1L to 30L).map(k => (k, if (k % 2 == 0) "E" else "O", k * 10L))
+      .toDF("k", "seg", "cents").repartition(2).writeTo(tbl).append() // v2
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'E' AND k % 4 = 0")      // v3
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN cents TO pennies")     // v4
+    val before = spark.table(tbl).orderBy("k").collect().toSeq
+    val beforeV2 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+      .orderBy("k").collect().toSeq
+    val beforeHist = history(key)
+    val st0 = FileStore.stateOf(key).get
+    assert(st0.version == 4 && st0.snaps.map(_.version) == List(3, 2, 1))
+
+    FileStore.forget(key) // "driver restart": cache cold, disk intact
+    assert(FileStore.stateOf(key).isEmpty)
+
+    // reopen happens lazily at the next catalog reference
+    assert(spark.table(tbl).orderBy("k").collect().toSeq == before,
+      "reopened read differs")
+    val st1 = FileStore.stateOf(key).get
+    assert(st1.version == st0.version)
+    assert(st1.snaps.map(_.version) == st0.snaps.map(_.version),
+      "retained history lost across reopen")
+    assert(st1.overlayBudget == 777L,
+      "overlay budget not serialized in the manifest")
+    assert(st1.nextCol == st0.nextCol, "nextCol not serialized")
+    assert((st1 :: st1.snaps).map(_.commitMs) ==
+      (st0 :: st0.snaps).map(_.commitMs),
+      "commit instants not serialized")
+    assert(st1.schema.fieldNames.toSeq == Seq("k", "seg", "pennies"),
+      "post-rename schema lost")
+    assert(st1.snapshotAt(2).get.schema.fieldNames.toSeq ==
+      Seq("k", "seg", "cents"), "per-version schema lost")
+    assert(history(key) == beforeHist, "snapshots listing differs")
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+      .orderBy("k").collect().toSeq == beforeV2,
+      "time travel differs after reopen")
+    // TIMESTAMP AS OF binds through the RELOADED commitMs ledger: the
+    // instant of v3's commit resolves to whatever version the in-memory
+    // rule picks (v3, or a later commit sharing the same millisecond) —
+    // the point is that the reloaded timestamps drive the same binding
+    val ms3 = st1.snapshotAt(3).get.commitMs
+    val bound = st1.snapshotAsOfMs(ms3).get.version
+    val t3 = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms3))
+    val atT3 = spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF " +
+      s"'$t3'").head.getLong(0)
+    assert(atT3 == spark.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF $bound").head.getLong(0))
+
+    // the version line CONTINUES from the reopened state (CAS append)
+    Seq((1000L, "E", 5L)).toDF("k", "seg", "pennies")
+      .writeTo(tbl).append()                                          // v5
+    assert(FileStore.stateOf(key).get.version == 5)
+    assert(spark.table(tbl).count() == before.size + 1)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("vacuum prunes the on-disk manifest chain to exactly the " +
+      "retained history; a reload reconstructs it; expired versions " +
+      "refuse by name") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_vac"
+    val key = "ns.spec_dur_vac"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 4L)                                          // v2..v5
+      Seq((w, w * 100L)).toDF("k", "cents").coalesce(1).writeTo(tbl).append()
+    spark.sql(s"CALL graftlake.system.vacuum('$key', 2)")        // v6
+    val hist = history(key)
+    val st0 = FileStore.stateOf(key).get
+    assert(st0.version == 6 && st0.snaps.map(_.version) == List(5, 4))
+    // on-disk chain == retained history, nothing more
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st0.dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("manifest-v\\d+\\.json")).toSet
+    assert(onDisk == Set("manifest-v4.json", "manifest-v5.json",
+      "manifest-v6.json"), s"manifest chain out of sync: $onDisk")
+
+    FileStore.forget(key)
+    assert(spark.table(tbl).count() == 4) // triggers reload
+    assert(history(key) == hist, "post-vacuum reload lost/invented history")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no retained version 2"),
+      s"expired version should refuse by name, got: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("non-finite double stats (NaN/Infinity) serialize as valid " +
+      "manifest JSON and survive a reload") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_nan"
+    val key = "ns.spec_dur_nan"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, x DOUBLE) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1.5))
+      .toDF("k", "x").coalesce(1).writeTo(tbl).append()
+    FileStore.forget(key)
+    // reload parses the manifest (invalid JSON would throw here)
+    assert(spark.table(tbl).count() == 4)
+    val f = FileStore.stateOf(key).get.files.head
+    val xi = f.colIds.indexOf(1)
+    // Double.compareTo: -Inf < 1.5 < +Inf < NaN
+    assert(f.mins(xi) == java.lang.Double.valueOf(
+      Double.NegativeInfinity), s"min = ${f.mins(xi)}")
+    assert(java.lang.Double.valueOf(f.maxs(xi)
+      .asInstanceOf[Double]).isNaN, s"max = ${f.maxs(xi)}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("concurrent-writer CAS race: the in-JVM loser rebases on the " +
+      "foreign winner's manifest and retries — both rows land, no " +
+      "orphan files, no lost update") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_race"
+    val key = "ns.spec_dur_race"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, who STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((1L, "a")).toDF("k", "who").coalesce(1).writeTo(tbl).append() // v2
+
+    // FOREIGN WRITER (another driver sharing only the directory): build
+    // its state purely from disk, write a data file, publish v3 via the
+    // CAS — exactly the code path a second JVM runs. The in-JVM map
+    // still says v2 and is now stale.
+    val st = FileStore.stateOf(key).get
+    val foreign = FileStore.loadFromDir(key, st.dir).get
+    assert(foreign.version == 2 && foreign.snaps.map(_.version) == List(1))
+    val fname = "data/foreign-1.parquet"
+    val res = sources.ParquetRowIO.writeFile(s"${foreign.dir}/$fname",
+      foreign.cols, Iterator(Array[Any](2L: java.lang.Long,
+        org.apache.spark.unsafe.types.UTF8String.fromString("b"))))
+    FileStore.writeManifest(foreign.retainInto(foreign.copy(
+      files = foreign.files :+ sources.FileStore.FFile(fname, None,
+        foreign.cols.map(_.id), res.rows, res.mins, res.maxs),
+      version = foreign.version + 1)))                                // v3
+
+    // IN-JVM WRITER: a plain append — its first publish attempt targets
+    // v3, loses the CAS, rebases from disk, retries as v4
+    Seq((3L, "c")).toDF("k", "who").coalesce(1).writeTo(tbl).append()
+    val end = FileStore.stateOf(key).get
+    assert(end.version == 4, s"expected rebased commit at v4, got ${end.version}")
+    assert(spark.table(tbl).orderBy("k").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "a writer's row was lost in the race")
+    // no orphans: every data file on disk is referenced by some
+    // retained version's manifest
+    import scala.jdk.CollectionConverters._
+    val refd = (end :: end.snaps)
+      .flatMap(s => s.files.map(_.name) ++ s.deltas.map(_.name)).toSet
+    val dataDir = java.nio.file.Paths.get(end.dir, "data")
+    val onDisk = java.nio.file.Files.list(dataDir).iterator().asScala
+      .map(p => s"data/${p.getFileName}")
+      .filter(n => n.endsWith(".parquet") && !n.contains("/."))
+      .toSet // Hadoop .crc sidecars ride along with their parquet file
+    assert(onDisk == refd,
+      s"orphaned/missing data files: disk=$onDisk manifests=$refd")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("vacuum refuses to drop a version an ACTIVE streaming read " +
+      "still needs; proceeds once the stream stops") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_guard"
+    val key = "ns.spec_dur_guard"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 3L)                                          // v2..v4
+      Seq(Tuple1(w)).toDF("k").coalesce(1).writeTo(tbl).append()
+    val cols = FileStore.stateOf(key).get.cols
+    val stream = new FileMicroBatchStream(key, cols)
+    // the stream's checkpoint logically holds v2: its next batch is
+    // (2, e] and must be able to snapshotAt(2)
+    stream.planInputPartitions(FileVersionOffset(2), FileVersionOffset(3))
+    val e = intercept[IllegalArgumentException] {
+      FileStore.vacuum(key, 1)
+    }
+    assert(e.getMessage.contains("active streaming reads"),
+      s"guard should name the conflict, got: ${e.getMessage}")
+    assert(FileStore.stateOf(key).get.version == 4,
+      "refused vacuum must not commit")
+    stream.stop() // unregisters
+    FileStore.vacuum(key, 1) // now allowed
+    assert(FileStore.stateOf(key).get.snaps.map(_.version) == List(4))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("admission control clamps a fresh stream's first cap to a " +
+      "RETAINED version on a vacuumed table (ADVICE r15)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_clamp"
+    val key = "ns.spec_dur_clamp"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 5L)                                          // v2..v6
+      Seq(Tuple1(w)).toDF("k").coalesce(1).writeTo(tbl).append()
+    spark.sql(s"CALL graftlake.system.vacuum('$key', 1)")        // v7
+    val st = FileStore.stateOf(key).get
+    assert(st.version == 7 && st.snaps.map(_.version) == List(6))
+    val cols = st.cols
+    val stream = new FileMicroBatchStream(key, cols,
+      maxVersionsPerTrigger = Some(1))
+    try {
+      // uncapped target would be 0+1 = v1 — vacuumed; the clamp jumps
+      // to the oldest retained version (v6), whose snapshot plans fine
+      val o1 = stream.latestOffset(FileVersionOffset(0),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(o1.asInstanceOf[FileVersionOffset].v == 6, s"got $o1")
+      val parts = stream.planInputPartitions(FileVersionOffset(0),
+        o1.asInstanceOf[FileVersionOffset])
+      assert(parts.length == 5, "initial load should deliver v6's files")
+      // subsequent batches advance one version at a time as configured
+      val o2 = stream.latestOffset(o1,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(o2.asInstanceOf[FileVersionOffset].v == 7)
+    } finally stream.stop()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("startingVersion: the stream's first batch begins at the named " +
+      "version instead of the initial full load") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_startv"
+    val key = "ns.spec_dur_startv"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 3L)                                          // v2..v4
+      Seq(Tuple1(w)).toDF("k").coalesce(1).writeTo(tbl).append()
+    val st = FileStore.stateOf(key).get
+    val stream = new FileMicroBatchStream(key, st.cols,
+      startingVersion = Some(4))
+    try {
+      assert(stream.initialOffset()
+        .asInstanceOf[FileVersionOffset].v == 3)
+      val parts = stream.planInputPartitions(FileVersionOffset(3),
+        FileVersionOffset(4))
+      assert(parts.length == 1, "only v4's file should be planned")
+    } finally stream.stop()
+    intercept[IllegalArgumentException] {
+      new FileMicroBatchStream(key, st.cols, startingVersion = Some(0))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("file pruning stays ON across a delete+insert-only mor overlay " +
+      "and OFF once a legacy full-row update generation appears") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_morprune"
+    val key = "ns.spec_dur_morprune"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files', 'graft.mode'='delta')")
+    // four disjoint-key files: stats pruning can isolate one
+    for (w <- 0L until 4L)
+      (w * 10L until (w + 1) * 10L).map(k => (k, k * 100L))
+        .toDF("k", "cents").coalesce(1).writeTo(tbl).append()
+    def planned(): Int = {
+      val df = spark.table(tbl).filter(col("k") < 10)
+      "files=(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    assert(planned() == 1, "folded-overlay baseline should plan 1 file")
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (5, 15)") // outstanding deltas
+    val st = FileStore.stateOf(key).get
+    assert(st.deltas.nonEmpty, "expected an outstanding mor overlay")
+    assert(planned() == 1,
+      "delete-only overlay must not disable stats pruning")
+    assert(spark.table(tbl).filter(col("k") < 10).count() == 9,
+      "merge must still apply over the pruned scan")
+    // inject a LEGACY full-row update generation (op=1, pre-r14 delta
+    // encoding): k=35's row changes value WITHOUT its file moving —
+    // write-time stats are no longer authoritative, pruning must
+    // switch off
+    val deltaCols = sources.FileStore.FCol(-1, "__op",
+      org.apache.spark.sql.types.IntegerType) +: st.cols
+    val dname = "delta/legacy-up.parquet"
+    val r = sources.ParquetRowIO.writeFile(s"${st.dir}/$dname", deltaCols,
+      Iterator(Array[Any](1: java.lang.Integer, 35L: java.lang.Long,
+        700L: java.lang.Long)))
+    FileStore.tables.compute(key, (_, cur) => {
+      val next = cur.retainInto(cur.copy(
+        deltas = cur.deltas :+ sources.FileStore.FDelta(
+          cur.deltas.map(_.gen).max + 1, dname, st.cols.map(_.id), r.rows),
+        version = cur.version + 1))
+      FileStore.writeManifest(next)
+      next
+    })
+    assert(planned() == 4,
+      "an update-bearing overlay must disable file pruning")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}

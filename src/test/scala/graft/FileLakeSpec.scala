@@ -437,8 +437,13 @@ class FileLakeSpec extends AnyFunSuite {
       s"pruned lake scan did not broadcast:\n$jplan")
     assert(joined.count() == 10)
 
-    // SAFETY: with an outstanding overlay, file pruning is OFF — a
-    // delta UPDATE moving a row's partition value must stay findable
+    // SAFETY across an outstanding overlay (r16: pruning stays ON for
+    // the standing delete+insert delta encoding): a delta UPDATE that
+    // moves a row's partition value kills the old row (a delete, which
+    // only ever REMOVES rows from pruned-away files) and re-emits it as
+    // an overlay INSERT, which rides its own input partition that
+    // pruning never touches — so both base-file groups prune away
+    // (files=0) and the moved row is STILL found on its insert slice
     val dtbl = "graftlake.ns.spec_fl_prune_d"
     spark.sql(s"DROP TABLE IF EXISTS $dtbl")
     spark.sql(s"CREATE TABLE $dtbl (k BIGINT, g STRING) " +
@@ -448,9 +453,10 @@ class FileLakeSpec extends AnyFunSuite {
       .writeTo(dtbl).append()
     spark.sql(s"UPDATE $dtbl SET g = 'c' WHERE k = 1")
     val moved = spark.table(dtbl).filter(col("g") === "c")
-    assert(scanDesc(moved).contains("files=2"),
-      "overlay outstanding: pruning must be disabled")
-    assert(moved.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(scanDesc(moved).contains("files=0"),
+      "delete+insert overlay: group pruning should stay enabled")
+    assert(moved.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the moved row must still be found (insert slices bypass pruning)")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"DROP TABLE IF EXISTS $dtbl")
   }
