@@ -1259,12 +1259,13 @@ object StreamQ {
         .createTempDirectory("graft_cdcstream_").toString
       for ((w, i) <- Seq(w1, w2).zipWithIndex) {
         w.coalesce(1).write.mode("overwrite").parquet(s"$root/in/w$i")
-        java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/in/w$i"))
-          .forEach { p =>
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime
-                .fromMillis(1000000L + i * 60000L))
-          }
+        val dirStream = java.nio.file.Files
+          .list(java.nio.file.Paths.get(s"$root/in/w$i"))
+        try dirStream.forEach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1000000L + i * 60000L))
+        } finally dirStream.close()
       }
       val inSchema = s.read.parquet(s"$root/in/w0").schema
       // bumped on the stream-execution thread, read after termination

@@ -170,13 +170,19 @@ private[graft] object FileStore {
         if (attempts > 3) go = false
         else try compact(org.apache.spark.sql.SparkSession.active, key)
         catch {
-          // ANY recoverable failure gives up silently, not just commit
-          // races: the fold is a distributed Spark job, so a task
-          // failure surfaces as SparkException (and delta reads as IO
-          // errors) — propagating would report the already-published
-          // DML/epoch as failed and invite a double-apply retry
-          // (ADVICE r15). The next delta commit re-trips the budget.
-          case scala.util.control.NonFatal(_) => () // re-check state
+          // ANY recoverable failure gives up WITHOUT propagating, not
+          // just commit races: the fold is a distributed Spark job, so
+          // a task failure surfaces as SparkException (and delta reads
+          // as IO errors) — propagating would report the already-
+          // published DML/epoch as failed and invite a double-apply
+          // retry (ADVICE r15). The next delta commit re-trips the
+          // budget. NOT silent (r16 review): a deterministic failure —
+          // say one corrupt delta file — would otherwise disable the
+          // budget with zero diagnostics while the overlay grows.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graftlake] overlay-budget compaction of $key failed " +
+                s"(attempt $attempts; the next delta commit retries): $e")
         }
       }
     }
@@ -235,14 +241,19 @@ private[graft] object FileStore {
     Option(streamCursors.get(key)).foreach(_.put(s, Integer.valueOf(v)))
   private[sources] def unregisterStream(key: String, s: AnyRef): Unit =
     Option(streamCursors.get(key)).foreach(_.remove(s))
-  /** Versions active streams of `key` still need retained (> 0 only —
-    * cursor 0 is "before the table existed", which plans no `from`
-    * snapshot). */
-  def versionsNeededByStreams(key: String): Seq[Int] = {
+  /** Raw cursors of active streams on `key`. Cursor > 0: the stream's
+    * next batch plans `snapshotAt(cursor)` — that exact version must
+    * stay retained (and with it everything newer: vacuum keeps a
+    * contiguous newest-K suffix). Cursor ≤ 0 (fresh initial load, or a
+    * restart that has not yet presented its checkpointed offset): the
+    * stream's end bound is the CURRENT version, so at least the
+    * current snapshot must survive as a retained version (r16 review —
+    * the previous `> 0`-only guard let `vacuum(key, 0)` expire the
+    * very snapshot a fresh stream's first batch was about to plan). */
+  def streamCursorsOf(key: String): Seq[Int] = {
     import scala.jdk.CollectionConverters._
     Option(streamCursors.get(key)).toSeq
-      .flatMap(_.values().asScala.map(_.intValue()))
-      .filter(_ > 0).distinct.sorted
+      .flatMap(_.values().asScala.map(_.intValue())).sorted
   }
 
   /** Manifest publish through a COMPARE-AND-SWAP seam (VERDICT r14 #3):
@@ -304,24 +315,53 @@ private[graft] object FileStore {
     // list is deliberately NOT inlined — the per-version
     // `manifest-v{N}.json` files on disk ARE the history, and
     // [[loadFromDir]] rebuilds `snaps` from them.
+    // the RETAINED-VERSION list makes the newest manifest the
+    // authoritative history INDEX (r16 review): a crash between
+    // vacuum's publish and its deletion sweep can leave expired
+    // manifest files on disk — the loader must trust this list, not
+    // "whatever chain files exist", or it would resurrect versions
+    // whose data files are (partially) gone.
+    val retained = st.snaps.map(_.version).mkString("[", ",", "]")
     val json =
       s"""{"version":${st.version},"delta":${st.delta},""" +
         s""""partitionCol":${st.partitionColId.map(_.toString).getOrElse("null")},""" +
         s""""nextCol":${st.nextCol},"overlayBudget":${st.overlayBudget},""" +
-        s""""commitMs":${st.commitMs},""" +
+        s""""commitMs":${st.commitMs},"retained":$retained,""" +
         s""""cols":$cols,"files":$files,"deltas":$deltas}"""
     val dir = java.nio.file.Paths.get(st.dir)
     java.nio.file.Files.createDirectories(dir)
     val cas = dir.resolve(s"manifest-v${st.version}.json")
-    try java.nio.file.Files.writeString(cas, json + "\n",
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // CONTENT-ATOMIC CAS (r16 review): a cross-process reader must
+    // never observe a half-written manifest, so the bytes land in a
+    // private tmp file first and the claim is one atomic hard-link to
+    // the CAS name — link(2) fails with EEXIST, preserving the
+    // exclusive-claim semantics, and the content is complete the
+    // instant the name appears. Filesystems without hard links fall
+    // back to the plain exclusive create (single-writer local dev).
+    val casTmp = dir.resolve(s".manifest-v${st.version}.json.claim-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.writeString(casTmp, json + "\n")
+    try java.nio.file.Files.createLink(cas, casTmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        deleteFileQuiet(casTmp.toString)
         throw new java.util.ConcurrentModificationException(
           s"commit conflict on ${st.dir}: version ${st.version} was " +
             "already published by another writer — rebase on the " +
             "current snapshot and retry (no files were lost)")
+      case _: UnsupportedOperationException =>
+        try java.nio.file.Files.writeString(cas, json + "\n",
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteFileQuiet(casTmp.toString)
+            throw new java.util.ConcurrentModificationException(
+              s"commit conflict on ${st.dir}: version ${st.version} was " +
+                "already published by another writer — rebase on the " +
+                "current snapshot and retry (no files were lost)")
+        }
     }
+    deleteFileQuiet(casTmp.toString)
     val tmp = dir.resolve(s"manifest.json.tmp-${st.version}")
     java.nio.file.Files.writeString(tmp, json + "\n")
     java.nio.file.Files.move(tmp, dir.resolve("manifest.json"),
@@ -410,6 +450,19 @@ private[graft] object FileStore {
       commitMs = optLong("commitMs", 0L))
   }
 
+  /** The `retained` version list of one parsed manifest (None for a
+    * pre-r16 manifest without the field — the caller falls back to the
+    * raw chain). */
+  private def retainedOf(json: String): Option[Seq[Int]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val n = root.get("retained")
+    if (n == null || n.isNull) None
+    else {
+      import scala.jdk.CollectionConverters._
+      Some(n.elements().asScala.map(_.asInt()).toSeq)
+    }
+  }
+
   /** Rebuild a table's COMPLETE state from its directory: the highest
     * `manifest-v{N}.json` is the current snapshot, every other retained
     * manifest is a history entry (newest-first, the same order
@@ -422,27 +475,89 @@ private[graft] object FileStore {
     import scala.jdk.CollectionConverters._
     val Name = "manifest-v(\\d+)\\.json".r
     val stream = java.nio.file.Files.list(d)
-    val manifests =
+    val versions =
       try stream.iterator().asScala.flatMap { p =>
         p.getFileName.toString match {
-          case Name(_) => Some(p)
+          case Name(v) => Some(v.toInt)
           case _ => None
         }
       }.toSeq
       finally stream.close()
-    if (manifests.isEmpty) return None
-    val states = manifests
-      .map(p => parseManifest(dir, java.nio.file.Files.readString(p)))
-      .sortBy(-_.version)
-    Some(states.head.copy(snaps = states.tail.toList))
+    if (versions.isEmpty) return None
+    // a manifest may vanish between the list and the read (a racing
+    // vacuum's deletion sweep): a dropped NON-current version is simply
+    // no longer retained — skip it
+    def readJson(v: Int): Option[String] =
+      try Some(java.nio.file.Files.readString(
+        d.resolve(s"manifest-v$v.json")))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    val (currentV, currentJson) = versions.sorted.reverse.iterator
+      .flatMap(v => readJson(v).map(v -> _)).nextOption()
+      .getOrElse(return None)
+    val current = parseManifest(dir, currentJson)
+    // the newest manifest's `retained` list is the authoritative
+    // history index (see writeManifest): chain files outside it are
+    // leftovers of an interrupted vacuum sweep, NOT retained versions —
+    // reading them would resurrect snapshots whose data files may be
+    // gone. A retained version's manifest must exist; refuse loudly if
+    // the directory is genuinely corrupt.
+    val snapVersions = retainedOf(currentJson).getOrElse(
+      versions.filter(_ < currentV).sorted.reverse)
+    val snaps = snapVersions.map { v =>
+      parseManifest(dir, readJson(v).getOrElse(
+        throw new IllegalStateException(
+          s"lake table $key is corrupt: version $currentV retains " +
+            s"version $v but manifest-v$v.json is missing in $dir")))
+    }
+    Some(current.copy(snaps = snaps.toList))
   }
 
-  /** Open-from-disk: serve the cached state, else load the manifest
-    * chain and cache it. The catalog calls this for any key it does not
-    * already hold, which is what lets a second driver (or a restarted
-    * one) resolve a table that exists only as files + manifests. */
+  /** Highest manifest version present in `dir` (-1 if none) — the O(1
+    * LIST) staleness probe: a cached FState older than this was
+    * superseded by a FOREIGN writer's commit and must reload before
+    * serving a read. In-JVM writers keep the cache current themselves;
+    * this is the cross-driver leg of "the map is a cache over disk". */
+  def maxVersionOnDisk(dir: String): Int = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return -1
+    import scala.jdk.CollectionConverters._
+    val Name = "manifest-v(\\d+)\\.json".r
+    val stream = java.nio.file.Files.list(d)
+    try stream.iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case Name(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.maxOption.getOrElse(-1)
+    finally stream.close()
+  }
+
+  /** Open-from-disk: serve the cached state — after a STALENESS PROBE
+    * against the on-disk chain (r16 review: without it, a read-only
+    * driver in the multi-writer topology would serve its first-seen
+    * snapshot forever; only CAS-losing writers used to refresh). The
+    * probe is one directory LIST per table RESOLUTION (the granularity
+    * that pins a query's snapshot anyway) — the same cost shape as a
+    * lake format reading its log tail per query. A cache miss loads
+    * the manifest chain, which is what lets a second driver (or a
+    * restarted one) resolve a table that exists only as files +
+    * manifests. */
   def openFromDisk(key: String, dir: String): Option[FState] =
-    Option(tables.get(key)).orElse(
+    Option(tables.get(key)).map { cached =>
+      if (maxVersionOnDisk(cached.dir) > cached.version) {
+        // an unreadable newer manifest (a foreign writer's malformed or
+        // still-materializing claim) must not fail READS of the healthy
+        // cached snapshot — serve it and let the next resolution retry;
+        // writers still surface the conflict through the CAS path
+        try refreshFromDisk(key)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graftlake] staleness refresh of $key failed " +
+              s"(serving cached v${cached.version}): $e")
+        }
+        tables.get(key)
+      } else cached
+    }.orElse(
       loadFromDir(key, dir).map { st =>
         val prev = tables.putIfAbsent(key, st)
         if (prev != null) prev else st
@@ -530,8 +645,13 @@ private[graft] object FileStore {
       // conflict named; the operator retains more history or stops the
       // stream first.
       val keptVersions = kept.map(_.version).toSet
-      val blocked = versionsNeededByStreams(key)
+      // a cursor ≤ 0 stream needs the CURRENT snapshot retained; a
+      // positive cursor needs its exact version (kept is a contiguous
+      // newest-K suffix, so everything newer follows)
+      val blocked = streamCursorsOf(key)
+        .map(c => if (c <= 0) st.version else c)
         .filter(v => v <= st.version && !keptVersions.contains(v))
+        .distinct
       require(blocked.isEmpty,
         s"vacuum of $key would drop version(s) ${blocked.mkString(", ")} " +
           "that active streaming reads still need (their checkpoints " +
@@ -1736,6 +1856,10 @@ private[graft] class FileMicroBatchStream(key: String,
   // is the earliest state a batch can actually deliver.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FileVersionOffset].v
+    // a restarted stream presents its checkpointed offset HERE first —
+    // advertise it to the vacuum guard as early as possible (r16
+    // review: the register→first-plan window used to sit at cursor -1)
+    FileStore.setStreamCursor(key, this, s)
     val cap = maxVersionsPerTrigger match {
       case Some(m) =>
         val c = math.min(endBound, s + m)
@@ -2167,11 +2291,18 @@ private[graft] class FileStreamingUpsert(key: String)
               FDelta(gen, f.name, f.colIds, f.rows)),
             version = st.version + 1))
           try writeManifest(next)
-          catch { case e: Throwable =>
-            // lost the CAS AFTER marking: unmark so the rebased retry
-            // (same epochId) is not mistaken for a replay and dropped
-            unmarkEpoch(key, epochId)
-            throw e
+          catch {
+            // ONLY a lost CAS unmarks (r16 review): the conflict means
+            // the publish definitively did NOT happen, so the rebased
+            // retry of the same epochId must not be mistaken for a
+            // replay. Any other failure (e.g. an IO error on the
+            // mirror AFTER the CREATE_NEW claim succeeded) may leave
+            // the epoch durably in the chain — the mark must stand so
+            // Spark's replay hits the replay guard instead of
+            // double-applying.
+            case e: java.util.ConcurrentModificationException =>
+              unmarkEpoch(key, epochId)
+              throw e
           }
           next
         }

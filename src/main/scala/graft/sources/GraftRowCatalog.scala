@@ -54,8 +54,22 @@ class GraftRowCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     import scala.jdk.CollectionConverters._
+    // disk-only lake tables (created by another driver, cache cold)
+    // must list too (r16 review): a table dir is any base-dir child
+    // holding a manifest chain; its name IS the key
+    val onDisk: Array[String] = {
+      val b = java.nio.file.Paths.get(base)
+      if (!java.nio.file.Files.isDirectory(b)) Array.empty
+      else {
+        val s = java.nio.file.Files.list(b)
+        try s.iterator().asScala
+          .filter(p => FileStore.maxVersionOnDisk(p.toString) >= 0)
+          .map(_.getFileName.toString).toArray
+        finally s.close()
+      }
+    }
     (RowStore.tables.keySet().asScala.toArray ++
-      FileStore.tables.keySet().asScala.toArray).distinct.map { k =>
+      FileStore.tables.keySet().asScala.toArray ++ onDisk).distinct.map { k =>
       val parts = k.split('.')
       Identifier.of(parts.dropRight(1), parts.last)
     }

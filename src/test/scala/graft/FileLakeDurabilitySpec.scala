@@ -285,6 +285,112 @@ class FileLakeDurabilitySpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("a READ-ONLY driver sees a foreign writer's commit: the cached " +
+      "state revalidates against the on-disk chain at resolution") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_stale"
+    val key = "ns.spec_dur_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, who STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((1L, "a")).toDF("k", "who").coalesce(1).writeTo(tbl).append() // v2
+    assert(spark.table(tbl).count() == 1) // cache holds v2
+    // foreign writer (disk only — the in-JVM cache never hears of it)
+    val foreign = FileStore.loadFromDir(key,
+      FileStore.stateOf(key).get.dir).get
+    val fname = "data/foreign-stale.parquet"
+    val res = sources.ParquetRowIO.writeFile(s"${foreign.dir}/$fname",
+      foreign.cols, Iterator(Array[Any](2L: java.lang.Long,
+        org.apache.spark.unsafe.types.UTF8String.fromString("b"))))
+    FileStore.writeManifest(foreign.retainInto(foreign.copy(
+      files = foreign.files :+ sources.FileStore.FFile(fname, None,
+        foreign.cols.map(_.id), res.rows, res.mins, res.maxs),
+      version = foreign.version + 1)))                                // v3
+    // NO local write: the next plain read must still observe v3
+    assert(spark.table(tbl).orderBy("k").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b")),
+      "read-only driver served a stale cached snapshot")
+    assert(FileStore.stateOf(key).get.version == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("an interrupted vacuum sweep cannot resurrect expired versions: " +
+      "the reload honors the newest manifest's retained list, not the " +
+      "raw chain files") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_orphan"
+    val key = "ns.spec_dur_orphan"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 3L)                                          // v2..v4
+      Seq(Tuple1(w)).toDF("k").coalesce(1).writeTo(tbl).append()
+    val dir = FileStore.stateOf(key).get.dir
+    val expired = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "manifest-v2.json"))
+    spark.sql(s"CALL graftlake.system.vacuum('$key', 1)")        // v5
+    // simulate the crash-before-sweep leftover: the expired version's
+    // manifest file reappears on disk (its data files may be gone)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-v2.json"), expired)
+    FileStore.forget(key)
+    assert(spark.table(tbl).count() == 3) // reload
+    val st = FileStore.stateOf(key).get
+    assert(st.snaps.map(_.version) == List(4),
+      s"leftover manifest resurrected history: ${st.snaps.map(_.version)}")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no retained version 2"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("SHOW TABLES lists a disk-only lake table (cold cache)") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_list"
+    val key = "ns.spec_dur_list"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq(Tuple1(1L)).toDF("k").coalesce(1).writeTo(tbl).append()
+    FileStore.forget(key) // second driver: cache cold, disk has the table
+    val listed = spark.sql("SHOW TABLES IN graftlake.ns")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("spec_dur_list"),
+      s"disk-only table missing from SHOW TABLES: $listed")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("a FRESH stream (cursor at the initial offset) blocks a " +
+      "drop-all-history vacuum but not one retaining the current " +
+      "snapshot") {
+    import spark.implicits._
+    val tbl = "graftlake.ns.spec_dur_fresh"
+    val key = "ns.spec_dur_fresh"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    for (w <- 1L to 2L)                                          // v2..v3
+      Seq(Tuple1(w)).toDF("k").coalesce(1).writeTo(tbl).append()
+    val cols = FileStore.stateOf(key).get.cols
+    val stream = new FileMicroBatchStream(key, cols)
+    try {
+      // the fresh stream has presented offset 0 (initial load pending):
+      // its first batch's END is the current snapshot — dropping ALL
+      // history would expire it under the stream's feet
+      stream.latestOffset(stream.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      val e = intercept[IllegalArgumentException] {
+        FileStore.vacuum(key, 0)
+      }
+      assert(e.getMessage.contains("active streaming reads"))
+      // retaining the current snapshot satisfies the fresh stream
+      FileStore.vacuum(key, 1)
+      assert(FileStore.stateOf(key).get.snaps.map(_.version) == List(3))
+    } finally stream.stop()
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("file pruning stays ON across a delete+insert-only mor overlay " +
       "and OFF once a legacy full-row update generation appears") {
     import spark.implicits._
