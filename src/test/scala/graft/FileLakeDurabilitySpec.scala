@@ -439,4 +439,106 @@ class FileLakeDurabilitySpec extends AnyFunSuite {
       "an update-bearing overlay must disable file pruning")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("CAS melee: foreign drivers and in-JVM appends racing CONCURRENTLY " +
+      "on one barrier — every commit lands exactly once, no lost update, " +
+      "no orphan file, contiguous version history") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val tbl = "graftlake.ns.spec_dur_melee"
+    val key = "ns.spec_dur_melee"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, who STRING) " +
+      "TBLPROPERTIES('graft.storage'='files')")
+    Seq((0L, "seed")).toDF("k", "who").coalesce(1).writeTo(tbl).append() // v2
+    val dir = FileStore.stateOf(key).get.dir
+
+    // Unlike the staged race above (foreign publishes FIRST, then the
+    // in-JVM writer deterministically loses), this is a true melee: all
+    // writers block on one barrier and publish simultaneously, so the
+    // interleaving — who wins each version, how many times each loser
+    // rebases — is decided by the scheduler. The invariants must hold
+    // for EVERY interleaving. In-JVM rebase attempts are capped at 5;
+    // with 5 rival commits total, the unluckiest writer loses at most
+    // 5 times, so the cap is never the failure mode here by counting.
+    val foreignN = 4
+    val jvmN = 2
+    val barrier = new java.util.concurrent.CyclicBarrier(foreignN + jvmN)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    val foreignThreads = (1 to foreignN).map { i =>
+      new Thread(() => {
+        try {
+          // an independent driver sharing only the directory: the data
+          // file is written ONCE (its name never entered any manifest,
+          // so a CAS loss orphans nothing); the retry loop re-reads the
+          // chain and re-targets the next version — the exact
+          // loop a second JVM runs against shared S3 state.
+          val fname = s"data/melee-foreign-$i.parquet"
+          val cols = FileStore.loadFromDir(key, dir).get.cols
+          val res = sources.ParquetRowIO.writeFile(s"$dir/$fname", cols,
+            Iterator(Array[Any](i.toLong: java.lang.Long,
+              UTF8String.fromString(s"foreign-$i"))))
+          barrier.await()
+          var attempts = 0
+          var done = false
+          while (!done) {
+            val st = FileStore.loadFromDir(key, dir).get
+            val next = st.retainInto(st.copy(
+              files = st.files :+ sources.FileStore.FFile(fname, None,
+                st.cols.map(_.id), res.rows, res.mins, res.maxs),
+              version = st.version + 1))
+            try { FileStore.writeManifest(next); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                attempts += 1
+                assert(attempts < 64, "foreign writer livelocked")
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val jvmThreads = (1 to jvmN).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          // the full catalog append path: publish inside tables.compute,
+          // CAS loss -> commitWithRebase reloads from disk and retries
+          Seq((100L + i, s"jvm-$i")).toDF("k", "who").coalesce(1)
+            .writeTo(tbl).append()
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    (foreignThreads ++ jvmThreads).foreach(_.start())
+    (foreignThreads ++ jvmThreads).foreach(_.join(180000L))
+    assert(errors.isEmpty,
+      s"a racing writer failed: ${Option(errors.peek())}")
+
+    FileStore.refreshFromDisk(key) // the raw map may trail foreign wins
+    val end = FileStore.stateOf(key).get
+    assert(end.version == 2 + foreignN + jvmN,
+      s"expected exactly one version per commit, got v${end.version}")
+    assert((end :: end.snaps).map(_.version).sorted ==
+      (1 to end.version).toList, "version history must be contiguous")
+    val whos = spark.table(tbl).orderBy("k").as[(Long, String)].collect()
+      .map(_._2).toSet
+    val expected = Set("seed") ++
+      (1 to foreignN).map(i => s"foreign-$i") ++
+      (1 to jvmN).map(i => s"jvm-$i")
+    assert(whos == expected,
+      s"lost update: missing ${expected -- whos}, extra ${whos -- expected}")
+    // no orphans: every data file on disk is referenced by some
+    // retained version's manifest, and vice versa
+    import scala.jdk.CollectionConverters._
+    val refd = (end :: end.snaps)
+      .flatMap(s => s.files.map(_.name) ++ s.deltas.map(_.name)).toSet
+    val dataDir = java.nio.file.Paths.get(end.dir, "data")
+    val onDisk = java.nio.file.Files.list(dataDir).iterator().asScala
+      .map(p => s"data/${p.getFileName}")
+      .filter(n => n.endsWith(".parquet") && !n.contains("/."))
+      .toSet
+    assert(onDisk == refd,
+      s"orphaned/missing data files: disk=$onDisk manifests=$refd")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
