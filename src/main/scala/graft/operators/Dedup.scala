@@ -71,7 +71,17 @@ object Dedup {
     val y = base.select(col("__id").as("doc_b"), col("hs").as("sb"))
     val inter = sortedIntersectCount(col("sa"), col("sb"))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-    pruned.join(x, "doc_a").join(y, "doc_b")
+    // Attach the arrays to the candidates by BROADCASTING THE PAIRS, not
+    // by shuffling the signature table (guide §8: every shuffle before
+    // the last should move keys/metadata, never the heavy payload). The
+    // default plan shuffled `x` and then the (pairs × sa) intermediate by
+    // doc_b — ~118 MB of array bytes at sf0.1 for a 25-pair answer. The
+    // LSH-banded, ratio-prefiltered candidate list is metadata-scale by
+    // construction (the same bounded class as the centroid/hub lists), so
+    // both attach joins broadcast the pair side and STREAM the persisted
+    // signature table with zero Exchange: r16, 118 MB shuffle → 0.
+    val withA = x.join(broadcast(pruned), "doc_a")
+    y.join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -135,7 +145,10 @@ object Dedup {
     val y = all.select(col("__id").as("doc_b"), col("hs").as("sb"))
     val inter = sortedIntersectCount(col("sa"), col("sb"))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-    val pairs = cand.join(x, "doc_a").join(y, "doc_b")
+    // same broadcast-the-pairs attach as [[minhashNearDupPairs]] (r16):
+    // the signature table streams, only candidate metadata broadcasts
+    val withA = x.join(broadcast(cand), "doc_a")
+    val pairs = y.join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
     (pairs, all)
