@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions.col
   * join, the curation pipeline) so the gate threshold and keying can't
   * drift apart. */
 object Spread {
-  def byKey(df: DataFrame, keyCol: String): DataFrame = {
+  def byKey(df: DataFrame, keyCol: String): DataFrame = byKeys(df, keyCol)
+
+  /** Composite-key form (r16): blocked joins spread by their BLOCK key,
+    * so the downstream per-pair work (levenshtein and the like) runs in
+    * the block partitioning — the same exchange a cluster-scale blocked
+    * join pays anyway, gated off when the input is already parallel. */
+  def byKeys(df: DataFrame, keyCols: String*): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (df.inputFiles.length * 2 <= sc.defaultParallelism)
-      df.repartition(sc.defaultParallelism, col(keyCol))
+      df.repartition(sc.defaultParallelism, keyCols.map(col): _*)
     else df
   }
 }

@@ -410,7 +410,9 @@ object DataOps3 {
               |ORDER BY probe_id, rk""".stripMargin)
     },
     (s, d) => {
-      val tok = Tables.documents(s, d)
+      // spread before the tokenize head (one-file scan = serial explode
+      // + partial tf agg on one core; scale-gated — r16)
+      val tok = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       // post feeds THREE branches (df counts, probe terms, the postings
       // stream) — persist so the scan+explode+agg runs once; dl = Σ tf

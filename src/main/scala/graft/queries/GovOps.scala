@@ -326,7 +326,11 @@ object GovOps {
       // the digest work (VERDICT r9 #4). Conditional subexpression
       // elimination keeps dig(qb) unevaluated off-branch; with
       // physically separate replicas each side hashes its own rows.
-      val both = graft.operators.PlanCache.persist(Tables.lineitem(s, d)
+      // spread by the bucket's own key before the digest projection: the
+      // md5 pass is this entry's dominant cost and a one-file scan would
+      // hash all 600k rows on one core (r16, scale-gated)
+      val both = graft.operators.PlanCache.persist(
+        graft.operators.Spread.byKey(Tables.lineitem(s, d), "l_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_orderkey") % 256).as("bucket"),
           dig(qa).as("__dga"),

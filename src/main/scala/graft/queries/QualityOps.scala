@@ -235,7 +235,11 @@ object QualityOps {
       val stackArgs = cols.map { case (name, _) =>
         s"'$name', ${name}__n, ${name}__nn, ${name}__nd, ${name}__mn, ${name}__mx"
       }.mkString(",\n  ")
-      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      // spread before the profile agg: 4 count-distinct groups Expand the
+      // scan ×5 and min/max(string) forces SortAggregate — on a one-file
+      // scan the whole partial pass ran on one core (r16, scale-gated)
+      graft.operators.Spread.byKey(Tables.orders(s, d), "o_orderkey")
+        .agg(aggs.head, aggs.tail: _*)
         .select(expr(
           s"stack(${cols.size},\n  $stackArgs) AS (col, n, n_null, n_distinct, min_v, max_v)"))
         .orderBy("col")
@@ -447,7 +451,10 @@ object QualityOps {
     import graft.functions.TextFunctions.hexSpanValSql
       val fold = graft.functions.TextFunctions.hexSpanVal(
         org.apache.spark.sql.functions.col("__h"), 0, 2) % 5
-      val docs = Tables.documents(s, d)
+      // spread before the tokenize/explode head: the corpus token agg's
+      // map side (split + explode + partial count) is the chain's big
+      // CPU term and a single parquet file would run it on one core (r16)
+      val docs = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
         .withColumn("__h", md5(col("doc_id").cast("string")))
       val tok = graft.operators.PlanCache.persist(docs
         .select(col("doc_id"), col("lang"), fold.as("fold"),

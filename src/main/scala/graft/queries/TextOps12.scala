@@ -501,9 +501,12 @@ object TextOps12 {
            |ORDER BY lang_true, lang_pred""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        (col("doc_id") % 5 === 4).as("held"),
-        split(col("text"), " ").as("ts"))
+      // spread before the bigram explode (single-file scan would run the
+      // tf map side on one core; scale-gated no-op on real inputs — r16)
+      val dd = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 5 === 4).as("held"),
+          split(col("text"), " ").as("ts"))
       val tf = graft.operators.PlanCache.persist(dd
         .select(col("doc_id"), col("lang"), col("held"), explode(
           graft.functions.TextFunctions.shingles(col("ts"), 2)).as("w"))

@@ -33,10 +33,14 @@ object TextOps5 {
             |WHERE levenshtein(x.head, y.head) <= $LevMax
             |ORDER BY doc_a, doc_b""".stripMargin),
     (s, d) => {
-      val b = Tables.documents(s, d)
+      // spread by the BLOCK key: the per-pair levenshtein work downstream
+      // of the join runs in this partitioning (one parquet file would
+      // otherwise serialize the whole O(block²) verify on one core); at
+      // cluster scale this exchange IS the blocked join's shuffle (r16)
+      val b = graft.operators.Spread.byKeys(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           expr("n_chars div 16").as("lb"),
-          substring(col("text"), 1, LevPrefix).as("head"))
+          substring(col("text"), 1, LevPrefix).as("head")), "lang", "lb")
       val a2 = b.toDF("doc_b", "lang", "lb", "head_b")
       b.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("head", "head_a")
         .join(a2, Seq("lang", "lb"))
