@@ -498,7 +498,8 @@ object TextOps10 {
            |ORDER BY a.thr_label""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val t = graft.operators.PlanCache.persist(Tables.documents(s, d)
+      val t = graft.operators.PlanCache.persist(
+        graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("lang"),
           explode(TextFunctions.tokens(col("text"))).as("term")))
       val n = t.agg(count(lit(1)).as("n"))

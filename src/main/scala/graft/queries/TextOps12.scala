@@ -73,7 +73,10 @@ object TextOps12 {
               |LIMIT $TrTopK""".stripMargin)
     },
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      // spread the window-pair explode head (~4M pair rows from the
+      // corpus would otherwise generate + partially aggregate on one
+      // core off a one-file scan; scale-gated no-op on real inputs)
+      val toks = graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
         .select(split(col("text"), " ").as("ts"))
       val pairs = toks
         .select(explode(expr(

@@ -189,7 +189,9 @@ object TextOps13 {
            |ORDER BY j_weighted DESC, src_a, src_b
            |LIMIT 10""".stripMargin),
     (s, d) => {
-      val st = graft.operators.PlanCache.persist(Tables.documents(s, d)
+      // spread the tokenize head (serial on a one-file scan; scale-gated)
+      val st = graft.operators.PlanCache.persist(
+        graft.operators.Spread.byKey(Tables.documents(s, d), "doc_id")
         .select(col("source"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("c")))

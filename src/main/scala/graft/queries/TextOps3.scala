@@ -150,9 +150,16 @@ object TextOps3 {
             |GROUP BY g.t ORDER BY g.t""".stripMargin),
     (s, d) => {
       import s.implicits._
-      val subset = Tables.documents(s, d).filter(col("doc_id") < SweepProbe)
-      val sh = subset.select(col("doc_id"),
-        simhashOf(tokens(col("text")), Bits).as("simhash"))
+      // spread the probe subset: both all-pairs stages below stream it as
+      // the left side of a nested-loop join, so a one-file scan would run
+      // the O(n²) hamming/intersect verify on one core (scale-gated); the
+      // simhash and shingle-set frames each feed BOTH join sides — persist
+      // so the per-doc hashing runs once, not twice (r16)
+      val subset = graft.operators.Spread.byKey(
+        Tables.documents(s, d).filter(col("doc_id") < SweepProbe), "doc_id")
+      val sh = graft.operators.PlanCache.persist(
+        subset.select(col("doc_id"),
+          simhashOf(tokens(col("text")), Bits).as("simhash")))
       val pairs = sh.toDF("doc_a", "ha").join(sh.toDF("doc_b", "hb"),
           col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -163,9 +170,10 @@ object TextOps3 {
       // device) — cardinalities, hence Jaccard, are invariant under the
       // injective hash; the oracle mirrors the md5'd sets (unsorted —
       // list_filter doesn't need the order, the count is the same)
-      val sets = subset.select(col("doc_id"),
-        sort_array(md5Shingles(tokens(col("text")), 3)).as("sh"))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val sets = graft.operators.PlanCache.persist(
+        subset.select(col("doc_id"),
+          sort_array(md5Shingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
       val inter = sortedIntersectCount(col("sa"), col("sb")).cast("long")
       val jac = inter.cast("double") / (col("na") + col("nb") - inter)
       val truth = sets.toDF("doc_a", "sa", "na")
