@@ -380,10 +380,16 @@ object LinkOps {
         lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
         lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"))
       val p3 = step(step(step(p0))).crossJoin(broadcast(n))
-      def fieldRow(i: Int) = p3.select(lit(i).as("field"),
-        round(col(s"m$i"), 6).as("m"), round(col(s"u$i"), 6).as("u"),
-        round(col("p"), 6).as("p"), col("n").as("n_pairs"))
-      fieldRow(1).unionAll(fieldRow(2)).unionAll(fieldRow(3))
+      // stack() fans the 1-row parameter frame into the 3 field rows in
+      // ONE evaluation — the previous 3-way unionAll re-executed the
+      // whole EM chain (its per-step broadcast builds included) once per
+      // field: 73 jobs -> ~30 at identical values (r16)
+      p3.select(expr(
+          """stack(3,
+            |  1, round(m1, 6), round(u1, 6),
+            |  2, round(m2, 6), round(u2, 6),
+            |  3, round(m3, 6), round(u3, 6)) AS (field, m, u)""".stripMargin),
+          round(col("p"), 6).as("p"), col("n").as("n_pairs"))
         .orderBy("field")
     })
 

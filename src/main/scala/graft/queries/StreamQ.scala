@@ -609,10 +609,13 @@ object StreamQ {
         .select(col("event_id"), expr("ts div 1000").as("us"))
       val mm = e.agg(min("us").as("mn"), max("us").as("mx"))
       val quart = expr("(4 * (us - mn)) div (mx - mn + 1)")
-      val arr = e.crossJoin(broadcast(mm))
+      // persisted: the 4 per-slice writes below each reference this frame —
+      // without the cut the events scan + min/max agg re-executes per
+      // slice (4× the setup cost for the same rows; r16)
+      val arr = graft.operators.PlanCache.persist(e.crossJoin(broadcast(mm))
         .select(col("event_id"), col("us"),
           when(col("event_id") % 11 === 0, least(quart + 2, lit(3L)))
-            .otherwise(least(quart, lit(3L))).as("b"))
+            .otherwise(least(quart, lit(3L))).as("b")))
       // 4 slice dirs named in arrival order: the file source sorts by
       // path, so slice k IS micro-batch k under maxFilesPerTrigger=1
       (0 to 3).foreach { b =>
