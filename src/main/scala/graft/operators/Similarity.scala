@@ -334,10 +334,14 @@ object Similarity {
       m: Int, k: Int, iters: Int, dim: Int): Seq[DataFrame] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val l = dim / m
+    // ONE corpus-head collect seeds every subspace (r16): the first-k
+    // rows are localized once with the full vector and the m sub-books
+    // are driver-local slices — the per-subspace form ran m TakeOrdered
+    // jobs over the corpus for the identical k rows.
+    val seed = localize(corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("__v")))
     var books: Seq[DataFrame] = (0 until m).map(s =>
-      localize(corpus.orderBy(col(idCol)).limit(k)
-        .select(col(idCol).cast("long").as("cid"),
-          slice(col(vecCol), s * l + 1, l).as("cvec"))))
+      seed.select(col("cid"), slice(col("__v"), s * l + 1, l).as("cvec")))
     for (_ <- 0 until iters) {
       val encoded = books.zipWithIndex.foldLeft(corpus) { case (df, (cb, s)) =>
         val packed = packCentroids(cb, "cid", "cvec")

@@ -529,15 +529,23 @@ object EventOps4 {
           (col("b_base") - col(s"b_rm_$c")) / col("b_base")).otherwise(0), 9)
           .as(s"re_$c")): _*)
       val sumRe = MkChannels.map(c => col(s"re_$c")).reduce(_ + _)
-      val rows = MkChannels.map { c =>
-        wRe.select(lit(c).as("channel"),
-          round(col("b_base"), 9).as("base_conv"),
-          round(col(s"b_rm_$c"), 9).as("b_removed"),
-          col(s"re_$c").as("removal_effect"),
-          round(when(sumRe =!= 0, col(s"re_$c") / sumRe).otherwise(0), 6)
+      // stack() fans the 1-row effect frame into the per-channel rows in
+      // ONE evaluation — the 4-way unionAll re-planned (and re-ran) the
+      // whole chain cascade per channel (2553-line plan, 267 Exchanges;
+      // r16). Identical values: same rounding points per field.
+      val stackExpr = s"stack(${MkChannels.size}, " + MkChannels.map(c =>
+        s"'$c', b_rm_$c, re_$c").mkString(", ") +
+        ") AS (channel, b_removed_raw, removal_effect)"
+      wRe.withColumn("__sum_re", sumRe)
+        .select(expr(stackExpr), round(col("b_base"), 9).as("base_conv"),
+          col("__sum_re"))
+        .select(col("channel"), col("base_conv"),
+          round(col("b_removed_raw"), 9).as("b_removed"),
+          col("removal_effect"),
+          round(when(col("__sum_re") =!= 0,
+            col("removal_effect") / col("__sum_re")).otherwise(0), 6)
             .as("attribution_share"))
-      }
-      rows.reduce(_.unionAll(_)).orderBy("channel")
+        .orderBy("channel")
     })
 
   /** Markov ENTROPY RATE of user behavior — how predictable is the
