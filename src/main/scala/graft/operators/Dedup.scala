@@ -91,7 +91,10 @@ object Dedup {
     * Schema (__id, hs); hs sorted for the two-pointer exact verify. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    // same scale-gated spread as [[minhashNearDupPairs]] (r16): the
+    // per-char md5-shingle pass is the operator's dominant CPU and a
+    // one-file scan would hash the whole frame on a single core
+    Spread.byKey(docs, idCol).select(col(idCol).as("__id"),
       sort_array(md5Shingles(tokens(col(textCol)), shingleN)).as("hs"))
 
   /** One step of INCREMENTAL near-dup discovery — the production shape at
