@@ -255,6 +255,25 @@ object Bench {
       spark.stop()
       sys.exit(0)
     }
+    // SPARK_GRAFT_INGEST_ONLY=n runs JUST the single-topic ingest replay
+    // n times and exits — the A/B knob behind the r16→r17 ingest-trend
+    // investigation (VERDICT r16 #3): the contract metric normally runs
+    // once per full 491-entry bench, far too slow to A/B across
+    // commits. Run 1 is the warm-up; read the medians of runs 2+.
+    sys.env.get("SPARK_GRAFT_INGEST_ONLY").foreach { spec =>
+      val n = math.max(1, spec.toInt)
+      val runs = (1 to n).flatMap { _ =>
+        try ingestThroughput(spark).map(_._1)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ingest failed: ${e.getMessage}")
+          None
+        }
+      }
+      println(s"""{"metric":"ingest_only","cpus":"$cpus","runs":${
+        runs.mkString("[", ",", "]")}}""")
+      spark.stop()
+      sys.exit(0)
+    }
     // Untimed warmup: absorb JIT/codegen/first-scan costs so per-query
     // numbers reflect steady-state execution, then run in catalog order.
     try SparkEntry.queries("q01_counts")(spark, sfDir).count()
@@ -458,6 +477,15 @@ object Bench {
       s""","ingest_throughput":$rps""" }.getOrElse("")
     val shortJson =
       s"""{"metric":"total","value":$totalR,"unit":"sec"$shortIso$shortIngest$shortErr,"sf":"$sfDir"}"""
+    // r17 (VERDICT r16 #5/#7): ALSO print the full per-query JSON —
+    // PERF_r16's comparator found no per-query rows because the stdout
+    // contract line carried none. It goes FIRST, so a consumer whose
+    // capture window is a bounded stdout tail (the 2000-char windows in
+    // BENCH_r01/r02 lost a full-line-only metric entirely) still sees
+    // the short line complete and last, while a full-stdout consumer
+    // gets the whole queries/isolated maps. Additions only: every key
+    // the short line carried is unchanged.
+    if (only.isEmpty) println(fullJson)
     println(shortJson)
     spark.stop()
     // A failed entry must fail the artifact run loudly, not flatter the

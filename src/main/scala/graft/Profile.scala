@@ -77,9 +77,13 @@ object Profile {
         try {
           Bench.timeEntry(spark, sfDir, q) // warm
           val runs = (1 to reps).map { _ =>
+            // listener events are async: drain the bus before each snap
+            // or in-flight task-end events bleed across reps (ADVICE r16)
+            org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
             val before = acc.snap
             val (sec, err) = Bench.timeEntry(spark, sfDir, q)
             err.foreach(m => println(s"!! ${q.name}: $m"))
+            org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
             val after = acc.snap
             (sec, after.zip(before).map { case (a, b) => a - b })
           }
